@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-aware defaults.
+  *
+  * Local runs use `local[N]` but every knob is chosen as it would be on a
+  * multi-executor cluster: AQE on (runtime shuffle coalescing + skew-join
+  * splitting), shuffle partitions sized to cores rather than the 200
+  * default, and a broadcast threshold large enough that every dimension
+  * table in the star schema (region/nation/customer/supplier/part at any
+  * reasonable SF) broadcasts instead of shuffling.
+  */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // testdata parquet uses TIMESTAMP(NANOS); read as long, converted
+      // back to TimestampType in graft.sources.Tables.load
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+  }
+
+  def get(appName: String = "graft"): SparkSession = builder(appName).getOrCreate()
+}
