@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 import graft.logs.LogLines
+import graft.mine.TemplateMining
 import graft.operators.{EventMatrix, Positional}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -151,6 +152,23 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
+    }),
+    // ---- M1 parallel template mining over the document corpus
+    //      (order-sensitive custom operator — rows-only check, no SQL oracle)
+    "q16_mine_templates" -> ((s, dir) => {
+      TemplateMining.mineParallel(Tables.documents(s, dir), "text")
+        .toDF("event_id", "size", "template")
+        .orderBy(col("size").desc, col("template"))
+    }),
+    // ---- M1 exact + M4 restore + J1 broadcast match + A1 counts (E2 pipeline)
+    "q17_match_counts" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val templates = TemplateMining.mineExact(docs, "text", Seq(col("doc_id"))).collect().toSeq
+      val tree = TemplateMining.treeFromTemplates(templates)
+      TemplateMining.matchLines(docs.select(col("doc_id"), col("text")), "text", tree)
+        .groupBy(col("eventId"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("eventId"))
     }),
   )
 
