@@ -8,6 +8,9 @@ import graft.sources.Tables
 import graft.logs.LogLines
 import graft.mine.TemplateMining
 import graft.operators.{EventMatrix, Positional}
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.{LangId, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -170,6 +173,71 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("eventId"))
     }),
+    // ---- dedup: exact canonical groups (hash-shuffle on digest)
+    "q18_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("fp"))),
+    // ---- dedup: exact token-set Jaccard pairs (inverted-index blocking)
+    "q19_token_jaccard" -> ((s, dir) =>
+      Dedup.tokenJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.95)
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- text: token counting (whitespace + BPE-ish pre-tokenizer proxy)
+    "q20_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeIshTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
+    // ---- text: quality scoring
+    "q21_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+    // ---- text: marker-vote language id (SQL-expressible variant)
+    "q22_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        LangId.markerLangId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+    // ---- similarity: exact brute-force cosine top-k (baseline)
+    "q23_ann_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteTopK(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+    // ---- dedup: MinHash+LSH near-dup pairs (no SQL oracle — spec-tested)
+    "q24_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          numHashes = 64, shingleN = 1, bands = 16, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- dedup: SimHash Hamming-<=3 pairs (no SQL oracle — spec-tested)
+    "q25_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- dedup: embedding near-dup via sign-LSH (no SQL oracle)
+    "q26_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.2, bands = 8, bitsPerBand = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- text: character-trigram language id (no SQL oracle)
+    "q27_trigram_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        LangId.trigramLangId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+    // ---- similarity: IVF approximate top-k (scale path, no SQL oracle)
+    "q28_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -272,5 +340,82 @@ object SparkEntry {
          GROUP BY o_orderkey
          ORDER BY revenue DESC, o_orderkey
          LIMIT 10""",
+    "q18_dedup_exact" ->
+      """WITH fps AS (
+           SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct(
+                    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+           FROM documents)
+         SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM fps GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""",
+    "q19_token_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(
+             string_split_regex(lower(trim(text)), '\s+'))) AS tok
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+         FROM shared
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95
+         ORDER BY id_a, id_b""",
+    "q20_token_stats" ->
+      """SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q21_quality_score" ->
+      """SELECT doc_id,
+         round((
+           least(len(string_split_regex(lower(trim(text)), '\s+')), 50) / 50.0
+           + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                  / greatest(length(text), 1))
+           + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0
+             / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+         ) / 3.0, 4) AS quality
+         FROM documents ORDER BY doc_id""",
+    "q22_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['el','los','las','es','una','y'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['的','是','了','在','和','有'], x))) AS s_zh
+           FROM t)
+         SELECT doc_id,
+           CASE
+             WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_en > 0 THEN 'en'
+             WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+             WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_es > 0 THEN 'es'
+             WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_de > 0 THEN 'de'
+             WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_zh > 0 THEN 'zh'
+             ELSE 'und'
+           END AS lang_pred
+         FROM s ORDER BY doc_id""",
+    "q23_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         d AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+           SELECT qid, vec_id, list_cosine_similarity(qv, v) AS sim
+           FROM q CROSS JOIN d),
+         ranked AS (
+           SELECT qid, vec_id AS id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           FROM scored)
+         SELECT qid, id, round(sim, 4) AS sim, rn
+         FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
   )
 }

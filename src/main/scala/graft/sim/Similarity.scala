@@ -1,0 +1,85 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * - [[cosine]]: built-in higher-order functions (`zip_with` +
+  *   `aggregate`) in double precision — no UDF, no serialization of the
+  *   vector to Scala, deterministic left-to-right accumulation (matches a
+  *   sequential oracle bit-for-bit).
+  * - [[bruteTopK]]: exact top-k for a (small, broadcast) query set against
+  *   the corpus — the baseline; cost |Q|·|D|·dim, embarrassingly parallel,
+  *   ranked with a per-query window (|Q| partitions, never a global sort).
+  * - [[ivfTopK]]: the scale path — k-means-style coarse quantizer built on
+  *   a sample, each corpus vector assigned to its nearest centroid
+  *   (broadcast), probes search only `nProbe` inverted lists. Recall < 1 by
+  *   design; `nProbe` trades recall for cost.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact cosine top-k: every query row (keyed `qid`) scored against every
+    * data row (keyed `id`). `queries` must be small enough to broadcast. */
+  def bruteTopK(data: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int): DataFrame = {
+    val scored = data.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
+      .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** IVF-style ANN: assign vectors to the nearest of `nCentroids` sampled
+    * centroids (one broadcast pass), then search only the `nProbe` nearest
+    * lists per query. Returns the same schema as [[bruteTopK]]. */
+  def ivfTopK(data: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val spark = data.sparkSession
+    // Coarse quantizer: deterministic sample of corpus vectors as centroids.
+    val centroids = data.select(col(idCol).as("cid0"), col(vecCol).as("cv"))
+      .orderBy(xxhash64(col("cid0"), lit(seed)))
+      .limit(nCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      var best = -1; var bestSim = Double.MinValue
+      bc.value.foreach { case (ci, cv) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < v.length) { dot += cv(i) * v(i); na += cv(i) * cv(i); nb += v(i) * v(i); i += 1 }
+        val s = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (s > bestSim) { bestSim = s; best = ci }
+      }
+      best
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      bc.value.map { case (ci, cv) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < v.length) { dot += cv(i) * v(i); na += cv(i) * cv(i); nb += v(i) * v(i); i += 1 }
+        (ci, dot / (math.sqrt(na) * math.sqrt(nb)))
+      }.sortBy(-_._2).take(nProbe).map(_._1)
+    }
+    val assigned = data.select(col(idCol).as("id"), col(vecCol).as("v"),
+      assignUdf(col(vecCol)).as("list"))
+    val probed = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"),
+      explode(probeUdf(col(qvecCol))).as("list"))
+    val scored = assigned.join(broadcast(probed), "list")
+      .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

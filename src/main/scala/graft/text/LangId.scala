@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Language identification.
+  *
+  * Two variants:
+  *  - [[markerLangId]]: stopword-marker voting, pure built-in functions
+  *    (SQL-expressible, used by the oracle-checked query). Ties break by
+  *    the fixed language order.
+  *  - [[trigramLangId]]: character-trigram profile scoring — the classic
+  *    n-gram heuristic (Cavnar & Trenkle '94 style, tiny built-in
+  *    profiles). A Scala UDF over the broadcast profiles; spec-tested.
+  *
+  * Both are per-row projections: no shuffle, scan-bound at scale.
+  */
+object LangId {
+
+  /** (language, marker tokens) in priority order. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "es", "una", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  /** Marker-vote language id over whitespace tokens; `und` when nothing
+    * matches. Deterministic: first language in [[Markers]] order wins ties. */
+  def markerLangId(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val scores = Markers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Minimal per-language character-trigram profiles (hand-built from
+    * orthographic staples — public knowledge, no corpus needed). */
+  private val TrigramProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("th ", "the", " th", "ing", "ion", "and", " an", "ed ", " of", "of "),
+    "fr" -> Set("es ", " de", "de ", "le ", " le", "ent", "que", " qu", "ait", "ion"),
+    "es" -> Set(" de", "de ", "os ", " la", "la ", "ión", "ent", "ar ", " co", "es "),
+    "de" -> Set("en ", "er ", "ch ", " de", "der", "ein", "sch", "ie ", "und", " un"),
+    "zh" -> Set("的", "是", "了", "在", "和"))
+
+  def trigramLangId(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.isEmpty) "und"
+      else {
+        val t = s.toLowerCase
+        val grams: Set[String] =
+          (if (t.length < 3) Set(t)
+           else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet) ++
+          t.filter(_ > 0x2E80).map(_.toString).toSet // CJK chars count alone
+        var bestLang = "und"; var bestScore = 0
+        TrigramProfiles.foreach { case (lang, prof) =>
+          val score = prof.count(grams.contains)
+          if (score > bestScore) { bestScore = score; bestLang = lang }
+        }
+        bestLang
+      }
+    }
+    f(text)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.sources.Tables
+import graft.text.{LangId, TextAnalysis}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  def docs = Tables.documents(spark, TestSession.sf)
+
+  test("exactGroups: members of a group share identical token sets") {
+    import spark.implicits._
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    val joined = docs
+      .select($"doc_id", TextAnalysis.setFingerprint($"text").as("fp"),
+        array_sort(array_distinct(TextAnalysis.tokens($"text"))).as("set"))
+      .join(groups, "fp")
+    val bad = joined.groupBy($"fp").agg(countDistinct($"set").as("nsets"))
+      .filter($"nsets" > 1).count()
+    assert(bad == 0)
+    assert(groups.count() > 0)
+  }
+
+  test("minhash estimated jaccard tracks exact token jaccard (mean abs err < 0.15)") {
+    import spark.implicits._
+    val exact = Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.0)
+      .select($"id_a", $"id_b", $"jaccard".as("exact_j"))
+      .limit(2000)
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 64, shingleN = 1)
+    val est = exact
+      .join(sigs.toDF("id_a", "sig_a"), "id_a")
+      .join(sigs.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("est_j", Dedup.minHashJaccard($"sig_a", $"sig_b"))
+    val mae = est.agg(avg(abs($"est_j" - $"exact_j"))).head().getDouble(0)
+    assert(mae < 0.15, s"minhash estimator MAE too high: $mae")
+  }
+
+  test("simHashPairs equals brute-force Hamming-<=3 pairs (pigeonhole is lossless)") {
+    import spark.implicits._
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = docs.select($"doc_id",
+      Dedup.simHash64(TextAnalysis.tokens($"text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+  }
+
+  test("embedding near-dup LSH finds a usable fraction of true pairs, no false positives") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    val thr = 0.2
+    val got = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", thr)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= thr
+    } yield (ia, ib)).toSet
+    assert(got.subsetOf(brute), s"false positives: ${(got -- brute).take(5)}")
+    if (brute.nonEmpty) {
+      val recall = got.size.toDouble / brute.size
+      assert(recall > 0.3, s"LSH recall too low: $recall (got ${got.size} of ${brute.size})")
+    }
+  }
+
+  test("bruteTopK is exact (matches local computation)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    val got = Similarity.bruteTopK(
+        emb.filter($"vec_id" >= 5), "vec_id", "embedding",
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", 3)
+      .select($"qid", $"id", $"rn").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until 5L).foreach { q =>
+      val expect = vecs.filter(_._1 >= 5).toSeq
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+      val gotQ = (1 to 3).map(rn => got((q, rn)))
+      assert(gotQ == expect, s"query $q: got $gotQ expected $expect")
+    }
+  }
+
+  test("trigram langid recognizes real language samples") {
+    import spark.implicits._
+    val samples = Seq(
+      ("the quick brown fox jumping over the lazy dog of the farm", "en"),
+      ("le chat est sur la table et il mange que de la viande", "fr"),
+      ("la casa de los niños es una de las mejores del barrio", "es"),
+      ("der Hund und die Katze sind ein schönes Paar in der Schule", "de"),
+      ("我是一个学生，在学校里学习了很多的知识", "zh")).toDF("text", "expected")
+    val out = samples.select($"expected", LangId.trigramLangId($"text").as("got")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+}
