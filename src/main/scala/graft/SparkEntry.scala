@@ -11,6 +11,8 @@ import graft.operators.{EventMatrix, Positional}
 import graft.dedup.Dedup
 import graft.sim.Similarity
 import graft.text.{LangId, TextAnalysis}
+import graft.analyze.{CorrPrune, StratifiedSplit}
+import graft.ml.{IsolationForest, Models}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -238,7 +240,69 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"), col("rn"))
         .orderBy(col("qid"), col("rn"))
     }),
+    // ---- W2+A2+A3: windowed feature table + max-pooled label (E1 stage 9)
+    "q29_window_features" -> ((s, dir) => windowedFeatures(s, dir)),
+    // ---- A8: distributed Pearson correlation matrix, long form
+    "q30_corr_pairs" -> ((s, dir) =>
+      CorrPrune.corrPairs(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .withColumn("corr", round(col("corr"), 4))
+        .orderBy(col("col_a"), col("col_b"))),
+    // ---- L1/L2: stratified 60/20/20 split, per-stratum counts (rows-only)
+    "q31_split_counts" -> ((s, dir) =>
+      StratifiedSplit.tagged(Tables.events(s, dir), "event_type", "event_id")
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("event_type"))),
+    // ---- L3+L5+L6: logistic regression on windowed features, metric table
+    "q32_lr_metrics" -> ((s, dir) => {
+      val feats = windowedFeatures(s, dir)
+      val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+      val data = Models.assemble(feats, cols, "label")
+      val model = Models.fitLogisticRegression(data)
+      Models.binaryMetrics(model.transform(data))
+    }),
+    // ---- L4+L8: random forest feature importance, descending (rows-only)
+    "q33_rf_importance" -> ((s, dir) => {
+      val feats = windowedFeatures(s, dir)
+      val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+      val data = Models.assemble(feats, cols, "label")
+      val model = Models.fitRandomForest(data)
+      Models.rfImportance(model, cols)
+    }),
+    // ---- L9: isolation forest anomaly flags on lineitem measures (rows-only)
+    "q34_iforest" -> ((s, dir) =>
+      IsolationForest.fitPredict(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .groupBy(col("is_anomaly"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("is_anomaly"))),
+    // ---- L10: PCA(k=2) projection of the embedding corpus (rows-only)
+    "q35_pca" -> ((s, dir) =>
+      Models.pcaProjectArray(Tables.embeddings(s, dir), "embedding", 2)
+        .select(col("vec_id"),
+          round(element_at(col("pc"), 1), 4).as("pc1"),
+          round(element_at(col("pc"), 2), 4).as("pc2"))
+        .orderBy(col("vec_id"))),
   )
+
+  /** E1-stage-9 feature prep shared by the ML queries: count-based
+    * tumbling windows (size 5, event_id order) over the event stream,
+    * per-type counts as features, max-pooled binary label
+    * (`process_logs_v9.py:267-271` semantics on the testdata schema). */
+  private def windowedFeatures(s: SparkSession, dir: String): DataFrame =
+    Positional.tumbling(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+        Seq(col("event_id")), 5)
+      .groupBy(col("window_id"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "signup", 1)).as("n_signup"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        max(when(col("event_type") === "error" && col("value") > 300, 1).otherwise(0)).as("label"))
+      .orderBy(col("window_id"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -417,5 +481,27 @@ object SparkEntry {
            FROM scored)
          SELECT qid, id, round(sim, 4) AS sim, rn
          FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    "q29_window_features" ->
+      """SELECT window_id,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+         count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+         max(CASE WHEN event_type = 'error' AND value > 300 THEN 1 ELSE 0 END) AS label
+         FROM (SELECT (row_number() OVER (ORDER BY event_id) - 1) // 5 AS window_id,
+                      event_type, value
+               FROM events) t
+         GROUP BY window_id ORDER BY window_id""",
+    "q30_corr_pairs" ->
+      """SELECT col_a, col_b, round(c, 4) AS corr FROM (
+           SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                  corr(l_quantity, l_extendedprice) AS c FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
+           UNION ALL SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+         ) ORDER BY col_a, col_b""",
   )
 }

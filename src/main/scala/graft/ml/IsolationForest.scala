@@ -1,0 +1,106 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** L9 — Isolation Forest anomaly detection (Liu, Ting, Zhou, ICDM 2008),
+  * absent from spark.ml (SURVEY.md §4.3).
+  *
+  * Faithful-to-paper design under Spark's execution model:
+  *  - each tree is grown from a SMALL uniform subsample (ψ = 256 by
+  *    default, as in the paper) — the subsample is the only data that
+  *    touches the driver;
+  *  - the fitted ensemble (t trees × ≤2ψ nodes) is broadcast and SCORING
+  *    is fully distributed, per-row, shuffle-free;
+  *  - anomaly score s(x) = 2^(−E[h(x)]/c(ψ)); the reference's
+  *    `contamination=0.1` decision (`process_logs_v9.py:424-439`) maps to
+  *    flagging the top `contamination` quantile, and its −1→1 label remap
+  *    (P12) is applied in [[fitPredict]].
+  */
+object IsolationForest {
+
+  private case class Node(splitFeature: Int, splitValue: Double,
+                          left: Int, right: Int, size: Int)
+
+  /** Average unsuccessful-search path length in a BST of n nodes. */
+  private def c(n: Double): Double =
+    if (n <= 1.0) 0.0 else 2.0 * (math.log(n - 1.0) + 0.5772156649) - 2.0 * (n - 1.0) / n
+
+  private def growTree(data: Array[Array[Double]], rnd: Random, maxDepth: Int): Array[Node] = {
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Node]
+    def grow(idx: Array[Int], depth: Int): Int = {
+      val id = nodes.length
+      nodes += Node(-1, 0.0, -1, -1, idx.length) // placeholder
+      if (depth >= maxDepth || idx.length <= 1) return id
+      val nFeat = data(0).length
+      // pick a feature with spread; give up after a few tries
+      var tries = 0
+      var feat = -1; var lo = 0.0; var hi = 0.0
+      while (tries < 8 && feat < 0) {
+        val f = rnd.nextInt(nFeat)
+        var mn = Double.MaxValue; var mx = Double.MinValue
+        idx.foreach { i => val v = data(i)(f); if (v < mn) mn = v; if (v > mx) mx = v }
+        if (mx > mn) { feat = f; lo = mn; hi = mx }
+        tries += 1
+      }
+      if (feat < 0) return id
+      val split = lo + rnd.nextDouble() * (hi - lo)
+      val (li, ri) = idx.partition(i => data(i)(feat) < split)
+      if (li.isEmpty || ri.isEmpty) return id
+      val l = grow(li, depth + 1)
+      val r = grow(ri, depth + 1)
+      nodes(id) = Node(feat, split, l, r, idx.length)
+      id
+    }
+    grow(data.indices.toArray, 0)
+    nodes.toArray
+  }
+
+  private def pathLength(tree: Array[Node], x: Seq[Double]): Double = {
+    var node = 0
+    var depth = 0.0
+    while (tree(node).splitFeature >= 0) {
+      node = if (x(tree(node).splitFeature) < tree(node).splitValue) tree(node).left
+             else tree(node).right
+      depth += 1.0
+    }
+    depth + c(tree(node).size.toDouble)
+  }
+
+  /** Score each row in [0,1] (higher = more anomalous) and flag the top
+    * `contamination` quantile as anomalies (`is_anomaly` = 1, else 0 —
+    * the reference's remapped labels). Adds `anomaly_score`. */
+  def fitPredict(df: DataFrame, featureCols: Seq[String],
+                 numTrees: Int = 100, sampleSize: Int = 256,
+                 contamination: Double = 0.1, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count()
+    val psi = math.min(sampleSize.toLong, n).toInt
+    val maxDepth = math.ceil(math.log(math.max(psi, 2)) / math.log(2)).toInt
+    // ψ·numTrees rows at most reach the driver — bounded, independent of n.
+    val rnd = new Random(seed)
+    val pool = df.select(featureCols.map(c => col(c).cast("double")): _*)
+      .sample(withReplacement = false, math.min(1.0, (psi.toDouble * numTrees * 1.2) / math.max(n, 1)), seed)
+      .collect().map(r => featureCols.indices.map(i => r.getDouble(i)).toArray)
+    val trees = (0 until numTrees).map { _ =>
+      val sub = Array.fill(math.min(psi, math.max(pool.length, 1)))(pool(rnd.nextInt(math.max(pool.length, 1))))
+      growTree(sub, rnd, maxDepth)
+    }.toArray
+    val cPsi = c(psi.toDouble)
+    val bc = spark.sparkContext.broadcast(trees)
+    val scoreUdf = udf { (xs: Seq[Double]) =>
+      val ts = bc.value
+      var sum = 0.0
+      var i = 0
+      while (i < ts.length) { sum += pathLength(ts(i), xs); i += 1 }
+      val avg = sum / ts.length
+      math.pow(2.0, -avg / math.max(cPsi, 1e-9))
+    }
+    val scored = df.withColumn("anomaly_score",
+      scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
+    val cutoff = scored.stat.approxQuantile("anomaly_score", Array(1.0 - contamination), 0.001)(0)
+    scored.withColumn("is_anomaly", when(col("anomaly_score") >= cutoff, 1).otherwise(0))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analyze.{CorrPrune, StratifiedSplit}
+import graft.ml.{IsolationForest, Models}
+import graft.sources.Tables
+
+class MLSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("stratified split keeps per-stratum fractions and partitions the data") {
+    import spark.implicits._
+    val events = Tables.events(spark, TestSession.sf)
+    val (train, rest) = StratifiedSplit.twoWay(events, "event_type", "event_id", 0.8)
+    assert(train.count() + rest.count() == events.count())
+    assert(train.join(rest, "event_id").count() == 0, "splits must be disjoint")
+    val fracs = train.groupBy($"event_type").count().withColumnRenamed("count", "tr")
+      .join(events.groupBy($"event_type").count(), "event_type")
+      .select($"tr" / $"count").as[Double].collect()
+    fracs.foreach(f => assert(f > 0.6 && f < 0.95, s"stratum fraction $f far from 0.8"))
+  }
+
+  test("threeWay split partitions into train/val/test") {
+    val events = Tables.events(spark, TestSession.sf)
+    val tagged = StratifiedSplit.tagged(events, "event_type", "event_id")
+    assert(tagged.count() == events.count())
+    val counts = tagged.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("corrPrune drops a synthetic duplicated column under the earlier-column rule") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toDouble, i * 2.0 + 0.001 * (i % 7), (i % 17).toDouble))
+      .toDF("x", "x_dup", "noise")
+    val drops = CorrPrune.toDrop(df, Seq("x", "x_dup", "noise"), 0.9)
+    assert(drops == Seq("x_dup"))
+    assert(CorrPrune.prune(df, Seq("x", "x_dup", "noise"), 0.9).columns.toSeq == Seq("x", "noise"))
+  }
+
+  test("LR + metrics: learns a separable synthetic problem; metrics well-formed") {
+    import spark.implicits._
+    val df = (1 to 400).map { i =>
+      val label = if (i % 2 == 0) 1 else 0
+      (i.toLong, label + scala.util.Random.nextDouble() * 0.1, label)
+    }.toDF("id", "f", "label")
+    val data = Models.assemble(df, Seq("f"), "label")
+    val m = Models.fitLogisticRegression(data)
+    val metrics = Models.binaryMetrics(m.transform(data)).collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(metrics("accuracy").get > 0.95)
+    assert(metrics("auc").get > 0.95)
+    Seq("precision", "recall").foreach(k =>
+      assert(metrics(k).get >= 0.0 && metrics(k).get <= 1.0))
+  }
+
+  test("AUC single-class guard yields null (L6)") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, i.toDouble, 1)).toDF("id", "f", "label")
+    val data = Models.assemble(df, Seq("f"), "label")
+    val m = Models.fitLogisticRegression(data, maxIter = 10)
+    val metrics = Models.binaryMetrics(m.transform(data)).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(metrics("auc").isEmpty, "AUC must be null for single-class labels")
+  }
+
+  test("RF importance concentrates on the informative feature") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map { i =>
+      val label = i % 2
+      (label * 10.0 + rnd.nextDouble(), rnd.nextDouble(), label)
+    }.toDF("signal", "noise", "label")
+    val data = Models.assemble(df, Seq("signal", "noise"), "label")
+    val m = Models.fitRandomForest(data, numTrees = 20)
+    val imp = Models.rfImportance(m, Seq("signal", "noise")).collect()
+    assert(imp.head.getString(0) == "signal")
+  }
+
+  test("isolation forest flags injected outliers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val normal = (1 to 950).map(_ => (rnd.nextGaussian(), rnd.nextGaussian(), false))
+    val outliers = (1 to 50).map(_ => (12.0 + rnd.nextGaussian(), -12.0 + rnd.nextGaussian(), true))
+    val df = rnd.shuffle(normal ++ outliers).toDF("x", "y", "truth")
+    val scored = IsolationForest.fitPredict(df, Seq("x", "y"), numTrees = 50, contamination = 0.05)
+    val flaggedOutliers = scored.filter($"truth" && $"is_anomaly" === 1).count()
+    assert(flaggedOutliers >= 40, s"only $flaggedOutliers/50 injected outliers flagged")
+    val falsePos = scored.filter(!$"truth" && $"is_anomaly" === 1).count()
+    assert(falsePos < 30, s"too many false positives: $falsePos")
+  }
+
+  test("PCA(k=2) on embeddings yields 2 components with nonzero spread") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    val proj = Models.pcaProjectArray(emb, "embedding", 2)
+      .select(element_at($"pc", 1).as("pc1"), element_at($"pc", 2).as("pc2"))
+    val stats = proj.agg(stddev_samp($"pc1"), stddev_samp($"pc2")).head()
+    assert(stats.getDouble(0) > 0 && stats.getDouble(1) > 0)
+    assert(stats.getDouble(0) >= stats.getDouble(1),
+      "components must be ordered by explained variance")
+  }
+}
