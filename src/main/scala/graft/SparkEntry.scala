@@ -284,6 +284,30 @@ object SparkEntry {
           round(element_at(col("pc"), 1), 4).as("pc1"),
           round(element_at(col("pc"), 2), 4).as("pc2"))
         .orderBy(col("vec_id"))),
+    // ---- multimodal ingest: binary payload + byte length + digest (oracled)
+    "q36_media_ingest" -> ((s, dir) =>
+      graft.multimodal.Multimodal.ingestFromDocuments(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("media_id"))),
+    // ---- multimodal batch feature extraction (stubbed decode; rows-only)
+    "q37_media_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.ingestFromDocuments(Tables.documents(s, dir), "doc_id", "text"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
+          round(avg(col("byte_entropy")), 4).as("avg_entropy"))
+        .orderBy(col("kind"))),
+    // ---- multimodal frame sampling (rows-only)
+    "q38_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Multimodal.frameSample(
+          graft.multimodal.Multimodal.ingestFromDocuments(Tables.documents(s, dir), "doc_id", "text"),
+          frameBytes = 16, stride = 4)
+        .select(col("media_id"), col("n_frames"), col("n_kept"),
+          length(col("sampled")).as("sampled_bytes"))
+        .orderBy(col("media_id"))),
   )
 
   /** E1-stage-9 feature prep shared by the ML queries: count-based
@@ -503,5 +527,11 @@ object SparkEntry {
            UNION ALL SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
            UNION ALL SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
          ) ORDER BY col_a, col_b""",
+    "q36_media_ingest" ->
+      """SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::int] AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS payload_md5
+         FROM documents ORDER BY media_id""",
   )
 }

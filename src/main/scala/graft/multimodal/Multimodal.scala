@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Policy for opaque media at 100 TB: carry the payload as a `binary`
+  * column WITH typed metadata alongside (never re-probe the blob for
+  * facts the pipeline already knows), keep every transform an
+  * iterator-to-iterator `mapPartitions` (no per-partition materialization,
+  * spill-safe), and never collect payloads to the driver.
+  *
+  * ==STUB NOTICE==
+  * This container has no image/audio codec libraries, so the DECODE step
+  * is a deterministic fake ([[decodeStub]]): it derives plausible
+  * metadata (width/height/channels or sample rate) from a hash of the
+  * payload instead of parsing a real container format. Everything AROUND
+  * the decode — schema, batching, partitioning, UDF signature, byte-level
+  * feature extraction, frame sampling — is real and tested; swapping in a
+  * real codec only replaces the body of `decodeStub`.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata (the typed half of the binary+metadata pair). */
+  case class MediaMeta(kind: String, width: Int, height: Int, channels: Int,
+                       sampleRate: Int, nBytes: Long)
+
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           mean_byte: Double, byte_entropy: Double,
+                           width: Int, height: Int, channels: Int, sample_rate: Int)
+
+  /** Build a binary media column deterministically from a text corpus —
+    * the ingest surface (text → UTF-8 payload; `kind` round-robins over
+    * modalities by id so every modality path is exercised). */
+  def ingestFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** ??? real decode — requires a codec library absent from this
+    * environment. The stub derives deterministic fake dimensions from the
+    * payload hash so downstream plumbing is testable. */
+  private def decodeStub(kind: String, payload: Array[Byte]): MediaMeta = {
+    var h = 1469598103934665603L // FNV offset
+    var i = 0
+    while (i < math.min(payload.length, 64)) { h ^= payload(i); h *= 1099511628211L; i += 1 }
+    val a = math.abs(h)
+    kind match {
+      case "image" => MediaMeta(kind, 64 + (a % 1024).toInt, 64 + ((a >> 10) % 1024).toInt,
+        if (a % 5 == 0) 1 else 3, 0, payload.length.toLong)
+      case "audio" => MediaMeta(kind, 0, 0, if (a % 2 == 0) 1 else 2,
+        Array(8000, 16000, 22050, 44100)((a % 4).toInt), payload.length.toLong)
+      case _ => MediaMeta(kind, 320 + (a % 640).toInt, 240 + ((a >> 8) % 480).toInt,
+        3, 0, payload.length.toLong)
+    }
+  }
+
+  /** Batch feature extraction: one pass per partition, iterator-to-iterator
+    * (constant memory per task), emitting byte-level statistics + the
+    * stub-decoded metadata. The Scala analog of a batched Pandas-UDF
+    * (`mapInPandas`) pipeline stage. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val p = rec.payload
+          val hist = new Array[Long](256)
+          var sum = 0.0
+          var i = 0
+          while (i < p.length) { val b = p(i) & 0xFF; hist(b) += 1; sum += b; i += 1 }
+          val n = math.max(p.length, 1)
+          var entropy = 0.0
+          var j = 0
+          while (j < 256) {
+            if (hist(j) > 0) { val q = hist(j).toDouble / n; entropy -= q * math.log(q) / math.log(2) }
+            j += 1
+          }
+          val meta = decodeStub(rec.kind, p)
+          MediaFeatures(rec.media_id, rec.kind, p.length.toLong, sum / n, entropy,
+            meta.width, meta.height, meta.channels, meta.sampleRate)
+        }
+      }
+  }
+
+  /** Video-style frame sampling on the raw payload: fixed-size frames,
+    * keep every `stride`-th, preserving order. Pure per-row projection. */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val sampler = udf { (payload: Array[Byte]) =>
+      if (payload == null || payload.isEmpty) Array.empty[Byte]
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        var off = 0
+        while (off < payload.length) {
+          val len = math.min(frameBytes, payload.length - off)
+          if (f % stride == 0) out.write(payload, off, len)
+          off += frameBytes
+          f += 1
+        }
+        out.toByteArray
+      }
+    }
+    media.withColumn("sampled", sampler(col("payload")))
+      .withColumn("n_frames", ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("int"))
+      .withColumn("n_kept", ceil(col("n_frames") / lit(stride.toDouble)).cast("int"))
+  }
+
+  /** "Resize": deterministic payload down-sampling to a byte budget (every
+    * k-th byte) with the metadata updated to match — the shape of a real
+    * thumbnailing stage without the codec. */
+  def resizeToBudget(media: DataFrame, maxBytes: Int): DataFrame = {
+    val shrink = udf { (payload: Array[Byte]) =>
+      if (payload == null || payload.length <= maxBytes) payload
+      else {
+        val step = math.ceil(payload.length.toDouble / maxBytes).toInt
+        payload.indices.collect { case i if i % step == 0 => payload(i) }.toArray
+      }
+    }
+    media.withColumn("payload", shrink(col("payload")))
+  }
+}
