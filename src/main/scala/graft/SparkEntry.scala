@@ -308,6 +308,35 @@ object SparkEntry {
         .select(col("media_id"), col("n_frames"), col("n_kept"),
           length(col("sampled")).as("sampled_bytes"))
         .orderBy(col("media_id"))),
+    // ---- streaming: time-tumbling windowed agg (W2's semantic upgrade),
+    //      genuine streaming execution (AvailableNow), batch-equivalent
+    //      result — DuckDB-oracled via date_trunc
+    "q39_stream_window" -> ((s, dir) => {
+      val path = s"${dir.stripSuffix("/")}/events.parquet"
+      val schema = s.read.parquet(path).schema
+      graft.streaming.StreamingOps.runToMemory(s, src =>
+          graft.streaming.StreamingOps.windowedCounts(
+            src.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long"))),
+            "ts", "event_type", "value", "1 hour"),
+          dir.stripSuffix("/"), "events.parquet", schema)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+    // ---- streaming: stateful per-shard template mining via
+    //      flatMapGroupsWithState (rows-only)
+    "q40_stream_mine" -> ((s, dir) => {
+      val path = s"${dir.stripSuffix("/")}/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      graft.streaming.StreamingOps.runToMemory(s, src => {
+          import s.implicits._
+          val lines = src.select(pmod(col("doc_id"), lit(4)).cast("int").as("shard"),
+            col("text")).as[(Int, String)]
+          graft.streaming.StreamingOps.streamingMine(lines).toDF("shard", "t")
+            .select(col("shard"), col("t.*"))
+        }, dir.stripSuffix("/"), "documents.parquet", schema, outputMode = "append")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("size")).as("mass"))
+        .orderBy(col("shard"))
+    }),
   )
 
   /** E1-stage-9 feature prep shared by the ML queries: count-based
@@ -533,5 +562,11 @@ object SparkEntry {
          octet_length(encode(text)) AS n_bytes,
          md5(text) AS payload_md5
          FROM documents ORDER BY media_id""",
+    "q39_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events
+         GROUP BY date_trunc('hour', ts), event_type
+         ORDER BY window_start, event_type""",
   )
 }

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.mine.{DrainConfig, DrainTree, EventTemplate}
+
+/** Structured Streaming surface (SURVEY.md §7.2 step 8).
+  *
+  * The reference's windowing is positional (`row_index // 5`) because it
+  * never parses timestamps; the streaming engine makes the documented
+  * semantic upgrade to TIME windows with watermarks (SURVEY.md §2.5 W2):
+  * late container logs are bounded by the watermark instead of silently
+  * reordering history. Mining state (M1) lives per shard in
+  * `flatMapGroupsWithState` — the streaming twin of the batch
+  * per-partition tree, checkpointable (M4) by the engine's checkpoint dir
+  * rather than a hand-rolled state file.
+  */
+object StreamingOps {
+
+  /** Tumbling time-window aggregation with a watermark: per (window,
+    * key) event counts and value sums. Works for batch DataFrames too
+    * (same plan), which is how the oracle checks it. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     valueCol: String, windowLen: String,
+                     watermark: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    withWm
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("n"), col("sum_value"))
+  }
+
+  /** M1 streaming: per-shard online template mining with
+    * `flatMapGroupsWithState`. Emits the full cluster snapshot of every
+    * shard whose tree changed in the micro-batch (idempotent downstream
+    * merge — pair with [[graft.mine.TemplateMining.treeFromTemplates]]).
+    * State is the Java-serializable [[DrainTree]]; checkpointing the query
+    * persists it (the engine-native replacement for drain3_state.bin). */
+  def streamingMine(lines: Dataset[(Int, String)], config: DrainConfig = DrainConfig()): Dataset[(Int, EventTemplate)] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    implicit val treeEnc = Encoders.javaSerialization[DrainTree]
+    lines
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, String)], state: GroupState[DrainTree]) =>
+          val tree = state.getOption.getOrElse(config.newTree())
+          var changed = false
+          rows.foreach { case (_, line) =>
+            val (_, change) = tree.addLogMessage(if (line == null) "" else line)
+            if (change != "none") changed = true
+          }
+          state.update(tree)
+          if (changed) tree.clusters.iterator.map(t => (shard, t)) else Iterator.empty
+      }
+  }
+
+  /** Run a streaming query over a parquet path to completion (AvailableNow
+    * trigger, memory sink) and return the result — a genuine streaming
+    * execution with a batch-shaped output, used by the driver-facing
+    * streaming queries. At production scale the sink would be parquet/
+    * kafka with a checkpoint dir; the memory sink is the local harness. */
+  def runToMemory(spark: SparkSession, build: DataFrame => DataFrame,
+                  sourceDir: String, globFilter: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  outputMode: String = "complete"): DataFrame = {
+    val name = "stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", globFilter)
+      .parquet(sourceDir)
+    val q = build(src).writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
