@@ -214,7 +214,7 @@ object SparkEntry {
     // ---- dedup: MinHash+LSH near-dup pairs (no SQL oracle — spec-tested)
     "q24_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          numHashes = 64, shingleN = 1, bands = 16, threshold = 0.9)
+          numHashes = 64, shingleN = 1, bands = 8, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))),
     // ---- dedup: SimHash Hamming-<=3 pairs (no SQL oracle — spec-tested)
     "q25_simhash" -> ((s, dir) =>

@@ -12,21 +12,33 @@ import graft.text.TextAnalysis
   *    the cheapest possible dedup; digest grouping keys are uniform, so no
   *    skew.
   *  - '''MinHash + LSH''' ([[minHashSignatures]], [[lshCandidatePairs]]):
-  *    signatures are computed per-row with array expressions (NO
-  *    numHashes× row explosion), then only (band, bucket) keys shuffle.
-  *    Candidate verification joins back to the token sets.
+  *    signatures computed in one linear pass per row (single UDF — no
+  *    numHashes× row explosion, no re-evaluated nested HOFs), then only
+  *    (band, bucket) keys shuffle; candidate pairs carry ids only.
   *  - '''SimHash''' ([[simHash64]], [[simHashPairs]]): 64-bit fingerprint
   *    per row; Hamming-≤k pairs found by the 4×16-bit pigeonhole band join
   *    (exact for k ≤ 3), `bit_count(a xor b)` verification.
-  *  - '''n-gram Jaccard''' ([[tokenJaccardPairs]]): inverted-index
-  *    self-join blocking — pairs are only generated for documents sharing
-  *    a token, then exact Jaccard filters. (At web scale add prefix
-  *    filtering on rare tokens; the join is the documented hotspot.)
+  *  - '''n-gram Jaccard''' ([[tokenJaccardPairs]]): exact similarity join
+  *    with AllPairs/PPJoin prefix filtering — blocking only on each
+  *    document's rarest `|d|−⌈τ·|d|⌉+1` tokens under a global
+  *    document-frequency order, ids-only candidate shuffle, length filter,
+  *    `array_intersect` verification.
   *  - '''embedding near-dup''' ([[embeddingNearDupPairs]]): random
   *    hyperplane signatures bucket the vectors; exact cosine verifies
   *    within buckets.
   */
 object Dedup {
+
+  /** Widen a narrow input before a row-explosive stage. A small single-file
+    * scan arrives as ONE partition; if the downstream join is planned as
+    * broadcast, the whole pair explosion runs on that one task (observed:
+    * minutes of single-core time while 31 cores idle). A cheap up-front
+    * round-robin repartition restores parallelism; inputs that are already
+    * wide (the 100 TB case) pass through untouched. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < math.max(target / 2, 2)) df.repartition(target) else df
+  }
 
   // ---------------------------------------------------------------- exact
 
@@ -42,27 +54,70 @@ object Dedup {
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (space-joined), empty array when the document is
-    * shorter than `n` tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+    * shorter than `n` tokens.
+    *
+    * IMPORTANT: `toks` must be a MATERIALIZED column (a plain attribute),
+    * not a nested expression — higher-order functions are interpreted, so
+    * a nested expression here would be re-evaluated once per shingle
+    * position (and once per seed when composed under another `transform`),
+    * turning a linear scan into billions of regex splits. Callers stage
+    * the token array with a `select` first. */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature: for each of `numHashes` seeds, the minimum
-    * `xxhash64(seed, shingle)` over the document's distinct shingles.
-    * One array expression per row — no explosion, no shuffle. */
+  /** Stable 64-bit string hash (FNV-1a) + splitmix64 seed mixing. */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
-    val sh = array_distinct(shingles(col(textCol), shingleN))
-    val seeds = array((0 until numHashes).map(lit): _*)
-    val sig = transform(seeds, s => array_min(transform(sh, g => xxhash64(s, g))))
-    df.select(col(idCol).as("id"), sig.as("sig"))
-      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"), x => isnull(x)), true))
+    val src = spread(df)
+    // One Scala UDF computes shingles + all minima in a single pass per
+    // row. Composed built-in higher-order functions are interpreted and
+    // re-evaluate nested expressions per lambda element (numHashes ×
+    // positions × regex splits — observed 1000× slowdowns), and staged
+    // select columns can be re-inlined by CollapseProject; the UDF keeps
+    // the work linear and partition-invariant.
+    val sigUdf = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.length < shingleN) null
+      else {
+        val seen = new scala.collection.mutable.HashSet[String]
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        var i = 0
+        while (i + shingleN <= toks.length) {
+          val g = toks.slice(i, i + shingleN).mkString(" ")
+          if (seen.add(g)) {
+            val base = fnv1a64(g)
+            var s = 0
+            while (s < numHashes) {
+              val h = mix64(base + s.toLong * 0x9e3779b97f4a7c15L)
+              if (h < sig(s)) sig(s) = h
+              s += 1
+            }
+          }
+          i += 1
+        }
+        sig
+      }
+    }
+    src.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), sigUdf(col("toks")).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** LSH banding: split the signature into `bands` bands, hash each band,
@@ -107,20 +162,52 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram jaccard
 
-  /** Exact token-set Jaccard similarity pairs via inverted-index blocking:
-    * only documents sharing at least one token are paired. */
+  /** Exact token-set Jaccard similarity pairs with PREFIX FILTERING (the
+    * AllPairs/PPJoin bound): under a global token order (by ascending
+    * document frequency), two sets with Jaccard ≥ τ must share a token
+    * inside both prefixes of length `|d| − ⌈τ·|d|⌉ + 1`. Blocking on
+    * prefix tokens only — the globally rarest tokens of each document —
+    * keeps the inverted-index join selective even when the vocabulary is
+    * tiny and every pair shares SOME token (the naive token join is
+    * quadratic there). Verification joins the two full sorted token
+    * arrays and computes `array_intersect` per candidate — no second
+    * exploded aggregation. Exact: no candidate with Jaccard ≥ τ is lost. */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val shared = toks.alias("a")
-      .join(toks.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
-    shared
-      .join(sizes.toDF("id_a", "na"), "id_a")
-      .join(sizes.toDF("id_b", "nb"), "id_b")
+    val docToks = spread(df).select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+    // global document frequency per token → rarity rank order
+    val dfreq = docToks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // no broadcast hint: vocabulary size is data-dependent (tiny here, can
+    // be huge at corpus scale) — AQE picks broadcast when it fits
+    val ranked = docToks.select(col("id"), explode(col("toks")).as("tok"))
+      .join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("tok"))))
+    val withArrays = ranked.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("tok")))).as("rt"),
+           count(lit(1)).as("n"))
+      .select(col("id"), transform(col("rt"), r => r.getField("tok")).as("toks"), col("n"))
+    // probing prefix: |d| - ceil(τ·|d|) + 1 rarest-first tokens.
+    // Candidates shuffle IDS ONLY — carrying the token arrays through the
+    // candidate join multiplies the shuffle ~100×; arrays are re-attached
+    // afterwards (AQE broadcasts the doc side when it fits).
+    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val prefixes = withArrays.select(col("id"),
+      explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+    val cands = prefixes.alias("a")
+      .join(prefixes.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val docSide = withArrays.select(col("id"), col("toks"), col("n"))
+    cands
+      .join(docSide.toDF("id_a", "toks_a", "na"), "id_a")
+      .join(docSide.toDF("id_b", "toks_b", "nb"), "id_b")
+      // length filter: J >= τ requires τ·max(|A|,|B|) <= min(|A|,|B|)
+      .filter(greatest(col("na"), col("nb")) * threshold <= least(col("na"), col("nb")))
+      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
       .withColumn("jaccard", col("c").cast("double") /
         (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -157,7 +244,7 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole blocking is only exact for maxDist <= 3")
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed = spread(df).select(col(idCol).as("id"),
       simHash64(TextAnalysis.tokens(col(textCol))).as("h"))
     val chunked = hashed.select(col("id"), col("h"),
       posexplode(array((0 until 4).map(i =>
@@ -199,16 +286,20 @@ object Dedup {
       }
       bits.grouped(bitsPerBand).map(_.foldLeft(0)((acc, b) => (acc << 1) | b)).toArray
     }
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigUdf(col(vecCol)).as("bandSigs"))
-    val banded = sigs.select(col("id"), col("v"), posexplode(col("bandSigs")))
-      .toDF("id", "v", "band", "bucket")
+    // candidate pairs shuffle ids only (vectors re-attached after distinct)
+    val banded = spread(df).select(col(idCol).as("id"), posexplode(sigUdf(col(vecCol))))
+      .toDF("id", "band", "bucket")
     val a = banded.alias("a")
     val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.sim.Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+    val cands = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands
+      .join(vecs.toDF("id_a", "va"), "id_a")
+      .join(vecs.toDF("id_b", "vb"), "id_b")
+      .withColumn("cos", graft.sim.Similarity.cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }

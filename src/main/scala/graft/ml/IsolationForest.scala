@@ -58,7 +58,7 @@ object IsolationForest {
     nodes.toArray
   }
 
-  private def pathLength(tree: Array[Node], x: Seq[Double]): Double = {
+  private def pathLength(tree: Array[Node], x: Array[Double]): Double = {
     var node = 0
     var depth = 0.0
     while (tree(node).splitFeature >= 0) {
@@ -91,10 +91,11 @@ object IsolationForest {
     val cPsi = c(psi.toDouble)
     val bc = spark.sparkContext.broadcast(trees)
     val scoreUdf = udf { (xs: Seq[Double]) =>
+      val arr = xs.toArray // unbox once; per-node Seq indexing dominates otherwise
       val ts = bc.value
       var sum = 0.0
       var i = 0
-      while (i < ts.length) { sum += pathLength(ts(i), xs); i += 1 }
+      while (i < ts.length) { sum += pathLength(ts(i), arr); i += 1 }
       val avg = sum / ts.length
       math.pow(2.0, -avg / math.max(cPsi, 1e-9))
     }
