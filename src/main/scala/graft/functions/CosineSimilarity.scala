@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity of two `array<float>`
+  * columns, accumulated in double precision.
+  *
+  * Why an `Expression` and not a UDF or `zip_with`/`aggregate`: higher-order
+  * functions are interpreted (lambda per element, boxed), and a Scala UDF
+  * deserializes the whole array per row. This node stays inside
+  * whole-stage codegen ([[doGenCode]] emits a tight primitive loop over
+  * `ArrayData.getFloat`) — the hot path of brute-force top-k and near-dup
+  * verification runs with no boxing and no virtual calls.
+  *
+  * Accumulation is strictly left-to-right, matching a sequential oracle
+  * bit-for-bit.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xv = (double) $a.getFloat(i);
+         |  double yv = (double) $b.getFloat(i);
+         |  dot += xv * yv; nx += xv * xv; ny += yv * yv;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's native expressions. Idempotent. */
+object GraftFunctions {
+  val CosineName = "graft_cosine"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+}

@@ -20,8 +20,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
+  /** Cosine similarity of two float-array columns, computed in double by
+    * the native codegen'd [[graft.functions.CosineSimilarity]] expression
+    * (registered on the active session on first use). */
   def cosine(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.functions.GraftFunctions.CosineName, a, b)
+  }
+
+  /** Built-ins-only variant (`zip_with` + `aggregate`) — same arithmetic
+    * order, kept as the portable fallback and for plan comparison. */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
