@@ -197,10 +197,14 @@ object Dedup {
     val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
     val prefixes = withArrays.select(col("id"),
       explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+    // No dropDuplicates BEFORE verification: a candidate appears at most
+    // prefix-length times, and verifying a few duplicate pairs map-side is
+    // far cheaper than shuffling the full candidate set to dedup it. The
+    // only shuffles in the whole join are the exchange on `tok` and the
+    // final dedup of the (small) qualifying pair set.
     val cands = prefixes.alias("a")
       .join(prefixes.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
     val docSide = withArrays.select(col("id"), col("toks"), col("n"))
     cands
       .join(docSide.toDF("id_a", "toks_a", "na"), "id_a")
@@ -212,6 +216,7 @@ object Dedup {
         (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // -------------------------------------------------------------- simhash
