@@ -337,6 +337,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clusters"), sum(col("size")).as("mass"))
         .orderBy(col("shard"))
     }),
+    // ---- SQL-string entry surface: the engine's tables queried via
+    //      spark.sql with the SAME text the DuckDB oracle runs
+    "q41_sql_surface" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+               FROM events WHERE user_id % 2 = 0
+               GROUP BY event_type ORDER BY event_type""")
+    }),
+    // ---- distribution stats: exact percentiles + distinct counts per source
+    "q42_distribution_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
+        .orderBy(col("source"))),
+    // ---- dedup APPLICATION: survivors after exact-group pruning
+    "q43_dedup_apply" -> ((s, dir) =>
+      Dedup.dropExactDuplicates(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
   )
 
   /** E1-stage-9 feature prep shared by the ML queries: count-based
@@ -568,5 +591,22 @@ object SparkEntry {
          FROM events
          GROUP BY date_trunc('hour', ts), event_type
          ORDER BY window_start, event_type""",
+    "q41_sql_surface" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+         FROM events WHERE user_id % 2 = 0
+         GROUP BY event_type ORDER BY event_type""",
+    "q42_distribution_stats" ->
+      """SELECT source, count(*) AS n, count(DISTINCT lang) AS n_langs,
+         round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+         round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+         FROM documents GROUP BY source ORDER BY source""",
+    "q43_dedup_apply" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (
+             PARTITION BY md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\s+'))), ' '))
+             ORDER BY doc_id) AS rk
+           FROM documents) t
+         WHERE rk = 1 ORDER BY doc_id""",
   )
 }

@@ -51,6 +51,18 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") >= 2)
 
+  /** Apply exact dedup: keep one representative (min id) per canonical
+    * fingerprint group, drop the rest. A semi-join-free formulation: rank
+    * within the fingerprint and keep rank 1 — one shuffle on the digest. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextAnalysis.setFingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (space-joined), empty array when the document is

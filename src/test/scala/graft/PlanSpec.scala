@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the shapes the engine PROMISES at
+  * scale (broadcast dim joins, scan-level filters, top-k fusion, no
+  * shuffle in pure projections) must survive refactors. String-level
+  * checks on the executed plan — crude but effective tripwires. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSession.sf).queryExecution.executedPlan.toString
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "dim join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge join expected at this scale")
+  }
+
+  test("q02: filters reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("DataFilters: [isnotnull(l_quantity"), s"filter not at scan:\n$p")
+  }
+
+  test("q04: top-k fuses into TakeOrderedAndProject") {
+    assert(plan("q04_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q11: pure projection plans no shuffle except the result ordering") {
+    val p = plan("q11_clean_text")
+    val exchanges = p.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"projection should only range-shuffle for ORDER BY, got $exchanges:\n$p")
+  }
+
+  test("q01: aggregation is two-phase (partial before shuffle)") {
+    val p = plan("q01_pricing_agg")
+    assert(p.contains("HashAggregate"), "hash aggregate expected")
+    assert(p.split("HashAggregate").length >= 3, "partial + final aggregation expected")
+  }
+
+  test("q23: native cosine expression is in the plan (codegen path)") {
+    val p = plan("q23_ann_brute")
+    assert(p.contains("graft_cosine"), s"native cosine missing:\n$p")
+  }
+}
