@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.logs.LogLines
 import graft.mine.TemplateMining
-import graft.operators.{EventMatrix, Positional}
+import graft.operators.{EventMatrix, Positional, Temporal}
 import graft.dedup.Dedup
 import graft.sim.Similarity
 import graft.text.{LangId, TextAnalysis}
@@ -360,6 +360,24 @@ object SparkEntry {
       Dedup.dropExactDuplicates(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    // ---- gap-based sessionization (30-min gap) + per-session stats
+    "q44_sessionize" -> ((s, dir) =>
+      Temporal.sessionize(Tables.events(s, dir), "user_id", "ts", 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             round(sum(col("value")), 4).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))),
+    // ---- as-of join: each event matched to the user's latest prior order
+    "q45_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_custkey") <= 150)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          col("o_orderkey"))
+      Temporal.asOfJoin(ev, ord, "user_id", "ts", "event_id", "o_orderkey")
+        .select(col("user_id"), col("event_id"), col("asof_o_orderkey"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
   )
 
   /** E1-stage-9 feature prep shared by the ML queries: count-based
@@ -608,5 +626,34 @@ object SparkEntry {
              ORDER BY doc_id) AS rk
            FROM documents) t
          WHERE rk = 1 ORDER BY doc_id""",
+    "q44_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                  THEN 1 ELSE 0 END AS ns
+           FROM events),
+         s AS (
+           SELECT user_id, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+                round(sum(value), 4) AS session_value
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q45_asof_join" ->
+      """WITH u AS (
+           SELECT user_id AS k, ts AS t, event_id AS lv, NULL::BIGINT AS rv, 1 AS side
+           FROM events
+           UNION ALL
+           SELECT o_custkey, o_orderdate, NULL::BIGINT, o_orderkey, 0
+           FROM orders WHERE o_custkey <= 150),
+         w AS (
+           SELECT k, t, lv, side,
+             last_value(rv IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY t, side, rv ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_rv
+           FROM u)
+         SELECT k AS user_id, lv AS event_id, matched_rv AS asof_o_orderkey
+         FROM w WHERE side = 1 ORDER BY user_id, event_id""",
   )
 }

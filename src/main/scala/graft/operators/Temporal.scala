@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark has no single primitive for, composed from
+  * built-ins (preference (a) of the custom-operator ladder — no custom
+  * plan node needed, Catalyst keeps optimizing through them).
+  *
+  * Both are per-key window pipelines: ONE hash shuffle on the key, then
+  * sorted within partitions — no global sort, no driver state, skew
+  * bounded by the hottest key.
+  */
+object Temporal {
+
+  /** Gap-based sessionization: a new session starts when the gap since the
+    * key's previous event exceeds `gapSeconds`. Adds `session_id`
+    * (0-based per key, by time order). */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w))
+    events
+      .withColumn("__new_session", when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .drop("__new_session")
+  }
+
+  /** As-of join: for every left row, the most recent right row of the same
+    * key with `right.ts <= left.ts`. Implemented with the union trick —
+    * tag both inputs, sort per key by (ts, tag) with right rows first at
+    * equal timestamps, and carry the last non-null right value forward
+    * (`last(..., ignoreNulls = true)` over an unbounded-preceding frame).
+    * One shuffle on the key; never a range join or per-row probe. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+               leftValCol: String, rightValCol: String): DataFrame = {
+    val l = left.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      col(leftValCol).as("lv"), lit(null).cast(right.schema(rightValCol).dataType).as("rv"),
+      lit(1).as("side"))
+    val r = right.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      lit(null).cast(left.schema(leftValCol).dataType).as("lv"),
+      col(rightValCol).as("rv"), lit(0).as("side"))
+    // third sort key makes ties among same-timestamp right rows
+    // deterministic (explicit null placement — engine defaults differ)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("rv").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionAll(r)
+      .withColumn("asof", last(col("rv"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("k").as(keyCol), col("t").as(tsCol),
+        col("lv").as(leftValCol), col("asof").as(s"asof_$rightValCol"))
+  }
+}
