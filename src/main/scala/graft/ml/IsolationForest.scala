@@ -101,7 +101,13 @@ object IsolationForest {
     }
     val scored = df.withColumn("anomaly_score",
       scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
-    val cutoff = scored.stat.approxQuantile("anomaly_score", Array(1.0 - contamination), 0.001)(0)
+    // The quantile pass would re-run ensemble scoring over the full data
+    // (the plan is lazy, nothing is cached); estimate the cutoff on a
+    // seeded sample instead — the contamination quantile is already
+    // approximate by contract, and this caps scoring at ~1.25 passes.
+    val sampleFrac = math.min(1.0, math.max(0.25, 50000.0 / math.max(n, 1)))
+    val cutoff = scored.sample(withReplacement = false, sampleFrac, seed)
+      .stat.approxQuantile("anomaly_score", Array(1.0 - contamination), 0.001)(0)
     scored.withColumn("is_anomaly", when(col("anomaly_score") >= cutoff, 1).otherwise(0))
   }
 }
