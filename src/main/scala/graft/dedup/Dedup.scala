@@ -186,22 +186,26 @@ object Dedup {
     * exploded aggregation. Exact: no candidate with Jaccard ≥ τ is lost. */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
+    graft.functions.SortedOverlapCount.register(
+      org.apache.spark.sql.SparkSession.active)
     val docToks = spread(df).select(col(idCol).as("id"),
       array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
-    // global document frequency per token → rarity rank order
+    // global rarity rank per token (ascending document frequency). Tokens
+    // are then carried as dense INTS everywhere downstream: int equi-join
+    // keys for the prefix block, sorted-int-merge verification — no string
+    // hashing or array allocation in the hot pair loop. (The global-rank
+    // window is a single task over the VOCABULARY, not the corpus.)
     val dfreq = docToks.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("tok"))))
     // no broadcast hint: vocabulary size is data-dependent (tiny here, can
     // be huge at corpus scale) — AQE picks broadcast when it fits
-    val ranked = docToks.select(col("id"), explode(col("toks")).as("tok"))
+    val withArrays = docToks.select(col("id"), explode(col("toks")).as("tok"))
       .join(dfreq, "tok")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("df"), col("tok"))))
-    val withArrays = ranked.groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("rk"), col("tok")))).as("rt"),
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("rk"))).as("toks"),
            count(lit(1)).as("n"))
-      .select(col("id"), transform(col("rt"), r => r.getField("tok")).as("toks"), col("n"))
     // probing prefix: |d| - ceil(τ·|d|) + 1 rarest-first tokens.
     // Candidates shuffle IDS ONLY — carrying the token arrays through the
     // candidate join multiplies the shuffle ~100×; arrays are re-attached
@@ -223,7 +227,8 @@ object Dedup {
       .join(docSide.toDF("id_b", "toks_b", "nb"), "id_b")
       // length filter: J >= τ requires τ·max(|A|,|B|) <= min(|A|,|B|)
       .filter(greatest(col("na"), col("nb")) * threshold <= least(col("na"), col("nb")))
-      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("c", call_function(graft.functions.SortedOverlapCount.Name,
+        col("toks_a"), col("toks_b")))
       .withColumn("jaccard", col("c").cast("double") /
         (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Native Catalyst expression: `|A ∩ B|` for two SORTED-ascending int
+  * arrays, by linear merge — O(|A|+|B|), zero allocation.
+  *
+  * The exact-Jaccard verifier calls this on millions of candidate pairs;
+  * `size(array_intersect(a, b))` builds (and immediately discards) a hash
+  * set and a result array per pair. Inputs MUST be sorted ascending with
+  * distinct elements — the caller (tokenJaccardPairs) guarantees it by
+  * construction (global rarity-rank encoding).
+  */
+case class SortedOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<int> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0L
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val xv = x.getInt(i); val yv = y.getInt(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int i = 0, j = 0;
+         |long c = 0L;
+         |int nx = $a.numElements(), ny = $b.numElements();
+         |while (i < nx && j < ny) {
+         |  int xv = $a.getInt(i), yv = $b.getInt(j);
+         |  if (xv == yv) { c++; i++; j++; }
+         |  else if (xv < yv) { i++; } else { j++; }
+         |}
+         |${ev.value} = c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedOverlapCount {
+  val Name = "graft_sorted_overlap"
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Name, exprs => SortedOverlapCount(exprs(0), exprs(1)), "built-in")
+}

@@ -67,3 +67,20 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 }
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("salted join returns exactly the plain join's rows") {
+    import spark.implicits._
+    // heavily skewed fact: 90% of rows share one key
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, s"v$i"))
+      .toDF("k", "payload")
+    val dim = (0L to 6L).map(k => (k, s"dim$k")).toDF("dk", "dval")
+    val plain = fact.join(dim, $"k" === $"dk")
+      .select($"k", $"payload", $"dval").collect().map(_.toString).sorted
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", "dk", 8)
+      .select($"k", $"payload", $"dval").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+}
