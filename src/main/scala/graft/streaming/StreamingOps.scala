@@ -58,6 +58,18 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose key was already seen within
+    * the watermark horizon (`dropDuplicatesWithinWatermark`) — state is
+    * bounded by the horizon instead of growing forever, the streaming twin
+    * of [[graft.dedup.Dedup.exactGroups]]'s digest-keyed batch dedup. For
+    * batch frames it degrades to a plain dropDuplicates. */
+  def dedupeStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                   watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   /** Run a streaming query over a parquet path to completion (AvailableNow
     * trigger, memory sink) and return the result — a genuine streaming
     * execution with a batch-shaped output, used by the driver-facing

@@ -26,6 +26,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops within-watermark duplicate keys across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val q = StreamingOps.dedupeStream(
+        input.toDF().toDF("key", "ts", "payload"), "ts", Seq("key"), "30 minutes")
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append")
+      .start()
+    input.addData((1L, ts(0), "a"), (1L, ts(1), "dup"), (2L, ts(2), "b"))
+    q.processAllAvailable()
+    input.addData((1L, ts(3), "dup2"), (3L, ts(4), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_test").select($"key").as[Long].collect().sorted
+    assert(keys.toSeq == Seq(1L, 2L, 3L), s"got ${keys.toSeq}")
+  }
+
   test("stateful streaming mining across micro-batches matches sequential mining") {
     assume(GoldenFixture.available)
     import spark.implicits._
