@@ -378,6 +378,13 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("asof_o_orderkey"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // ---- hierarchical aggregation: ROLLUP over (returnflag, linestatus)
+    "q46_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
   )
 
   /** E1-stage-9 feature prep shared by the ML queries: count-based
@@ -655,5 +662,11 @@ object SparkEntry {
            FROM u)
          SELECT k AS user_id, lv AS event_id, matched_rv AS asof_o_orderkey
          FROM w WHERE side = 1 ORDER BY user_id, event_id""",
+    "q46_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
   )
 }
