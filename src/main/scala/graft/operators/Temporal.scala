@@ -16,13 +16,19 @@ object Temporal {
 
   /** Gap-based sessionization: a new session starts when the gap since the
     * key's previous event exceeds `gapSeconds`. Adds `session_id`
-    * (0-based per key, by time order). */
+    * (0-based per key, by time order).
+    *
+    * Gaps are measured in MICROSECONDS (`unix_micros`), not
+    * `unix_timestamp`: second-truncation would make a true 1800.4 s gap
+    * read as 1800 and disagree with any engine that keeps sub-second
+    * precision (the oracle's `epoch_us`) exactly at the boundary. */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
-    val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w))
+    val gap = unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w))
+    val gapMicros = gapSeconds * 1000000L
     events
-      .withColumn("__new_session", when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
+      .withColumn("__new_session", when(gap.isNull || gap > gapMicros, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
       .drop("__new_session")

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.sql.types.LongType
 
 /** Parquet table loader for the star-schema testdata layout
@@ -33,8 +33,11 @@ object Tables {
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
     val raw = spark.read.parquet(s"${dir.stripSuffix("/")}/$table.parquet")
     tsColumns.getOrElse(table, Nil).foldLeft(raw) { (df, c) =>
+      // INTEGER division (`div`), never `/`: nanosecond longs exceed 2^53,
+      // so the double round-trip of `/` loses up to ~128 ns and can flip
+      // the truncated microsecond vs an engine that divides exactly.
       if (df.schema.fieldNames.contains(c) && df.schema(c).dataType == LongType)
-        df.withColumn(c, timestamp_micros((col(c) / 1000).cast(LongType)))
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
       else df
     }
   }
