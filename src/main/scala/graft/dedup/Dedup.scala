@@ -134,17 +134,39 @@ object Dedup {
 
   /** LSH banding: split the signature into `bands` bands, hash each band,
     * self-join on (band, bucket). Returns distinct candidate `(id_a, id_b)`
-    * pairs (a < b). Only band keys shuffle; signature arrays stay columnar. */
+    * pairs (a < b). Only band keys shuffle; signature arrays stay columnar.
+    *
+    * `bands` must divide the signature length exactly — a trailing short
+    * band would slice past the array end, hash identically for EVERY row,
+    * and silently degenerate that band into an all-pairs cross product.
+    *
+    * Buckets of size 1 (the vast majority on a non-adversarial corpus)
+    * are dropped before the self-join: a cheap partial-aggregated count
+    * on the join key removes them without touching the candidate
+    * explosion, and AQE keeps the count join co-partitioned with the
+    * self-join's own (band, bucket) exchange. */
   def lshCandidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
-    val rowsPerBand = ceil(size(col("sig")) / lit(bands)).cast("int")
+    val first = signatures.select(size(col("sig")).as("n")).limit(1).collect()
+    if (first.isEmpty) {
+      return signatures.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
+    }
+    val sigLen = first.head.getInt(0)
+    require(sigLen % bands == 0,
+      s"bands=$bands must divide the signature length $sigLen exactly")
+    val rowsPerBand = sigLen / bands
     val banded = signatures.select(
       col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), b))))
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .toDF("id", "band", "bucket")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    val multi = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") >= 2)
+      .drop("__bn")
+    val pruned = banded.join(multi, Seq("band", "bucket"))
+    val a = pruned.alias("a")
+    val b = pruned.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
               col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -157,18 +179,46 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") /
       size(sigA).cast("double")
 
-  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    * signature-estimated Jaccard filter. */
+  /** Full MinHash-LSH near-dup pipeline: signatures → identical-signature
+    * pre-collapse → banded candidates over one representative per group →
+    * signature-estimated Jaccard filter → group expansion.
+    *
+    * The pre-collapse is semantically EXACT: two rows with the same
+    * signature estimate Jaccard 1.0, so within-group pairs are emitted
+    * directly (1.0 ≥ any threshold) and cross-group pairs carry the
+    * representative pair's estimate. On a dense corpus (many identical or
+    * near-identical documents) this shrinks the quadratic band self-join
+    * by the square of the duplication factor — the difference between a
+    * banded join and an accidental all-pairs explosion at 100 TB. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, shingleN: Int = 3, bands: Int = 16,
                       threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes exactly")
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
-    val cands = lshCandidatePairs(sigs, bands)
-    cands
-      .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
-      .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+    // group by the signature VALUE (no hash-collision risk): rep = min id
+    val groups = sigs.groupBy(col("sig"))
+      .agg(min(col("id")).as("id"), collect_list(col("id")).as("mids"))
+    val reps = groups.select(col("id"), col("sig"))
+    val mem = groups.select(col("id").as("rep"), explode(col("mids")).as("member"))
+    // within-group pairs: identical signatures, estimate exactly 1.0
+    val within = mem.alias("x")
+      .join(mem.alias("y"), col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
+      .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+    // cross-group pairs: LSH over representatives only, then expand
+    val repPairs = lshCandidatePairs(reps, bands)
+      .join(reps.toDF("id_a", "sig_a"), "id_a")
+      .join(reps.toDF("id_b", "sig_b"), "id_b")
       .withColumn("est_jaccard", round(minHashJaccard(col("sig_a"), col("sig_b")), 4))
       .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    val cross = repPairs
+      .join(mem.toDF("id_a", "ma"), "id_a")
+      .join(mem.toDF("id_b", "mb"), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("est_jaccard"))
+    (if (1.0 >= threshold) within.unionAll(cross) else cross)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
@@ -274,12 +324,17 @@ object Dedup {
       .toDF("id", "h", "chunk_idx", "chunk_val")
     val a = chunked.alias("a")
     val b = chunked.alias("b")
+    // Filter BEFORE deduplicating: the Hamming cut runs map-side inside
+    // the candidate join's output, so only the tiny surviving pair set is
+    // shuffled for dedup. (The old distinct()-then-filter order shuffled
+    // the ENTIRE candidate explosion once more just to drop most of it.)
     a.join(b, col("a.chunk_idx") === col("b.chunk_idx") &&
               col("a.chunk_val") === col("b.chunk_val") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 
   // --------------------------------------------------- embedding near-dup

@@ -31,6 +31,30 @@ class MLSpec extends AnyFunSuite {
     assert(counts("train") > counts("val") && counts("train") > counts("test"))
   }
 
+  test("corrPairs matches brute-force Pearson (decimal-moment fast path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val data = (1 to 400).map { i =>
+      val x = i.toDouble / 7.0
+      (x, x * 0.5 + rnd.nextDouble() * 10, rnd.nextDouble() * 100)
+    }
+    val df = data.toDF("a", "b", "c")
+    val got = CorrPrune.corrPairs(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    def pearson(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val cols = Map("a" -> data.map(_._1), "b" -> data.map(_._2), "c" -> data.map(_._3))
+    for (((a, b), v) <- got) {
+      // decimal(12,6) per-row quantization bounds the difference at ~1e-6
+      assert(math.abs(v - pearson(cols(a), cols(b))) < 1e-4, s"corr($a,$b)=$v off brute force")
+    }
+  }
+
   test("corrPrune drops a synthetic duplicated column under the earlier-column rule") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i.toDouble, i * 2.0 + 0.001 * (i % 7), (i % 17).toDouble))

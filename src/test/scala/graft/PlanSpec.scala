@@ -38,6 +38,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length >= 3, "partial + final aggregation expected")
   }
 
+  test("q12: correlation runs as a codegen'd hash aggregate, never RowMatrix") {
+    val p = plan("q12_corr")
+    assert(p.contains("HashAggregate"), "moment sums must be a hash aggregate")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"corr must stay in Tungsten rows (no RDD/object fallback):\n$p")
+  }
+
   test("q23: native cosine expression is in the plan (codegen path)") {
     val p = plan("q23_ann_brute")
     assert(p.contains("graft_cosine"), s"native cosine missing:\n$p")
