@@ -238,52 +238,83 @@ object Dedup {
                         threshold: Double): DataFrame = {
     graft.functions.SortedOverlapCount.register(
       org.apache.spark.sql.SparkSession.active)
-    val docToks = spread(df).select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
-    // global rarity rank per token (ascending document frequency). Tokens
-    // are then carried as dense INTS everywhere downstream: int equi-join
-    // keys for the prefix block, sorted-int-merge verification — no string
-    // hashing or array allocation in the hot pair loop. (The global-rank
-    // window is a single task over the VOCABULARY, not the corpus.)
-    val dfreq = docToks.select(explode(col("toks")).as("tok"))
+    val docSets = spread(df).select(col(idCol).as("id"),
+      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("set"))
+    // EXACT-GROUP PRE-COLLAPSE: documents with the SAME distinct token set
+    // have pairwise Jaccard exactly 1.0 among themselves and identical
+    // similarity to everything else, so the quadratic join only needs ONE
+    // representative per set; member pairs are expanded back afterwards.
+    // On a corpus with duplication factor d this shrinks the join by d².
+    // Grouping is by the set VALUE — exact, no fingerprint collisions.
+    val groups = docSets.groupBy(col("set"))
+      .agg(min(col("id")).as("id"), collect_list(col("id")).as("mids"))
+    val reps = groups.select(col("id"), col("set"))
+    val mem = groups.select(col("id").as("rep"), explode(col("mids")).as("member"))
+    val within = mem.alias("x")
+      .join(mem.alias("y"), col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
+      .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
+        lit(1.0).as("jaccard"))
+    // global rarity rank per token (ascending document frequency, over
+    // representatives — any consistent global order is correct for the
+    // prefix bound). Tokens are then carried as dense INTS everywhere
+    // downstream: int equi-join keys for the prefix block, sorted-int-
+    // merge verification — no string hashing or array allocation in the
+    // hot pair loop. (The global-rank window is a single task over the
+    // VOCABULARY, not the corpus.)
+    val dfreq = reps.select(explode(col("set")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("tok"))))
     // no broadcast hint: vocabulary size is data-dependent (tiny here, can
     // be huge at corpus scale) — AQE picks broadcast when it fits
-    val withArrays = docToks.select(col("id"), explode(col("toks")).as("tok"))
+    val withArrays = reps.select(col("id"), explode(col("set")).as("tok"))
       .join(dfreq, "tok")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("rk"))).as("toks"),
            count(lit(1)).as("n"))
-    // probing prefix: |d| - ceil(τ·|d|) + 1 rarest-first tokens.
-    // Candidates shuffle IDS ONLY — carrying the token arrays through the
-    // candidate join multiplies the shuffle ~100×; arrays are re-attached
-    // afterwards (AQE broadcasts the doc side when it fits).
+    // probing prefix: |d| - ceil(τ·|d|) + 1 rarest-first tokens, with the
+    // 0-based position of each prefix token retained for the PPJoin bound.
     val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
-    val prefixes = withArrays.select(col("id"),
-      explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+    val prefixes = withArrays.select(col("id"), col("n"),
+      posexplode(slice(col("toks"), lit(1), prefixLen)))
+      .toDF("id", "n", "pos", "tok")
+    // Candidate generation shuffles (id, n, pos) ONLY — arrays re-attach
+    // afterwards. Two map-side cuts run inside the join:
+    //  - length filter: J ≥ τ requires τ·max(|A|,|B|) ≤ min(|A|,|B|);
+    //  - PPJoin positional bound: for the FIRST shared token (positions
+    //    pa, pb in the common global order) overlap ≤ min(na−pa, nb−pb),
+    //    which must reach minoverlap = ⌈τ/(1+τ)·(na+nb)⌉. Filtering every
+    //    matched row by this bound is lossless: a qualifying pair always
+    //    survives via its first shared prefix token.
+    val minOverlap = ceil((col("a.n") + col("b.n")) * threshold / (1 + threshold))
+    val cands = prefixes.alias("a")
+      .join(prefixes.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        col("a.n").cast("double") >= col("b.n") * threshold &&
+        col("b.n").cast("double") >= col("a.n") * threshold &&
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= minOverlap)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // No dropDuplicates BEFORE verification: a candidate appears at most
     // prefix-length times, and verifying a few duplicate pairs map-side is
-    // far cheaper than shuffling the full candidate set to dedup it. The
-    // only shuffles in the whole join are the exchange on `tok` and the
-    // final dedup of the (small) qualifying pair set.
-    val cands = prefixes.alias("a")
-      .join(prefixes.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // far cheaper than shuffling the full candidate set to dedup it.
     val docSide = withArrays.select(col("id"), col("toks"), col("n"))
-    cands
+    val repPairs = cands
       .join(docSide.toDF("id_a", "toks_a", "na"), "id_a")
       .join(docSide.toDF("id_b", "toks_b", "nb"), "id_b")
-      // length filter: J >= τ requires τ·max(|A|,|B|) <= min(|A|,|B|)
-      .filter(greatest(col("na"), col("nb")) * threshold <= least(col("na"), col("nb")))
       .withColumn("c", call_function(graft.functions.SortedOverlapCount.Name,
         col("toks_a"), col("toks_b")))
       .withColumn("jaccard", col("c").cast("double") /
         (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
       .dropDuplicates("id_a", "id_b")
+    val cross = repPairs
+      .join(mem.toDF("id_a", "ma"), "id_a")
+      .join(mem.toDF("id_b", "mb"), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    (if (threshold <= 1.0) within.unionAll(cross) else cross)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   // -------------------------------------------------------------- simhash
