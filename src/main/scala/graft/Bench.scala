@@ -21,15 +21,24 @@ object Bench {
     // one tiny warmup action so the first measured query doesn't absorb
     // session/codegen startup
     spark.read.parquet(s"${sfDir.stripSuffix("/")}/region.parquet").count()
+    // noop-format write: materializes EVERY result row through the full
+    // plan (count() lets Catalyst elide final sorts and column projects);
+    // a crashed query is reported as a failure, never as a fast time.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -201,10 +201,14 @@ object SparkEntry {
         .toDF("event_id", "size", "template")
         .orderBy(col("size").desc, col("template"))
     }),
-    // ---- M1 exact + M4 restore + J1 broadcast match + A1 counts (E2 pipeline)
+    // ---- M1 parallel + M4 restore + J1 broadcast match + A1 counts (E2
+    //      pipeline, SCALE path: per-partition trees + log-depth merge —
+    //      the only collect is the mined TEMPLATE TABLE, which is bounded
+    //      by cluster count, never corpus-sized. The reference-faithful
+    //      sequential mode (mineExact) stays golden-spec-only.)
     "q17_match_counts" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val templates = TemplateMining.mineExact(docs, "text", Seq(col("doc_id"))).collect().toSeq
+      val templates = TemplateMining.mineParallel(docs, "text").collect().toSeq
       val tree = TemplateMining.treeFromTemplates(templates)
       TemplateMining.matchLines(docs.select(col("doc_id"), col("text")), "text", tree)
         .groupBy(col("eventId"))
@@ -422,7 +426,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
              dsum(col("l_extendedprice"), 2).as("sum_price"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // ---- E1/E2 END-TO-END over actual log FILES: recursive container_*
+    //      scan → P1-P4 clean → parallel mining → broadcast match →
+    //      E3 failure distribution — the reference's whole program as one
+    //      query (`process_logs_v10.py:86-179`). Rows-only (mining ids
+    //      are synthetic); the golden-count spec pins the semantics.
+    "q47_log_pipeline" -> ((s, dir) => {
+      val raw = graft.logs.LogSource.readLogDir(s, logCorpusDir(s, dir))
+      val cleaned = raw.select(LogLines.clean(col("value")).as("line"))
+      val templates = TemplateMining.mineParallel(cleaned, "line").collect().toSeq
+      val tree = TemplateMining.treeFromTemplates(templates)
+      val matched = TemplateMining.matchLines(cleaned, "line", tree)
+      EventMatrix.failureDistribution(matched, "eventId")
+    }),
+    // ---- L7: |LR coefficient| feature importance, descending (rows-only;
+    //      reference prints it as a first-class output, v9:391-403)
+    "q48_lr_importance" -> ((s, dir) => {
+      val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+      val data = Models.assemble(windowedFeatures(s, dir), cols, "label")
+      Models.lrImportance(Models.fitLogisticRegression(data), cols)
+    }),
   )
+
+  /** Materialize the documents table as a `container_NN.log` directory —
+    * the on-disk corpus shape the reference's E1/E2 program consumes. The
+    * write is DISTRIBUTED (spark text write; the follow-up rename touches
+    * file metadata only, never row data) and cached per sf dir behind a
+    * ready marker, so repeated queries reuse it. */
+  private def logCorpusDir(s: SparkSession, dir: String): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_logcorpus_$slug")
+    val marker = new java.io.File(root, "_GRAFT_READY")
+    if (!marker.exists()) {
+      Tables.documents(s, dir)
+        .select(concat(lit("2015-10-17 15:37:56,547 INFO [main] worker.Task: "),
+          col("text")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(root.getAbsolutePath)
+      root.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.renameTo(new java.io.File(root, f"container_$i%02d.log")) }
+      marker.createNewFile()
+    }
+    root.getAbsolutePath
+  }
 
   /** E1-stage-9 feature prep shared by the ML queries: count-based
     * tumbling windows (size 5, event_id order) over the event stream,

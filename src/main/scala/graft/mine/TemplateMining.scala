@@ -88,9 +88,15 @@ object TemplateMining {
   }
 }
 
-/** Mining configuration — reference defaults (`drain3.ini`, which the
-  * reference's code mirrors at `process_logs_v10.py:8-17`): tree depth 4,
-  * similarity 0.4, 100 children per node, unbounded clusters. */
+/** Mining configuration — reference defaults (`drain3.ini`, mirrored at
+  * `process_logs_v10.py:8-17`): tree depth 4, similarity 0.4, 100
+  * children per node. DELIBERATE DEVIATION: the reference caps clusters
+  * at 10000 (`max_clusters=10000`) with LRU eviction; the engine defaults
+  * to UNBOUNDED (`maxClusters = 0`) because the LRU touch makes a bounded
+  * tree mutate on probe — unsafe for the broadcast matcher's concurrent
+  * executor threads. Behavior is identical until the 10001st cluster (its
+  * corpora mine ~1.1k); set `maxClusters = 10000` explicitly for
+  * reference-faithful eviction in single-threaded mining. */
 case class DrainConfig(
     depth: Int = 4,
     simTh: Double = 0.4,

@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `fact.factKey === dim.dimKey` with the dim side replicated
-    * `nSalts` times. Result columns = fact columns ++ dim columns. */
+    * `nSalts` times. Result columns = fact columns ++ dim columns.
+    *
+    * Every join column is resolved against its OWN side
+    * (`salted(factKey) === replicated(dimKey)`): a bare `col(factKey)`
+    * would be ambiguous whenever both sides name the key identically —
+    * the common case for a natural key. */
   def saltedJoin(fact: DataFrame, dim: DataFrame,
                  factKey: String, dimKey: String, nSalts: Int): DataFrame = {
     val salted = fact.withColumn("__salt",
@@ -26,7 +31,8 @@ object Skew {
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1)).cast("array<int>")))
     salted.join(replicated,
-        salted("__salt") === replicated("__salt") && col(factKey) === col(dimKey))
+        salted("__salt") === replicated("__salt") &&
+        salted(factKey) === replicated(dimKey))
       .drop("__salt")
   }
 }

@@ -22,6 +22,40 @@ object Sinks {
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** S6 — chart sinks. The engine is headless: rendering is presentation,
+    * not query semantics, so the sink emits the CHART DATA CONTRACT — a
+    * `chart.json` spec naming the chart kind, axes and title next to a
+    * single-file header CSV of the series — which any plotting frontend
+    * (the reference uses matplotlib) renders 1:1. Covers the reference's
+    * chart surface:
+    *  - failure-distribution bar chart (`data_display.py:4-17`,
+    *    `process_logs_v10.py:186-214`; v10 labels every 5th event id,
+    *    recorded as `xtickEvery`);
+    *  - PCA scatter colored by class label (`process_logs_v10.py:441-449`).
+    */
+  def writeChartData(df: DataFrame, path: String, kind: String,
+                     x: String, y: String, color: Option[String] = None,
+                     title: String = "", xtickEvery: Int = 0): Unit = {
+    require(Set("bar", "scatter", "line").contains(kind), s"unknown chart kind $kind")
+    writeCsv(df, s"$path/data")
+    val colorField = color.map(c => s""","color":"$c"""").getOrElse("")
+    val spec =
+      s"""{"kind":"$kind","x":"$x","y":"$y"$colorField,"title":"$title","xtickEvery":$xtickEvery}"""
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("chart.json"), spec)
+  }
+
+  /** The reference's E3 bar chart over a `(event, cnt)` distribution. */
+  def chartFailureBar(dist: DataFrame, path: String): Unit =
+    writeChartData(dist, path, "bar", dist.columns(0), dist.columns(1),
+      title = "Distribution Des Événements", xtickEvery = 5)
+
+  /** The reference's PCA scatter (`pc1`, `pc2`, colored by `label`). */
+  def chartPcaScatter(proj: DataFrame, path: String): Unit =
+    writeChartData(proj, path, "scatter", "pc1", "pc2", color = Some("label"),
+      title = "PCA")
+
   def saveTemplates(templates: Dataset[EventTemplate], path: String): Unit =
     templates.write.mode("overwrite").parquet(path)
 

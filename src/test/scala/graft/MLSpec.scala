@@ -90,6 +90,22 @@ class MLSpec extends AnyFunSuite {
     assert(metrics("auc").isEmpty, "AUC must be null for single-class labels")
   }
 
+  test("lrImportance lists every feature, ordered by |coefficient| descending (L7)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 500).map { i =>
+      val label = i % 2
+      (label * 4.0 + rnd.nextDouble(), rnd.nextDouble(), label)
+    }.toDF("signal", "noise", "label")
+    val data = Models.assemble(df, Seq("signal", "noise"), "label")
+    val imp = Models.lrImportance(Models.fitLogisticRegression(data, maxIter = 50),
+      Seq("signal", "noise")).collect()
+    assert(imp.map(_.getString(0)).toSet == Set("signal", "noise"))
+    assert(imp.head.getString(0) == "signal", "separating feature must rank first")
+    val vals = imp.map(_.getDouble(1)).toSeq
+    assert(vals == vals.sorted.reverse, s"importances must be non-increasing: $vals")
+  }
+
   test("RF importance concentrates on the informative feature") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

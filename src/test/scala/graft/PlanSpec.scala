@@ -38,6 +38,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length >= 3, "partial + final aggregation expected")
   }
 
+  test("q16/q17: registered mining queries plan no one-task wall") {
+    Seq("q16_mine_templates", "q17_match_counts").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"),
+        s"$q must use the parallel mining path (found a single-partition exchange):\n$p")
+    }
+  }
+
   test("q12: correlation runs as a codegen'd hash aggregate, never RowMatrix") {
     val p = plan("q12_corr")
     assert(p.contains("HashAggregate"), "moment sums must be a hash aggregate")

@@ -83,4 +83,15 @@ class SkewSpec extends AnyFunSuite {
       .select($"k", $"payload", $"dval").collect().map(_.toString).sorted
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("salted join resolves identically-named keys on both sides") {
+    import spark.implicits._
+    val fact = (1 to 500).map(i => (i.toLong % 5, s"v$i")).toDF("k", "payload")
+    val dim = (0L to 4L).map(k => (k, s"dim$k")).toDF("k", "dval")
+    val plain = fact.join(dim.withColumnRenamed("k", "dk"), $"k" === $"dk")
+      .select($"payload", $"dval").collect().map(_.toString).sorted
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", "k", 4)
+      .select($"payload", $"dval").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
 }

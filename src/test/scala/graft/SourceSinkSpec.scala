@@ -53,6 +53,20 @@ class SourceSinkSpec extends AnyFunSuite {
       Set(("click", 10L), ("error", 2L)))
   }
 
+  test("S6: chart-data sink writes the spec + a renderable series") {
+    import spark.implicits._
+    val dist = Seq(("Event_1", 40L), ("Event_5", 25L)).toDF("event", "cnt")
+    val out = Files.createTempDirectory("graft_chart").toString + "/failure"
+    Sinks.chartFailureBar(dist, out)
+    val spec = Files.readString(Paths.get(out, "chart.json"))
+    assert(spec.contains("\"kind\":\"bar\"") && spec.contains("\"x\":\"event\"") &&
+      spec.contains("\"y\":\"cnt\"") && spec.contains("\"xtickEvery\":5"), spec)
+    val back = spark.read.option("header", "true").csv(s"$out/data")
+      .select($"event", $"cnt".cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(back == Set(("Event_1", 40L), ("Event_5", 25L)))
+  }
+
   test("S5: template state parquet round-trip restores an equivalent probe tree") {
     assume(GoldenFixture.available)
     import spark.implicits._
