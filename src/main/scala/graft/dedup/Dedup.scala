@@ -174,10 +174,16 @@ object Dedup {
   }
 
   /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
-    * components). */
-  def minHashJaccard(sigA: Column, sigB: Column): Column =
-    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") /
+    * components). Uses the native codegen'd agreement count — the
+    * `zip_with`/`filter` built-in formulation runs interpreted and
+    * allocates two arrays per pair, which dominates verification cost at
+    * millions of candidates. */
+  def minHashJaccard(sigA: Column, sigB: Column): Column = {
+    graft.functions.SigAgreeCount.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.functions.SigAgreeCount.Name, sigA, sigB).cast("double") /
       size(sigA).cast("double")
+  }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → identical-signature
     * pre-collapse → banded candidates over one representative per group →
