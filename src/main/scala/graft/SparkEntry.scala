@@ -446,6 +446,21 @@ object SparkEntry {
       val data = Models.assemble(windowedFeatures(s, dir), cols, "label")
       Models.lrImportance(Models.fitLogisticRegression(data), cols)
     }),
+    // ---- M1 as a NATIVE CATALYST AGGREGATE: per-source template mining
+    //      in ONE two-phase GROUP BY via graft_mine — partial trees
+    //      map-side, kilobyte tree state through the shuffle. Rows-only
+    //      (cluster splits are merge-order-dependent); mass conservation
+    //      is the spec'd invariant (MineAggSpec).
+    "q49_group_mine" -> ((s, dir) => {
+      graft.mine.DrainMineAgg.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""WITH mined AS (
+                 SELECT source, graft_mine(text) AS ts
+                 FROM documents GROUP BY source)
+               SELECT source, size(ts) AS n_clusters,
+                      aggregate(ts, CAST(0 AS BIGINT), (acc, x) -> acc + x.size) AS mass
+               FROM mined ORDER BY source""")
+    }),
   )
 
   /** Materialize the documents table as a `container_NN.log` directory —
