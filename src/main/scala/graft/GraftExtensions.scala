@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, SigAgreeCount, SortedOverlapCount}
+import graft.mine.DrainMineAgg
+
+/** The library's `SparkSessionExtensions` injection point — the idiomatic
+  * way a Spark-native library ships its Catalyst surface. Every graft
+  * expression and aggregate becomes a built-in of any session created with
+  *
+  *   `--conf spark.sql.extensions=graft.GraftExtensions`
+  *
+  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`): the
+  * names resolve in SQL text, views, and downstream sessions with no
+  * per-query registration. `GraftSession` wires this in by default; the
+  * per-operator `register(...)` calls remain as idempotent fallbacks for
+  * foreign sessions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, clazz: Class[_], builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getCanonicalName, name), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn(graft.functions.GraftFunctions.CosineName,
+      classOf[CosineSimilarity], exprs => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction(fn(SortedOverlapCount.Name,
+      classOf[SortedOverlapCount], exprs => SortedOverlapCount(exprs(0), exprs(1))))
+    ext.injectFunction(fn(SigAgreeCount.Name,
+      classOf[SigAgreeCount], exprs => SigAgreeCount(exprs(0), exprs(1))))
+    ext.injectFunction(fn(DrainMineAgg.Name,
+      classOf[DrainMineAgg], exprs => DrainMineAgg(exprs.head)))
+  }
+}

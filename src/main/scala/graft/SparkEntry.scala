@@ -446,6 +446,29 @@ object SparkEntry {
       val data = Models.assemble(windowedFeatures(s, dir), cols, "label")
       Models.lrImportance(Models.fitLogisticRegression(data), cols)
     }),
+    // ---- stream-stream INTERVAL self-join (watermarked both sides,
+    //      bounded state): error events preceded by a click of the same
+    //      user within 1 hour — genuine streaming execution, DuckDB-
+    //      oracled as the equivalent batch range join (single-file source
+    //      → one micro-batch → watermarking drops nothing)
+    "q50_stream_join" -> ((s, dir) => {
+      val path = s"${dir.stripSuffix("/")}/events.parquet"
+      val schema = s.read.parquet(path).schema
+      graft.streaming.StreamingOps.runToMemory(s, src => {
+          val ev = src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val errors = ev.filter(col("event_type") === "error")
+            .select(col("user_id").as("euser"), col("ts").as("ets"), col("event_id"))
+          val clicks = ev.filter(col("event_type") === "click")
+            .select(col("user_id").as("cuser"), col("ts").as("cts"))
+          graft.streaming.StreamingOps.streamIntervalJoin(
+              errors, clicks, "euser", "cuser", "ets", "cts",
+              maxLagSeconds = 3600, watermark = "1 hour")
+            .select(col("euser").as("user_id"), col("event_id"))
+        }, dir.stripSuffix("/"), "events.parquet", schema, outputMode = "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
     // ---- M1 as a NATIVE CATALYST AGGREGATE: per-source template mining
     //      in ONE two-phase GROUP BY via graft_mine — partial trees
     //      map-side, kilobyte tree state through the shuffle. Rows-only
@@ -776,6 +799,13 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
                 round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS session_value
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q50_stream_join" ->
+      """SELECT e.user_id, count(*) AS n_pairs
+         FROM events e JOIN events c
+           ON e.user_id = c.user_id
+          AND e.event_type = 'error' AND c.event_type = 'click'
+          AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+         GROUP BY e.user_id ORDER BY e.user_id""",
     "q45_asof_join" ->
       """WITH u AS (
            SELECT user_id AS k, ts AS t, event_id AS lv, NULL::BIGINT AS rv, 1 AS side

@@ -62,6 +62,28 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream INNER join with watermarks on BOTH sides and an
+    * explicit event-time range bound — the only join shape whose buffered
+    * state Structured Streaming can provably discard: each side keeps
+    * only rows younger than (watermark + maxLagSeconds), so state is
+    * bounded regardless of stream length. Right rows match left rows of
+    * the same key with `l.ts - maxLag <= r.ts <= l.ts` (the streaming
+    * twin of [[graft.operators.Temporal.asOfJoin]]'s "recent context"
+    * semantics, as a set rather than latest-only). Degrades to a plain
+    * range join for batch inputs. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         maxLagSeconds: Long,
+                         watermark: String = "1 hour"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark) else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark) else right).alias("r")
+    l.join(r,
+      col(s"l.$leftKey") === col(s"r.$rightKey") &&
+      col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $maxLagSeconds SECONDS") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen within
     * the watermark horizon (`dropDuplicatesWithinWatermark`) — state is
     * bounded by the horizon instead of growing forever, the streaming twin

@@ -16,7 +16,7 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(path).schema
     val streamed = StreamingOps.runToMemory(spark, src =>
         StreamingOps.windowedCounts(
-          src.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long"))),
+          src.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
           "ts", "event_type", "value", "1 hour"),
         TestSession.sf, "events.parquet", schema)
       .orderBy($"window_start", $"event_type").collect().toSeq
@@ -42,6 +42,42 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val keys = spark.table("dedup_test").select($"key").as[Long].collect().sorted
     assert(keys.toSeq == Seq(1L, 2L, 3L), s"got ${keys.toSeq}")
+  }
+
+  test("stream-stream interval join matches the batch range join, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val orders = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamingOps.streamIntervalJoin(
+        clicks.toDF().toDF("user", "cts"),
+        orders.toDF().toDF("ouser", "ots", "item"),
+        "user", "ouser", "cts", "ots", maxLagSeconds = 600, watermark = "10 minutes")
+      .select($"user", $"cts", $"item")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    clicks.addData((1L, ts(10)), (2L, ts(12)))
+    orders.addData((1L, ts(9), "in_range"), (1L, ts(11), "late"), (2L, ts(1), "too_old"))
+    q.processAllAvailable()
+    clicks.addData((1L, ts(15)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin_test").select($"user", $"item").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // click(1,10:10) matches order(1,10:09) [within 10 min, not after];
+    // click(1,10:15) matches orders at 10:09 and 10:11;
+    // click(2,10:12) matches nothing (order at 10:01 is >10 min older)
+    assert(got == Set((1L, "in_range"), (1L, "late")), s"got $got")
+    val batch = StreamingOps.streamIntervalJoin(
+        Seq((1L, ts(10)), (2L, ts(12)), (1L, ts(15))).toDF("user", "cts"),
+        Seq((1L, ts(9), "in_range"), (1L, ts(11), "late"), (2L, ts(1), "too_old"))
+          .toDF("ouser", "ots", "item"),
+        "user", "ouser", "cts", "ots", maxLagSeconds = 600)
+      .select($"user", $"cts", $"item").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSet
+    assert(batch == Set((1L, ts(10), "in_range"), (1L, ts(15), "in_range"), (1L, ts(15), "late")),
+      s"batch twin diverged: $batch")
   }
 
   test("stateful streaming mining across micro-batches matches sequential mining") {
