@@ -101,13 +101,23 @@ object IsolationForest {
     }
     val scored = df.withColumn("anomaly_score",
       scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
-    // The quantile pass would re-run ensemble scoring over the full data
-    // (the plan is lazy, nothing is cached); estimate the cutoff on a
-    // seeded sample instead — the contamination quantile is already
-    // approximate by contract, and this caps scoring at ~1.25 passes.
-    val sampleFrac = math.min(1.0, math.max(0.25, 50000.0 / math.max(n, 1)))
-    val cutoff = scored.sample(withReplacement = false, sampleFrac, seed)
-      .stat.approxQuantile("anomaly_score", Array(1.0 - contamination), 0.001)(0)
+    // Cutoff from the ALREADY-COLLECTED driver pool, scored locally: the
+    // contamination quantile is approximate by contract, the pool is a
+    // uniform sample of the same distribution, and scoring it on the
+    // driver (≤ ψ·t·1.2 rows × t trees) is milliseconds — so the cluster
+    // runs EXACTLY ONE scoring pass and zero extra jobs. (A distributed
+    // quantile pass would either re-run ensemble scoring over the data —
+    // the plan is lazy — or force caching the full scored table, which is
+    // wrong at 100 TB.)
+    val poolScores = pool.map { x =>
+      var sum = 0.0; var i = 0
+      while (i < trees.length) { sum += pathLength(trees(i), x); i += 1 }
+      math.pow(2.0, -(sum / trees.length) / math.max(cPsi, 1e-9))
+    }.sorted
+    val cutoff =
+      if (poolScores.isEmpty) Double.MaxValue
+      else poolScores(math.min(poolScores.length - 1,
+        math.floor((1.0 - contamination) * poolScores.length).toInt))
     scored.withColumn("is_anomaly", when(col("anomaly_score") >= cutoff, 1).otherwise(0))
   }
 }
