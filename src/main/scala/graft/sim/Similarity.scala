@@ -50,7 +50,56 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
-  /** IVF-style ANN: assign vectors to the nearest of `nCentroids` sampled
+  /** Coarse quantizer training: spherical k-means (Lloyd) on a BOUNDED,
+    * seeded driver sample — standard IVF practice: the quantizer trains
+    * on a sample (the only data that touches the driver), assignment of
+    * the full corpus runs distributed. Unit-normalized centroids make
+    * cosine assignment a plain dot product; empty clusters keep their
+    * previous centroid. Deterministic under `seed`. */
+  private def trainCentroids(data: DataFrame, idCol: String, vecCol: String,
+                             nCentroids: Int, seed: Long,
+                             iters: Int = 5, trainSize: Int = 4096): Array[(Int, Array[Float])] = {
+    val sample = data.select(col(idCol).as("cid0"), col(vecCol).as("cv"))
+      .orderBy(xxhash64(col("cid0"), lit(seed)))
+      .limit(trainSize)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
+    if (sample.isEmpty) return Array.empty
+    val k = math.min(nCentroids, sample.length)
+    var cents = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var i = 0
+          while (i < v.length) { dot += cents(c)(i) * v(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = sums(c)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n > 0) m.map(_ / n) else cents(c)
+        }
+      }.toArray
+    }
+    cents.zipWithIndex.map { case (cv, i) => (i, cv.map(_.toFloat)) }
+  }
+
+  /** IVF-style ANN: assign vectors to the nearest of `nCentroids` k-means
     * centroids (one broadcast pass), then search only the `nProbe` nearest
     * lists per query. Returns the same schema as [[bruteTopK]]. */
   def ivfTopK(data: DataFrame, idCol: String, vecCol: String,
@@ -58,13 +107,7 @@ object Similarity {
               k: Int, nCentroids: Int = 16, nProbe: Int = 4,
               seed: Long = 42L): DataFrame = {
     val spark = data.sparkSession
-    // Coarse quantizer: deterministic sample of corpus vectors as centroids.
-    val centroids = data.select(col(idCol).as("cid0"), col(vecCol).as("cv"))
-      .orderBy(xxhash64(col("cid0"), lit(seed)))
-      .limit(nCentroids)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    val centroids = trainCentroids(data, idCol, vecCol, nCentroids, seed)
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Seq[Float]) =>
       var best = -1; var bestSim = Double.MinValue

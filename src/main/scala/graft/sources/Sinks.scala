@@ -22,6 +22,23 @@ object Sinks {
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** JSONL corpus sink — the interchange format of large-scale
+    * training-data pipelines (one JSON document per line; splittable,
+    * append-friendly, schema-on-read). Many-part by default: JSONL
+    * outputs are data-sized. */
+  def writeJsonl(df: DataFrame, path: String, single: Boolean = false): Unit = {
+    val out = if (single) df.coalesce(1) else df
+    out.write.mode("overwrite").json(path)
+  }
+
+  /** JSONL corpus source; pass `schema` to skip the inference scan (at
+    * 100 TB, inference is a full extra pass — always pin the schema). */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
   /** S6 — chart sinks. The engine is headless: rendering is presentation,
     * not query semantics, so the sink emits the CHART DATA CONTRACT — a
     * `chart.json` spec naming the chart kind, axes and title next to a

@@ -53,6 +53,18 @@ class SourceSinkSpec extends AnyFunSuite {
       Set(("click", 10L), ("error", 2L)))
   }
 
+  test("JSONL sink/source round-trips a document slice losslessly") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+      .select($"doc_id", $"text", $"lang").limit(50)
+    val out = Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    Sinks.writeJsonl(docs, out)
+    val back = Sinks.readJsonl(spark, out, Some(docs.schema))
+    assert(back.schema == docs.schema)
+    assert(back.orderBy($"doc_id").collect().toSeq ==
+      docs.orderBy($"doc_id").collect().toSeq)
+  }
+
   test("S6: chart-data sink writes the spec + a renderable series") {
     import spark.implicits._
     val dist = Seq(("Event_1", 40L), ("Event_5", 25L)).toDF("event", "cnt")
