@@ -42,4 +42,22 @@ object Positional {
       .withColumn(windowCol, floor(col("__row_idx") / lit(size)).cast(LongType))
       .drop("__row_idx")
   }
+
+  /** Count-based SLIDING windows: window `w` covers rows
+    * `[w·step, w·step + size)`. Each row explodes into its owning windows
+    * (≤ ⌈size/step⌉ of them) — the standard row-multiplication trade of
+    * overlapped windows; the downstream aggregation stays a two-phase
+    * hash agg. `step == size` degenerates to [[tumbling]]. Integer
+    * arithmetic only (`div`), so window ids are exact at any index. */
+  def sliding(df: DataFrame, order: Seq[Column], size: Long, step: Long,
+              windowCol: String = "window_id"): DataFrame = {
+    import org.apache.spark.sql.functions.{explode, expr, greatest, lit, sequence}
+    require(size > 0 && step > 0 && step <= size,
+      s"need 0 < step <= size for full coverage, got size=$size step=$step")
+    withRowIndex(df, order, "__row_idx")
+      .withColumn(windowCol, explode(sequence(
+        greatest(lit(0L), expr(s"(__row_idx - ${size - step}) div $step")),
+        expr(s"__row_idx div $step"))))
+      .drop("__row_idx")
+  }
 }

@@ -95,4 +95,18 @@ class PositionalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(counts == Map(0L -> 5L, 1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 3L))
   }
+
+  test("sliding(size=4, step=2) overlaps windows; step==size reduces to tumbling") {
+    import spark.implicits._
+    val df = (0L until 10L).toDF("k")
+    val counts = Positional.sliding(df, Seq($"k"), 4, 2)
+      .groupBy($"window_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == Map(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 2L), s"$counts")
+    val slid = Positional.sliding(df, Seq($"k"), 5, 5)
+      .select($"k", $"window_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tumb = Positional.tumbling(df, Seq($"k"), 5)
+      .select($"k", $"window_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(slid == tumb)
+  }
 }
