@@ -202,9 +202,14 @@ object Dedup {
     require(numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes exactly")
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
-    // group by the signature VALUE (no hash-collision risk): rep = min id
+    // group by the signature VALUE (no hash-collision risk): rep = min id.
+    // Persisted: the banding, verification re-joins and expansion all
+    // branch from here — without it every branch re-runs the signature
+    // UDF over the corpus (exchange reuse can't fire across the
+    // non-canonical spread()). One row per unique signature.
     val groups = sigs.groupBy(col("sig"))
       .agg(min(col("id")).as("id"), collect_list(col("id")).as("mids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = groups.select(col("id"), col("sig"))
     val mem = groups.select(col("id").as("rep"), explode(col("mids")).as("member"))
     // within-group pairs: identical signatures, estimate exactly 1.0
@@ -252,6 +257,15 @@ object Dedup {
     // representative per set; member pairs are expanded back afterwards.
     // On a corpus with duplication factor d this shrinks the join by d².
     // Grouping is by the set VALUE — exact, no fingerprint collisions.
+    // NOTE: the collapse subtree is consumed by several branches and IS
+    // recomputed per branch (exchange reuse can't fire across the
+    // non-canonical spread()). Measured at sf0.1, recomputation is
+    // CHEAPER than persisting here: the branches pipeline fully and
+    // overlap with the dominant candidate join, while a persist
+    // materializes a barrier and pins the downstream stages to the cached
+    // partitioning (14.3s recompute vs 18.7s persisted). Contrast with
+    // minHashLshPairs, where the recomputed branch is a corpus-wide UDF
+    // and persisting wins 2×.
     val groups = docSets.groupBy(col("set"))
       .agg(min(col("id")).as("id"), collect_list(col("id")).as("mids"))
     val reps = groups.select(col("id"), col("set"))
