@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.logs.LogLines
 import graft.mine.TemplateMining
-import graft.operators.{EventMatrix, Positional, Temporal}
+import graft.operators.{EventMatrix, Positional, Sketches, Temporal}
 import graft.dedup.Dedup
 import graft.sim.Similarity
 import graft.text.{LangId, TextAnalysis}
@@ -468,6 +468,20 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
+    }),
+    // ---- sketch twin of q42: HLL++ distinct + quantile-sketch
+    //      percentiles per source — kilobytes of mergeable sketch per
+    //      partition instead of shuffling distinct keys / sorting groups.
+    //      Rows-only: sketch estimates are engine-specific by nature;
+    //      SketchBucketSpec bounds the error vs exact.
+    "q51_sketch_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sketches.approxDistinctPerKey(docs, "source", "lang")
+        .join(Sketches.approxQuantilesPerKey(docs, "source", "n_chars", Seq(0.5, 0.9)), "source")
+        .select(col("source"), col("approx_distinct"),
+          element_at(col("quantiles"), 1).as("p50_chars"),
+          element_at(col("quantiles"), 2).as("p90_chars"))
+        .orderBy(col("source"))
     }),
     // ---- M1 as a NATIVE CATALYST AGGREGATE: per-source template mining
     //      in ONE two-phase GROUP BY via graft_mine — partial trees

@@ -58,15 +58,44 @@ object IsolationForest {
     nodes.toArray
   }
 
-  private def pathLength(tree: Array[Node], x: Array[Double]): Double = {
-    var node = 0
-    var depth = 0.0
-    while (tree(node).splitFeature >= 0) {
-      node = if (x(tree(node).splitFeature) < tree(node).splitValue) tree(node).left
-             else tree(node).right
-      depth += 1.0
+  /** The whole ensemble flattened into primitive parallel arrays (node
+    * ids tree-local, trees located by `offsets`): the scoring hot loop is
+    * ~rows × trees × depth node hops, and an Array[Node] walk chases one
+    * object pointer per hop — the flat layout keeps it in primitive
+    * cache lines and off the GC. `leafC` pre-computes c(size) per node so
+    * leaves cost no log/divide at score time. */
+  private final class FlatForest(trees: Array[Array[Node]]) extends Serializable {
+    val offsets: Array[Int] = trees.scanLeft(0)(_ + _.length)
+    private val total = offsets.last
+    val feat = new Array[Int](total)
+    val split = new Array[Double](total)
+    val left = new Array[Int](total)
+    val right = new Array[Int](total)
+    val leafC = new Array[Double](total)
+    for (t <- trees.indices; i <- trees(t).indices) {
+      val n = trees(t)(i); val j = offsets(t) + i
+      feat(j) = n.splitFeature; split(j) = n.splitValue
+      left(j) = n.left; right(j) = n.right
+      leafC(j) = c(n.size.toDouble)
     }
-    depth + c(tree(node).size.toDouble)
+    val nTrees: Int = trees.length
+
+    def avgPathLength(x: Array[Double]): Double = {
+      var sum = 0.0
+      var t = 0
+      while (t < nTrees) {
+        val base = offsets(t)
+        var node = base
+        var depth = 0.0
+        while (feat(node) >= 0) {
+          node = base + (if (x(feat(node)) < split(node)) left(node) else right(node))
+          depth += 1.0
+        }
+        sum += depth + leafC(node)
+        t += 1
+      }
+      sum / nTrees
+    }
   }
 
   /** Score each row in [0,1] (higher = more anomalous) and flag the top
@@ -89,15 +118,11 @@ object IsolationForest {
       growTree(sub, rnd, maxDepth)
     }.toArray
     val cPsi = c(psi.toDouble)
-    val bc = spark.sparkContext.broadcast(trees)
+    val flat = new FlatForest(trees)
+    val bc = spark.sparkContext.broadcast(flat)
     val scoreUdf = udf { (xs: Seq[Double]) =>
       val arr = xs.toArray // unbox once; per-node Seq indexing dominates otherwise
-      val ts = bc.value
-      var sum = 0.0
-      var i = 0
-      while (i < ts.length) { sum += pathLength(ts(i), arr); i += 1 }
-      val avg = sum / ts.length
-      math.pow(2.0, -avg / math.max(cPsi, 1e-9))
+      math.pow(2.0, -bc.value.avgPathLength(arr) / math.max(cPsi, 1e-9))
     }
     val scored = df.withColumn("anomaly_score",
       scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
@@ -109,11 +134,8 @@ object IsolationForest {
     // quantile pass would either re-run ensemble scoring over the data —
     // the plan is lazy — or force caching the full scored table, which is
     // wrong at 100 TB.)
-    val poolScores = pool.map { x =>
-      var sum = 0.0; var i = 0
-      while (i < trees.length) { sum += pathLength(trees(i), x); i += 1 }
-      math.pow(2.0, -(sum / trees.length) / math.max(cPsi, 1e-9))
-    }.sorted
+    val poolScores = pool.map(x =>
+      math.pow(2.0, -flat.avgPathLength(x) / math.max(cPsi, 1e-9))).sorted
     val cutoff =
       if (poolScores.isEmpty) Double.MaxValue
       else poolScores(math.min(poolScores.length - 1,
