@@ -25,18 +25,34 @@ object LangId {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有"))
 
+  private val MarkerSets: Seq[(String, Set[String])] =
+    Markers.map { case (l, ms) => l -> ms.toSet }
+
   /** Marker-vote language id over whitespace tokens; `und` when nothing
-    * matches. Deterministic: first language in [[Markers]] order wins ties. */
+    * matches. Deterministic: first language in [[Markers]] order wins ties.
+    *
+    * Semantics mirror the oracle SQL (per-language token-membership counts,
+    * greatest wins, priority order breaks ties) but run as ONE tokenization
+    * pass per row: the built-in formulation — 5 × `size(filter(toks, isin))`
+    * feeding a greatest + when-chain — evaluates INTERPRETED (HOFs never
+    * enter codegen, no common-subexpression elimination), re-running the
+    * regex tokenization ~35× per row. */
   def markerLangId(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val scores = Markers.map { case (lang, ms) =>
-      lang -> size(filter(toks, t => t.isin(ms: _*)))
+    val f = udf { (s: String) =>
+      if (s == null) "und"
+      else {
+        val toks = s.trim.toLowerCase.split("\\s+")
+        var bestLang = "und"
+        var best = 0
+        MarkerSets.foreach { case (lang, set) =>
+          var c = 0; var i = 0
+          while (i < toks.length) { if (set.contains(toks(i))) c += 1; i += 1 }
+          if (c > best) { best = c; bestLang = lang } // strict: first lang wins ties
+        }
+        bestLang
+      }
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === best && s > 0, lit(lang)).otherwise(acc)
-    }
-    pick
+    f(text)
   }
 
   /** Minimal per-language character-trigram profiles (hand-built from
