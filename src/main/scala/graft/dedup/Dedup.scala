@@ -33,11 +33,20 @@ object Dedup {
     * scan arrives as ONE partition; if the downstream join is planned as
     * broadcast, the whole pair explosion runs on that one task (observed:
     * minutes of single-core time while 31 cores idle). A cheap up-front
-    * round-robin repartition restores parallelism; inputs that are already
-    * wide (the 100 TB case) pass through untouched. */
+    * repartition restores parallelism; inputs that are already wide (the
+    * 100 TB case) pass through untouched.
+    *
+    * DETERMINISTIC hash repartition (on all columns), not round-robin:
+    * the multi-branch dedup pipelines recompute this subtree per branch
+    * (and Spark retries stages on failure), so row placement must be a
+    * pure function of the data — round-robin placement depends on task
+    * scheduling order, the same class of nondeterminism that flipped the
+    * round-1 q44 hash gate. */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < math.max(target / 2, 2)) df.repartition(target) else df
+    if (df.rdd.getNumPartitions < math.max(target / 2, 2))
+      df.repartition(target, df.columns.map(col): _*)
+    else df
   }
 
   // ---------------------------------------------------------------- exact
