@@ -469,6 +469,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
     }),
+    // ---- winnowing (rolling-hash) document fingerprints — substring-
+    //      level near-dup keys (SIGMOD'03 guarantee: shared substrings of
+    //      length ≥ w+k−1 share a fingerprint). Rows-only; the spec pins
+    //      the winnowing guarantee itself.
+    "q52_winnow_fp" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.winnowingFingerprints(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          element_at(col("fps"), 1).as("min_fp"))
+        .orderBy(col("doc_id"))),
     // ---- sketch twin of q42: HLL++ distinct + quantile-sketch
     //      percentiles per source — kilobytes of mergeable sketch per
     //      partition instead of shuffling distinct keys / sorting groups.

@@ -30,6 +30,53 @@ object TextAnalysis {
   def setFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): Rabin-style rolling hashes over character k-grams,
+    * keeping the minimum hash of each sliding window of `w` (rightmost
+    * minimum — the standard robust-winnowing tie-break). Guarantee: two
+    * documents sharing any substring of length ≥ w + k − 1 share at
+    * least one fingerprint, so the sorted distinct output doubles as a
+    * substring-level near-dup blocking key (explode + equi-join, ids
+    * only — same shuffle shape as the other dedup blockers).
+    * Single-pass UDF: the rolling recurrence is inherently sequential
+    * per row and has no built-in form. */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.length < k) Array.empty[Long]
+      else {
+        val t = s.toLowerCase
+        val B = 1000003L
+        var pow = 1L
+        var i = 0
+        while (i < k - 1) { pow *= B; i += 1 }
+        val n = t.length - k + 1
+        val hs = new Array[Long](n)
+        var h = 0L
+        i = 0
+        while (i < k) { h = h * B + t.charAt(i); i += 1 }
+        hs(0) = h
+        i = 1
+        while (i < n) {
+          h = (h - t.charAt(i - 1) * pow) * B + t.charAt(i + k - 1)
+          hs(i) = h
+          i += 1
+        }
+        val out = scala.collection.mutable.SortedSet.empty[Long]
+        var start = 0
+        while (start <= n - w) {
+          var mi = start
+          var j = start + 1
+          while (j < start + w) { if (hs(j) <= hs(mi)) mi = j; j += 1 }
+          out += hs(mi)
+          start += 1
+        }
+        if (out.isEmpty) Array(hs.min) else out.toArray
+      }
+    }
+    f(text)
+  }
+
   /** Quality score in [0,1]: average of
     *  - length credit   (tokens capped at 50),
     *  - punctuation sanity (1 - punct chars / chars),

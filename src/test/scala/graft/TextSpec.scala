@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Winnowing rolling-hash fingerprints — the SIGMOD'03 guarantee. */
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def fps(texts: String*): Seq[Set[Long]] = {
+    import spark.implicits._
+    texts.toDF("text")
+      .select(TextAnalysis.winnowingFingerprints($"text").as("fps"))
+      .collect().map(_.getSeq[Long](0).toSet).toSeq
+  }
+
+  test("documents sharing a long substring share a fingerprint; output is deterministic") {
+    val common = "the quick brown fox jumps over the lazy dog tonight"
+    val Seq(a, b, c, a2) = fps(
+      s"PREFIX AAA $common SUFFIX BBB",
+      s"zzz different start $common other ending here",
+      "completely unrelated material built from other vocabulary entirely",
+      s"PREFIX AAA $common SUFFIX BBB")
+    assert((a & b).nonEmpty, "shared substring >= w+k-1 must share a fingerprint")
+    assert(a == a2, "fingerprinting must be deterministic")
+    assert((a & c).size < (a & b).size,
+      "unrelated text must share fewer fingerprints than overlapping text")
+  }
+
+  test("fingerprints are sorted distinct and short inputs degrade gracefully") {
+    val Seq(tiny, empty) = fps("abc", "")
+    assert(tiny.isEmpty && empty.isEmpty, "inputs shorter than k yield no fingerprints")
+    val Seq(one) = fps("abcdefgh")
+    assert(one.nonEmpty, "inputs >= k chars but < one window still emit a fingerprint")
+  }
+}
