@@ -469,6 +469,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
     }),
+    // ---- gap sessionization via Spark's NATIVE session_window (the
+    //      time-window twin of q44's lag/sum formulation — one aggregate,
+    //      mergeable session state, the same operator Structured
+    //      Streaming uses for streaming sessions). Oracle = the explicit
+    //      gap walk with the >= gap boundary (session_window treats an
+    //      exactly-gap-separated event as a NEW session).
+    "q53_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))),
     // ---- winnowing (rolling-hash) document fingerprints — substring-
     //      level near-dup keys (SIGMOD'03 guarantee: shared substrings of
     //      length ≥ w+k−1 share a fingerprint). Rows-only; the spec pins
@@ -824,6 +837,20 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
                 round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS session_value
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q53_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS session_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q50_stream_join" ->
       """SELECT e.user_id, count(*) AS n_pairs
          FROM events e JOIN events c

@@ -46,6 +46,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q44/q45/q18: exactly one key shuffle plus the result ordering") {
+    Seq("q44_sessionize", "q45_asof_join", "q18_dedup_exact").foreach { q =>
+      val p = plan(q)
+      val hash = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+      assert(hash == 1, s"$q promises ONE key shuffle, found $hash:\n$p")
+    }
+  }
+
   test("q12: correlation runs as a codegen'd hash aggregate, never RowMatrix") {
     val p = plan("q12_corr")
     assert(p.contains("HashAggregate"), "moment sums must be a hash aggregate")
