@@ -469,6 +469,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
     }),
+    // ---- TF-IDF top terms per document (smoothed idf; exact double
+    //      arithmetic on integer counts — deterministic, oracled)
+    "q54_tfidf" -> ((s, dir) =>
+      graft.text.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rn"))),
     // ---- gap sessionization via Spark's NATIVE session_window (the
     //      time-window twin of q44's lag/sum formulation — one aggregate,
     //      mergeable session state, the same operator Structured
@@ -837,6 +842,24 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
                 round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS session_value
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q54_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         weighted AS (
+           SELECT doc_id, term,
+                  tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0) AS tfidf_raw
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term) AS rn,
+                  tfidf_raw
+           FROM weighted)
+         SELECT doc_id, term, rn, round(tfidf_raw, 4) AS tfidf
+         FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""",
     "q53_session_window" ->
       """WITH g AS (
            SELECT user_id, ts, value,
