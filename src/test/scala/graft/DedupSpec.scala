@@ -38,6 +38,33 @@ class DedupSpec extends AnyFunSuite {
     assert(mae < 0.15, s"minhash estimator MAE too high: $mae")
   }
 
+  test("tokenJaccardPairs equals brute force at several thresholds (prefix+positional bound is lossless)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 25).map(i => s"w$i")
+    // adversarially dense: every doc drawn from a 25-token vocabulary,
+    // with duplicated docs to exercise the exact-group pre-collapse
+    val base = (1 to 120).map { i =>
+      (i.toLong, (0 until (3 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = (1 to 30).map(j => (200L + j, base(rnd.nextInt(base.size))._2))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val sets = (base ++ dups).map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toSet }.toMap
+    for (threshold <- Seq(0.3, 0.6, 0.8, 0.95)) {
+      val got = Dedup.tokenJaccardPairs(docs, "doc_id", "text", threshold)
+        .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ids = sets.keys.toSeq.sorted
+      val brute = (for {
+        a <- ids; b <- ids if a < b
+        j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+        if j >= threshold
+      } yield (a, b)).toSet
+      assert(got == brute,
+        s"threshold $threshold: missing ${(brute -- got).take(5)} extra ${(got -- brute).take(5)}")
+    }
+  }
+
   test("simHashPairs equals brute-force Hamming-<=3 pairs (pigeonhole is lossless)") {
     import spark.implicits._
     val got = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** Randomized property tests (fixed seeds): the temporal operators
+  * against straightforward single-threaded reference implementations on
+  * adversarial random inputs — dense timestamp collisions, sub-second
+  * gaps exactly at the boundary, keys with a single event. */
+class TemporalPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("sessionize equals the sequential gap walk on random event streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val gapSec = 30L
+    // micros; cluster events so some gaps straddle the boundary exactly
+    val rows = (1 to 3000).map { i =>
+      val user = rnd.nextInt(20).toLong
+      val base = rnd.nextInt(2000).toLong * 15_000_000L
+      val jitter = rnd.nextInt(3) match {
+        case 0 => 0L
+        case 1 => gapSec * 1_000_000L            // exactly the gap
+        case _ => rnd.nextInt(60_000_000).toLong // arbitrary sub-minute
+      }
+      (i.toLong, user, base + jitter)
+    }
+    val df = rows.toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val got = Temporal.sessionize(df, "user_id", "ts", gapSec)
+      .select($"event_id", $"session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: per user, sort by (ts, insertion) and walk
+    rows.groupBy(_._2).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._1))
+      var sid = -1L
+      var prev = Long.MinValue
+      ordered.foreach { case (id, _, us) =>
+        if (prev == Long.MinValue || us - prev > gapSec * 1_000_000L) sid += 1
+        // ties in ts must land in the same session regardless of order
+        assert(got(id) == sid, s"event $id expected session $sid got ${got(id)}")
+        prev = us
+      }
+    }
+  }
+
+  test("asOfJoin equals the brute-force latest-prior match on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(193)
+    val left = (1 to 800).map { i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(100_000).toLong, i.toLong) }
+    val right = (1 to 300).map { j =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(100_000).toLong, (1000 + j).toLong) }
+    val l = left.toDF("k", "t", "lv")
+    val r = right.toDF("k", "t", "rv")
+    val got = Temporal.asOfJoin(l, r, "k", "t", "lv", "rv")
+      .select($"lv", $"asof_rv").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+    left.foreach { case (k, t, lv) =>
+      val expect = right.filter(e => e._1 == k && e._2 <= t) match {
+        case Seq() => None
+        // latest prior; at equal timestamps the operator picks the
+        // largest rv among the tied rows (deterministic third sort key)
+        case ms => Some(ms.maxBy(e => (e._2, e._3))._3)
+      }
+      assert(got(lv) == expect, s"left $lv: expected $expect got ${got(lv)}")
+    }
+  }
+}
