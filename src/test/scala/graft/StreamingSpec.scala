@@ -80,6 +80,32 @@ class StreamingSpec extends AnyFunSuite {
       s"batch twin diverged: $batch")
   }
 
+  test("streaming session windows merge events across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = input.toDF().toDF("user", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user", $"w.start".as("session_start"), $"n")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("complete").start()
+    input.addData((1L, ts(10, 0)), (2L, ts(10, 5)))
+    q.processAllAvailable()
+    // second batch: 10:20 continues user 1's 10:00 session (gap 20m < 30m);
+    // 12:00 starts a fresh one
+    input.addData((1L, ts(10, 20)), (1L, ts(12, 0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_test")
+      .select($"user", $"session_start", $"n").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got == Set((1L, ts(10, 0), 2L), (1L, ts(12, 0), 1L), (2L, ts(10, 5), 1L)),
+      s"sessions must merge across batches, got $got")
+  }
+
   test("stateful streaming mining across micro-batches matches sequential mining") {
     assume(GoldenFixture.available)
     import spark.implicits._
