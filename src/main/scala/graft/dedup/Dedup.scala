@@ -211,16 +211,25 @@ object Dedup {
     require(numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes exactly")
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
-    // group by the signature VALUE (no hash-collision risk): rep = min id.
-    // Persisted: the banding, verification re-joins and expansion all
-    // branch from here — without it every branch re-runs the signature
-    // UDF over the corpus (exchange reuse can't fire across the
-    // non-canonical spread()). One row per unique signature.
-    val groups = sigs.groupBy(col("sig"))
-      .agg(min(col("id")).as("id"), collect_list(col("id")).as("mids"))
+    // Collapse key: md5 digest of the signature (128-bit — collisions
+    // negligible, same contract as the set-level digests elsewhere).
+    // rep assignment via a window MIN over the digest — one hash
+    // shuffle, no join, and WindowExec spills, so a duplicate-heavy
+    // group never builds an in-memory id array the way collect_list
+    // would. The frame is PERSISTED: banding, verification re-joins and
+    // expansion all branch from it, and without the cache every branch
+    // re-runs the signature UDF over the corpus (exchange reuse can't
+    // fire across the non-canonical spread()). The cache is the
+    // similarity working set (id + numHashes longs + rep per doc), tiny
+    // relative to the text it summarizes.
+    val withRep = sigs
+      .withColumn("gk", md5(concat_ws(",", transform(col("sig"), _.cast("string")))))
+      .withColumn("rep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gk"))))
+      .select(col("id"), col("sig"), col("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = groups.select(col("id"), col("sig"))
-    val mem = groups.select(col("id").as("rep"), explode(col("mids")).as("member"))
+    val reps = withRep.filter(col("id") === col("rep")).select(col("id"), col("sig"))
+    val mem = withRep.select(col("rep"), col("id").as("member"))
     // within-group pairs: identical signatures, estimate exactly 1.0
     val within = mem.alias("x")
       .join(mem.alias("y"), col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
@@ -266,6 +275,16 @@ object Dedup {
     // representative per set; member pairs are expanded back afterwards.
     // On a corpus with duplication factor d this shrinks the join by d².
     // Grouping is by the set VALUE — exact, no fingerprint collisions.
+    // Group key: md5 digest of the canonical set (the same contract as
+    // exactGroups' setFingerprint — 128-bit collisions are negligible).
+    // Two scale hazards shape this:
+    //  - membership is a JOIN back on the digest, never a
+    //    collect_list(ids) per group — on exactly the corpora the
+    //    collapse exists for (heavy duplication), a per-group id array
+    //    is one unbounded aggregation-buffer row;
+    //  - the digest is a compact string, so the membership join
+    //    broadcasts the (digest, rep) side and never hashes array keys.
+    //
     // NOTE: the collapse subtree is consumed by several branches and IS
     // recomputed per branch (exchange reuse can't fire across the
     // non-canonical spread()). Measured at sf0.1, recomputation is
@@ -275,10 +294,15 @@ object Dedup {
     // partitioning (14.3s recompute vs 18.7s persisted). Contrast with
     // minHashLshPairs, where the recomputed branch is a corpus-wide UDF
     // and persisting wins 2×.
-    val groups = docSets.groupBy(col("set"))
-      .agg(min(col("id")).as("id"), collect_list(col("id")).as("mids"))
-    val reps = groups.select(col("id"), col("set"))
-    val mem = groups.select(col("id").as("rep"), explode(col("mids")).as("member"))
+    // space separator: tokens are whitespace-split, so the key is unambiguous
+    val keyed = docSets.withColumn("gk", md5(concat_ws(" ", col("set"))))
+    // rep assignment via a window MIN over the digest: one hash shuffle,
+    // no join, and WindowExec spills — a duplicate-heavy group never
+    // builds an in-memory id array the way collect_list would
+    val withRep = keyed.withColumn("rep",
+      min(col("id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("gk"))))
+    val reps = withRep.filter(col("id") === col("rep")).select(col("id"), col("set"))
+    val mem = withRep.select(col("rep"), col("id").as("member"))
     val within = mem.alias("x")
       .join(mem.alias("y"), col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
       .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
