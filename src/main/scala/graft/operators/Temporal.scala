@@ -40,8 +40,31 @@ object Temporal {
     * equal timestamps, and carry the last non-null right value forward
     * (`last(..., ignoreNulls = true)` over an unbounded-preceding frame).
     * One shuffle on the key; never a range join or per-row probe. */
+  /** As-of join with a staleness bound (pandas `merge_asof(tolerance=…)`
+    * semantics): matches older than `toleranceSeconds` before the left
+    * row are nulled out. Same single-shuffle union-trick plan as
+    * [[asOfJoin]] — the match timestamp is carried alongside the value
+    * and the bound applied as a projection. `tsCol` must be a TIMESTAMP
+    * (the bound is measured in microseconds). */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                        leftValCol: String, rightValCol: String,
+                        toleranceSeconds: Long): DataFrame = {
+    val joined = asOfJoinWithTs(left, right, keyCol, tsCol, leftValCol, rightValCol)
+    val fresh = unix_micros(col(tsCol)) - unix_micros(col("__asof_ts")) <=
+      toleranceSeconds * 1000000L
+    joined
+      .withColumn(s"asof_$rightValCol",
+        when(col("__asof_ts").isNotNull && fresh, col(s"asof_$rightValCol")))
+      .drop("__asof_ts")
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-               leftValCol: String, rightValCol: String): DataFrame = {
+               leftValCol: String, rightValCol: String): DataFrame =
+    asOfJoinWithTs(left, right, keyCol, tsCol, leftValCol, rightValCol)
+      .drop("__asof_ts")
+
+  private def asOfJoinWithTs(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                             leftValCol: String, rightValCol: String): DataFrame = {
     val l = left.select(col(keyCol).as("k"), col(tsCol).as("t"),
       col(leftValCol).as("lv"), lit(null).cast(right.schema(rightValCol).dataType).as("rv"),
       lit(1).as("side"))
@@ -54,9 +77,14 @@ object Temporal {
       .orderBy(col("t"), col("side"), col("rv").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionAll(r)
+      // match timestamp rides only on rows that carry a match VALUE, so
+      // last(rv) and last(__rt) always come from the same row
+      .withColumn("__rt", when(col("side") === 0 && col("rv").isNotNull, col("t")))
       .withColumn("asof", last(col("rv"), ignoreNulls = true).over(w))
+      .withColumn("__asof_ts", last(col("__rt"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("k").as(keyCol), col("t").as(tsCol),
-        col("lv").as(leftValCol), col("asof").as(s"asof_$rightValCol"))
+        col("lv").as(leftValCol), col("asof").as(s"asof_$rightValCol"),
+        col("__asof_ts"))
   }
 }

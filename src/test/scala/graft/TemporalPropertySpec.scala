@@ -45,6 +45,30 @@ class TemporalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoinTolerance nulls matches staler than the bound") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val tolSec = 60L
+    val left = (1 to 500).map { i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(4000).toLong * 1_000_000L, i.toLong) }
+    val right = (1 to 200).map { j =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(4000).toLong * 1_000_000L, (1000 + j).toLong) }
+    val l = left.toDF("k", "us", "lv").withColumn("t", timestamp_micros($"us")).drop("us")
+    val r = right.toDF("k", "us", "rv").withColumn("t", timestamp_micros($"us")).drop("us")
+    val got = Temporal.asOfJoinTolerance(l, r, "k", "t", "lv", "rv", tolSec)
+      .select($"lv", $"asof_rv").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+    left.foreach { case (k, t, lv) =>
+      val expect = right.filter(e => e._1 == k && e._2 <= t) match {
+        case Seq() => None
+        case ms =>
+          val (_, mt, mv) = ms.maxBy(e => (e._2, e._3))
+          if (t - mt <= tolSec * 1_000_000L) Some(mv) else None
+      }
+      assert(got(lv) == expect, s"left $lv: expected $expect got ${got(lv)}")
+    }
+  }
+
   test("asOfJoin equals the brute-force latest-prior match on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(193)
