@@ -36,9 +36,24 @@ object LogSource {
   def readLogFile(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).withColumn("file", input_file_name())
 
-  /** W1: explicit `(file, line_no)` order key (1-based within each file). */
+  /** W1: explicit `(file, line_no)` order key (1-based within each file).
+    * One reducer per file — right for container-log trees (many modest
+    * files); for a SINGLE huge file use [[orderedLines]], which range-
+    * shuffles instead of funneling the file through one task. */
   def lineNumbered(raw: DataFrame): DataFrame =
     raw.withColumn("line_no",
       row_number().over(Window.partitionBy(col("file"))
         .orderBy(monotonically_increasing_id())))
+
+  /** Scale-safe GLOBAL line index following (file, in-file position)
+    * order: range partition + zipWithIndex via
+    * [[graft.operators.Positional.withRowIndex]] — no per-file reducer,
+    * so one multi-terabyte file parallelizes like any other input. Use
+    * when the corpus is a few huge files rather than many container
+    * logs; the index is the mining/windowing order key. */
+  def orderedLines(raw: DataFrame, idxName: String = "line_idx"): DataFrame =
+    graft.operators.Positional.withRowIndex(
+      raw.withColumn("__scan_pos", monotonically_increasing_id()),
+      Seq(col("file"), col("__scan_pos")), idxName)
+      .drop("__scan_pos")
 }

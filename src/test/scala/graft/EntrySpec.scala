@@ -96,6 +96,23 @@ class PositionalSpec extends AnyFunSuite {
     assert(counts == Map(0L -> 5L, 1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 3L))
   }
 
+  test("sliding: every row lands in exactly its owning windows (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for ((size, step) <- Seq((5L, 1L), (6L, 3L), (7L, 7L))) {
+      val n = 40 + rnd.nextInt(30)
+      val df = (0L until n.toLong).toDF("k")
+      val got = Positional.sliding(df, Seq($"k"), size, step)
+        .select($"k", $"window_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        i <- 0L until n.toLong
+        w <- 0L to i / step if i < w * step + size && i >= w * step
+      } yield (i, w)).toSet
+      assert(got == expect, s"size=$size step=$step: sym diff ${(got diff expect) ++ (expect diff got)}")
+    }
+  }
+
   test("sliding(size=4, step=2) overlaps windows; step==size reduces to tumbling") {
     import spark.implicits._
     val df = (0L until 10L).toDF("k")

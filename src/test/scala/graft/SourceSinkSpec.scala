@@ -42,6 +42,23 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(f1Lines(1) == "continuation line one", "file order must be preserved")
   }
 
+  test("orderedLines: global index follows (file, in-file) order with no per-file reducer") {
+    import spark.implicits._
+    val root = mkCorpus()
+    val df = LogSource.orderedLines(LogSource.readLogDir(spark, root))
+    val rows = df.select($"file", $"line_idx", $"value").collect()
+      .sortBy(_.getLong(1))
+    assert(rows.map(_.getLong(1)).toSeq == rows.indices.map(_.toLong), "index must be contiguous")
+    // within each file, the global order preserves in-file line order
+    val f1 = rows.filter(_.getString(0).contains("container_01")).map(_.getString(2)).toSeq
+    assert(f1(1) == "continuation line one", s"file order broken: $f1")
+    // files form contiguous index ranges (sorted by file path)
+    val byFile = rows.map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(v => (v.map(_._2).min, v.map(_._2).max)).toMap
+    val ranges = byFile.toSeq.sortBy(_._2._1)
+    assert(ranges.map(_._1).toSeq == ranges.map(_._1).sorted, "files must be contiguous ranges in path order")
+  }
+
   test("S4: CSV sink round-trips a small summary with header") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_csv").toString + "/counts"
