@@ -36,16 +36,18 @@ object Dedup {
     * repartition restores parallelism; inputs that are already wide (the
     * 100 TB case) pass through untouched.
     *
-    * DETERMINISTIC hash repartition (on all columns), not round-robin:
-    * the multi-branch dedup pipelines recompute this subtree per branch
-    * (and Spark retries stages on failure), so row placement must be a
-    * pure function of the data — round-robin placement depends on task
-    * scheduling order, the same class of nondeterminism that flipped the
-    * round-1 q44 hash gate. */
-  private def spread(df: DataFrame): DataFrame = {
+    * DETERMINISTIC hash repartition on the UNIQUE id column, not
+    * round-robin: the multi-branch dedup pipelines recompute this
+    * subtree per branch (and Spark retries stages on failure), so row
+    * placement must be a pure function of the data — round-robin
+    * placement depends on task scheduling order, the same class of
+    * nondeterminism that flipped the round-1 q44 hash gate. The id key
+    * (never content) keeps placement uniform even when most documents
+    * are identical. */
+  private def spread(df: DataFrame, idCol: String): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < math.max(target / 2, 2))
-      df.repartition(target, df.columns.map(col): _*)
+      df.repartition(target, col(idCol))
     else df
   }
 
@@ -107,7 +109,7 @@ object Dedup {
 
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
-    val src = spread(df)
+    val src = spread(df, idCol)
     // One Scala UDF computes shingles + all minima in a single pass per
     // row. Composed built-in higher-order functions are interpreted and
     // re-evaluate nested expressions per lambda element (numHashes ×
@@ -267,7 +269,7 @@ object Dedup {
                         threshold: Double): DataFrame = {
     graft.functions.SortedOverlapCount.register(
       org.apache.spark.sql.SparkSession.active)
-    val docSets = spread(df).select(col(idCol).as("id"),
+    val docSets = spread(df, idCol).select(col(idCol).as("id"),
       array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("set"))
     // EXACT-GROUP PRE-COLLAPSE: documents with the SAME distinct token set
     // have pairwise Jaccard exactly 1.0 among themselves and identical
@@ -400,7 +402,7 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole blocking is only exact for maxDist <= 3")
-    val hashed = spread(df).select(col(idCol).as("id"),
+    val hashed = spread(df, idCol).select(col(idCol).as("id"),
       simHash64(TextAnalysis.tokens(col(textCol))).as("h"))
     val chunked = hashed.select(col("id"), col("h"),
       posexplode(array((0 until 4).map(i =>
@@ -448,7 +450,7 @@ object Dedup {
       bits.grouped(bitsPerBand).map(_.foldLeft(0)((acc, b) => (acc << 1) | b)).toArray
     }
     // candidate pairs shuffle ids only (vectors re-attached after distinct)
-    val banded = spread(df).select(col(idCol).as("id"), posexplode(sigUdf(col(vecCol))))
+    val banded = spread(df, idCol).select(col(idCol).as("id"), posexplode(sigUdf(col(vecCol))))
       .toDF("id", "band", "bucket")
     val a = banded.alias("a")
     val b = banded.alias("b")
