@@ -438,7 +438,12 @@ object Dedup {
                             threshold: Double, bands: Int = 8, bitsPerBand: Int = 4,
                             seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val dimRow = df.select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty) {
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cos")).limit(0)
+    }
+    val dim = dimRow.head.getInt(0)
     val planes = spark.sparkContext.broadcast(hyperplanes(dim, bands * bitsPerBand, seed))
     val sigUdf = udf { (v: Seq[Float]) =>
       val ps = planes.value

@@ -53,15 +53,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every method-scope local: fixed names collide when
+      // the expression is inlined more than once in one codegen scope
+      // (e.g. used in both a filter and a projection), which fails Janino
+      // compilation and silently drops the stage to interpreted mode
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = (double) $a.getFloat(i);
-         |  double yv = (double) $b.getFloat(i);
-         |  dot += xv * yv; nx += xv * xv; ny += yv * yv;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xv = (double) $a.getFloat($i);
+         |  double yv = (double) $b.getFloat($i);
+         |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

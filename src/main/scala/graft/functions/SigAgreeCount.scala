@@ -46,13 +46,20 @@ case class SigAgreeCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every method-scope local: fixed names collide when
+      // the expression is inlined more than once in one codegen scope,
+      // which fails Janino compilation and silently drops the stage to
+      // interpreted mode (the for-init variable is loop-scoped and safe)
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
       s"""
-         |long c = 0L;
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int i = 0; i < n; i++) {
-         |  if ($a.getLong(i) == $b.getLong(i)) c++;
+         |long $c = 0L;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 

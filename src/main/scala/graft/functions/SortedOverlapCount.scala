@@ -48,16 +48,26 @@ case class SortedOverlapCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every method-scope local: fixed names collide when
+      // the expression is inlined more than once in one codegen scope
+      // (e.g. the overlap count feeding both the Jaccard filter and the
+      // output column), which fails Janino compilation and silently
+      // drops the stage to interpreted mode
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
       s"""
-         |int i = 0, j = 0;
-         |long c = 0L;
-         |int nx = $a.numElements(), ny = $b.numElements();
-         |while (i < nx && j < ny) {
-         |  int xv = $a.getInt(i), yv = $b.getInt(j);
-         |  if (xv == yv) { c++; i++; j++; }
-         |  else if (xv < yv) { i++; } else { j++; }
+         |int $i = 0, $j = 0;
+         |long $c = 0L;
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  int xv = $a.getInt($i), yv = $b.getInt($j);
+         |  if (xv == yv) { $c++; $i++; $j++; }
+         |  else if (xv < yv) { $i++; } else { $j++; }
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.operators.Temporal
+import graft.text.TfIdf
+
+/** Degenerate inputs: every operator must return an empty (or singleton)
+  * result on empty / single-row frames, never throw. */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+  private def oneDoc = {
+    import spark.implicits._
+    Seq((1L, "a single document")).toDF("doc_id", "text")
+  }
+
+  test("dedup operators survive empty input") {
+    assert(Dedup.exactGroups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.dropExactDuplicates(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.tokenJaccardPairs(emptyDocs, "doc_id", "text", 0.9).count() == 0)
+    assert(Dedup.minHashLshPairs(emptyDocs, "doc_id", "text", 64, 1, 8, 0.9).count() == 0)
+    assert(Dedup.simHashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TfIdf.tfIdf(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("dedup operators survive a single row (no self-pairs)") {
+    assert(Dedup.exactGroups(oneDoc, "doc_id", "text").count() == 0)
+    assert(Dedup.dropExactDuplicates(oneDoc, "doc_id", "text").count() == 1)
+    assert(Dedup.tokenJaccardPairs(oneDoc, "doc_id", "text", 0.5).count() == 0)
+    assert(Dedup.minHashLshPairs(oneDoc, "doc_id", "text", 64, 1, 8, 0.5).count() == 0)
+    assert(Dedup.simHashPairs(oneDoc, "doc_id", "text").count() == 0)
+  }
+
+  test("embedding near-dup survives empty input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDupPairs(empty, "vec_id", "embedding", 0.5).count() == 0)
+  }
+
+  test("temporal operators survive empty input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("user_id", "ts", "value")
+    assert(Temporal.sessionize(empty, "user_id", "ts", 1800L).count() == 0)
+    val el = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("k", "t", "lv")
+    val er = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("k", "t", "rv")
+    assert(Temporal.asOfJoin(el, er, "k", "t", "lv", "rv").count() == 0)
+    assert(Temporal.asOfJoinTolerance(el, er, "k", "t", "lv", "rv", 60L).count() == 0)
+  }
+}
