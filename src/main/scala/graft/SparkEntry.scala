@@ -828,6 +828,9 @@ object SparkEntry {
              ORDER BY doc_id) AS rk
            FROM documents) t
          WHERE rk = 1 ORDER BY doc_id""",
+    // session_id must be CAST to BIGINT: DuckDB's sum(INTEGER) yields
+    // HUGEINT, which pandas renders as float64 ("0.0" vs Spark's "0") —
+    // a dtype-only hash mismatch invisible to row/schema checks.
     "q44_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts, value,
@@ -837,7 +840,8 @@ object SparkEntry {
            FROM events),
          s AS (
            SELECT user_id, value,
-             sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1
+                  AS BIGINT) AS session_id
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
                 round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS session_value

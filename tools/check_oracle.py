@@ -26,12 +26,16 @@ def canon(df):
     cols = sorted(df.columns)
     df = df[cols]
     def render(v):
+        # Type-aware, full-precision: int 0 and float 0.0 must render
+        # DIFFERENTLY (the driver's hash distinguishes them — DuckDB
+        # HUGEINT columns come back as float64 and broke q44 in r2),
+        # and float diffs beyond 10 sig digits must fail here too.
         if v is None:
             return "NULL"
         if isinstance(v, float):
             if v != v:
                 return "NULL"
-            return f"{v:.10g}"
+            return f"f:{v:.17g}"
         return str(v)
     rows = sorted(tuple(render(v) for v in row) for row in df.itertuples(index=False, name=None))
     return cols, rows
