@@ -296,11 +296,17 @@ object SparkEntry {
         .orderBy(col("split"), col("event_type"))),
     // ---- L3+L5+L6: logistic regression on windowed features, metric table
     "q32_lr_metrics" -> ((s, dir) => {
-      val feats = windowedFeatures(s, dir)
+      // the feature table feeds three actions (fit, confusion counts, AUC);
+      // persist it so the events scan + window walk runs once, not thrice
+      val feats = windowedFeatures(s, dir).persist()
       val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
       val data = Models.assemble(feats, cols, "label")
-      val model = Models.fitLogisticRegression(data)
-      Models.binaryMetrics(model.transform(data))
+      // fit on weighted sufficient statistics (≤ 252 distinct rows here —
+      // identical likelihood, fit cost independent of corpus size);
+      // metrics still scored over the FULL feature table
+      val train = Models.assemble(Models.compressWeighted(feats, cols, "label"), cols, "label")
+      val model = Models.fitLogisticRegression(train, weightCol = Some("weight"))
+      try Models.binaryMetrics(model.transform(data)) finally feats.unpersist()
     }),
     // ---- L4+L8: random forest feature importance, descending (rows-only)
     "q33_rf_importance" -> ((s, dir) => {
@@ -443,8 +449,10 @@ object SparkEntry {
     //      reference prints it as a first-class output, v9:391-403)
     "q48_lr_importance" -> ((s, dir) => {
       val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
-      val data = Models.assemble(windowedFeatures(s, dir), cols, "label")
-      Models.lrImportance(Models.fitLogisticRegression(data), cols)
+      val train = Models.assemble(
+        Models.compressWeighted(windowedFeatures(s, dir), cols, "label"), cols, "label")
+      Models.lrImportance(
+        Models.fitLogisticRegression(train, weightCol = Some("weight")), cols)
     }),
     // ---- stream-stream INTERVAL self-join (watermarked both sides,
     //      bounded state): error events preceded by a click of the same

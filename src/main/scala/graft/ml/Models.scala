@@ -1,11 +1,10 @@
 package graft.ml
 
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel, RandomForestClassificationModel, RandomForestClassifier}
-import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.{PCA, VectorAssembler}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** L3-L8, L10-L11 — the spark.ml estimator surface (SURVEY.md §2.7).
@@ -25,17 +24,63 @@ object Models {
       .transform(df)
       .withColumn("label", col(labelCol).cast("double"))
 
+  /** Sufficient-statistics compression for weight-aware estimators:
+    * collapse identical (features, label) rows into one instance with
+    * `weight` = multiplicity. The weighted likelihood equals the
+    * unweighted likelihood of the expanded data exactly, so the fitted
+    * model is the same; the optimizer then iterates over O(distinct
+    * feature vectors) rows instead of O(corpus). For discrete feature
+    * spaces (count features) that makes per-iteration cost independent
+    * of corpus size: one aggregation pass over the data, then LBFGS on
+    * kilobytes. `coalesce(1)` keeps each iteration a single task. */
+  def compressWeighted(df: DataFrame, featureCols: Seq[String],
+                       labelCol: String): DataFrame =
+    df.groupBy((featureCols :+ labelCol).map(col): _*)
+      .agg(count(lit(1)).cast("double").as("weight"))
+      .coalesce(1)
+
   // ------------------------------------------------------------------ L3
-  def fitLogisticRegression(train: DataFrame, maxIter: Int = 1000): LogisticRegressionModel =
-    new LogisticRegression().setMaxIter(maxIter)
+  def fitLogisticRegression(train: DataFrame, maxIter: Int = 1000,
+                            weightCol: Option[String] = None): LogisticRegressionModel = {
+    val lr = new LogisticRegression().setMaxIter(maxIter)
       .setFeaturesCol("features").setLabelCol("label")
-      .fit(train)
+    weightCol.foreach(lr.setWeightCol)
+    lr.fit(train)
+  }
 
   // ------------------------------------------------------------------ L4
   def fitRandomForest(train: DataFrame, numTrees: Int = 100, seed: Long = 42L): RandomForestClassificationModel =
     new RandomForestClassifier().setNumTrees(numTrees).setSeed(seed)
       .setFeaturesCol("features").setLabelCol("label")
       .fit(train)
+
+  /** EXACT ROC AUC via the Mann-Whitney U statistic with average-rank tie
+    * handling: collapse to distinct scores (one hash shuffle), prefix-sum
+    * the group counts for average ranks, then
+    * AUC = (Σ_pos avgRank − nPos(nPos+1)/2) / (nPos·nNeg).
+    * Catalyst end to end — no legacy RDD `BinaryClassificationMetrics`
+    * (which also BINS scores, so it is approximate). The only non-parallel
+    * step is the prefix sum over DISTINCT scores, bounded by score
+    * cardinality, not corpus size (discrete feature spaces stay tiny; for
+    * continuous scores quantize upstream if cardinality ever approaches
+    * corpus scale). */
+  def exactAuc(predictions: DataFrame, scoreCol: Column): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = predictions
+      .groupBy(scoreCol.as("s"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("npos"))
+    val before = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+    val r = grouped
+      .withColumn("avg_rank",
+        coalesce(sum(col("n")).over(before), lit(0L)) + (col("n") + 1) / 2.0)
+      .agg(sum(col("npos") * col("avg_rank")).as("rankPos"),
+           sum(col("npos")).as("nPos"),
+           sum(col("n") - col("npos")).as("nNeg"))
+      .head()
+    val (rankPos, nPos, nNeg) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+    (rankPos - nPos.toDouble * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+  }
 
   // ------------------------------------------------------------- L5 + L6
   /** precision / recall / accuracy via direct confusion-count aggregation
@@ -60,8 +105,8 @@ object Models {
     val accuracy = if (n == 0) 0.0 else correct.toDouble / n
     val auc: Option[Double] =
       if (nLabels > 1)
-        Some(new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
-          .setRawPredictionCol("rawPrediction").evaluate(predictions))
+        Some(exactAuc(predictions,
+          org.apache.spark.ml.functions.vector_to_array($"probability")(1)))
       else None // single-class guard (L6)
     Seq(("precision", Some(precision)), ("recall", Some(recall)),
         ("accuracy", Some(accuracy)), ("auc", auc))

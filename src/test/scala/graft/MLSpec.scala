@@ -80,6 +80,42 @@ class MLSpec extends AnyFunSuite {
       assert(metrics(k).get >= 0.0 && metrics(k).get <= 1.0))
   }
 
+  test("exactAuc matches hand-computed Mann-Whitney values, ties included") {
+    import spark.implicits._
+    // scores: pos {0.9, 0.5}, neg {0.5, 0.1} — pair wins: (0.9>0.5), (0.9>0.1),
+    // (0.5>0.1) = 3, tie (0.5,0.5) = 0.5 → AUC = 3.5/4 = 0.875
+    val df = Seq((0.9, 1.0), (0.5, 1.0), (0.5, 0.0), (0.1, 0.0)).toDF("s", "label")
+    assert(math.abs(Models.exactAuc(df, col("s")) - 0.875) < 1e-12)
+    // perfect separation and all-tied degenerate cases
+    val sep = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0)).toDF("s", "label")
+    assert(math.abs(Models.exactAuc(sep, col("s")) - 1.0) < 1e-12)
+    val tied = Seq((0.5, 1.0), (0.5, 0.0), (0.5, 1.0)).toDF("s", "label")
+    assert(math.abs(Models.exactAuc(tied, col("s")) - 0.5) < 1e-12)
+  }
+
+  test("weighted sufficient-statistics fit matches the plain fit") {
+    import spark.implicits._
+    // discrete feature space with heavy duplication — the compression target
+    // labels drawn from a logistic model, NOT thresholded: separable data
+    // has no finite optimum and the two fits would drift apart at maxIter
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 2000).map { _ =>
+      val a = rnd.nextInt(4); val b = rnd.nextInt(3)
+      val label = if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-(a - b - 1)))) 1 else 0
+      (a.toDouble, b.toDouble, label)
+    }.toDF("a", "b", "label")
+    val cols = Seq("a", "b")
+    val plain = Models.fitLogisticRegression(Models.assemble(df, cols, "label"))
+    val compressed = Models.compressWeighted(df, cols, "label")
+    assert(compressed.count() <= 4 * 3 * 2, "compression must bound rows by the feature space")
+    val weighted = Models.fitLogisticRegression(
+      Models.assemble(compressed, cols, "label"), weightCol = Some("weight"))
+    plain.coefficients.toArray.zip(weighted.coefficients.toArray).foreach { case (p, w) =>
+      assert(math.abs(p - w) < 1e-3, s"coefficient drift: $p vs $w")
+    }
+    assert(math.abs(plain.intercept - weighted.intercept) < 1e-3)
+  }
+
   test("AUC single-class guard yields null (L6)") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, i.toDouble, 1)).toDF("id", "f", "label")
