@@ -312,8 +312,10 @@ object SparkEntry {
     "q33_rf_importance" -> ((s, dir) => {
       val feats = windowedFeatures(s, dir)
       val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
-      val data = Models.assemble(feats, cols, "label")
-      val model = Models.fitRandomForest(data)
+      // weighted sufficient-statistics fit (see q32): 100 trees over the
+      // distinct feature vectors instead of the full corpus
+      val train = Models.assemble(Models.compressWeighted(feats, cols, "label"), cols, "label")
+      val model = Models.fitRandomForest(train, weightCol = Some("weight"))
       Models.rfImportance(model, cols)
     }),
     // ---- L9: isolation forest anomaly flags on lineitem measures (rows-only)
@@ -506,6 +508,28 @@ object SparkEntry {
         .select(col("doc_id"), size(col("fps")).as("n_fps"),
           element_at(col("fps"), 1).as("min_fp"))
         .orderBy(col("doc_id"))),
+    // ---- the LLM-corpus CURATION pipeline as ONE oracled query:
+    //      language-id + quality scoring + token counting → keep English
+    //      docs above the quality/length floor → exact-dedup survivors →
+    //      per-source corpus stats. Composes q20/q21/q22/q43's operators
+    //      end to end — every stage one codegen'd projection or one keyed
+    //      shuffle, so the whole pipeline is a single scan + two shuffles
+    //      (dedup window, final aggregate) at any scale.
+    "q55_curate" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), col("text"),
+        LangId.markerLangId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"))
+      val kept = scored.filter(
+        col("lang_pred") === "en" && col("quality") >= 0.65 && col("ws_tokens") >= 20)
+      Dedup.dropExactDuplicates(kept, "doc_id", "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("ws_tokens")).as("n_tokens"),
+             davg(col("quality"), 4).as("avg_quality"))
+        .orderBy(col("source"))
+    }),
     // ---- sketch twin of q42: HLL++ distinct + quantile-sketch
     //      percentiles per source — kilobytes of mergeable sketch per
     //      partition instead of shuffling distinct keys / sorting groups.
@@ -854,6 +878,49 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
                 round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS session_value
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // n_tokens: sum(INTEGER-ish) in DuckDB yields HUGEINT → pandas float64;
+    // CAST to BIGINT to match Spark's long (same class of failure as q44)
+    "q55_curate" ->
+      """WITH t AS (
+           SELECT doc_id, source, text,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         scored AS (
+           SELECT doc_id, source, text, toks,
+             round((least(len(toks), 50) / 50.0
+               + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                      / greatest(length(text), 1))
+               + len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+                 / greatest(len(toks), 1)) / 3.0, 4) AS quality,
+             len(toks) AS ws_tokens,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['el','los','las','es','una','y'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['的','是','了','在','和','有'], x))) AS s_zh
+           FROM t),
+         langed AS (
+           SELECT *, CASE
+             WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_en > 0 THEN 'en'
+             WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+             WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_es > 0 THEN 'es'
+             WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_de > 0 THEN 'de'
+             WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_zh > 0 THEN 'zh'
+             ELSE 'und' END AS lang_pred
+           FROM scored),
+         kept AS (
+           SELECT * FROM langed
+           WHERE lang_pred = 'en' AND quality >= 0.65 AND ws_tokens >= 20),
+         dedup AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+             ORDER BY doc_id) AS rk
+           FROM kept)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
+                round(CAST(sum(CAST(quality AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_quality
+         FROM dedup WHERE rk = 1
+         GROUP BY source ORDER BY source""",
     "q54_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term

@@ -49,10 +49,17 @@ object Models {
   }
 
   // ------------------------------------------------------------------ L4
-  def fitRandomForest(train: DataFrame, numTrees: Int = 100, seed: Long = 42L): RandomForestClassificationModel =
-    new RandomForestClassifier().setNumTrees(numTrees).setSeed(seed)
+  /** `weightCol` enables the [[compressWeighted]] path: weighted bootstrap
+    * draws match the expanded data in distribution (not bit-for-bit — the
+    * RNG stream differs), so use it for importance/structure queries, not
+    * for goldens. */
+  def fitRandomForest(train: DataFrame, numTrees: Int = 100, seed: Long = 42L,
+                      weightCol: Option[String] = None): RandomForestClassificationModel = {
+    val rf = new RandomForestClassifier().setNumTrees(numTrees).setSeed(seed)
       .setFeaturesCol("features").setLabelCol("label")
-      .fit(train)
+    weightCol.foreach(rf.setWeightCol)
+    rf.fit(train)
+  }
 
   /** EXACT ROC AUC via the Mann-Whitney U statistic with average-rank tie
     * handling: collapse to distinct scores (one hash shuffle), prefix-sum
