@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[SigAgreeCount], exprs => SigAgreeCount(exprs(0), exprs(1))))
     ext.injectFunction(fn(DrainMineAgg.Name,
       classOf[DrainMineAgg], exprs => DrainMineAgg(exprs.head)))
+    // whole-operator nodes (custom-operator ladder rung (c))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -423,7 +423,9 @@ object SparkEntry {
         .filter(col("o_custkey") <= 150)
         .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
           col("o_orderkey"))
-      Temporal.asOfJoin(ev, ord, "user_id", "ts", "event_id", "o_orderkey")
+      // native whole-operator node (AsOfJoinPlan/Exec, ladder rung (c)):
+      // same contract as Temporal.asOfJoin, hash-checked by the oracle
+      graft.plans.AsOfJoin.asOf(s, ev, ord, "user_id", "ts", "event_id", "o_orderkey")
         .select(col("user_id"), col("event_id"), col("asof_o_orderkey"))
         .orderBy(col("user_id"), col("event_id"))
     }),

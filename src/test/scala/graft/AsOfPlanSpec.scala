@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoin
+
+/** The native whole-operator as-of join (AsOfJoinPlan/Exec): brute-force
+  * equivalence on adversarial random data, plan shape (one merge node, no
+  * window, co-partitioned exchanges), and degenerate inputs. */
+class AsOfPlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("AsOfJoinExec equals the brute-force latest-prior match on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(193)
+    // dense key+ts collisions: same generator contract as the union-trick
+    // property test, so both formulations are held to the same reference
+    val left = (1 to 800).map { i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong, i.toLong) }
+    val right = (1 to 300).map { j =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong, (1000 + j).toLong) }
+    val l = left.toDF("k", "t", "lv")
+    val r = right.toDF("k", "t", "rv")
+    val joined = AsOfJoin.asOf(spark, l, r, "k", "t", "lv", "rv")
+    assert(joined.columns.toSeq == Seq("k", "t", "lv", "asof_rv"))
+    val got = joined.select($"lv", $"asof_rv").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+    left.foreach { case (k, t, lv) =>
+      val expect = right.filter(e => e._1 == k && e._2 <= t) match {
+        case Seq() => None
+        case ms => Some(ms.maxBy(e => (e._2, e._3))._3)
+      }
+      assert(got(lv) == expect, s"left $lv: expected $expect got ${got(lv)}")
+    }
+  }
+
+  test("native as-of plan is one merge node — no window, no union") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 1L)).toDF("k", "t", "lv")
+    val r = Seq((1L, 5L, 7L)).toDF("k", "t", "rv")
+    val plan = AsOfJoin.asOf(spark, l, r, "k", "t", "lv", "rv")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected in:\n$plan")
+    assert(!plan.contains("Union"), s"no union expected in:\n$plan")
+  }
+
+  test("native as-of join: empty right side, unmatched keys, self-join") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "t", "lv")
+    val empty = Seq.empty[(Long, Long, Long)].toDF("k", "t", "rv")
+    val gotEmpty = AsOfJoin.asOf(spark, l, empty, "k", "t", "lv", "rv").collect()
+    assert(gotEmpty.length == 2 && gotEmpty.forall(_.isNullAt(3)))
+
+    val r = Seq((9L, 1L, 5L)).toDF("k", "t", "rv") // key matches nothing
+    val gotMiss = AsOfJoin.asOf(spark, l, r, "k", "t", "lv", "rv").collect()
+    assert(gotMiss.length == 2 && gotMiss.forall(_.isNullAt(3)))
+
+    // self-join: duplicate attribute ids must be re-aliased internally
+    val df = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("k", "t", "v")
+    val self = AsOfJoin.asOf(spark, df.withColumnRenamed("v", "lv"),
+      df.withColumnRenamed("v", "rv"), "k", "t", "lv", "rv")
+      .orderBy($"t").collect()
+    assert(self.map(r => Option(r.get(3))).toSeq == Seq(Some(100L), Some(200L)))
+  }
+}

@@ -46,12 +46,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q44/q45/q18: exactly one key shuffle plus the result ordering") {
-    Seq("q44_sessionize", "q45_asof_join", "q18_dedup_exact").foreach { q =>
+  test("q44/q18: exactly one key shuffle plus the result ordering") {
+    Seq("q44_sessionize", "q18_dedup_exact").foreach { q =>
       val p = plan(q)
       val hash = p.split("\n").count(_.contains("Exchange hashpartitioning"))
       assert(hash == 1, s"$q promises ONE key shuffle, found $hash:\n$p")
     }
+  }
+
+  test("q45: native as-of merge — two co-partitioning shuffles, no window/union") {
+    val p = plan("q45_asof_join")
+    val hash = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 2, s"one exchange per join side expected, found $hash:\n$p")
+    assert(p.contains("AsOfJoin"), s"native AsOfJoinExec missing:\n$p")
+    assert(!p.contains("Window") && !p.contains("Union"),
+      s"union+window formulation must not appear:\n$p")
   }
 
   test("q12: correlation runs as a codegen'd hash aggregate, never RowMatrix") {
