@@ -429,6 +429,22 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("asof_o_orderkey"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // ---- as-of join with a staleness bound (pandas merge_asof tolerance):
+    //      matches staler than the bound are nulled; same single-shuffle
+    //      plan. The bound (730 Ms ≈ 23.1 y) deliberately lands inside the
+    //      staleness distribution of this corpus (events 2024, orders
+    //      1995-2001) so the output is a real keep/null mix.
+    "q56_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_custkey") <= 150)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          col("o_orderkey"))
+      Temporal.asOfJoinTolerance(ev, ord, "user_id", "ts", "event_id", "o_orderkey",
+          toleranceSeconds = 730000000L)
+        .select(col("user_id"), col("event_id"), col("asof_o_orderkey"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     // ---- hierarchical aggregation: ROLLUP over (returnflag, linestatus)
     "q46_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -976,6 +992,28 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_rv
            FROM u)
          SELECT k AS user_id, lv AS event_id, matched_rv AS asof_o_orderkey
+         FROM w WHERE side = 1 ORDER BY user_id, event_id""",
+    "q56_asof_tolerance" ->
+      """WITH u AS (
+           SELECT user_id AS k, ts AS t, event_id AS lv, NULL::BIGINT AS rv,
+                  NULL::TIMESTAMP AS rt, 1 AS side
+           FROM events
+           UNION ALL
+           SELECT o_custkey, o_orderdate, NULL::BIGINT, o_orderkey, o_orderdate, 0
+           FROM orders WHERE o_custkey <= 150),
+         w AS (
+           SELECT k, t, lv, side,
+             last_value(rv IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY t, side, rv ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_rv,
+             last_value(rt IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY t, side, rv ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_t
+           FROM u)
+         SELECT k AS user_id, lv AS event_id,
+                CASE WHEN matched_t IS NOT NULL
+                      AND epoch_us(t) - epoch_us(matched_t) <= 730000000000000
+                     THEN matched_rv END AS asof_o_orderkey
          FROM w WHERE side = 1 ORDER BY user_id, event_id""",
     "q46_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

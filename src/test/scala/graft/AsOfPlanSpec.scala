@@ -45,6 +45,30 @@ class AsOfPlanSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), s"no union expected in:\n$plan")
   }
 
+  test("native as-of agrees with the union-trick formulation across 32 real partitions (AQE off)") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // enough keys that every shuffle partition carries many key boundaries
+      val rnd = new scala.util.Random(31)
+      val left = (1 to 50000).map { i =>
+        (rnd.nextInt(500).toLong, rnd.nextInt(10000).toLong, i.toLong) }
+      val right = (1 to 20000).map { j =>
+        (rnd.nextInt(500).toLong, rnd.nextInt(10000).toLong, (100000 + j).toLong) }
+      val l = left.toDF("k", "t", "lv").repartition(7) // ragged input partitioning
+      val r = right.toDF("k", "t", "rv").repartition(13)
+      val native = graft.plans.AsOfJoin.asOf(spark, l, r, "k", "t", "lv", "rv")
+        .select($"lv", $"asof_rv").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+      val union = graft.operators.Temporal.asOfJoin(l, r, "k", "t", "lv", "rv")
+        .select($"lv", $"asof_rv").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+      assert(native.size == left.size)
+      assert(native == union)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("native as-of join: empty right side, unmatched keys, self-join") {
     import spark.implicits._
     val l = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "t", "lv")
