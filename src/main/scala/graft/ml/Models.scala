@@ -32,12 +32,15 @@ object Models {
     * feature vectors) rows instead of O(corpus). For discrete feature
     * spaces (count features) that makes per-iteration cost independent
     * of corpus size: one aggregation pass over the data, then LBFGS on
-    * kilobytes. `coalesce(1)` keeps each iteration a single task. */
+    * kilobytes. `coalesce(1)` keeps each iteration a single task, and the
+    * sort pins row order so downstream float summation and bootstrap RNG
+    * draws are identical at ANY upstream partition count. */
   def compressWeighted(df: DataFrame, featureCols: Seq[String],
                        labelCol: String): DataFrame =
     df.groupBy((featureCols :+ labelCol).map(col): _*)
       .agg(count(lit(1)).cast("double").as("weight"))
       .coalesce(1)
+      .sortWithinPartitions((featureCols :+ labelCol).map(col): _*)
 
   // ------------------------------------------------------------------ L3
   def fitLogisticRegression(train: DataFrame, maxIter: Int = 1000,
