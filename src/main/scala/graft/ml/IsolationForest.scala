@@ -124,7 +124,14 @@ object IsolationForest {
       val arr = xs.toArray // unbox once; per-node Seq indexing dominates otherwise
       math.pow(2.0, -bc.value.avgPathLength(arr) / math.max(cPsi, 1e-9))
     }
-    val scored = df.withColumn("anomaly_score",
+    // Scoring is CPU-dense (rows × trees × depth hops): decouple compute
+    // parallelism from scan splits — a single-row-group parquet file (or
+    // any unsplittable input) would otherwise pin the whole ensemble walk
+    // to one core. One cheap round-robin shuffle; the output feeds
+    // order-invariant consumers.
+    val target = spark.sparkContext.defaultParallelism
+    val base = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val scored = base.withColumn("anomaly_score",
       scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
     // Cutoff from the ALREADY-COLLECTED driver pool, scored locally: the
     // contamination quantile is approximate by contract, the pool is a
