@@ -106,16 +106,26 @@ object StreamingOps {
                   schema: org.apache.spark.sql.types.StructType,
                   outputMode: String = "complete"): DataFrame = {
     val name = "stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", globFilter)
-      .parquet(sourceDir)
-    val q = build(src).writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    // State partitions = shuffle partitions at first checkpoint, PERMANENT
+    // for the stream's life — size them to stream volume, not to the batch
+    // session default: every stateful operator pays per-partition store
+    // init/snapshot/commit per micro-batch, so 32 partitions of near-empty
+    // state is pure overhead here. On a production stream this is the same
+    // deliberate choice, made once at stream birth.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", math.min(8, prev.toInt).toString)
+    try {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", globFilter)
+        .parquet(sourceDir)
+      val q = build(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
