@@ -452,6 +452,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
              dsum(col("l_extendedprice"), 2).as("sum_price"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // ---- CUBE over (returnflag, linestatus): all four grouping levels
+    "q57_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     // ---- E1/E2 END-TO-END over actual log FILES: recursive container_*
     //      scan → P1-P4 clean → parallel mining → broadcast match →
     //      E3 failure distribution — the reference's whole program as one
@@ -1020,6 +1027,12 @@ object SparkEntry {
          round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2)::DOUBLE AS sum_price
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q57_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2)::DOUBLE AS sum_qty
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
   )
 }

@@ -63,6 +63,20 @@ class PlanSpec extends AnyFunSuite {
       s"union+window formulation must not appear:\n$p")
   }
 
+  test("q55: curation pipeline is one scan plus two keyed shuffles") {
+    val p = plan("q55_curate")
+    assert(p.split("\n").count(_.contains("Scan parquet")) == 1,
+      s"q55 promises a single documents scan:\n$p")
+    val hash = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 2, s"dedup window + final aggregate = two key shuffles, got $hash:\n$p")
+  }
+
+  test("q56: tolerance as-of keeps the single-shuffle union-trick plan") {
+    val p = plan("q56_asof_tolerance")
+    val hash = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 1, s"q56 promises ONE key shuffle, got $hash:\n$p")
+  }
+
   test("q12: correlation runs as a codegen'd hash aggregate, never RowMatrix") {
     val p = plan("q12_corr")
     assert(p.contains("HashAggregate"), "moment sums must be a hash aggregate")
