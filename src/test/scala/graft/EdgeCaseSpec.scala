@@ -51,5 +51,15 @@ class EdgeCaseSpec extends AnyFunSuite {
     val er = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("k", "t", "rv")
     assert(Temporal.asOfJoin(el, er, "k", "t", "lv", "rv").count() == 0)
     assert(Temporal.asOfJoinTolerance(el, er, "k", "t", "lv", "rv", 60L).count() == 0)
+    assert(graft.plans.AsOfJoin.asOf(spark, el, er, "k", "t", "lv", "rv").count() == 0)
+  }
+
+  test("weighted compression survives empty and single-row input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Int)].toDF("f", "label")
+    assert(graft.ml.Models.compressWeighted(empty, Seq("f"), "label").count() == 0)
+    val one = graft.ml.Models.compressWeighted(
+      Seq((1.5, 1)).toDF("f", "label"), Seq("f"), "label").collect()
+    assert(one.length == 1 && one.head.getDouble(2) == 1.0)
   }
 }
