@@ -69,6 +69,22 @@ class AsOfPlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("native as-of join is type-generic: string keys, timestamp ts, string values") {
+    import spark.implicits._
+    val l = Seq(("alpha", "2024-01-01 10:00:00", 1L),
+                ("alpha", "2024-01-01 12:00:00", 2L),
+                ("beta",  "2024-01-01 11:00:00", 3L))
+      .toDF("k", "ts", "lv").withColumn("t", $"ts".cast("timestamp")).drop("ts")
+    val r = Seq(("alpha", "2024-01-01 09:30:00", "early"),
+                ("alpha", "2024-01-01 11:30:00", "late"),
+                ("beta",  "2024-01-01 11:30:00", "future"))
+      .toDF("k", "ts", "rv").withColumn("t", $"ts".cast("timestamp")).drop("ts")
+    val got = graft.plans.AsOfJoin.asOf(spark, l, r, "k", "t", "lv", "rv")
+      .orderBy($"lv").collect().map(x => Option(x.getString(3))).toSeq
+    // alpha@10:00 ← early; alpha@12:00 ← late; beta@11:00 ← nothing prior
+    assert(got == Seq(Some("early"), Some("late"), None))
+  }
+
   test("native as-of join: empty right side, unmatched keys, self-join") {
     import spark.implicits._
     val l = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "t", "lv")
