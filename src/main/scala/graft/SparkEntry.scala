@@ -504,6 +504,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
     }),
+    // ---- STREAMING gap sessionization: the same session_window aggregate
+    //      as q53 but through the micro-batch engine with mergeable session
+    //      state — the canonical stateful streaming operator. Oracled by
+    //      the q53 gap walk (single-file source → one micro-batch, complete
+    //      mode → nothing dropped).
+    "q58_stream_session" -> ((s, dir) => {
+      val path = s"${dir.stripSuffix("/")}/events.parquet"
+      val schema = s.read.parquet(path).schema
+      graft.streaming.StreamingOps.runToMemory(s, src => {
+          val ev = src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+            .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("session_value"))
+            .select(col("user_id"), col("w.start").as("session_start"),
+              col("n_events"), col("session_value"))
+        }, dir.stripSuffix("/"), "events.parquet", schema, outputMode = "complete")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     // ---- TF-IDF top terms per document (smoothed idf; exact double
     //      arithmetic on integer counts — deterministic, oracled)
     "q54_tfidf" -> ((s, dir) =>
@@ -965,6 +982,21 @@ object SparkEntry {
          SELECT doc_id, term, rn, round(tfidf_raw, 4) AS tfidf
          FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""",
     "q53_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS session_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    // streaming twin of q53: same session semantics, same oracle shape
+    "q58_stream_session" ->
       """WITH g AS (
            SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
