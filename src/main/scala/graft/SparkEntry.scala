@@ -223,6 +223,12 @@ object SparkEntry {
     "q19_token_jaccard" -> ((s, dir) =>
       Dedup.tokenJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.95)
         .orderBy(col("id_a"), col("id_b"))),
+    // ---- exact 3-gram shingle Jaccard pairs: substring-aware near-dup
+    //      (reordered docs share token sets but not shingle sets) — same
+    //      prefix-filtered AllPairs/PPJoin plan, shingle vocabulary
+    "q59_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
     // ---- text: token counting (whitespace + BPE-ish pre-tokenizer proxy)
     "q20_token_stats" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -777,6 +783,27 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = id_a
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95
+         ORDER BY id_a, id_b""",
+    "q59_ngram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+         FROM shared
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
          ORDER BY id_a, id_b""",
     "q20_token_stats" ->
       """SELECT doc_id,

@@ -266,11 +266,27 @@ object Dedup {
     * arrays and computes `array_intersect` per candidate — no second
     * exploded aggregation. Exact: no candidate with Jaccard ≥ τ is lost. */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double): DataFrame =
+    jaccardPairsOfSets(df, idCol,
+      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))), threshold)
+
+  /** Exact Jaccard pairs over word n-GRAM shingle sets — substring-aware
+    * near-dup detection (reordered documents share token sets but not
+    * shingle sets). Same prefix-filtered plan as [[tokenJaccardPairs]];
+    * the "vocabulary" is the shingle space. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame =
+    jaccardPairsOfSets(df, idCol,
+      array_sort(array_distinct(
+        shinglesOfTokens(TextAnalysis.tokens(col(textCol)), n))), threshold)
+
+  /** Core of the exact-Jaccard join, parameterized by the set expression
+    * (distinct sorted array of join units — tokens, shingles, …). */
+  def jaccardPairsOfSets(df: DataFrame, idCol: String, setExpr: Column,
+                         threshold: Double): DataFrame = {
     graft.functions.SortedOverlapCount.register(
       org.apache.spark.sql.SparkSession.active)
-    val docSets = spread(df, idCol).select(col(idCol).as("id"),
-      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("set"))
+    val docSets = spread(df, idCol).select(col(idCol).as("id"), setExpr.as("set"))
     // EXACT-GROUP PRE-COLLAPSE: documents with the SAME distinct token set
     // have pairwise Jaccard exactly 1.0 among themselves and identical
     // similarity to everything else, so the quadratic join only needs ONE
@@ -296,8 +312,11 @@ object Dedup {
     // partitioning (14.3s recompute vs 18.7s persisted). Contrast with
     // minHashLshPairs, where the recomputed branch is a corpus-wide UDF
     // and persisting wins 2×.
-    // space separator: tokens are whitespace-split, so the key is unambiguous
-    val keyed = docSets.withColumn("gk", md5(concat_ws(" ", col("set"))))
+    // newline separator: set elements are whitespace-split tokens or
+    // space-joined shingles — neither can contain a newline, so the key
+    // is unambiguous for both (a SPACE separator would collide across
+    // shingle boundaries: ["a b","c"] vs ["a","b c"])
+    val keyed = docSets.withColumn("gk", md5(concat_ws("\n", col("set"))))
     // rep assignment via a window MIN over the digest: one hash shuffle,
     // no join, and WindowExec spills — a duplicate-heavy group never
     // builds an in-memory id array the way collect_list would
