@@ -286,7 +286,12 @@ object Dedup {
                          threshold: Double): DataFrame = {
     graft.functions.SortedOverlapCount.register(
       org.apache.spark.sql.SparkSession.active)
+    // empty sets are dropped, not paired: Jaccard over two empty sets is
+    // 0/0 — and without this filter the exact-group pre-collapse would
+    // emit such docs as 1.0 pairs while an explode-based formulation
+    // (the oracle, an inverted index) never sees them at all
     val docSets = spread(df, idCol).select(col(idCol).as("id"), setExpr.as("set"))
+      .filter(size(col("set")) > 0)
     // EXACT-GROUP PRE-COLLAPSE: documents with the SAME distinct token set
     // have pairwise Jaccard exactly 1.0 among themselves and identical
     // similarity to everything else, so the quadratic join only needs ONE

@@ -65,6 +65,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccardPairs equals brute force over shingle sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val base = (1 to 80).map { i =>
+      (i.toLong, (0 until (4 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = (1 to 20).map(j => (200L + j, base(rnd.nextInt(base.size))._2))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] =
+      t.toLowerCase.trim.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = (base ++ dups).map { case (id, t) => id -> shingleSet(t) }.toMap
+    for (threshold <- Seq(0.5, 0.8)) {
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, threshold)
+        .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ids = sets.keys.toSeq.sorted
+      val brute = (for {
+        a <- ids; b <- ids
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+        if j >= threshold
+      } yield (a, b)).toSet
+      assert(got == brute,
+        s"threshold $threshold: missing ${(brute -- got).take(5)} extra ${(got -- brute).take(5)}")
+    }
+  }
+
   test("simHashPairs equals brute-force Hamming-<=3 pairs (pigeonhole is lossless)") {
     import spark.implicits._
     val got = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
