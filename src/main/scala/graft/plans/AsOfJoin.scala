@@ -29,6 +29,12 @@ import org.apache.spark.sql.graftbridge.GraftSqlBridge
   * per partition holding O(1) state: no window buffering, no unioned
   * null-column rows, no per-key materialization. Exactly the plan a
   * hand-written cluster job would use at 100 TB.
+  *
+  * Skew bound: a single key's rows land on one partition (as in every
+  * keyed formulation — AQE skew splitting only rewrites its own join
+  * nodes). The merge is O(left + right) per partition with constant
+  * memory, so a hot key costs time, never an OOM; pre-split hot keys by
+  * time range upstream if one key dominates a 100 TB input.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
