@@ -1,0 +1,124 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the step that
+  * turns near-duplicate PAIRS into dedup CLUSTERS (keep one document per
+  * component, not one per pair: pair-wise dropping breaks on transitive
+  * chains a~b, b~c where a and c are not directly similar).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014), the
+  * shuffle-native formulation:
+  *
+  *  - '''large-star''': every node points its larger neighbors at the
+  *    minimum of its neighborhood (including itself);
+  *  - '''small-star''': every node points its smaller neighbors (and
+  *    itself) at that minimum.
+  *
+  * Each round is two hash shuffles on the node id (a window MIN per
+  * neighborhood — no join, and WindowExec spills, so a high-degree hub
+  * never builds an in-memory neighbor array) plus an edge `distinct()`.
+  * The edge set converges to a star forest — every node points directly
+  * at its component's minimum id — in O(log n) rounds (2–6 observed; a
+  * giant near-clique collapses in 2 because large-star immediately points
+  * everything at the minimum). Contrast with naive min-label propagation,
+  * whose round count is the graph DIAMETER — a 1000-hop chain in a 100 TB
+  * pair set needs 1000 shuffles there, 10 here.
+  *
+  * Per-round lineage is truncated with a checkpoint (reliable if a
+  * checkpoint dir is set, local otherwise): without truncation the plan
+  * doubles per iteration and Catalyst analysis time — not the data —
+  * becomes the bottleneck. Checkpoint size is O(E), bounded by the round
+  * count, and evictable (MEMORY_AND_DISK).
+  *
+  * Convergence is detected by an order-invariant multiset checksum
+  * (count + bit_xor of xxhash64(u,v)) — one tiny collect per round, never
+  * a driver-side edge materialization.
+  *
+  * Labels are min-ids, so the output is a pure function of the edge SET —
+  * deterministic under any partitioning or core count.
+  */
+object ConnectedComponents {
+
+  /** Connected components of the undirected graph given by `edges`
+    * (orientation, duplicates and self-loops are normalized away).
+    * Returns one row per node that appears in at least one non-loop edge:
+    * `(id, component)` where `component` is the smallest node id in the
+    * node's component. Node ids must be castable to long. */
+  def components(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    var e = truncate(
+      edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct())
+    var prev = checksum(e)
+    var converged = prev._1 == 0L // empty graph: nothing to iterate
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      if (rounds > 64) // large-star/small-star converges in O(log n); 64
+        // rounds means the loop is broken, not the graph large
+        throw new IllegalStateException(
+          s"connected components did not converge after $rounds rounds")
+      e = truncate(smallStar(largeStar(e)))
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+    }
+    // At the fixed point e is a star forest: (member -> root) edges with
+    // root = component minimum. Roots appear only on the right; emit them
+    // as their own members. The final groupBy is belt-and-braces (a
+    // member has exactly one root at convergence) and costs one shuffle
+    // on the output, which is one row per node.
+    if (prev._1 == 0L) {
+      e.select(col("u").as("id"), col("v").as("component")).limit(0)
+    } else {
+      e.select(col("u").as("id"), col("v").as("component"))
+        .unionAll(e.select(col("v").as("id"), col("v").as("component")))
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+    }
+  }
+
+  /** Large-star: for every node, point each strictly-larger neighbor at
+    * the minimum of the neighborhood (including the node itself). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val m = least(min(col("v")).over(Window.partitionBy(col("u"))), col("u"))
+    sym.withColumn("m", m)
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge large→small, then point each smaller
+    * neighbor (and the node itself) at the neighborhood minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val withM = oriented.withColumn("m",
+      min(col("v")).over(Window.partitionBy(col("u"))))
+    withM.select(col("v").as("u"), col("m").as("v"))
+      .unionAll(withM.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Order-invariant multiset checksum of the edge set: (count, xor of
+    * per-edge 64-bit hashes). xor is associative/commutative and cannot
+    * overflow, so the value is identical under every partitioning. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Truncate lineage between rounds: reliable checkpoint when the
+    * session has a checkpoint dir (the cluster configuration), local
+    * checkpoint otherwise (single-JVM runs). */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+}
