@@ -229,6 +229,12 @@ object SparkEntry {
     "q59_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
         .orderBy(col("id_a"), col("id_b"))),
+    // ---- near-dup CLUSTERS: connected components of the shingle-Jaccard
+    //      graph (alternating star contraction over representatives) —
+    //      the keep-one-per-cluster contract pair-wise dropping can't give
+    "q60_neardup_clusters" -> ((s, dir) =>
+      Dedup.ngramJaccardComponents(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+        .orderBy(col("doc_id"))),
     // ---- text: token counting (whitespace + BPE-ish pre-tokenizer proxy)
     "q20_token_stats" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -805,6 +811,35 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
          ORDER BY id_a, id_b""",
+    "q60_neardup_clusters" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT id_a, id_b FROM shared
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         sym AS (
+           SELECT id_a AS u, id_b AS v FROM edges
+           UNION ALL
+           SELECT id_b, id_a FROM edges),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM sizes
+           UNION
+           SELECT sym.u, reach.r FROM sym JOIN reach ON reach.id = sym.v)
+         SELECT id AS doc_id, min(r) AS component
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "q20_token_stats" ->
       """SELECT doc_id,
          len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,

@@ -284,6 +284,67 @@ object Dedup {
     * (distinct sorted array of join units — tokens, shingles, …). */
   def jaccardPairsOfSets(df: DataFrame, idCol: String, setExpr: Column,
                          threshold: Double): DataFrame = {
+    val (repPairs, mem) = repJaccardGraph(df, idCol, setExpr, threshold)
+    // within-group pairs (identical sets ⇒ J = 1.0) and the rep-pair
+    // member expansion — the d² blowup lives HERE, after the join,
+    // never inside it
+    val within = mem.alias("x")
+      .join(mem.alias("y"), col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
+      .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(mem.toDF("id_a", "ma"), "id_a")
+      .join(mem.toDF("id_b", "mb"), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    (if (threshold <= 1.0) within.unionAll(cross) else cross)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Near-duplicate CLUSTERS instead of pairs: connected components of
+    * the ≥ `threshold` Jaccard graph. Pair-wise dropping is wrong on
+    * transitive chains (a~b, b~c with a̸~c: dropping one side of each
+    * pair can drop b twice or keep a AND c) — cluster-then-keep-one is
+    * the standard corpus-dedup contract.
+    *
+    * Scale shape: [[ConnectedComponents]] star contraction runs on the
+    * REPRESENTATIVE graph only — exact-duplicate group members inherit
+    * the label through their rep afterwards, so a duplication factor d
+    * shrinks the iterated edge set by d² and the iteration never sees
+    * the member expansion. Labels are component-minimum ids, and since
+    * each rep is already the minimum of its exact group, the label is
+    * the smallest `idCol` in the whole cluster — so `id == component`
+    * selects the canonical keeper. Docs with empty sets are excluded
+    * (no Jaccard is defined for them); ids must be long-castable (the
+    * star contraction's contract). */
+  def jaccardComponentsOfSets(df: DataFrame, idCol: String, setExpr: Column,
+                              threshold: Double): DataFrame = {
+    val (repPairs, mem) = repJaccardGraph(df, idCol, setExpr, threshold)
+    val cc = ConnectedComponents
+      .components(repPairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .withColumnRenamed("id", "rep")
+    // left join: a rep with no ≥ τ neighbor is its own component (its
+    // exact-group members still cluster with it through `mem`)
+    mem.join(cc, Seq("rep"), "left")
+      .select(col("member").as(idCol),
+        coalesce(col("component"), col("rep")).as("component"))
+  }
+
+  /** [[jaccardComponentsOfSets]] over word n-gram shingle sets — the
+    * clustering companion of [[ngramJaccardPairs]]. */
+  def ngramJaccardComponents(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, threshold: Double): DataFrame =
+    jaccardComponentsOfSets(df, idCol,
+      array_sort(array_distinct(
+        shinglesOfTokens(TextAnalysis.tokens(col(textCol)), n))), threshold)
+
+  /** Rep-level ≥ τ Jaccard graph: returns `(repPairs, mem)` where
+    * `repPairs(id_a, id_b, jaccard)` joins one representative per
+    * distinct set and `mem(rep, member)` maps each rep to its
+    * exact-duplicate group members. Shared core of the pair join and
+    * the clustering path. */
+  private def repJaccardGraph(df: DataFrame, idCol: String, setExpr: Column,
+                              threshold: Double): (DataFrame, DataFrame) = {
     graft.functions.SortedOverlapCount.register(
       org.apache.spark.sql.SparkSession.active)
     // empty sets are dropped, not paired: Jaccard over two empty sets is
@@ -329,10 +390,6 @@ object Dedup {
       min(col("id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("gk"))))
     val reps = withRep.filter(col("id") === col("rep")).select(col("id"), col("set"))
     val mem = withRep.select(col("rep"), col("id").as("member"))
-    val within = mem.alias("x")
-      .join(mem.alias("y"), col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
-      .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
-        lit(1.0).as("jaccard"))
     // global rarity rank per token (ascending document frequency, over
     // representatives — any consistent global order is correct for the
     // prefix bound). Tokens are then carried as dense INTS everywhere
@@ -387,13 +444,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .dropDuplicates("id_a", "id_b")
-    val cross = repPairs
-      .join(mem.toDF("id_a", "ma"), "id_a")
-      .join(mem.toDF("id_b", "mb"), "id_b")
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-    (if (threshold <= 1.0) within.unionAll(cross) else cross)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    (repPairs, mem)
   }
 
   // -------------------------------------------------------------- simhash

@@ -93,6 +93,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccardComponents equals brute-force union-find over the Jaccard graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val base = (1 to 80).map { i =>
+      (i.toLong, (0 until (4 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = (1 to 25).map(j => (200L + j, base(rnd.nextInt(base.size))._2))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] =
+      t.toLowerCase.trim.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = (base ++ dups).map { case (id, t) => id -> shingleSet(t) }
+      .filter(_._2.nonEmpty).toMap
+    for (threshold <- Seq(0.5, 0.8)) {
+      // brute-force union-find over the >= threshold pair graph
+      val parent = scala.collection.mutable.Map(sets.keys.map(k => k -> k).toSeq: _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      val ids = sets.keys.toSeq.sorted
+      for (a <- ids; b <- ids if a < b) {
+        val j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+        if (j >= threshold) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      val brute = ids.map(id => id -> find(id)).toMap
+      val got = Dedup.ngramJaccardComponents(docs, "doc_id", "text", 3, threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brute,
+        s"threshold $threshold: diffs ${(brute.toSet diff got.toSet).take(5)} / ${(got.toSet diff brute.toSet).take(5)}")
+    }
+  }
+
   test("simHashPairs equals brute-force Hamming-<=3 pairs (pigeonhole is lossless)") {
     import spark.implicits._
     val got = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
