@@ -433,8 +433,11 @@ object SparkEntry {
       val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
       val ord = Tables.orders(s, dir)
         .filter(col("o_custkey") <= 150)
-        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
-          col("o_orderkey"))
+        // orders carries TIMESTAMP_NTZ; events is TimestampType. The native
+        // merge requires identical ts types (raw-micros ordering) — cast is
+        // identity under the session's pinned UTC zone.
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("ts"), col("o_orderkey"))
       // native whole-operator node (AsOfJoinPlan/Exec, ladder rung (c)):
       // same contract as Temporal.asOfJoin, hash-checked by the oracle
       graft.plans.AsOfJoin.asOf(s, ev, ord, "user_id", "ts", "event_id", "o_orderkey")

@@ -123,7 +123,11 @@ case class AsOfJoinExec(
             if (c < 0) { rBuf.next(); () } // behind the current left key: discard
             else if (c == 0) {
               val rt = rTsB.eval(head)
-              if (rt != null && tsOrd.compare(rt, lt) <= 0) {
+              // a null ts can never satisfy ts <= left.ts for ANY left row:
+              // skip it — treating it as "future" would permanently block
+              // every valid right row sorted behind it (nulls sort first)
+              if (rt == null) { rBuf.next(); () }
+              else if (tsOrd.compare(rt, lt) <= 0) {
                 val v = rValB.eval(head)
                 if (v != null) { // null values are no-ops, as in last(ignoreNulls)
                   lastVal = InternalRow.copyValue(v)
@@ -152,8 +156,11 @@ object AsOfJoin {
            keyCol: String, tsCol: String,
            leftValCol: String, rightValCol: String): DataFrame = {
     // idempotent fallback for sessions built without GraftExtensions —
-    // mirrors the per-operator function registration pattern
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+    // mirrors the per-operator function registration pattern. planner
+    // .strategies already folds in extension-injected strategies AND
+    // experimental.extraStrategies, so this single check covers both
+    // registration paths without double-adding on a GraftSession.
+    if (!spark.sessionState.planner.strategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val lp = GraftSqlBridge.analyzed(
@@ -165,6 +172,12 @@ object AsOfJoin {
     val rp = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
     val Seq(lk, lt, _) = lp.output
     val Seq(rk, rt, rv) = rp.output.map(_.toAttribute)
+    // the merge compares raw internal values with orderings derived from
+    // the LEFT types — a type mismatch must be an analysis error, not a
+    // silent wrong answer (e.g. nanosecond longs vs TimestampType micros)
+    require(lk.dataType == rk.dataType && lt.dataType == rt.dataType,
+      s"asOf type mismatch: key ${lk.dataType} vs ${rk.dataType}, " +
+        s"ts ${lt.dataType} vs ${rt.dataType}")
     val asofAttr = AttributeReference(s"asof_$rightValCol", rv.dataType, nullable = true)()
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lp, rp, lk, rk, lt, rt, rv, asofAttr))
   }

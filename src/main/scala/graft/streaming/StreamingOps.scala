@@ -111,21 +111,24 @@ object StreamingOps {
     // session default: every stateful operator pays per-partition store
     // init/snapshot/commit per micro-batch, so 32 partitions of near-empty
     // state is pure overhead here. On a production stream this is the same
-    // deliberate choice, made once at stream birth.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", math.min(8, prev.toInt).toString)
-    try {
-      val src = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", globFilter)
-        .parquet(sourceDir)
-      val q = build(src).writeStream
-        .format("memory").queryName(name)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // deliberate choice, made once at stream birth. The override lives on a
+    // CHILD session (shared SparkContext + extensions, private SQLConf) so
+    // concurrent queries on the caller's session never observe it.
+    val parentParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", math.min(8, parentParts).toString)
+    val src = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", globFilter)
+      .parquet(sourceDir)
+    val q = build(src).writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
   }
 }

@@ -85,6 +85,48 @@ class AsOfPlanSpec extends AnyFunSuite {
     assert(got == Seq(Some("early"), Some("late"), None))
   }
 
+  test("a null-ts right row is skipped, not a merge blocker") {
+    import spark.implicits._
+    // null ts sorts FIRST within its key (Ascending default): if the merge
+    // treated it as "in the future" it would block every valid right row
+    // behind it and all three left rows would come back null
+    val l = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)).toDF("k", "t", "lv")
+    val r = Seq((1L, Some(5L), 100L), (1L, None, 999L), (1L, Some(15L), 200L))
+      .toDF("k", "t", "rv")
+    val got = AsOfJoin.asOf(spark, l, r, "k", "t", "lv", "rv")
+      .orderBy($"lv").collect().map(x => Option(x.get(3))).toSeq
+    assert(got == Seq(Some(100L), Some(200L), Some(200L)))
+    // and the union-trick formulation agrees on the same input
+    val union = graft.operators.Temporal.asOfJoin(l, r, "k", "t", "lv", "rv")
+      .orderBy($"lv").collect().map(x => Option(x.get(3))).toSeq
+    assert(union == got)
+  }
+
+  test("mismatched key/ts types are an analysis error, not a silent wrong answer") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 1L)).toDF("k", "t", "lv")
+    val rStrKey = Seq(("1", 5L, 7L)).toDF("k", "t", "rv")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(spark, l, rStrKey, "k", "t", "lv", "rv")
+    }
+    val rTsType = Seq((1L, "2024-01-01 00:00:00", 7L)).toDF("k", "ts", "rv")
+      .withColumn("t", $"ts".cast("timestamp")).drop("ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(spark, l, rTsType, "k", "t", "lv", "rv")
+    }
+  }
+
+  test("asOf never double-registers the strategy on an extensions-built session") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 1L)).toDF("k", "t", "lv")
+    val r = Seq((1L, 5L, 7L)).toDF("k", "t", "rv")
+    AsOfJoin.asOf(spark, l, r, "k", "t", "lv", "rv").collect()
+    // GraftSession injects the strategy via injectPlannerStrategy; the
+    // experimental fallback must detect that and stay empty
+    assert(!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy),
+      "strategy registered twice: extension injection + experimental fallback")
+  }
+
   test("native as-of join: empty right side, unmatched keys, self-join") {
     import spark.implicits._
     val l = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "t", "lv")

@@ -26,6 +26,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("runToMemory never mutates the caller session's shuffle partitions") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val path = s"${TestSession.sf}/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val out = StreamingOps.runToMemory(spark, src =>
+        StreamingOps.windowedCounts(
+          src.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+          "ts", "event_type", "value", "1 hour"),
+        TestSession.sf, "events.parquet", schema)
+    assert(out.count() > 0)
+    // the cap lives on a child session for the stream's life; the caller's
+    // conf must be untouched even mid-stream (here: after, which the old
+    // try/finally also guaranteed — the child session guarantees DURING too)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    // and the caller session can still join against the streamed result
+    val joined = out.join(
+      Tables.events(spark, TestSession.sf).select($"event_type").distinct(),
+      "event_type")
+    assert(joined.count() > 0)
+  }
+
   test("streaming dedup drops within-watermark duplicate keys across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
