@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.logs.LogLines
 import graft.mine.TemplateMining
-import graft.operators.{EventMatrix, Positional, Sketches, Temporal}
+import graft.operators.{EventMatrix, Positional, RangeJoin, Sketches, Temporal}
 import graft.dedup.Dedup
 import graft.sim.Similarity
 import graft.text.{LangId, TextAnalysis}
@@ -235,6 +235,16 @@ object SparkEntry {
     "q60_neardup_clusters" -> ((s, dir) =>
       Dedup.ngramJaccardComponents(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
         .orderBy(col("doc_id"))),
+    // ---- keyed range join: per-event trailing-window context (same-user
+    //      events in the preceding hour) via the binned (key, bin)
+    //      equi-join — no per-key quadratic blow-up, AQE-splittable
+    "q61_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      RangeJoin.trailingAgg(ev, ev, "user_id", "ts", "event_id", "value", 3600L)
+        .select(col("event_id"), col("user_id"), col("n_window"),
+          round(col("dsum_window"), 4).cast("double").as("sum_window"))
+        .orderBy(col("event_id"))
+    }),
     // ---- text: token counting (whitespace + BPE-ish pre-tokenizer proxy)
     "q20_token_stats" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -843,6 +853,16 @@ object SparkEntry {
            SELECT sym.u, reach.r FROM sym JOIN reach ON reach.id = sym.v)
          SELECT id AS doc_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q61_range_join" ->
+      """SELECT a.event_id, a.user_id,
+                count(b.ts) AS n_window,
+                round(sum(CAST(b.value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_window
+         FROM events a
+         LEFT JOIN events b
+           ON a.user_id = b.user_id
+          AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+         GROUP BY a.event_id, a.user_id
+         ORDER BY a.event_id""",
     "q20_token_stats" ->
       """SELECT doc_id,
          len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
