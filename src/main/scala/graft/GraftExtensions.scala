@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, SigAgreeCount, SortedOverlapCount}
+import graft.functions.{CosineSimilarity, MisraGries, SigAgreeCount, SortedOverlapCount}
 import graft.mine.DrainMineAgg
 
 /** The library's `SparkSessionExtensions` injection point — the idiomatic
@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[SigAgreeCount], exprs => SigAgreeCount(exprs(0), exprs(1))))
     ext.injectFunction(fn(DrainMineAgg.Name,
       classOf[DrainMineAgg], exprs => DrainMineAgg(exprs.head)))
+    ext.injectFunction(fn(MisraGries.Name,
+      classOf[MisraGries], MisraGries.build))
     // whole-operator nodes (custom-operator ladder rung (c))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -245,6 +245,27 @@ object SparkEntry {
           round(col("dsum_window"), 4).cast("double").as("sum_window"))
         .orderBy(col("event_id"))
     }),
+    // ---- heavy hitters: Misra-Gries candidate sketch (bounded state,
+    //      partial-merge) + exact broadcast rescan — tokens with corpus
+    //      frequency > n/32. The sketch never shuffles the vocabulary;
+    //      the rescan makes the answer exact, not approximate.
+    "q62_heavy_hitters" -> ((s, dir) => {
+      graft.functions.MisraGries.register(s)
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      // candidate guarantee: true freq > n/64 => present in MG(63) state;
+      // the final n/32 threshold is strictly inside that bound
+      val cands = toks
+        .agg(call_function(graft.functions.MisraGries.Name, col("tok"), lit(63)).as("hh"))
+        .select(explode(col("hh")).as("c")).select(col("c.item").as("tok"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cands), "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(total))
+        .filter(col("cnt") > col("n_total") / 32)
+        .select(col("tok"), col("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
     // ---- text: token counting (whitespace + BPE-ish pre-tokenizer proxy)
     "q20_token_stats" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -853,6 +874,13 @@ object SparkEntry {
            SELECT sym.u, reach.r FROM sym JOIN reach ON reach.id = sym.v)
          SELECT id AS doc_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q62_heavy_hitters" ->
+      """WITH t AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents)
+         SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+         HAVING count(*) > (SELECT count(*) FROM t) / 32
+         ORDER BY cnt DESC, tok""",
     "q61_range_join" ->
       """SELECT a.event_id, a.user_id,
                 count(b.ts) AS n_window,
