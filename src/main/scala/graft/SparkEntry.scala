@@ -266,6 +266,12 @@ object SparkEntry {
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
     }),
+    // ---- repetition / boilerplate quality stats (Gopher-rules family):
+    //      per-doc type-token ratio + top 1/2-gram mass as a shuffle-free
+    //      higher-order-function projection — no explode, no groupBy
+    "q63_rep_filter" -> ((s, dir) =>
+      graft.text.Repetition.tokenStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // ---- text: token counting (whitespace + BPE-ish pre-tokenizer proxy)
     "q20_token_stats" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -874,6 +880,24 @@ object SparkEntry {
            SELECT sym.u, reach.r FROM sym JOIN reach ON reach.id = sym.v)
          SELECT id AS doc_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q63_rep_filter" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         u AS (SELECT doc_id, unnest(l) AS tok FROM t),
+         uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+         ua AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS top
+                FROM uc GROUP BY 1),
+         b AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+               FROM t, unnest(range(1, len(l))) r(i)),
+         bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+         ba AS (SELECT doc_id, max(c) AS topb FROM bc GROUP BY 1)
+         SELECT ua.doc_id, CAST(n AS BIGINT) AS n_tokens,
+                round(CAST(nd AS DOUBLE) / n, 4) AS distinct_frac,
+                round(CAST(top AS DOUBLE) / n, 4) AS top_token_frac,
+                round(CAST(topb AS DOUBLE) / (n - 1), 4) AS top_bigram_frac
+         FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+         ORDER BY ua.doc_id""",
     "q62_heavy_hitters" ->
       """WITH t AS (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
