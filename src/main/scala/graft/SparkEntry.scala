@@ -266,6 +266,13 @@ object SparkEntry {
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
     }),
+    // ---- deterministic training-export sharding: portable md5-derived
+    //      shard ids (any engine recomputes the identical assignment) +
+    //      per-shard manifest — count, bytes, key range
+    "q64_shard_export" -> ((s, dir) =>
+      graft.operators.Sharding.manifest(
+          Tables.documents(s, dir), "doc_id", "text", 16)
+        .orderBy(col("shard"))),
     // ---- repetition / boilerplate quality stats (Gopher-rules family):
     //      per-doc type-token ratio + top 1/2-gram mass as a shuffle-free
     //      higher-order-function projection — no explode, no groupBy
@@ -880,6 +887,14 @@ object SparkEntry {
            SELECT sym.u, reach.r FROM sym JOIN reach ON reach.id = sym.v)
          SELECT id AS doc_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q64_shard_export" ->
+      """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+                count(*) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+                min(doc_id) AS min_key,
+                max(doc_id) AS max_key
+         FROM documents
+         GROUP BY 1 ORDER BY shard""",
     "q63_rep_filter" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
