@@ -266,6 +266,15 @@ object SparkEntry {
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
     }),
+    // ---- benchmark contamination: corpus docs containing a probe set's
+    //      n-grams (probe-directional containment). Probe shingles are
+    //      BROADCAST — the corpus scans once and never shuffles on text
+    "q65_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.Contamination.ngramContainment(
+          docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", 2, 0.3)
+        .orderBy(col("doc_id"), col("probe_id"))
+    }),
     // ---- deterministic training-export sharding: portable md5-derived
     //      shard ids (any engine recomputes the identical assignment) +
     //      per-shard manifest — count, bytes, key range
@@ -887,6 +896,26 @@ object SparkEntry {
            SELECT sym.u, reach.r FROM sym JOIN reach ON reach.id = sym.v)
          SELECT id AS doc_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q65_contamination" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 1),
+               i -> array_to_string(toks[i+1:i+2], ' ')))) AS g
+           FROM t),
+         probes AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+         psize AS (SELECT doc_id AS pid, count(*) AS ps FROM probes GROUP BY 1),
+         hits AS (
+           SELECT c.doc_id, p.doc_id AS probe_id, count(*) AS shared_ngrams
+           FROM sh c JOIN probes p ON c.g = p.g AND c.doc_id <> p.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_id, probe_id, shared_ngrams,
+                round(shared_ngrams * 1.0 / ps, 4) AS containment
+         FROM hits JOIN psize ON pid = probe_id
+         WHERE shared_ngrams * 1.0 / ps >= 0.3
+         ORDER BY doc_id, probe_id""",
     "q64_shard_export" ->
       """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
                 count(*) AS n_docs,

@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Benchmark contamination detection: which corpus documents contain the
+  * n-grams of a (small) evaluation/benchmark set? The pre-training gate
+  * that keeps test data out of training data — run before every export.
+  *
+  * Scale shape: the asymmetry IS the design. The probe side (benchmark
+  * suites: thousands of documents) is tiny next to the corpus (100 TB),
+  * so its exploded shingle table is BROADCAST and the corpus-side join is
+  * map-side — the corpus is scanned once, never shuffled on text. Only
+  * the surviving (doc, probe) hit pairs — a vanishingly small set — enter
+  * the final aggregate, keyed on the pair. Compare q59's symmetric
+  * self-join (both sides shuffle on the shingle): right for all-pairs
+  * near-dup, wasteful for corpus-vs-benchmark.
+  *
+  * Containment (|D ∩ P| / |P|), not Jaccard: a 100-page doc quoting a
+  * whole 50-shingle benchmark item has Jaccard ≈ 0 but containment 1.0 —
+  * the contaminated case (Lee et al. 2022, "Deduplicating Training Data
+  * Makes Language Models Better", §4.2 uses the same directional measure).
+  */
+object Contamination {
+
+  /** Per (corpus doc, probe doc) n-gram containment, probe-directional.
+    * Output: `doc_id, probe_id, shared_ngrams, containment`, self-pairs
+    * excluded, filtered to `containment >= minContainment`. */
+  def ngramContainment(corpus: DataFrame, probes: DataFrame,
+                       idCol: String, textCol: String, n: Int,
+                       minContainment: Double): DataFrame = {
+    def shingleSet(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId),
+          explode(array_distinct(
+            Dedup.shinglesOfTokens(TextAnalysis.tokens(col(textCol)), n))).as("g"))
+    val probeShingles = shingleSet(probes, "probe_id")
+    val probeSizes = probeShingles.groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("p_size"))
+    shingleSet(corpus, "doc_id")
+      .join(broadcast(probeShingles), "g")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .join(broadcast(probeSizes), "probe_id")
+      // threshold on the RAW ratio; round only the reported value — a
+      // ratio that rounds up across the threshold must not change the set
+      .filter(col("shared_ngrams").cast("double") / col("p_size") >= minContainment)
+      .select(col("doc_id"), col("probe_id"), col("shared_ngrams"),
+        round(col("shared_ngrams").cast("double") / col("p_size"), 4).as("containment"))
+  }
+}
