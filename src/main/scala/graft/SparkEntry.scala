@@ -266,6 +266,14 @@ object SparkEntry {
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
     }),
+    // ---- per-class embedding centroids + mean norm: the embedding-space
+    //      summary per domain/label (mixture design, IVF seeding). DECIMAL
+    //      component sums — order-invariant at any core count
+    "q66_embed_centroid" -> ((s, dir) =>
+      Similarity.classCentroids(Tables.embeddings(s, dir), "label", "embedding")
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("n_vecs"), col("centroid"), col("avg_norm"))
+        .orderBy(col("label"), col("dim"))),
     // ---- benchmark contamination: corpus docs containing a probe set's
     //      n-grams (probe-directional containment). Probe shingles are
     //      BROADCAST — the corpus scans once and never shuffles on text
@@ -896,6 +904,19 @@ object SparkEntry {
            SELECT sym.u, reach.r FROM sym JOIN reach ON reach.id = sym.v)
          SELECT id AS doc_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q66_embed_centroid" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+         n AS (SELECT label,
+                      sqrt(list_sum(list_transform(v, x -> x * x))) AS norm, v
+               FROM e),
+         c AS (SELECT label, norm, i - 1 AS dim, v[i] AS x
+               FROM n, unnest(range(1, len(v) + 1)) r(i))
+         SELECT label, dim, count(*) AS n_vecs,
+                round(CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4)
+                  AS centroid,
+                round(CAST(sum(CAST(norm AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4)
+                  AS avg_norm
+         FROM c GROUP BY label, dim ORDER BY label, dim""",
     "q65_contamination" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

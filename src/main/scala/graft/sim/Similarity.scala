@@ -38,6 +38,30 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Per-class embedding centroids + mean L2 norm — the embedding-space
+    * summary a mixture designer reads per domain/label (and the seeding
+    * statistic for IVF coarse quantizers). Output one row per
+    * (class, dimension): `n_vecs, centroid, avg_norm`.
+    *
+    * Scale/determinism shape: `posexplode` fans each vector into
+    * (dim, component) rows — dims × rows, but the aggregate is
+    * partial-merged on (class, dim) so the shuffle carries
+    * classes × dims part-sums, not components. Component sums run in
+    * DECIMAL (order-invariant at any partitioning); the per-row norm is
+    * an index-order double fold (deterministic), averaged in DECIMAL. */
+  def classCentroids(df: DataFrame, classCol: String, vecCol: String,
+                     scale: Int = 4): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0.0), (s, x) => s + x * x))
+    df.select(col(classCol), norm.as("norm"), posexplode(v).as(Seq("dim", "x")))
+      .groupBy(col(classCol), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(sum(col("x").cast("decimal(30,6)")).cast("double") /
+             count(lit(1)), scale).as("centroid"),
+           round(sum(col("norm").cast("decimal(30,6)")).cast("double") /
+             count(lit(1)), scale).as("avg_norm"))
+  }
+
   /** Exact cosine top-k: every query row (keyed `qid`) scored against every
     * data row (keyed `id`). `queries` must be small enough to broadcast. */
   def bruteTopK(data: DataFrame, idCol: String, vecCol: String,

@@ -25,6 +25,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == brute, "probing every list must reduce to the exact search")
   }
 
+  test("classCentroids equals driver-side math and is partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(66)
+    val rows = (1 to 400).map { i =>
+      (i % 5, Array.fill(8)(rnd.nextFloat() * 2f - 1f)) }
+    val df = rows.toDF("label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.classCentroids(d, "label", "embedding")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val got = run(df)
+    val re = run(df.repartition(17))
+    assert(got == re, "centroids changed under repartitioning")
+    rows.groupBy(_._1).foreach { case (label, group) =>
+      val n = group.size
+      (0 until 8).foreach { d =>
+        val mean = group.map(g => BigDecimal(g._2(d).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n
+        val r4 = BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (gn, gc, _) = got((label, d))
+        assert(gn == n.toLong)
+        assert(math.abs(gc - r4) < 2e-4, s"label $label dim $d: $gc vs $r4")
+      }
+    }
+  }
+
   test("ivfTopK with partial probes keeps usable recall (k-means quantizer)") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSession.sf)
