@@ -278,7 +278,10 @@ object SparkEntry {
     //      n-grams (probe-directional containment). Probe shingles are
     //      BROADCAST — the corpus scans once and never shuffles on text
     "q65_contamination" -> ((s, dir) => {
+      // testdata parquet is a single row group → a 1-task scan would
+      // serialize the shingle explode; production inputs arrive pre-split
       val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
       graft.text.Contamination.ngramContainment(
           docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", 2, 0.3)
         .orderBy(col("doc_id"), col("probe_id"))
