@@ -270,7 +270,10 @@ object SparkEntry {
     //      summary per domain/label (mixture design, IVF seeding). DECIMAL
     //      component sums — order-invariant at any core count
     "q66_embed_centroid" -> ((s, dir) =>
-      Similarity.classCentroids(Tables.embeddings(s, dir), "label", "embedding")
+      // single-row-group testdata: spread the posexplode across cores
+      Similarity.classCentroids(
+          Tables.embeddings(s, dir).repartition(s.sparkContext.defaultParallelism),
+          "label", "embedding")
         .select(col("label"), col("dim").cast("long").as("dim"),
           col("n_vecs"), col("centroid"), col("avg_norm"))
         .orderBy(col("label"), col("dim"))),
