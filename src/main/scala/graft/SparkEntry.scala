@@ -266,6 +266,26 @@ object SparkEntry {
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
     }),
+    // ---- domain mixing: per-source equal-token-budget weights applied
+    //      as a DETERMINISTIC Bernoulli sample (md5-keyed, reproducible
+    //      on any engine); weights broadcast, corpus never shuffles
+    "q67_mix_weights" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("toks"))
+      val w = graft.operators.Mixture.budgetWeights(d, "source", "toks")
+      val keptStats = graft.operators.Mixture
+        .sampleToBudget(d, "source", "toks", "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"), sum(col("toks")).as("kept_tokens"))
+      w.join(d.groupBy(col("source")).agg(count(lit(1)).as("n_docs")), "source")
+        .join(keptStats, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"), col("group_size").as("n_tokens"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          round(col("weight"), 4).as("weight"))
+        .orderBy(col("source"))
+    }),
     // ---- per-class embedding centroids + mean norm: the embedding-space
     //      summary per domain/label (mixture design, IVF seeding). DECIMAL
     //      component sums — order-invariant at any core count
@@ -910,6 +930,29 @@ object SparkEntry {
            SELECT sym.u, reach.r FROM sym JOIN reach ON reach.id = sym.v)
          SELECT id AS doc_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q67_mix_weights" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  len(string_split_regex(lower(trim(text)), '\s+')) AS toks
+           FROM documents),
+         t AS (SELECT source, CAST(sum(toks) AS BIGINT) AS group_size
+               FROM d GROUP BY 1),
+         b AS (SELECT CAST(sum(group_size) AS DOUBLE) / count(*) AS budget FROM t),
+         w AS (SELECT source, group_size,
+                      least(CAST(1.0 AS DOUBLE), budget / group_size) AS weight
+               FROM t, b),
+         k AS (SELECT d.source, d.toks, w.weight
+               FROM d JOIN w USING (source)
+               WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 < weight)
+         SELECT w.source,
+                (SELECT count(*) FROM d WHERE d.source = w.source) AS n_docs,
+                w.group_size AS n_tokens,
+                (SELECT count(*) FROM k WHERE k.source = w.source) AS kept_docs,
+                CAST((SELECT coalesce(sum(toks), 0) FROM k WHERE k.source = w.source)
+                     AS BIGINT) AS kept_tokens,
+                round(w.weight, 4) AS weight
+         FROM w ORDER BY w.source""",
     "q66_embed_centroid" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
          n AS (SELECT label,

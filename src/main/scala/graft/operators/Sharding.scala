@@ -27,9 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object Sharding {
 
+  /** Portable 32-bit hash: first 8 hex digits of md5(key) as a long in
+    * [0, 2^32) — the shared primitive behind shard ids and
+    * [[Mixture.unitHash]] deterministic sampling. */
+  def hash32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** Portable deterministic shard id in [0, nShards) from any key column. */
   def shardId(key: Column, nShards: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % nShards
+    hash32(key) % nShards
 
   /** The input plus a `shard` column. */
   def withShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
