@@ -266,6 +266,21 @@ object SparkEntry {
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
     }),
+    // ---- near-dup dedup APPLICATION: keep the best member (longest,
+    //      then smallest id) of every shingle-Jaccard component — the
+    //      apply form of q60's find form; max_by aggregate, no window
+    "q68_neardup_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comp = Dedup.ngramJaccardComponents(docs, "doc_id", "text", 3, 0.8)
+      val sized = comp.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      val best = sized.groupBy(col("component"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
+        .select(col("component"), (-col("b.neg_id")).cast("long").as("best_doc"))
+      sized.join(best, "component")
+        .select(col("doc_id"), col("component"), col("n_chars"),
+          (col("doc_id") === col("best_doc")).cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- domain mixing: per-source equal-token-budget weights applied
     //      as a DETERMINISTIC Bernoulli sample (md5-keyed, reproducible
     //      on any engine); weights broadcast, corpus never shuffles
@@ -930,6 +945,44 @@ object SparkEntry {
            SELECT sym.u, reach.r FROM sym JOIN reach ON reach.id = sym.v)
          SELECT id AS doc_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q68_neardup_apply" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT id_a, id_b FROM shared
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         sym AS (
+           SELECT id_a AS u, id_b AS v FROM edges
+           UNION ALL
+           SELECT id_b, id_a FROM edges),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM sizes
+           UNION
+           SELECT sym.u, reach.r FROM sym JOIN reach ON reach.id = sym.v),
+         comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         j AS (SELECT c.doc_id, c.component, d.n_chars
+               FROM comp c JOIN documents d USING (doc_id)),
+         ranked AS (
+           SELECT doc_id, component, n_chars,
+                  row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, doc_id) AS rn
+           FROM j)
+         SELECT doc_id, component, n_chars,
+                CAST(rn = 1 AS BIGINT) AS keep
+         FROM ranked ORDER BY doc_id""",
     "q67_mix_weights" ->
       """WITH d AS (
            SELECT doc_id, source,
