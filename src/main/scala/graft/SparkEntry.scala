@@ -1015,9 +1015,9 @@ object SparkEntry {
                FROM n, unnest(range(1, len(v) + 1)) r(i))
          SELECT label, dim, count(*) AS n_vecs,
                 round(CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4)
-                  AS centroid,
+                  + 0.0 AS centroid,
                 round(CAST(sum(CAST(norm AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4)
-                  AS avg_norm
+                  + 0.0 AS avg_norm
          FROM c GROUP BY label, dim ORDER BY label, dim""",
     "q65_contamination" ->
       """WITH t AS (
