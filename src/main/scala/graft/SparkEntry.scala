@@ -337,6 +337,51 @@ object SparkEntry {
     "q63_rep_filter" -> ((s, dir) =>
       graft.text.Repetition.tokenStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- chunk-level exact dedup (RefinedWeb line-dedup adapted to
+    //      unsegmented text): zero-shuffle HOF chunking, md5 in the same
+    //      projection — everything past the scan moves digests, not text
+    "q69_chunk_dedup" -> ((s, dir) =>
+      graft.dedup.ChunkDedup.docDupStats(
+          Tables.documents(s, dir), "doc_id", "text", 8, 0.3)
+        .orderBy(col("doc_id"))),
+    // ---- PII detection + redaction (zero-shuffle projection; RE2-safe
+    //      patterns so any engine reproduces the identical redaction).
+    //      The corpus tables carry no PII, so the query derives
+    //      deterministic PII-bearing strings from events columns —
+    //      identically in the oracle — then counts and scrubs them.
+    "q70_pii_scrub" -> ((s, dir) => {
+      val base = Tables.events(s, dir).select(
+        col("event_id"),
+        concat(
+          lit("uid "), col("user_id"),
+          when(pmod(col("event_id"), lit(3)) === 0,
+            concat(lit(" mail u"), col("user_id"), lit("@ex"),
+              pmod(col("event_id"), lit(100)), lit(".org")))
+            .otherwise(lit("")),
+          when(pmod(col("event_id"), lit(4)) === 0,
+            concat(lit(" from 10."), pmod(col("user_id"), lit(256)),
+              lit(".0."), pmod(col("event_id"), lit(256))))
+            .otherwise(lit("")),
+          when(pmod(col("event_id"), lit(5)) === 0,
+            concat(lit(" call "), pmod(col("event_id"), lit(90)) + 10,
+              lit("-"), pmod(col("user_id"), lit(900)) + 100,
+              lit("-555-"), pmod(col("event_id"), lit(9000)) + 1000))
+            .otherwise(lit(" done"))).as("text"))
+      graft.text.Pii.piiStats(base, "event_id", "text")
+        .orderBy(col("event_id"))
+    }),
+    // ---- per-source quality quantile cut: integer ntile buckets over a
+    //      total (quality, id) order — engine-exact keep flags, unlike a
+    //      float percentile threshold; one group-keyed window shuffle
+    "q71_quality_cut" -> ((s, dir) => {
+      val q = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.analyze.QuantileCut.buckets(q, "source", "quality", "doc_id", 5, 1)
+        .select(col("doc_id"), col("source"),
+          col("bucket").cast("long").as("bucket"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- text: token counting (whitespace + BPE-ish pre-tokenizer proxy)
     "q20_token_stats" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1098,6 +1143,73 @@ object SparkEntry {
              / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
          ) / 3.0, 4) AS quality
          FROM documents ORDER BY doc_id""",
+    "q69_chunk_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(l) AS tk, generate_subscripts(l, 1) - 1 AS ord
+           FROM t),
+         ch AS (
+           SELECT doc_id, ord // 8 AS pos, md5(string_agg(tk, ' ' ORDER BY ord)) AS h
+           FROM tok GROUP BY 1, 2),
+         dup AS (
+           SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+         agg AS (
+           SELECT ch.doc_id, count(*) AS n_chunks,
+                  CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+           FROM ch LEFT JOIN dup ON ch.h = dup.h GROUP BY 1)
+         SELECT doc_id, n_chunks, dup_chunks,
+                round(CAST(dup_chunks AS DOUBLE) / n_chunks, 4) AS dup_frac,
+                CAST(CASE WHEN round(CAST(dup_chunks AS DOUBLE) / n_chunks, 4) < 0.3
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM agg ORDER BY doc_id""",
+    "q70_pii_scrub" ->
+      """WITH base AS (
+           SELECT event_id,
+             'uid ' || user_id
+             || CASE WHEN event_id % 3 = 0
+                THEN ' mail u' || user_id || '@ex' || (event_id % 100) || '.org'
+                ELSE '' END
+             || CASE WHEN event_id % 4 = 0
+                THEN ' from 10.' || (user_id % 256) || '.0.' || (event_id % 256)
+                ELSE '' END
+             || CASE WHEN event_id % 5 = 0
+                THEN ' call ' || (event_id % 90 + 10) || '-' || (user_id % 900 + 100)
+                     || '-555-' || (event_id % 9000 + 1000)
+                ELSE ' done' END
+             AS text
+           FROM events)
+         SELECT event_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS scrubbed
+         FROM base ORDER BY event_id""",
+    "q71_quality_cut" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+           round((
+             least(len(string_split_regex(lower(trim(text)), '\s+')), 50) / 50.0
+             + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                    / greatest(length(text), 1))
+             + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0
+               / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+           ) / 3.0, 4) AS quality
+           FROM documents)
+         SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+                CAST(CASE WHEN bucket > 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM (SELECT doc_id, source,
+                 ntile(5) OVER (PARTITION BY source ORDER BY quality, doc_id) AS bucket
+               FROM q)
+         ORDER BY doc_id""",
     "q22_lang_id" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
