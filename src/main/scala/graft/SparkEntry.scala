@@ -337,6 +337,19 @@ object SparkEntry {
     "q63_rep_filter" -> ((s, dir) =>
       graft.text.Repetition.tokenStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- bloom runtime-filter join: fact rows die at the scan, not at
+    //      the join shuffle (native graft_bloom_agg / graft_bloom_contains,
+    //      codegen'd probe). EXACT — the bloom only drops non-joining rows
+    "q72_bloom_join" -> ((s, dir) => {
+      val dim = Tables.part(s, dir).filter(col("p_size") === 1)
+      graft.operators.RuntimeFilter
+        .prunedJoin(Tables.lineitem(s, dir), "l_partkey", dim, "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
     // ---- chunk-level exact dedup (RefinedWeb line-dedup adapted to
     //      unsegmented text): zero-shuffle HOF chunking, md5 in the same
     //      projection — everything past the scan moves digests, not text
@@ -1143,6 +1156,14 @@ object SparkEntry {
              / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
          ) / 3.0, 4) AS quality
          FROM documents ORDER BY doc_id""",
+    "q72_bloom_join" ->
+      """SELECT p_brand,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size = 1
+         GROUP BY p_brand ORDER BY p_brand""",
     "q69_chunk_dedup" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
