@@ -55,6 +55,8 @@ object ConnectedComponents {
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct())
     var prev = checksum(e)
+    if (prev._1 > 0L && prev._1 <= localFinishEdges(edges))
+      return localFinish(e)
     var converged = prev._1 == 0L // empty graph: nothing to iterate
     var rounds = 0
     while (!converged) {
@@ -80,6 +82,43 @@ object ConnectedComponents {
         .unionAll(e.select(col("v").as("id"), col("v").as("component")))
         .groupBy(col("id")).agg(min(col("component")).as("component"))
     }
+  }
+
+  /** Edge-count ceiling for the single-pass driver finisher: 2^17 edges
+    * is ~2 MB collected — far below any broadcast we already do. A
+    * near-dup graph at 100 TB enters the distributed iteration; the
+    * post-threshold dedup graphs of moderate corpora (and every
+    * contracted graph's final rounds, were we to re-check mid-loop) are
+    * TINY — paying 2 shuffles + a checksum action per star round on a
+    * few hundred edges is pure fixed overhead, O(α) union-find on the
+    * driver is free. Same keep-the-big-path-distributed trade as the IVF
+    * quantizer's bounded driver sample. Overridable via the
+    * `graft.cc.localFinishEdges` session conf (0 disables — used by the
+    * spec to pin the distributed path; both paths must stay equivalent). */
+  private def localFinishEdges(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.cc.localFinishEdges")
+      .map(_.toLong).getOrElse(1L << 17)
+
+  /** Union-find (union-by-min + path compression) over a collected edge
+    * list. Root = component minimum, exactly the distributed labeling. */
+  private def localFinish(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+      .map(id => (id, find(id))).toSeq.toDF("id", "component")
   }
 
   /** Large-star: for every node, point each strictly-larger neighbor at

@@ -25,14 +25,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
+      s"$prettyName requires array<float>/array<double> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
+
+  /** Per-side element accessor — float arrays upcast per element, double
+    * arrays read directly; either way the accumulation runs in double. */
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
@@ -41,10 +46,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
+    val lf = isFloat(left); val rf = isFloat(right)
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -62,12 +68,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val i = ctx.freshName("i")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double xv = (double) $a.getFloat($i);
-         |  double yv = (double) $b.getFloat($i);
+         |  double xv = $getX;
+         |  double yv = $getY;
          |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

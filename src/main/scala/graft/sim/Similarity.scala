@@ -62,6 +62,58 @@ object Similarity {
              count(lit(1)), scale).as("avg_norm"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): assign every
+    * vector to its nearest class centroid, find within-cluster pairs
+    * with cosine >= `tau`, connect them into components, keep one
+    * representative (the minimum id) per component.
+    *
+    * Scale shape — the whole point of the cluster stage: exact all-pairs
+    * cosine over N vectors is N², but with K clusters sized ~N/K the
+    * within-cluster pairwise work is Σ|c|² ≈ N²/K, and K grows with the
+    * corpus so cluster sizes stay bounded (SemDeDup's contract; pairs
+    * crossing cluster borders are sacrificed by design — the LSH path
+    * [[graft.dedup.Dedup.embeddingNearDupPairs]] is the recall-bounded
+    * alternative). Centroids are a K×dim broadcast; assignment is K
+    * codegen'd cosines per row, map-side; the only corpus shuffle is the
+    * cluster-keyed self-join. Components via alternating star contraction
+    * ([[graft.dedup.ConnectedComponents]]) — ids only.
+    *
+    * Determinism across engines: centroids come from
+    * [[classCentroids]]'s order-invariant DECIMAL means (4-dp doubles),
+    * and both the argmax (cos desc, then class) and the `>= tau` gate
+    * compare UNROUNDED cosines — the native expression and DuckDB's
+    * `list_cosine_similarity` agree bit-for-bit on identical double
+    * inputs (q23 ranks by unrounded sim and hash-matches). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    classCol: String, tau: Double): DataFrame = {
+    val cent = classCentroids(df, classCol, vecCol)
+      .groupBy(col(classCol).as("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("p"))
+      .select(col("clabel"),
+        transform(col("p"), p => p.getField("centroid")).as("cvec"))
+    val assigned = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(cent))
+      .select(col(idCol), col("v"), col("clabel"),
+        cosine(col("v"), col("cvec")).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("clabel"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("v"), col("clabel").as("cluster"))
+    val a = assigned.select(col(idCol).as("id_a"), col("v").as("va"), col("cluster"))
+    val b = assigned.select(col(idCol).as("id_b"), col("v").as("vb"), col("cluster"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") && cosine(col("va"), col("vb")) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.dedup.ConnectedComponents.components(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    assigned.select(col(idCol), col("cluster"))
+      .join(comps, Seq(idCol), "left_outer")
+      .select(col(idCol), col("cluster").cast("long").as("cluster"),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("keep", (col(idCol) === col("component")).cast("long"))
+  }
+
   /** Exact cosine top-k: every query row (keyed `qid`) scored against every
     * data row (keyed `id`). `queries` must be small enough to broadcast. */
   def bruteTopK(data: DataFrame, idCol: String, vecCol: String,

@@ -67,6 +67,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("distributed star-contraction path equals the local union-find finisher") {
+    // the local finisher handles small graphs by default; pin the
+    // distributed path with the conf knob and require identical labels
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong)) ++
+      (500L until 520L).sliding(2).map(s => (s(0), s(1))).toSeq
+    def run() = ConnectedComponents.components(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run()
+    spark.conf.set("graft.cc.localFinishEdges", "0")
+    try {
+      val distributed = run()
+      assert(distributed == local)
+      assert(local == bruteComponents(edges))
+    } finally spark.conf.unset("graft.cc.localFinishEdges")
+  }
+
   test("labels are partitioning-invariant (1 vs 16 input partitions)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
