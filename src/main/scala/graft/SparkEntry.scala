@@ -337,6 +337,13 @@ object SparkEntry {
     "q63_rep_filter" -> ((s, dir) =>
       graft.text.Repetition.tokenStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- SemDeDup semantic dedup: nearest-centroid clustering bounds
+    //      pairwise cosine to within-cluster work (sum of cluster^2, not
+    //      corpus^2); components over the tau-graph, keep min id each
+    "q73_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.4)
+        .orderBy(col("vec_id"))),
     // ---- bloom runtime-filter join: fact rows die at the scan, not at
     //      the join shuffle (native graft_bloom_agg / graft_bloom_contains,
     //      codegen'd probe). EXACT — the bloom only drops non-joining rows
@@ -1156,6 +1163,37 @@ object SparkEntry {
              / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
          ) / 3.0, 4) AS quality
          FROM documents ORDER BY doc_id""",
+    "q73_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         cd AS (
+           SELECT label AS clabel, i - 1 AS dim,
+                  round(CAST(sum(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS c
+           FROM e, unnest(range(1, len(v) + 1)) r(i)
+           GROUP BY label, i),
+         cent AS (SELECT clabel, list(c ORDER BY dim) AS cv FROM cd GROUP BY clabel),
+         asg AS (
+           SELECT vec_id, v, clabel,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY list_cosine_similarity(v, cv) DESC, clabel) AS rn
+           FROM e CROSS JOIN cent),
+         best AS (SELECT vec_id, v, clabel AS cluster FROM asg WHERE rn = 1),
+         edges AS (
+           SELECT a.vec_id AS u, b.vec_id AS w
+           FROM best a JOIN best b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+         sym AS (SELECT u, w FROM edges UNION ALL SELECT w, u FROM edges),
+         reach AS (
+           SELECT DISTINCT u AS id, u AS r FROM sym
+           UNION
+           SELECT sym.u, reach.r FROM sym JOIN reach ON reach.id = sym.w),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         SELECT b.vec_id, CAST(b.cluster AS BIGINT) AS cluster,
+                coalesce(comp.component, b.vec_id) AS component,
+                CAST(CASE WHEN coalesce(comp.component, b.vec_id) = b.vec_id
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM best b LEFT JOIN comp ON comp.id = b.vec_id
+         ORDER BY vec_id""",
     "q72_bloom_join" ->
       """SELECT p_brand,
            CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2)
