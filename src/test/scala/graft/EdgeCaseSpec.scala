@@ -54,6 +54,44 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.plans.AsOfJoin.asOf(spark, el, er, "k", "t", "lv", "rv").count() == 0)
   }
 
+  test("round-4 curation operators survive empty, single-row and empty-text input") {
+    import spark.implicits._
+    // chunk dedup: empty frame, one doc (nothing duplicated), empty text
+    assert(graft.dedup.ChunkDedup.docDupStats(emptyDocs, "doc_id", "text", 8, 0.3).count() == 0)
+    val one = graft.dedup.ChunkDedup.docDupStats(oneDoc, "doc_id", "text", 8, 0.3).collect()
+    assert(one.length == 1 && one(0).getLong(2) == 0L && one(0).getLong(4) == 1L)
+    val blank = graft.dedup.ChunkDedup
+      .docDupStats(Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"), "doc_id", "text", 8, 0.3)
+      .collect()
+    assert(blank.length == 2) // both normalize to one empty chunk (shared!)
+    assert(blank.forall(_.getLong(2) == 1L), "empty chunks are cross-doc duplicates")
+    // pii: empty frame and null text
+    assert(graft.text.Pii.piiStats(emptyDocs, "doc_id", "text").count() == 0)
+    val nullText = graft.text.Pii.piiStats(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(nullText.isNullAt(4) && nullText.isNullAt(1))
+    // quantile cut: empty frame, singleton group (bucket 1 → dropped)
+    assert(graft.analyze.QuantileCut
+      .buckets(emptyDocs.withColumn("v", lit(0.0)), "text", "v", "doc_id", 5, 1).count() == 0)
+    val solo = graft.analyze.QuantileCut
+      .buckets(Seq(("g", 1L, 2.0)).toDF("src", "id", "v"), "src", "v", "id", 5, 1)
+      .collect()(0)
+    assert(solo.getInt(3) == 1 && solo.getLong(4) == 0L)
+    // semantic dedup: empty frame and a single vector
+    assert(graft.sim.Similarity.semanticDedup(
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", 0.5).count() == 0)
+    val lone = graft.sim.Similarity.semanticDedup(
+      Seq((7L, Array(1.0f, 0.0f), 3)).toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", 0.5).collect()(0)
+    assert(lone.getLong(0) == 7L && lone.getLong(2) == 7L && lone.getLong(3) == 1L)
+    // bloom: empty dim prunes everything; empty fact joins to nothing
+    val dimE = Seq.empty[(Long, Long)].toDF("k", "x")
+    assert(graft.operators.RuntimeFilter
+      .prune(Seq((1L, 2L)).toDF("fk", "y"), "fk", dimE, "k").count() == 0)
+  }
+
   test("weighted compression survives empty and single-row input") {
     import spark.implicits._
     val empty = Seq.empty[(Double, Int)].toDF("f", "label")
