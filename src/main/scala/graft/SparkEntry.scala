@@ -337,6 +337,36 @@ object SparkEntry {
     "q63_rep_filter" -> ((s, dir) =>
       graft.text.Repetition.tokenStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- STREAMING heavy hitters: per-shard Misra-Gries state in
+    //      flatMapGroupsWithState (<= k counters per shard for any stream
+    //      length), final candidates exact-rescanned in batch — same
+    //      answer and oracle as the batch q62
+    "q74_stream_heavy_hitters" -> ((s, dir) => {
+      val path = s"${dir.stripSuffix("/")}/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val emissions = graft.streaming.StreamingOps.runToMemory(s, src => {
+          import s.implicits._
+          val toks = src
+            .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+            .as[String]
+          graft.streaming.StreamingOps.streamingHeavyHitters(toks, 63)
+            .toDF("shard", "tok", "count_lb", "ver")
+        }, dir.stripSuffix("/"), "documents.parquet", schema, outputMode = "update")
+      val lastVer = Window.partitionBy(col("shard"))
+      val cands = emissions
+        .withColumn("mx", max(col("ver")).over(lastVer))
+        .filter(col("ver") === col("mx"))
+        .select(col("tok")).distinct()
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cands), "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(total))
+        .filter(col("cnt") > col("n_total") / 32)
+        .select(col("tok"), col("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
     // ---- SemDeDup semantic dedup: nearest-centroid clustering bounds
     //      pairwise cosine to within-cluster work (sum of cluster^2, not
     //      corpus^2); components over the tau-graph, keep min id each
@@ -1163,6 +1193,13 @@ object SparkEntry {
              / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
          ) / 3.0, 4) AS quality
          FROM documents ORDER BY doc_id""",
+    "q74_stream_heavy_hitters" ->
+      """WITH t AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents)
+         SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+         HAVING count(*) > (SELECT count(*) FROM t) / 32
+         ORDER BY cnt DESC, tok""",
     "q73_semantic_dedup" ->
       """WITH RECURSIVE e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),

@@ -50,18 +50,7 @@ case class MisraGries(
   override def update(m: mutable.HashMap[String, Long],
                       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val item = v.toString
-      m.get(item) match {
-        case Some(c) => m.update(item, c + 1)
-        case None if m.size < k => m.update(item, 1L)
-        case None => // full: decrement every counter, drop zeros
-          val dead = mutable.ArrayBuffer.empty[String]
-          m.mapValuesInPlace((_, c) => c - 1)
-          m.foreach { case (key, c) => if (c <= 0) dead += key }
-          dead.foreach(m.remove)
-      }
-    }
+    if (v != null) MisraGries.offer(m, v.toString, k)
     m
   }
 
@@ -125,6 +114,20 @@ case class MisraGries(
 
 object MisraGries {
   val Name = "graft_heavy_hitters"
+
+  /** One Misra-Gries update step on a counter map bounded at `k`
+    * entries — shared by the batch aggregate and the streaming state
+    * operator ([[graft.streaming.StreamingOps.streamingHeavyHitters]]). */
+  def offer(m: mutable.HashMap[String, Long], item: String, k: Int): Unit =
+    m.get(item) match {
+      case Some(c) => m.update(item, c + 1)
+      case None if m.size < k => m.update(item, 1L)
+      case None => // full: decrement every counter, drop zeros
+        val dead = mutable.ArrayBuffer.empty[String]
+        m.mapValuesInPlace((_, c) => c - 1)
+        m.foreach { case (key, c) => if (c <= 0) dead += key }
+        dead.foreach(m.remove)
+    }
 
   val ResultType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),

@@ -62,6 +62,39 @@ object StreamingOps {
       }
   }
 
+  /** Streaming heavy hitters: per-shard Misra-Gries counters held in
+    * `flatMapGroupsWithState` — the streaming twin of the batch
+    * `graft_heavy_hitters` aggregate (q62). Hash-sharding routes EVERY
+    * occurrence of an item to one shard, so a globally heavy item
+    * (freq > n/(k+1)) is also heavy within its shard's substream
+    * (n_shard <= n) and survives that shard's MG(k) state — the batch
+    * guarantee carries over unchanged. State per shard is <= k counters
+    * REGARDLESS of stream length; each micro-batch emits the shard's
+    * current candidates tagged with a state version, so the max-version
+    * rows per shard are the end-of-stream candidate set — which an exact
+    * batch rescan (as in q62) turns into exact heavy hitters. */
+  def streamingHeavyHitters(items: Dataset[String], k: Int,
+                            shards: Int = 8): Dataset[(Int, String, Long, Long)] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    implicit val stateEnc =
+      Encoders.javaSerialization[(scala.collection.mutable.HashMap[String, Long], Long)]
+    items
+      .groupByKey(s => math.floorMod(if (s == null) 0 else s.hashCode, shards))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String],
+         state: GroupState[(scala.collection.mutable.HashMap[String, Long], Long)]) =>
+          val (m, ver) = state.getOption
+            .getOrElse((scala.collection.mutable.HashMap.empty[String, Long], 0L))
+          rows.foreach { s =>
+            if (s != null) graft.functions.MisraGries.offer(m, s, k)
+          }
+          val nextVer = ver + 1
+          state.update((m, nextVer))
+          m.iterator.map { case (item, c) => (shard, item, c, nextVer) }.toSeq.iterator
+      }
+  }
+
   /** Stream-stream INNER join with watermarks on BOTH sides and an
     * explicit event-time range bound — the only join shape whose buffered
     * state Structured Streaming can provably discard: each side keeps

@@ -66,6 +66,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.toSeq == Seq(1L, 2L, 3L), s"got ${keys.toSeq}")
   }
 
+  test("streaming heavy hitters: MG state accumulates across batches, bounded at k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = StreamingOps.streamingHeavyHitters(input.toDS(), k = 3, shards = 1)
+      .toDF("shard", "tok", "count_lb", "ver")
+      .writeStream.format("memory").queryName("hh_test").outputMode("update")
+      .start()
+    // batch 1: 'a' x4, 'b' x2, noise c,d (k=3 forces decrements)
+    input.addData(Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"): _*)
+    q.processAllAvailable()
+    // batch 2: 'a' x3 more — state must carry batch 1's counts forward
+    input.addData(Seq.fill(3)("a") ++ Seq("e"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hh_test")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val finalVer = rows.map(_._3).max
+    val finalState = rows.filter(_._3 == finalVer).map(t => t._1 -> t._2).toMap
+    assert(finalState.size <= 3, s"state exceeded k: $finalState")
+    // 'a' has true freq 7 of 12 > 12/(3+1): MUST be present, with a
+    // lower-bound count carried across the batch boundary (> batch-2-only)
+    assert(finalState.contains("a"), s"heavy item lost: $finalState")
+    assert(finalState("a") > 3L, s"state did not accumulate: $finalState")
+    assert(finalState("a") <= 7L, s"count_lb above true frequency: $finalState")
+  }
+
   test("stream-stream interval join matches the batch range join, bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
