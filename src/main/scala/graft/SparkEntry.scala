@@ -337,6 +337,15 @@ object SparkEntry {
     "q63_rep_filter" -> ((s, dir) =>
       graft.text.Repetition.tokenStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- training-sequence packing: distributed exclusive prefix sum
+    //      over the doc order (range partition + per-partition sums, no
+    //      single-task window) → fixed-token-budget sequence assignment
+    "q75_seq_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("toks"))
+      graft.operators.Packing.packSequential(d, "doc_id", "toks", 2048L)
+        .orderBy(col("doc_id"))
+    }),
     // ---- STREAMING heavy hitters: per-shard Misra-Gries state in
     //      flatMapGroupsWithState (<= k counters per shard for any stream
     //      length), final candidates exact-rescanned in batch — same
@@ -1193,6 +1202,21 @@ object SparkEntry {
              / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
          ) / 3.0, 4) AS quality
          FROM documents ORDER BY doc_id""",
+    "q75_seq_pack" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS global_offset
+           FROM d)
+         SELECT doc_id, n_tokens, global_offset,
+                global_offset // 2048 AS seq_id,
+                global_offset % 2048 AS seq_offset
+         FROM p ORDER BY doc_id""",
     "q74_stream_heavy_hitters" ->
       """WITH t AS (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
