@@ -39,6 +39,16 @@ object Sinks {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** Columnar ORC sink/source — the second splittable columnar format
+    * next to parquet (predicate pushdown, column pruning, and zlib/zstd
+    * come free from the Spark datasource; at 100 TB the choice between
+    * parquet and ORC is an ecosystem decision, not an engine one). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S6 — chart sinks. The engine is headless: rendering is presentation,
     * not query semantics, so the sink emits the CHART DATA CONTRACT — a
     * `chart.json` spec naming the chart kind, axes and title next to a

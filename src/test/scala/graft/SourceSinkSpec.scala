@@ -82,6 +82,23 @@ class SourceSinkSpec extends AnyFunSuite {
       docs.orderBy($"doc_id").collect().toSeq)
   }
 
+  test("ORC sink/source round-trips losslessly with pushdown-friendly layout") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+      .select($"doc_id", $"text", $"source", $"n_chars").limit(80)
+    val out = Files.createTempDirectory("graft_orc").toString + "/docs"
+    Sinks.writeOrc(docs, out)
+    val back = Sinks.readOrc(spark, out)
+    assert(back.schema == docs.schema)
+    assert(back.orderBy($"doc_id").collect().toSeq ==
+      docs.orderBy($"doc_id").collect().toSeq)
+    // filters and projections reach the ORC scan
+    val plan = back.filter($"n_chars" > 100).select($"doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), plan)
+  }
+
   test("S6: chart-data sink writes the spec + a renderable series") {
     import spark.implicits._
     val dist = Seq(("Event_1", 40L), ("Event_5", 25L)).toDF("event", "cnt")
