@@ -337,6 +337,12 @@ object SparkEntry {
     "q63_rep_filter" -> ((s, dir) =>
       graft.text.Repetition.tokenStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- BPE merge-rule training: distributed word histogram (the only
+    //      corpus-sized pass) + bounded driver merge loop — rows-only
+    //      (iterative argmax has no SQL twin; BpeSpec hand-verifies)
+    "q76_bpe_merges" -> ((s, dir) =>
+      graft.text.BpeTrainer.train(Tables.documents(s, dir), "text", 30)
+        .orderBy(col("rank"))),
     // ---- training-sequence packing: distributed exclusive prefix sum
     //      over the doc order (range partition + per-partition sums, no
     //      single-task window) → fixed-token-budget sequence assignment
