@@ -337,6 +337,32 @@ object SparkEntry {
     "q63_rep_filter" -> ((s, dir) =>
       graft.text.Repetition.tokenStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- end-to-end curation v2: per-source quality quantile cut →
+    //      repetition ceiling → chunk-level dedup gate → pack survivors
+    //      into 2048-token sequences. One scan feeds three projections;
+    //      shuffles: quality window (source), chunk digests, the packing
+    //      prefix sum — every stage mirrored in the oracle SQL
+    "q77_curate_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val qKeep = graft.analyze.QuantileCut
+        .buckets(q, "source", "quality", "doc_id", 5, 1)
+        .filter(col("keep") === 1L).select(col("doc_id"), col("source"))
+      val repKeep = graft.text.Repetition.tokenStats(docs, "doc_id", "text")
+        .filter(col("top_token_frac") <= 0.2)
+        .select(col("doc_id"), col("n_tokens"))
+      val dupKeep = graft.dedup.ChunkDedup
+        .docDupStats(docs, "doc_id", "text", 8, 0.3)
+        .filter(col("keep") === 1L).select(col("doc_id"))
+      val survivors = qKeep.join(repKeep, "doc_id").join(dupKeep, "doc_id")
+      graft.operators.Packing
+        .packSequential(survivors, "doc_id", "n_tokens", 2048L)
+        .join(survivors.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- BPE merge-rule training: distributed word histogram (the only
     //      corpus-sized pass) + bounded driver merge loop — rows-only
     //      (iterative argmax has no SQL twin; BpeSpec hand-verifies)
@@ -1208,6 +1234,50 @@ object SparkEntry {
              / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
          ) / 3.0, 4) AS quality
          FROM documents ORDER BY doc_id""",
+    "q77_curate_pack" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+           round((
+             least(len(string_split_regex(lower(trim(text)), '\s+')), 50) / 50.0
+             + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                    / greatest(length(text), 1))
+             + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0
+               / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+           ) / 3.0, 4) AS quality
+           FROM documents),
+         b AS (
+           SELECT doc_id, source FROM (
+             SELECT doc_id, source,
+               ntile(5) OVER (PARTITION BY source ORDER BY quality, doc_id) AS bucket
+             FROM q)
+           WHERE bucket > 1),
+         t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+         u AS (SELECT doc_id, unnest(l) AS tok FROM t),
+         uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+         ua AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, max(c) AS top
+                FROM uc GROUP BY 1),
+         rep AS (SELECT doc_id, n AS n_tokens FROM ua
+                 WHERE round(CAST(top AS DOUBLE) / n, 4) <= 0.2),
+         tok2 AS (SELECT doc_id, unnest(l) AS tk, generate_subscripts(l, 1) - 1 AS ord
+                  FROM t),
+         ch AS (SELECT doc_id, ord // 8 AS pos, md5(string_agg(tk, ' ' ORDER BY ord)) AS h
+                FROM tok2 GROUP BY 1, 2),
+         dup AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+         cda AS (SELECT ch.doc_id, count(*) AS nc,
+                        CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dc
+                 FROM ch LEFT JOIN dup ON ch.h = dup.h GROUP BY 1),
+         cdk AS (SELECT doc_id FROM cda WHERE round(CAST(dc AS DOUBLE) / nc, 4) < 0.3),
+         sv AS (SELECT b.doc_id, b.source, rep.n_tokens
+                FROM b JOIN rep USING (doc_id) JOIN cdk USING (doc_id)),
+         p AS (SELECT doc_id, source, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+               FROM sv)
+         SELECT doc_id, source, n_tokens,
+                off // 2048 AS seq_id, off % 2048 AS seq_offset
+         FROM p ORDER BY doc_id""",
     "q75_seq_pack" ->
       """WITH d AS (
            SELECT doc_id,
