@@ -395,12 +395,18 @@ object Dedup {
     // prefix bound). Tokens are then carried as dense INTS everywhere
     // downstream: int equi-join keys for the prefix block, sorted-int-
     // merge verification — no string hashing or array allocation in the
-    // hot pair loop. (The global-rank window is a single task over the
-    // VOCABULARY, not the corpus.)
-    val dfreq = reps.select(explode(col("set")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("tok"))))
+    // hot pair loop. The rank is assigned DISTRIBUTED (range shuffle +
+    // per-partition offsets, [[graft.operators.Positional.withRowIndex]])
+    // — a shingle vocabulary grows with the corpus, so the obvious
+    // `row_number().over(Window.orderBy(...))` is a single-task sort of
+    // every distinct shingle at 100 TB. Int cast documented: the rank is
+    // a compact join/merge key; a vocabulary beyond 2^31 would switch
+    // SortedOverlapCount to longs before it overflows this cast.
+    val dfreq = graft.operators.Positional.withRowIndex(
+      reps.select(explode(col("set")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df")),
+      Seq(col("df"), col("tok")), "__vrk")
+      .select(col("tok"), (col("__vrk") + 1).cast("int").as("rk"))
     // no broadcast hint: vocabulary size is data-dependent (tiny here, can
     // be huge at corpus scale) — AQE picks broadcast when it fits
     val withArrays = reps.select(col("id"), explode(col("set")).as("tok"))
