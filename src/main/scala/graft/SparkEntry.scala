@@ -363,6 +363,56 @@ object SparkEntry {
           col("seq_id"), col("seq_offset"))
         .orderBy(col("doc_id"))
     }),
+    // ---- C4-style heuristic filter stats: terminal punctuation,
+    //      sentence/word shape, alpha fraction, boilerplate markers —
+    //      zero-shuffle codegen projection
+    "q78_c4_stats" -> ((s, dir) =>
+      graft.text.HeuristicFilters.stats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    // ---- char-trigram LM quality score (CCNet-shaped perplexity proxy):
+    //      corpus-trained conditional trigram model, per-doc DECIMAL mean
+    "q79_lm_score" -> ((s, dir) =>
+      graft.text.NgramLm.score(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    // ---- deterministic epoch shuffle: portable md5 order, distributed
+    //      row-index assignment (range shuffle, no single-task window)
+    "q80_epoch_shuffle" -> ((s, dir) =>
+      graft.operators.TrainOrder.epochShuffle(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", epoch = 1)
+        .orderBy(col("doc_id"))),
+    // ---- deterministic per-group reservoir: k rows per source by
+    //      ascending portable hash — engine-independent sample selection
+    "q81_group_sample" -> ((s, dir) =>
+      graft.operators.TrainOrder.samplePerGroup(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "source", "doc_id", k = 50)
+        .select(col("doc_id"), col("source"), col("smp_rank"))
+        .orderBy(col("source"), col("smp_rank"))),
+    // ---- int8 embedding quantization report: per-dim symmetric scale +
+    //      DECIMAL-exact mean reconstruction error
+    "q82_quant_error" -> ((s, dir) =>
+      graft.sim.Quantize.quantError(Tables.embeddings(s, dir), "embedding")
+        .orderBy(col("dim"))),
+    // ---- contrastive hard-negative mining: top-k nearest other-label
+    //      vectors per anchor (broadcast anchors, codegen'd cosine)
+    "q83_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Similarity.hardNegatives(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label", 5)
+        .select(col("qid"), col("id"), col("lbl"),
+          round(col("sim"), 4).as("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+    // ---- BPE fertility: apply the trained merge table (bounded,
+    //      broadcast) per document — rows-only (iterative merge loop has
+    //      no SQL twin; BpeSpec pins encode semantics)
+    "q84_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.text.BpeTrainer.train(docs, "text", 30)
+      graft.text.BpeEncoder.encodeStats(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
     // ---- BPE merge-rule training: distributed word histogram (the only
     //      corpus-sized pass) + bounded driver merge loop — rows-only
     //      (iterative argmax has no SQL twin; BpeSpec hand-verifies)
@@ -1278,6 +1328,76 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens,
                 off // 2048 AS seq_id, off % 2048 AS seq_offset
          FROM p ORDER BY doc_id""",
+    "q78_c4_stats" ->
+      """SELECT doc_id,
+         CASE WHEN regexp_matches(trim(text), '[.!?"]$') THEN 1 ELSE 0 END AS ends_terminal,
+         len(regexp_extract_all(trim(text), '[.!?]+')) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS n_words,
+         round(len(regexp_extract_all(trim(text), '[A-Za-z]')) * 1.0
+               / greatest(len(regexp_extract_all(lower(trim(text)), '\S+')), 1), 4) AS mean_word_len,
+         round(len(regexp_extract_all(trim(text), '[A-Za-z]')) * 1.0
+               / greatest(len(regexp_extract_all(trim(text), '\S')), 1), 4) AS alpha_frac,
+         CASE WHEN contains(trim(text), '{') THEN 1 ELSE 0 END AS has_brace,
+         CASE WHEN contains(lower(trim(text)), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
+         FROM documents ORDER BY doc_id""",
+    "q79_lm_score" ->
+      """WITH c AS (SELECT doc_id,
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+         tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+                 FROM c, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i)
+                 WHERE length(t) >= 3),
+         model AS (SELECT tri, count(*) AS n_tri FROM tri GROUP BY tri),
+         pre AS (SELECT substr(tri, 1, 2) AS pre, sum(n_tri) AS n_prefix
+                 FROM model GROUP BY 1),
+         m AS (SELECT tri, n_tri, n_prefix
+               FROM model JOIN pre ON substr(model.tri, 1, 2) = pre.pre),
+         s AS (SELECT t.doc_id,
+                 round(CAST(sum(CAST(n_tri * 1.0 / n_prefix AS DECIMAL(30,12))) AS DOUBLE)
+                   / count(*), 6) AS lm_score
+               FROM tri t JOIN m USING (tri) GROUP BY t.doc_id)
+         SELECT d.doc_id, s.lm_score
+         FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
+    "q80_epoch_shuffle" ->
+      """SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+         FROM documents ORDER BY doc_id""",
+    "q81_group_sample" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) AS smp_rank
+           FROM documents)
+         SELECT doc_id, source, smp_rank FROM r
+         WHERE smp_rank <= 50 ORDER BY source, smp_rank""",
+    "q82_quant_error" ->
+      """WITH comps AS (
+           SELECT CAST(i - 1 AS INT) AS dim, (embedding::DOUBLE[])[CAST(i AS INT)] AS x
+           FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+         cal AS (SELECT dim, max(abs(x)) / 127.0 AS scale FROM comps GROUP BY dim),
+         qerr AS (
+           SELECT c.dim, cal.scale,
+             abs(c.x - (CASE WHEN cal.scale = 0 THEN 0
+                        ELSE least(greatest(round(c.x / cal.scale, 0), -127.0), 127.0)
+                        END) * cal.scale) AS err
+           FROM comps c JOIN cal ON c.dim = cal.dim)
+         SELECT dim, round(any_value(scale), 6) AS scale,
+           round(CAST(sum(CAST(err AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mae
+         FROM qerr GROUP BY dim ORDER BY dim""",
+    "q83_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlbl
+                    FROM embeddings WHERE vec_id < 5),
+         d AS (SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl
+               FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+           SELECT qid, vec_id, lbl, list_cosine_similarity(qv, v) AS sim
+           FROM q CROSS JOIN d WHERE lbl <> qlbl),
+         ranked AS (
+           SELECT qid, vec_id AS id, lbl, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           FROM scored)
+         SELECT qid, id, lbl, round(sim, 4) AS sim, rn
+         FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     "q75_seq_pack" ->
       """WITH d AS (
            SELECT doc_id,

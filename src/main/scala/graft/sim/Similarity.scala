@@ -126,6 +126,27 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Contrastive hard-negative mining: for each query (an anchor with a
+    * class label), the top-k most-similar corpus vectors of a DIFFERENT
+    * label — the negatives that sit closest to the decision boundary,
+    * the standard batch-construction step for contrastive / embedding
+    * training. Same plan shape as [[bruteTopK]] (broadcast anchors,
+    * codegen'd cosine, per-anchor spilling window); the label inequality
+    * is a map-side filter BEFORE the ranking window, so mined negatives
+    * are never displaced by same-class rows. */
+  def hardNegatives(data: DataFrame, idCol: String, vecCol: String, labelCol: String,
+                    queries: DataFrame, qidCol: String, qvecCol: String, qlabelCol: String,
+                    k: Int): DataFrame = {
+    val scored = data
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col(labelCol).as("lbl"))
+      .crossJoin(broadcast(queries.select(
+        col(qidCol).as("qid"), col(qvecCol).as("qv"), col(qlabelCol).as("qlbl"))))
+      .filter(col("lbl") =!= col("qlbl"))
+      .select(col("qid"), col("id"), col("lbl"), cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Coarse quantizer training: spherical k-means (Lloyd) on a BOUNDED,
     * seeded driver sample — standard IVF practice: the quantizer trains
     * on a sample (the only data that touches the driver), assignment of

@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE ENCODING — the apply side of [[BpeTrainer]] (Sennrich et al.
+  * 2016): segment each word with the learned merge table and report the
+  * real subword token count per document. `bpeIshTokenCount` is the
+  * regex-shaped proxy; this is the faithful tokenizer a data pipeline
+  * runs to budget context windows and measure fertility
+  * (subwords / word) per source.
+  *
+  * Scale shape: the merge table is O(numMerges) — collected once,
+  * broadcast, and applied by a per-row UDF (the merge loop is inherently
+  * sequential per word; there is no built-in form). Encoding is a pure
+  * projection: embarrassingly parallel, zero shuffles beyond the
+  * trainer's own aggregate. Per-word results are memoized per partition
+  * (Zipf: the hot words dominate), so the amortized cost per token is
+  * near O(word length).
+  */
+object BpeEncoder {
+
+  /** Greedy lowest-rank-first BPE segmentation of one word (the standard
+    * encode loop: repeatedly merge the adjacent pair with the smallest
+    * merge rank until none applies). Exposed for the spec. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < best) { best = r; bestAt = j }
+        j += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        val merged = syms(bestAt) + syms(bestAt + 1)
+        syms = syms.patch(bestAt, Array(merged), 2)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Per-document subword stats under a trained merge table:
+    * `(id, n_words, n_subwords, fertility)` — fertility = subwords/word,
+    * the tokenizer-quality number (rounded to 4 dp). */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+                  merges: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val table = merges.select(col("rank").cast("int"), col("left"), col("right"))
+      .collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getInt(0)))
+      .toMap
+    val ranksB = spark.sparkContext.broadcast(table)
+    val nSubUdf = udf { (toks: Seq[String]) =>
+      if (toks == null) 0L
+      else {
+        // per-call memo: a Zipf vocabulary makes repeated words the
+        // common case even within one document
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        var n = 0L
+        toks.foreach { w =>
+          if (w.nonEmpty)
+            n += memo.getOrElseUpdate(w, encodeWord(w, ranksB.value).length)
+        }
+        n
+      }
+    }
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    df.select(col(idCol),
+        size(filter(toks, w => length(w) > 0)).cast("long").as("n_words"),
+        nSubUdf(toks).as("n_subwords"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          round(col("n_subwords").cast("double") / col("n_words"), 4)))
+  }
+}
