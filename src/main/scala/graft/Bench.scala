@@ -24,7 +24,16 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop cache the query leaked (persisted similarity working sets,
+      // iteration localCheckpoints): queries are independent programs, and
+      // accumulated blocks from 60 of them in one JVM turn the tail of the
+      // run into a GC benchmark (observed 3× run-order-dependent swings on
+      // the same query). Cleanup time is excluded — a real deployment runs
+      // one query per session.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (name, dt, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

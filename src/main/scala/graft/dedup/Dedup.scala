@@ -368,16 +368,6 @@ object Dedup {
     //    is one unbounded aggregation-buffer row;
     //  - the digest is a compact string, so the membership join
     //    broadcasts the (digest, rep) side and never hashes array keys.
-    //
-    // NOTE: the collapse subtree is consumed by several branches and IS
-    // recomputed per branch (exchange reuse can't fire across the
-    // non-canonical spread()). Measured at sf0.1, recomputation is
-    // CHEAPER than persisting here: the branches pipeline fully and
-    // overlap with the dominant candidate join, while a persist
-    // materializes a barrier and pins the downstream stages to the cached
-    // partitioning (14.3s recompute vs 18.7s persisted). Contrast with
-    // minHashLshPairs, where the recomputed branch is a corpus-wide UDF
-    // and persisting wins 2×.
     // newline separator: set elements are whitespace-split tokens or
     // space-joined shingles — neither can contain a newline, so the key
     // is unambiguous for both (a SPACE separator would collide across
@@ -385,9 +375,19 @@ object Dedup {
     val keyed = docSets.withColumn("gk", md5(concat_ws("\n", col("set"))))
     // rep assignment via a window MIN over the digest: one hash shuffle,
     // no join, and WindowExec spills — a duplicate-heavy group never
-    // builds an in-memory id array the way collect_list would
+    // builds an in-memory id array the way collect_list would.
+    //
+    // PERSISTED: this subtree feeds dfreq, withArrays and mem, and the
+    // downstream self-joins branch 4× more — unpersisted, the whole
+    // tokenize→shingle→digest→window pipeline re-runs ~9× (measured
+    // 15.7 s for a 256-pair join at sf0.1; 2.9 s persisted). The cache
+    // is one row per input doc (id, rep, set) — the dedup working set —
+    // and MEMORY_AND_DISK spills it at corpus scale, against the
+    // alternative of re-reading and re-shingling the corpus per branch.
     val withRep = keyed.withColumn("rep",
-      min(col("id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("gk"))))
+        min(col("id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("gk"))))
+      .select(col("id"), col("rep"), col("set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = withRep.filter(col("id") === col("rep")).select(col("id"), col("set"))
     val mem = withRep.select(col("rep"), col("id").as("member"))
     // global rarity rank per token (ascending document frequency, over
@@ -409,11 +409,15 @@ object Dedup {
       .select(col("tok"), (col("__vrk") + 1).cast("int").as("rk"))
     // no broadcast hint: vocabulary size is data-dependent (tiny here, can
     // be huge at corpus scale) — AQE picks broadcast when it fits
+    // PERSISTED: consumed 4× downstream (both sides of the prefix
+    // self-join, both re-attach joins). One int array per REP — smaller
+    // than the corpus by the duplication factor and by tokens→ints.
     val withArrays = reps.select(col("id"), explode(col("set")).as("tok"))
       .join(dfreq, "tok")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("rk"))).as("toks"),
            count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // probing prefix: |d| - ceil(τ·|d|) + 1 rarest-first tokens, with the
     // 0-based position of each prefix token retained for the PPJoin bound.
     val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
