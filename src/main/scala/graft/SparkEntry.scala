@@ -272,7 +272,12 @@ object SparkEntry {
     "q68_neardup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val comp = Dedup.ngramJaccardComponents(docs, "doc_id", "text", 3, 0.8)
+      // persisted: both the per-component max and the final keep-flag join
+      // consume this frame — unpersisted, the whole component pipeline
+      // (Jaccard join + star contraction) runs twice. One (id, component,
+      // n_chars) row per doc.
       val sized = comp.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val best = sized.groupBy(col("component"))
         .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
         .select(col("component"), (-col("b.neg_id")).cast("long").as("best_doc"))
