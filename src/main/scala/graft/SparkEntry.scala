@@ -409,6 +409,29 @@ object SparkEntry {
           round(col("sim"), 4).as("sim"), col("rn"))
         .orderBy(col("qid"), col("rn"))
     }),
+    // ---- corpus duplicated-n-gram mass (Lee et al. dedup diagnostic):
+    //      one exploded shingle aggregate with map-side combine — the
+    //      shuffle carries per-partition-distinct shingles, never text
+    "q85_dup_ngrams" -> ((s, dir) =>
+      graft.text.CorpusStats.dupNgramStats(
+        Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism), "text", 5)),
+    // ---- length-bucketed batching: per-bucket sequence via the range-
+    //      shuffled distributed row index (no per-bucket single-task
+    //      window), batch padding waste vs the batch max
+    "q86_length_buckets" -> ((s, dir) =>
+      graft.operators.Batching.lengthBucketBatches(
+          Tables.documents(s, dir), "doc_id",
+          size(split(lower(trim(col("text"))), "\\s+")), 16L, 32L)
+        .orderBy(col("doc_id"))),
+    // ---- per-source unigram total-variation drift vs the corpus:
+    //      EXACT decimal integer arithmetic, one float division at the
+    //      end — bit-stable at any partitioning (the q44 lesson)
+    "q87_source_divergence" -> ((s, dir) =>
+      graft.text.CorpusStats.sourceTvDivergence(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism), "source", "text")
+        .orderBy(col("source"))),
     // ---- BPE fertility: apply the trained merge table (bounded,
     //      broadcast) per document — rows-only (iterative merge loop has
     //      no SQL twin; BpeSpec pins encode semantics)
@@ -1403,6 +1426,57 @@ object SparkEntry {
            FROM scored)
          SELECT qid, id, lbl, round(sim, 4) AS sim, rn
          FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    "q85_dup_ngrams" ->
+      """WITH t AS (
+           SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT unnest(list_transform(range(len(toks) - 4),
+             i -> array_to_string(toks[i+1:i+5], ' '))) AS g
+           FROM t),
+         c AS (SELECT g, count(*) AS c FROM sh GROUP BY 1)
+         SELECT CAST(sum(c) AS BIGINT) AS total_ngrams,
+                CAST(count(*) AS BIGINT) AS distinct_ngrams,
+                CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+                CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences,
+                round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c), 4) AS dup_frac
+         FROM c""",
+    "q86_length_buckets" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tokens, n_tokens // 16 AS bucket,
+                  (row_number() OVER (PARTITION BY n_tokens // 16 ORDER BY doc_id) - 1) // 32
+                    AS batch_seq
+           FROM d)
+         SELECT doc_id, n_tokens, bucket, batch_seq,
+                CAST(max(n_tokens) OVER (PARTITION BY bucket, batch_seq) - n_tokens AS BIGINT)
+                  AS pad
+         FROM b ORDER BY doc_id""",
+    "q87_source_divergence" ->
+      """WITH st AS (
+           SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents),
+         c1 AS (SELECT source, tok, CAST(count(*) AS DECIMAL(18,0)) AS cnt_st
+                FROM st GROUP BY 1, 2),
+         t AS (SELECT tok, CAST(sum(cnt_st) AS DECIMAL(18,0)) AS cnt_t
+               FROM c1 GROUP BY 1),
+         s AS (SELECT source, CAST(sum(cnt_st) AS DECIMAL(18,0)) AS total_s
+               FROM c1 GROUP BY 1),
+         c AS (SELECT CAST(sum(total_s) AS DECIMAL(18,0)) AS total_c FROM s),
+         j AS (
+           SELECT c1.source, s.total_s, c.total_c,
+                  sum(abs(cnt_st * total_c - cnt_t * total_s)) AS a_s,
+                  sum(cnt_t) AS seen_c
+           FROM c1 JOIN t USING (tok) JOIN s USING (source) CROSS JOIN c
+           GROUP BY 1, 2, 3)
+         SELECT source, CAST(total_s AS BIGINT) AS n_tokens,
+                round(CAST(a_s + (total_c - seen_c) * total_s AS DOUBLE)
+                      / (2.0 * CAST(total_s AS DOUBLE) * CAST(total_c AS DOUBLE)), 6)
+                  AS tv_dist
+         FROM j ORDER BY source""",
     "q75_seq_pack" ->
       """WITH d AS (
            SELECT doc_id,

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Batching
+import graft.text.CorpusStats
+
+/** Corpus-level distribution diagnostics (q85-q87): duplicated n-gram
+  * mass, length-bucketed batching, per-source TV divergence. */
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // -------------------------------------------------------- dup n-grams
+
+  test("dup n-gram stats: hand-computed on a crafted corpus") {
+    // bigrams: doc1 = [a b, b a, a b] (a b twice WITHIN the doc),
+    // doc2 = [a b, b c], doc3 too short to emit any
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val r = CorpusStats.dupNgramStats(df, "text", 2).collect()(0)
+    assert(r.getLong(0) == 5)            // total occurrences
+    assert(r.getLong(1) == 3)            // a b / b a / b c
+    assert(r.getLong(2) == 1)            // only "a b" repeats
+    assert(r.getLong(3) == 3)            // its occurrences
+    assert(r.getDouble(4) == 0.6)        // 3/5
+  }
+
+  test("dup n-gram stats are partition-invariant") {
+    val df = Seq.tabulate(200)(i => (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 7}"))
+      .toDF("doc_id", "text")
+    val a = CorpusStats.dupNgramStats(df, "text", 3).collect()(0)
+    val b = CorpusStats.dupNgramStats(df.repartition(13), "text", 3).collect()(0)
+    assert(a == b)
+  }
+
+  // --------------------------------------------------- length bucketing
+
+  test("length buckets: batch assignment and pad vs batch max") {
+    // width 10, batch 2: ids 1-5 have 3,12,11,4,25 tokens
+    val docs = Seq(
+      (1L, Seq.fill(3)("w").mkString(" ")),
+      (2L, Seq.fill(12)("w").mkString(" ")),
+      (3L, Seq.fill(11)("w").mkString(" ")),
+      (4L, Seq.fill(4)("w").mkString(" ")),
+      (5L, Seq.fill(25)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = Batching.lengthBucketBatches(docs, "doc_id",
+        size(split(lower(trim(col("text"))), "\\s+")), 10L, 2L)
+      .orderBy("doc_id").collect()
+    // bucket 0: docs 1(3),4(4) → one batch, max 4 → pads 1,0
+    assert(got(0).getLong(2) == 0L && got(0).getLong(3) == 0L && got(0).getLong(4) == 1L)
+    assert(got(3).getLong(2) == 0L && got(3).getLong(3) == 0L && got(3).getLong(4) == 0L)
+    // bucket 1: docs 2(12),3(11) → one batch, max 12 → pads 0,1
+    assert(got(1).getLong(2) == 1L && got(1).getLong(3) == 0L && got(1).getLong(4) == 0L)
+    assert(got(2).getLong(2) == 1L && got(2).getLong(3) == 0L && got(2).getLong(4) == 1L)
+    // bucket 2: doc 5 alone → pad 0
+    assert(got(4).getLong(2) == 2L && got(4).getLong(3) == 0L && got(4).getLong(4) == 0L)
+  }
+
+  test("length buckets: batches are contiguous in id order and capped") {
+    val docs = Seq.tabulate(100)(i => (i.toLong, Seq.fill(1 + i % 40)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Batching.lengthBucketBatches(docs, "doc_id",
+        size(split(lower(trim(col("text"))), "\\s+")), 16L, 8L)
+    // no batch exceeds the cap
+    val sizes = got.groupBy("bucket", "batch_seq").count().collect()
+    assert(sizes.forall(_.getLong(2) <= 8L))
+    // within a bucket, batch_seq is non-decreasing in doc_id order and
+    // every batch before the last is FULL
+    val byBucket = got.collect().groupBy(_.getLong(2))
+    byBucket.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getLong(0)).map(_.getLong(3)).toSeq
+      assert(ordered == ordered.sorted)
+      val counts = ordered.groupBy(identity).view.mapValues(_.size).toMap
+      val last = counts.keys.max
+      counts.filter(_._1 != last).values.foreach(c => assert(c == 8))
+    }
+    // partition-invariant
+    val again = Batching.lengthBucketBatches(docs.repartition(17), "doc_id",
+        size(split(lower(trim(col("text"))), "\\s+")), 16L, 8L)
+      .orderBy("doc_id").collect().toSeq
+    assert(again == got.orderBy("doc_id").collect().toSeq)
+  }
+
+  // -------------------------------------------------------- TV distance
+
+  test("source TV divergence: hand-computed two-source corpus") {
+    // s1: a a b (3 toks), s2: b c (2 toks); corpus: a:2 b:2 c:1 (C=5)
+    // TV(s1) = ½(|2/3−2/5| + |1/3−2/5| + |0−1/5|) = ½(4/15+1/15+3/15) = 4/15
+    // TV(s2) = ½(|0−2/5| + |1/2−2/5| + |1/2−1/5|) = ½(6/15+1.5/15+4.5/15) = 0.4
+    val df = Seq(("s1", "a a b"), ("s2", "b c")).toDF("source", "text")
+    val got = CorpusStats.sourceTvDivergence(df, "source", "text")
+      .orderBy("source").collect()
+    assert(got(0).getLong(1) == 3L && math.abs(got(0).getDouble(2) - 4.0 / 15) < 5e-7)
+    assert(got(1).getLong(1) == 2L && math.abs(got(1).getDouble(2) - 0.4) < 5e-7)
+  }
+
+  test("source TV divergence: identical distributions give zero; partition-invariant") {
+    val df = Seq.tabulate(60)(i => (s"s${i % 3}", "x y z")).toDF("source", "text")
+    val got = CorpusStats.sourceTvDivergence(df, "source", "text").collect()
+    assert(got.length == 3 && got.forall(_.getDouble(2) == 0.0))
+    val skewed = Seq.tabulate(300)(i =>
+      (s"s${i % 4}", s"tok${i % 11} tok${i % 4} tok${(i * 7) % 13}")).toDF("source", "text")
+    val a = CorpusStats.sourceTvDivergence(skewed, "source", "text")
+      .orderBy("source").collect().toSeq
+    val b = CorpusStats.sourceTvDivergence(skewed.repartition(23), "source", "text")
+      .orderBy("source").collect().toSeq
+    assert(a == b)
+  }
+}
