@@ -11,9 +11,12 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // one tiny warmup action so the first measured query doesn't absorb
-    // session/codegen startup
+    // warmup actions so the first measured query doesn't absorb session
+    // startup: one count (scheduler/scan paths) plus one small noop write
+    // through the vectorized parquet reader and the noop sink commit path
     spark.read.parquet(s"${sfDir.stripSuffix("/")}/region.parquet").count()
+    spark.read.parquet(s"${sfDir.stripSuffix("/")}/lineitem.parquet")
+      .limit(1000).write.mode("overwrite").format("noop").save()
     // noop-format write: materializes EVERY result row through the full
     // plan (count() lets Catalyst elide final sorts and column projects);
     // a crashed query is reported as a failure, never as a fast time.
@@ -33,6 +36,15 @@ object Bench {
       // one query per session.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // ContextCleaner only reclaims dead shuffle files / broadcast blocks
+      // when the JVM GC notices the dead references; with a large heap the
+      // GC may not run across 87 back-to-back queries, so the debt of every
+      // prior query (tens of GB of shuffle spill, broadcast blocks, codegen
+      // classes) lands on whichever query happens to trigger collection —
+      // observed as 3-5× inflation of individually-fast queries late in the
+      // run. An explicit GC per boundary keeps queries independent; it runs
+      // OUTSIDE the timed window.
+      System.gc()
       (name, dt, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
