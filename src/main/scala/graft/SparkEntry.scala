@@ -432,6 +432,83 @@ object SparkEntry {
           Tables.documents(s, dir)
             .repartition(s.sparkContext.defaultParallelism), "source", "text")
         .orderBy(col("source"))),
+    // ---- salted skew join: the hot fact key is diversified over 8 salts,
+    //      the dim side replicated 8× — semantically invisible (oracle =
+    //      the plain join), structurally the reducer-overflow fix when
+    //      broadcast is off and AQE can't split (aggregation pipelines)
+    "q88_salted_join" -> ((s, dir) =>
+      graft.operators.Skew.saltedJoin(
+          Tables.events(s, dir), Tables.customer(s, dir),
+          "user_id", "c_custkey", nSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("sum_value"))
+        .orderBy(col("c_mktsegment"))),
+    // ---- sorted-neighborhood edit-distance near-dup (SIGMOD '95): one
+    //      range shuffle for the sort-key row index, O(n·w) candidates via
+    //      an integer-offset self-join, Levenshtein verifier on a bounded
+    //      prefix — character-level near-dup the set-similarity joins miss
+    "q89_sorted_neighbors" -> ((s, dir) =>
+      graft.dedup.SortedNeighborhood.editDistancePairs(
+          Tables.documents(s, dir), "doc_id",
+          substring(lower(trim(col("text"))), 1, 24),
+          substring(lower(trim(col("text"))), 1, 120),
+          window = 3, maxDist = 25)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- Unicode NFC normalization (native graft_nfc codegen expression):
+    //      combining sequences are composed to canonical form so encoding
+    //      variance never reads as document distinctness. The dirty input
+    //      is CONSTRUCTED deterministically in both engines (a → a+U+0301)
+    //      so the oracle genuinely exercises composition, not a no-op.
+    "q90_unicode_norm" -> ((s, dir) => {
+      val dirty = regexp_replace(col("text"), "a", "á")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(dirty).as("len_dirty"),
+        length(graft.text.UnicodeNorm.nfc(dirty)).as("len_norm"),
+        md5(graft.text.UnicodeNorm.nfc(dirty).cast("binary")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- ranking-window family over the event stream (lag/lead deltas,
+    //      percent_rank, cume_dist) — per-key feature engineering; one
+    //      key shuffle serves all four window functions
+    "q91_event_deltas" -> ((s, dir) => {
+      val wt = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wt))).as("prev_gap_us"),
+          lead(col("event_id"), 1).over(wt).as("next_event_id"),
+          round(percent_rank().over(wv), 4).as("pr_value"),
+          round(cume_dist().over(wv), 4).as("cd_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    // ---- GROUPING SETS via the SQL surface: the explicit-sets sibling of
+    //      ROLLUP (q46) / CUBE (q57), grouping() flags disambiguate the
+    //      all-null super-aggregate rows
+    "q92_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""WITH e AS (
+                 SELECT event_type, user_id % 7 AS user_bucket, value FROM events)
+               SELECT event_type, user_bucket,
+                      CAST(grouping(event_type) AS BIGINT) AS g_type,
+                      CAST(grouping(user_bucket) AS BIGINT) AS g_bucket,
+                      count(*) AS n,
+                      CAST(round(sum(CAST(value AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_value
+               FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+               ORDER BY g_type, g_bucket,
+                        event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""")
+    }),
+    // ---- per-group winsorization: exact [p05, p95] percentile clamp —
+    //      outlier treatment that keeps the row (dropping would bias the
+    //      sample); cut table is the only aggregation, clamp is scan-speed
+    "q93_winsorize" -> ((s, dir) =>
+      graft.analyze.QuantileCut.winsorize(
+          Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", 0.05, 0.95)
+        .select(col("event_id"), col("event_type"),
+          round(col("value_w"), 4).as("value_w"))
+        .orderBy(col("event_id"))),
     // ---- BPE fertility: apply the trained merge table (bounded,
     //      broadcast) per document — rows-only (iterative merge loop has
     //      no SQL twin; BpeSpec pins encode semantics)
@@ -1877,5 +1954,64 @@ object SparkEntry {
          FROM lineitem
          GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    // salting is semantically invisible: the oracle is the PLAIN join
+    "q88_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+         round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q89_sorted_neighbors" ->
+      """WITH k AS (
+           SELECT doc_id, substr(lower(trim(text)), 1, 24) AS sk,
+                  substr(lower(trim(text)), 1, 120) AS cmp
+           FROM documents),
+         r AS (
+           SELECT doc_id, cmp,
+                  row_number() OVER (ORDER BY sk, doc_id) AS rn
+           FROM k)
+         SELECT least(a.doc_id, b.doc_id) AS id_a,
+                greatest(a.doc_id, b.doc_id) AS id_b,
+                CAST(levenshtein(a.cmp, b.cmp) AS BIGINT) AS dist
+         FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+         WHERE levenshtein(a.cmp, b.cmp) <= 25
+         ORDER BY id_a, id_b""",
+    // dirty input constructed identically (a → a + combining acute U+0301,
+    // i.e. chr(769)); nfc_normalize must recompose it to precomposed á
+    "q90_unicode_norm" ->
+      """WITH d AS (
+           SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS dirty
+           FROM documents)
+         SELECT doc_id, length(dirty) AS len_dirty,
+                length(nfc_normalize(dirty)) AS len_norm,
+                md5(nfc_normalize(dirty)) AS norm_md5
+         FROM d ORDER BY doc_id""",
+    "q91_event_deltas" ->
+      """SELECT user_id, event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_gap_us,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id,
+         round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) AS pr_value,
+         round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) AS cd_value
+         FROM events ORDER BY user_id, event_id""",
+    "q92_grouping_sets" ->
+      """WITH e AS (
+           SELECT event_type, user_id % 7 AS user_bucket, value FROM events)
+         SELECT event_type, user_bucket,
+                CAST(grouping(event_type) AS BIGINT) AS g_type,
+                CAST(grouping(user_bucket) AS BIGINT) AS g_bucket,
+                count(*) AS n,
+                round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_value
+         FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+         ORDER BY g_type, g_bucket,
+                  event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q93_winsorize" ->
+      """WITH cuts AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.05) AS lo,
+                  quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type,
+                round(least(greatest(value, lo), hi), 4) AS value_w
+         FROM events e JOIN cuts ON e.event_type = cuts.event_type
+         ORDER BY event_id""",
   )
 }

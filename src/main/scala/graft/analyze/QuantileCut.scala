@@ -45,4 +45,28 @@ object QuantileCut {
     buckets(df, groupCol, valueCol, idCol, n, dropBuckets)
       .filter(col("keep") === 1L)
       .drop("bucket", "keep")
+
+  /** Per-group WINSORIZATION: clamp `valueCol` into its group's exact
+    * `[pLo, pHi]` percentile band instead of dropping rows — the outlier
+    * treatment for numeric feature columns where row deletion would bias
+    * the sample (loss spikes, latency tails, reward clipping).
+    *
+    * Exact linear-interpolation percentiles (built-in `percentile`, the
+    * same semantics as DuckDB's `quantile_cont` — q42's contract): one
+    * per-group sort for the cut table (small: 2 doubles per group),
+    * broadcast back, clamp as a pure projection. At 100 TB the cut table
+    * is the only aggregation; the clamp itself is scan-speed. The
+    * approximate path swaps in [[graft.operators.Sketches]] quantiles. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double,
+                outCol: String = "value_w"): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0<=pLo<pHi<=1, got $pLo,$pHi")
+    val cuts = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, $pLo)").as("__lo"),
+      expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    df.join(broadcast(cuts), groupCol)
+      .withColumn(outCol,
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

@@ -1,0 +1,37 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Unicode canonicalization for corpus ingest — the first projection of a
+  * text pipeline, BEFORE any fingerprint/dedup/tokenize stage, so that
+  * byte-level encoding variance (decomposed combining marks, control
+  * characters from PDF/OCR extraction) never shows up as spurious
+  * document distinctness downstream.
+  *
+  * Zero-shuffle: both operations are per-row projections that stay inside
+  * whole-stage codegen ([[graft.functions.NfcNormalize]] is a native
+  * expression; the control strip is a built-in `regexp_replace`). At
+  * 100 TB this runs at scan speed fused into whatever projection follows.
+  */
+object UnicodeNorm {
+
+  /** Unicode NFC canonical composition (native `graft_nfc`). */
+  def nfc(c: Column): Column = {
+    graft.functions.NfcNormalize.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.functions.NfcNormalize.Name, c)
+  }
+
+  /** Strip C0/C1 control characters except `\t` `\n` `\r` (the ones a
+    * text corpus legitimately contains). RE2-safe character class — the
+    * identical pattern runs on any regex engine, so redaction is
+    * engine-portable. */
+  val ControlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  def stripControls(c: Column): Column = regexp_replace(c, ControlPattern, "")
+
+  /** Full ingest normalization: NFC + control strip + whitespace collapse
+    * + trim. Idempotent (spec'd). */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(stripControls(nfc(c)), "\\s+", " "))
+}
