@@ -509,6 +509,41 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"),
           round(col("value_w"), 4).as("value_w"))
         .orderBy(col("event_id"))),
+    // ---- incremental exact dedup: anti-join the "new batch" (doc_id %
+    //      5 == 0) against the existing corpus' digest index, then dedup
+    //      within the batch — the production shape (a new crawl never
+    //      re-deduplicates the corpus; only digests shuffle)
+    "q94_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalExact(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- stream-static enrichment: each micro-batch broadcast-joins the
+    //      bounded dimension table — stateless ingest enrichment; the
+    //      oracle is the plain batch join (streaming must change nothing)
+    "q95_stream_enrich" -> ((s, dir) => {
+      val path = s"${dir.stripSuffix("/")}/events.parquet"
+      val schema = s.read.parquet(path).schema
+      graft.streaming.StreamingOps.runToMemory(s, src => {
+          val dim = Tables.customer(src.sparkSession, dir)
+            .select(col("c_custkey"), col("c_mktsegment"))
+          graft.streaming.StreamingOps.enrichStream(src, dim, "user_id", "c_custkey")
+            .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+        }, dir.stripSuffix("/"), "events.parquet", schema, outputMode = "append")
+        .orderBy(col("event_id"))
+    }),
+    // ---- per-key ordered sequence assembly (conversation building):
+    //      array_sort over the collected (ts, id, payload) structs pins
+    //      the order under any partitioning; one key shuffle
+    "q96_seq_assembly" -> ((s, dir) =>
+      Temporal.assembleSequences(
+          Tables.events(s, dir), "user_id",
+          Seq(col("ts"), col("event_id")), col("event_type"))
+        .orderBy(col("user_id"))),
     // ---- BPE fertility: apply the trained merge table (bounded,
     //      broadcast) per document — rows-only (iterative merge loop has
     //      no SQL twin; BpeSpec pins encode semantics)
@@ -2003,6 +2038,28 @@ object SparkEntry {
          FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
          ORDER BY g_type, g_bucket,
                   event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q94_incremental_dedup" ->
+      """WITH f AS (
+           SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+           FROM documents),
+         fresh AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+         corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+         novel AS (SELECT fresh.* FROM fresh ANTI JOIN corpus USING (fp)),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+               FROM novel)
+         SELECT doc_id, source FROM r WHERE rk = 1 ORDER BY doc_id""",
+    // streaming is semantically invisible: the oracle is the batch join
+    "q95_stream_enrich" ->
+      """SELECT event_id, user_id, c_mktsegment
+         FROM events JOIN customer ON user_id = c_custkey
+         ORDER BY event_id""",
+    "q96_seq_assembly" ->
+      """SELECT user_id, count(*) AS n_turns,
+         string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q93_winsorize" ->
       """WITH cuts AS (
            SELECT event_type,

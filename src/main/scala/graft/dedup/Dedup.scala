@@ -74,6 +74,31 @@ object Dedup {
       .drop("__rk")
   }
 
+  /** INCREMENTAL exact dedup: keep the rows of `fresh` whose canonical
+    * fingerprint does not already exist in `corpus`, and one
+    * representative (min id) per fingerprint within `fresh` itself.
+    *
+    * The production shape of dedup: a pipeline never re-deduplicates the
+    * whole corpus when a new crawl lands — it anti-joins the new batch
+    * against the existing fingerprint index. Scale shape: `corpus` is
+    * reduced to DISTINCT 32-char digests before the anti-join (the only
+    * thing that shuffles from the corpus side — at 100 TB the digest
+    * index is ~3 orders of magnitude smaller than the text), and the
+    * within-batch dedup is one window on the digest. Persist the digest
+    * index as a table and successive batches never rescan the corpus. */
+  def incrementalExact(fresh: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val fFp = fresh.withColumn("__fp", TextAnalysis.setFingerprint(col(textCol)))
+    val known = corpus.select(TextAnalysis.setFingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    fFp.join(known, Seq("__fp"), "left_anti")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__fp")
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (space-joined), empty array when the document is

@@ -34,6 +34,29 @@ object Temporal {
       .drop("__new_session")
   }
 
+  /** Per-key ordered SEQUENCE ASSEMBLY: collapse each key's rows into one
+    * row carrying the payload sequence in `order`-sorted order — the
+    * conversation/trajectory-building step of a training-data pipeline
+    * (events → per-user interaction sequence, turns → dialogue).
+    *
+    * `collect_list` gives no ordering guarantee under parallel
+    * aggregation, so the struct is sorted AFTER collection:
+    * `array_sort(collect_list(struct(order..., payload)))` — struct
+    * comparison is lexicographic by field position, so the leading
+    * `order` columns (which must form a total order per key for a
+    * deterministic result) pin the sequence regardless of partitioning.
+    * One hash shuffle on the key; the aggregation buffer holds one key's
+    * rows, so per-key cardinality must be application-bounded
+    * (conversations are; for unbounded keys window/pack first —
+    * [[graft.operators.Packing]]). */
+  def assembleSequences(df: DataFrame, keyCol: String, order: Seq[Column],
+                        payload: Column): DataFrame = {
+    val sorted = array_sort(collect_list(struct(order :+ payload.as("__p"): _*)))
+    df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_turns"),
+      concat_ws(",", transform(sorted, x => x("__p"))).as("seq"))
+  }
+
   /** As-of join: for every left row, the most recent right row of the same
     * key with `right.ts <= left.ts`. Implemented with the union trick —
     * tag both inputs, sort per key by (ts, tag) with right rows first at

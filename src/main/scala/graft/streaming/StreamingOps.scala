@@ -117,6 +117,18 @@ object StreamingOps {
       col(s"r.$rightTs") <= col(s"l.$leftTs"))
   }
 
+  /** Stream-static ENRICHMENT join: each micro-batch of `stream` is
+    * joined against the bounded dimension table `dim` (user profile,
+    * customer segment, allow-list), broadcast so no micro-batch ever
+    * shuffles — the standard streaming-ingest enrichment step. Inner
+    * join; stateless, so no watermark is needed and any output mode
+    * works. The dimension frame is re-resolved per micro-batch by
+    * Structured Streaming, which is exactly the desired semantics for a
+    * slowly-changing dimension backed by a table. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey))
+
   /** Streaming exact dedup: drop rows whose key was already seen within
     * the watermark horizon (`dropDuplicatesWithinWatermark`) — state is
     * bounded by the horizon instead of growing forever, the streaming twin
