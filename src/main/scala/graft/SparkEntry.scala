@@ -544,6 +544,29 @@ object SparkEntry {
           Tables.events(s, dir), "user_id",
           Seq(col("ts"), col("event_id")), col("event_type"))
         .orderBy(col("user_id"))),
+    // ---- PageRank over the user-interaction graph (consecutive users of
+    //      the same event type): 2 shuffles/iteration, scalar dangling
+    //      mass, lineage one iteration deep — rows-only (iterative float
+    //      flow has no SQL twin; GraphSpec pins hand-computed graphs)
+    "q97_pagerank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val edges = Tables.events(s, dir)
+        .withColumn("prev_user", lag(col("user_id"), 1).over(w))
+        .filter(col("prev_user").isNotNull && col("prev_user") =!= col("user_id"))
+        .select(col("prev_user").as("src"), col("user_id").as("dst"))
+      graft.graph.PageRank.run(edges, "src", "dst", iters = 10)
+        .select(col("node"), round(col("rank") * 1000, 4).as("rank_x1000"))
+        .orderBy(desc("rank_x1000"), col("node")).limit(20)
+    }),
+    // ---- distributed spherical k-means over the full embedding table
+    //      (broadcast centroids, map-side assignment, k×dim driver state)
+    //      — rows-only (float means; GraphSpec pins cluster recovery)
+    "q98_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 8, iters = 5)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), round(avg(col("sim")), 4).as("avg_sim"))
+        .orderBy(col("cluster"))),
     // ---- BPE fertility: apply the trained merge table (bounded,
     //      broadcast) per document — rows-only (iterative merge loop has
     //      no SQL twin; BpeSpec pins encode semantics)

@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed PageRank (Page et al. 1999) over an edge list — the
+  * iterative-graph pattern of the engine (alongside the iterate-to-fixpoint
+  * star contraction in [[graft.dedup.ConnectedComponents]]): rank mass
+  * flows along out-edges, damped, with dangling-node mass redistributed
+  * uniformly so the total stays 1.
+  *
+  * Scale shape per iteration: ONE join of the edge list with the current
+  * rank table on `src` (ranks are (node, double) — tiny next to the edges;
+  * AQE broadcasts them while they fit, hash-joins co-partitioned
+  * otherwise) and ONE hash aggregation on `dst` — no driver-side state
+  * beyond the scalar dangling mass. The edge list is persisted once and
+  * reused every iteration; each new rank table is persisted and the
+  * previous unpersisted, so lineage stays one iteration deep (no
+  * exponential plan growth over 10+ iterations).
+  *
+  * Node ids must be long-castable. Ranks sum to 1 (mass-conservation
+  * spec'd); iteration count is fixed — the standard contract for batch
+  * PageRank on a large graph (convergence-δ stopping needs an extra
+  * aggregation per iteration; compose one if needed).
+  */
+object PageRank {
+
+  /** Returns `(node, rank)` after `iters` damped power iterations from the
+    * uniform start. Parallel edges count once (deduplicated) — pass a
+    * weighted variant explicitly if multiplicity should matter. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+          iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    while (i < iters) {
+      val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
+      // dangling mass: rank held by nodes with no out-edges — a scalar
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(outDeg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the parent
+      ranks.unpersist(blocking = false)
+      ranks = next
+      i += 1
+    }
+    ranks
+  }
+}

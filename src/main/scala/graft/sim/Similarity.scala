@@ -62,6 +62,76 @@ object Similarity {
              count(lit(1)), scale).as("avg_norm"))
   }
 
+  /** Fully-distributed spherical k-means (Lloyd's algorithm) over an
+    * embedding column: unlike [[trainCentroids]] (bounded driver sample —
+    * the quantizer-training path), this fits on the WHOLE corpus.
+    *
+    * Scale shape per iteration: centroids are a k×dim broadcast (bounded
+    * driver state); assignment is k codegen'd cosines per row, map-side,
+    * no shuffle; the update is one `(cluster, dim)` hash aggregation of
+    * the exploded components (map-side partials) whose k×dim result
+    * collects to the driver. Nothing corpus-sized ever sits on the
+    * driver and lineage stays one iteration deep.
+    *
+    * Deterministic init: the k lowest-id vectors seed the centroids (a
+    * bounded ordered take). Float means make boundary assignments
+    * engine/partitioning-sensitive in the last ulp — the documented
+    * contract is cluster RECOVERY (spec: designed well-separated
+    * clusters are recovered exactly), not bit-stable labels. Returns
+    * `(id, cluster, sim)` — sim is the cosine to the final centroid. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k>=1, iters>=1; got k=$k iters=$iters")
+    val spark = df.sparkSession
+    val data = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    var cents: Array[(Int, Array[Double])] = data.orderBy(col("id")).limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, normalize(r.getSeq[Double](1).toArray)) }
+    if (cents.isEmpty) { data.unpersist(); return data.select(col("id"),
+      lit(-1).as("cluster"), lit(0.0).as("sim")).limit(0) }
+    def assignCol(bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]) =
+      udf { (v: Seq[Double]) =>
+        var best = -1; var bestSim = Double.MinValue
+        bc.value.foreach { case (ci, cv) =>
+          var dot = 0.0; var nb = 0.0; var i = 0
+          while (i < v.length) { dot += cv(i) * v(i); nb += v(i) * v(i); i += 1 }
+          val s = if (nb > 0) dot / math.sqrt(nb) else 0.0
+          if (s > bestSim) { bestSim = s; best = ci }
+        }
+        (best, bestSim)
+      }
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = data.withColumn("__a", assignCol(bc)(col("v")))
+        .select(col("id"), col("v"), col("__a._1").as("cluster"))
+      val upd = assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          val dim = rows.map(_.getInt(1)).max + 1
+          val m = new Array[Double](dim)
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          c -> normalize(m)
+        }
+      cents = cents.map { case (c, old) => (c, upd.getOrElse(c, old)) }
+      bc.destroy()
+      it += 1
+    }
+    val bcF = spark.sparkContext.broadcast(cents)
+    val out = data.withColumn("__a", assignCol(bcF)(col("v")))
+      .select(col("id"), col("__a._1").as("cluster"),
+        round(col("__a._2"), 4).as("sim"))
+    data.unpersist(blocking = false)
+    out
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): assign every
     * vector to its nearest class centroid, find within-cluster pairs
     * with cosine >= `tau`, connect them into components, keep one
