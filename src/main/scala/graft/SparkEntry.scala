@@ -544,6 +544,29 @@ object SparkEntry {
           Tables.events(s, dir), "user_id",
           Seq(col("ts"), col("event_id")), col("event_type"))
         .orderBy(col("user_id"))),
+    // ---- sliding token-window chunking (RAG/embedding prep): zero-
+    //      shuffle projection, staged token array so HOFs never
+    //      re-tokenize per window; last window may be short
+    "q99_chunk_windows" -> ((s, dir) =>
+      graft.text.Chunker.tokenWindows(
+          Tables.documents(s, dir), "doc_id", "text", winSize = 32, overlap = 8)
+        .select(col("id").as("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"), col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    // ---- keyed snapshot upsert (MERGE INTO semantics on append-only
+    //      snapshots): one full-outer key shuffle, update-wins per ROW;
+    //      AQE broadcasts the (small) change batch when it fits
+    "q100_upsert" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val base = cust.filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+      val updates = cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2))
+        .withColumn("c_mktsegment", lit("REFRESHED"))
+      graft.operators.Upsert.upsert(base, updates, "c_custkey")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
     // ---- PageRank over the user-interaction graph (consecutive users of
     //      the same event type): 2 shuffles/iteration, scalar dangling
     //      mass, lineage one iteration deep — rows-only (iterative float
@@ -2061,6 +2084,36 @@ object SparkEntry {
          FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
          ORDER BY g_type, g_bucket,
                   event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q99_chunk_windows" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sized AS (
+           SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1 END AS n_chunks
+           FROM t WHERE len(toks) >= 1),
+         w AS (
+           SELECT doc_id, toks,
+                  unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+           FROM sized)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(len(list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32)) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ') AS chunk
+         FROM w ORDER BY doc_id, chunk_idx""",
+    "q100_upsert" ->
+      """WITH base AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+         upd AS (
+           SELECT c_custkey, c_name,
+                  round(c_acctbal + 1000, 2) AS c_acctbal,
+                  'REFRESHED' AS c_mktsegment
+           FROM customer WHERE c_custkey % 2 = 0)
+         SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+                CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name,
+                round(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END, 2) AS c_acctbal,
+                CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+         FROM base b FULL JOIN upd u ON b.c_custkey = u.c_custkey
+         ORDER BY c_custkey""",
     "q94_incremental_dedup" ->
       """WITH f AS (
            SELECT doc_id, source,
