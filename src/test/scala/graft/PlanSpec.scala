@@ -88,4 +88,32 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q23_ann_brute")
     assert(p.contains("graft_cosine"), s"native cosine missing:\n$p")
   }
+
+  test("q90: native NFC expression is in the plan, no UDF/object fallback") {
+    val p = plan("q90_unicode_norm")
+    assert(p.contains("graft_nfc"), s"native nfc missing:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("DeserializeToObject"),
+      s"nfc must stay a native projection:\n$p")
+  }
+
+  test("q99: chunking plans no shuffle except the result ordering") {
+    val p = plan("q99_chunk_windows")
+    val exchanges = p.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"chunker should only range-shuffle for ORDER BY, got $exchanges:\n$p")
+  }
+
+  test("q100: upsert plans exactly one join") {
+    val p = plan("q100_upsert")
+    val joins = p.split("\n").count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+      l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"upsert promises one full-outer join, got $joins:\n$p")
+  }
+
+  test("q93: winsorize cut table joins broadcast (clamp never shuffles the fact side)") {
+    val p = plan("q93_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"cut-table join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge expected:\n$p")
+  }
 }
