@@ -544,6 +544,26 @@ object SparkEntry {
           Tables.events(s, dir), "user_id",
           Seq(col("ts"), col("event_id")), col("event_type"))
         .orderBy(col("user_id"))),
+    // ---- permissive JSON ingestion: from_json on the props column with
+    //      CONSTRUCTED corrupt rows (event_id % 97 == 0 gets a LEADING
+    //      brace — a trailing one wouldn't do: Spark's Jackson parser
+    //      stops at the first complete root value and ignores trailing
+    //      garbage, DuckDB's json_valid rejects it) — malformed input
+    //      must coerce to null, never fail the scan (the P6 try_cast
+    //      contract extended to nested parse)
+    "q101_json_extract" -> ((s, dir) => {
+      val dirty = when(pmod(col("event_id"), lit(97)) === 0,
+        concat(lit("}"), col("props"))).otherwise(col("props"))
+      Tables.events(s, dir).select(
+          col("event_id"),
+          from_json(dirty, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k"))
+        .withColumn("k_bucket",
+          when(col("k").isNull, lit(-1L)).otherwise(col("k") % 10))
+        .orderBy(col("event_id"))
+    }),
     // ---- sliding token-window chunking (RAG/embedding prep): zero-
     //      shuffle projection, staged token array so HOFs never
     //      re-tokenize per window; last window may be short
@@ -2084,6 +2104,16 @@ object SparkEntry {
          FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
          ORDER BY g_type, g_bucket,
                   event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q101_json_extract" ->
+      """WITH d AS (
+           SELECT event_id,
+             CASE WHEN event_id % 97 = 0 THEN '}' || props ELSE props END AS p
+           FROM events)
+         SELECT event_id,
+           CASE WHEN json_valid(p) THEN CAST(json_extract(p, '$.k') AS BIGINT) END AS k,
+           CASE WHEN NOT json_valid(p) THEN -1
+                ELSE CAST(json_extract(p, '$.k') AS BIGINT) % 10 END AS k_bucket
+         FROM d ORDER BY event_id""",
     "q99_chunk_windows" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
