@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MisraGries, NfcNormalize, RepStats, SigAgreeCount, SortedOverlapCount}
+import graft.functions.{CosineSimilarity, MisraGries, NfcNormalize, RepStats, SigAgreeCount, SortedOverlapCount, TopK}
 import graft.mine.DrainMineAgg
 
 /** The library's `SparkSessionExtensions` injection point — the idiomatic
@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[RepStats], exprs => RepStats(exprs.head)))
     ext.injectFunction(fn(NfcNormalize.Name,
       classOf[NfcNormalize], exprs => NfcNormalize(exprs.head)))
+    ext.injectFunction(fn(TopK.Name,
+      classOf[TopK], TopK.build))
     // whole-operator nodes (custom-operator ladder rung (c))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

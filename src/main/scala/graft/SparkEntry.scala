@@ -544,6 +544,21 @@ object SparkEntry {
           Tables.events(s, dir), "user_id",
           Seq(col("ts"), col("event_id")), col("event_type"))
         .orderBy(col("user_id"))),
+    // ---- NATIVE bounded-heap top-k per group (graft_topk): k-element
+    //      min-heaps map-side, only k pairs per partition shuffle — the
+    //      ranking-window formulation shuffles EVERY row and sorts each
+    //      group (hottest group = slowest task); the heap is exact
+    "q102_topk_native" -> ((s, dir) => {
+      graft.functions.TopK.register(s)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(call_function(graft.functions.TopK.Name,
+          col("value"), col("event_id"), lit(3)).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+          round(col("col.value"), 4).as("value"), col("col.tag").as("event_id"))
+        .orderBy(col("event_type"), col("rn"))
+    }),
     // ---- permissive JSON ingestion: from_json on the props column with
     //      CONSTRUCTED corrupt rows (event_id % 97 == 0 gets a LEADING
     //      brace — a trailing one wouldn't do: Spark's Jackson parser
@@ -2104,6 +2119,15 @@ object SparkEntry {
          FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
          ORDER BY g_type, g_bucket,
                   event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q102_topk_native" ->
+      """WITH r AS (
+           SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+           FROM events)
+         SELECT event_type, CAST(rn AS BIGINT) AS rn,
+                round(value, 4) AS value, event_id
+         FROM r WHERE rn <= 3 ORDER BY event_type, rn""",
     "q101_json_extract" ->
       """WITH d AS (
            SELECT event_id,

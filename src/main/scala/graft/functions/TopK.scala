@@ -1,0 +1,134 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Native bounded-heap TOP-K aggregate: `graft_topk(value, tag, k)`
+  * returns `array<struct<value:double, tag:bigint>>` — the k largest
+  * `(value, tag)` pairs of the group, ordered `value DESC, tag ASC`
+  * (the tag breaks ties, so results are total-ordered and
+  * partitioning-invariant).
+  *
+  * The 100 TB shape: the standard top-k-per-group formulation is a
+  * ranking window — a full shuffle of EVERY row on the group key plus a
+  * per-group SORT, with the hottest group bounding the slowest task.
+  * This aggregate keeps a k-element min-heap per partition map-side, so
+  * only `k` (value, tag) pairs per partition cross the shuffle and the
+  * merge is a heap union — O(k) state regardless of group size, same
+  * class of bounded-state trade as [[MisraGries]] but exact (top-k of a
+  * union is computable from per-part top-ks; no rescan needed).
+  */
+case class TopK(
+    valueExpr: Expression,
+    tagExpr: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, s"${TopK.Name} k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(valueExpr, tagExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopK.ResultType
+  override def prettyName: String = TopK.Name
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty(TopK.WorstFirst)
+
+  override def update(h: mutable.PriorityQueue[(Double, Long)],
+                      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val v = valueExpr.eval(input)
+    val t = tagExpr.eval(input)
+    if (v != null && t != null)
+      TopK.offer(h, (v.asInstanceOf[Double], t.asInstanceOf[Long]), k)
+    h
+  }
+
+  override def merge(a: mutable.PriorityQueue[(Double, Long)],
+                     b: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    b.foreach(e => TopK.offer(a, e, k))
+    a
+  }
+
+  override def eval(h: mutable.PriorityQueue[(Double, Long)]): Any = {
+    // best-first presentation: value DESC, tag ASC
+    val sorted = h.toArray.sortBy { case (v, t) => (-v, t) }
+    new GenericArrayData(sorted.map { case (v, t) =>
+      InternalRow(v, t)
+    }.toArray[Any])
+  }
+
+  override def serialize(h: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(h.size)
+    h.foreach { case (v, t) => dos.writeDouble(v); dos.writeLong(t) }
+    dos.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val dis = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = dis.readInt()
+    val h = createAggregationBuffer()
+    (0 until n).foreach(_ => h.enqueue((dis.readDouble(), dis.readLong())))
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(valueExpr = newChildren(0), tagExpr = newChildren(1))
+}
+
+object TopK {
+  val Name = "graft_topk"
+
+  /** Heap order: the WORST kept element dequeues first. Worse = smaller
+    * value, or equal value with LARGER tag (tag ASC wins ties). */
+  val WorstFirst: Ordering[(Double, Long)] =
+    Ordering.fromLessThan[(Double, Long)] { case ((v1, t1), (v2, t2)) =>
+      // "less than" here means closer to the dequeue end = BETTER kept?
+      // PriorityQueue dequeues the MAX of the ordering, so define max =
+      // worst: (v1,t1) < (v2,t2) when (v1,t1) is BETTER than (v2,t2).
+      v1 > v2 || (v1 == v2 && t1 < t2)
+    }
+
+  def offer(h: mutable.PriorityQueue[(Double, Long)], e: (Double, Long), k: Int): Unit = {
+    if (h.size < k) h.enqueue(e)
+    else {
+      val worst = h.head
+      // keep e if it beats the current worst
+      if (e._1 > worst._1 || (e._1 == worst._1 && e._2 < worst._2)) {
+        h.dequeue(); h.enqueue(e)
+      }
+    }
+  }
+
+  val ResultType: DataType = ArrayType(StructType(Seq(
+    StructField("value", DoubleType, nullable = false),
+    StructField("tag", LongType, nullable = false))), containsNull = false)
+
+  def build(exprs: Seq[Expression]): Expression = {
+    val k = exprs(2) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$Name(value, tag, k): k must be an integer literal, got $other")
+    }
+    TopK(exprs(0), exprs(1), k)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Name, build, "built-in")
+}

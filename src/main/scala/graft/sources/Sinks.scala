@@ -49,6 +49,43 @@ object Sinks {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** HIVE-PARTITIONED parquet layout (`path/col=value/part-*.parquet`) —
+    * the table layout that makes partition PRUNING possible: a filter on
+    * the partition column eliminates whole directories at PLANNING time
+    * (the scan's `PartitionFilters`, checked by StorageLayoutSpec), so a
+    * per-source/per-date query reads a fraction of a 100 TB table and
+    * never opens the rest. Choose low-cardinality, always-filtered
+    * columns (source, date); high-cardinality partitioning produces the
+    * small-file problem [[compact]] exists to fix. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Parquet source with optional schema pinning (inference is an extra
+    * scan) and `mergeSchema` for layouts whose files were written under
+    * EVOLVED schemas (new nullable columns appear over a corpus' life;
+    * merged read presents the union, nulls where absent). */
+  def readParquet(spark: SparkSession, path: String,
+                  mergeSchema: Boolean = false): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
+
+  /** Small-file COMPACTION: rewrite a directory into ~`targetBytes`
+    * files. Streaming ingest and high-cardinality partitioned writes
+    * both produce thousands of KB-sized files; at scan time every file
+    * costs a task plus footer/open overhead, so a 100 TB table of small
+    * files is scan-bound on metadata, not data. One pass: size the
+    * output file count from the input bytes, round-robin repartition
+    * (uniform output sizes — a range partition would sort for nothing),
+    * rewrite to a sibling dir. Returns the output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(inPath)
+    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1,
+      (inputBytes / BigInt(math.max(targetBytes, 1L))).toInt + 1)
+    df.repartition(nFiles).write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** S6 — chart sinks. The engine is headless: rendering is presentation,
     * not query semantics, so the sink emits the CHART DATA CONTRACT — a
     * `chart.json` spec naming the chart kind, axes and title next to a
