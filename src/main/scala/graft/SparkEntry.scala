@@ -544,6 +544,22 @@ object SparkEntry {
           Tables.events(s, dir), "user_id",
           Seq(col("ts"), col("event_id")), col("event_type"))
         .orderBy(col("user_id"))),
+    // ---- dynamic-schema table profiling (ANALYZE surface): per-column
+    //      nulls + exact distincts in ONE pass (Expand plan); column list
+    //      resolved from the input schema at plan time
+    "q103_profile" -> ((s, dir) =>
+      graft.analyze.Profile.tableStats(Tables.events(s, dir))
+        .orderBy(col("col_name"))),
+    // ---- per-group z-score outlier tags: exact DECIMAL moment sums, the
+    //      two-pass variance identity applied in double at the END (owning
+    //      the formula — built-in stddevs differ in summation order
+    //      across engines); stats broadcast, scoring is scan-speed
+    "q104_zscore" -> ((s, dir) =>
+      graft.analyze.Outliers.zscores(
+          Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("z"), col("is_outlier"))
+        .orderBy(col("event_id"))),
     // ---- NATIVE bounded-heap top-k per group (graft_topk): k-element
     //      min-heaps map-side, only k pairs per partition shuffle — the
     //      ranking-window formulation shuffles EVERY row and sorts each
@@ -2119,6 +2135,28 @@ object SparkEntry {
          FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
          ORDER BY g_type, g_bucket,
                   event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q103_profile" ->
+      """SELECT * FROM (
+           SELECT 'event_id' AS col_name, count(*) - count(event_id) AS n_nulls,
+                  count(DISTINCT event_id) AS n_distinct FROM events
+           UNION ALL SELECT 'ts', count(*) - count(ts), count(DISTINCT ts) FROM events
+           UNION ALL SELECT 'user_id', count(*) - count(user_id), count(DISTINCT user_id) FROM events
+           UNION ALL SELECT 'event_type', count(*) - count(event_type), count(DISTINCT event_type) FROM events
+           UNION ALL SELECT 'value', count(*) - count(value), count(DISTINCT value) FROM events
+           UNION ALL SELECT 'props', count(*) - count(props), count(DISTINCT props) FROM events
+         ) ORDER BY col_name""",
+    "q104_zscore" ->
+      """WITH st AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type,
+           round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS z,
+           CAST(CASE WHEN abs((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 3
+                THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+         FROM events e JOIN st ON e.event_type = st.event_type
+         ORDER BY event_id""",
     "q102_topk_native" ->
       """WITH r AS (
            SELECT event_type, value, event_id,

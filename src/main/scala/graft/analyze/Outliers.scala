@@ -1,0 +1,40 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group z-score outlier tagging — the numeric-column anomaly flag of
+  * a feature pipeline (loss spikes, latency tails, sensor glitches),
+  * keeping the row and attaching the score (drop/clamp decisions belong
+  * to the caller; see [[QuantileCut.winsorize]] for the clamping
+  * treatment).
+  *
+  * Engine-portable determinism: mean and variance come from EXACT
+  * DECIMAL sums of x and x² (per-row casts, order-invariant) with the
+  * two-pass variance identity `(Σx² − (Σx)²/n)/(n−1)` applied in double
+  * at the END — built-in `stddev_samp` implementations differ in
+  * summation order across engines (Welford vs naive vs pairwise), so
+  * bit-stable cross-engine scores require owning the formula. Stats
+  * table is one aggregation (groups are few), broadcast back; the score
+  * itself is scan-speed. */
+object Outliers {
+
+  def zscores(df: DataFrame, groupCol: String, valueCol: String,
+              flagAt: Double = 3.0, scale: Int = 4): DataFrame = {
+    // DECIMAL(18,6), not (30,6): the square must stay inside 38 digits in
+    // EVERY engine ((18,6)² → 36-37 digits; a (30,6)² overflows DuckDB's
+    // multiply entirely) — exact as long as |value| < 1e12
+    val x = col(valueCol).cast("decimal(18,6)")
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(x).cast("double").as("__sx"),
+      sum(x * x).cast("double").as("__sxx"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("__var",
+        (col("__sxx") - col("__sx") * col("__sx") / col("__n")) / (col("__n") - 1))
+      .withColumn("z",
+        round((col(valueCol) - col("__sx") / col("__n")) / sqrt(col("__var")), scale))
+      .withColumn("is_outlier", (abs(col("z")) > flagAt).cast("long"))
+      .drop("__n", "__sx", "__sxx", "__var")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.analyze.{Outliers, Profile}
+
+/** Table profiling and per-group z-score outlier tagging. */
+class ProfileOutlierSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("tableStats hand-computed nulls and distincts on any schema") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")), (None, Some("b"))
+    ).toDF("x", "s")
+    val got = Profile.tableStats(df).orderBy("col_name")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("s", 1L, 2L), ("x", 1L, 2L)))
+  }
+
+  test("zscores: hand-computed scores and flags") {
+    // group g: values 1..9 plus an outlier 1000
+    val df = ((1 to 9).map(i => (i.toLong, "g", i.toDouble)) :+ (10L, "g", 1000.0))
+      .toDF("id", "g", "v")
+    val got = Outliers.zscores(df, "g", "v", flagAt = 2.0)
+      .select("id", "z", "is_outlier").as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // reference: mean/std from the exact two-pass formula
+    val vs = (1 to 9).map(_.toDouble) :+ 1000.0
+    val n = vs.length
+    val mean = vs.sum / n
+    val sd = math.sqrt((vs.map(x => x * x).sum - vs.sum * vs.sum / n) / (n - 1))
+    vs.zipWithIndex.foreach { case (v, i) =>
+      val expect = BigDecimal((v - mean) / sd)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(i + 1L)._1 - expect) < 1e-9, s"id ${i + 1}")
+    }
+    assert(got(10L)._2 == 1L)                      // the outlier flags
+    assert((1L to 9L).forall(got(_)._2 == 0L))     // nothing else does
+  }
+
+  test("zscores groups are independent and partitioning-invariant") {
+    val base = ((1 to 50).map(i => (i.toLong, "a", (i % 7).toDouble)) ++
+      (1 to 50).map(i => (100 + i.toLong, "b", (i % 11).toDouble * 100)))
+    val one = Outliers.zscores(base.toDF("id", "g", "v").repartition(1), "g", "v")
+      .orderBy("id").collect().toSeq
+    val many = Outliers.zscores(base.toDF("id", "g", "v").repartition(13), "g", "v")
+      .orderBy("id").collect().toSeq
+    assert(one == many)
+  }
+}
