@@ -47,11 +47,14 @@ object SortedNeighborhood {
     // the shifted integer index — a uniform int equi-join, no skew
     val probes = keyed.select(col("id"), col("__cmp"),
       explode(sequence(col("__rn") + 1, col("__rn") + window)).as("__rn"))
+    // 3-arg levenshtein = banded DP, O(maxDist·len) per pair instead of
+    // O(len²) (returns -1 above the bound — exactly the pairs we drop);
+    // at 120-char prefixes this is the dominant per-pair cost
     probes.alias("a")
       .join(keyed.alias("b"), col("a.__rn") === col("b.__rn"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        levenshtein(col("a.__cmp"), col("b.__cmp")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("a.__cmp"), col("b.__cmp"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       // a pair can meet once per pass only (offsets are distinct), but
       // normalize orientation for the caller
       .select(least(col("id_a"), col("id_b")).as("id_a"),
