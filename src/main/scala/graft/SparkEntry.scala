@@ -544,6 +544,21 @@ object SparkEntry {
           Tables.events(s, dir), "user_id",
           Seq(col("ts"), col("event_id")), col("event_type"))
         .orderBy(col("user_id"))),
+    // ---- group-mean null imputation: nulls CONSTRUCTED deterministically
+    //      (event_id % 13 == 0), repaired with the group's exact-DECIMAL
+    //      mean over observed values — the repair step downstream of the
+    //      permissive casts (P6/q101)
+    "q105_impute" -> ((s, dir) => {
+      val holey = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          when(pmod(col("event_id"), lit(13)) === 0, lit(null)) // simulate dropouts
+            .otherwise(col("value")).as("value"))
+      graft.analyze.Impute.groupMean(holey, "event_type", "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("value_i"), 4).as("value_i"),
+          col("value").isNull.cast("long").as("was_null"))
+        .orderBy(col("event_id"))
+    }),
     // ---- dynamic-schema table profiling (ANALYZE surface): per-column
     //      nulls + exact distincts in ONE pass (Expand plan); column list
     //      resolved from the input schema at plan time
@@ -2135,6 +2150,20 @@ object SparkEntry {
          FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
          ORDER BY g_type, g_bucket,
                   event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q105_impute" ->
+      """WITH h AS (
+           SELECT event_id, event_type,
+             CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+           FROM events),
+         m AS (
+           SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS mean_v
+           FROM h GROUP BY event_type)
+         SELECT event_id, h.event_type,
+                round(coalesce(value, mean_v), 4) AS value_i,
+                CAST(CASE WHEN value IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_null
+         FROM h JOIN m ON h.event_type = m.event_type
+         ORDER BY event_id""",
     "q103_profile" ->
       """SELECT * FROM (
            SELECT 'event_id' AS col_name, count(*) - count(event_id) AS n_nulls,

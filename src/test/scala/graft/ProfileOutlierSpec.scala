@@ -40,6 +40,18 @@ class ProfileOutlierSpec extends AnyFunSuite {
     assert((1L to 9L).forall(got(_)._2 == 0L))     // nothing else does
   }
 
+  test("groupMean imputation: hand-computed repair, observed rows untouched") {
+    val df = Seq(
+      (1L, "g", Some(2.0)), (2L, "g", None), (3L, "g", Some(4.0)),
+      (4L, "h", Some(10.0)), (5L, "h", None)
+    ).toDF("id", "g", "v")
+    val got = graft.analyze.Impute.groupMean(df, "g", "v")
+      .select("id", "value_i").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 2.0 && got(3L) == 4.0 && got(4L) == 10.0)
+    assert(got(2L) == 3.0)    // mean of g's observed {2, 4}
+    assert(got(5L) == 10.0)   // mean of h's observed {10}
+  }
+
   test("zscores groups are independent and partitioning-invariant") {
     val base = ((1 to 50).map(i => (i.toLong, "a", (i % 7).toDouble)) ++
       (1 to 50).map(i => (100 + i.toLong, "b", (i % 11).toDouble * 100)))
