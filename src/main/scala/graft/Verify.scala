@@ -21,6 +21,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same inter-query hygiene as Bench: drop leaked caches and nudge the
+      // ContextCleaner so 105 queries' shuffle/broadcast debt never
+      // accumulates into one JVM-wide stall late in the driver's run
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
