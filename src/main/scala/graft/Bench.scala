@@ -38,7 +38,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // ContextCleaner only reclaims dead shuffle files / broadcast blocks
       // when the JVM GC notices the dead references; with a large heap the
-      // GC may not run across 87 back-to-back queries, so the debt of every
+      // GC may not run across 100+ back-to-back queries, so the debt of every
       // prior query (tens of GB of shuffle spill, broadcast blocks, codegen
       // classes) lands on whichever query happens to trigger collection —
       // observed as 3-5× inflation of individually-fast queries late in the

@@ -21,8 +21,12 @@ object Impute {
     val x = col(valueCol).cast("decimal(18,6)")
     val means = df.groupBy(col(groupCol)).agg(
       (sum(x).cast("double") / count(col(valueCol))).as("__mean"))
-    df.join(broadcast(means), groupCol)
+      .withColumnRenamed(groupCol, "__g")
+    // NULL-SAFE join (<=>): groupBy keeps a null group, but a plain
+    // equi-join back would silently DROP every null-group row — the
+    // opposite of this operator's keep-the-row contract
+    df.join(broadcast(means), col(groupCol) <=> col("__g"))
       .withColumn(outCol, coalesce(col(valueCol), col("__mean")))
-      .drop("__mean")
+      .drop("__mean", "__g")
   }
 }

@@ -29,12 +29,22 @@ object Outliers {
       count(lit(1)).as("__n"),
       sum(x).cast("double").as("__sx"),
       sum(x * x).cast("double").as("__sxx"))
-    df.join(broadcast(stats), groupCol)
-      .withColumn("__var",
-        (col("__sxx") - col("__sx") * col("__sx") / col("__n")) / (col("__n") - 1))
-      .withColumn("z",
-        round((col(valueCol) - col("__sx") / col("__n")) / sqrt(col("__var")), scale))
-      .withColumn("is_outlier", (abs(col("z")) > flagAt).cast("long"))
-      .drop("__n", "__sx", "__sxx", "__var")
+      .withColumnRenamed(groupCol, "__g")
+    // null-safe join: a null group must keep its rows (see Impute)
+    df.join(broadcast(stats), col(groupCol) <=> col("__g"))
+      // guarded divisions: under ANSI (Spark 4 default) a single-row group
+      // (n-1 = 0) or a constant group (sd = 0) would THROW, not null out
+      .withColumn("__var", when(col("__n") > 1,
+        (col("__sxx") - col("__sx") * col("__sx") / col("__n")) / (col("__n") - 1)))
+      // the flag tests the UNROUNDED score (the rounded z is presentation
+      // only — flagging on it would diverge from any engine that tests the
+      // raw value exactly at the boundary); undefined z (zero variance,
+      // single-row group) is NOT an outlier
+      .withColumn("__z", when(col("__var") > 0,
+        (col(valueCol) - col("__sx") / col("__n")) / sqrt(col("__var"))))
+      .withColumn("z", round(col("__z"), scale))
+      .withColumn("is_outlier",
+        coalesce((abs(col("__z")) > flagAt).cast("long"), lit(0L)))
+      .drop("__n", "__sx", "__sxx", "__var", "__z", "__g")
   }
 }

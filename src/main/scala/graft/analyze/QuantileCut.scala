@@ -64,9 +64,12 @@ object QuantileCut {
     val cuts = df.groupBy(col(groupCol)).agg(
       expr(s"percentile($valueCol, $pLo)").as("__lo"),
       expr(s"percentile($valueCol, $pHi)").as("__hi"))
-    df.join(broadcast(cuts), groupCol)
+      .withColumnRenamed(groupCol, "__g")
+    // null-safe join: a null group must keep (and clamp) its rows — a
+    // plain equi-join would silently drop them (see Impute)
+    df.join(broadcast(cuts), col(groupCol) <=> col("__g"))
       .withColumn(outCol,
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+      .drop("__lo", "__hi", "__g")
   }
 }

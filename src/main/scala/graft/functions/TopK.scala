@@ -34,6 +34,16 @@ case class TopK(
 
   require(k > 0, s"${TopK.Name} k must be positive, got $k")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // injected as a session built-in — mistyped SQL calls must fail at
+    // analysis, not as executor ClassCastExceptions mid-job
+    if (valueExpr.dataType == DoubleType && tagExpr.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"${TopK.Name}(value, tag, k) requires (double, bigint), got " +
+        s"(${valueExpr.dataType.simpleString}, ${tagExpr.dataType.simpleString})")
+  }
+
   override def children: Seq[Expression] = Seq(valueExpr, tagExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = TopK.ResultType
@@ -120,6 +130,8 @@ object TopK {
     StructField("tag", LongType, nullable = false))), containsNull = false)
 
   def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"$Name(value, tag, k) takes exactly 3 arguments, got ${exprs.length}")
     val k = exprs(2) match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(

@@ -82,6 +82,7 @@ object PageRank {
     }
     e.unpersist(blocking = false)
     outDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     ranks
   }
 }

@@ -26,9 +26,13 @@ object Upsert {
     require(base.columns.sameElements(updates.columns),
       s"schemas must match: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     val b = base.alias("b")
-    val u = updates.alias("u")
-    val joined = b.join(u, col(s"b.$keyCol") === col(s"u.$keyCol"), "full_outer")
-    val updateWins = col(s"u.$keyCol").isNotNull
+    // presence FLAG, not key-null-ness, decides which side a row came
+    // from: an update row with a null merge key never joins, and testing
+    // u.keyCol would then select the (all-null) base side — emitting a
+    // garbage row and silently discarding the update's payload
+    val u = updates.withColumn("__upd", lit(1)).alias("u")
+    val joined = b.join(u, col(s"b.$keyCol") <=> col(s"u.$keyCol"), "full_outer")
+    val updateWins = col("u.__upd").isNotNull
     val cols = base.columns.map { c =>
       when(updateWins, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)
     }

@@ -125,10 +125,16 @@ object Similarity {
       it += 1
     }
     val bcF = spark.sparkContext.broadcast(cents)
+    // materialize the final assignment BEFORE dropping the input cache —
+    // unpersisting first would force the returned frame to recompute the
+    // full scan+cast (a whole extra corpus pass at scale); the checkpoint
+    // holds only (id, cluster, sim)
     val out = data.withColumn("__a", assignCol(bcF)(col("v")))
       .select(col("id"), col("__a._1").as("cluster"),
         round(col("__a._2"), 4).as("sim"))
+      .localCheckpoint(true)
     data.unpersist(blocking = false)
+    bcF.unpersist()
     out
   }
 

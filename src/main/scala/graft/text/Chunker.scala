@@ -27,8 +27,10 @@ object Chunker {
     require(winSize > 0 && overlap >= 0 && overlap < winSize,
       s"need 0 <= overlap < winSize, got winSize=$winSize overlap=$overlap")
     val step = winSize - overlap
+    // the ONE corpus tokenizer (chunk boundaries must agree with the token
+    // counts/fingerprints computed everywhere else)
     val staged = df.select(col(idCol).as("id"),
-      split(lower(trim(col(textCol))), "\\s+").as("toks"))
+      TextAnalysis.tokens(col(textCol)).as("toks"))
     val n = size(col("toks"))
     val nChunks = when(n <= winSize, lit(1))
       .otherwise(ceil((n - winSize).cast("double") / step).cast("int") + 1)

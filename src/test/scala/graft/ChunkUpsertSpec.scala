@@ -67,6 +67,16 @@ class ChunkUpsertSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.isNullAt(1))
   }
 
+  test("upsert: a null-key update row carries its payload, never a garbage row") {
+    val base = Seq((Some(1L), "a")).toDF("k", "name")
+    val updates = Seq((None: Option[Long], "orphan")).toDF("k", "name")
+    val got = Upsert.upsert(base, updates, "k")
+      .orderBy(asc_nulls_first("k")).collect()
+    assert(got.length == 2)
+    assert(got(0).isNullAt(0) && got(0).getString(1) == "orphan")
+    assert(got(1).getLong(0) == 1L && got(1).getString(1) == "a")
+  }
+
   test("upsert rejects mismatched schemas") {
     val base = Seq((1L, "a")).toDF("k", "name")
     val updates = Seq((1L, 2.0)).toDF("k", "v")

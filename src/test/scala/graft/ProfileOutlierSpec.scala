@@ -52,6 +52,23 @@ class ProfileOutlierSpec extends AnyFunSuite {
     assert(got(5L) == 10.0)   // mean of h's observed {10}
   }
 
+  test("null-group rows are kept (imputed/scored), never dropped") {
+    val df = Seq(
+      (1L, Some("g"), Some(2.0)), (2L, None, Some(4.0)), (3L, None, None)
+    ).toDF("id", "g", "v")
+    val imputed = graft.analyze.Impute.groupMean(df, "g", "v")
+    assert(imputed.count() == 3)
+    // the null group's observed mean (4.0) repairs its own null row
+    assert(imputed.filter(col("id") === 3).head.getAs[Double]("value_i") == 4.0)
+    val scored = graft.analyze.Outliers.zscores(
+      Seq((1L, Some("g"), 1.0), (2L, None, 2.0), (3L, None, 8.0))
+        .toDF("id", "g", "v"), "g", "v")
+    assert(scored.count() == 3)
+    // single-row group g: z undefined -> flag 0, not null
+    val g1 = scored.filter(col("id") === 1).head
+    assert(g1.getAs[Long]("is_outlier") == 0L)
+  }
+
   test("zscores groups are independent and partitioning-invariant") {
     val base = ((1 to 50).map(i => (i.toLong, "a", (i % 7).toDouble)) ++
       (1 to 50).map(i => (100 + i.toLong, "b", (i % 11).toDouble * 100)))
