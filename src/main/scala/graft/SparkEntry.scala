@@ -360,7 +360,12 @@ object SparkEntry {
       val dupKeep = graft.dedup.ChunkDedup
         .docDupStats(docs, "doc_id", "text", 8, 0.3)
         .filter(col("keep") === 1L).select(col("doc_id"))
+      // PERSISTED: packSequential materializes only its own 2-column
+      // projection, so the source re-join below would otherwise re-run
+      // the whole three-branch filter pipeline (quality window +
+      // repetition stats + chunk-digest shuffle) a second time
       val survivors = qKeep.join(repKeep, "doc_id").join(dupKeep, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.Packing
         .packSequential(survivors, "doc_id", "n_tokens", 2048L)
         .join(survivors.select(col("doc_id"), col("source")), "doc_id")
@@ -1581,17 +1586,18 @@ object SparkEntry {
                 off // 2048 AS seq_id, off % 2048 AS seq_offset
          FROM p ORDER BY doc_id""",
     "q78_c4_stats" ->
-      """SELECT doc_id,
-         CASE WHEN regexp_matches(trim(text), '[.!?"]$') THEN 1 ELSE 0 END AS ends_terminal,
-         len(regexp_extract_all(trim(text), '[.!?]+')) AS n_sentences,
-         CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS n_words,
-         round(len(regexp_extract_all(trim(text), '[A-Za-z]')) * 1.0
-               / greatest(len(regexp_extract_all(lower(trim(text)), '\S+')), 1), 4) AS mean_word_len,
-         round(len(regexp_extract_all(trim(text), '[A-Za-z]')) * 1.0
-               / greatest(len(regexp_extract_all(trim(text), '\S')), 1), 4) AS alpha_frac,
-         CASE WHEN contains(trim(text), '{') THEN 1 ELSE 0 END AS has_brace,
-         CASE WHEN contains(lower(trim(text)), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
-         FROM documents ORDER BY doc_id""",
+      """WITH d AS (SELECT doc_id, coalesce(trim(text), '') AS t FROM documents)
+         SELECT doc_id,
+         CASE WHEN regexp_matches(t, '[.!?"]$') THEN 1 ELSE 0 END AS ends_terminal,
+         len(regexp_extract_all(t, '[.!?]+')) AS n_sentences,
+         CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_words,
+         round(len(regexp_extract_all(t, '\S')) * 1.0
+               / greatest(len(regexp_extract_all(t, '\S+')), 1), 4) AS mean_word_len,
+         round(len(regexp_extract_all(t, '[A-Za-z]')) * 1.0
+               / greatest(len(regexp_extract_all(t, '\S')), 1), 4) AS alpha_frac,
+         CASE WHEN contains(t, '{') THEN 1 ELSE 0 END AS has_brace,
+         CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
+         FROM d ORDER BY doc_id""",
     "q79_lm_score" ->
       """WITH c AS (SELECT doc_id,
                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
@@ -1799,18 +1805,26 @@ object SparkEntry {
                 ELSE ' done' END
              AS text
            FROM events)
+         ,staged AS (
+           SELECT event_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS after_email
+           FROM base),
+         staged2 AS (
+           SELECT event_id, text, after_email,
+             regexp_replace(after_email,
+               '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS after_phone
+           FROM staged)
          SELECT event_id,
            CAST(len(regexp_extract_all(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(after_email,
              '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(after_phone,
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
-           regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+           regexp_replace(after_phone,
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS scrubbed
-         FROM base ORDER BY event_id""",
+         FROM staged2 ORDER BY event_id""",
     "q71_quality_cut" ->
       """WITH q AS (
            SELECT doc_id, source,

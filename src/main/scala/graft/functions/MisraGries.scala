@@ -39,6 +39,16 @@ case class MisraGries(
 
   require(k > 0, s"graft_heavy_hitters k must be positive, got $k")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    // registered as a session built-in: a date/timestamp column would
+    // silently stringify its INTERNAL representation (epoch days/micros)
+    // as the item label — require strings at analysis time instead
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"${MisraGries.Name}(item, k) requires a string item column, got " +
+        child.dataType.simpleString)
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = MisraGries.ResultType

@@ -84,7 +84,12 @@ object RepStats {
     InternalRow(n.toLong, uni.size.toLong, topU.toLong, topB.toLong)
   }
 
-  private val Sep = UTF8String.fromString(" ")
+  // newline, not space: the function accepts ANY array<string>, and a
+  // space separator would collide bigram keys across token boundaries
+  // for tokens that themselves contain spaces (("x y","z") vs ("x","y z"))
+  // — the same hazard Dedup's set digests document; whitespace-split
+  // tokens are unaffected either way
+  private val Sep = UTF8String.fromString("\n")
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

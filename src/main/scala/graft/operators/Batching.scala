@@ -32,6 +32,10 @@ object Batching {
                           bucketWidth: Long, batchSize: Long): DataFrame = {
     require(bucketWidth > 0 && batchSize > 0,
       s"bucketWidth=$bucketWidth and batchSize=$batchSize must be positive")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$idCol must be numeric (a string id silently casts to null, making " +
+        s"batch order arbitrary and the output unjoinable); got " +
+        df.schema(idCol).dataType.simpleString)
     val sized = df.select(col(idCol).cast("long").as(idCol),
         sizeExpr.cast("long").as("n_tokens"))
       .withColumn("bucket", floor(col("n_tokens") / bucketWidth).cast("long"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types.LongType
 
 /** Training-sequence packing: lay documents end-to-end in a fixed total
@@ -31,9 +31,16 @@ object Packing {
   def packSequential(df: DataFrame, idCol: String, tokCol: String,
                      targetLen: Long): DataFrame = {
     require(targetLen > 0, s"targetLen must be positive, got $targetLen")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$idCol must be numeric (a string id silently casts to null and the " +
+        s"offset pass then NPEs); got ${df.schema(idCol).dataType.simpleString}")
     val spark = df.sparkSession
     val sorted = df
-      .select(col(idCol).cast("long").as(idCol), col(tokCol).cast("long").as("n_tokens"))
+      .select(col(idCol).cast("long").as(idCol),
+        // a null/negative token count would silently corrupt every
+        // downstream offset (the running sum decreases); fail the row
+        // set loudly instead
+        coalesce(col(tokCol).cast("long"), lit(-1L)).as("n_tokens"))
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
     // one narrow pass for per-partition sums; reused by the offset pass,
     // so pin the sorted frame (the range shuffle runs once)
@@ -58,6 +65,7 @@ object Packing {
       var run = bc.value(i)
       it.map { r =>
         val t = r.getLong(1)
+        require(t >= 0, s"null/negative token count for id ${r.getLong(0)}")
         val start = run
         run += t
         Row(r.getLong(0), t, start, start / targetLen, start % targetLen)

@@ -176,6 +176,11 @@ object Similarity {
         Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("clabel"))))
       .filter(col("rn") === 1)
       .select(col(idCol), col("v"), col("clabel").as("cluster"))
+      // PERSISTED: consumed by both sides of the pair self-join, by the
+      // ConnectedComponents driver actions, and by the final label join —
+      // unpersisted, the K-cosine assignment + per-id window re-runs per
+      // action (the same multiply-consumed-frame hazard q68/withRep fixed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col(idCol).as("id_a"), col("v").as("va"), col("cluster"))
     val b = assigned.select(col(idCol).as("id_b"), col("v").as("vb"), col("cluster"))
     val pairs = a.join(b, Seq("cluster"))

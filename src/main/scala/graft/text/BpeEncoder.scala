@@ -14,11 +14,23 @@ import org.apache.spark.sql.functions._
   * broadcast, and applied by a per-row UDF (the merge loop is inherently
   * sequential per word; there is no built-in form). Encoding is a pure
   * projection: embarrassingly parallel, zero shuffles beyond the
-  * trainer's own aggregate. Per-word results are memoized per partition
-  * (Zipf: the hot words dominate), so the amortized cost per token is
+  * trainer's own aggregate. Per-word results are memoized in a bounded
+  * PER-EXECUTOR cache keyed by the broadcast merge table (Zipf: the hot
+  * words dominate every partition), so the amortized cost per token is
   * near O(word length).
   */
 object BpeEncoder {
+
+  /** Per-executor encode memo, keyed by broadcast id so different merge
+    * tables never mix; bounded so a huge vocabulary can't hold executor
+    * heap (past the cap, encode costs revert to O(len²) per word — still
+    * correct). ConcurrentHashMap: local mode shares one closure across
+    * task threads. */
+  private val MemoCap = 1 << 17
+  private val memos =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
+  private[text] def memoFor(bcId: Long): java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] =
+    memos.computeIfAbsent(bcId, _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
 
   /** Greedy lowest-rank-first BPE segmentation of one word (the standard
     * encode loop: repeatedly merge the adjacent pair with the smallest
@@ -56,16 +68,24 @@ object BpeEncoder {
       .map(r => ((r.getString(1), r.getString(2)), r.getInt(0)))
       .toMap
     val ranksB = spark.sparkContext.broadcast(table)
+    val bcId = ranksB.id
     val nSubUdf = udf { (toks: Seq[String]) =>
       if (toks == null) 0L
       else {
-        // per-call memo: a Zipf vocabulary makes repeated words the
-        // common case even within one document
-        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        // per-executor memo (bounded, keyed by the broadcast table):
+        // hot Zipf words are encoded once per executor, not once per row
+        val memo = BpeEncoder.memoFor(bcId)
         var n = 0L
         toks.foreach { w =>
-          if (w.nonEmpty)
-            n += memo.getOrElseUpdate(w, encodeWord(w, ranksB.value).length)
+          if (w.nonEmpty) {
+            val cached = memo.get(w)
+            if (cached != null) n += cached.longValue()
+            else {
+              val len = encodeWord(w, ranksB.value).length.toLong
+              if (memo.size < BpeEncoder.MemoCap) memo.put(w, java.lang.Long.valueOf(len))
+              n += len
+            }
+          }
         }
         n
       }

@@ -30,8 +30,11 @@ object HeuristicFilters {
     *  - `has_brace`, `has_lorem` — code and placeholder boilerplate
     *    markers (C4 drops pages containing `{` or "lorem ipsum"). */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = trim(col(textCol))
-    val nWords = size(split(lower(t), "\\s+")).cast("double")
+    // null text behaves as empty (all stats defined, gates fail) — and
+    // words are COUNTED as \S+ matches: a split on empty text yields [""]
+    // (n_words = 1 for an empty document), the match count yields 0
+    val t = coalesce(trim(col(textCol)), lit(""))
+    val nWords = regexp_count(t, lit("\\S+")).cast("double")
     val nonSpace = regexp_count(t, lit("\\S")).cast("double")
     val alpha = regexp_count(t, lit("[A-Za-z]")).cast("double")
     df.select(
@@ -39,7 +42,9 @@ object HeuristicFilters {
       t.rlike("[.!?\"]$").cast("int").as("ends_terminal"),
       regexp_count(t, lit("[.!?]+")).as("n_sentences"),
       nWords.cast("long").as("n_words"),
-      round(alpha / greatest(nWords, lit(1.0)), 4).as("mean_word_len"),
+      // true mean word length: word (non-space) characters per word —
+      // not alpha-only, which under-measured numeric/code-ish text
+      round(nonSpace / greatest(nWords, lit(1.0)), 4).as("mean_word_len"),
       round(alpha / greatest(nonSpace, lit(1.0)), 4).as("alpha_frac"),
       t.contains("{").cast("int").as("has_brace"),
       lower(t).contains("lorem ipsum").cast("int").as("has_lorem"))

@@ -37,12 +37,18 @@ object Pii {
   }
 
   /** Per-row PII stats + redacted text: `n_email`, `n_phone`, `n_ip`,
-    * `scrubbed`. */
-  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * `scrubbed`. Counts follow [[scrub]]'s precedence — each class is
+    * counted on the text AFTER the earlier classes were masked, so the
+    * counts reconcile 1:1 with the placeholders in `scrubbed` (an IP
+    * that was really an email's host part counts as email, not both). */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "[EMAIL]")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "[PHONE]")
     df.select(
       col(idCol),
       regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_email"),
-      regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phone"),
-      regexp_count(col(textCol), lit(Ipv4Pattern)).cast("long").as("n_ip"),
-      scrub(col(textCol)).as("scrubbed"))
+      regexp_count(afterEmail, lit(PhonePattern)).cast("long").as("n_phone"),
+      regexp_count(afterPhone, lit(Ipv4Pattern)).cast("long").as("n_ip"),
+      regexp_replace(afterPhone, Ipv4Pattern, "[IP]").as("scrubbed"))
+  }
 }
