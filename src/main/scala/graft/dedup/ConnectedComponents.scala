@@ -49,6 +49,13 @@ object ConnectedComponents {
     * `(id, component)` where `component` is the smallest node id in the
     * node's component. Node ids must be castable to long. */
   def components(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // fail fast on non-numeric ids: a string id would cast to null and the
+    // null filter below would then silently drop the WHOLE graph (every
+    // cluster quietly vanishing into singletons)
+    Seq(aCol, bCol).foreach { c =>
+      require(edges.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"node id column $c must be numeric, got ${edges.schema(c).dataType.simpleString}")
+    }
     var e = truncate(
       edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
         .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))

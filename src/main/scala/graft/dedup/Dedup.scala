@@ -301,9 +301,16 @@ object Dedup {
     * the "vocabulary" is the shingle space. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame =
-    jaccardPairsOfSets(df, idCol,
-      array_sort(array_distinct(
-        shinglesOfTokens(TextAnalysis.tokens(col(textCol)), n))), threshold)
+    jaccardPairsOfSets(stageTokens(df, idCol, textCol), idCol,
+      array_sort(array_distinct(shinglesOfTokens(col("__toks"), n))), threshold)
+
+  /** Stage the token array as a MATERIALIZED attribute before the shingle
+    * HOF — [[shinglesOfTokens]]'s contract: an inline `split` would be
+    * re-evaluated once per shingle position (O(T·split) per doc, the
+    * hottest projection of q59/q60). The multi-reference, non-cheap
+    * column survives CollapseProject. */
+  private def stageTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
 
   /** Core of the exact-Jaccard join, parameterized by the set expression
     * (distinct sorted array of join units — tokens, shingles, …). */
@@ -359,9 +366,8 @@ object Dedup {
     * clustering companion of [[ngramJaccardPairs]]. */
   def ngramJaccardComponents(df: DataFrame, idCol: String, textCol: String,
                              n: Int, threshold: Double): DataFrame =
-    jaccardComponentsOfSets(df, idCol,
-      array_sort(array_distinct(
-        shinglesOfTokens(TextAnalysis.tokens(col(textCol)), n))), threshold)
+    jaccardComponentsOfSets(stageTokens(df, idCol, textCol), idCol,
+      array_sort(array_distinct(shinglesOfTokens(col("__toks"), n))), threshold)
 
   /** Rep-level ≥ τ Jaccard graph: returns `(repPairs, mem)` where
     * `repPairs(id_a, id_b, jaccard)` joins one representative per

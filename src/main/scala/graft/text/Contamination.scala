@@ -32,9 +32,11 @@ object Contamination {
                        idCol: String, textCol: String, n: Int,
                        minContainment: Double): DataFrame = {
     def shingleSet(df: DataFrame, outId: String) =
-      df.select(col(idCol).as(outId),
-          explode(array_distinct(
-            Dedup.shinglesOfTokens(TextAnalysis.tokens(col(textCol)), n))).as("g"))
+      // stage tokens first: shinglesOfTokens' materialized-column contract
+      // (an inline split re-runs per shingle position)
+      df.select(col(idCol).as(outId), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .select(col(outId),
+          explode(array_distinct(Dedup.shinglesOfTokens(col("__toks"), n))).as("g"))
     val probeShingles = shingleSet(probes, "probe_id")
     val probeSizes = probeShingles.groupBy(col("probe_id"))
       .agg(count(lit(1)).as("p_size"))

@@ -34,7 +34,9 @@ def canon(df):
             return "NULL"
         if isinstance(v, float):
             if v != v:
-                return "NULL"
+                # NaN is NOT null: collapsing them would hide a real
+                # engine divergence (0/0 vs NULL) behind a passing hash
+                return "f:nan"
             return f"f:{v:.17g}"
         return str(v)
     rows = sorted(tuple(render(v) for v in row) for row in df.itertuples(index=False, name=None))
