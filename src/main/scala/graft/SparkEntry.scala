@@ -1180,7 +1180,11 @@ object SparkEntry {
         .write.mode("overwrite").text(root.getAbsolutePath)
       root.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
         .zipWithIndex.foreach { case (f, i) =>
-          f.renameTo(new java.io.File(root, f"container_$i%02d.log")) }
+          val dst = new java.io.File(root, f"container_$i%02d.log")
+          // a silently-failed rename would leave part-* names the
+          // container_*.log glob never matches — and the ready marker
+          // below would then pin an empty corpus forever
+          require(f.renameTo(dst), s"rename ${f.getName} -> ${dst.getName} failed") }
       marker.createNewFile()
     }
     root.getAbsolutePath

@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * see [[graft.SparkEntry]]'s dsum contract), then the closing Pearson
   * formula runs in deterministic double arithmetic:
   * corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)).
-  * Precondition: |values| < 10^6 (DECIMAL(12,6) per-row; pairwise products
-  * stay exact in DECIMAL(25,12), sums in DECIMAL(35,12)).
+  * Precondition: |values| < 10^10 (DECIMAL(16,6) per-row; pairwise
+  * products stay exact in DECIMAL(33,12), sums in DECIMAL(38,12)) —
+  * out-of-range values FAIL LOUDLY under ANSI overflow, never silently.
   *
   * The pruning rule is the reference's exact pandas idiom: drop column j
   * if ANY earlier column i<j has |corr(i,j)| > threshold. */
@@ -28,7 +29,7 @@ object CorrPrune {
   def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    def dec(c: String): Column = col(c).cast("decimal(12,6)")
+    def dec(c: String): Column = col(c).cast("decimal(16,6)")
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
     val aggExprs: Seq[Column] =
       Seq(count(lit(1)).cast("double").as("__n")) ++

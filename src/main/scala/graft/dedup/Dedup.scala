@@ -181,12 +181,18 @@ object Dedup {
     * on the join key removes them without touching the candidate
     * explosion, and AQE keeps the count join co-partitioned with the
     * self-join's own (band, bucket) exchange. */
-  def lshCandidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
-    val first = signatures.select(size(col("sig")).as("n")).limit(1).collect()
-    if (first.isEmpty) {
-      return signatures.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
+  def lshCandidatePairs(signatures: DataFrame, bands: Int,
+                        knownSigLen: Int = -1): DataFrame = {
+    // pass knownSigLen when the caller fixed the signature length (the
+    // pipeline always has: numHashes) — the probe is an extra job over
+    // the signature subtree for callers whose frame isn't cached yet
+    val sigLen = if (knownSigLen > 0) knownSigLen else {
+      val first = signatures.select(size(col("sig")).as("n")).limit(1).collect()
+      if (first.isEmpty) {
+        return signatures.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
+      }
+      first.head.getInt(0)
     }
-    val sigLen = first.head.getInt(0)
     require(sigLen % bands == 0,
       s"bands=$bands must divide the signature length $sigLen exactly")
     val rowsPerBand = sigLen / bands
@@ -263,7 +269,7 @@ object Dedup {
       .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
         lit(1.0).as("est_jaccard"))
     // cross-group pairs: LSH over representatives only, then expand
-    val repPairs = lshCandidatePairs(reps, bands)
+    val repPairs = lshCandidatePairs(reps, bands, knownSigLen = numHashes)
       .join(reps.toDF("id_a", "sig_a"), "id_a")
       .join(reps.toDF("id_b", "sig_b"), "id_b")
       .withColumn("est_jaccard", round(minHashJaccard(col("sig_a"), col("sig_b")), 4))
@@ -274,7 +280,8 @@ object Dedup {
       .join(mem.toDF("id_b", "mb"), "id_b")
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"), col("est_jaccard"))
-    (if (1.0 >= threshold) within.unionAll(cross) else cross)
+    // identical-signature pairs estimate J = 1.0 ≥ any legal threshold
+    within.unionAll(cross)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
@@ -329,7 +336,8 @@ object Dedup {
       .join(mem.toDF("id_b", "mb"), "id_b")
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-    (if (threshold <= 1.0) within.unionAll(cross) else cross)
+    // identical-set pairs have J = 1.0 ≥ any legal threshold
+    within.unionAll(cross)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
@@ -451,7 +459,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // probing prefix: |d| - ceil(τ·|d|) + 1 rarest-first tokens, with the
     // 0-based position of each prefix token retained for the PPJoin bound.
-    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    // ceil over (x − ε): if n·τ in double lands an ulp ABOVE the exact
+    // rational (e.g. integer-valued products), a too-high ceil would
+    // SHORTEN the prefix below the lossless bound; the epsilon can only
+    // lengthen it (strictly more candidates — safe)
+    val prefixLen = (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast("int")
     val prefixes = withArrays.select(col("id"), col("n"),
       posexplode(slice(col("toks"), lit(1), prefixLen)))
       .toDF("id", "n", "pos", "tok")
@@ -463,13 +475,23 @@ object Dedup {
     //    which must reach minoverlap = ⌈τ/(1+τ)·(na+nb)⌉. Filtering every
     //    matched row by this bound is lossless: a qualifying pair always
     //    survives via its first shared prefix token.
-    val minOverlap = ceil((col("a.n") + col("b.n")) * threshold / (1 + threshold))
+    // NO ceil, and an epsilon RELAXATION: the bound must be conservative
+    // against float noise. ceil((na+nb)·t/(1+t)) computed in double can
+    // land one ABOVE the true rational ceiling (e.g. t=0.16, na+nb=203 →
+    // 28.000000000000004 → ceil 29 while the exact bound is 28), silently
+    // dropping boundary pairs that verification would keep. Comparing the
+    // integer remainder directly against the real-valued bound minus 1e-9
+    // admits at worst a few extra candidates — which verification then
+    // scores exactly — and can never lose a qualifying pair.
+    val minOverlap = (col("a.n") + col("b.n")) * threshold / (1 + threshold) - 1e-9
     val cands = prefixes.alias("a")
       .join(prefixes.alias("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-        col("a.n").cast("double") >= col("b.n") * threshold &&
-        col("b.n").cast("double") >= col("a.n") * threshold &&
-        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= minOverlap)
+        // length filter carries the same epsilon relaxation (τ·max in
+        // double can exceed the exact rational bound by an ulp)
+        col("a.n").cast("double") >= col("b.n") * threshold - 1e-9 &&
+        col("b.n").cast("double") >= col("a.n") * threshold - 1e-9 &&
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")).cast("double") >= minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // No dropDuplicates BEFORE verification: a candidate appears at most
     // prefix-length times, and verifying a few duplicate pairs map-side is

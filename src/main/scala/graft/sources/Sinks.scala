@@ -102,9 +102,18 @@ object Sinks {
                      title: String = "", xtickEvery: Int = 0): Unit = {
     require(Set("bar", "scatter", "line").contains(kind), s"unknown chart kind $kind")
     writeCsv(df, s"$path/data")
-    val colorField = color.map(c => s""","color":"$c"""").getOrElse("")
+    // JSON-escape every interpolated string: a title/column containing a
+    // quote or backslash must not produce an unparseable spec
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val colorField = color.map(c => s""","color":${q(c)}""").getOrElse("")
     val spec =
-      s"""{"kind":"$kind","x":"$x","y":"$y"$colorField,"title":"$title","xtickEvery":$xtickEvery}"""
+      s"""{"kind":${q(kind)},"x":${q(x)},"y":${q(y)}$colorField,"title":${q(title)},"xtickEvery":$xtickEvery}"""
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("chart.json"), spec)

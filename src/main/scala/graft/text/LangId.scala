@@ -41,7 +41,7 @@ object LangId {
     val f = udf { (s: String) =>
       if (s == null) "und"
       else {
-        val toks = s.trim.toLowerCase.split("\\s+")
+        val toks = s.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         var bestLang = "und"
         var best = 0
         MarkerSets.foreach { case (lang, set) =>
@@ -68,7 +68,7 @@ object LangId {
     val f = udf { (s: String) =>
       if (s == null || s.isEmpty) "und"
       else {
-        val t = s.toLowerCase
+        val t = s.toLowerCase(java.util.Locale.ROOT)
         val grams: Set[String] =
           (if (t.length < 3) Set(t)
            else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet) ++

@@ -45,7 +45,7 @@ object TextAnalysis {
     val f = udf { (s: String) =>
       if (s == null || s.length < k) Array.empty[Long]
       else {
-        val t = s.toLowerCase
+        val t = s.toLowerCase(java.util.Locale.ROOT)
         val B = 1000003L
         var pow = 1L
         var i = 0
