@@ -549,6 +549,23 @@ object SparkEntry {
           Tables.events(s, dir), "user_id",
           Seq(col("ts"), col("event_id")), col("event_type"))
         .orderBy(col("user_id"))),
+    // ---- per-document character entropy (Shannon): the language-free
+    //      quality signal — near-zero = padding, very high = base64/binary;
+    //      two-phase (doc, char) agg, log2 only ever sees exact integers
+    "q106_char_entropy" -> ((s, dir) =>
+      graft.text.CorpusStats.docCharEntropy(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    // ---- hopping TIME windows (size 10 min, slide 5 min): each event
+    //      lands in exactly size/slide = 2 epoch-aligned windows — the
+    //      sliding-time sibling of tumbling (q08), session (q53) and
+    //      count-sliding windows; one hash shuffle on the window start
+    "q107_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"))),
     // ---- group-mean null imputation: nulls CONSTRUCTED deterministically
     //      (event_id % 13 == 0), repaired with the group's exact-DECIMAL
     //      mean over observed values — the repair step downstream of the
@@ -2168,6 +2185,25 @@ object SparkEntry {
          FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
          ORDER BY g_type, g_bucket,
                   event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q106_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         hist AS (
+           SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+                round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits
+         FROM hist GROUP BY doc_id ORDER BY doc_id""",
+    "q107_hopping_window" ->
+      """WITH h AS (
+           SELECT value, unnest([
+             make_timestamp((epoch_us(ts) // 300000000) * 300000000),
+             make_timestamp((epoch_us(ts) // 300000000) * 300000000 - 300000000)
+           ]) AS window_start
+           FROM events)
+         SELECT window_start, count(*) AS n,
+                round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_value
+         FROM h GROUP BY window_start ORDER BY window_start""",
     "q105_impute" ->
       """WITH h AS (
            SELECT event_id, event_type,

@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
+  /** Per-document CHARACTER ENTROPY (Shannon, in bits): the
+    * language-free quality signal complementing the token-level filters —
+    * near-zero entropy flags repeated-character padding, very high
+    * entropy flags base64/binary dumps; both are standard pre-training
+    * drop rules.
+    *
+    * Scale shape: explode characters → two-phase (doc, char) hash
+    * aggregate (map-side combine collapses within-partition repeats) →
+    * per-doc rollup. H = log2(n) − Σc·log2(c)/n, with the log identity
+    * keeping every term a log of an exact INTEGER count — both engines
+    * evaluate log2 on identical integer inputs, so cross-engine noise is
+    * confined to the final sum/division (rounded to 4 dp, the q54
+    * precedent for transcendental outputs). */
+  def docCharEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_chars"),
+        round(log2(sum(col("c"))) -
+          sum(col("c") * log2(col("c"))) / sum(col("c")), 4).as("entropy_bits"))
+
   /** Corpus duplicated word-n-gram statistics, one output row:
     * `(total_ngrams, distinct_ngrams, dup_ngrams, dup_occurrences,
     * dup_frac)` where a "dup" n-gram occurs ≥ 2 times corpus-wide

@@ -107,4 +107,33 @@ class CorpusStatsSpec extends AnyFunSuite {
       .orderBy("source").collect().toSeq
     assert(a == b)
   }
+
+  // -------------------------------------------------------- char entropy
+
+  test("docCharEntropy: hand-computed bits") {
+    val df = Seq(
+      (1L, "aaaa"),      // one symbol -> 0 bits
+      (2L, "ab"),        // two equiprobable -> 1 bit
+      (3L, "abcd"),      // four equiprobable -> 2 bits
+      (4L, "aab")        // H = log2(3) - (2*1 + 1*0)/3
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.docCharEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got(0) == ((1L, 4L, 0.0)))
+    assert(got(1) == ((2L, 2L, 1.0)))
+    assert(got(2) == ((3L, 4L, 2.0)))
+    val h3 = math.log(3) / math.log(2) - 2.0 / 3
+    assert(math.abs(got(3)._3 - math.rint(h3 * 10000) / 10000) < 1e-9)
+    assert(got(3)._2 == 3L)
+  }
+
+  test("docCharEntropy flags padding low and diverse text high") {
+    val df = Seq(
+      (1L, "xxxxxxxxxxxxxxxxxxxx"),
+      (2L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.docCharEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got(0)._3 == 0.0 && got(1)._3 > 3.0)
+  }
 }
