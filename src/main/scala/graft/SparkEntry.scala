@@ -566,6 +566,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
         .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
         .orderBy(col("window_start"))),
+    // ---- Efraimidis-Spirakis weighted sample without replacement (k per
+    //      group): rank by u^(1/w) desc with the portable hash uniform —
+    //      quality-weighted subcorpus selection any engine reproduces
+    "q108_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.operators.TrainOrder.weightedSamplePerGroup(
+          docs, "source", "doc_id", "quality", k = 10)
+        .select(col("doc_id"), col("source"), col("smp_rank").cast("long").as("smp_rank"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- PSI drift between two snapshots (even/odd event ids): baseline
+    //      decile cuts broadcast, integer bucket counts, one ln at the end
+    "q109_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      graft.analyze.Drift.psi(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          ev.filter(pmod(col("event_id"), lit(2)) === 1),
+          "value", nBuckets = 10)
+        .orderBy(col("bucket"))
+    }),
     // ---- group-mean null imputation: nulls CONSTRUCTED deterministically
     //      (event_id % 13 == 0), repaired with the group's exact-DECIMAL
     //      mean over observed values — the repair step downstream of the
@@ -2185,6 +2206,56 @@ object SparkEntry {
          FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
          ORDER BY g_type, g_bucket,
                   event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q108_weighted_sample" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+           round((
+             least(len(string_split_regex(lower(trim(text)), '\s+')), 50) / 50.0
+             + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                    / greatest(length(text), 1))
+             + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0
+               / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+           ) / 3.0, 4) AS quality
+           FROM documents),
+         keyed AS (
+           SELECT doc_id, source, quality,
+             pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                   / 4294967296.0,
+                 1.0 / quality) AS es_key
+           FROM q WHERE quality > 0),
+         r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY es_key DESC, doc_id) AS smp_rank
+           FROM keyed)
+         SELECT doc_id, source, CAST(smp_rank AS BIGINT) AS smp_rank
+         FROM r WHERE smp_rank <= 10 ORDER BY doc_id""",
+    "q109_psi_drift" ->
+      """WITH base AS (SELECT value FROM events WHERE event_id % 2 = 0),
+         cur AS (SELECT value FROM events WHERE event_id % 2 = 1),
+         cuts AS (
+           SELECT quantile_cont(value,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+           FROM base),
+         bb AS (
+           SELECT len(list_filter(cuts, c -> c < value)) AS bucket, count(*) AS n_base
+           FROM base, cuts GROUP BY 1),
+         cc AS (
+           SELECT len(list_filter(cuts, c -> c < value)) AS bucket, count(*) AS n_cur
+           FROM cur, cuts GROUP BY 1),
+         j AS (
+           SELECT coalesce(bb.bucket, cc.bucket) AS bucket,
+                  coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+           FROM bb FULL JOIN cc ON bb.bucket = cc.bucket),
+         t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+         SELECT CAST(bucket AS INT) AS bucket,
+                CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+                round((greatest(n_cur * 1.0 / tc, 0.000001)
+                       - greatest(n_base * 1.0 / tb, 0.000001))
+                      * ln(greatest(n_cur * 1.0 / tc, 0.000001)
+                           / greatest(n_base * 1.0 / tb, 0.000001)), 4) AS psi_term
+         FROM j, t ORDER BY bucket""",
     "q106_char_entropy" ->
       """WITH ch AS (
            SELECT doc_id, unnest(string_split(text, '')) AS ch

@@ -51,4 +51,27 @@ object TrainOrder {
     df.withColumn("smp_rank", row_number().over(w))
       .filter(col("smp_rank") <= k)
   }
+
+  /** WEIGHTED sample without replacement, k per group (Efraimidis &
+    * Spirakis 2006, algorithm A-ES): rank by `u^(1/w)` descending, where
+    * `u` is the portable uniform from the row's key hash — each row's
+    * inclusion probability is proportional to its weight, and the draw
+    * is a pure function of the data (any engine reproduces the winners).
+    * The quality-weighted subcorpus selector: weight = quality score ⇒
+    * better documents proportionally likelier, none guaranteed, all
+    * possible. Non-positive weights never win (key −∞). One key shuffle;
+    * the rank window spills. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                             weightCol: String, k: Int): DataFrame = {
+    // u in (0,1]: (hash32 + 1) / 2^32 — hash32's zero must not produce
+    // u = 0 (pow(0, x) = 0 ties every zero-hash row at the bottom)
+    val u = (Sharding.hash32(col(keyCol)) + 1).cast("double") / 4294967296.0
+    val esKey = when(col(weightCol) > 0, pow(u, lit(1.0) / col(weightCol)))
+      .otherwise(lit(Double.NegativeInfinity))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(esKey.desc, col(keyCol))
+    df.withColumn("smp_rank", row_number().over(w))
+      .filter(col("smp_rank") <= k && col(weightCol) > 0)
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Drift
+import graft.operators.TrainOrder
+
+/** Weighted sampling (Efraimidis-Spirakis) and PSI drift monitoring. */
+class SampleDriftSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------- weighted sample
+
+  test("weighted sample: deterministic, exactly k, positives only") {
+    val df = (1 to 100).map(i => (i.toLong, "g", if (i % 10 == 0) 0.0 else i / 100.0))
+      .toDF("id", "g", "w")
+    val a = TrainOrder.weightedSamplePerGroup(df, "g", "id", "w", 15)
+      .select("id").as[Long].collect().toSet
+    val b = TrainOrder.weightedSamplePerGroup(df.repartition(13), "g", "id", "w", 15)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.size == 15)
+    assert(a.forall(_ % 10 != 0), "zero-weight rows must never win")
+  }
+
+  test("weighted sample favors heavy weights in aggregate") {
+    // two strata: weight 10 vs weight 0.1 — across many groups the heavy
+    // stratum must dominate the selections (odd group modulus so both
+    // parities compete inside every group)
+    val df = (1 to 2000).map { i =>
+      (i.toLong, s"g${i % 39}", if (i % 2 == 0) 10.0 else 0.1)
+    }.toDF("id", "g", "w")
+    val picked = TrainOrder.weightedSamplePerGroup(df, "g", "id", "w", 5)
+      .select("id").as[Long].collect()
+    val heavy = picked.count(_ % 2 == 0)
+    assert(heavy > picked.length * 0.8,
+      s"heavy stratum won only $heavy of ${picked.length}")
+  }
+
+  // ------------------------------------------------------------------ PSI
+
+  test("psi of identical snapshots is zero in every bucket") {
+    val v = (1 to 1000).map(i => i.toLong -> (i % 97).toDouble)
+    val df = v.toDF("id", "value")
+    val got = Drift.psi(df, df, "value", nBuckets = 10).collect()
+    assert(got.forall(_.getAs[Double]("psi_term") == 0.0))
+    assert(got.map(_.getAs[Long]("n_base")).sum == 1000)
+  }
+
+  test("psi detects a shifted distribution") {
+    val base = (1 to 1000).map(i => i.toLong -> (i % 100).toDouble).toDF("id", "value")
+    val shifted = (1 to 1000).map(i => i.toLong -> ((i % 100) + 60.0)).toDF("id", "value")
+    val total = Drift.psi(base, shifted, "value", nBuckets = 10)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(total > 0.25, s"shifted distribution must read as drift, psi=$total")
+  }
+}
