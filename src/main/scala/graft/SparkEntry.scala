@@ -566,6 +566,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
         .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
         .orderBy(col("window_start"))),
+    // ---- NFC-robust dedup: half the corpus is re-encoded with DECOMPOSED
+    //      combining sequences (constructed identically in both engines);
+    //      raw fingerprints see distinct docs, canonicalized fingerprints
+    //      merge them — the measurable reason ingest normalizes first
+    "q110_nfc_dedup" -> ((s, dir) => {
+      val dirty = when(pmod(col("doc_id"), lit(2)) === 0,
+        regexp_replace(col("text"), "a", "a\u0301")).otherwise(  // decomposed
+        regexp_replace(col("text"), "a", "\u00e1"))           // precomposed
+      val d = Tables.documents(s, dir).select(col("doc_id"), dirty.as("text"))
+      val raw = d.select(TextAnalysis.setFingerprint(col("text")).as("fp"))
+        .agg(countDistinct(col("fp")).as("raw_groups"))
+      val canon = d.select(TextAnalysis.setFingerprint(
+          graft.text.UnicodeNorm.nfc(col("text"))).as("fp"))
+        .agg(countDistinct(col("fp")).as("canon_groups"))
+      raw.crossJoin(canon)
+    }),
     // ---- Efraimidis-Spirakis weighted sample without replacement (k per
     //      group): rank by u^(1/w) desc with the portable hash uniform —
     //      quality-weighted subcorpus selection any engine reproduces
@@ -2206,6 +2222,22 @@ object SparkEntry {
          FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
          ORDER BY g_type, g_bucket,
                   event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q110_nfc_dedup" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN replace(text, 'a', 'a' || chr(769))
+                  ELSE replace(text, 'a', chr(225)) END AS text
+           FROM documents),
+         fp AS (
+           SELECT md5(array_to_string(list_sort(list_distinct(
+                    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp,
+                  md5(array_to_string(list_sort(list_distinct(
+                    string_split_regex(lower(trim(nfc_normalize(text))), '\s+'))), ' ')) AS cfp
+           FROM d)
+         SELECT count(DISTINCT fp) AS raw_groups,
+                count(DISTINCT cfp) AS canon_groups
+         FROM fp""",
     "q108_weighted_sample" ->
       """WITH q AS (
            SELECT doc_id, source,
