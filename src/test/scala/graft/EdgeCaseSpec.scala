@@ -100,4 +100,46 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq((1.5, 1)).toDF("f", "label"), Seq("f"), "label").collect()
     assert(one.length == 1 && one.head.getDouble(2) == 1.0)
   }
+
+  test("round-4b operators survive empty and degenerate input") {
+    import spark.implicits._
+    // chunker: empty frame and empty text
+    assert(graft.text.Chunker.tokenWindows(emptyDocs, "doc_id", "text", 8, 2).count() == 0)
+    val emptyText = graft.text.Chunker.tokenWindows(
+      Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text", 8, 2).collect()
+    assert(emptyText.length == 1 && emptyText.head.getAs[Int]("chunk_idx") == 0)
+    // upsert: both sides empty / one side empty
+    val e = Seq.empty[(Long, String)].toDF("k", "v")
+    val b = Seq((1L, "x")).toDF("k", "v")
+    assert(graft.operators.Upsert.upsert(e, e, "k").count() == 0)
+    assert(graft.operators.Upsert.upsert(b, e, "k").count() == 1)
+    assert(graft.operators.Upsert.upsert(e, b, "k").count() == 1)
+    // sorted neighborhood: empty and single row produce no pairs
+    assert(graft.dedup.SortedNeighborhood.editDistancePairs(
+      emptyDocs, "doc_id", col("text"), col("text"), 2, 5).count() == 0)
+    assert(graft.dedup.SortedNeighborhood.editDistancePairs(
+      oneDoc, "doc_id", col("text"), col("text"), 2, 5).count() == 0)
+    // incremental dedup: empty fresh batch
+    assert(Dedup.incrementalExact(emptyDocs, oneDoc, "doc_id", "text").count() == 0)
+    // weighted sample: all weights zero -> nothing selected
+    val zw = Seq((1L, "g", 0.0), (2L, "g", 0.0)).toDF("id", "g", "w")
+    assert(graft.operators.TrainOrder
+      .weightedSamplePerGroup(zw, "g", "id", "w", 5).count() == 0)
+    // PSI: empty current snapshot -> every base bucket reads full drift
+    val base = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "value")
+    val cur = Seq.empty[(Long, Double)].toDF("id", "value")
+    val psi = graft.analyze.Drift.psi(base, cur, "value", 5).collect()
+    assert(psi.nonEmpty && psi.forall(_.getAs[Long]("n_cur") == 0L))
+    // entropy: empty frame, single-char doc
+    assert(graft.text.CorpusStats.docCharEntropy(emptyDocs, "doc_id", "text").count() == 0)
+    val single = graft.text.CorpusStats.docCharEntropy(
+      Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text").head
+    assert(single.getAs[Double]("entropy_bits") == 0.0)
+    // pagerank / kmeans empty inputs
+    assert(graft.graph.PageRank.run(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", 3).count() == 0)
+    assert(graft.sim.Similarity.kmeansAssign(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 3, 2).count() == 0)
+  }
 }
