@@ -42,5 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[TopK], TopK.build))
     // whole-operator nodes (custom-operator ladder rung (c))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer rules (the Rule[LogicalPlan] rung): algebraic rewrites
+    // over graft expressions — nfc idempotence collapse
+    ext.injectOptimizerRule(_ => graft.plans.CollapseNfc)
   }
 }

@@ -24,4 +24,19 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getInt(0)
     assert(mined >= 1)
   }
+
+  test("CollapseNfc optimizer rule eliminates nested nfc applications") {
+    // genuinely non-foldable input (range leaf): a literal — or a VALUES
+    // local relation — is constant-folded away entirely before the plan
+    // is inspectable
+    val df = spark.sql(
+      "SELECT graft_nfc(graft_nfc(graft_nfc(concat('cafe\u0301', CAST(id AS STRING))))) AS s" +
+        " FROM range(1)")
+    // correctness: still composes
+    assert(df.head().getString(0) == "café0")
+    // plan: exactly ONE graft_nfc survives optimization
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val n = "graft_nfc".r.findAllIn(optimized).length
+    assert(n == 1, s"expected a single collapsed graft_nfc, got $n:\n$optimized")
+  }
 }
