@@ -566,6 +566,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
         .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
         .orderBy(col("window_start"))),
+    // ---- 5-way star join (TPC-H Q5 shape): every dimension broadcasts,
+    //      the fact table never shuffles for the joins — Catalyst picks
+    //      the order; one final hash shuffle for the group-by
+    "q111_star_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))),
     // ---- NFC-robust dedup: half the corpus is re-encoded with DECOMPOSED
     //      combining sequences (constructed identically in both engines);
     //      raw fingerprints see distinct docs, canonicalized fingerprints
@@ -2222,6 +2236,17 @@ object SparkEntry {
          FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
          ORDER BY g_type, g_bucket,
                   event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q111_star_join" ->
+      """SELECT n_name,
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2)::DOUBLE AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
     "q110_nfc_dedup" ->
       """WITH d AS (
            SELECT doc_id,

@@ -111,6 +111,13 @@ class PlanSpec extends AnyFunSuite {
     assert(joins == 1, s"upsert promises one full-outer join, got $joins:\n$p")
   }
 
+  test("q111: star join broadcasts every dimension (fact never shuffles for joins)") {
+    val p = plan("q111_star_join")
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) == 4,
+      s"all four dimension joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge in the star join:\n$p")
+  }
+
   test("q93: winsorize cut table joins broadcast (clamp never shuffles the fact side)") {
     val p = plan("q93_winsorize")
     assert(p.contains("BroadcastHashJoin"), s"cut-table join must broadcast:\n$p")
