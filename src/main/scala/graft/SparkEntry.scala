@@ -344,34 +344,55 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     // ---- end-to-end curation v2: per-source quality quantile cut →
     //      repetition ceiling → chunk-level dedup gate → pack survivors
-    //      into 2048-token sequences. One scan feeds three projections;
-    //      shuffles: quality window (source), chunk digests, the packing
-    //      prefix sum — every stage mirrored in the oracle SQL
+    //      into 2048-token sequences. ONE corpus scan: every per-doc
+    //      signal (quality, repetition fractions, chunk digests) is
+    //      computed in a single staged projection; the persisted working
+    //      set carries digests and scalars, never raw text. Remaining
+    //      shuffles: quality window (source), chunk-digest rollup, the
+    //      packing prefix sum — every stage mirrored in the oracle SQL
     "q77_curate_pack" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val q = docs.select(col("doc_id"), col("source"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.functions.RepStats.register(s)
+      val perDoc = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          call_function(graft.functions.RepStats.Name,
+            split(lower(trim(col("text"))), "\\s+")).as("st"),
+          transform(graft.dedup.ChunkDedup.chunks(col("text"), 8),
+            c => md5(c)).as("hs"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("st").getField("n_tokens").as("n_tokens"),
+          round(col("st").getField("top_token").cast("double") /
+            col("st").getField("n_tokens"), 4).as("top_token_frac"),
+          col("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qKeep = graft.analyze.QuantileCut
-        .buckets(q, "source", "quality", "doc_id", 5, 1)
+        .buckets(perDoc.select(col("doc_id"), col("source"), col("quality")),
+          "source", "quality", "doc_id", 5, 1)
         .filter(col("keep") === 1L).select(col("doc_id"), col("source"))
-      val repKeep = graft.text.Repetition.tokenStats(docs, "doc_id", "text")
-        .filter(col("top_token_frac") <= 0.2)
+      val repKeep = perDoc.filter(col("top_token_frac") <= 0.2)
         .select(col("doc_id"), col("n_tokens"))
       val dupKeep = graft.dedup.ChunkDedup
-        .docDupStats(docs, "doc_id", "text", 8, 0.3)
+        .docDupStatsOfChunkHashes(
+          perDoc.select(col("doc_id"), explode(col("hs")).as("h")),
+          "doc_id", "h", 0.3)
         .filter(col("keep") === 1L).select(col("doc_id"))
       // PERSISTED: packSequential materializes only its own 2-column
       // projection, so the source re-join below would otherwise re-run
-      // the whole three-branch filter pipeline (quality window +
-      // repetition stats + chunk-digest shuffle) a second time
+      // the whole three-branch filter pipeline a second time
       val survivors = qKeep.join(repKeep, "doc_id").join(dupKeep, "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.operators.Packing
-        .packSequential(survivors, "doc_id", "n_tokens", 2048L)
-        .join(survivors.select(col("doc_id"), col("source")), "doc_id")
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("seq_id"), col("seq_offset"))
-        .orderBy(col("doc_id"))
+      try {
+        graft.operators.Packing
+          .packSequential(survivors, "doc_id", "n_tokens", 2048L)
+          .join(survivors.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("seq_id"), col("seq_offset"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(eager = true)
+      } finally {
+        survivors.unpersist(blocking = false)
+        perDoc.unpersist(blocking = false)
+      }
     }),
     // ---- C4-style heuristic filter stats: terminal punctuation,
     //      sentence/word shape, alpha fraction, boilerplate markers —
@@ -913,11 +934,13 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .withColumn("corr", round(col("corr"), 4))
         .orderBy(col("col_a"), col("col_b"))),
-    // ---- L1/L2: stratified 60/20/20 split, per-stratum counts (rows-only)
+    // ---- L1/L2: PORTABLE stratified 60/20/20 split (md5-rank keep rule —
+    //      membership a pure function of the data, hash-oracled): counts
+    //      AND the membership-sensitive id sum per stratum
     "q31_split_counts" -> ((s, dir) =>
       StratifiedSplit.tagged(Tables.events(s, dir), "event_type", "event_id")
         .groupBy(col("split"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
         .orderBy(col("split"), col("event_type"))),
     // ---- L3+L5+L6: logistic regression on windowed features, metric table
     "q32_lr_metrics" -> ((s, dir) => {
@@ -941,7 +964,7 @@ object SparkEntry {
       // distinct feature vectors instead of the full corpus
       val train = Models.assemble(Models.compressWeighted(feats, cols, "label"), cols, "label")
       val model = Models.fitRandomForest(train, weightCol = Some("weight"))
-      Models.rfImportance(model, cols)
+      Models.rfImportance(s, model, cols)
     }),
     // ---- L9: isolation forest anomaly flags on lineitem measures (rows-only)
     "q34_iforest" -> ((s, dir) =>
@@ -1106,7 +1129,7 @@ object SparkEntry {
       val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
       val train = Models.assemble(
         Models.compressWeighted(windowedFeatures(s, dir), cols, "label"), cols, "label")
-      Models.lrImportance(
+      Models.lrImportance(s,
         Models.fitLogisticRegression(train, weightCol = Some("weight")), cols)
     }),
     // ---- stream-stream INTERVAL self-join (watermarked both sides,
@@ -1993,6 +2016,26 @@ object SparkEntry {
            round((n * sp - sa * sb) /
              (sqrt(n * ssa - sa * sa) * sqrt(n * ssb - sb * sb)), 4) AS corr
          FROM p ORDER BY col_a, col_b""",
+    "q31_split_counts" ->
+      """WITH e AS (
+           SELECT event_id, event_type,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+           FROM events),
+         r AS (
+           SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY u, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM e),
+         s AS (
+           SELECT event_id, event_type,
+             CASE WHEN rk <= floor(n * 0.6 + 0.5) THEN 'train'
+                  WHEN rk <= floor(n * (0.6 + 0.2) + 0.5) THEN 'val'
+                  ELSE 'test' END AS split
+           FROM r)
+         SELECT split, event_type, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_ids
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "q36_media_ingest" ->
       """SELECT doc_id AS media_id,
          ['image','audio','video'][(doc_id % 3 + 1)::int] AS kind,
@@ -2383,9 +2426,14 @@ object SparkEntry {
              CASE WHEN event_id % 97 = 0 THEN '}' || props ELSE props END AS p
            FROM events)
          SELECT event_id,
-           CASE WHEN json_valid(p) THEN CAST(json_extract(p, '$.k') AS BIGINT) END AS k,
-           CASE WHEN NOT json_valid(p) THEN -1
-                ELSE CAST(json_extract(p, '$.k') AS BIGINT) % 10 END AS k_bucket
+           CASE WHEN json_valid(p) THEN TRY_CAST(json_extract(p, '$.k') AS BIGINT) END AS k,
+           -- k_bucket = -1 on ANY null k (invalid JSON, missing key, or a
+           -- non-integer value), mirroring the Spark side's isNull branch
+           -- — not only on json_valid failure; TRY_CAST so a non-integer
+           -- value nulls instead of erroring (from_json's behavior)
+           CASE WHEN NOT json_valid(p)
+                  OR TRY_CAST(json_extract(p, '$.k') AS BIGINT) IS NULL THEN -1
+                ELSE TRY_CAST(json_extract(p, '$.k') AS BIGINT) % 10 END AS k_bucket
          FROM d ORDER BY event_id""",
     "q99_chunk_windows" ->
       """WITH t AS (

@@ -1,51 +1,74 @@
 package graft.analyze
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** L1/L2 — stratified splits (SURVEY.md §2.7).
+import graft.operators.{Mixture, Positional}
+
+/** L1/L2 — stratified splits (SURVEY.md §2.7), PORTABLE: membership is a
+  * pure function of the data, never of an engine RNG.
   *
   * The reference uses sklearn's `train_test_split(stratify=y)`
-  * (`process_logs_v9.py:337`, 60/20/20 at v9:277-279). Spark's
-  * `randomSplit` is NOT stratified, so the engine composes
-  * `stat.sampleBy` (per-stratum Bernoulli sampling, seed-pinned) with an
-  * anti-join for the complement. One pass per split boundary; the
-  * anti-join is a broadcast-friendly join on the row key.
+  * (`process_logs_v9.py:337`, 60/20/20 at v9:277-279) — seeded, with
+  * EXACT per-stratum counts. Spark's `stat.sampleBy` (the previous
+  * implementation here) is per-stratum Bernoulli: counts are only
+  * approximate, and the seeded RNG is engine-private, so a resumed
+  * export or a rerun on another engine selects different rows. Here each
+  * row ranks within its label by the portable md5 unit hash
+  * ([[Mixture.unitHash]] — the same keep-rule contract as
+  * `sampleToBudget` and `TrainOrder.epochShuffle`), and the first
+  * `floor(n·frac + 0.5)` rows of each label fill the first split:
+  * sklearn's exact-stratification semantic AND byte-identical membership
+  * at any core count, on any engine, on any rerun — which is what makes
+  * the split SQL-oracle-able (q31).
   *
-  * Exact sklearn row membership is NOT reproducible (different RNGs) —
-  * the contract is the *fraction per stratum* and seed-determinism within
-  * the engine (SURVEY.md §7.4 #5).
+  * Scale shape: the per-label rank is a distributed range-shuffled row
+  * index over `(label, u, key)` ([[Positional.withRowIndex]] — no
+  * per-label single-task window); per-label offsets/counts are one
+  * |labels|-row aggregate broadcast back with a null-safe join (a null
+  * label is a legal stratum).
   */
 object StratifiedSplit {
 
-  /** Two-way stratified split. `keyCol` must be a unique row key (used for
-    * the complement anti-join). Returns (sampled, complement). */
-  def twoWay(df: DataFrame, labelCol: String, keyCol: String,
-             fraction: Double, seed: Long = 42L): (DataFrame, DataFrame) = {
-    val labels = df.select(col(labelCol)).distinct().collect().map(_.get(0))
-    val fractions = labels.map(l => l -> fraction).toMap
-    val sampled = df.stat.sampleBy(labelCol, fractions, seed)
-    val complement = df.join(sampled.select(col(keyCol)), Seq(keyCol), "left_anti")
-    (sampled, complement)
-  }
-
-  /** Reference's 60/20/20 train/val/test: two chained stratified splits. */
-  def threeWay(df: DataFrame, labelCol: String, keyCol: String,
-               trainFrac: Double = 0.6, valFrac: Double = 0.2,
-               seed: Long = 42L): (DataFrame, DataFrame, DataFrame) = {
-    val (train, rest) = twoWay(df, labelCol, keyCol, trainFrac, seed)
-    val restValFrac = valFrac / (1.0 - trainFrac)
-    val (valSet, test) = twoWay(rest, labelCol, keyCol, restValFrac, seed + 1)
-    (train, valSet, test)
-  }
-
-  /** Tag each row with its split for a single-output-DataFrame surface. */
+  /** Tag each row `train` / `val` / `test`: within each label, hash rank
+    * ≤ `floor(n·trainFrac + 0.5)` → train, ≤ `floor(n·(trainFrac +
+    * valFrac) + 0.5)` → val, else test. `keyCol` must be a unique row
+    * key (the hash input and the deterministic tie-break). */
   def tagged(df: DataFrame, labelCol: String, keyCol: String,
-             trainFrac: Double = 0.6, valFrac: Double = 0.2,
-             seed: Long = 42L): DataFrame = {
-    val (train, valSet, test) = threeWay(df, labelCol, keyCol, trainFrac, valFrac, seed)
-    train.withColumn("split", lit("train"))
-      .unionAll(valSet.withColumn("split", lit("val")))
-      .unionAll(test.withColumn("split", lit("test")))
+             trainFrac: Double = 0.6, valFrac: Double = 0.2): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      s"need trainFrac > 0, valFrac >= 0, sum <= 1; got $trainFrac, $valFrac")
+    val cut2 = trainFrac + valFrac
+    val idx = Positional.withRowIndex(
+      df.withColumn("__u", Mixture.unitHash(col(keyCol))),
+      Seq(col(labelCol), col("__u"), col(keyCol)), "__gi")
+    val offs = idx.groupBy(col(labelCol).as("__l"))
+      .agg(min(col("__gi")).as("__off"), count(lit(1)).as("__n"))
+    idx.join(broadcast(offs), col(labelCol) <=> col("__l"))
+      .withColumn("__rk", col("__gi") - col("__off") + lit(1L))
+      .withColumn("split",
+        when(col("__rk") <= floor(col("__n") * trainFrac + 0.5), "train")
+          .when(col("__rk") <= floor(col("__n") * cut2 + 0.5), "val")
+          .otherwise("test"))
+      .drop("__u", "__gi", "__l", "__off", "__n", "__rk")
+  }
+
+  /** Two-way stratified split: exactly `floor(n·fraction + 0.5)` rows
+    * per stratum in the first frame, the complement in the second. */
+  def twoWay(df: DataFrame, labelCol: String, keyCol: String,
+             fraction: Double): (DataFrame, DataFrame) = {
+    val t = tagged(df, labelCol, keyCol, fraction, 0.0)
+    (t.filter(col("split") === "train").drop("split"),
+      t.filter(col("split") =!= "train").drop("split"))
+  }
+
+  /** Reference's 60/20/20 train/val/test — one pass, one rank. */
+  def threeWay(df: DataFrame, labelCol: String, keyCol: String,
+               trainFrac: Double = 0.6, valFrac: Double = 0.2)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val t = tagged(df, labelCol, keyCol, trainFrac, valFrac)
+    (t.filter(col("split") === "train").drop("split"),
+      t.filter(col("split") === "val").drop("split"),
+      t.filter(col("split") === "test").drop("split"))
   }
 }

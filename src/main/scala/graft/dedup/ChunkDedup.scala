@@ -45,16 +45,25 @@ object ChunkDedup {
     * (chunks whose content appears in at least one OTHER document),
     * `dup_frac`, and `keep` (1 iff `dup_frac < maxDupFrac`). */
   def docDupStats(df: DataFrame, idCol: String, textCol: String,
-                  w: Int, maxDupFrac: Double): DataFrame = {
-    val ch = df
-      .select(col(idCol), explode(chunks(col(textCol), w)).as("chunk"))
-      .select(col(idCol), md5(col("chunk")).as("h"))
+                  w: Int, maxDupFrac: Double): DataFrame =
+    docDupStatsOfChunkHashes(
+      df.select(col(idCol), explode(chunks(col(textCol), w)).as("chunk"))
+        .select(col(idCol), md5(col("chunk")).as("h")),
+      idCol, "h", maxDupFrac)
+
+  /** [[docDupStats]] over PRE-COMPUTED exploded `(id, chunk-digest)` rows
+    * — the entry point for pipelines that stage every per-document signal
+    * off one corpus scan (q77's shape): the caller chunks + digests in
+    * its own staged projection and this rollup never touches text. */
+  def docDupStatsOfChunkHashes(ch: DataFrame, idCol: String, hashCol: String,
+                               maxDupFrac: Double): DataFrame = {
+    val chn = ch.select(col(idCol), col(hashCol).as("h"))
     // digests seen in >= 2 distinct documents
-    val dup = ch.groupBy(col("h"))
+    val dup = chn.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") > 1)
       .select(col("h"), lit(1L).as("is_dup"))
-    ch.join(dup, Seq("h"), "left_outer")
+    chn.join(dup, Seq("h"), "left_outer")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),

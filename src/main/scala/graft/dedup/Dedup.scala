@@ -220,12 +220,11 @@ object Dedup {
     * `zip_with`/`filter` built-in formulation runs interpreted and
     * allocates two arrays per pair, which dominates verification cost at
     * millions of candidates. */
-  def minHashJaccard(sigA: Column, sigB: Column): Column = {
-    graft.functions.SigAgreeCount.register(
-      org.apache.spark.sql.SparkSession.active)
+  def minHashJaccard(sigA: Column, sigB: Column): Column =
+    // graft_sig_agree is a session built-in via GraftExtensions; foreign
+    // sessions register it once with SigAgreeCount.register(spark)
     call_function(graft.functions.SigAgreeCount.Name, sigA, sigB).cast("double") /
       size(sigA).cast("double")
-  }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → identical-signature
     * pre-collapse → banded candidates over one representative per group →
@@ -300,7 +299,7 @@ object Dedup {
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame =
     jaccardPairsOfSets(df, idCol,
-      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))), threshold)
+      shingleSet(df, TextAnalysis.tokens(col(textCol)), 1), threshold)
 
   /** Exact Jaccard pairs over word n-GRAM shingle sets — substring-aware
     * near-dup detection (reordered documents share token sets but not
@@ -308,16 +307,21 @@ object Dedup {
     * the "vocabulary" is the shingle space. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame =
-    jaccardPairsOfSets(stageTokens(df, idCol, textCol), idCol,
-      array_sort(array_distinct(shinglesOfTokens(col("__toks"), n))), threshold)
+    jaccardPairsOfSets(df, idCol,
+      shingleSet(df, TextAnalysis.tokens(col(textCol)), n), threshold)
 
-  /** Stage the token array as a MATERIALIZED attribute before the shingle
-    * HOF — [[shinglesOfTokens]]'s contract: an inline `split` would be
-    * re-evaluated once per shingle position (O(T·split) per doc, the
-    * hottest projection of q59/q60). The multi-reference, non-cheap
-    * column survives CollapseProject. */
-  private def stageTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+  /** The sorted distinct shingle set as ONE native codegen pass
+    * ([[graft.functions.ShingleSet]]) — the declarative
+    * `array_sort(array_distinct(transform(...)))` evaluates its lambda
+    * interpreted per shingle position and pays an interpreted comparator
+    * per sort compare (measured ~4 s per materialization at sf0.1, the
+    * hottest projection of q59/q60/q68). `n = 1` degenerates to the
+    * sorted distinct token set itself. Registration is threaded through
+    * the df's own session — never `SparkSession.active`. */
+  private def shingleSet(df: DataFrame, toks: Column, n: Int): Column = {
+    graft.functions.ShingleSet.register(df.sparkSession)
+    call_function(graft.functions.ShingleSet.Name, toks, lit(n))
+  }
 
   /** Core of the exact-Jaccard join, parameterized by the set expression
     * (distinct sorted array of join units — tokens, shingles, …). */
@@ -374,8 +378,8 @@ object Dedup {
     * clustering companion of [[ngramJaccardPairs]]. */
   def ngramJaccardComponents(df: DataFrame, idCol: String, textCol: String,
                              n: Int, threshold: Double): DataFrame =
-    jaccardComponentsOfSets(stageTokens(df, idCol, textCol), idCol,
-      array_sort(array_distinct(shinglesOfTokens(col("__toks"), n))), threshold)
+    jaccardComponentsOfSets(df, idCol,
+      shingleSet(df, TextAnalysis.tokens(col(textCol)), n), threshold)
 
   /** Rep-level ≥ τ Jaccard graph: returns `(repPairs, mem)` where
     * `repPairs(id_a, id_b, jaccard)` joins one representative per
@@ -384,8 +388,7 @@ object Dedup {
     * the clustering path. */
   private def repJaccardGraph(df: DataFrame, idCol: String, setExpr: Column,
                               threshold: Double): (DataFrame, DataFrame) = {
-    graft.functions.SortedOverlapCount.register(
-      org.apache.spark.sql.SparkSession.active)
+    graft.functions.SortedOverlapCount.register(df.sparkSession)
     // empty sets are dropped, not paired: Jaccard over two empty sets is
     // 0/0 — and without this filter the exact-group pre-collapse would
     // emit such docs as 1.0 pairs while an explode-based formulation

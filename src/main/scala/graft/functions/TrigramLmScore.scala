@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_lm_score(model: binary LITERAL, canonText: string)` → double —
+  * native per-document mean conditional trigram probability under a
+  * trained character-trigram model ([[graft.text.NgramLm]]).
+  *
+  * Why native: the declarative formulation explodes EVERY character
+  * position of the corpus into a row (`explode(transform(sequence(...),
+  * substr))`) and joins the model — an L-row shuffle surface for L total
+  * characters, by far the hottest projection of the LM-scoring query.
+  * The model itself is bounded (≤ |charset|³ trigrams, in practice far
+  * smaller), so scoring is one hash-free lookup loop per document: the
+  * explode, the join, and the per-position aggregation all collapse into
+  * a single codegen'd call inside the scan projection.
+  *
+  * The model blob is a foldable literal (same contract as
+  * [[Bloom]]'s `graft_bloom_contains`): parsed ONCE at plan time into
+  * two sorted arrays — packed trigram keys (3 code points × 21 bits) and
+  * probabilities pre-rounded to DECIMAL(_,12) unscaled longs. The
+  * arithmetic replays the declarative twin bit-for-bit: per-trigram
+  * `p = n_tri/n_prefix` in IEEE double, cast to 12-dp decimal via
+  * `Double.toString` (Spark's double→decimal cast), summed EXACTLY in
+  * long unscaled space, divided by the found-trigram count in double,
+  * rounded half-up to 6 dp — so the native path hash-matches the SQL
+  * oracle. Trigrams absent from the model are skipped from both sum and
+  * count (inner-join semantics); a document with no scored trigram
+  * (canonical length < 3, or nothing in the model) scores null.
+  */
+case class TrigramLmScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal/foldable model blob (train + collect first)")
+    else if (left.dataType != BinaryType || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, string), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = TrigramLmScore.Name
+
+  @transient private lazy val parsed: (Array[Long], Array[Long]) = {
+    val blob = left.eval(null).asInstanceOf[Array[Byte]]
+    require(blob != null, s"$prettyName: model blob must not be null")
+    TrigramLmScore.parse(blob)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = right.eval(input)
+    if (t == null) null
+    else TrigramLmScore.score(t.asInstanceOf[UTF8String], parsed._1, parsed._2)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keysRef = ctx.addReferenceObj("lmKeys", parsed._1, "long[]")
+    val valsRef = ctx.addReferenceObj("lmVals", parsed._2, "long[]")
+    val t = right.genCode(ctx)
+    val boxed = ctx.freshName("lmScore")
+    ev.copy(code = code"""
+      ${t.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${t.isNull}) {
+        java.lang.Double $boxed =
+          graft.functions.TrigramLmScore.score(${t.value}, $keysRef, $valsRef);
+        if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TrigramLmScore {
+  val Name = "graft_lm_score"
+
+  /** Pack 3 code points (≤ 0x10FFFF each, 21 bits) into one long. */
+  def pack(cp0: Int, cp1: Int, cp2: Int): Long =
+    (cp0.toLong << 42) | (cp1.toLong << 21) | cp2.toLong
+
+  /** Serialize parallel (sorted-keys, unscaled-12dp-values) arrays. */
+  def blobOf(keys: Array[Long], vals: Array[Long]): Array[Byte] = {
+    require(keys.length == vals.length)
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * keys.length)
+    bb.putInt(keys.length)
+    keys.foreach(bb.putLong)
+    vals.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def parse(blob: Array[Byte]): (Array[Long], Array[Long]) = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    val n = bb.getInt
+    val keys = Array.fill(n)(bb.getLong)
+    val vals = Array.fill(n)(bb.getLong)
+    (keys, vals)
+  }
+
+  /** Called from generated code. Rolling 3-code-point window over the
+    * canonical string; binary-search lookup; exact unscaled-long sum. */
+  def score(text: UTF8String, keys: Array[Long], vals: Array[Long]): java.lang.Double = {
+    val s = text.toString
+    val n = s.length
+    var sum = 0L
+    var cnt = 0L
+    var cp0 = -1
+    var cp1 = -1
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp1 >= 0 && cp0 >= 0) {
+        val idx = java.util.Arrays.binarySearch(keys, pack(cp0, cp1, cp))
+        if (idx >= 0) {
+          // decimal(30,12) sums can't overflow a long here: p ≤ 1 ⇒ each
+          // term ≤ 1e12; 2^63/1e12 ≈ 9.2M scored positions per DOCUMENT
+          // before saturation — addExact turns a pathological longer doc
+          // into a loud error instead of silent wraparound
+          sum = Math.addExact(sum, vals(idx))
+          cnt += 1
+        }
+      }
+      cp0 = cp1
+      cp1 = cp
+    }
+    if (cnt == 0) null
+    else {
+      // replay the declarative twin exactly:
+      //   round(sum(p_dec12).cast(double) / count, 6)
+      val sumD = java.math.BigDecimal.valueOf(sum, 12).doubleValue()
+      val mean = sumD / cnt.toDouble
+      java.lang.Double.valueOf(java.math.BigDecimal.valueOf(mean)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+  }
+
+  /** Spark's double→decimal(_,12) cast, driver-side: `Double.toString`
+    * shortest-decimal repr, then half-up to scale 12 — the same value the
+    * declarative twin's `cast(p as decimal(30,12))` produces. */
+  def scaled12(p: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(p))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Name, exprs => TrigramLmScore(exprs(0), exprs(1)), "built-in")
+}

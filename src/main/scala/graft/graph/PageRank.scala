@@ -41,7 +41,11 @@ object PageRank {
     *    `dangling = totalRank − Σcontribs` (Σcontribs = exactly the rank
     *    held by nodes WITH out-edges), so each iteration runs ONE
     *    distributed pass (the contribution aggregate), not a second
-    *    rank-side scan. */
+    *    rank-side scan — and Σcontribs stays INSIDE the plan as a
+    *    broadcast one-row aggregate over the persisted contribs frame,
+    *    so each iteration is exactly ONE action (the eager checkpoint),
+    *    not an action per scalar (`totalRank` itself is the closed-form
+    *    driver-side recurrence `(1−d) + d·totalRank` — no data needed). */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -66,14 +70,16 @@ object PageRank {
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val contribSum = contribs.agg(coalesce(sum(col("contrib")), lit(0.0)))
-        .head.getDouble(0)
-      val dangling = totalRank - contribSum
+      // same IEEE op sequence as the old driver-side scalar:
+      // (totalRank − Σcontrib) then ÷ n — bit-identical ranks
+      val csum = contribs.agg(coalesce(sum(col("contrib")), lit(0.0)).as("csum"))
       val prev = ranks
       ranks = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(csum))
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n))).as("rank"))
+            (coalesce(col("contrib"), lit(0.0)) +
+              (lit(totalRank) - col("csum")) / lit(n))).as("rank"))
         .localCheckpoint(true)
       contribs.unpersist(blocking = false)
       prev.unpersist(blocking = false)

@@ -125,8 +125,8 @@ object Models {
 
   // ------------------------------------------------------------- L7 / L8
   /** |LR coefficient| per feature, descending (W4 composed). */
-  def lrImportance(model: LogisticRegressionModel, featureCols: Seq[String]): DataFrame = {
-    val spark = org.apache.spark.sql.SparkSession.active
+  def lrImportance(spark: org.apache.spark.sql.SparkSession,
+                   model: LogisticRegressionModel, featureCols: Seq[String]): DataFrame = {
     import spark.implicits._
     featureCols.zip(model.coefficients.toArray.map(math.abs))
       .toDF("feature", "importance")
@@ -134,8 +134,8 @@ object Models {
   }
 
   /** RF Gini importance per feature, descending. */
-  def rfImportance(model: RandomForestClassificationModel, featureCols: Seq[String]): DataFrame = {
-    val spark = org.apache.spark.sql.SparkSession.active
+  def rfImportance(spark: org.apache.spark.sql.SparkSession,
+                   model: RandomForestClassificationModel, featureCols: Seq[String]): DataFrame = {
     import spark.implicits._
     featureCols.zip(model.featureImportances.toArray)
       .toDF("feature", "importance")

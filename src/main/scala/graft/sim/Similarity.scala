@@ -21,13 +21,11 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double by
-    * the native codegen'd [[graft.functions.CosineSimilarity]] expression
-    * (registered on the active session on first use). */
-  def cosine(a: Column, b: Column): Column = {
-    graft.functions.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
+    * the native codegen'd [[graft.functions.CosineSimilarity]] expression. */
+  def cosine(a: Column, b: Column): Column =
+    // graft_cosine is a session built-in via GraftExtensions; foreign
+    // sessions register it once with GraftFunctions.register(spark)
     call_function(graft.functions.GraftFunctions.CosineName, a, b)
-  }
 
   /** Built-ins-only variant (`zip_with` + `aggregate`) — same arithmetic
     * order, kept as the portable fallback and for plan comparison. */
@@ -188,11 +186,18 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
     val comps = graft.dedup.ConnectedComponents.components(pairs, "id_a", "id_b")
       .withColumnRenamed("id", idCol)
-    assigned.select(col(idCol), col("cluster"))
-      .join(comps, Seq(idCol), "left_outer")
-      .select(col(idCol), col("cluster").cast("long").as("cluster"),
-        coalesce(col("component"), col(idCol)).as("component"))
-      .withColumn("keep", (col(idCol) === col("component")).cast("long"))
+    // eager checkpoint, then unpersist: a library caller must not inherit
+    // dangling cached blocks (the kmeansAssign discipline) — and the
+    // result must not recompute the assignment subtree after the cache
+    // is dropped
+    try {
+      assigned.select(col(idCol), col("cluster"))
+        .join(comps, Seq(idCol), "left_outer")
+        .select(col(idCol), col("cluster").cast("long").as("cluster"),
+          coalesce(col("component"), col(idCol)).as("component"))
+        .withColumn("keep", (col(idCol) === col("component")).cast("long"))
+        .localCheckpoint(eager = true)
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Exact cosine top-k: every query row (keyed `qid`) scored against every

@@ -79,9 +79,18 @@ object Sinks {
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val df = spark.read.parquet(inPath)
-    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // size from the ACTUAL on-disk bytes, not optimizedPlan.stats: the
+    // plan statistic is the uncompressed in-memory estimate — several
+    // times the parquet size — which would undershoot targetBytes per
+    // output file. The file listing is already driver-resident from the
+    // scan; re-statting it is metadata-only.
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val inputBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1,
-      (inputBytes / BigInt(math.max(targetBytes, 1L))).toInt + 1)
+      (inputBytes / math.max(targetBytes, 1L)).toInt + 1)
     df.repartition(nFiles).write.mode("overwrite").parquet(outPath)
     nFiles
   }

@@ -22,15 +22,30 @@ import org.apache.spark.sql.functions._
 object BpeEncoder {
 
   /** Per-executor encode memo, keyed by broadcast id so different merge
-    * tables never mix; bounded so a huge vocabulary can't hold executor
-    * heap (past the cap, encode costs revert to O(len²) per word — still
-    * correct). ConcurrentHashMap: local mode shares one closure across
-    * task threads. */
+    * tables never mix; bounded BOTH ways so no workload can hold
+    * executor heap for the life of the JVM: per-table entries cap at
+    * [[MemoCap]] (past it, encode costs revert to O(len²) per word —
+    * still correct), and at most [[MaxTables]] merge tables stay
+    * memoized (training many tables in one long-lived session evicts
+    * the older tables' memos; re-encoding under an evicted table just
+    * re-warms). ConcurrentHashMap: local mode shares one closure across
+    * task threads, and reads must stay lock-free — this is a per-row
+    * path. */
   private val MemoCap = 1 << 17
+  private val MaxTables = 4
   private val memos =
     new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
   private[text] def memoFor(bcId: Long): java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] =
-    memos.computeIfAbsent(bcId, _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+    memos.computeIfAbsent(bcId, _ => {
+      if (memos.size >= MaxTables) {
+        val it = memos.keys()
+        while (memos.size >= MaxTables && it.hasMoreElements) {
+          val k = it.nextElement()
+          if (k != bcId) memos.remove(k)
+        }
+      }
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    })
 
   /** Greedy lowest-rank-first BPE segmentation of one word (the standard
     * encode loop: repeatedly merge the adjacent pair with the smallest

@@ -2,6 +2,9 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TrigramLmScore
 
 /** Character-trigram language-model scoring — the CCNet-style
   * (Wenzek et al. 2020) perplexity-proxy quality signal: documents whose
@@ -16,15 +19,31 @@ import org.apache.spark.sql.functions._
   * across engines, so the operator is SQL-oracle-able; the ranking it
   * induces is the same "how typical is this text" signal).
   *
-  * Scale shape: two corpus passes, both shuffle-light —
-  *  1. TRAIN: explode positions → trigram hash-aggregate (map-side
-  *     partials over a bounded key space: |charset|³ keys at most);
-  *     the prefix totals reuse the trigram table (a second tiny
-  *     aggregate over model rows, not a corpus re-scan).
-  *  2. SCORE: explode positions → broadcast-join the model (the model
-  *     is bounded, AQE broadcasts it) → per-document DECIMAL mean.
+  * Scale shape: ONE corpus scan, shared by train and score —
+  *  1. the canonical character stream is STAGED (persisted projection:
+  *     `regexp_replace`+`lower` run once, not once per consumer);
+  *  2. TRAIN: explode positions → trigram hash-aggregate (map-side
+  *     partials over a bounded key space: ≤ |charset|³ keys, far fewer
+  *     in practice); prefix totals reuse the trigram table (a tiny
+  *     second aggregate over MODEL rows, not a corpus re-scan);
+  *  3. SCORE: a NATIVE codegen expression ([[TrigramLmScore]]) loops
+  *     each document's canonical stream against the collected model —
+  *     packed-key binary search per position, exact unscaled-decimal
+  *     sum. The per-character-position row explosion and the
+  *     model join of the declarative formulation ([[scoreByJoin]], kept
+  *     as the oracle twin) collapse into the scan projection.
+  *
+  * The collected model is capped ([[ModelCap]]): corpus-trained trigram
+  * tables over real text are small (ASCII ~50k, full CJK coverage is the
+  * pathological end), but a cap turns a charset explosion into a loud
+  * error pointing at [[scoreByJoin]] — the unbounded-model scale path —
+  * instead of a silent driver OOM.
   */
 object NgramLm {
+
+  /** Largest model the native scorer will collect to the driver: 4M
+    * trigrams = 64 MB blob (keys + 12-dp unscaled probabilities). */
+  val ModelCap: Int = 4 * 1024 * 1024
 
   /** Lowercased text with whitespace runs collapsed to single spaces —
     * the canonical character stream (mirrors `regexp_replace(lower(),
@@ -32,20 +51,17 @@ object NgramLm {
   private def canon(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** `(doc, trigram)` position rows of the canonical stream. */
-  private def triGrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = canon(col(textCol))
-    df.select(col(idCol), t.as("__t"))
+  /** `(doc, trigram)` position rows of an already-canonical stream. */
+  private def triGramsOfCanon(staged: DataFrame, idCol: String): DataFrame =
+    staged
       .filter(length(col("__t")) >= 3)
       .select(col(idCol),
         explode(transform(sequence(lit(1), length(col("__t")) - 2),
           i => col("__t").substr(i, lit(3)))).as("tri"))
-  }
 
-  /** The trained model: `(tri, n_tri, n_prefix)` — trigram count and its
-    * 2-char-prefix total (`count(ab·)`). */
-  def train(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tris = triGrams(df, idCol, textCol)
+  /** The trained model from an already-canonical stream. */
+  private def trainCanon(staged: DataFrame, idCol: String): DataFrame = {
+    val tris = triGramsOfCanon(staged, idCol)
       .groupBy(col("tri")).agg(count(lit(1)).as("n_tri"))
     val prefixes = tris
       .groupBy(substring(col("tri"), 1, 2).as("pre"))
@@ -54,12 +70,49 @@ object NgramLm {
       .select(col("tri"), col("n_tri"), col("n_prefix"))
   }
 
+  /** The trained model: `(tri, n_tri, n_prefix)` — trigram count and its
+    * 2-char-prefix total (`count(ab·)`). */
+  def train(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    trainCanon(df.select(col(idCol), canon(col(textCol)).as("__t")), idCol)
+
   /** Per-document mean conditional trigram probability under the corpus
     * model, rounded to 6 dp (DECIMAL-exact sum → one double division).
-    * Documents shorter than 3 canonical chars score null. */
+    * Documents shorter than 3 canonical chars score null. Native scoring
+    * path — train and score share one staged corpus scan. */
   def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val model = train(df, textCol, idCol)
-    val scored = triGrams(df, idCol, textCol)
+    val spark = df.sparkSession
+    TrigramLmScore.register(spark)
+    val staged = df.select(col(idCol), canon(col(textCol)).as("__t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val modelRows = trainCanon(staged, idCol)
+        .limit(ModelCap + 1).collect()
+      require(modelRows.length <= ModelCap,
+        s"trigram model exceeds $ModelCap entries (charset too large for the " +
+          "collected-model scorer) — use scoreByJoin, the unbounded-model path")
+      val packed = modelRows.map { r =>
+        val cps = r.getString(0).codePoints().toArray
+        val p = r.getLong(1).toDouble / r.getLong(2).toDouble
+        (TrigramLmScore.pack(cps(0), cps(1), cps(2)), TrigramLmScore.scaled12(p))
+      }.sortBy(_._1)
+      val blob = TrigramLmScore.blobOf(packed.map(_._1), packed.map(_._2))
+      // localCheckpoint BEFORE unpersisting the staged input: the returned
+      // frame must not silently re-run the canonicalization scan after the
+      // cache is gone (and a library caller gets no dangling cached blocks)
+      staged.select(col(idCol),
+          call_function(TrigramLmScore.Name, lit(blob), col("__t")).as("lm_score"))
+        .localCheckpoint(eager = true)
+    } finally staged.unpersist(blocking = false)
+  }
+
+  /** Declarative twin of [[score]] — per-position explode + model join.
+    * Slower (a row per character position), but never collects the model:
+    * the scale path when the trigram space is genuinely unbounded, and
+    * the oracle formulation the native scorer is verified against. */
+  def scoreByJoin(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = df.select(col(idCol), canon(col(textCol)).as("__t"))
+    val model = trainCanon(staged, idCol)
+    val scored = triGramsOfCanon(staged, idCol)
       .join(model, "tri")
       .withColumn("p", col("n_tri").cast("double") / col("n_prefix").cast("double"))
     val agg = scored.groupBy(col(idCol))

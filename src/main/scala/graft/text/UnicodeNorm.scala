@@ -16,18 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object UnicodeNorm {
 
-  /** Unicode NFC canonical composition (native `graft_nfc`). */
-  def nfc(c: Column): Column = {
-    graft.functions.NfcNormalize.register(
-      org.apache.spark.sql.SparkSession.active)
+  /** Unicode NFC canonical composition (native `graft_nfc`). The function
+    * is a session built-in via [[graft.GraftExtensions]]; a foreign
+    * session (built without the extensions) registers it once with
+    * `NfcNormalize.register(spark)`. */
+  def nfc(c: Column): Column =
     call_function(graft.functions.NfcNormalize.Name, c)
-  }
 
-  /** Strip C0/C1 control characters except `\t` `\n` `\r` (the ones a
-    * text corpus legitimately contains). RE2-safe character class — the
-    * identical pattern runs on any regex engine, so redaction is
-    * engine-portable. */
-  val ControlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  /** Strip C0 AND C1 control characters except `\t` `\n` `\r` (the ones
+    * a text corpus legitimately contains) — C1 (U+0080–U+009F) is where
+    * mis-decoded latin-1 bytes land, so a crawl corpus hits it
+    * constantly. RE2-safe character class — the identical pattern runs
+    * on any regex engine, so redaction is engine-portable. */
+  val ControlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]"
   def stripControls(c: Column): Column = regexp_replace(c, ControlPattern, "")
 
   /** Full ingest normalization: NFC + control strip + whitespace collapse

@@ -134,7 +134,7 @@ class MLSpec extends AnyFunSuite {
       (label * 4.0 + rnd.nextDouble(), rnd.nextDouble(), label)
     }.toDF("signal", "noise", "label")
     val data = Models.assemble(df, Seq("signal", "noise"), "label")
-    val imp = Models.lrImportance(Models.fitLogisticRegression(data, maxIter = 50),
+    val imp = Models.lrImportance(spark, Models.fitLogisticRegression(data, maxIter = 50),
       Seq("signal", "noise")).collect()
     assert(imp.map(_.getString(0)).toSet == Set("signal", "noise"))
     assert(imp.head.getString(0) == "signal", "separating feature must rank first")
@@ -151,7 +151,7 @@ class MLSpec extends AnyFunSuite {
     }.toDF("signal", "noise", "label")
     val data = Models.assemble(df, Seq("signal", "noise"), "label")
     val m = Models.fitRandomForest(data, numTrees = 20)
-    val imp = Models.rfImportance(m, Seq("signal", "noise")).collect()
+    val imp = Models.rfImportance(spark, m, Seq("signal", "noise")).collect()
     assert(imp.head.getString(0) == "signal")
   }
 
