@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MisraGries, NfcNormalize, RepStats, ShingleSet, SigAgreeCount, SortedOverlapCount, TopK, TrigramLmScore}
+import graft.functions.{CosineSimilarity, MisraGries, NfcNormalize, RepStats, ShingleSet, SigAgreeCount, SortedOverlapCount, TopK, TrigramCountAgg, TrigramLmScore}
 import graft.mine.DrainMineAgg
 
 /** The library's `SparkSessionExtensions` injection point — the idiomatic
@@ -44,6 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[ShingleSet], exprs => ShingleSet(exprs(0), exprs(1))))
     ext.injectFunction(fn(TrigramLmScore.Name,
       classOf[TrigramLmScore], exprs => TrigramLmScore(exprs(0), exprs(1))))
+    ext.injectFunction(fn(TrigramCountAgg.Name,
+      classOf[TrigramCountAgg], exprs => TrigramCountAgg(exprs.head)))
     // whole-operator nodes (custom-operator ladder rung (c))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer rules (the Rule[LogicalPlan] rung): algebraic rewrites

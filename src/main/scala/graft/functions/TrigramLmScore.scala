@@ -161,3 +161,139 @@ object TrigramLmScore {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Name, exprs => TrigramLmScore(exprs(0), exprs(1)), "built-in")
 }
+
+/** `graft_trigram_counts(canonText: string)` → binary blob of
+  * `(packed-trigram, count)` pairs — the TRAIN side of the LM as ONE
+  * bounded-state aggregate: per-partition hash map keyed by the packed
+  * trigram, partial-merged through the shuffle. Replaces the
+  * per-character-position `explode` + trigram `groupBy` of the
+  * declarative train (an L-row aggregation surface for L corpus
+  * characters) with state bounded by the trigram space itself
+  * (≤ |charset|³; capped loudly at [[graft.text.NgramLm.ModelCap]] —
+  * the same bound the collected model already enforces, hit here BEFORE
+  * executor memory instead of after). Prefix totals (`count(ab·)`)
+  * derive from the collected counts on the driver — key `>>> 21` drops
+  * the last code point — so no second aggregate and no model join run
+  * on the cluster at all. */
+case class TrigramCountAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    java.util.HashMap[java.lang.Long, java.lang.Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = TrigramCountAgg.Name
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): java.util.HashMap[java.lang.Long, java.lang.Long] =
+    new java.util.HashMap[java.lang.Long, java.lang.Long]()
+
+  override def update(buf: java.util.HashMap[java.lang.Long, java.lang.Long],
+                      input: InternalRow): java.util.HashMap[java.lang.Long, java.lang.Long] = {
+    val t = child.eval(input)
+    if (t != null) TrigramCountAgg.accumulate(buf, t.asInstanceOf[UTF8String])
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[java.lang.Long, java.lang.Long],
+                     b: java.util.HashMap[java.lang.Long, java.lang.Long])
+      : java.util.HashMap[java.lang.Long, java.lang.Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      a.merge(e.getKey, e.getValue, (x, y) => java.lang.Long.valueOf(x.longValue() + y.longValue()))
+    }
+    TrigramCountAgg.checkCap(a)
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[java.lang.Long, java.lang.Long]): Any =
+    serialize(buf)
+
+  override def serialize(buf: java.util.HashMap[java.lang.Long, java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey.longValue()); bb.putLong(e.getValue.longValue())
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[java.lang.Long, java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long](Math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      m.put(java.lang.Long.valueOf(bb.getLong), java.lang.Long.valueOf(bb.getLong))
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TrigramCountAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TrigramCountAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object TrigramCountAgg {
+  val Name = "graft_trigram_counts"
+
+  private val One = java.lang.Long.valueOf(1L)
+
+  private[functions] def checkCap(
+      m: java.util.HashMap[java.lang.Long, java.lang.Long]): Unit =
+    require(m.size <= graft.text.NgramLm.ModelCap,
+      s"$Name: trigram space exceeds ${graft.text.NgramLm.ModelCap} keys " +
+        "(charset too large for a bounded trigram model) — use the " +
+        "explode-based NgramLm.scoreByJoin path")
+
+  def accumulate(m: java.util.HashMap[java.lang.Long, java.lang.Long],
+                 text: UTF8String): Unit = {
+    val s = text.toString
+    val n = s.length
+    var cp0 = -1
+    var cp1 = -1
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp1 >= 0 && cp0 >= 0) {
+        m.merge(java.lang.Long.valueOf(TrigramLmScore.pack(cp0, cp1, cp)), One,
+          (x, y) => java.lang.Long.valueOf(x.longValue() + y.longValue()))
+      }
+      cp0 = cp1
+      cp1 = cp
+    }
+    checkCap(m)
+  }
+
+  /** Decode a collected blob into parallel (sorted packed keys, counts). */
+  def parse(blob: Array[Byte]): (Array[Long], Array[Long]) = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    val n = bb.getInt
+    val pairs = new Array[(Long, Long)](n)
+    var i = 0
+    while (i < n) { pairs(i) = (bb.getLong, bb.getLong); i += 1 }
+    java.util.Arrays.sort(pairs, Ordering.by((p: (Long, Long)) => p._1))
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Name, exprs => TrigramCountAgg(exprs.head), "built-in")
+}

@@ -22,10 +22,11 @@ import graft.functions.TrigramLmScore
   * Scale shape: ONE corpus scan, shared by train and score —
   *  1. the canonical character stream is STAGED (persisted projection:
   *     `regexp_replace`+`lower` run once, not once per consumer);
-  *  2. TRAIN: explode positions → trigram hash-aggregate (map-side
-  *     partials over a bounded key space: ≤ |charset|³ keys, far fewer
-  *     in practice); prefix totals reuse the trigram table (a tiny
-  *     second aggregate over MODEL rows, not a corpus re-scan);
+  *  2. TRAIN: one bounded-state native aggregate
+  *     ([[graft.functions.TrigramCountAgg]] — per-partition trigram
+  *     hash map, ≤ |charset|³ keys, partial-merged); prefix totals
+  *     derive from the collected counts on the driver, so neither a
+  *     position explode nor a model join ever runs on the cluster;
   *  3. SCORE: a NATIVE codegen expression ([[TrigramLmScore]]) loops
   *     each document's canonical stream against the collected model —
   *     packed-key binary search per position, exact unscaled-decimal
@@ -82,20 +83,36 @@ object NgramLm {
   def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     TrigramLmScore.register(spark)
+    graft.functions.TrigramCountAgg.register(spark)
     val staged = df.select(col(idCol), canon(col(textCol)).as("__t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val modelRows = trainCanon(staged, idCol)
-        .limit(ModelCap + 1).collect()
-      require(modelRows.length <= ModelCap,
-        s"trigram model exceeds $ModelCap entries (charset too large for the " +
-          "collected-model scorer) — use scoreByJoin, the unbounded-model path")
-      val packed = modelRows.map { r =>
-        val cps = r.getString(0).codePoints().toArray
-        val p = r.getLong(1).toDouble / r.getLong(2).toDouble
-        (TrigramLmScore.pack(cps(0), cps(1), cps(2)), TrigramLmScore.scaled12(p))
-      }.sortBy(_._1)
-      val blob = TrigramLmScore.blobOf(packed.map(_._1), packed.map(_._2))
+      // TRAIN as one bounded-state aggregate (no per-position explode, no
+      // trigram shuffle, no model join — see TrigramCountAgg); the cap
+      // guard fires inside the aggregate, before executor memory is at
+      // risk. Prefix totals fall out of the sorted collected counts:
+      // equal 2-char prefixes (packed key >>> 21) are CONTIGUOUS.
+      val blobRow = staged
+        .agg(call_function(graft.functions.TrigramCountAgg.Name, col("__t")))
+        .head
+      val (keys, counts) = graft.functions.TrigramCountAgg.parse(
+        blobRow.getAs[Array[Byte]](0))
+      val vals = new Array[Long](keys.length)
+      var i = 0
+      while (i < keys.length) {
+        var j = i
+        var tot = 0L
+        while (j < keys.length && (keys(j) >>> 21) == (keys(i) >>> 21)) {
+          tot += counts(j); j += 1
+        }
+        var k = i
+        while (k < j) {
+          vals(k) = TrigramLmScore.scaled12(counts(k).toDouble / tot.toDouble)
+          k += 1
+        }
+        i = j
+      }
+      val blob = TrigramLmScore.blobOf(keys, vals)
       // localCheckpoint BEFORE unpersisting the staged input: the returned
       // frame must not silently re-run the canonicalization scan after the
       // cache is gone (and a library caller gets no dangling cached blocks)
