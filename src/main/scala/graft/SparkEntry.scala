@@ -967,12 +967,24 @@ object SparkEntry {
       Models.rfImportance(s, model, cols)
     }),
     // ---- L9: isolation forest anomaly flags on lineitem measures (rows-only)
-    "q34_iforest" -> ((s, dir) =>
-      IsolationForest.fitPredict(Tables.lineitem(s, dir),
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .groupBy(col("is_anomaly"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("is_anomaly"))),
+    // ---- L9: isolation-forest PINNED summary contract. No SQL oracle is
+    //      possible BY CONSTRUCTION: the ensemble subsamples with Spark's
+    //      partition-seeded RNG (engine-private), so another engine can't
+    //      reproduce tree structure — but the summary below is exactly
+    //      reproducible within the engine for a fixed input layout
+    //      (seed-pinned; IFSummarySpec pins rerun-identity and the
+    //      contamination/quantile tolerances)
+    "q34_iforest" -> ((s, dir) => {
+      val scored = IsolationForest.fitPredict(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      scored.agg(
+        count(lit(1)).as("n_total"),
+        sum(col("is_anomaly")).cast("long").as("n_flagged"),
+        round(expr("percentile(anomaly_score, 0.5)"), 4).as("score_p50"),
+        round(expr("percentile(anomaly_score, 0.9)"), 4).as("score_p90"),
+        round(expr("percentile(anomaly_score, 0.99)"), 4).as("score_p99"),
+        round(max(col("anomaly_score")), 4).as("score_max"))
+    }),
     // ---- L10: PCA(k=2) projection of the embedding corpus (rows-only)
     "q35_pca" -> ((s, dir) =>
       Models.pcaProjectArray(Tables.embeddings(s, dir), "embedding", 2)

@@ -10,18 +10,22 @@ import org.apache.spark.sql.functions._
   *
   * Dynamic-schema operator: the column list comes from the input's
   * resolved schema at plan time (same contract as the reference's
-  * data-dependent pivot columns). One aggregation pass — Catalyst plans
-  * the multi-distinct via Expand (one input replica per distinct
-  * column), which is the exact-answer cost; at 100 TB swap
-  * `approx_count_distinct` / [[graft.operators.Sketches]] for the
-  * single-replica sketch pass. */
+  * data-dependent pivot columns). One aggregation pass — with
+  * `exact = true` Catalyst plans the multi-distinct via Expand (one
+  * input replica per distinct column), which is the exact-answer cost;
+  * `exact = false` swaps in `approx_count_distinct` (HyperLogLog++,
+  * ±~2.3% default rsd): ONE input replica total, bounded sketch state
+  * through the shuffle — the 100 TB path, where a k-column exact
+  * profile would scan-amplify the corpus k×. */
 object Profile {
 
-  def tableStats(df: DataFrame): DataFrame = {
+  def tableStats(df: DataFrame, exact: Boolean = true): DataFrame = {
     val cols = df.columns.toSeq
+    def distinctAgg(c: String) =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
     val aggs = cols.flatMap(c => Seq(
       count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__distinct")))
+      distinctAgg(c).as(s"${c}__distinct")))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val entries = cols.map(c => struct(
       lit(c).as("col_name"),

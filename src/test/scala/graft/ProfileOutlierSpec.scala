@@ -19,6 +19,29 @@ class ProfileOutlierSpec extends AnyFunSuite {
     assert(got == Seq(("s", 1L, 2L), ("x", 1L, 2L)))
   }
 
+  test("tableStats sketch path: within HLL error of exact, no Expand replica") {
+    val df = (1 to 5000).map(i => (i.toLong, (i % 997).toString, i % 23))
+      .toDF("id", "s", "m")
+    val exact = Profile.tableStats(df).orderBy("col_name")
+      .as[(String, Long, Long)].collect()
+    val approx = Profile.tableStats(df, exact = false).orderBy("col_name")
+      .as[(String, Long, Long)].collect()
+    exact.zip(approx).foreach { case ((c, en, ed), (ca, an, ad)) =>
+      assert(c == ca && en == an, "null counts are exact on both paths")
+      // approx_count_distinct default rsd = 0.05; allow 4 sigma
+      assert(math.abs(ad - ed).toDouble <= math.max(4.0, ed * 0.20),
+        s"col $c: approx $ad vs exact $ed outside HLL tolerance")
+    }
+    // the exact multi-distinct costs one Expand input replica per column;
+    // the sketch path must plan WITHOUT Expand (single-replica pass)
+    def hasExpand(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.toString.contains("Expand")
+    assert(hasExpand(Profile.tableStats(df)),
+      "exact path is the Expand multi-distinct (expected)")
+    assert(!hasExpand(Profile.tableStats(df, exact = false)),
+      "sketch path must not replicate the input via Expand")
+  }
+
   test("zscores: hand-computed scores and flags") {
     // group g: values 1..9 plus an outlier 1000
     val df = ((1 to 9).map(i => (i.toLong, "g", i.toDouble)) :+ (10L, "g", 1000.0))

@@ -186,4 +186,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap.map(_._2).sum == 1282L, "mass must be conserved")
     assert(snap.toSeq == expect, "final streamed state must equal sequential mining")
   }
+
+  test("file-source mining E2E: checkpointed state survives a query restart") {
+    // the reference's deployment shape: log FILES arriving in a directory,
+    // mined with persistent state that a restarted process resumes
+    // (process_logs_v10.py:86-111 file tail + drain3.ini snapshotting) —
+    // here readStream.text + flatMapGroupsWithState state in the stream
+    // checkpoint, restarted mid-corpus
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_e2e").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val chkDir = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Paths.get(root, name)   // write-then-move: the
+      java.nio.file.Files.write(tmp, String.join("\n", lines: _*).getBytes)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(inDir, name))
+    }
+    def startQuery() = {
+      val lines = spark.readStream.text(inDir)
+        .select(lit(0).as("shard"), col("value")).as[(Int, String)]
+      StreamingOps.streamingMine(lines, DrainConfig())
+        .map { case (shard, t) => (shard, t.eventId, t.size, t.template) }
+        .toDF("shard", "event_id", "size", "template")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir)
+        .outputMode("append").start()
+    }
+    writeFile("a.log", (1 to 40).map(i => s"connected to 10.0.0.$i port 443") ++
+      (1 to 10).map(i => s"worker $i heartbeat ok"))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    // second file arrives while the query is DOWN; the restart must pick
+    // it up AND resume the mined state. The new lines vary the PORT, so
+    // the restored cluster's template widens (port 443 -> <*>) and the
+    // tree emits the updated cluster with its ACCUMULATED size — a reset
+    // tree would instead mint a fresh 20-line cluster with the port as a
+    // constant
+    writeFile("b.log", (41 to 60).map(i => s"connected to 10.0.0.$i port 8080"))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val snap = spark.read.parquet(outDir)
+      .groupBy($"event_id")
+      .agg(max(struct($"size", $"template")).as("s"))
+      .select($"s.template", $"s.size").as[(String, Long)].collect().toMap
+    val connected = snap.keys.find(_.startsWith("connected to"))
+    assert(connected.isDefined, s"missing connected-template in $snap")
+    assert(connected.get.contains("port <*>"),
+      s"resumed cluster must widen the port slot: $snap")
+    assert(snap(connected.get) == 60L,
+      s"restarted query must RESUME state: expected size 60 (40 + 20 across " +
+        s"the restart), got ${snap(connected.get)}")
+    val heartbeat = snap.keys.find(_.contains("heartbeat"))
+    assert(heartbeat.isDefined && snap(heartbeat.get) == 10L)
+  }
 }
