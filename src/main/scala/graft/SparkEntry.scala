@@ -378,21 +378,21 @@ object SparkEntry {
         .filter(col("keep") === 1L).select(col("doc_id"))
       // PERSISTED: packSequential materializes only its own 2-column
       // projection, so the source re-join below would otherwise re-run
-      // the whole three-branch filter pipeline a second time
+      // the whole three-branch filter pipeline a second time. The result
+      // is returned STILL BACKED by the two persisted working sets (doc
+      // scalars + survivor ids — tiny, text never cached): an eager
+      // localCheckpoint here would put a full materialize-and-copy pass
+      // on the critical path just to allow an early unpersist; the
+      // caller's end-of-query cache cleanup reclaims both frames instead
+      // (the same contract as q68's persisted `sized`).
       val survivors = qKeep.join(repKeep, "doc_id").join(dupKeep, "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        graft.operators.Packing
-          .packSequential(survivors, "doc_id", "n_tokens", 2048L)
-          .join(survivors.select(col("doc_id"), col("source")), "doc_id")
-          .select(col("doc_id"), col("source"), col("n_tokens"),
-            col("seq_id"), col("seq_offset"))
-          .orderBy(col("doc_id"))
-          .localCheckpoint(eager = true)
-      } finally {
-        survivors.unpersist(blocking = false)
-        perDoc.unpersist(blocking = false)
-      }
+      graft.operators.Packing
+        .packSequential(survivors, "doc_id", "n_tokens", 2048L)
+        .join(survivors.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy(col("doc_id"))
     }),
     // ---- C4-style heuristic filter stats: terminal punctuation,
     //      sentence/word shape, alpha fraction, boilerplate markers —

@@ -500,11 +500,19 @@ object Dedup {
     // prefix-length times, and verifying a few duplicate pairs map-side is
     // far cheaper than shuffling the full candidate set to dedup it.
     val docSide = withArrays.select(col("id"), col("toks"), col("n"))
+    // bounded merge: the 3-arg graft_sorted_overlap carries the SAME
+    // ε-relaxed minOverlap bound into the merge loop and bails the moment
+    // the remaining-suffix length can't reach it (the PPJoin suffix
+    // filter applied per merge step) — lossless for the ≥ τ filter, and
+    // it kills the typical false candidate in a few steps instead of
+    // walking both arrays end to end, which was the dominant cost of the
+    // verification stage
     val repPairs = cands
       .join(docSide.toDF("id_a", "toks_a", "na"), "id_a")
       .join(docSide.toDF("id_b", "toks_b", "nb"), "id_b")
       .withColumn("c", call_function(graft.functions.SortedOverlapCount.Name,
-        col("toks_a"), col("toks_b")))
+        col("toks_a"), col("toks_b"),
+        (col("na") + col("nb")) * threshold / (1 + threshold) - 1e-9))
       .withColumn("jaccard", col("c").cast("double") /
         (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)

