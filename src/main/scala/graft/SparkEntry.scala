@@ -911,7 +911,8 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
           threshold = 0.2, bands = 8, bitsPerBand = 4)
         .orderBy(col("id_a"), col("id_b"))),
-    // ---- text: character-trigram language id (no SQL oracle)
+    // ---- text: character-trigram language id (substring-containment
+    //      profile scoring, ties to the earlier profile — hash-oracled)
     "q27_trigram_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -1202,10 +1203,11 @@ object SparkEntry {
         .select(col("user_id"), col("w.start").as("session_start"),
           col("n_events"), col("session_value"))
         .orderBy(col("user_id"), col("session_start"))),
-    // ---- winnowing (rolling-hash) document fingerprints — substring-
-    //      level near-dup keys (SIGMOD'03 guarantee: shared substrings of
-    //      length ≥ w+k−1 share a fingerprint). Rows-only; the spec pins
-    //      the winnowing guarantee itself.
+    // ---- winnowing document fingerprints — substring-level near-dup
+    //      keys (SIGMOD'03 guarantee: shared substrings of length ≥
+    //      w+k−1 share a fingerprint). Mod-p polynomial gram hash =
+    //      portable arithmetic, so the fingerprints are hash-oracled in
+    //      SQL; the spec additionally pins the winnowing guarantee.
     "q52_winnow_fp" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1972,6 +1974,29 @@ object SparkEntry {
              ELSE 'und'
            END AS lang_pred
          FROM s ORDER BY doc_id""",
+    // trigram lang-id: a 1- or 3-char profile gram scores iff it is a
+    // substring of the lowercased text (= membership in the trigram set);
+    // strictly-greater scan in profile order == first-max CASE chain
+    "q27_trigram_langid" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(list_filter(['th ','the',' th','ing','ion','and',' an','ed ',' of','of '], g -> contains(lt, g))) AS s_en,
+             len(list_filter(['es ',' de','de ','le ',' le','ent','que',' qu','ait','ion'], g -> contains(lt, g))) AS s_fr,
+             len(list_filter([' de','de ','os ',' la','la ','ión','ent','ar ',' co','es '], g -> contains(lt, g))) AS s_es,
+             len(list_filter(['en ','er ','ch ',' de','der','ein','sch','ie ','und',' un'], g -> contains(lt, g))) AS s_de,
+             len(list_filter(['的','是','了','在','和'], g -> contains(lt, g))) AS s_zh
+           FROM t)
+         SELECT doc_id,
+           CASE
+             WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_en > 0 THEN 'en'
+             WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+             WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_es > 0 THEN 'es'
+             WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_de > 0 THEN 'de'
+             WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_zh > 0 THEN 'zh'
+             ELSE 'und'
+           END AS lang_pred
+         FROM s ORDER BY doc_id""",
     "q23_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),
@@ -2157,6 +2182,29 @@ object SparkEntry {
            FROM weighted)
          SELECT doc_id, term, rn, round(tfidf_raw, 4) AS tfidf
          FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""",
+    // winnowing: per-position mod-p polynomial gram hashes (k=5),
+    // sliding-window (w=4) minima, distinct values. Every intermediate
+    // ≤ p·B < 2^52 — exact in BIGINT; mirrors the UDF step for step.
+    "q52_winnow_fp" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         g AS (SELECT doc_id, lt, greatest(len(lt) - 4, 0) AS n FROM t),
+         h AS (
+           SELECT doc_id, n,
+             list_transform(range(1, n + 1), i ->
+               (((((((unicode(lt[i])::BIGINT * 1000003 + unicode(lt[i+1])) % 2147483647)
+                  * 1000003 + unicode(lt[i+2])) % 2147483647)
+                  * 1000003 + unicode(lt[i+3])) % 2147483647)
+                  * 1000003 + unicode(lt[i+4])) % 2147483647) AS hs
+           FROM g),
+         m AS (
+           SELECT doc_id,
+             CASE WHEN n = 0 THEN []::BIGINT[]
+                  WHEN n >= 4 THEN list_distinct(list_transform(
+                    range(1, n - 4 + 2), s -> list_min(hs[s:s+3])))
+                  ELSE [list_min(hs)] END AS fps
+           FROM h)
+         SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS min_fp
+         FROM m ORDER BY doc_id""",
     "q53_session_window" ->
       """WITH g AS (
            SELECT user_id, ts, value,

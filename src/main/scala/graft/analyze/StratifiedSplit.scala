@@ -39,9 +39,17 @@ object StratifiedSplit {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
       s"need trainFrac > 0, valFrac >= 0, sum <= 1; got $trainFrac, $valFrac")
     val cut2 = trainFrac + valFrac
+    // EAGER checkpoint: the range shuffle + zipWithIndex job below is the
+    // split's dominant cost and idx feeds TWO consumers (the offs
+    // aggregate and the main join side) — unmaterialized, deterministic
+    // hashing keeps the double-run correct but the expensive pass runs
+    // twice. Materializing once here means both consumers read the
+    // cached blocks ("one pass, one rank" as advertised); the blocks are
+    // reclaimed by the ContextCleaner / the caller's cache cleanup.
     val idx = Positional.withRowIndex(
       df.withColumn("__u", Mixture.unitHash(col(keyCol))),
       Seq(col(labelCol), col("__u"), col(keyCol)), "__gi")
+      .localCheckpoint(true)
     val offs = idx.groupBy(col(labelCol).as("__l"))
       .agg(min(col("__gi")).as("__off"), count(lit(1)).as("__n"))
     idx.join(broadcast(offs), col(labelCol) <=> col("__l"))

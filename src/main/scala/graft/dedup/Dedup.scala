@@ -219,7 +219,17 @@ object Dedup {
     * components). Uses the native codegen'd agreement count — the
     * `zip_with`/`filter` built-in formulation runs interpreted and
     * allocates two arrays per pair, which dominates verification cost at
-    * millions of candidates. */
+    * millions of candidates.
+    *
+    * REQUIRES `graft_sig_agree` in the session's function registry: on a
+    * [[graft.GraftSession]] (or any session built with GraftExtensions)
+    * it is a built-in; a Column-only API has no session to thread the
+    * registration through, so on a foreign SparkSession call
+    * `graft.functions.SigAgreeCount.register(spark)` once first —
+    * otherwise analysis fails with "undefined function". The same
+    * contract applies to [[graft.sim.Similarity.cosine]]
+    * (`GraftFunctions.register`) and [[graft.text.UnicodeNorm]]'s nfc
+    * column (`NfcNormalize.register`). */
   def minHashJaccard(sigA: Column, sigB: Column): Column =
     // graft_sig_agree is a session built-in via GraftExtensions; foreign
     // sessions register it once with SigAgreeCount.register(spark)
@@ -316,8 +326,14 @@ object Dedup {
     * interpreted per shingle position and pays an interpreted comparator
     * per sort compare (measured ~4 s per materialization at sf0.1, the
     * hottest projection of q59/q60/q68). `n = 1` degenerates to the
-    * sorted distinct token set itself. Registration is threaded through
-    * the df's own session — never `SparkSession.active`. */
+    * sorted distinct token set itself — with ONE null divergence from
+    * `array_sort(array_distinct(toks))`: a null array ELEMENT is
+    * rewritten to the empty-string shingle (concat_ws semantics), not
+    * retained as null. Safe for every in-repo caller
+    * ([[graft.text.TextAnalysis.tokens]] never yields null elements);
+    * a general `array<string>` caller with containsNull inputs must
+    * strip nulls first. Registration is threaded through the df's own
+    * session — never `SparkSession.active`. */
   private def shingleSet(df: DataFrame, toks: Column, n: Int): Column = {
     graft.functions.ShingleSet.register(df.sparkSession)
     call_function(graft.functions.ShingleSet.Name, toks, lit(n))

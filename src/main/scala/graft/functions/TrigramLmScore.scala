@@ -55,7 +55,12 @@ case class TrigramLmScore(left: Expression, right: Expression)
   @transient private lazy val parsed: (Array[Long], Array[Long]) = {
     val blob = left.eval(null).asInstanceOf[Array[Byte]]
     require(blob != null, s"$prettyName: model blob must not be null")
-    TrigramLmScore.parse(blob)
+    // executor-static memo, not a plain parse: `parsed` is @transient
+    // lazy, so on the interpreted/codegen-fallback path EVERY
+    // deserialized expression instance (one per task) would re-parse the
+    // blob — up to 64 MB at ModelCap, per task. The cache keys by blob
+    // content, so each executor pays the parse once per model.
+    TrigramLmScore.cachedParse(blob)
   }
 
   override def eval(input: InternalRow): Any = {
@@ -109,6 +114,32 @@ object TrigramLmScore {
     val keys = Array.fill(n)(bb.getLong)
     val vals = Array.fill(n)(bb.getLong)
     (keys, vals)
+  }
+
+  /** Bounded per-JVM parse memo (hash-keyed, content-verified): at most
+    * [[MaxModels]] parsed models stay resident — a session cycling many
+    * models evicts older entries (re-parse on next use, still correct).
+    * Eviction runs OUTSIDE any CHM mapping function (the documented
+    * contract — see [[graft.text.BpeEncoder.memoFor]]). */
+  private val MaxModels = 4
+  private val parseCache = new java.util.concurrent.ConcurrentHashMap[
+    Integer, (Array[Byte], (Array[Long], Array[Long]))]()
+  def cachedParse(blob: Array[Byte]): (Array[Long], Array[Long]) = {
+    val k = Integer.valueOf(java.util.Arrays.hashCode(blob))
+    val hit = parseCache.get(k)
+    // content check on hit: the hash key alone could collide across
+    // models; one array compare is noise next to the parse it avoids
+    if (hit != null && java.util.Arrays.equals(hit._1, blob)) return hit._2
+    if (parseCache.size >= MaxModels && !parseCache.containsKey(k)) {
+      val it = parseCache.keys()
+      while (parseCache.size >= MaxModels && it.hasMoreElements) {
+        val old = it.nextElement()
+        if (old != k) parseCache.remove(old)
+      }
+    }
+    val p = parse(blob)
+    parseCache.put(k, (blob, p))
+    p
   }
 
   /** Called from generated code. Rolling 3-code-point window over the

@@ -165,15 +165,22 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("p"))
       .select(col("clabel"),
         transform(col("p"), p => p.getField("centroid")).as("cvec"))
+    // argmax as min(struct(−cos, label, v)), NOT a per-id ranking window:
+    // the struct min is a hash aggregate with map-side partials — the
+    // shuffle carries ONE candidate row per vector instead of K, and no
+    // per-partition sort runs. Ordering is identical to the window form
+    // (row_number over ccos DESC, clabel ASC): negation maps Spark's
+    // total double order exactly (incl. ±0.0), label breaks exact-cos
+    // ties ascending, and the trailing v can never be compared (a label
+    // appears once per id).
     val assigned = df
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .crossJoin(broadcast(cent))
-      .select(col(idCol), col("v"), col("clabel"),
-        cosine(col("v"), col("cvec")).as("ccos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("clabel"))))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("v"), col("clabel").as("cluster"))
+      .select(col(idCol), struct(
+        (-cosine(col("v"), col("cvec"))).as("nc"),
+        col("clabel"), col("v")).as("cand"))
+      .groupBy(col(idCol)).agg(min(col("cand")).as("best"))
+      .select(col(idCol), col("best.v").as("v"), col("best.clabel").as("cluster"))
       // PERSISTED: consumed by both sides of the pair self-join, by the
       // ConnectedComponents driver actions, and by the final label join —
       // unpersisted, the K-cosine assignment + per-id window re-runs per

@@ -162,8 +162,14 @@ object StreamingOps {
     val parentParts = scala.util.Try(
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
+    // 4, not 8: every stateful operator pays store init/snapshot/commit
+    // per state partition per micro-batch (a stream-stream join keeps
+    // FOUR stores per partition), and the harness streams are single-
+    // file sources — 4 partitions still exercises multi-partition state
+    // (shards spread across stores, cross-partition merges) at half the
+    // fixed overhead. A production stream sizes this to volume.
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", math.min(8, parentParts).toString)
+    ss.conf.set("spark.sql.shuffle.partitions", math.min(4, parentParts).toString)
     val src = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", globFilter)

@@ -35,17 +35,26 @@ object BpeEncoder {
   private val MaxTables = 4
   private val memos =
     new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
-  private[text] def memoFor(bcId: Long): java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] =
-    memos.computeIfAbsent(bcId, _ => {
-      if (memos.size >= MaxTables) {
-        val it = memos.keys()
-        while (memos.size >= MaxTables && it.hasMoreElements) {
-          val k = it.nextElement()
-          if (k != bcId) memos.remove(k)
-        }
+  private[text] def memoFor(bcId: Long): java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] = {
+    // Eviction runs BEFORE computeIfAbsent, never inside its mapping
+    // function: CHM's contract forbids the mapping function from
+    // updating other mappings (two tasks concurrently inserting
+    // different new ids while each removes a key in the other's bin is
+    // an ABBA deadlock on the bin locks; same-bin removal mutates the
+    // bin under the reservation lock). Outside the lambda the removals
+    // are plain concurrent ops; the size check racing another thread's
+    // insert can at worst briefly overshoot MaxTables by the number of
+    // racing threads — a benign bound, not a correctness property.
+    if (memos.size >= MaxTables && !memos.containsKey(bcId)) {
+      val it = memos.keys()
+      while (memos.size >= MaxTables && it.hasMoreElements) {
+        val k = it.nextElement()
+        if (k != bcId) memos.remove(k)
       }
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-    })
+    }
+    memos.computeIfAbsent(bcId,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+  }
 
   /** Greedy lowest-rank-first BPE segmentation of one word (the standard
     * encode loop: repeatedly merge the adjacent pair with the smallest

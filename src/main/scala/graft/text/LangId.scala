@@ -56,26 +56,31 @@ object LangId {
   }
 
   /** Minimal per-language character-trigram profiles (hand-built from
-    * orthographic staples — public knowledge, no corpus needed). */
-  private val TrigramProfiles: Map[String, Set[String]] = Map(
-    "en" -> Set("th ", "the", " th", "ing", "ion", "and", " an", "ed ", " of", "of "),
-    "fr" -> Set("es ", " de", "de ", "le ", " le", "ent", "que", " qu", "ait", "ion"),
-    "es" -> Set(" de", "de ", "os ", " la", "la ", "ión", "ent", "ar ", " co", "es "),
-    "de" -> Set("en ", "er ", "ch ", " de", "der", "ein", "sch", "ie ", "und", " un"),
-    "zh" -> Set("的", "是", "了", "在", "和"))
+    * orthographic staples — public knowledge, no corpus needed).
+    * An ordered Seq, not a Map: the ties-break-to-first-language rule
+    * is part of the contract (and of the SQL oracle), so iteration
+    * order must be explicit, not a hash-map accident. */
+  private[text] val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th ", "the", " th", "ing", "ion", "and", " an", "ed ", " of", "of "),
+    "fr" -> Seq("es ", " de", "de ", "le ", " le", "ent", "que", " qu", "ait", "ion"),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "ión", "ent", "ar ", " co", "es "),
+    "de" -> Seq("en ", "er ", "ch ", " de", "der", "ein", "sch", "ie ", "und", " un"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
 
+  /** SQL-mirrorable semantics (the q27 oracle): a profile gram scores
+    * iff it occurs as a SUBSTRING of the lowercased text — equivalent to
+    * membership in the text's trigram set (plus lone CJK chars, which
+    * are single-char grams and so also plain substrings), since every
+    * gram is 1 or 3 chars. Strictly-greater scan in [[TrigramProfiles]]
+    * order = ties break to the earlier language; score 0 → "und". */
   def trigramLangId(text: Column): Column = {
     val f = udf { (s: String) =>
       if (s == null || s.isEmpty) "und"
       else {
         val t = s.toLowerCase(java.util.Locale.ROOT)
-        val grams: Set[String] =
-          (if (t.length < 3) Set(t)
-           else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet) ++
-          t.filter(_ > 0x2E80).map(_.toString).toSet // CJK chars count alone
         var bestLang = "und"; var bestScore = 0
         TrigramProfiles.foreach { case (lang, prof) =>
-          val score = prof.count(grams.contains)
+          val score = prof.count(t.contains(_))
           if (score > bestScore) { bestScore = score; bestLang = lang }
         }
         bestLang

@@ -39,26 +39,34 @@ object TextAnalysis {
     * least one fingerprint, so the sorted distinct output doubles as a
     * substring-level near-dup blocking key (explode + equi-join, ids
     * only — same shuffle shape as the other dedup blockers).
-    * Single-pass UDF: the rolling recurrence is inherently sequential
-    * per row and has no built-in form. */
+    * Single-pass UDF: the per-gram hash is inherently sequential per
+    * row and has no built-in form.
+    *
+    * Gram hash: polynomial over CODEPOINTS, base 1000003, mod 2^31−1 —
+    * deliberately PORTABLE arithmetic (every intermediate ≤ p·B < 2^52)
+    * so any engine with 64-bit integers reproduces the values exactly;
+    * that is what makes the q52 fingerprints hash-oracle-able in
+    * DuckDB SQL. (The previous 64-bit wrapping Rabin hash was
+    * irreproducible outside JVM-style wraparound semantics.) The
+    * winnowing guarantee is hash-agnostic; the 2^31 space only sizes
+    * the collision rate of the blocking key, which a blocking key
+    * tolerates by construction. */
   def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
     val f = udf { (s: String) =>
-      if (s == null || s.length < k) Array.empty[Long]
+      val cps =
+        if (s == null) Array.empty[Int]
+        else s.toLowerCase(java.util.Locale.ROOT).codePoints().toArray
+      if (cps.length < k) Array.empty[Long]
       else {
-        val t = s.toLowerCase(java.util.Locale.ROOT)
+        val P = 2147483647L // 2^31 − 1
         val B = 1000003L
-        var pow = 1L
-        var i = 0
-        while (i < k - 1) { pow *= B; i += 1 }
-        val n = t.length - k + 1
+        val n = cps.length - k + 1
         val hs = new Array[Long](n)
-        var h = 0L
-        i = 0
-        while (i < k) { h = h * B + t.charAt(i); i += 1 }
-        hs(0) = h
-        i = 1
+        var i = 0
         while (i < n) {
-          h = (h - t.charAt(i - 1) * pow) * B + t.charAt(i + k - 1)
+          var h = 0L
+          var j = 0
+          while (j < k) { h = (h * B + cps(i + j)) % P; j += 1 }
           hs(i) = h
           i += 1
         }
