@@ -601,6 +601,57 @@ object SparkEntry {
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))),
+    // ---- overlap-coefficient (containment) near-dup pairs: the
+    //      subset-duplicate case Jaccard misses (short doc quoted inside
+    //      a long one). Asymmetric prefix filter: only the smaller side
+    //      probes, full postings index, bounded-merge verification
+    "q112_containment_pairs" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- corpus snapshot diff: v2 built deterministically (drop %13,
+    //      edit %11, add %17 under new ids); digests-only full-outer
+    //      join classifies every id added/removed/changed/unchanged
+    "q113_corpus_diff" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" [v2 edit]"))).otherwise(col("text")).as("text"))
+        .unionAll(v1.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("new: "), col("text")).as("text")))
+      graft.analyze.SnapshotDiff.diff(v1, v2, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- n-gram novelty vs a reference corpus (inverse contamination):
+    //      fraction of each doc's distinct 3-grams unseen in the
+    //      reference — reference shingles broadcast, corpus scans once
+    "q114_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.text.Contamination.ngramNovelty(
+          docs, docs.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text", 3)
+        .orderBy(col("doc_id"))
+    }),
+    // ---- sentence-level exact dedup (C4/CCNet sub-document pass): keep
+    //      the first occurrence of every sentence corpus-wide; digest-
+    //      keyed shuffle (never sentence text), per-doc dup stats
+    "q115_sentence_dedup" -> ((s, dir) =>
+      graft.dedup.SentenceDedup.sentenceStats(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    // ---- BM25 lexical retrieval: top-10 corpus docs per probe query
+    //      (first 8 tokens of every %97 doc); postings built in one scan,
+    //      query terms + idf broadcast, DECIMAL order-invariant sums
+    "q116_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 8)).as("qtext"))
+      graft.text.Bm25.topK(docs, "doc_id", "text", queries, "doc_id", "qtext", 10)
+        .orderBy(col("qid"), col("doc_id"))
+    }),
     // ---- NFC-robust dedup: half the corpus is re-encoded with DECOMPOSED
     //      combining sequences (constructed identically in both engines);
     //      raw fingerprints see distinct docs, canonicalized fingerprints
@@ -2350,6 +2401,122 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
          GROUP BY n_name ORDER BY n_name""",
+    "q112_containment_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(c * 1.0 / least(sa.n, sb.n), 4) AS containment
+         FROM shared
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE c * 1.0 / least(sa.n, sb.n) >= 0.9
+         ORDER BY id_a, id_b""",
+    "q113_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' [v2 edit]' ELSE text END AS text
+           FROM documents WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, 'new: ' || text
+           FROM documents WHERE doc_id % 17 = 0),
+         o AS (SELECT doc_id, md5(text) AS oh FROM v1),
+         c AS (SELECT doc_id, md5(text) AS ch FROM v2)
+         SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'removed'
+                WHEN oh = ch THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id
+         ORDER BY doc_id""",
+    "q114_novelty" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS g
+           FROM t),
+         ref AS (SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0),
+         m AS (
+           SELECT s.doc_id, count(*) AS n_ngrams,
+                  count(*) FILTER (WHERE r.g IS NULL) AS n_novel
+           FROM sh s LEFT JOIN ref r ON s.g = r.g
+           GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(n_ngrams, 0) AS n_ngrams,
+           coalesce(n_novel, 0) AS n_novel,
+           CASE WHEN coalesce(n_ngrams, 0) > 0
+                THEN round(n_novel * 1.0 / n_ngrams, 4) END AS novelty
+         FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         ORDER BY d.doc_id""",
+    "q115_sentence_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '[.!?]+\s+') AS arr
+           FROM documents),
+         u AS (
+           SELECT doc_id, trim(unnest(arr)) AS sentence,
+                  generate_subscripts(arr, 1) AS pos
+           FROM t),
+         s AS (SELECT * FROM u WHERE sentence <> ''),
+         k AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY sentence ORDER BY doc_id, pos) AS rn
+           FROM s),
+         m AS (
+           SELECT doc_id, count(*) AS n_sentences,
+                  count(*) FILTER (WHERE rn = 1) AS n_kept
+           FROM k GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(n_sentences, 0) AS n_sentences,
+           coalesce(n_kept, 0) AS n_kept,
+           CASE WHEN coalesce(n_sentences, 0) > 0
+                THEN round((n_sentences - n_kept) * 1.0 / n_sentences, 4)
+           END AS dup_frac
+         FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         ORDER BY d.doc_id""",
+    "q116_bm25" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+         tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM post GROUP BY 1, 2, 3),
+         consts AS (
+           SELECT count(*) AS n_docs, avg(dl) AS avgdl
+           FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+         q AS (
+           SELECT doc_id AS qid, unnest(list_distinct(toks[1:8])) AS tok
+           FROM docs WHERE doc_id % 97 = 0),
+         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT q.qid, tf.doc_id,
+             sum(CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                 (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 AS DECIMAL(27,12))) AS score_d
+           FROM tf
+           JOIN q ON tf.tok = q.tok
+           JOIN dfreq ON tf.tok = dfreq.tok
+           CROSS JOIN consts
+           GROUP BY 1, 2),
+         r AS (
+           SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid ORDER BY score_d DESC, doc_id) AS rank,
+             score_d
+           FROM scored)
+         SELECT qid, doc_id, rank, round(score_d, 4)::DOUBLE AS score
+         FROM r WHERE rank <= 10 ORDER BY qid, doc_id""",
     "q110_nfc_dedup" ->
       """WITH d AS (
            SELECT doc_id,

@@ -537,6 +537,110 @@ object Dedup {
     (repPairs, mem)
   }
 
+  // ---------------------------------------------------- containment pairs
+
+  /** Exact all-pairs OVERLAP-COEFFICIENT join: pairs with
+    * `|A ∩ B| / min(|A|, |B|) >= threshold` over word n-gram shingle
+    * sets. The subset-duplicate detector Jaccard structurally misses: a
+    * short document fully quoted inside a much longer one has Jaccard
+    * `|A|/|B| ≈ 0` but containment 1.0 — the boilerplate-inclusion /
+    * quote-expansion case every corpus dedup pass needs alongside q59's
+    * symmetric near-dup join. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double): DataFrame =
+    containmentPairsOfSets(df, idCol,
+      shingleSet(df, TextAnalysis.tokens(col(textCol)), n), threshold)
+
+  /** Core of the exact containment join. ASYMMETRIC prefix filtering:
+    * because the required overlap `⌈τ·min(|A|,|B|)⌉` depends only on the
+    * SMALLER set, the smaller side of every qualifying pair must share a
+    * token inside its own rarest-first prefix of length
+    * `|A| − ⌈τ·|A|⌉ + 1` (the suffix beyond it holds `⌈τ·|A|⌉ − 1 <
+    * minoverlap` tokens) — so only PREFIXES probe, while the index side
+    * posts ALL tokens (a containment join has no length filter: the
+    * partner may be arbitrarily larger, which is exactly the pair it
+    * exists to find). The corpus-sized posting list is int ranks only,
+    * and the join fans out on the probe side's globally-rarest tokens —
+    * hot tokens never probe. Verification reuses the 3-arg bounded merge
+    * ([[graft.functions.SortedOverlapCount]]) with
+    * `minoverlap = τ·min(na,nb)`; the exact-group pre-collapse and
+    * member expansion are the same d²-reduction as the Jaccard path. */
+  def containmentPairsOfSets(df: DataFrame, idCol: String, setExpr: Column,
+                             threshold: Double): DataFrame = {
+    graft.functions.SortedOverlapCount.register(df.sparkSession)
+    val docSets = spread(df, idCol).select(col(idCol).as("id"), setExpr.as("set"))
+      .filter(size(col("set")) > 0)
+    // exact-group pre-collapse (same contract as repJaccardGraph: members
+    // of one group have identical sets, so identical containment to
+    // everything — one representative joins, members expand afterwards)
+    val keyed = docSets.withColumn("gk", md5(concat_ws("\n", col("set"))))
+    val withRep = keyed.withColumn("rep",
+        min(col("id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("gk"))))
+      .select(col("id"), col("rep"), col("set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = withRep.filter(col("id") === col("rep")).select(col("id"), col("set"))
+    val mem = withRep.select(col("rep"), col("id").as("member"))
+    // global rarity rank, distributed (see repJaccardGraph) — any
+    // consistent total order is correct for the prefix bound
+    val dfreq = graft.operators.Positional.withRowIndex(
+      reps.select(explode(col("set")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df")),
+      Seq(col("df"), col("tok")), "__vrk")
+      .select(col("tok"), (col("__vrk") + 1).cast("int").as("rk"))
+    val withArrays = reps.select(col("id"), explode(col("set")).as("tok"))
+      .join(dfreq, "tok")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("rk"))).as("toks"),
+           count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe prefix: |d| − ⌈τ·|d|⌉ + 1 rarest tokens (ε under the ceil —
+    // a float ceil landing an ulp high may only LENGTHEN the prefix)
+    val prefixLen = (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast("int")
+    val probes = withArrays.select(col("id"), col("n"),
+      posexplode(slice(col("toks"), lit(1), prefixLen)))
+      .toDF("id", "n", "pos", "tok")
+    // index side: EVERY token with its position (for the suffix bound)
+    val postings = withArrays.select(col("id"), col("n"),
+      posexplode(col("toks"))).toDF("id", "n", "pos", "tok")
+    // the probe is the smaller set of the pair (ties broken by id so each
+    // pair is generated from exactly one side); minoverlap = τ·na − ε,
+    // with the index-side suffix bound nb − pb ≥ minoverlap applied
+    // map-side (the probe-side bound is the prefix cut itself)
+    val minOverlap = col("a.n") * threshold - 1e-9
+    val cands = probes.alias("a")
+      .join(postings.alias("b"),
+        col("a.tok") === col("b.tok") &&
+        (col("a.n") < col("b.n") ||
+          (col("a.n") === col("b.n") && col("a.id") < col("b.id"))) &&
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
+          .cast("double") >= minOverlap)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val docSide = withArrays.select(col("id"), col("toks"), col("n"))
+    val repPairs = cands
+      .join(docSide.toDF("id_a", "toks_a", "na"), "id_a")
+      .join(docSide.toDF("id_b", "toks_b", "nb"), "id_b")
+      .withColumn("c", call_function(graft.functions.SortedOverlapCount.Name,
+        col("toks_a"), col("toks_b"), col("na") * threshold - 1e-9))
+      .withColumn("containment",
+        col("c").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .dropDuplicates("id_a", "id_b")
+    // member expansion: identical sets ⇒ containment 1.0 within a group,
+    // and every member inherits its rep's cross-group containment
+    val within = mem.alias("x")
+      .join(mem.alias("y"), col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
+      .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
+        lit(1.0).as("containment"))
+    val cross = repPairs
+      .join(mem.toDF("id_a", "ma"), "id_a")
+      .join(mem.toDF("id_b", "mb"), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("containment"))
+    within.unionAll(cross)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (FNV-1a token hashes, bit-vote

@@ -52,4 +52,45 @@ object Contamination {
       .select(col("doc_id"), col("probe_id"), col("shared_ngrams"),
         round(col("shared_ngrams").cast("double") / col("p_size"), 4).as("containment"))
   }
+
+  /** Per-document n-gram NOVELTY against a reference corpus: the fraction
+    * of a document's distinct n-grams that appear nowhere in `reference`
+    * — the inverse measure of [[ngramContainment]], used to score how
+    * much genuinely new text an ingest batch adds (a crawl refresh whose
+    * documents are 95% known n-grams is mostly re-crawl, not new data).
+    *
+    * Same asymmetric scale shape as contamination: the reference's
+    * distinct shingle set is the small side and BROADCAST; the corpus is
+    * scanned once and its exploded shingles never shuffle (the per-doc
+    * rollup is keyed on the doc id). Documents shorter than `n` tokens
+    * have no n-grams: reported with `n_ngrams = 0` and a null novelty
+    * (0/0 is undefined, not zero).
+    *
+    * Output: `(doc_id, n_ngrams, n_novel, novelty)` — one row per corpus
+    * document, novelty rounded to 4 dp. */
+  def ngramNovelty(corpus: DataFrame, reference: DataFrame,
+                   idCol: String, textCol: String, n: Int): DataFrame = {
+    def staged(df: DataFrame) =
+      df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .select(col(idCol),
+          explode(array_distinct(Dedup.shinglesOfTokens(col("__toks"), n))).as("g"))
+    val refSet = staged(reference).select(col("g")).distinct()
+      .withColumn("__known", lit(1))
+    // left join against the broadcast reference set: a missing match IS
+    // the novelty signal, so an inner/anti pair would need two passes
+    val marked = staged(corpus)
+      .join(broadcast(refSet), Seq("g"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(when(col("__known").isNull, 1)).as("n_novel"))
+    // docs with no n-grams never reach the explode — restore them with a
+    // left join from the corpus id spine (null-novelty contract above)
+    corpus.select(col(idCol))
+      .join(marked, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_ngrams"), lit(0L)) > 0,
+          round(col("n_novel").cast("double") / col("n_ngrams"), 4)).as("novelty"))
+  }
 }
