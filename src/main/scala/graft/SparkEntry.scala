@@ -652,6 +652,56 @@ object SparkEntry {
       graft.text.Bm25.topK(docs, "doc_id", "text", queries, "doc_id", "qtext", 10)
         .orderBy(col("qid"), col("doc_id"))
     }),
+    // ---- ordered event funnel: users completing view -> click ->
+    //      purchase with each step strictly after the previous step's
+    //      first completion; per-step frames carry (user, ts) only
+    "q117_funnel" -> ((s, dir) =>
+      graft.analyze.Funnel.funnel(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("step_idx"))),
+    // ---- weekly cohort retention: cohort = week of first event
+    //      (portable days-div-7 weeks), activity grid is a distinct over
+    //      the scan, cohort join shares the user hash partitioning
+    "q118_retention" -> ((s, dir) =>
+      graft.analyze.Funnel.weeklyRetention(Tables.events(s, dir),
+          "user_id", "ts", "2024-01-01")
+        .orderBy(col("cohort_week"), col("offset_weeks"))),
+    // ---- PMI collocations among the top-60 df vocabulary (min support
+    //      20 docs, top-40 pairs): vocab + counts broadcast, pair space
+    //      bounded by V^2 regardless of corpus size
+    "q119_pmi" -> ((s, dir) =>
+      graft.text.Cooccurrence.pmiPairs(
+        Tables.documents(s, dir), "doc_id", "text", 60, 20L, 40)),
+    // ---- phrase-blocklist filter (C4 badwords pass): phrases = first
+    //      bigram + third token of every %89 doc, broadcast; corpus
+    //      explodes only the n-gram lengths the list contains
+    "q120_blocklist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val probe = docs.filter(pmod(col("doc_id"), lit(89)) === 0)
+        .select(TextAnalysis.tokens(col("text")).as("__t"))
+      val phrases = probe.select(concat_ws(" ", slice(col("__t"), 1, 2)).as("phrase"))
+        .unionAll(probe.select(element_at(col("__t"), 3).as("phrase")))
+        .filter(col("phrase").isNotNull && col("phrase") =!= "")
+      graft.text.Blocklist.phraseHits(docs, "doc_id", "text", phrases)
+        .orderBy(col("doc_id"))
+    }),
+    // ---- SCD2 dimension history from three deterministic customer
+    //      snapshots (v2 bumps acctbal %7 and drops %13; v3 rewrites
+    //      mktsegment %5): one key-hash shuffle, both windows reuse it
+    "q121_scd2" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val v2 = base.filter(pmod(col("c_custkey"), lit(13)) =!= 0)
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(7)) === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+      val v3 = v2.withColumn("c_mktsegment",
+        when(pmod(col("c_custkey"), lit(5)) === 0, lit("CHANGED"))
+          .otherwise(col("c_mktsegment")))
+      graft.analyze.Scd2.history(Seq((1L, base), (2L, v2), (3L, v3)),
+          "c_custkey", Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
     // ---- NFC-robust dedup: half the corpus is re-encoded with DECOMPOSED
     //      combining sequences (constructed identically in both engines);
     //      raw fingerprints see distinct docs, canonicalized fingerprints
@@ -2517,6 +2567,116 @@ object SparkEntry {
            FROM scored)
          SELECT qid, doc_id, rank, round(score_d, 4)::DOUBLE AS score
          FROM r WHERE rank <= 10 ORDER BY qid, doc_id""",
+    "q117_funnel" ->
+      """WITH e AS (
+           SELECT user_id AS u, event_type AS et, date_trunc('microseconds', ts) AS t
+           FROM events),
+         s1 AS (SELECT u, min(t) AS tk FROM e WHERE et = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT e.u, min(e.t) AS tk FROM e JOIN s1 ON e.u = s1.u
+           WHERE e.et = 'click' AND e.t > s1.tk GROUP BY 1),
+         s3 AS (
+           SELECT e.u, min(e.t) AS tk FROM e JOIN s2 ON e.u = s2.u
+           WHERE e.et = 'purchase' AND e.t > s2.tk GROUP BY 1),
+         c AS (
+           SELECT 1::BIGINT AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+           UNION ALL
+           SELECT 2::BIGINT, 'click', count(*) FROM s2
+           UNION ALL
+           SELECT 3::BIGINT, 'purchase', count(*) FROM s3)
+         SELECT step_idx, step, n_users,
+           round(n_users * 1.0 / lag(n_users) OVER (ORDER BY step_idx), 4) AS conversion
+         FROM c ORDER BY step_idx""",
+    "q118_retention" ->
+      """WITH wk AS (
+           SELECT DISTINCT user_id AS u,
+             (datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7)::BIGINT AS wk
+           FROM events),
+         c AS (SELECT u, min(wk) AS cohort_week FROM wk GROUP BY 1)
+         SELECT cohort_week, wk.wk - c.cohort_week AS offset_weeks,
+                count(*) AS n_users
+         FROM wk JOIN c ON wk.u = c.u
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q119_pmi" ->
+      """WITH dt AS (
+           SELECT doc_id AS id, unnest(list_distinct(
+             string_split_regex(lower(trim(text)), '\s+'))) AS tok
+           FROM documents),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         top AS (
+           SELECT tok, count(*) AS df FROM dt GROUP BY 1
+           ORDER BY df DESC, tok LIMIT 60),
+         iv AS (SELECT dt.id, dt.tok FROM dt JOIN top ON dt.tok = top.tok),
+         p AS (
+           SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_pair
+           FROM iv a JOIN iv b ON a.id = b.id AND a.tok < b.tok
+           GROUP BY 1, 2 HAVING count(*) >= 20)
+         SELECT tok_a, tok_b, n_pair,
+           round(ln(n_docs * n_pair * 1.0 / (ta.df * tb.df)), 4) AS pmi
+         FROM p
+         JOIN top ta ON ta.tok = tok_a
+         JOIN top tb ON tb.tok = tok_b
+         CROSS JOIN n
+         ORDER BY pmi DESC, tok_a, tok_b LIMIT 40""",
+    "q120_blocklist" ->
+      """WITH dt AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         pr AS (SELECT toks FROM dt WHERE doc_id % 89 = 0),
+         ph AS (
+           SELECT DISTINCT phrase FROM (
+             SELECT array_to_string(toks[1:2], ' ') AS phrase FROM pr
+             UNION ALL
+             SELECT toks[3] FROM pr)
+           WHERE phrase IS NOT NULL AND phrase <> ''),
+         g AS (
+           SELECT doc_id, unnest(toks) AS gram FROM dt
+           UNION ALL
+           SELECT doc_id, array_to_string(toks[i:i+1], ' ')
+           FROM dt, unnest(range(1, len(toks))) AS t(i)),
+         h AS (
+           SELECT doc_id, count(*) AS n_hits,
+                  count(DISTINCT gram) AS n_distinct_phrases
+           FROM g JOIN ph ON g.gram = ph.phrase
+           GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+                coalesce(n_distinct_phrases, 0) AS n_distinct_phrases,
+                coalesce(n_hits, 0) > 0 AS blocked
+         FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+         ORDER BY d.doc_id""",
+    "q121_scd2" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+         v2 AS (
+           SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+               AS c_acctbal,
+             c_mktsegment
+           FROM base WHERE c_custkey % 13 <> 0),
+         v3 AS (
+           SELECT c_custkey, c_name, c_acctbal,
+             CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END
+               AS c_mktsegment
+           FROM v2),
+         s AS (
+           SELECT *, 1::BIGINT AS v FROM base
+           UNION ALL SELECT *, 2::BIGINT FROM v2
+           UNION ALL SELECT *, 3::BIGINT FROM v3),
+         l AS (
+           SELECT *,
+             lag(c_name) OVER w AS pn, lag(c_acctbal) OVER w AS pb,
+             lag(c_mktsegment) OVER w AS ps,
+             (row_number() OVER w) AS rn
+           FROM s WINDOW w AS (PARTITION BY c_custkey ORDER BY v)),
+         o AS (
+           SELECT * FROM l
+           WHERE rn = 1 OR pn IS DISTINCT FROM c_name
+              OR pb IS DISTINCT FROM c_acctbal
+              OR ps IS DISTINCT FROM c_mktsegment)
+         SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+                v AS valid_from,
+                lead(v) OVER (PARTITION BY c_custkey ORDER BY v) AS valid_to
+         FROM o ORDER BY c_custkey, valid_from""",
     "q110_nfc_dedup" ->
       """WITH d AS (
            SELECT doc_id,

@@ -1,0 +1,90 @@
+package graft.analyze
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered event-funnel analysis: how many users complete step 1, then
+  * step 2 STRICTLY AFTER their first step-1 event, then step 3 after
+  * that, … — the conversion query behind every product-analytics
+  * dashboard (reference: the event-count / per-class aggregation family,
+  * `process_logs_v10.py` §counts, generalized to ordered sequences).
+  *
+  * Semantics: a user reaches step k at time `t_k = min{ts : event =
+  * step_k, ts > t_{k-1}}` (strict inequality — simultaneous events do
+  * not chain). Users reaching step k are exactly those with a defined
+  * `t_k`; conversion is `|step k| / |step k−1|`.
+  *
+  * Scale shape: one pass per step — step 1 is a plain min-aggregate on
+  * the filtered event type; each later step filters the event scan to
+  * its own type and joins the (user, t_{k-1}) frame on the user key
+  * before re-aggregating. All joins and aggregates share the user-id
+  * hash partitioning, so after the first shuffle each subsequent stage
+  * reuses co-location (Exchange reuse); the per-step frames carry
+  * `(user, timestamp)` only — 16 bytes per reaching user, never event
+  * payloads. The funnel depth is a query constant (3–6 steps), so the
+  * linear pass count is bounded; per-step user sets only shrink.
+  */
+object Funnel {
+
+  /** Per-step funnel counts: `(step_idx, step, n_users, conversion)`
+    * where conversion is `n_users / previous step n_users` rounded to
+    * 4 dp (null for the first step). */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).as("t"))
+    // t_k per user, built step over step; each frame is (u, tk)
+    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = base.filter(col("et") === step)
+        val timed = prev match {
+          case None => mine
+          case Some(p) => mine.join(p, Seq("u")).filter(col("t") > col("tk"))
+            .select(col("u"), col("et"), col("t"))
+        }
+        Some(timed.groupBy(col("u")).agg(min(col("t")).as("tk")))
+    }.flatten
+    // counts are one row per step: a union of tiny aggregates, ordered by
+    // step index; conversion via a lag window over the step order (the
+    // frame is funnel-depth-sized — the single partition is 3-6 rows)
+    val counts = reached.zip(steps).zipWithIndex.map {
+      case ((df, step), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).cast("long").as("step_idx"), lit(step).as("step"),
+            col("n_users"))
+    }.reduce(_.unionAll(_))
+    val w = Window.orderBy(col("step_idx"))
+    counts
+      .withColumn("conversion",
+        round(col("n_users").cast("double") / lag(col("n_users"), 1).over(w), 4))
+      .select(col("step_idx"), col("step"), col("n_users"), col("conversion"))
+  }
+
+  /** Weekly cohort retention: users bucketed by the week of their FIRST
+    * event (week = days-since-`epochDate` div 7 — portable integer
+    * arithmetic, no engine-specific week-truncation rules), counted as
+    * retained in every later week they produce any event.
+    *
+    * Output: `(cohort_week, offset_weeks, n_users)` — n_users distinct
+    * users of cohort `cohort_week` active `offset_weeks` weeks after
+    * their first event (offset 0 = the cohort size itself).
+    *
+    * Scale shape: the (user, week) activity grid is a distinct over the
+    * event scan (map-side combined); the cohort assignment is a
+    * user-keyed min-aggregate joined back on the same user hash
+    * partitioning; the final rollup groups a frame that is at most
+    * |users| × |weeks| rows of three integers. */
+  def weeklyRetention(events: DataFrame, userCol: String, tsCol: String,
+                      epochDate: String): DataFrame = {
+    val weeks = events.select(col(userCol).as("u"),
+        (datediff(to_date(col(tsCol)), to_date(lit(epochDate))).cast("long") / 7)
+          .cast("long").as("wk"))
+      .distinct()
+    val cohort = weeks.groupBy(col("u")).agg(min(col("wk")).as("cohort_week"))
+    weeks.join(cohort, Seq("u"))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("offset_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

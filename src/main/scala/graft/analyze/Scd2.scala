@@ -1,0 +1,58 @@
+package graft.analyze
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) history build from a sequence of
+  * full snapshots: collapse per-key attribute versions into validity
+  * intervals `[valid_from, valid_to)` with an open (null) `valid_to` on
+  * the current row — the warehouse-side sibling of
+  * [[SnapshotDiff]] (which classifies one transition; this builds the
+  * full history table downstream jobs join against).
+  *
+  * Change detection is by content digest over the tracked attribute
+  * columns (md5 of a ``-joined projection — same portable-digest
+  * contract as [[SnapshotDiff]]); a key absent from a snapshot simply
+  * has no version row for it, closing its last interval at the snapshot
+  * where it disappeared is the caller's delete policy (this build keeps
+  * the interval open through gaps, the common "late-arriving re-assert"
+  * choice, and re-opens a NEW interval if the content changed across the
+  * gap).
+  *
+  * Scale shape: snapshots union in the scan with their version stamp;
+  * everything downstream runs on `(key, version, digest)` plus the
+  * attribute payload of only the CHANGE rows — the lag/lead windows
+  * partition by key (one hash shuffle, reused by both windows since they
+  * share the partition key), and no frame ever holds more than one row
+  * per (key, version).
+  */
+object Scd2 {
+
+  /** Build the SCD2 history. `snapshots` are `(version, df)` pairs with
+    * identical schemas; `keyCol` identifies the entity; `attrCols` are
+    * the tracked attributes. Output: one row per validity interval —
+    * `(keyCol, attrCols…, valid_from, valid_to)` with `valid_to` null
+    * for the open interval. */
+  def history(snapshots: Seq[(Long, DataFrame)], keyCol: String,
+              attrCols: Seq[String]): DataFrame = {
+    require(snapshots.nonEmpty, "need at least one snapshot")
+    val stamped = snapshots.map { case (v, df) =>
+      df.select((col(keyCol) +: attrCols.map(col)) :+ lit(v).as("__v"): _*)
+    }.reduce(_.unionAll(_))
+    val digested = stamped.withColumn("__h",
+      md5(concat_ws("", attrCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+    // a version row OPENS an interval iff its digest differs from the
+    // previous version's (or it is the key's first appearance)
+    val opens = digested
+      .withColumn("__ph", lag(col("__h"), 1).over(byKey))
+      .filter(col("__ph").isNull || col("__ph") =!= col("__h"))
+    // the interval closes where the NEXT change row opens (same window,
+    // same partitioning — the second window reuses the first's shuffle)
+    opens
+      .withColumn("valid_to", lead(col("__v"), 1).over(byKey))
+      .select((col(keyCol) +: attrCols.map(col)) :+
+        col("__v").as("valid_from") :+ col("valid_to"): _*)
+  }
+}

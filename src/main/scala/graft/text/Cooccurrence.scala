@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token co-occurrence / PMI mining at document granularity: which token
+  * pairs appear together far more often than chance — collocation
+  * discovery, taxonomy seeding, embedding-evaluation probes over a
+  * training corpus.
+  *
+  * `pmi(x,y) = ln( N · c_xy / (c_x · c_y) )` over DOCUMENT-level
+  * co-occurrence counts (a pair counts once per document containing
+  * both), with `N` = corpus document count.
+  *
+  * Scale shape — the whole point is bounding the quadratic blowup: the
+  * pair space is restricted to a TOP-`V` vocabulary by document
+  * frequency (deterministic ties on the token string), so per-document
+  * pair generation is over the ≤V vocabulary tokens a document actually
+  * contains, never its full distinct-token set. The vocabulary (V rows)
+  * and its counts are BROADCAST; the only large shuffles are the
+  * doc-frequency aggregate (token-keyed, map-side combined) and the pair
+  * count (pair-keyed, map-side combined). At a fixed V the pair frame is
+  * ≤V²/2 rows regardless of corpus size. Top-V selection itself is a
+  * distributed TakeOrdered (sort+limit), never a single-partition
+  * global window.
+  */
+object Cooccurrence {
+
+  /** Top-`k` token pairs by PMI among the top-`vocab` tokens, keeping
+    * pairs co-occurring in at least `minSupport` documents. Output:
+    * `(tok_a, tok_b, n_pair, pmi)` — tok_a < tok_b, pmi rounded to 4 dp,
+    * ordered by (pmi desc, tok_a, tok_b) with deterministic ties. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               vocab: Int, minSupport: Long, k: Int): DataFrame = {
+    val docToks = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+    val nDocs = docs.count()
+    // top-V vocabulary by (df desc, tok) — distributed top-k, broadcast out
+    val top = docToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(vocab)
+    val inVocab = docToks.join(broadcast(top.select(col("tok"))), "tok")
+    // per-document vocab-token pairs: the self-join is id-co-partitioned
+    // and each side is the ≤V vocab tokens of that document
+    val pairs = inVocab.alias("a")
+      .join(inVocab.alias("b"),
+        col("a.id") === col("b.id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+    pairs
+      .join(broadcast(top.toDF("tok_a", "df_a")), "tok_a")
+      .join(broadcast(top.toDF("tok_b", "df_b")), "tok_b")
+      .withColumn("pmi", round(
+        log(lit(nDocs.toDouble) * col("n_pair") /
+          (col("df_a") * col("df_b"))), 4))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+      .select(col("tok_a"), col("tok_b"), col("n_pair"), col("pmi"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analyze.{Funnel, Scd2}
+import graft.text.{Blocklist, Cooccurrence}
+
+/** Round-6 additions: event funnel, cohort retention, SCD2 history,
+  * PMI collocations, phrase-blocklist filtering. */
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // ----------------------------------------------------------- funnel
+
+  test("funnel requires each step strictly after the previous one") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:01:00")),
+      (1L, "purchase", ts("2024-01-01 10:02:00")),
+      // u2 clicked BEFORE viewing: click must not count (and the later
+      // re-click does, so u2 reaches step 2 but never purchases)
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 09:30:00")),
+      (2L, "click", ts("2024-01-01 09:45:00")),
+      // u3: click at the SAME instant as view — strict > excludes it
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      (3L, "click", ts("2024-01-01 08:00:00")),
+      // u4 views only
+      (4L, "view", ts("2024-01-01 07:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val rows = Funnel.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy($"step_idx").collect()
+    assert(rows.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("view", 4L), ("click", 2L), ("purchase", 1L)))
+    assert(rows(0).isNullAt(3))
+    assert(rows(1).getDouble(3) === 0.5)   // 2/4
+    assert(rows(2).getDouble(3) === 0.5)   // 1/2
+  }
+
+  test("weeklyRetention buckets by first-event week and counts distinct active users") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // u1 cohort week 0
+      (1L, ts("2024-01-02 10:00:00")), // same week — distinct'd
+      (1L, ts("2024-01-09 10:00:00")), // week 1 → offset 1
+      (2L, ts("2024-01-03 10:00:00")), // u2 cohort week 0, never returns
+      (3L, ts("2024-01-08 10:00:00")), // u3 cohort week 1
+      (3L, ts("2024-01-22 10:00:00"))  // week 3 → offset 2
+    ).toDF("user_id", "ts")
+    val got = Funnel.weeklyRetention(ev, "user_id", "ts", "2024-01-01")
+      .orderBy($"cohort_week", $"offset_weeks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
+  // ------------------------------------------------------------- scd2
+
+  test("Scd2.history opens intervals on change only and keeps the last open") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "bal")
+    val v2 = Seq((1L, "a", 10.0), (2L, "b", 25.0)).toDF("k", "name", "bal") // 3 absent
+    val v3 = Seq((1L, "a", 11.0), (2L, "b", 25.0), (3L, "c", 30.0)).toDF("k", "name", "bal")
+    val h = Scd2.history(Seq((1L, v1), (2L, v2), (3L, v3)), "k", Seq("name", "bal"))
+      .orderBy($"k", $"valid_from")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(h === Seq(
+      (1L, 10.0, 1L, 3L),  // changed at v3
+      (1L, 11.0, 3L, -1L), // open current
+      (2L, 20.0, 1L, 2L),  // changed at v2
+      (2L, 25.0, 2L, -1L),
+      (3L, 30.0, 1L, -1L)  // absent from v2, re-asserted unchanged at v3:
+    ))                     // ONE interval, still open (gap does not close it)
+  }
+
+  // -------------------------------------------------------------- pmi
+
+  test("pmiPairs hand-computed on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "z q"), (4L, "z x q")
+    ).toDF("doc_id", "text")
+    val got = Cooccurrence.pmiPairs(docs, "doc_id", "text", 10, 1L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // df: x=3, y=2, z=2, q=2; pairs: (x,y)=2, (q,z)=2, (x,z)=1, (q,x)=1
+    def pmi(c: Long, dfa: Long, dfb: Long) =
+      math.rint(math.log(4.0 * c / (dfa * dfb)) * 1e4) / 1e4
+    assert(got(("x", "y")) === (2L, pmi(2, 3, 2)))
+    assert(got(("q", "z")) === (2L, pmi(2, 2, 2)))
+    assert(got(("x", "z")) === (1L, pmi(1, 3, 2)))
+    assert(got(("q", "x")) === (1L, pmi(1, 2, 3)))
+  }
+
+  test("pmiPairs vocabulary cut excludes out-of-vocab pairs deterministically") {
+    import spark.implicits._
+    // vocab=2 keeps the two highest-df tokens (ties by token string)
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    // df: a=3, b=2, c=2 → top-2 = a, b (tie b<c)
+    val got = Cooccurrence.pmiPairs(docs, "doc_id", "text", 2, 1L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("a", "b")))
+  }
+
+  // -------------------------------------------------------- blocklist
+
+  test("phraseHits matches token n-grams only — no substring false positives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the assistant helped"),     // 'ass' must NOT match inside a token
+      (2L, "bad stuff here bad stuff"), // bigram hits twice
+      (3L, "clean text entirely"),
+      (4L, "ass")                       // exact token match
+    ).toDF("doc_id", "text")
+    val phrases = Seq("ass", "bad stuff").toDF("phrase")
+    val got = Blocklist.phraseHits(docs, "doc_id", "text", phrases)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, false),
+      (2L, 2L, 1L, true),
+      (3L, 0L, 0L, false),
+      (4L, 1L, 1L, true)))
+  }
+
+  test("phraseHits explodes only the n-gram lengths present in the list") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    // unigram-only list → trigram phrase can never match, and the plan
+    // should not pay for longer grams (observable: a 3-token phrase in a
+    // list alongside a matching unigram still works)
+    val got = Blocklist.phraseHits(docs, "doc_id", "text",
+        Seq("c", "b c d").toDF("phrase"))
+      .collect().map(r => (r.getLong(1), r.getBoolean(3))).head
+    assert(got === (2L, true)) // unigram 'c' + trigram 'b c d'
+  }
+}
