@@ -365,31 +365,28 @@ object SparkEntry {
             col("st").getField("n_tokens"), 4).as("top_token_frac"),
           col("hs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val qKeep = graft.analyze.QuantileCut
-        .buckets(perDoc.select(col("doc_id"), col("source"), col("quality")),
-          "source", "quality", "doc_id", 5, 1)
-        .filter(col("keep") === 1L).select(col("doc_id"), col("source"))
-      val repKeep = perDoc.filter(col("top_token_frac") <= 0.2)
-        .select(col("doc_id"), col("n_tokens"))
+      // keep-decisions as COLUMNS, not branch joins: the quantile keep is
+      // a window over the persisted frame (one source-hash shuffle) and
+      // the repetition keep is a free predicate — only the chunk-dup
+      // stats, which genuinely need the global digest aggregation, join.
+      // This removes two doc_id join shuffles from the r5 three-branch
+      // form, and survivors needs no persist of its own: packSequential
+      // consumes it exactly once (its range-sorted frame is pinned
+      // internally), and the final `source` lookup joins the pack output
+      // back to the persisted perDoc instead.
+      val qb = graft.analyze.QuantileCut
+        .buckets(perDoc, "source", "quality", "doc_id", 5, 1)
       val dupKeep = graft.dedup.ChunkDedup
         .docDupStatsOfChunkHashes(
           perDoc.select(col("doc_id"), explode(col("hs")).as("h")),
           "doc_id", "h", 0.3)
         .filter(col("keep") === 1L).select(col("doc_id"))
-      // PERSISTED: packSequential materializes only its own 2-column
-      // projection, so the source re-join below would otherwise re-run
-      // the whole three-branch filter pipeline a second time. The result
-      // is returned STILL BACKED by the two persisted working sets (doc
-      // scalars + survivor ids — tiny, text never cached): an eager
-      // localCheckpoint here would put a full materialize-and-copy pass
-      // on the critical path just to allow an early unpersist; the
-      // caller's end-of-query cache cleanup reclaims both frames instead
-      // (the same contract as q68's persisted `sized`).
-      val survivors = qKeep.join(repKeep, "doc_id").join(dupKeep, "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val survivors = qb.filter(col("keep") === 1L && col("top_token_frac") <= 0.2)
+        .select(col("doc_id"), col("n_tokens"))
+        .join(dupKeep, "doc_id")
       graft.operators.Packing
         .packSequential(survivors, "doc_id", "n_tokens", 2048L)
-        .join(survivors.select(col("doc_id"), col("source")), "doc_id")
+        .join(perDoc.select(col("doc_id"), col("source")), "doc_id")
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("seq_id"), col("seq_offset"))
         .orderBy(col("doc_id"))

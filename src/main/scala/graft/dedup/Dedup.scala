@@ -615,6 +615,11 @@ object Dedup {
         least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
           .cast("double") >= minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // no dropDuplicates before verification: measured at sf0.1 the
+    // candidate multiplicity is ~1.02 (68.6k raw vs 67.2k distinct) —
+    // the probe prefix and the map-side suffix bound already make pairs
+    // near-unique, and the extra exchange costs more than the few
+    // duplicate bounded merges it saves (same finding as the Jaccard path)
     val docSide = withArrays.select(col("id"), col("toks"), col("n"))
     val repPairs = cands
       .join(docSide.toDF("id_a", "toks_a", "na"), "id_a")

@@ -14,15 +14,19 @@ import org.apache.spark.sql.functions._
   * `score(D, Q) = Σ_{t ∈ Q∩D} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))`
   * with `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`.
   *
-  * Scale shape: ONE corpus scan builds `(doc, term, tf)` postings via an
-  * exploded map-side-combined aggregation, with the document length
-  * carried through the grouping key (functionally dependent on the doc —
-  * no separate length join). Document frequency and the corpus constants
-  * (N, avgdl) derive from the POSTINGS, never a second text scan; the
-  * df table is cut to query terms before it goes anywhere. The
-  * query-term table is tiny and BROADCAST, so scoring is a map-side join
-  * over the postings — the corpus never shuffles on text, and only
-  * matched `(qid, doc)` partial scores enter the final aggregate.
+  * Scale shape: the corpus scan explodes tokens and CUTS THEM TO THE
+  * QUERY VOCABULARY map-side (broadcast semi-join on the distinct query
+  * terms) BEFORE the tf aggregation — the only corpus-sized shuffle
+  * carries `(doc, dl, matched-term)` rows for query-vocabulary terms
+  * only, never the full posting list; the document length rides the
+  * grouping key (functionally dependent on the doc — no separate length
+  * join). Document frequency derives from the MATCHED postings (every
+  * document containing a query term appears there exactly once per
+  * term, so per-term row counts ARE the df); the corpus constants
+  * (N, avgdl) come from a dl-only projection of the same scan — neither
+  * re-tokenizes. The query-term and idf tables are tiny and BROADCAST,
+  * so scoring is map-side over the matched postings and only matched
+  * `(qid, doc)` partial scores enter the final aggregate.
   *
   * Engine-portable determinism: every per-term score is a pure double
   * expression (identical on any IEEE engine); the per-document SUM is
@@ -38,31 +42,35 @@ object Bm25 {
            queries: DataFrame, qidCol: String, qtextCol: String,
            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // (doc, dl, term, tf) postings: dl (whitespace token count) rides the
-    // grouping key — same cardinality, no length join afterwards
-    val postings = corpus
+    val toks = corpus
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("id"), size(col("__toks")).cast("long").as("dl"),
-        explode(col("__toks")).as("tok"))
-      .groupBy(col("id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
     // distinct query terms (duplicate terms in a query text score once —
     // the standard bag-of-query-TERMS formulation)
     val qterms = queries
       .select(col(qidCol).as("qid"), TextAnalysis.tokens(col(qtextCol)).as("__qt"))
       .select(col("qid"), explode(array_distinct(col("__qt"))).as("tok"))
-    // document frequency + corpus constants from the postings (digest-
-    // sized aggregations, never a second corpus scan); df is cut to
-    // query terms BEFORE the constants ride along, so the broadcast side
-    // is O(|query vocabulary|)
-    val consts = postings.select(col("id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val qdf = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .join(broadcast(qterms.select(col("tok")).distinct()), "tok")
+    val qvocab = qterms.select(col("tok")).distinct()
+    // matched postings: exploded tokens are semi-joined to the broadcast
+    // query vocabulary BEFORE the tf aggregation — the shuffle carries
+    // query-vocabulary terms only, never the corpus's full posting list
+    val matched = toks
+      .select(col("id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("tok"))
+      .join(broadcast(qvocab), "tok")
+      .groupBy(col("id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus constants from a dl-only projection (no explode, no shuffle
+    // beyond the scalar aggregate); df from the matched postings — each
+    // document containing a term contributes exactly one row per term
+    val consts = toks.filter(size(col("__toks")) > 0)
+      .agg(count(lit(1)).as("n_docs"),
+        avg(size(col("__toks")).cast("long")).as("avgdl"))
+    val qdf = matched.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(consts))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .select(col("tok"), col("idf"), col("avgdl"))
-    val scored = postings
+    val scored = matched
       .join(broadcast(qterms), "tok")
       .join(broadcast(qdf), "tok")
       .withColumn("term_score",
