@@ -699,6 +699,48 @@ object SparkEntry {
           "c_custkey", Seq("c_name", "c_acctbal", "c_mktsegment"))
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
+    // ---- per-user rolling 1-hour window (RANGE INTERVAL frame): the
+    //      trailing per-row window no tumbling bucket expresses; one
+    //      user-hash shuffle, two-pointer frame walk inside WindowExec
+    "q122_rolling_window" -> ((s, dir) =>
+      graft.operators.Temporal.rollingAgg(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"),
+            col("ts"), col("value")),
+          "user_id", "ts", "value", 3600L)
+        .select(col("event_id"), col("n_window"),
+          round(col("sum_window"), 4).cast("double").as("sum_window"))
+        .orderBy(col("event_id"))),
+    // ---- CDC changelog apply: deterministic op stream over customer
+    //      (deletes %9, updates %4, late re-inserts %17 at higher
+    //      versions) folded by a max-struct last-writer-wins aggregate
+    "q123_cdc_apply" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val changes = base.filter(pmod(col("c_custkey"), lit(9)) === 0)
+        .select(col("c_custkey"), lit(1L).as("version"), lit("delete").as("op"),
+          col("c_name"), col("c_acctbal"))
+        .unionByName(base.filter(pmod(col("c_custkey"), lit(4)) === 0)
+          .select(col("c_custkey"), lit(2L).as("version"), lit("update").as("op"),
+            col("c_name"), (col("c_acctbal") + 50.0).as("c_acctbal")))
+        .unionByName(base.filter(pmod(col("c_custkey"), lit(17)) === 0)
+          .select(col("c_custkey"), lit(3L).as("version"), lit("insert").as("op"),
+            col("c_name"), lit(0.0).as("c_acctbal")))
+      graft.operators.Cdc.apply(base, changes, "c_custkey", "version", "op")
+        .orderBy(col("c_custkey"))
+    }),
+    // ---- per-source trigram diversity (type-token ratio): exact
+    //      two-stage distinct count — the shuffle carries one row per
+    //      DISTINCT (source, gram), never per occurrence
+    "q125_diversity" -> ((s, dir) =>
+      graft.text.CorpusStats.ngramDiversity(
+          Tables.documents(s, dir), "source", "text", 3)
+        .orderBy(col("source"))),
+    // ---- funnel time-to-convert: exact p50/p90 seconds from first
+    //      view to strict-chained purchase, one duration per converted
+    //      user reaches the percentile aggregate
+    "q126_time_to_convert" -> ((s, dir) =>
+      graft.analyze.Funnel.timeToConvert(Tables.events(s, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
     // ---- NFC-robust dedup: half the corpus is re-encoded with DECOMPOSED
     //      combining sequences (constructed identically in both engines);
     //      raw fingerprints see distinct docs, canonicalized fingerprints
@@ -2674,6 +2716,74 @@ object SparkEntry {
                 v AS valid_from,
                 lead(v) OVER (PARTITION BY c_custkey ORDER BY v) AS valid_to
          FROM o ORDER BY c_custkey, valid_from""",
+    "q122_rolling_window" ->
+      """SELECT event_id,
+           count(*) OVER w AS n_window,
+           round(sum(CAST(value AS DECIMAL(30,6))) OVER w, 4)::DOUBLE AS sum_window
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q123_cdc_apply" ->
+      """WITH base AS (
+           SELECT c_custkey, 0::BIGINT AS v, 'insert' AS op, c_name, c_acctbal
+           FROM customer),
+         ch AS (
+           SELECT c_custkey, 1::BIGINT, 'delete', c_name, c_acctbal
+           FROM customer WHERE c_custkey % 9 = 0
+           UNION ALL
+           SELECT c_custkey, 2::BIGINT, 'update', c_name, c_acctbal + 50.0
+           FROM customer WHERE c_custkey % 4 = 0
+           UNION ALL
+           SELECT c_custkey, 3::BIGINT, 'insert', c_name, 0.0
+           FROM customer WHERE c_custkey % 17 = 0),
+         s AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+         w AS (
+           SELECT c_custkey,
+             max_by(struct_pack(op := op, c_name := c_name, c_acctbal := c_acctbal),
+                    v) AS win
+           FROM s GROUP BY 1)
+         SELECT c_custkey, win.c_name AS c_name, win.c_acctbal AS c_acctbal
+         FROM w WHERE win.op <> 'delete'
+         ORDER BY c_custkey""",
+    "q125_diversity" ->
+      """WITH t AS (
+           SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT source, unnest(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS gram
+           FROM t),
+         p AS (SELECT source, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         r AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                  count(*) AS n_distinct
+           FROM p GROUP BY 1),
+         d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+         SELECT d.source, n_docs,
+           coalesce(n_ngrams, 0) AS n_ngrams,
+           coalesce(n_distinct, 0) AS n_distinct,
+           CASE WHEN coalesce(n_ngrams, 0) > 0
+                THEN round(n_distinct * 1.0 / n_ngrams, 6) END AS ttr
+         FROM d LEFT JOIN r ON d.source = r.source
+         ORDER BY d.source""",
+    "q126_time_to_convert" ->
+      """WITH e AS (
+           SELECT user_id AS u, event_type AS et, date_trunc('microseconds', ts) AS t
+           FROM events),
+         s1 AS (SELECT u, min(t) AS t0 FROM e WHERE et = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT e.u, s1.t0, min(e.t) AS tk FROM e JOIN s1 ON e.u = s1.u
+           WHERE e.et = 'click' AND e.t > s1.t0 GROUP BY 1, 2),
+         s3 AS (
+           SELECT e.u, s2.t0, min(e.t) AS tk FROM e JOIN s2 ON e.u = s2.u
+           WHERE e.et = 'purchase' AND e.t > s2.tk GROUP BY 1, 2),
+         d AS (SELECT (epoch_us(tk) - epoch_us(t0)) / 1e6 AS dt FROM s3)
+         SELECT count(*) AS n_converted,
+           round(quantile_cont(dt, 0.5), 3) AS p50_s,
+           round(quantile_cont(dt, 0.9), 3) AS p90_s
+         FROM d""",
     "q110_nfc_dedup" ->
       """WITH d AS (
            SELECT doc_id,

@@ -62,6 +62,39 @@ object Funnel {
       .select(col("step_idx"), col("step"), col("n_users"), col("conversion"))
   }
 
+  /** Time-to-convert distribution for a funnel: per-user elapsed seconds
+    * from the FIRST step-1 completion to the funnel's full completion
+    * (strict-ordering chain, same semantics as [[funnel]]), summarized
+    * as exact percentiles. Output: one row — `(n_converted, p50_s,
+    * p90_s)` with linear-interpolation percentiles over the per-user
+    * durations (the q42 `percentile`/`quantile_cont` contract).
+    *
+    * Scale shape: the per-step chain is [[funnel]]'s — user-keyed
+    * min-aggregates sharing one hash partitioning; the percentile
+    * aggregate sees ONE duration per converted user (a corpus-scale
+    * reduction has already happened), and exact percentile state is
+    * bounded by the converted-user count per group — swap in the sketch
+    * quantiles of [[graft.operators.Sketches]] when even that is too
+    * wide. */
+  def timeToConvert(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "time-to-convert needs at least two steps")
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).as("t"))
+    val first = base.filter(col("et") === steps.head)
+      .groupBy(col("u")).agg(min(col("t")).as("t0"))
+    val last = steps.tail.foldLeft(first.withColumn("tk", col("t0"))) { (p, step) =>
+      base.filter(col("et") === step).join(p, Seq("u"))
+        .filter(col("t") > col("tk"))
+        .groupBy(col("u"), col("t0")).agg(min(col("t")).as("tk"))
+    }
+    last
+      .select(((unix_micros(col("tk")) - unix_micros(col("t0"))) / 1e6).as("dt"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(dt, 0.5)"), 3).as("p50_s"),
+        round(expr("percentile(dt, 0.9)"), 3).as("p90_s"))
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their FIRST
     * event (week = days-since-`epochDate` div 7 — portable integer
     * arithmetic, no engine-specific week-truncation rules), counted as

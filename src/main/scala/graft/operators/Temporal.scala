@@ -14,6 +14,32 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Per-key ROLLING time-range aggregates: for every event, the count
+    * and value-sum of the key's events inside the trailing
+    * `[t − windowSeconds, t]` interval (both ends inclusive — the
+    * standard RANGE INTERVAL PRECEDING frame). The per-row trailing
+    * window no tumbling/hopping bucket can express: rate limiting,
+    * rolling engagement, burst detection.
+    *
+    * Frame bounds run on `unix_micros` (same sub-second-exact contract
+    * as [[sessionize]]): Spark's RANGE frame needs a single numeric
+    * ordering column, and micros are exactly what the oracle's
+    * `RANGE BETWEEN INTERVAL ... PRECEDING` resolves to. One hash
+    * shuffle on the key; within a partition the running frame is the
+    * two-pointer walk WindowExec already implements — no self-join, no
+    * per-row rescan. Sum carried in DECIMAL: order-invariant under any
+    * partitioning. */
+  def rollingAgg(events: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    events
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window",
+        sum(col(valCol).cast("decimal(30,6)")).over(w))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap since the
     * key's previous event exceeds `gapSeconds`. Adds `session_id`
     * (0-based per key, by time order).

@@ -112,4 +112,35 @@ object CorpusStats {
           .as("tv"))
       .select(col("source"), col("n_tokens"), round(col("tv"), 6).as("tv_dist"))
   }
+
+  /** Per-group n-gram DIVERSITY: document count, total n-gram
+    * occurrences, distinct n-grams and the type-token ratio
+    * `distinct / total` — the mode-collapse / template-spam detector (a
+    * source whose TTR craters is emitting near-identical boilerplate;
+    * self-BLEU's cheap exact cousin). `(groupCol, n_docs, n_ngrams,
+    * n_distinct, ttr)`, ttr rounded to 6 dp, null for n-gram-less groups.
+    *
+    * Scale shape: distinct-counting is the two-stage exact form — one
+    * map-side-combined aggregate on `(group, gram)` (never
+    * `count_distinct`, whose Expand doubles the exploded stream), then a
+    * group-keyed rollup of the pair counts. The shuffle carries one row
+    * per DISTINCT (group, gram), not per occurrence; doc counts ride a
+    * separate digest-sized aggregate (the exploded path can't count
+    * gram-less documents). */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    val pairs = df.select(col(groupCol).as("g"),
+        explode(graft.dedup.Dedup.shinglesOfTokens(
+          TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+      .groupBy(col("g"), col("gram")).agg(count(lit(1)).as("c"))
+    val rolled = pairs.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_ngrams"), count(lit(1)).as("n_distinct"))
+    df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_docs"))
+      .join(rolled, Seq("g"), "left_outer")
+      .select(col("g").as(groupCol), col("n_docs"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_ngrams"), lit(0L)) > 0,
+          round(col("n_distinct").cast("double") / col("n_ngrams"), 6)).as("ttr"))
+  }
 }

@@ -106,6 +106,91 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got === Seq(("a", "b")))
   }
 
+  // ---------------------------------------------------- rolling window
+
+  test("rollingAgg trailing range window is inclusive on both ends and per-key") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 10L, ts("2024-01-01 10:30:00"), 2.0),
+      (3L, 10L, ts("2024-01-01 11:00:00"), 4.0),  // 10:00 is EXACTLY 1h back — included
+      (4L, 10L, ts("2024-01-01 12:00:01"), 8.0),  // 11:00:00 is 1h1s back — excluded
+      (5L, 99L, ts("2024-01-01 10:30:00"), 100.0) // other key, never mixed in
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.Temporal.rollingAgg(ev, "user_id", "ts", "value", 3600L)
+      .select($"event_id", $"n_window", $"sum_window".cast("double"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) === (1L, 1.0))
+    assert(got(2L) === (2L, 3.0))
+    assert(got(3L) === (3L, 7.0))
+    assert(got(4L) === (1L, 8.0))
+    assert(got(5L) === (1L, 100.0))
+  }
+
+  // -------------------------------------------------------------- cdc
+
+  test("Cdc.apply is last-writer-wins with deletes and late re-inserts") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "bal")
+    val changes = Seq(
+      (1L, 2L, "update", 11.0),  // wins over the later-arriving v1 below
+      (1L, 1L, "update", 99.0),
+      (2L, 1L, "delete", 0.0),   // deleted...
+      (2L, 2L, "insert", 22.0),  // ...then re-inserted at a higher version
+      (3L, 5L, "delete", 0.0)    // deleted for good
+    ).toDF("k", "version", "op", "bal")
+    val got = graft.operators.Cdc.apply(base, changes, "k", "version", "op")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got === Map(1L -> 11.0, 2L -> 22.0))
+  }
+
+  test("Cdc.apply with no changes returns the base unchanged") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0)).toDF("k", "bal")
+    val none = Seq.empty[(Long, Long, String, Double)].toDF("k", "version", "op", "bal")
+    assert(graft.operators.Cdc.apply(base, none, "k", "version", "op")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((1L, 10.0)))
+  }
+
+  // -------------------------------------------------------- diversity
+
+  test("ngramDiversity counts distinct vs total n-grams; gram-less groups report nulls") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x y z x y z"),   // 4 trigrams: xyz, yzx, zxy, xyz → 3 distinct
+      ("a", "x y z"),         // 1 trigram: xyz (already seen in group a)
+      ("b", "p q")            // too short for trigrams
+    ).toDF("source", "text")
+    val got = graft.text.CorpusStats.ngramDiversity(docs, "source", "text", 3)
+      .orderBy($"source").collect()
+    assert((got(0).getString(0), got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) ===
+      ("a", 2L, 5L, 3L))
+    assert(got(0).getDouble(4) === 0.6)
+    assert((got(1).getString(0), got(1).getLong(1), got(1).getLong(2), got(1).getLong(3)) ===
+      ("b", 1L, 0L, 0L))
+    assert(got(1).isNullAt(4))
+  }
+
+  // --------------------------------------------------- time to convert
+
+  test("timeToConvert measures first-step-1 to strict-chained completion") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:10:00")),
+      (1L, "purchase", ts("2024-01-01 10:30:00")), // 1800 s
+      (2L, "view", ts("2024-01-01 09:00:00")),
+      (2L, "click", ts("2024-01-01 09:01:00")),
+      (2L, "purchase", ts("2024-01-01 09:02:00")), // 120 s
+      (3L, "view", ts("2024-01-01 08:00:00"))      // never converts
+    ).toDF("user_id", "event_type", "ts")
+    val r = graft.analyze.Funnel.timeToConvert(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).collect().head
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(1) === 960.0)   // median of {120, 1800}, interpolated
+    assert(r.getDouble(2) === 1632.0)  // p90: 120 + 0.8*(1800-120)
+  }
+
   // -------------------------------------------------------- blocklist
 
   test("phraseHits matches token n-grams only — no substring false positives") {
