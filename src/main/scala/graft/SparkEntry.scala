@@ -741,6 +741,39 @@ object SparkEntry {
     "q126_time_to_convert" -> ((s, dir) =>
       graft.analyze.Funnel.timeToConvert(Tables.events(s, dir),
         "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+    // ---- first-order Markov transitions between event types (gap <=
+    //      30 min): one user-hash lag window, map-side-combined pair
+    //      counts — the matrix is |types|^2 regardless of corpus size
+    "q127_transitions" -> ((s, dir) =>
+      graft.analyze.Funnel.transitionMatrix(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id", 1800L)
+        .orderBy(col("from_type"), col("to_type"))),
+    // ---- CCNet-style perplexity BAND curation: per-source tertiles of
+    //      the trigram-LM score, keep the middle band (head = templated
+    //      boilerplate, tail = garbage), per-source kept stats
+    "q128_ppl_band" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.text.NgramLm.score(docs, "doc_id", "text")
+        .filter(col("lm_score").isNotNull)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.analyze.QuantileCut
+        .buckets(scored, "source", "lm_score", "doc_id", 3, 0)
+        .filter(col("bucket") === 2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("lm_score").cast("decimal(18,6)")), 6)
+            .cast("double").as("mean_score"))
+        .orderBy(col("source"))
+    }),
+    // ---- DPO preference-pair construction: best/worst quality doc per
+    //      source via one min/max-struct hash aggregate (no window),
+    //      deterministic all-ties contract
+    "q129_preference_pairs" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.analyze.Preference.pairs(scored, "source", "doc_id", "quality")
+        .orderBy(col("source"))
+    }),
     // ---- NFC-robust dedup: half the corpus is re-encoded with DECOMPOSED
     //      combining sequences (constructed identically in both engines);
     //      raw fingerprints see distinct docs, canonicalized fingerprints
@@ -2784,6 +2817,75 @@ object SparkEntry {
            round(quantile_cont(dt, 0.5), 3) AS p50_s,
            round(quantile_cont(dt, 0.9), 3) AS p90_s
          FROM d""",
+    "q127_transitions" ->
+      """WITH l AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER w AS pt,
+             epoch_us(date_trunc('microseconds', ts)) -
+               epoch_us(lag(date_trunc('microseconds', ts)) OVER w) AS gap
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY date_trunc('microseconds', ts), event_id)),
+         c AS (
+           SELECT pt AS from_type, event_type AS to_type, count(*) AS n
+           FROM l WHERE pt IS NOT NULL AND gap <= 1800000000
+           GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+         FROM c ORDER BY from_type, to_type""",
+    "q128_ppl_band" ->
+      """WITH c AS (SELECT doc_id, source,
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+         tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+                 FROM c, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i)
+                 WHERE length(t) >= 3),
+         model AS (SELECT tri, count(*) AS n_tri FROM tri GROUP BY tri),
+         pre AS (SELECT substr(tri, 1, 2) AS pre, sum(n_tri) AS n_prefix
+                 FROM model GROUP BY 1),
+         m AS (SELECT tri, n_tri, n_prefix
+               FROM model JOIN pre ON substr(model.tri, 1, 2) = pre.pre),
+         s AS (SELECT t.doc_id,
+                 round(CAST(sum(CAST(n_tri * 1.0 / n_prefix AS DECIMAL(30,12))) AS DOUBLE)
+                   / count(*), 6) AS lm_score
+               FROM tri t JOIN m USING (tri) GROUP BY t.doc_id),
+         b AS (
+           SELECT c.source, s.lm_score,
+             ntile(3) OVER (PARTITION BY c.source
+                            ORDER BY s.lm_score, s.doc_id) AS bucket
+           FROM s JOIN c ON s.doc_id = c.doc_id
+           WHERE s.lm_score IS NOT NULL)
+         SELECT source, count(*) AS n_kept,
+           CAST(round(avg(CAST(lm_score AS DECIMAL(18,6))), 6) AS DOUBLE) AS mean_score
+         FROM b WHERE bucket = 2
+         GROUP BY source ORDER BY source""",
+    "q129_preference_pairs" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+           round((
+             least(len(string_split_regex(lower(trim(text)), '\s+')), 50) / 50.0
+             + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                    / greatest(length(text), 1))
+             + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0
+               / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+           ) / 3.0, 4) AS quality
+           FROM documents),
+         c AS (
+           SELECT source, doc_id AS chosen_id, quality AS chosen_score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rn
+           FROM q),
+         r AS (
+           SELECT source, doc_id AS rejected_id, quality AS rejected_score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id DESC) AS rn
+           FROM q),
+         n AS (SELECT source, count(*) AS cnt FROM q GROUP BY 1)
+         SELECT c.source, chosen_id, rejected_id, chosen_score, rejected_score,
+           round(chosen_score - rejected_score, 4) AS margin
+         FROM c JOIN r ON c.source = r.source AND c.rn = 1 AND r.rn = 1
+         JOIN n ON n.source = c.source AND n.cnt >= 2
+         ORDER BY c.source""",
     "q110_nfc_dedup" ->
       """WITH d AS (
            SELECT doc_id,

@@ -62,6 +62,36 @@ object Funnel {
       .select(col("step_idx"), col("step"), col("n_users"), col("conversion"))
   }
 
+  /** First-order Markov TRANSITION MATRIX over event types: for every
+    * consecutive event pair of a user (ordered by `(ts, tie)`, gap ≤
+    * `maxGapSeconds` — longer gaps are journey breaks, not
+    * transitions), count `from → to` and estimate `P(to | from)` — the
+    * user-journey / next-action model behind flow diagrams and funnel
+    * discovery.
+    *
+    * Scale shape: one user-hash shuffle for the lag window (the same
+    * partitioning [[funnel]] and [[graft.operators.Temporal.sessionize]]
+    * use), then a map-side-combined count over the (from, to) pairs —
+    * the matrix is |event types|² rows no matter the corpus. The
+    * probability normalization is a window over that tiny matrix.
+    * Deterministic: the `(ts, tieCol)` compound order pins same-instant
+    * events. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String,
+                       maxGapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val paired = events
+      .withColumn("__pt", lag(col(typeCol), 1).over(w))
+      .withColumn("__gap", unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+      .filter(col("__pt").isNotNull && col("__gap") <= maxGapSeconds * 1000000L)
+    val counts = paired.groupBy(col("__pt").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(byFrom), 4))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+  }
+
   /** Time-to-convert distribution for a funnel: per-user elapsed seconds
     * from the FIRST step-1 completion to the funnel's full completion
     * (strict-ordering chain, same semantics as [[funnel]]), summarized

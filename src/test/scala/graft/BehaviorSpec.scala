@@ -191,6 +191,44 @@ class BehaviorSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 1632.0)  // p90: 120 + 0.8*(1800-120)
   }
 
+  // ------------------------------------------------------ transitions
+
+  test("transitionMatrix counts gap-bounded consecutive pairs and normalizes per from-state") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "b", ts("2024-01-01 10:05:00")), // a→b
+      (3L, 10L, "c", ts("2024-01-01 12:00:00")), // 115-min gap: NOT a transition
+      (4L, 10L, "b", ts("2024-01-01 12:10:00")), // c→b
+      (5L, 20L, "a", ts("2024-01-01 10:00:00")),
+      (6L, 20L, "c", ts("2024-01-01 10:01:00"))  // a→c (other user)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.analyze.Funnel.transitionMatrix(ev, "user_id", "event_type",
+        "ts", "event_id", 1800L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("c", "b") -> ((1L, 1.0))))
+  }
+
+  // ------------------------------------------------------- preference
+
+  test("Preference.pairs picks best/worst with the deterministic tie contract") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", 1L, 0.9), ("s1", 2L, 0.1), ("s1", 3L, 0.5),
+      ("s2", 4L, 0.7), ("s2", 5L, 0.7), ("s2", 6L, 0.7), // all ties
+      ("s3", 7L, 0.3)                                    // singleton: no pair
+    ).toDF("source", "doc_id", "quality")
+    val got = graft.analyze.Preference.pairs(df, "source", "doc_id", "quality")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    assert(got === Map(
+      "s1" -> ((1L, 2L, 0.8)),  // margin 0.9-0.1
+      "s2" -> ((4L, 6L, 0.0)))) // ties: smallest id chosen, largest rejected
+  }
+
   // -------------------------------------------------------- blocklist
 
   test("phraseHits matches token n-grams only — no substring false positives") {
