@@ -774,6 +774,48 @@ object SparkEntry {
       graft.analyze.Preference.pairs(scored, "source", "doc_id", "quality")
         .orderBy(col("source"))
     }),
+    // ---- time-series gap fill: hourly buckets per user, last value
+    //      forward-filled across empty buckets; per-key spine, never a
+    //      global calendar cross join
+    "q130_gap_fill" -> ((s, dir) =>
+      graft.operators.Temporal.gapFill(
+          Tables.events(s, dir).filter(col("user_id") <= 30),
+          "user_id", "ts", "event_id", "value", 3600L)
+        // bucket exported as epoch SECONDS: a portable integer on any
+        // engine (timestamp rendering is not part of the contract)
+        .select(col("user_id"), unix_seconds(col("bucket")).as("bucket_s"),
+          round(col("value"), 4).as("value"), col("observed"))
+        .orderBy(col("user_id"), col("bucket_s"))),
+    // ---- field-level survivorship (MDM golden record): three stamped
+    //      sources with disjoint deterministic null patterns; per-field
+    //      latest-non-null through one conditional max-struct aggregate
+    "q131_survivorship" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val s1 = base.select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(3)) === 0, col("c_name")).as("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val s2 = base.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey"), col("c_name"),
+          lit(null).cast("double").as("c_acctbal"),
+          concat(col("c_mktsegment"), lit("_V2")).as("c_mktsegment"))
+      val s3 = base.filter(pmod(col("c_custkey"), lit(5)) === 0)
+        .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+          (col("c_acctbal") + 7.0).as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      graft.operators.Cdc.goldenRecord(
+          Seq((1L, s1), (2L, s2), (3L, s3)), "c_custkey",
+          Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+    // ---- triangle count on the >=0.9 n-gram Jaccard graph (clique
+    //      density of near-dup clusters): canonical-orientation wedge
+    //      closure, id-pair shuffles only
+    "q132_triangles" -> ((s, dir) => {
+      val edges = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text", 3, 0.9)
+      graft.graph.Triangles.count(edges, "id_a", "id_b")
+    }),
     // ---- NFC-robust dedup: half the corpus is re-encoded with DECOMPOSED
     //      combining sequences (constructed identically in both engines);
     //      raw fingerprints see distinct docs, canonicalized fingerprints
@@ -2886,6 +2928,82 @@ object SparkEntry {
          FROM c JOIN r ON c.source = r.source AND c.rn = 1 AND r.rn = 1
          JOIN n ON n.source = c.source AND n.cnt >= 2
          ORDER BY c.source""",
+    "q130_gap_fill" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS t, event_id, value
+           FROM events WHERE user_id <= 30),
+         b AS (
+           SELECT user_id,
+             (epoch_us(t) // 3600000000) * 3600 AS bucket_s, t, event_id, value
+           FROM e),
+         o AS (
+           SELECT user_id, bucket_s, value FROM (
+             SELECT user_id, bucket_s, value,
+               row_number() OVER (PARTITION BY user_id, bucket_s
+                                  ORDER BY t DESC, event_id DESC) AS rn
+             FROM b) WHERE rn = 1),
+         rng AS (SELECT user_id, min(bucket_s) AS lo, max(bucket_s) AS hi
+                 FROM o GROUP BY 1),
+         spine AS (
+           SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket_s
+           FROM rng),
+         j AS (
+           SELECT s.user_id, s.bucket_s, o.value,
+                  o.value IS NOT NULL AS observed
+           FROM spine s LEFT JOIN o USING (user_id, bucket_s))
+         SELECT user_id, bucket_s,
+           round(last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_s
+             ROWS UNBOUNDED PRECEDING), 4) AS value,
+           observed
+         FROM j ORDER BY user_id, bucket_s""",
+    "q131_survivorship" ->
+      """WITH s AS (
+           SELECT c_custkey, 1 AS v,
+             CASE WHEN c_custkey % 3 = 0 THEN c_name END AS c_name,
+             c_acctbal, c_mktsegment
+           FROM customer
+           UNION ALL
+           SELECT c_custkey, 2, c_name, NULL, c_mktsegment || '_V2'
+           FROM customer WHERE c_custkey % 2 = 0
+           UNION ALL
+           SELECT c_custkey, 3, NULL, c_acctbal + 7.0, NULL
+           FROM customer WHERE c_custkey % 5 = 0)
+         SELECT c_custkey,
+           arg_max(c_name, v) FILTER (WHERE c_name IS NOT NULL) AS c_name,
+           arg_max(c_acctbal, v) FILTER (WHERE c_acctbal IS NOT NULL) AS c_acctbal,
+           arg_max(c_mktsegment, v) FILTER (WHERE c_mktsegment IS NOT NULL)
+             AS c_mktsegment
+         FROM s GROUP BY c_custkey ORDER BY c_custkey""",
+    "q132_triangles" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         e AS (
+           SELECT id_a AS s, id_b AS d
+           FROM shared
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+         w AS (
+           SELECT e1.s AS a, e1.d AS b, e2.d AS c
+           FROM e e1 JOIN e e2 ON e1.d = e2.s),
+         tri AS (
+           SELECT count(*) AS n_triangles
+           FROM w JOIN e ON w.a = e.s AND w.c = e.d)
+         SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                n_triangles
+         FROM tri""",
     "q110_nfc_dedup" ->
       """WITH d AS (
            SELECT doc_id,

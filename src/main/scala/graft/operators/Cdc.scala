@@ -47,4 +47,30 @@ object Cdc {
       .filter(col("__w.__op") =!= "delete")
       .select((col(keyCol) +: payload.map(c => col(s"__w.$c").as(c))): _*)
   }
+
+  /** FIELD-LEVEL survivorship (MDM "golden record"): merge per-key
+    * records from several stamped sources, keeping for EACH attribute
+    * independently the value of the highest-version source where that
+    * attribute is non-null — a row-level last-writer-wins ([[apply]])
+    * would resurrect one source's nulls over another source's data;
+    * survivorship is the per-field refinement.
+    *
+    * Scale shape: same single hash aggregate as [[apply]] — each
+    * attribute rides its own conditional max-struct `(version, value)`
+    * (null values never enter the aggregate, so a null can never win),
+    * map-side partial combine, no window, no per-key sort. One shuffle
+    * for any number of sources and attributes. */
+  def goldenRecord(sources: Seq[(Long, DataFrame)], keyCol: String,
+                   attrCols: Seq[String]): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    val stamped = sources.map { case (v, df) =>
+      df.select((col(keyCol) +: lit(v).as("__v") +: attrCols.map(col)): _*)
+    }.reduce(_.unionByName(_))
+    val winners = attrCols.map(c =>
+      max(when(col(c).isNotNull, struct(col("__v"), col(c).as("a"))))
+        .as(s"__w_$c"))
+    stamped.groupBy(col(keyCol))
+      .agg(winners.head, winners.tail: _*)
+      .select((col(keyCol) +: attrCols.map(c => col(s"__w_$c.a").as(c))): _*)
+  }
 }

@@ -14,6 +14,46 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Time-series GAP FILL with forward fill (metrics resampling): bucket
+    * each key's events into fixed windows, build the key's complete
+    * bucket spine from its first to its last observation, and carry the
+    * last observed value across empty buckets — the
+    * "resample-then-ffill" step every metrics/feature pipeline runs
+    * before joining series with different cadences.
+    *
+    * Per bucket the value is the LATEST event's (`(ts, tie)` order, so
+    * same-bucket races are deterministic). Output: `(keyCol, bucket,
+    * value, observed)` — `observed` false on filled rows; leading gaps
+    * cannot exist (the spine starts at the key's first observation).
+    *
+    * Scale shape: one key-hash shuffle for the per-bucket max-struct
+    * aggregate; the spine is a per-key `sequence()` explode (bounded by
+    * the key's own time range — never a global calendar cross join);
+    * the forward fill is a `last(ignoreNulls)` running window on the
+    * same key partitioning. */
+  def gapFill(events: DataFrame, keyCol: String, tsCol: String,
+              tieCol: String, valCol: String, bucketSeconds: Long): DataFrame = {
+    val bucketMicros = bucketSeconds * 1000000L
+    // integer `div`, never `/`: micros exceed 2^53 (see Tables loader)
+    val bucket = timestamp_micros(
+      expr(s"unix_micros($tsCol) div ${bucketMicros}L") * bucketMicros)
+    // latest observation per (key, bucket): ties pinned by (ts, tie)
+    val observed = events
+      .groupBy(col(keyCol), bucket.as("bucket"))
+      .agg(max(struct(col(tsCol), col(tieCol), col(valCol).as("v"))).as("__last"))
+      .select(col(keyCol), col("bucket"), col("__last.v").as("__obs"))
+    val spine = observed.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL $bucketSeconds SECONDS"))).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(observed, Seq(keyCol, "bucket"), "left_outer")
+      .select(col(keyCol), col("bucket"),
+        last(col("__obs"), ignoreNulls = true).over(w).as("value"),
+        col("__obs").isNotNull.as("observed"))
+  }
+
   /** Per-key ROLLING time-range aggregates: for every event, the count
     * and value-sum of the key's events inside the trailing
     * `[t − windowSeconds, t]` interval (both ends inclusive — the

@@ -229,6 +229,49 @@ class BehaviorSpec extends AnyFunSuite {
       "s2" -> ((4L, 6L, 0.0)))) // ties: smallest id chosen, largest rejected
   }
 
+  // --------------------------------------------------------- gap fill
+
+  test("gapFill forward-fills empty buckets and keeps the per-bucket latest value") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:05:00"), 1.0),
+      (2L, 10L, ts("2024-01-01 10:50:00"), 2.0),  // same bucket, later → wins
+      (3L, 10L, ts("2024-01-01 13:30:00"), 9.0)   // 2 empty buckets before it
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.Temporal.gapFill(ev, "user_id", "ts", "event_id",
+        "value", 3600L)
+      .orderBy($"bucket")
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got === Seq((2.0, true), (2.0, false), (2.0, false), (9.0, true)))
+  }
+
+  // ----------------------------------------------------- golden record
+
+  test("goldenRecord keeps the latest NON-NULL per field independently") {
+    import spark.implicits._
+    val s1 = Seq((1L, Some("alice"), Some(10.0))).toDF("k", "name", "bal")
+    val s2 = Seq((1L, None: Option[String], Some(20.0))).toDF("k", "name", "bal")
+    val s3 = Seq((1L, Some("ALICE"), None: Option[Double])).toDF("k", "name", "bal")
+    val got = graft.operators.Cdc.goldenRecord(
+        Seq((1L, s1), (2L, s2), (3L, s3)), "k", Seq("name", "bal"))
+      .collect().head
+    // name: v3 wins (non-null); bal: v2 wins (v3's null never wins)
+    assert((got.getLong(0), got.getString(1), got.getDouble(2)) === (1L, "ALICE", 20.0))
+  }
+
+  // -------------------------------------------------------- triangles
+
+  test("Triangles.count and countOriented agree on a hand graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant edge 4-5 + disjoint edge 6-7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val c1 = graft.graph.Triangles.count(edges, "id_a", "id_b").collect().head
+    val c2 = graft.graph.Triangles.countOriented(edges, "id_a", "id_b").collect().head
+    assert((c1.getLong(0), c1.getLong(1)) === (8L, 4L))
+    assert((c2.getLong(0), c2.getLong(1)) === (8L, 4L))
+  }
+
   // -------------------------------------------------------- blocklist
 
   test("phraseHits matches token n-grams only — no substring false positives") {
