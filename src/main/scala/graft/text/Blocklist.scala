@@ -39,13 +39,14 @@ object Blocklist {
       .distinct()
     val lens: Seq[Int] = plist.select(col("plen")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // bounded: ≤ max phrase length
+    graft.functions.ShingleList.register(docs.sparkSession)
     val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-    // one scan: per doc, all n-grams of exactly the blocklist's lengths
+    // one scan: per doc, all n-grams of exactly the blocklist's lengths —
+    // the native codegen shingle list (the declarative transform+slice
+    // evaluated its lambda interpreted per position)
     def grams(n: Int): Column =
       if (n == 1) col("__toks")
-      else transform(
-        slice(col("__toks"), lit(1), greatest(size(col("__toks")) - (n - 1), lit(0))),
-        (_, i) => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))
+      else call_function(graft.functions.ShingleList.Name, col("__toks"), lit(n))
     val exploded = lens.map { n =>
       toks.select(col(idCol), explode(grams(n)).as("phrase"))
     }.reduceOption(_.unionAll(_))

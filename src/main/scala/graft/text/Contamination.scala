@@ -31,12 +31,16 @@ object Contamination {
   def ngramContainment(corpus: DataFrame, probes: DataFrame,
                        idCol: String, textCol: String, n: Int,
                        minContainment: Double): DataFrame = {
+    graft.functions.ShingleSet.register(corpus.sparkSession)
     def shingleSet(df: DataFrame, outId: String) =
-      // stage tokens first: shinglesOfTokens' materialized-column contract
-      // (an inline split re-runs per shingle position)
+      // native codegen shingle set (sorted distinct — order is irrelevant
+      // to the exploded join): the declarative transform+array_distinct
+      // evaluated its lambda interpreted per position, the dominant cost
+      // of this query at sf0.1
       df.select(col(idCol).as(outId), TextAnalysis.tokens(col(textCol)).as("__toks"))
         .select(col(outId),
-          explode(array_distinct(Dedup.shinglesOfTokens(col("__toks"), n))).as("g"))
+          explode(call_function(graft.functions.ShingleSet.Name,
+            col("__toks"), lit(n))).as("g"))
     val probeShingles = shingleSet(probes, "probe_id")
     val probeSizes = probeShingles.groupBy(col("probe_id"))
       .agg(count(lit(1)).as("p_size"))
@@ -70,10 +74,14 @@ object Contamination {
     * document, novelty rounded to 4 dp. */
   def ngramNovelty(corpus: DataFrame, reference: DataFrame,
                    idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.functions.ShingleSet.register(corpus.sparkSession)
+    // native codegen shingle set (sorted distinct — order is irrelevant
+    // to the per-doc counts)
     def staged(df: DataFrame) =
       df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
         .select(col(idCol),
-          explode(array_distinct(Dedup.shinglesOfTokens(col("__toks"), n))).as("g"))
+          explode(call_function(graft.functions.ShingleSet.Name,
+            col("__toks"), lit(n))).as("g"))
     val refSet = staged(reference).select(col("g")).distinct()
       .withColumn("__known", lit(1))
     // left join against the broadcast reference set: a missing match IS

@@ -46,10 +46,12 @@ object CorpusStats {
     * one global partial-merged rollup of the count histogram. Nothing is
     * collected; the widest shuffle key is one shingle string. */
   def dupNgramStats(df: DataFrame, textCol: String, n: Int): DataFrame = {
-    // stage the token array as a materialized attribute: shinglesOfTokens
-    // is an interpreted HOF and would re-split per position otherwise
+    graft.functions.ShingleList.register(df.sparkSession)
+    // native codegen shingle LIST (duplicates kept — multiplicity is the
+    // signal here); the declarative HOF evaluated interpreted per position
     val grams = df.select(TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(explode(graft.dedup.Dedup.shinglesOfTokens(col("toks"), n)).as("g"))
+      .select(explode(call_function(graft.functions.ShingleList.Name,
+        col("toks"), lit(n))).as("g"))
     val counted = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
     counted.agg(
       sum(col("c")).as("total_ngrams"),
@@ -129,9 +131,12 @@ object CorpusStats {
     * gram-less documents). */
   def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
                      n: Int): DataFrame = {
+    graft.functions.ShingleList.register(df.sparkSession)
     val pairs = df.select(col(groupCol).as("g"),
-        explode(graft.dedup.Dedup.shinglesOfTokens(
-          TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("g"),
+        explode(call_function(graft.functions.ShingleList.Name,
+          col("__toks"), lit(n))).as("gram"))
       .groupBy(col("g"), col("gram")).agg(count(lit(1)).as("c"))
     val rolled = pairs.groupBy(col("g"))
       .agg(sum(col("c")).as("n_ngrams"), count(lit(1)).as("n_distinct"))

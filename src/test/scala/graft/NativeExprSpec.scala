@@ -42,6 +42,26 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_shingle_list equals the declarative all-occurrences formulation") {
+    graft.functions.ShingleList.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the the the the",            // duplicates MUST be kept, in order
+      "a b",                        // fewer than 3 tokens -> empty for n=3
+      "x",
+      "one two three two three four two three five"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    for (n <- Seq(1, 2, 3)) {
+      val got = docs.select(col("id"),
+        call_function(graft.functions.ShingleList.Name, col("toks"), lit(n)).as("s"))
+      val want = docs.select(col("id"), Dedup.shinglesOfTokens(col("toks"), n).as("s"))
+      val g = got.as[(Long, Seq[String])].collect().toMap
+      val w = want.as[(Long, Seq[String])].collect().toMap
+      assert(g == w, s"n=$n mismatch: $g vs $w")
+    }
+  }
+
   test("graft_shingle_set orders supplementary characters like array_sort") {
     ShingleSet.register(spark)
     // U+1F600 (surrogate pair, UTF-16 units start 0xD83D) vs U+FFFD:
