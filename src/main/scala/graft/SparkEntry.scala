@@ -816,6 +816,13 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", 3, 0.9)
       graft.graph.Triangles.count(edges, "id_a", "id_b")
     }),
+    // ---- per-source dataset card: volume, token mass, quality mean/p50,
+    //      exact-dup rate, dominant language — one corpus scan, per-source
+    //      rollups, broadcast joins
+    "q133_dataset_card" -> ((s, dir) =>
+      graft.analyze.DatasetCard.perSource(
+          Tables.documents(s, dir), "source", "lang", "text")
+        .orderBy(col("source"))),
     // ---- NFC-robust dedup: half the corpus is re-encoded with DECOMPOSED
     //      combining sequences (constructed identically in both engines);
     //      raw fingerprints see distinct docs, canonicalized fingerprints
@@ -3004,6 +3011,41 @@ object SparkEntry {
          SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
                 n_triangles
          FROM tri""",
+    "q133_dataset_card" ->
+      """WITH b AS (
+           SELECT source, lang,
+             len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_toks,
+             round((
+               least(len(string_split_regex(lower(trim(text)), '\s+')), 50) / 50.0
+               + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                      / greatest(length(text), 1))
+               + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0
+                 / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+             ) / 3.0, 4) AS q,
+             md5(text) AS h
+           FROM documents),
+         main AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             CAST(round(avg(CAST(q AS DECIMAL(18,6))), 4) AS DOUBLE) AS mean_quality,
+             round(quantile_cont(q, 0.5), 4) AS p50_quality
+           FROM b GROUP BY 1),
+         dd AS (
+           SELECT source, round(1.0 - count(DISTINCT h) * 1.0 / count(*), 4)
+             AS dup_frac
+           FROM b GROUP BY 1),
+         lm AS (
+           SELECT source, lang AS top_lang FROM (
+             SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, lang) AS rn
+             FROM b GROUP BY source, lang) WHERE rn = 1)
+         SELECT main.source, n_docs, n_tokens, mean_quality, p50_quality,
+                dup_frac, top_lang
+         FROM main JOIN dd ON main.source = dd.source
+         JOIN lm ON main.source = lm.source
+         ORDER BY main.source""",
     "q110_nfc_dedup" ->
       """WITH d AS (
            SELECT doc_id,

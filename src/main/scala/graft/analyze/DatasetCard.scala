@@ -1,0 +1,53 @@
+package graft.analyze
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Per-source DATASET CARD: the one-stop corpus report every training
+  * run's data section starts from — volume, token mass, quality
+  * distribution, exact-duplicate rate and dominant language per source,
+  * in one frame. The reporting composition over the library's own
+  * primitives (quality scoring, fingerprinting, exact percentiles).
+  *
+  * Scale shape: ONE corpus scan projects every per-doc signal
+  * (token count, quality, content digest — all codegen projections);
+  * everything downstream aggregates per source. The duplicate rate is
+  * the two-stage exact distinct count (one row per distinct
+  * (source, digest) through the shuffle — never `count_distinct`'s
+  * Expand), the language mode is a (source, lang) count rolled up by
+  * min-struct (deterministic ties: higher count, then lexicographic
+  * lang), and the quality percentile sees the per-doc scores only. The
+  * three per-source frames are source-cardinality-sized and join
+  * broadcast. */
+object DatasetCard {
+
+  /** `(source, n_docs, n_tokens, mean_quality, p50_quality, dup_frac,
+    * top_lang)` — mean/percentile to 4 dp, dup_frac = 1 −
+    * distinct-content/docs to 4 dp. */
+  def perSource(docs: DataFrame, sourceCol: String, langCol: String,
+                textCol: String): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_toks"),
+      TextAnalysis.qualityScore(col(textCol)).as("q"),
+      md5(col(textCol)).as("h"))
+    val main = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        round(avg(col("q").cast("decimal(18,6)")), 4).cast("double").as("mean_quality"),
+        round(expr("percentile(q, 0.5)"), 4).as("p50_quality"))
+    val dups = base.groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n_all"))
+      .select(col("source"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_all"), 4)
+          .as("dup_frac"))
+    val langMode = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(min(struct((-col("c")).as("nc"), col("lang").as("l"))).as("__m"))
+      .select(col("source"), col("__m.l").as("top_lang"))
+    main.join(broadcast(dups), "source").join(broadcast(langMode), "source")
+  }
+}

@@ -47,10 +47,14 @@ object Blocklist {
     def grams(n: Int): Column =
       if (n == 1) col("__toks")
       else call_function(graft.functions.ShingleList.Name, col("__toks"), lit(n))
-    val exploded = lens.map { n =>
-      toks.select(col(idCol), explode(grams(n)).as("phrase"))
-    }.reduceOption(_.unionAll(_))
-      .getOrElse(toks.select(col(idCol), lit(null).cast("string").as("phrase")).limit(0))
+    // all lengths ride ONE scan: the per-length gram arrays concatenate
+    // before the explode (a per-length union would re-tokenize the
+    // corpus once per distinct phrase length)
+    val exploded =
+      if (lens.isEmpty)
+        toks.select(col(idCol), lit(null).cast("string").as("phrase")).limit(0)
+      else toks.select(col(idCol),
+        explode(concat(lens.map(grams): _*)).as("phrase"))
     val hits = exploded
       .join(broadcast(plist.select(col("phrase"))), Seq("phrase"))
       .groupBy(col(idCol))
