@@ -2706,7 +2706,7 @@ object SparkEntry {
            UNION ALL
            SELECT 3::BIGINT, 'purchase', count(*) FROM s3)
          SELECT step_idx, step, n_users,
-           round(n_users * 1.0 / lag(n_users) OVER (ORDER BY step_idx), 4) AS conversion
+           round(n_users * 1.0 / NULLIF(lag(n_users) OVER (ORDER BY step_idx), 0), 4) AS conversion
          FROM c ORDER BY step_idx""",
     "q118_retention" ->
       """WITH wk AS (
@@ -2944,7 +2944,7 @@ object SparkEntry {
              (epoch_us(t) // 3600000000) * 3600 AS bucket_s, t, event_id, value
            FROM e),
          o AS (
-           SELECT user_id, bucket_s, value FROM (
+           SELECT user_id, bucket_s, value, TRUE AS seen FROM (
              SELECT user_id, bucket_s, value,
                row_number() OVER (PARTITION BY user_id, bucket_s
                                   ORDER BY t DESC, event_id DESC) AS rn
@@ -2956,7 +2956,7 @@ object SparkEntry {
            FROM rng),
          j AS (
            SELECT s.user_id, s.bucket_s, o.value,
-                  o.value IS NOT NULL AS observed
+                  coalesce(o.seen, FALSE) AS observed
            FROM spine s LEFT JOIN o USING (user_id, bucket_s))
          SELECT user_id, bucket_s,
            round(last_value(value IGNORE NULLS) OVER (

@@ -37,16 +37,23 @@ object DatasetCard {
         sum(col("n_toks")).as("n_tokens"),
         round(avg(col("q").cast("decimal(18,6)")), 4).cast("double").as("mean_quality"),
         round(expr("percentile(q, 0.5)"), 4).as("p50_quality"))
+    // count(col) not count(*): the NULL-text digest group must not count
+    // as a distinct content value (the oracle's count(DISTINCT h)
+    // likewise excludes NULLs)
     val dups = base.groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n_all"))
+      .agg(count(col("h")).as("n_distinct"), sum(col("c")).as("n_all"))
       .select(col("source"),
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_all"), 4)
           .as("dup_frac"))
     val langMode = base.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
-      .agg(min(struct((-col("c")).as("nc"), col("lang").as("l"))).as("__m"))
+      // the null-flag field emulates NULLS LAST on the tie-break (Spark
+      // struct-min otherwise ranks a NULL lang before every real lang;
+      // the oracle's ORDER BY lang puts NULLs last)
+      .agg(min(struct((-col("c")).as("nc"), col("lang").isNull.as("ln"),
+        col("lang").as("l"))).as("__m"))
       .select(col("source"), col("__m.l").as("top_lang"))
     main.join(broadcast(dups), "source").join(broadcast(langMode), "source")
   }

@@ -56,9 +56,14 @@ object Funnel {
             col("n_users"))
     }.reduce(_.unionAll(_))
     val w = Window.orderBy(col("step_idx"))
+    // a zero-user previous step makes conversion explicitly NULL (not
+    // the engine-dependent 0/0 — Spark IEEE NaN vs DuckDB NULL-or-NaN
+    // depending on its ieee_floating_point_ops setting)
+    val prev = lag(col("n_users"), 1).over(w)
     counts
       .withColumn("conversion",
-        round(col("n_users").cast("double") / lag(col("n_users"), 1).over(w), 4))
+        round(col("n_users").cast("double") /
+          when(prev === 0, lit(null)).otherwise(prev), 4))
       .select(col("step_idx"), col("step"), col("n_users"), col("conversion"))
   }
 
@@ -141,8 +146,11 @@ object Funnel {
     * |users| × |weeks| rows of three integers. */
   def weeklyRetention(events: DataFrame, userCol: String, tsCol: String,
                       epochDate: String): DataFrame = {
+    // FLOOR division, not cast-truncation: days −6..−1 before the epoch
+    // date belong to week −1 (DuckDB's `// 7`), while a long cast would
+    // truncate them toward zero into week 0
     val weeks = events.select(col(userCol).as("u"),
-        (datediff(to_date(col(tsCol)), to_date(lit(epochDate))).cast("long") / 7)
+        floor(datediff(to_date(col(tsCol)), to_date(lit(epochDate))) / lit(7))
           .cast("long").as("wk"))
       .distinct()
     val cohort = weeks.groupBy(col("u")).agg(min(col("wk")).as("cohort_week"))

@@ -26,6 +26,10 @@ object Preference {
     * margin)` per group with ≥ 2 members; margin rounded to 4 dp. */
   def pairs(df: DataFrame, groupCol: String, idCol: String,
             scoreCol: String): DataFrame = {
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$idCol must be numeric (a string id silently casts to null and every " +
+        s"group then emits null chosen_id/rejected_id — same contract as " +
+        s"Packing.packSequential); got ${df.schema(idCol).dataType.simpleString}")
     // one struct, two extremes: lexicographic (−score, id) makes
     //   min = (highest score, smallest id among them)
     //   max = (lowest score, largest id among them)

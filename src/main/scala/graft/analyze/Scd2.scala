@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * [[SnapshotDiff]] (which classifies one transition; this builds the
   * full history table downstream jobs join against).
   *
-  * Change detection is by content digest over the tracked attribute
-  * columns (md5 of a ``-joined projection — same portable-digest
-  * contract as [[SnapshotDiff]]); a key absent from a snapshot simply
+  * Change detection is per-column null-safe equality against the
+  * previous version (`IS DISTINCT FROM` semantics, exactly the oracle's
+  * per-column compare): no digest, so no separator/sentinel collision
+  * class exists at all — attribute values containing the `\u0001`/
+  * `\u0002` control bytes the [[SnapshotDiff]] digest reserves are
+  * handled exactly; a key absent from a snapshot simply
   * has no version row for it, closing its last interval at the snapshot
   * where it disappeared is the caller's delete policy (this build keeps
   * the interval open through gaps, the common "late-arriving re-assert"
@@ -40,14 +43,19 @@ object Scd2 {
     val stamped = snapshots.map { case (v, df) =>
       df.select((col(keyCol) +: attrCols.map(col)) :+ lit(v).as("__v"): _*)
     }.reduce(_.unionAll(_))
-    val digested = stamped.withColumn("__h",
-      md5(concat_ws("", attrCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)))
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
-    // a version row OPENS an interval iff its digest differs from the
-    // previous version's (or it is the key's first appearance)
-    val opens = digested
-      .withColumn("__ph", lag(col("__h"), 1).over(byKey))
-      .filter(col("__ph").isNull || col("__ph") =!= col("__h"))
+    // a version row OPENS an interval iff any tracked attribute IS
+    // DISTINCT FROM the previous version's, or it is the key's first
+    // appearance (detected on the never-null version stamp, so an
+    // all-null first row still opens). All lags share one window spec:
+    // a single WindowExec, one shuffle.
+    val unchanged = attrCols
+      .map(c => col(c) <=> lag(col(c), 1).over(byKey))
+      .reduce(_ && _)
+    val opens = stamped
+      .withColumn("__open",
+        lag(col("__v"), 1).over(byKey).isNull || !unchanged)
+      .filter(col("__open"))
     // the interval closes where the NEXT change row opens (same window,
     // same partitioning — the second window reuses the first's shuffle)
     opens

@@ -38,10 +38,14 @@ object Temporal {
     val bucket = timestamp_micros(
       expr(s"unix_micros($tsCol) div ${bucketMicros}L") * bucketMicros)
     // latest observation per (key, bucket): ties pinned by (ts, tie)
+    // `__seen` marks the BUCKET having any event — distinct from the
+    // latest value being non-null, so a null-valued metric observation
+    // still reports observed=true (its value forward-fills past it)
     val observed = events
       .groupBy(col(keyCol), bucket.as("bucket"))
       .agg(max(struct(col(tsCol), col(tieCol), col(valCol).as("v"))).as("__last"))
-      .select(col(keyCol), col("bucket"), col("__last.v").as("__obs"))
+      .select(col(keyCol), col("bucket"), col("__last.v").as("__obs"),
+        lit(true).as("__seen"))
     val spine = observed.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
       .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"),
@@ -51,7 +55,7 @@ object Temporal {
     spine.join(observed, Seq(keyCol, "bucket"), "left_outer")
       .select(col(keyCol), col("bucket"),
         last(col("__obs"), ignoreNulls = true).over(w).as("value"),
-        col("__obs").isNotNull.as("observed"))
+        coalesce(col("__seen"), lit(false)).as("observed"))
   }
 
   /** Per-key ROLLING time-range aggregates: for every event, the count

@@ -168,16 +168,20 @@ object Similarity {
     // argmax as min(struct(−cos, label, v)), NOT a per-id ranking window:
     // the struct min is a hash aggregate with map-side partials — the
     // shuffle carries ONE candidate row per vector instead of K, and no
-    // per-partition sort runs. Ordering is identical to the window form
-    // (row_number over ccos DESC, clabel ASC): negation maps Spark's
-    // total double order exactly (incl. ±0.0), label breaks exact-cos
-    // ties ascending, and the trailing v can never be compared (a label
-    // appears once per id).
+    // per-partition sort runs. Ordering matches the window form
+    // (row_number over ccos DESC, clabel ASC) on every real cosine:
+    // negation maps Spark's total double order exactly (incl. ±0.0),
+    // label breaks exact-cos ties ascending, and the trailing v can
+    // never be compared (a label appears once per id). A NaN cosine
+    // (zero-norm centroid or vector) is DELIBERATELY sent to +∞ so the
+    // degenerate centroid always loses to any real one — the old window
+    // form's NaN-is-greatest ranking assigned the zero-norm centroid
+    // instead, which was never the intent.
     val assigned = df
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .crossJoin(broadcast(cent))
       .select(col(idCol), struct(
-        (-cosine(col("v"), col("cvec"))).as("nc"),
+        nanvl(-cosine(col("v"), col("cvec")), lit(Double.PositiveInfinity)).as("nc"),
         col("clabel"), col("v")).as("cand"))
       .groupBy(col(idCol)).agg(min(col("cand")).as("best"))
       .select(col(idCol), col("best.v").as("v"), col("best.clabel").as("cluster"))

@@ -304,4 +304,96 @@ class BehaviorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getBoolean(3))).head
     assert(got === (2L, true)) // unigram 'c' + trigram 'b c d'
   }
+
+  // --------------------------------------- review-fix regression cases
+
+  test("Scd2.history detects boundary-shifted and NULL-vs-empty changes") {
+    import spark.implicits._
+    // key 1: concatenations collide ("Customer#1"+"23.4" == "Customer#12"+"3.4")
+    // key 2: NULL -> empty string is a real change under IS DISTINCT FROM
+    val v1 = Seq((1L, Some("Customer#1"), Some("23.4")),
+                 (2L, Option.empty[String], Some("x"))).toDF("k", "name", "bal")
+    val v2 = Seq((1L, Some("Customer#12"), Some("3.4")),
+                 (2L, Some(""), Some("x"))).toDF("k", "name", "bal")
+    val got = Scd2.history(Seq((1L, v1), (2L, v2)), "k", Seq("name", "bal"))
+      .groupBy($"k").count().orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (2L, 2L))) // both keys: two intervals each
+  }
+
+  test("Scd2.history opens an interval for an all-null first appearance") {
+    import spark.implicits._
+    val v1 = Seq((1L, Option.empty[String])).toDF("k", "name")
+    val v2 = Seq((1L, Option.empty[String])).toDF("k", "name") // unchanged
+    val got = Scd2.history(Seq((1L, v1), (2L, v2)), "k", Seq("name")).collect()
+    // one interval, opened at v1 (valid_from), still open (valid_to null)
+    assert(got.length === 1 && got.head.getLong(2) === 1L && got.head.isNullAt(3))
+  }
+
+  test("weeklyRetention floor-divides weeks for pre-epoch events") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2023-12-30 10:00:00")), // datediff −2 → week −1, NOT week 0
+      (1L, ts("2024-01-01 10:00:00"))  // week 0 → offset 1 from cohort −1
+    ).toDF("user_id", "ts")
+    val got = Funnel.weeklyRetention(ev, "user_id", "ts", "2024-01-01")
+      .orderBy($"offset_weeks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((-1L, 0L, 1L), (-1L, 1L, 1L)))
+  }
+
+  test("funnel reports NULL conversion after a zero-user step, not 0/0") {
+    import spark.implicits._
+    val ev = Seq((1L, "view", ts("2024-01-01 10:00:00")),
+                 (2L, "view", ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy($"step_idx").collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(2L, 0L, 0L))
+    assert(got(1).getDouble(3) === 0.0) // 0 of 2 converted
+    assert(got(2).isNullAt(3))          // 0 of 0: NULL, never NaN/error
+  }
+
+  test("Preference.pairs rejects a non-numeric id column loudly") {
+    import spark.implicits._
+    val df = Seq(("s1", "doc-a", 0.9), ("s1", "doc-b", 0.1))
+      .toDF("source", "doc_id", "quality")
+    val e = intercept[IllegalArgumentException] {
+      graft.analyze.Preference.pairs(df, "source", "doc_id", "quality")
+    }
+    assert(e.getMessage.contains("doc_id"))
+  }
+
+  test("gapFill reports observed=true for a bucket whose latest value is NULL") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:05:00"), Some(3.0)),
+      (2L, 10L, ts("2024-01-01 11:10:00"), Option.empty[Double]) // observed, null metric
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.Temporal.gapFill(ev, "user_id", "ts", "event_id",
+        "value", 3600L)
+      .orderBy($"bucket")
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3))).toSeq
+    // bucket 11:00 HAD an observation (null-valued): observed=true, value
+    // forward-filled from 10:00
+    assert(got === Seq((3.0, true), (3.0, true)))
+  }
+
+  test("DatasetCard excludes NULL text from distinct content and NULL lang from tie-wins") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", Some("en"), Some("a a a")),
+      ("s1", Some("en"), Some("a a a")),          // dup of row 1
+      ("s1", Option.empty[String], Some("b b")),
+      ("s1", Option.empty[String], Option.empty[String]) // null text: not distinct content
+    ).toDF("source", "lang", "text")
+    val r = graft.analyze.DatasetCard.perSource(docs, "source", "lang", "text").collect().head
+    val dupFrac = r.getDouble(r.fieldIndex("dup_frac"))
+    // 2 distinct non-null texts of 4 docs → 1 − 2/4 = 0.5 (counting the
+    // null-digest group as distinct would give 0.25)
+    assert(dupFrac === 0.5)
+    // lang counts tie 2–2: the real lang wins (NULLS LAST), not NULL
+    assert(r.getString(r.fieldIndex("top_lang")) === "en")
+  }
 }

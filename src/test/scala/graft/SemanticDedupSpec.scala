@@ -74,4 +74,20 @@ class SemanticDedupSpec extends AnyFunSuite {
       assert(r.getDouble(1) == r.getDouble(2), s"id ${r.getLong(0)}")
     }
   }
+
+  test("a zero-norm (NaN-cosine) centroid never wins the assignment") {
+    import spark.implicits._
+    // class 0's members cancel to a zero centroid → cosine NaN for every
+    // vector; class 1 has a real centroid. Every vector must assign to
+    // class 1 (NaN deprioritized), not to the degenerate centroid.
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val rows = Seq(
+      (1L, v(1, -1), 0), (2L, v(-1, 1), 0), // mean = (0, 0)
+      (10L, v(1, 0), 1), (11L, v(1, 0.01), 1))
+    val out = Similarity.semanticDedup(
+        rows.toDF("vec_id", "embedding", "label"), "vec_id", "embedding", "label", 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 4)
+    assert(out.values.forall(_ == 1L), s"all assigned to the real centroid, got $out")
+  }
 }
