@@ -28,8 +28,14 @@ object Triangles {
   /** Global triangle count over canonical `src < dst` edges:
     * `(n_edges, n_triangles)`. */
   def count(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // eager checkpoint: the edge list is consumed FOUR times (both wedge
+    // sides, the closure probe, the n_edges agg) and is often the output
+    // of an expensive upstream pipeline (q132 feeds the full n-gram
+    // Jaccard subtree in) — without materialization each consumer
+    // re-runs that subtree. The checkpointed frame is id pairs only.
     val e = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d")).distinct()
+      .localCheckpoint(eager = true)
     val wedges = e.toDF("a", "b")
       .join(e.toDF("b", "c"), "b")
     val tri = wedges.join(e.toDF("a", "c"), Seq("a", "c"))
@@ -43,8 +49,11 @@ object Triangles {
     * SMALLER-side degree — the skew-robust form for power-law graphs.
     * Counts are identical to [[count]]; only the join fan-out changes. */
   def countOriented(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // same materialization discipline as [[count]] — e0 feeds the degree
+    // count, both orientation joins, the closure probe and the edge agg
     val e0 = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d")).distinct()
+      .localCheckpoint(eager = true)
     val deg = e0.select(explode(array(col("s"), col("d"))).as("v"))
       .groupBy(col("v")).agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
     val withDeg = e0

@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   * join). Document frequency derives from the MATCHED postings (every
   * document containing a query term appears there exactly once per
   * term, so per-term row counts ARE the df); the corpus constants
-  * (N, avgdl) come from a dl-only projection of the same scan — neither
-  * re-tokenizes. The query-term and idf tables are tiny and BROADCAST,
+  * (N, avgdl) come from a dl-only projection of the same scan, read as
+  * a driver scalar. The query-term table is tiny and BROADCAST,
   * so scoring is map-side over the matched postings and only matched
   * `(qid, doc)` partial scores enter the final aggregate.
   *
@@ -51,31 +51,44 @@ object Bm25 {
       .select(col("qid"), explode(array_distinct(col("__qt"))).as("tok"))
     val qvocab = qterms.select(col("tok")).distinct()
     // matched postings: exploded tokens are semi-joined to the broadcast
-    // query vocabulary BEFORE the tf aggregation — the shuffle carries
-    // query-vocabulary terms only, never the corpus's full posting list
+    // query vocabulary BEFORE the tf aggregation — the shuffle (and the
+    // aggregation hash table) carry query-vocabulary terms only, never
+    // the full posting list. (A measured dead end: folding the corpus
+    // constants into this pass via a left join + per-doc null bucket
+    // saves the second tokenize scan below but pushes EVERY token
+    // through the partial aggregation — ~1 s slower at sf0.1.)
     val matched = toks
       .select(col("id"), size(col("__toks")).cast("long").as("dl"),
         explode(col("__toks")).as("tok"))
       .join(broadcast(qvocab), "tok")
       .groupBy(col("id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // corpus constants from a dl-only projection (no explode, no shuffle
-    // beyond the scalar aggregate); df from the matched postings — each
-    // document containing a term contributes exactly one row per term
-    val consts = toks.filter(size(col("__toks")) > 0)
+    // corpus constants from a dl-only projection (scalar aggregate over
+    // the corpus scan). Read as a DRIVER SCALAR, not an in-plan
+    // broadcast: a one-row aggregate is microseconds of driver time,
+    // where crossJoin(broadcast(consts)) serializes an extra AQE
+    // broadcast wave into every downstream stage (the PageRank
+    // dangling-mass lesson).
+    val constRow = toks.filter(size(col("__toks")) > 0)
       .agg(count(lit(1)).as("n_docs"),
         avg(size(col("__toks")).cast("long")).as("avgdl"))
-    val qdf = matched.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(consts))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .select(col("tok"), col("idf"), col("avgdl"))
+      .head()
+    val nDocs = constRow.getLong(0)
+    val avgdl = if (constRow.isNullAt(1)) 1.0 else constRow.getDouble(1)
+    // df as a count-over-window on the matched postings (each document
+    // containing a term contributes exactly one row per term, so the
+    // per-term partition count IS the df) — same shuffle size as a
+    // groupBy(tok) aggregate but no separate idf-table build + broadcast
+    // wave on the critical path
+    val wTok = Window.partitionBy(col("tok"))
     val scored = matched
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs) - count(lit(1)).over(wTok) + 0.5) /
+          (count(lit(1)).over(wTok) + 0.5)))
       .join(broadcast(qterms), "tok")
-      .join(broadcast(qdf), "tok")
       .withColumn("term_score",
         (col("idf") * col("tf") * lit(k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
           .cast("decimal(27,12)"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("term_score")).as("score_d"))
