@@ -823,6 +823,25 @@ object SparkEntry {
       graft.analyze.DatasetCard.perSource(
           Tables.documents(s, dir), "source", "lang", "text")
         .orderBy(col("source"))),
+    // ---- fuzzy record linkage (native graft_jaro_winkler codegen
+    //      expression): a dirty roster with deterministic mid-string
+    //      transposition typos (constructed identically in both engines)
+    //      is re-linked to the clean records by sorted-neighborhood
+    //      blocking + Jaro-Winkler scoring — the MDM name matcher edit
+    //      distance (q89) complements with prefix-weighted similarity
+    "q134_record_linkage" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val rec = substring(lower(trim(col("text"))), 1, 40)
+      val clean = d.select(col("doc_id").cast("long").as("rid"), rec.as("name"))
+      val dirty = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select((col("doc_id") + 10000000L).as("rid"),
+          concat(substring(rec, 1, 24), substring(rec, 26, 1),
+            substring(rec, 25, 1), substring(rec, 27, 40)).as("name"))
+      graft.dedup.SortedNeighborhood.jaroWinklerPairs(
+          clean.unionAll(dirty), "rid", col("name"), col("name"),
+          window = 4, minSim = 0.92)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // ---- NFC-robust dedup: half the corpus is re-encoded with DECOMPOSED
     //      combining sequences (constructed identically in both engines);
     //      raw fingerprints see distinct docs, canonicalized fingerprints
@@ -3046,6 +3065,30 @@ object SparkEntry {
          FROM main JOIN dd ON main.source = dd.source
          JOIN lm ON main.source = lm.source
          ORDER BY main.source""",
+    "q134_record_linkage" ->
+      """WITH base AS (
+           SELECT doc_id, substr(lower(trim(text)), 1, 40) AS rec
+           FROM documents),
+         roster AS (
+           SELECT doc_id::BIGINT AS rid, rec AS name FROM base
+           UNION ALL
+           SELECT doc_id + 10000000,
+             substr(rec, 1, 24) || substr(rec, 26, 1) || substr(rec, 25, 1)
+               || substr(rec, 27, 40)
+           FROM base WHERE doc_id % 2 = 0),
+         keyed AS (
+           SELECT rid, name,
+             row_number() OVER (ORDER BY name, rid) AS rn
+           FROM roster),
+         pairs AS (
+           SELECT a.rid AS ra, b.rid AS rb,
+             jaro_winkler_similarity(a.name, b.name) AS sim
+           FROM keyed a JOIN keyed b
+             ON b.rn > a.rn AND b.rn <= a.rn + 4)
+         SELECT least(ra, rb) AS id_a, greatest(ra, rb) AS id_b,
+                round(sim, 4) AS sim
+         FROM pairs WHERE sim >= 0.92
+         ORDER BY 1, 2""",
     "q110_nfc_dedup" ->
       """WITH d AS (
            SELECT doc_id,

@@ -60,4 +60,34 @@ object SortedNeighborhood {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
   }
+
+  /** Blocked RECORD-LINKAGE pairs scored by Jaro-Winkler similarity:
+    * `(id_a, id_b, sim)` with `sim >= minSim`, for pairs within `window`
+    * positions of each other in `(sortKey, id)` order — the MDM / entity-
+    * resolution fuzzy name matcher. Same sorted-neighborhood blocking
+    * (and the same bounded-recall trade) as [[editDistancePairs]]; the
+    * scorer is the native codegen [[graft.functions.JaroWinkler]]
+    * expression, which weights shared prefixes the way human-entered
+    * name/address typos warrant (Winkler 1990) where raw edit distance
+    * treats all positions alike. `sim` rounded to 4 dp. */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, sortKeyExpr: Column,
+                       cmpExpr: Column, window: Int, minSim: Double): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    graft.functions.JaroWinkler.register(df.sparkSession)
+    val keyed = Positional.withRowIndex(
+      df.select(col(idCol).as("id"), sortKeyExpr.as("__sk"), cmpExpr.as("__cmp")),
+      Seq(col("__sk"), col("id")), "__rn")
+      .select(col("id"), col("__cmp"), col("__rn"))
+    val probes = keyed.select(col("id"), col("__cmp"),
+      explode(sequence(col("__rn") + 1, col("__rn") + window)).as("__rn"))
+    probes.alias("a")
+      .join(keyed.alias("b"), col("a.__rn") === col("b.__rn"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        call_function(graft.functions.JaroWinkler.Name,
+          col("a.__cmp"), col("b.__cmp")).as("sim"))
+      .filter(col("sim") >= minSim)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("sim"), 4).as("sim"))
+  }
 }

@@ -134,4 +134,70 @@ class NativeExprSpec extends AnyFunSuite {
     // normal corpus stays under it
     assert(NgramLm.ModelCap == 4 * 1024 * 1024)
   }
+
+  // ----------------------------------------------------- JaroWinkler
+
+  test("graft_jaro_winkler matches DuckDB jaro_winkler_similarity case table") {
+    graft.functions.JaroWinkler.register(spark)
+    // expected values generated by DuckDB's jaro_winkler_similarity —
+    // the oracle engine for q134 (10-decimal pins)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111),
+      ("DIXON", "DICKSONX", 0.8133333333),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962963),
+      ("DWAYNE", "DUANE", 0.8400000000),
+      ("", "", 0.0),
+      ("a", "", 0.0),
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("TRATE", "TRACE", 0.9066666667),
+      ("arnab", "aranb", 0.9466666667),
+      ("CRATE", "TRACE", 0.7333333333),
+      ("aaaaaabc", "aaaaaabd", 0.9500000000),
+      ("ab", "ba", 0.0),
+      ("customer#1", "customer#2", 0.9600000000),
+      ("x", "x", 1.0),
+      ("martha", "MARHTA", 0.0),          // case-sensitive
+      ("ab", "ac", 0.6666666667),          // jaro <= 0.7: NO prefix bonus
+      ("ab", "abcdefghij", 0.7866666667),  // jaro > 0.7: bonus applies
+      ("a", "ab", 0.8500000000),
+      ("aab", "aba", 0.5555555556)
+    )
+    val got = cases.zipWithIndex
+      .map { case ((a, b, w), i) => (i, a, b, w) }
+      .toDF("i", "a", "b", "want")
+      .select(col("i"), col("want"),
+        call_function(graft.functions.JaroWinkler.Name, col("a"), col("b")).as("sim"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(1)) < 1e-9,
+        s"case ${r.getInt(0)}: got ${r.getDouble(2)} want ${r.getDouble(1)}")
+    }
+  }
+
+  test("graft_jaro_winkler null handling and codegen/interpreted agreement") {
+    graft.functions.JaroWinkler.register(spark)
+    val df = Seq((Option("abc"), Option.empty[String])).toDF("a", "b")
+    val r = df.select(call_function(graft.functions.JaroWinkler.Name,
+      col("a"), col("b"))).collect().head
+    assert(r.isNullAt(0)) // null-propagating like every binary expression
+    // interpreted eval (direct Expression.eval) equals the codegen result
+    val e = graft.functions.JaroWinkler(
+      org.apache.spark.sql.catalyst.expressions.Literal("DIXON"),
+      org.apache.spark.sql.catalyst.expressions.Literal("DICKSONX"))
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - 0.8133333333) < 1e-9)
+  }
+
+  test("jaroWinklerPairs re-links planted transposition typos") {
+    val recs = Seq(
+      (1L, "jonathan smith 42 oak street"),
+      (2L, "jonathan smiht 42 oak street"),  // transposed 'th' -> planted dup of 1
+      (3L, "elizabeth jones 9 maple ave"),
+      (4L, "zzz totally unrelated record")
+    ).toDF("rid", "name")
+    val got = graft.dedup.SortedNeighborhood.jaroWinklerPairs(
+        recs, "rid", col("name"), col("name"), window = 3, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L))) // only the planted near-dup crosses 0.9
+  }
 }
