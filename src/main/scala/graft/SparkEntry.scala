@@ -823,6 +823,14 @@ object SparkEntry {
       graft.analyze.DatasetCard.perSource(
           Tables.documents(s, dir), "source", "lang", "text")
         .orderBy(col("source"))),
+    // ---- rolling z-score anomaly detection: each event judged against
+    //      its key's OWN trailing-6h baseline (exclusive of itself);
+    //      DECIMAL power sums make the variance engine-portable
+    "q136_rolling_anomaly" -> ((s, dir) =>
+      graft.operators.Temporal.rollingZscoreAnomalies(
+          Tables.events(s, dir), "user_id", "ts", "value",
+          windowSeconds = 21600L, zThreshold = 3.0)
+        .orderBy(col("user_id"), col("ts_us"), col("value"))),
     // ---- fuzzy record linkage (native graft_jaro_winkler codegen
     //      expression): a dirty roster with deterministic mid-string
     //      transposition typos (constructed identically in both engines)
@@ -3065,6 +3073,31 @@ object SparkEntry {
          FROM main JOIN dd ON main.source = dd.source
          JOIN lm ON main.source = lm.source
          ORDER BY main.source""",
+    "q136_rolling_anomaly" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS tus,
+                  value
+           FROM events),
+         r AS (
+           SELECT user_id, tus, value,
+             count(value) OVER w AS n,
+             CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+               AS s2
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                        RANGE BETWEEN 21600000000 PRECEDING
+                              AND 1 PRECEDING)),
+         v AS (
+           SELECT user_id, tus, value, n, s1,
+             CASE WHEN n > 1 THEN (s2 - s1*s1/n)/(n-1) END AS var
+           FROM r)
+         SELECT user_id, tus AS ts_us, value,
+           round((value - s1/n) / sqrt(var), 4) AS z
+         FROM v
+         WHERE n >= 2 AND var > 0
+           AND abs((value - s1/n) / sqrt(var)) >= 3.0
+         ORDER BY user_id, ts_us, value""",
     "q134_record_linkage" ->
       """WITH base AS (
            SELECT doc_id, substr(lower(trim(text)), 1, 40) AS rec

@@ -84,6 +84,53 @@ object Temporal {
         sum(col(valCol).cast("decimal(30,6)")).over(w))
   }
 
+  /** Rolling Z-SCORE ANOMALY DETECTION: flag every event whose value
+    * deviates more than `zThreshold` sample standard deviations from the
+    * mean of the key's OWN trailing `[t − windowSeconds, t)` interval —
+    * the self-referential burst/outlier detector behind metric alerting
+    * (a global threshold can't serve keys with different baselines).
+    * The frame EXCLUDES the current row: an event must be judged against
+    * the history before it, or a large outlier drags its own baseline
+    * toward itself (masking) and the first event of a key trivially has
+    * z = 0.
+    *
+    * Variance from DECIMAL power sums (`Σx`, `Σx²` exact at any
+    * partitioning, `var = (Σx² − (Σx)²/n)/(n−1)`) — the engine-portable
+    * form: a windowed `stddev_samp` accumulates doubles in frame order
+    * and two engines disagree in the last ulp. Frames with n < 2 or
+    * zero variance yield no anomaly (no z is defined).
+    *
+    * Scale shape: one key-hash shuffle for the window ([[rollingAgg]]'s
+    * frame contract — micros ordering, two-pointer RANGE walk inside
+    * WindowExec); the z computation and threshold filter are map-side
+    * projections of the frame sums. */
+  def rollingZscoreAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                             valCol: String, windowSeconds: Long,
+                             zThreshold: Double): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, -1L)
+    val n = count(col(valCol)).over(w)
+    val s1 = sum(col(valCol).cast("decimal(30,6)")).over(w).cast("double")
+    val s2 = sum((col(valCol) * col(valCol)).cast("decimal(30,6)")).over(w)
+      .cast("double")
+    val mean = s1 / n
+    // n > 1 guard INSIDE the expression (the Outliers discipline): an
+    // n = 1 frame would divide by zero — IEEE-Inf on Spark doubles, but
+    // engine-setting-dependent elsewhere; the guard makes the contract
+    // explicit instead of leaning on Inf comparing un-anomalous
+    val variance = when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
+    events
+      .withColumn("__n", n)
+      .withColumn("__mean", mean)
+      .withColumn("__var", variance)
+      .filter(col("__n") >= 2 && col("__var") > 0)
+      .withColumn("z", (col(valCol) - col("__mean")) / sqrt(col("__var")))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("ts_us"),
+        col(valCol), round(col("z"), 4).as("z"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap since the
     * key's previous event exceeds `gapSeconds`. Adds `session_id`
     * (0-based per key, by time order).

@@ -91,4 +91,63 @@ class TemporalPropertySpec extends AnyFunSuite {
       assert(got(lv) == expect, s"left $lv: expected $expect got ${got(lv)}")
     }
   }
+
+  test("rollingZscoreAnomalies equals the brute trailing-window walk") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // sub-hour jitter, occasional big spikes, duplicate timestamps
+    val rows = (0 until 400).map { i =>
+      val key = i % 5L
+      val t = base + (i / 5) * 600000L + (if (i % 7 == 0) 0L else rnd.nextInt(1000) * 250L)
+      val v = if (i % 37 == 0) 500.0 + rnd.nextInt(100) else rnd.nextDouble() * 10
+      (key, new java.sql.Timestamp(t), v)
+    }
+    val got = Temporal.rollingZscoreAnomalies(
+        rows.toDF("k", "ts", "value"), "k", "ts", "value", 3600L, 3.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    // brute reference: per key, frame = strictly-earlier micros within 1h
+    val brute = scala.collection.mutable.Map[(Long, Long, Double), Double]()
+    rows.groupBy(_._1).foreach { case (k, es) =>
+      val evs = es.map(e => (e._2.getTime * 1000L, e._3))
+      evs.foreach { case (t, v) =>
+        val frame = evs.filter { case (t2, _) => t2 >= t - 3600000000L && t2 < t }
+        val n = frame.size
+        if (n >= 2) {
+          // replay the DECIMAL(30,6) quantization of the power sums
+          def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          val s1 = frame.map(e => q6(e._2)).sum.toDouble
+          val s2 = frame.map(e => q6(e._2 * e._2)).sum.toDouble
+          val vr = (s2 - s1 * s1 / n) / (n - 1)
+          if (vr > 0) {
+            val z = (v - s1 / n) / math.sqrt(vr)
+            if (math.abs(z) >= 3.0)
+              brute((k, t, v)) = BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        }
+      }
+    }
+    assert(got.keySet === brute.keySet,
+      s"flag sets differ: only-spark=${got.keySet -- brute.keySet} only-brute=${brute.keySet -- got.keySet}")
+    got.foreach { case (key, z) =>
+      assert(math.abs(z - brute(key)) < 1e-9, s"$key: $z vs ${brute(key)}")
+    }
+  }
+
+  test("rollingZscoreAnomalies: undefined baselines never flag, a real spike does") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0),   // n=0: no baseline
+      (1L, ts("2024-01-01 10:10:00"), 5.5),   // n=1: variance undefined
+      (1L, ts("2024-01-01 10:20:00"), 4.5),   // n=2, var>0, |z| small
+      (1L, ts("2024-01-01 10:30:00"), 500.0), // spike vs varied history: flags
+      (2L, ts("2024-01-01 10:00:00"), 7.0),   // n=0
+      (2L, ts("2024-01-01 10:10:00"), 7.0),   // n=1
+      (2L, ts("2024-01-01 10:20:00"), 900.0)  // n=2 but ZERO variance: no z
+    ).toDF("k", "ts", "value")
+    val got = Temporal.rollingZscoreAnomalies(rows, "k", "ts", "value", 3600L, 3.0)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(got === Seq(500.0)) // the spike; never the zero-variance key
+  }
 }
