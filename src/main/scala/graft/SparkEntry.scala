@@ -823,6 +823,38 @@ object SparkEntry {
       graft.analyze.DatasetCard.perSource(
           Tables.documents(s, dir), "source", "lang", "text")
         .orderBy(col("source"))),
+    // ---- 2-core of the near-dup graph: keep only nodes on a CYCLE of
+    //      similarity evidence (exact-dup groups expand to cliques and
+    //      survive; fragile transitive chains peel away) — the
+    //      precision-first dedup-review filter. Iterative peel: not
+    //      SQL-expressible (non-monotone fixpoint), spec-verified against
+    //      a brute reference instead of an oracle.
+    "q139_kcore" -> ((s, dir) => {
+      val edges = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+      graft.graph.KCore.core(edges, "id_a", "id_b", 2)
+        .orderBy(col("id"))
+    }),
+    // ---- cross-source content overlap: exact-dup digest jaccard between
+    //      every source pair — the corpus-composition / provenance audit;
+    //      the corpus shuffles once as (source, digest), pairs are
+    //      |sources|²-bounded. A partial 'mirror' source (every 7th doc,
+    //      constructed identically in both engines) plants the re-crawl
+    //      the audit exists to catch — the natural sources share nothing.
+    "q138_source_overlap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"), col("text"),
+        col("doc_id"))
+      val mirrored = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(lit("mirror").as("source"), col("text"), col("doc_id"))
+      graft.dedup.SourceOverlap.overlapMatrix(
+          d.unionByName(mirrored), "source", "text")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+    // ---- join-key skew report: group-size statistics for a prospective
+    //      shuffle key (the diagnosis q88's salted join is the cure for) —
+    //      one key-hash aggregate, everything else on the per-key frame
+    "q137_skew_report" -> ((s, dir) =>
+      graft.operators.Skew.keyReport(Tables.events(s, dir), "user_id")),
     // ---- rolling z-score anomaly detection: each event judged against
     //      its key's OWN trailing-6h baseline (exclusive of itself);
     //      DECIMAL power sums make the variance engine-portable
@@ -3073,6 +3105,44 @@ object SparkEntry {
          FROM main JOIN dd ON main.source = dd.source
          JOIN lm ON main.source = lm.source
          ORDER BY main.source""",
+    "q138_source_overlap" ->
+      """WITH roster AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0),
+         d AS (
+           SELECT DISTINCT CAST(source AS VARCHAR) AS src, md5(text) AS h
+           FROM roster WHERE text IS NOT NULL),
+         sizes AS (SELECT src, count(*) AS n FROM d GROUP BY 1),
+         sh AS (
+           SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
+           FROM d a JOIN d b ON a.h = b.h AND a.src < b.src
+           GROUP BY 1, 2)
+         SELECT source_a, source_b, shared, sa.n AS n_a, sb.n AS n_b,
+                round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+         FROM sh
+         JOIN sizes sa ON sa.src = source_a
+         JOIN sizes sb ON sb.src = source_b
+         ORDER BY 1, 2""",
+    "q137_skew_report" ->
+      """WITH s AS (
+           SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+           FROM events GROUP BY 1),
+         top AS (
+           SELECT k, c FROM (
+             SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rn
+             FROM s) WHERE rn = 1)
+         SELECT CAST(sum(s.c) AS BIGINT) AS n_rows,
+                count(*) AS n_keys,
+                CAST(round(avg(CAST(s.c AS DECIMAL(18,6))), 4) AS DOUBLE)
+                  AS mean_sz,
+                round(quantile_cont(s.c, 0.5), 4) AS p50_sz,
+                round(quantile_cont(s.c, 0.99), 4) AS p99_sz,
+                CAST(max(s.c) AS BIGINT) AS max_sz,
+                any_value(top.k) AS top_key,
+                CAST(any_value(top.c) AS BIGINT) AS top_n,
+                round(max(s.c) * count(*) * 1.0 / sum(s.c), 4) AS skew_ratio
+         FROM s CROSS JOIN top""",
     "q136_rolling_anomaly" ->
       """WITH e AS (
            SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS tus,

@@ -35,4 +35,45 @@ object Skew {
         salted(factKey) === replicated(dimKey))
       .drop("__salt")
   }
+
+  /** Join-key SKEW REPORT — the diagnosis [[saltedJoin]] is the cure
+    * for: one row of group-size statistics for a prospective join or
+    * aggregation key, read before picking `nSalts` / enabling AQE skew
+    * handling on a 100 TB shuffle. `skew_ratio` (max group / mean
+    * group) is the headline: ~1 is uniform, ≫1 means the hottest key
+    * dominates a reducer.
+    *
+    * Output: `(n_rows, n_keys, mean_sz, p50_sz, p99_sz, max_sz,
+    * top_key, top_n, skew_ratio)` — doubles to 4 dp, `top_key` the
+    * smallest key among the tied-largest groups (deterministic).
+    *
+    * Scale shape: one key-hash aggregate (map-side combined) shrinks
+    * the corpus to one row per key; every statistic is computed on THAT
+    * frame. The percentiles are the only caution: `exact = true` uses
+    * the buffering exact `percentile` (fine up to ~10⁷ keys — the
+    * diagnostic norm); `exact = false` swaps in `approx_percentile`
+    * (mergeable GK sketch, bounded memory) for billion-key corpora —
+    * the same exact/sketch toggle as [[graft.analyze.Profile]]. */
+  def keyReport(df: DataFrame, keyCol: String,
+                exact: Boolean = true): DataFrame = {
+    def pct(p: Double): Column =
+      if (exact) expr(s"percentile(c, $p)")
+      else expr(s"approx_percentile(c, $p, 10000)").cast("double")
+    df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        round(avg(col("c").cast("decimal(18,6)")), 4).cast("double").as("mean_sz"),
+        round(pct(0.5), 4).as("p50_sz"),
+        round(pct(0.99), 4).as("p99_sz"),
+        max(col("c")).as("max_sz"),
+        min(struct((-col("c")).as("nc"), col("k"))).as("__top"))
+      .select(col("n_rows"), col("n_keys"), col("mean_sz"), col("p50_sz"),
+        col("p99_sz"), col("max_sz"),
+        col("__top.k").as("top_key"), (-col("__top.nc")).as("top_n"),
+        // integer-exact ratio arithmetic, rounded once at the end
+        round(col("max_sz") * col("n_keys").cast("double") / col("n_rows"), 4)
+          .as("skew_ratio"))
+  }
 }

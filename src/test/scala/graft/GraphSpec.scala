@@ -81,4 +81,61 @@ class GraphSpec extends AnyFunSuite {
       rows.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 4, iters = 3)
     assert(got.count() == 6)
   }
+
+  // ------------------------------------------------------------ k-core
+
+  test("2-core keeps the triangle and peels the tail chain") {
+    import spark.implicits._
+    // triangle 1-2-3 with a pendant chain 3-4-5: the chain peels (4 then
+    // 5 reaches degree 0... actually 5 first, then 4), the triangle stays
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = graft.graph.KCore.core(edges, "a", "b", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("k-core local finisher and distributed peel agree on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val edges = (0 until 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("a", "b")
+    def brute(k: Int): Map[Long, Long] = {
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.HashSet[Long]]
+      edges.foreach { case (u, v) =>
+        adj.getOrElseUpdate(u, scala.collection.mutable.HashSet.empty) += v
+        adj.getOrElseUpdate(v, scala.collection.mutable.HashSet.empty) += u
+      }
+      var changed = true
+      while (changed) {
+        val doomed = adj.collect { case (n, nb) if nb.size < k => n }.toSeq
+        changed = doomed.nonEmpty
+        doomed.foreach { n =>
+          adj(n).foreach(m => adj.get(m).foreach(_ -= n)); adj.remove(n)
+        }
+      }
+      adj.iterator.map { case (n, nb) => n -> nb.size.toLong }.toMap
+    }
+    for (k <- Seq(1, 2, 3, 5)) {
+      val viaLocal = graft.graph.KCore.core(df, "a", "b", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set("graft.kcore.localFinishEdges", "0")
+      val viaDist = try graft.graph.KCore.core(df, "a", "b", k)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset("graft.kcore.localFinishEdges")
+      assert(viaLocal === brute(k), s"local finisher wrong at k=$k")
+      assert(viaDist === brute(k), s"distributed peel wrong at k=$k")
+    }
+  }
+
+  test("k-core of an empty or all-peeled graph is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.graph.KCore.core(empty, "a", "b", 2).count() === 0)
+    // a bare path has no 2-core
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(graft.graph.KCore.core(path, "a", "b", 2).count() === 0)
+  }
 }

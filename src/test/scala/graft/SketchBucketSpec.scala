@@ -94,4 +94,53 @@ class SkewSpec extends AnyFunSuite {
       .select($"payload", $"dval").collect().map(_.toString).sorted
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("keyReport hand-computed stats on a known skewed frame") {
+    import spark.implicits._
+    // key "a" x 6, "b" x 2, "c" x 2 → 10 rows, 3 keys, mean 3.3333,
+    // max 6, skew_ratio = 6*3/10 = 1.8; top key "a"
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val r = graft.operators.Skew.keyReport(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Double]("mean_sz") === 3.3333)
+    assert(r.getAs[Double]("p50_sz") === 2.0)
+    assert(r.getAs[Long]("max_sz") === 6L)
+    assert(r.getAs[String]("top_key") === "a")
+    assert(r.getAs[Long]("top_n") === 6L)
+    assert(r.getAs[Double]("skew_ratio") === 1.8)
+    // ties on group size resolve to the smallest key
+    val tied = Seq("x", "x", "y", "y").toDF("k")
+    val t = graft.operators.Skew.keyReport(tied, "k").collect().head
+    assert(t.getAs[String]("top_key") === "x")
+    assert(t.getAs[Double]("skew_ratio") === 1.0)
+    // sketch path returns the same integer-exact fields
+    val s = graft.operators.Skew.keyReport(df, "k", exact = false)
+      .collect().head
+    assert(s.getAs[Long]("max_sz") === 6L && s.getAs[Double]("skew_ratio") === 1.8)
+  }
+}
+
+class SourceOverlapSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("overlap matrix hand-computed jaccard; multiplicity ignored; nulls dropped") {
+    import spark.implicits._
+    // A: {t1,t2,t3}  B: {t2,t3,t4}  C: {t9} (+ null, dropped)
+    // A∩B = 2, A∪B = 4 → 0.5; C shares nothing → no row
+    val docs = Seq(
+      ("A", "t1"), ("A", "t2"), ("A", "t3"), ("A", "t2"), // dup inside A
+      ("B", "t2"), ("B", "t3"), ("B", "t4"),
+      ("C", "t9"), ("C", null)
+    ).toDF("source", "text")
+    val got = graft.dedup.SourceOverlap.overlapMatrix(docs, "source", "text")
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[String]("source_a") === "A" && r.getAs[String]("source_b") === "B")
+    assert(r.getAs[Long]("shared") === 2L)
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("jaccard") === 0.5)
+  }
 }
