@@ -24,9 +24,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // testdata parquet uses TIMESTAMP(NANOS); read as long, converted
-      // back to TimestampType in graft.sources.Tables.load
+      // testdata parquet has shipped both TIMESTAMP(NANOS) (read as long,
+      // converted in graft.sources.Tables) and timestamp[us] without
+      // timezone. Disable NTZ inference so the latter reads as plain
+      // TIMESTAMP under the pinned UTC session; Tables.normalizeTs handles
+      // whatever type still arrives.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
   }

@@ -1306,7 +1306,7 @@ object SparkEntry {
       val schema = s.read.parquet(path).schema
       graft.streaming.StreamingOps.runToMemory(s, src =>
           graft.streaming.StreamingOps.windowedCounts(
-            src.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+            Tables.normalizeTs(src, "ts"),
             "ts", "event_type", "value", "1 hour"),
           dir.stripSuffix("/"), "events.parquet", schema)
         .orderBy(col("window_start"), col("event_type"))
@@ -1435,7 +1435,7 @@ object SparkEntry {
       val path = s"${dir.stripSuffix("/")}/events.parquet"
       val schema = s.read.parquet(path).schema
       graft.streaming.StreamingOps.runToMemory(s, src => {
-          val ev = src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val ev = Tables.normalizeTs(src, "ts")
           val errors = ev.filter(col("event_type") === "error")
             .select(col("user_id").as("euser"), col("ts").as("ets"), col("event_id"))
           val clicks = ev.filter(col("event_type") === "click")
@@ -1458,7 +1458,7 @@ object SparkEntry {
       val path = s"${dir.stripSuffix("/")}/events.parquet"
       val schema = s.read.parquet(path).schema
       graft.streaming.StreamingOps.runToMemory(s, src => {
-          val ev = src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val ev = Tables.normalizeTs(src, "ts")
           ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
             .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("session_value"))
             .select(col("user_id"), col("w.start").as("session_start"),

@@ -15,11 +15,16 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    // every failure is RECORDED, not just logged: a green wall with silent
+    // omissions would pass a "zero err" gate while queries crash
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failures(name) = msg.linesIterator.take(3).mkString(" ").take(500)
+        System.err.println(s"[verify] $name failed: $msg")
       }
       // same inter-query hygiene as Bench: drop leaked caches and nudge the
       // ContextCleaner so 105 queries' shuffle/broadcast debt never
@@ -43,6 +48,11 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-describing failure record (empty object on a clean run)
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

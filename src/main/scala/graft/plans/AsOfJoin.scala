@@ -174,8 +174,16 @@ object AsOfJoin {
     val Seq(rk, rt, rv) = rp.output.map(_.toAttribute)
     // the merge compares raw internal values with orderings derived from
     // the LEFT types — a type mismatch must be an analysis error, not a
-    // silent wrong answer (e.g. nanosecond longs vs TimestampType micros)
-    require(lk.dataType == rk.dataType && lt.dataType == rt.dataType,
+    // silent wrong answer (e.g. nanosecond longs vs TimestampType micros).
+    // TIMESTAMP and TIMESTAMP_NTZ are mutually compatible: both are Long
+    // micros-since-epoch internally, so the merge ordering is identical.
+    def tsFamily(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    require(lk.dataType == rk.dataType &&
+        (lt.dataType == rt.dataType || (tsFamily(lt.dataType) && tsFamily(rt.dataType))),
       s"asOf type mismatch: key ${lk.dataType} vs ${rk.dataType}, " +
         s"ts ${lt.dataType} vs ${rt.dataType}")
     val asofAttr = AttributeReference(s"asof_$rightValCol", rv.dataType, nullable = true)()

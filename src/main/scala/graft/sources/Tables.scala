@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the star-schema testdata layout
   * (`<dir>/<table>.parquet`).
@@ -12,12 +12,15 @@ import org.apache.spark.sql.types.LongType
   * caches: at 100 TB the scan must stream, and pushdown into the scan is
   * worth more than a driver-pinned cache.
   *
-  * The testdata files carry TIMESTAMP(NANOS) columns (pyarrow default),
-  * which Spark's vectorized parquet reader rejects. Sessions therefore set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.GraftSession]])
-  * and this loader restores the declared TIMESTAMP type by converting the
-  * nano longs to microsecond timestamps — a codegen'd arithmetic projection,
-  * no UDF, pushdown on all other columns unaffected.
+  * The testdata's time columns have shipped in several physical forms
+  * across regenerations — TIMESTAMP(NANOS) (read as long under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, see [[graft.GraftSession]])
+  * and `timestamp[us]` without timezone (TIMESTAMP_NTZ unless NTZ
+  * inference is disabled). Per the reference's coercion principle
+  * (SURVEY.md §1.2: input type drift is absorbed by the loader, never an
+  * error downstream) [[normalizeTs]] dispatches on the OBSERVED type and
+  * restores plain TIMESTAMP — a codegen'd projection, no UDF, pushdown on
+  * all other columns unaffected.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -32,15 +35,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
     val raw = spark.read.parquet(s"${dir.stripSuffix("/")}/$table.parquet")
-    tsColumns.getOrElse(table, Nil).foldLeft(raw) { (df, c) =>
+    tsColumns.getOrElse(table, Nil).foldLeft(raw)(normalizeTs)
+  }
+
+  /** Coerce a time column to plain TIMESTAMP whatever physical type the
+    * parquet read produced. Long = nanosecond epoch (the nanosAsLong read
+    * path); NTZ = `timestamp[us]` without timezone, identical micros-since-
+    * epoch internal representation under the pinned UTC session. Missing
+    * column or already-TIMESTAMP is a no-op. */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    if (!df.schema.fieldNames.contains(c)) df
+    else df.schema(c).dataType match {
       // INTEGER division (`div`), never `/`: nanosecond longs exceed 2^53,
       // so the double round-trip of `/` loses up to ~128 ns and can flip
       // the truncated microsecond vs an engine that divides exactly.
-      if (df.schema.fieldNames.contains(c) && df.schema(c).dataType == LongType)
-        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else df
+      case LongType => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
     }
-  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -16,7 +16,7 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(path).schema
     val streamed = StreamingOps.runToMemory(spark, src =>
         StreamingOps.windowedCounts(
-          src.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+          graft.sources.Tables.normalizeTs(src, "ts"),
           "ts", "event_type", "value", "1 hour"),
         TestSession.sf, "events.parquet", schema)
       .orderBy($"window_start", $"event_type").collect().toSeq
@@ -33,7 +33,7 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(path).schema
     val out = StreamingOps.runToMemory(spark, src =>
         StreamingOps.windowedCounts(
-          src.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+          graft.sources.Tables.normalizeTs(src, "ts"),
           "ts", "event_type", "value", "1 hour"),
         TestSession.sf, "events.parquet", schema)
     assert(out.count() > 0)
