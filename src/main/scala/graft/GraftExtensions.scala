@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, JaroWinkler, MisraGries, NfcNormalize, RepStats, ShingleSet, SigAgreeCount, SortedOverlapCount, TopK, TrigramCountAgg, TrigramLmScore}
+import graft.functions.{CosineSimilarity, JaroWinkler, MisraGries, NfcNormalize, RepStats, ShingleSet, SigAgreeCount, SortedOverlapCount, TopK, TrigramCountAgg, TrigramLmScore, VocabTf}
 import graft.mine.DrainMineAgg
 
 /** The library's `SparkSessionExtensions` injection point — the idiomatic
@@ -48,6 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[TrigramCountAgg], exprs => TrigramCountAgg(exprs.head)))
     ext.injectFunction(fn(JaroWinkler.Name,
       classOf[JaroWinkler], exprs => JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction(fn(VocabTf.Name,
+      classOf[VocabTf], exprs => VocabTf(exprs(0), exprs(1))))
     // whole-operator nodes (custom-operator ladder rung (c))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer rules (the Rule[LogicalPlan] rung): algebraic rewrites
