@@ -139,22 +139,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     // ---- A8 correlation + dispersion stats per group. Computed from
-    //      EXACT decimal moment sums (not the native corr/stddev
-    //      aggregates, whose double accumulation is partition-order-
-    //      sensitive); the closing formula is one deterministic double
-    //      expression mirrored verbatim in the oracle SQL.
+    //      EXACT integer moment sums over cent-scaled longs (not the
+    //      native corr/stddev aggregates, whose double accumulation is
+    //      partition-order-sensitive, and not decimal sums, whose >18
+    //      precision pays Spark's BigDecimal path per row): the values
+    //      are 2 dp money/quantity, so round(x*100) longs are exact, the
+    //      price-squared sum splits div/mod 1e6 to stay inside long
+    //      range, and every closing double op is mirrored TEXTUALLY in
+    //      the oracle SQL — identical integer-to-double conversions and
+    //      IEEE ops give bit-identical results on both engines.
     "q12_corr" -> ((s, dir) => {
-      val q = col("l_quantity").cast("decimal(12,6)")
-      val p = col("l_extendedprice").cast("decimal(12,6)")
       Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("q2"),
+          round(col("l_extendedprice") * 100).cast("long").as("p2"))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(q).cast("double").as("sq"),
-          sum(p).cast("double").as("sp"),
-          sum(q * p).cast("double").as("sqp"),
-          sum(q * q).cast("double").as("sqq"),
-          sum(p * p).cast("double").as("spp"))
+          sum(col("q2")).as("sq2"),
+          sum(col("p2")).as("sp2"),
+          sum(col("q2") * col("p2")).as("sqp4"),
+          sum(col("q2") * col("q2")).as("sqq4"),
+          sum(expr("(p2 * p2) div 1000000")).as("spp_hi"),
+          sum(expr("(p2 * p2) % 1000000")).as("spp_lo"))
+        .select(
+          col("l_returnflag"), col("n"),
+          (col("sq2").cast("double") / 100.0).as("sq"),
+          (col("sp2").cast("double") / 100.0).as("sp"),
+          (col("sqp4").cast("double") / 10000.0).as("sqp"),
+          (col("sqq4").cast("double") / 10000.0).as("sqq"),
+          ((col("spp_hi").cast("double") * 1000000.0 + col("spp_lo").cast("double"))
+            / 10000.0).as("spp"))
         .select(
           col("l_returnflag"),
           round((col("n") * col("sqp") - col("sq") * col("sp")) /
@@ -1667,20 +1682,38 @@ object SparkEntry {
            '\s+', ' ', 'g')) AS clean_text
          FROM documents ORDER BY doc_id""",
     "q12_corr" ->
-      """WITH m AS (
+      """WITH r AS (
+           -- cent-scaled exact longs (values are 2 dp; round() lands
+           -- within 1e-9 of the integer, so the cast is exact); the
+           -- p2*p2 sum splits div/mod 1e6 to mirror the engine's
+           -- long-range-safe formulation, and every integer-to-double
+           -- conversion below is textually identical to the engine's
+           SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS q2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p2
+           FROM lineitem),
+         m AS (
            SELECT l_returnflag, count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sq,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sp,
-             CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sqp,
-             CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sqq,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS spp
-           FROM lineitem GROUP BY l_returnflag)
+             sum(q2) AS sq2, sum(p2) AS sp2,
+             sum(q2 * p2) AS sqp4, sum(q2 * q2) AS sqq4,
+             sum((p2 * p2) // 1000000) AS spp_hi,
+             sum((p2 * p2) % 1000000) AS spp_lo
+           FROM r GROUP BY l_returnflag),
+         d AS (
+           SELECT l_returnflag, n,
+             CAST(sq2 AS DOUBLE) / 100.0 AS sq,
+             CAST(sp2 AS DOUBLE) / 100.0 AS sp,
+             CAST(sqp4 AS DOUBLE) / 10000.0 AS sqp,
+             CAST(sqq4 AS DOUBLE) / 10000.0 AS sqq,
+             (CAST(spp_hi AS DOUBLE) * 1000000.0 + CAST(spp_lo AS DOUBLE))
+               / 10000.0 AS spp
+           FROM m)
          SELECT l_returnflag,
            round((n * sqp - sq * sp) /
              (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 4) AS corr_qty_price,
            round(sqrt((n * sqq - sq * sq) / (n * (n - 1.0))), 4) AS sd_qty,
            n
-         FROM m ORDER BY l_returnflag""",
+         FROM d ORDER BY l_returnflag""",
     "q13_union" ->
       """SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 450000
          UNION ALL
@@ -3326,17 +3359,23 @@ object SparkEntry {
       """WITH d AS (
            SELECT event_id,
              CASE WHEN event_id % 97 = 0 THEN '}' || props ELSE props END AS p
-           FROM events)
-         SELECT event_id,
-           CASE WHEN json_valid(p) THEN TRY_CAST(json_extract(p, '$.k') AS BIGINT) END AS k,
+           FROM events),
+         -- json_extract only ever sees valid JSON or NULL: some DuckDB
+         -- versions evaluate both CASE branches vectorized, so
+         -- json_extract(p, ...) behind CASE WHEN json_valid(p) still
+         -- errors on the invalid rows ("Malformed JSON at byte 0")
+         v AS (
+           SELECT event_id,
+             TRY_CAST(json_extract(
+               CASE WHEN json_valid(p) THEN p END, '$.k') AS BIGINT) AS k
+           FROM d)
+         SELECT event_id, k,
            -- k_bucket = -1 on ANY null k (invalid JSON, missing key, or a
-           -- non-integer value), mirroring the Spark side's isNull branch
-           -- — not only on json_valid failure; TRY_CAST so a non-integer
-           -- value nulls instead of erroring (from_json's behavior)
-           CASE WHEN NOT json_valid(p)
-                  OR TRY_CAST(json_extract(p, '$.k') AS BIGINT) IS NULL THEN -1
-                ELSE TRY_CAST(json_extract(p, '$.k') AS BIGINT) % 10 END AS k_bucket
-         FROM d ORDER BY event_id""",
+           -- non-integer value), mirroring the Spark side's isNull branch;
+           -- TRY_CAST so a non-integer value nulls instead of erroring
+           -- (from_json's behavior)
+           CASE WHEN k IS NULL THEN -1 ELSE k % 10 END AS k_bucket
+         FROM v ORDER BY event_id""",
     "q99_chunk_windows" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

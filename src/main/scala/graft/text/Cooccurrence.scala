@@ -16,13 +16,16 @@ import org.apache.spark.sql.functions._
   * pair space is restricted to a TOP-`V` vocabulary by document
   * frequency (deterministic ties on the token string), so per-document
   * pair generation is over the ≤V vocabulary tokens a document actually
-  * contains, never its full distinct-token set. The vocabulary (V rows)
-  * and its counts are BROADCAST; the only large shuffles are the
-  * doc-frequency aggregate (token-keyed, map-side combined) and the pair
-  * count (pair-keyed, map-side combined). At a fixed V the pair frame is
-  * ≤V²/2 rows regardless of corpus size. Top-V selection itself is a
-  * distributed TakeOrdered (sort+limit), never a single-partition
-  * global window.
+  * contains, never its full distinct-token set. The vocabulary (V rows,
+  * driver-small by construction) rides the second corpus scan as a
+  * [[graft.functions.VocabTf]] probe set, and pair expansion is the
+  * codegen'd [[graft.functions.SortedPairs]] — no exploded-token
+  * self-join, no per-token row between the scan and the pair aggregate.
+  * The only large shuffles are the doc-frequency aggregate (token-keyed,
+  * map-side combined) and the pair count (pair-keyed, map-side
+  * combined). At a fixed V the pair frame is ≤V²/2 rows regardless of
+  * corpus size. Top-V selection itself is a distributed TakeOrdered
+  * (sort+limit), never a single-partition global window.
   */
 object Cooccurrence {
 
@@ -32,25 +35,34 @@ object Cooccurrence {
     * ordered by (pmi desc, tok_a, tok_b) with deterministic ties. */
   def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
                vocab: Int, minSupport: Long, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.VocabTf.register(spark)
+    graft.functions.SortedPairs.register(spark)
     val docToks = docs
       .select(col(idCol).as("id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
     val nDocs = docs.count()
-    // top-V vocabulary by (df desc, tok) — distributed top-k, broadcast out
-    val top = docToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // top-V vocabulary by (df desc, tok) — distributed top-k, collected
+    // (V rows by construction: the driver-bounded knob of the operator)
+    val topRows = docToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok")).limit(vocab)
-    val inVocab = docToks.join(broadcast(top.select(col("tok"))), "tok")
-    // per-document vocab-token pairs: the self-join is id-co-partitioned
-    // and each side is the ≤V vocab tokens of that document
-    val pairs = inVocab.alias("a")
-      .join(inVocab.alias("b"),
-        col("a.id") === col("b.id") && col("a.tok") < col("b.tok"))
-      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .collect()
+    val vocabArr: Array[String] = topRows.map(_.getString(0))
+    // per-document vocab-token pairs in one codegen'd projection: the
+    // VocabTf map keys ARE the document's distinct in-vocabulary tokens
+    val pairs = docs
+      .select(call_function(graft.functions.SortedPairs.Name,
+        map_keys(call_function(graft.functions.VocabTf.Name,
+          TextAnalysis.tokens(col(textCol)), lit(vocabArr)))).as("__ps"))
+      .select(explode(col("__ps")).as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSupport)
+    import spark.implicits._
+    val dfDf = topRows.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("tok", "df")
     pairs
-      .join(broadcast(top.toDF("tok_a", "df_a")), "tok_a")
-      .join(broadcast(top.toDF("tok_b", "df_b")), "tok_b")
+      .join(broadcast(dfDf.toDF("tok_a", "df_a")), "tok_a")
+      .join(broadcast(dfDf.toDF("tok_b", "df_b")), "tok_b")
       .withColumn("pmi", round(
         log(lit(nDocs.toDouble) * col("n_pair") /
           (col("df_a") * col("df_b"))), 4))
