@@ -32,24 +32,20 @@ object SparkEntry {
     EventMatrix.failureDistribution(
       Tables.events(spark, "/root/testdata/sf0.001"), "event_type")
 
-  /** Order-invariant double sum (driver hash-gate contract): cast each
-    * value to DECIMAL per row (a per-row, order-independent operation),
-    * sum EXACTLY, round, return DOUBLE. Plain `round(sum(<double>), n)` is
-    * partition-order-sensitive — double addition is not associative, so a
-    * group whose exact sum lands within an ulp of a rounding boundary
-    * flips the last digit with the core count (round-1 q44 passed at 4
-    * cores, failed the driver's 32). The DECIMAL sum is identical under
-    * every partitioning. Mirrored in oracle SQL as
-    * `round(sum(CAST(x AS DECIMAL(30,6))), n)::DOUBLE`. */
+  /** Order-invariant double sum (driver hash-gate contract): see
+    * [[graft.operators.ExactAgg]] — 6 dp long quantization, div/mod-1e9
+    * split summed in exact long arithmetic on the codegen'd fast path,
+    * portable scale-0 rounding. Oracle mirror:
+    * `round((CAST(sum(CAST(round((x) * 1000000) AS BIGINT) // 1000000000)
+    * AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((x) * 1000000) AS
+    * BIGINT) % 1000000000) AS DOUBLE)) / 10^(6-n)) / 10^n`. */
   private def dsum(c: Column, scale: Int): Column =
-    round(sum(c.cast("decimal(30,6)")), scale).cast("double")
+    graft.operators.ExactAgg.dsum(c, scale)
 
-  /** Order-invariant mean: exact DECIMAL sum → ONE double division
-    * (deterministic IEEE op on identical inputs in both engines).
-    * Oracle mirror: `round(CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
-    * / count(*), n)`. */
+  /** Order-invariant mean ([[graft.operators.ExactAgg.davg]]). Oracle
+    * mirror: `round((...split sum...) / 10^(6-n) / count(*)) / 10^n`. */
   private def davg(c: Column, scale: Int): Column =
-    round(sum(c.cast("decimal(30,6)")).cast("double") / count(lit(1)), scale)
+    graft.operators.ExactAgg.davg(c, scale)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -257,7 +253,7 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       RangeJoin.trailingAgg(ev, ev, "user_id", "ts", "event_id", "value", 3600L)
         .select(col("event_id"), col("user_id"), col("n_window"),
-          round(col("dsum_window"), 4).cast("double").as("sum_window"))
+          col("dsum_window").as("sum_window"))
         .orderBy(col("event_id"))
     }),
     // ---- heavy hitters: Misra-Gries candidate sketch (bounded state,
@@ -532,7 +528,7 @@ object SparkEntry {
                       CAST(grouping(event_type) AS BIGINT) AS g_type,
                       CAST(grouping(user_bucket) AS BIGINT) AS g_bucket,
                       count(*) AS n,
-                      CAST(round(sum(CAST(value AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_value
+                      CAST(round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) div 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0 AS DOUBLE) AS sum_value
                FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
                ORDER BY g_type, g_bucket,
                         event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""")
@@ -1347,7 +1343,7 @@ object SparkEntry {
     "q41_sql_surface" -> ((s, dir) => {
       Tables.events(s, dir).createOrReplaceTempView("events")
       s.sql("""SELECT event_type, count(*) AS n,
-               round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value
+               round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) div 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0 AS avg_value
                FROM events WHERE user_id % 2 = 0
                GROUP BY event_type ORDER BY event_type""")
     }),
@@ -1614,11 +1610,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2)::DOUBLE AS sum_qty,
-         round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2)::DOUBLE AS sum_base_price,
-         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2)::DOUBLE AS sum_disc_price,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+         round((CAST(sum(CAST(round((l_quantity) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((l_quantity) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 10000.0) / 100.0::DOUBLE AS sum_qty,
+         round((CAST(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 10000.0) / 100.0::DOUBLE AS sum_base_price,
+         round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 10000.0) / 100.0::DOUBLE AS sum_disc_price,
+         round((CAST(sum(CAST(round((l_quantity) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((l_quantity) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0 AS avg_qty,
+         round((CAST(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0 AS avg_price,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1630,7 +1626,7 @@ object SparkEntry {
          WHERE l_quantity >= 45 AND l_returnflag = 'R'
          ORDER BY l_orderkey, l_linenumber""",
     "q03_join_agg" ->
-      """SELECT n_name, round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2)::DOUBLE AS revenue, count(*) AS n_orders
+      """SELECT n_name, round((CAST(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 10000.0) / 100.0::DOUBLE AS revenue, count(*) AS n_orders
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -1652,7 +1648,7 @@ object SparkEntry {
          WHERE rn <= 3
          ORDER BY user_id, rn""",
     "q08_tumbling_window" ->
-      """SELECT window_id, round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_value,
+      """SELECT window_id, round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0::DOUBLE AS sum_value,
                 max(value) AS max_value, count(*) AS n
          FROM (SELECT (row_number() OVER (ORDER BY event_id) - 1) // 5 AS window_id, value
                FROM events) t
@@ -1727,7 +1723,7 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "q15_top_revenue" ->
       """SELECT o_orderkey,
-         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2)::DOUBLE AS revenue
+         round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 10000.0) / 100.0::DOUBLE AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -1880,9 +1876,9 @@ object SparkEntry {
          c AS (SELECT label, norm, i - 1 AS dim, v[i] AS x
                FROM n, unnest(range(1, len(v) + 1)) r(i))
          SELECT label, dim, count(*) AS n_vecs,
-                round(CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4)
+                round((CAST(sum(CAST(round((x) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((x) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0
                   + 0.0 AS centroid,
-                round(CAST(sum(CAST(norm AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4)
+                round((CAST(sum(CAST(round((norm) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((norm) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0
                   + 0.0 AS avg_norm
          FROM c GROUP BY label, dim ORDER BY label, dim""",
     "q65_contamination" ->
@@ -1941,7 +1937,7 @@ object SparkEntry {
     "q61_range_join" ->
       """SELECT a.event_id, a.user_id,
                 count(b.ts) AS n_window,
-                round(sum(CAST(b.value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_window
+                round((CAST(sum(CAST(round((b.value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((b.value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0::DOUBLE AS sum_window
          FROM events a
          LEFT JOIN events b
            ON a.user_id = b.user_id
@@ -2157,7 +2153,7 @@ object SparkEntry {
            SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
          cd AS (
            SELECT label AS clabel, i - 1 AS dim,
-                  round(CAST(sum(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS c
+                  round((CAST(sum(CAST(round((v[i]) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((v[i]) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0 AS c
            FROM e, unnest(range(1, len(v) + 1)) r(i)
            GROUP BY label, i),
          cent AS (SELECT clabel, list(c ORDER BY dim) AS cv FROM cd GROUP BY clabel),
@@ -2185,7 +2181,7 @@ object SparkEntry {
          ORDER BY vec_id""",
     "q72_bloom_join" ->
       """SELECT p_brand,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2)
+           CAST(round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 10000.0) / 100.0
                 AS DOUBLE) AS revenue,
            count(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -2395,13 +2391,13 @@ object SparkEntry {
          FROM documents ORDER BY media_id""",
     "q39_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-         count(*) AS n, round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_value
+         count(*) AS n, round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0::DOUBLE AS sum_value
          FROM events
          GROUP BY date_trunc('hour', ts), event_type
          ORDER BY window_start, event_type""",
     "q41_sql_surface" ->
       """SELECT event_type, count(*) AS n,
-         round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value
+         round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0 AS avg_value
          FROM events WHERE user_id % 2 = 0
          GROUP BY event_type ORDER BY event_type""",
     "q42_distribution_stats" ->
@@ -2433,7 +2429,7 @@ object SparkEntry {
                   AS BIGINT) AS session_id
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
-                round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS session_value
+                round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0::DOUBLE AS session_value
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     // n_tokens: sum(INTEGER-ish) in DuckDB yields HUGEINT → pandas float64;
     // CAST to BIGINT to match Spark's long (same class of failure as q44)
@@ -2475,7 +2471,7 @@ object SparkEntry {
            FROM kept)
          SELECT source, count(*) AS n_docs,
                 CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
-                round(CAST(sum(CAST(quality AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_quality
+                round((CAST(sum(CAST(round((quality) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((quality) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0 AS avg_quality
          FROM dedup WHERE rk = 1
          GROUP BY source ORDER BY source""",
     "q54_tfidf" ->
@@ -2531,7 +2527,7 @@ object SparkEntry {
              sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
            FROM g)
          SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-                round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS session_value
+                round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0::DOUBLE AS session_value
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
     // streaming twin of q53: same session semantics, same oracle shape
     "q58_stream_session" ->
@@ -2546,7 +2542,7 @@ object SparkEntry {
              sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
            FROM g)
          SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-                round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS session_value
+                round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0::DOUBLE AS session_value
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q50_stream_join" ->
       """SELECT e.user_id, count(*) AS n_pairs
@@ -2594,20 +2590,20 @@ object SparkEntry {
          FROM w WHERE side = 1 ORDER BY user_id, event_id""",
     "q46_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2)::DOUBLE AS sum_price
+         round((CAST(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 10000.0) / 100.0::DOUBLE AS sum_price
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q57_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2)::DOUBLE AS sum_qty
+         round((CAST(sum(CAST(round((l_quantity) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((l_quantity) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 10000.0) / 100.0::DOUBLE AS sum_qty
          FROM lineitem
          GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     // salting is semantically invisible: the oracle is the PLAIN join
     "q88_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
-         round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_value
+         round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0::DOUBLE AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q89_sorted_neighbors" ->
@@ -2649,13 +2645,13 @@ object SparkEntry {
                 CAST(grouping(event_type) AS BIGINT) AS g_type,
                 CAST(grouping(user_bucket) AS BIGINT) AS g_bucket,
                 count(*) AS n,
-                round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_value
+                round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0::DOUBLE AS sum_value
          FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
          ORDER BY g_type, g_bucket,
                   event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
     "q111_star_join" ->
       """SELECT n_name,
-         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2)::DOUBLE AS revenue,
+         round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 10000.0) / 100.0::DOUBLE AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -3120,8 +3116,9 @@ object SparkEntry {
          main AS (
            SELECT source, count(*) AS n_docs,
              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-             CAST(round(avg(CAST(q AS DECIMAL(18,6))), 4) AS DOUBLE) AS mean_quality,
-             round(quantile_cont(q, 0.5), 4) AS p50_quality
+             round((CAST(sum(CAST(round((q) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((q) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0 AS mean_quality,
+             round(quantile_cont(CAST(round(q * 1000000) AS BIGINT), 0.5)
+               / 100.0) / 10000.0 AS p50_quality
            FROM b GROUP BY 1),
          dd AS (
            SELECT source, round(1.0 - count(DISTINCT h) * 1.0 / count(*), 4)
@@ -3308,7 +3305,7 @@ object SparkEntry {
            ]) AS window_start
            FROM events)
          SELECT window_start, count(*) AS n,
-                round(sum(CAST(value AS DECIMAL(30,6))), 4)::DOUBLE AS sum_value
+                round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0::DOUBLE AS sum_value
          FROM h GROUP BY window_start ORDER BY window_start""",
     "q105_impute" ->
       """WITH h AS (

@@ -35,8 +35,18 @@ object DatasetCard {
     val main = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
-        round(avg(col("q").cast("decimal(18,6)")), 4).cast("double").as("mean_quality"),
-        round(expr("percentile(q, 0.5)"), 4).as("p50_quality"))
+        // split-long mean (graft.operators.ExactAgg): DuckDB's
+        // avg(DECIMAL) is a DOUBLE mean, so a decimal mean here diverges
+        // at 4 dp half-boundaries (sf0.1 hit .67485 exactly); the
+        // textually-mirrored integer formulation is identical on both
+        graft.operators.ExactAgg.davg(col("q"), 4).as("mean_quality"),
+        // percentile over the 6 dp QUANTIZED longs: the even-count median
+        // midpoint (a+b)/2 is then exact integer-or-half double on both
+        // engines, where interpolating raw doubles let Spark's (a+b)/2
+        // and DuckDB's lo+(hi-lo)·f land on opposite sides of a 4 dp
+        // rounding boundary (sf0.1 hit .67485 exactly)
+        (round(expr("percentile(CAST(round(q * 1000000) AS BIGINT), 0.5)")
+          / lit(100.0)) / lit(10000.0)).as("p50_quality"))
     // count(col) not count(*): the NULL-text digest group must not count
     // as a distinct content value (the oracle's count(DISTINCT h)
     // likewise excludes NULLs)

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, count, element_at, lit, monotonically_increasing_id, spark_partition_id, typedLit}
 import org.apache.spark.sql.types.LongType
 
 /** Positional (row-index) operators — W1/W2 in SURVEY.md §2.5.
@@ -11,23 +12,50 @@ import org.apache.spark.sql.types.LongType
   * no partition key — which collapses the whole dataset onto ONE task and
   * dies at scale. Instead:
   *
-  *   repartitionByRange(order) → sortWithinPartitions(order) → zipWithIndex
+  *   repartitionByRange(order) → sortWithinPartitions(order)
+  *     → per-partition offsets + in-partition position
   *
-  * Range partitioning gives a total order across partitions; zipWithIndex
-  * then assigns a globally contiguous 0-based index with one lightweight
-  * extra job (per-partition counts), never concentrating data on a single
-  * task. This is the 100 TB-safe form of a global row number.
+  * Range partitioning gives a total order across partitions; a tiny
+  * counts-per-partition job turns in-partition positions into a globally
+  * contiguous 0-based index, never concentrating data on a single task.
+  * This is the 100 TB-safe form of a global row number.
   */
 object Positional {
 
   /** Append a contiguous global 0-based `idxName` column following the
     * total order given by `order` (must be a deterministic, ideally unique,
-    * key list). */
+    * key list).
+    *
+    * All-DataFrame formulation (an earlier `rdd.zipWithIndex` version left
+    * Tungsten for a Row round-trip and de-codegen'd every downstream
+    * consumer): the sorted frame is PERSISTED, a 1-row-per-partition count
+    * aggregate turns into driver-side offsets, and the index is
+    * `offset(pid) + position-in-partition`. The persist is correctness,
+    * not cache-warming — range partition bounds are SAMPLED per execution,
+    * so the offsets must come from the same materialization the index
+    * reads (zipWithIndex paid the same second pass; this form trades it
+    * for the working-set cache, which spills under memory pressure).
+    * Position-in-partition derives from `monotonically_increasing_id`'s
+    * documented layout (partition id << 33 | consecutive in-partition
+    * counter), pinned by EntrySpec's contiguity property. */
   def withRowIndex(df: DataFrame, order: Seq[Column], idxName: String = "row_idx"): DataFrame = {
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-    val schema = sorted.schema.add(idxName, LongType, nullable = false)
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(indexed, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = counts.map { case (p, c) =>
+      val o = acc; acc += c; (p, o)
+    }.toMap
+    // empty input: no partitions produced rows — element_at never
+    // evaluates, but typedLit of an empty map still needs a type
+    if (offsets.isEmpty)
+      return sorted.withColumn(idxName, lit(0L)).limit(0)
+    sorted.withColumn(idxName,
+      element_at(typedLit(offsets), spark_partition_id()) +
+        (monotonically_increasing_id() -
+          (spark_partition_id().cast(LongType) * lit(1L << 33))))
   }
 
   /** W2: count-based tumbling window id — `windowId = rowIdx / size`

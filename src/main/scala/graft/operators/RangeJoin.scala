@@ -68,6 +68,8 @@ object RangeJoin {
         "left_outer")
       .groupBy(col(s"l.$idCol").as(idCol), col(s"l.$keyCol").as(keyCol))
       .agg(count(col("r.rt")).as("n_window"),
-           sum(col(s"r.$valCol").cast("decimal(30,6)")).as("dsum_window"))
+           // exact long split sum (graft.operators.ExactAgg): order-
+           // invariant, engine-portable rounding at 4 dp
+           graft.operators.ExactAgg.dsum(col(s"r.$valCol"), 4).as("dsum_window"))
   }
 }

@@ -54,10 +54,8 @@ object Similarity {
     df.select(col(classCol), norm.as("norm"), posexplode(v).as(Seq("dim", "x")))
       .groupBy(col(classCol), col("dim"))
       .agg(count(lit(1)).as("n_vecs"),
-           round(sum(col("x").cast("decimal(30,6)")).cast("double") /
-             count(lit(1)), scale).as("centroid"),
-           round(sum(col("norm").cast("decimal(30,6)")).cast("double") /
-             count(lit(1)), scale).as("avg_norm"))
+           graft.operators.ExactAgg.davg(col("x"), scale).as("centroid"),
+           graft.operators.ExactAgg.davg(col("norm"), scale).as("avg_norm"))
   }
 
   /** Fully-distributed spherical k-means (Lloyd's algorithm) over an

@@ -29,11 +29,11 @@ object StreamingOps {
       if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
     withWm
       .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
-      // DECIMAL sum: order-invariant under any partitioning/micro-batching
-      // (see SparkEntry.dsum) — double sums flip their last rounded digit
-      // with the merge order.
+      // exact long split sum: order-invariant under any partitioning/
+      // micro-batching (see graft.operators.ExactAgg) — double sums flip
+      // their last rounded digit with the merge order.
       .agg(count(lit(1)).as("n"),
-           round(sum(col(valueCol).cast("decimal(30,6)")), 4).cast("double").as("sum_value"))
+           graft.operators.ExactAgg.dsum(col(valueCol), 4).as("sum_value"))
       .select(col("w.start").as("window_start"), col(keyCol), col("n"), col("sum_value"))
   }
 

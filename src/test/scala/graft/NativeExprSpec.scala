@@ -200,4 +200,65 @@ class NativeExprSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L))) // only the planted near-dup crosses 0.9
   }
+
+  // ------------------------------------------------------------- VocabTf
+
+  test("graft_vocab_tf equals the declarative explode+semi-join tf build") {
+    graft.functions.VocabTf.register(spark)
+    val vocab = Array("the", "fox", "dog", "absent phrase")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the the the"),
+      (3L, "nothing matches here"),
+      (4L, "")
+    ).toDF("id", "text")
+      .select(col("id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val got = docs.select(col("id"),
+        call_function(graft.functions.VocabTf.Name, col("toks"), lit(vocab)).as("m"))
+      .select(col("id"), explode(col("m")))
+      .as[(Long, String, Long)].collect().toSet
+    val want = docs.select(col("id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(vocab.toSeq: _*))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === want)
+    assert(got === Set((1L, "the", 2L), (1L, "fox", 1L), (1L, "dog", 1L),
+      (2L, "the", 3L)))
+    // null input array -> null map
+    val nulls = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(col("id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(call_function(graft.functions.VocabTf.Name, col("toks"), lit(vocab)))
+      .collect().head
+    assert(nulls.isNullAt(0))
+  }
+
+  // --------------------------------------------------------- SortedPairs
+
+  test("graft_sorted_pairs emits every a<b pair in binary order") {
+    graft.functions.SortedPairs.register(spark)
+    val got = Seq(Tuple1(Seq("c", "a", "b")), Tuple1(Seq("x")), Tuple1(Seq.empty[String]))
+      .toDF("arr")
+      .select(explode(call_function(graft.functions.SortedPairs.Name, col("arr"))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
+  // ------------------------------------------------------------ ExactAgg
+
+  test("ExactAgg long split sums equal exact decimal sums and survive negatives") {
+    import graft.operators.ExactAgg
+    val df = Seq(
+      ("a", 1.25), ("a", 2.5), ("a", -0.333333), ("a", 1e9),
+      ("b", -7.000001), ("b", 0.0)
+    ).toDF("g", "v")
+    val got = df.groupBy(col("g"))
+      .agg(ExactAgg.dsum(col("v"), 4).as("s"), ExactAgg.davg(col("v"), 4).as("m"))
+      .as[(String, Double, Double)].collect().map { case (k, s, m) => (k, (s, m)) }.toMap
+    val want = df.groupBy(col("g"))
+      .agg(round(sum(col("v").cast("decimal(30,6)")), 4).cast("double").as("s"),
+        round(sum(col("v").cast("decimal(30,6)")).cast("double") / count(lit(1)), 4).as("m"))
+      .as[(String, Double, Double)].collect().map { case (k, s, m) => (k, (s, m)) }.toMap
+    assert(got === want)
+  }
 }

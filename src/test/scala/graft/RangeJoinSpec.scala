@@ -23,7 +23,7 @@ class RangeJoinSpec extends AnyFunSuite {
       .select($"id", $"k", timestamp_seconds($"sec").as("ts"), $"v".cast("double").as("v"))
     val got = RangeJoin.trailingAgg(df, df, "k", "ts", "id", "v", w)
       .collect().map(r => r.getLong(0) -> (r.getLong(2),
-        Option(r.getDecimal(3)).map(_.doubleValue))).toMap
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
     assert(got.size == rows.size)
     rows.foreach { case (id, k, sec, _) =>
       val inWin = rows.filter(o =>
