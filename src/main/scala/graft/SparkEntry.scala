@@ -718,8 +718,7 @@ object SparkEntry {
           Tables.events(s, dir).select(col("event_id"), col("user_id"),
             col("ts"), col("value")),
           "user_id", "ts", "value", 3600L)
-        .select(col("event_id"), col("n_window"),
-          round(col("sum_window"), 4).cast("double").as("sum_window"))
+        .select(col("event_id"), col("n_window"), col("sum_window"))
         .orderBy(col("event_id"))),
     // ---- CDC changelog apply: deterministic op stream over customer
     //      (deletes %9, updates %4, late re-inserts %17 at higher
@@ -2889,7 +2888,7 @@ object SparkEntry {
     "q122_rolling_window" ->
       """SELECT event_id,
            count(*) OVER w AS n_window,
-           round(sum(CAST(value AS DECIMAL(30,6))) OVER w, 4)::DOUBLE AS sum_window
+           round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) OVER w AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) OVER w AS DOUBLE)) / 100.0) / 10000.0 AS sum_window
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -3181,9 +3180,8 @@ object SparkEntry {
          r AS (
            SELECT user_id, tus, value,
              count(value) OVER w AS n,
-             CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
-             CAST(sum(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE)
-               AS s2
+             (CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) OVER w AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) OVER w AS DOUBLE)) / 1000000.0 AS s1,
+             (CAST(sum(CAST(round((value * value) * 1000000) AS BIGINT) // 1000000000) OVER w AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value * value) * 1000000) AS BIGINT) % 1000000000) OVER w AS DOUBLE)) / 1000000.0 AS s2
            FROM e
            WINDOW w AS (PARTITION BY user_id ORDER BY tus
                         RANGE BETWEEN 21600000000 PRECEDING

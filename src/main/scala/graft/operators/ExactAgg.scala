@@ -69,4 +69,22 @@ object ExactAgg {
     require(scale >= 0 && scale <= 6, s"scale must be in [0,6], got $scale")
     round(splitSumRaw(c) / lit(pow10(6 - scale)) / count(lit(1))) / lit(pow10(scale))
   }
+
+  /** [[splitSumRaw]] as a WINDOW aggregate — two long window sums over
+    * the same frame, combined in the projection. */
+  def splitSumRawOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val v6 = round(c * lit(1000000)).cast("long")
+    sum(call_function("div", v6, lit(1000000000L))).over(w).cast("double") * lit(1000000000.0) +
+      sum(v6 % lit(1000000000L)).over(w).cast("double")
+  }
+
+  /** Unrounded windowed sum as a double (`raw / 1e6`). */
+  def dsumUnroundedOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    splitSumRawOver(c, w) / lit(1000000.0)
+
+  /** Windowed [[dsum]] — scale-0 rounding of the frame sum. */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec, scale: Int): Column = {
+    require(scale >= 0 && scale <= 6, s"scale must be in [0,6], got $scale")
+    round(splitSumRawOver(c, w) / lit(pow10(6 - scale))) / lit(pow10(scale))
+  }
 }

@@ -71,8 +71,10 @@ object Temporal {
     * `RANGE BETWEEN INTERVAL ... PRECEDING` resolves to. One hash
     * shuffle on the key; within a partition the running frame is the
     * two-pointer walk WindowExec already implements — no self-join, no
-    * per-row rescan. Sum carried in DECIMAL: order-invariant under any
-    * partitioning. */
+    * per-row rescan. Sum via the exact long split
+    * ([[graft.operators.ExactAgg]]): order-invariant under any
+    * partitioning, on the codegen'd long path, rounded at 4 dp with the
+    * engine-portable scale-0 round. */
   def rollingAgg(events: DataFrame, keyCol: String, tsCol: String,
                  valCol: String, windowSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
@@ -80,8 +82,7 @@ object Temporal {
       .rangeBetween(-windowSeconds * 1000000L, 0L)
     events
       .withColumn("n_window", count(lit(1)).over(w))
-      .withColumn("sum_window",
-        sum(col(valCol).cast("decimal(30,6)")).over(w))
+      .withColumn("sum_window", ExactAgg.dsumOver(col(valCol), w, 4))
   }
 
   /** Rolling Z-SCORE ANOMALY DETECTION: flag every event whose value
@@ -94,7 +95,8 @@ object Temporal {
     * toward itself (masking) and the first event of a key trivially has
     * z = 0.
     *
-    * Variance from DECIMAL power sums (`Σx`, `Σx²` exact at any
+    * Variance from EXACT-LONG-SPLIT power sums
+    * ([[graft.operators.ExactAgg]]: `Σx`, `Σx²` identical at any
     * partitioning, `var = (Σx² − (Σx)²/n)/(n−1)`) — the engine-portable
     * form: a windowed `stddev_samp` accumulates doubles in frame order
     * and two engines disagree in the last ulp. Frames with n < 2 or
@@ -111,9 +113,8 @@ object Temporal {
       .orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-windowSeconds * 1000000L, -1L)
     val n = count(col(valCol)).over(w)
-    val s1 = sum(col(valCol).cast("decimal(30,6)")).over(w).cast("double")
-    val s2 = sum((col(valCol) * col(valCol)).cast("decimal(30,6)")).over(w)
-      .cast("double")
+    val s1 = ExactAgg.dsumUnroundedOver(col(valCol), w)
+    val s2 = ExactAgg.dsumUnroundedOver(col(valCol) * col(valCol), w)
     val mean = s1 / n
     // n > 1 guard INSIDE the expression (the Outliers discipline): an
     // n = 1 frame would divide by zero — IEEE-Inf on Spark doubles, but
