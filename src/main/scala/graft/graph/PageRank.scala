@@ -60,6 +60,20 @@ object PageRank {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // bounded driver fast path (the CC/KCore finisher contract:
+    // `graft.pagerank.localFinishEdges` ceiling, default 2^17 edges ≈
+    // 2 MB collected, 0 disables): 10 power iterations on a graph this
+    // small are pure per-job fixed cost distributed — ~1.2 s/iteration
+    // of scheduling/checkpoint overhead against microseconds of
+    // arithmetic. Same recurrence, GraphSpec pins local ≡ distributed.
+    val mEdges = e.count()
+    val ceiling = e.sparkSession.conf.getOption("graft.pagerank.localFinishEdges")
+      .map(_.toLong).getOrElse(1L << 17)
+    if (mEdges > 0 && mEdges <= ceiling) {
+      val out = localRun(e, iters, damping)
+      e.unpersist(blocking = false)
+      return out
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -98,5 +112,50 @@ object PageRank {
     outDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     ranks
+  }
+
+  /** Exact in-memory power iteration over a collected edge list — the
+    * same recurrence as the distributed loop (uniform start, per-src
+    * contribution fan-out, conservation-identity dangling mass, damped
+    * update, closed-form totalRank). Double-sum ORDER differs from the
+    * distributed partial aggregation, so ranks agree to IEEE noise
+    * (~1e-15 relative), not bit-for-bit — GraphSpec pins the equivalence
+    * at 1e-9. */
+  private def localRun(e: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val outDeg = new Array[Int](n)
+    pairs.foreach(p => outDeg(idx(p._1)) += 1)
+    val srcs = pairs.map(p => idx(p._1))
+    val dsts = pairs.map(p => idx(p._2))
+    var rank = Array.fill(n)(1.0 / n)
+    var totalRank = 1.0
+    var it = 0
+    while (it < iters) {
+      val contrib = new Array[Double](n)
+      var j = 0
+      while (j < pairs.length) {
+        contrib(dsts(j)) += rank(srcs(j)) / outDeg(srcs(j))
+        j += 1
+      }
+      var csum = 0.0
+      var k = 0
+      while (k < n) { csum += contrib(k); k += 1 }
+      val danglingPerNode = (totalRank - csum) / n
+      val next = new Array[Double](n)
+      k = 0
+      while (k < n) {
+        next(k) = (1.0 - damping) / n + damping * (contrib(k) + danglingPerNode)
+        k += 1
+      }
+      rank = next
+      totalRank = (1.0 - damping) + damping * totalRank
+      it += 1
+    }
+    nodes.indices.map(i => (nodes(i), rank(i))).toDF("node", "rank")
   }
 }

@@ -141,11 +141,19 @@ object StreamingOps {
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
-  /** Run a streaming query over a parquet path to completion (AvailableNow
-    * trigger, memory sink) and return the result — a genuine streaming
-    * execution with a batch-shaped output, used by the driver-facing
-    * streaming queries. At production scale the sink would be parquet/
-    * kafka with a checkpoint dir; the memory sink is the local harness. */
+  /** Run a streaming query over a parquet path to completion (memory
+    * sink) and return the result — a genuine streaming execution with a
+    * batch-shaped output, used by the driver-facing streaming queries.
+    * At production scale the sink would be parquet/kafka with a
+    * checkpoint dir; the memory sink is the local harness.
+    *
+    * Trigger.Once over AvailableNow, deliberately: the harness sources
+    * are single files, so both run ONE data micro-batch, but AvailableNow
+    * appends a final empty batch to mark completion — a full extra
+    * state-store snapshot/commit cycle per query (~0.5-2 s measured at
+    * sf0.1) for no data. The deprecation is about Once ignoring
+    * rate-limit options on multi-batch backfills, which a one-file
+    * source never hits. */
   def runToMemory(spark: SparkSession, build: DataFrame => DataFrame,
                   sourceDir: String, globFilter: String,
                   schema: org.apache.spark.sql.types.StructType,
@@ -177,7 +185,7 @@ object StreamingOps {
     val q = build(src).writeStream
       .format("memory").queryName(name)
       .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
+      .trigger(Trigger.Once())
       .start()
     q.awaitTermination()
     ss.table(name)

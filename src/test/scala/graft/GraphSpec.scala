@@ -57,6 +57,21 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) < 1e-9)
   }
 
+  test("pagerank local fast path and distributed loop agree") {
+    val rnd = new scala.util.Random(97)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filterNot { case (a, b) => a == b }.distinct
+    val df = edges.toDF("src", "dst")
+    val local = PageRank.run(df, "src", "dst", 10).as[(Long, Double)].collect().toMap
+    spark.conf.set("graft.pagerank.localFinishEdges", "0")
+    try {
+      val dist = PageRank.run(df, "src", "dst", 10).as[(Long, Double)].collect().toMap
+      assert(local.keySet == dist.keySet)
+      local.foreach { case (k, v) =>
+        assert(math.abs(v - dist(k)) < 1e-9, s"node $k: local $v dist ${dist(k)}") }
+    } finally spark.conf.unset("graft.pagerank.localFinishEdges")
+  }
+
   test("kmeans recovers designed well-separated clusters") {
     // three orthogonal direction clusters in 4-d with small jitter
     def jitter(base: Array[Double], eps: Double): Array[Double] =
