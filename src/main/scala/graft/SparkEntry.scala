@@ -839,6 +839,96 @@ object SparkEntry {
     //      precision-first dedup-review filter. Iterative peel: not
     //      SQL-expressible (non-monotone fixpoint), spec-verified against
     //      a brute reference instead of an oracle.
+    // ---- A/B experiment readout: portable-hash variant assignment,
+    //      exact-moment Welch t on the per-user purchase value, Pearson
+    //      chi-square on signup conversion — the decision layer downstream
+    //      of the funnel/retention family. One user-keyed aggregate is the
+    //      only corpus-sized shuffle; the rest is a 2-row rollup.
+    "q140_ab_test" -> ((s, dir) =>
+      graft.analyze.Experiment.abReport(
+        Tables.events(s, dir), "user_id", "value",
+        col("event_type") === "purchase", col("event_type") === "signup")),
+    // ---- time-bounded funnel (windowFunnel): the q117 chain with a
+    //      24h completion deadline anchored at the user's first step-1
+    //      event — same per-step min-aggregate shape, the deadline rides
+    //      the per-user frame
+    "q141_window_funnel" -> ((s, dir) =>
+      graft.analyze.Funnel.windowFunnel(
+          Tables.events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), windowSeconds = 86400L)
+        .orderBy(col("step_idx"))),
+    // ---- embedding-space drift between two snapshot halves (vec_id
+    //      parity — constructed identically in both engines): per-dim
+    //      exact centroid means, deltas, and the quantized-sum cosine
+    //      between the centroid vectors — the vector sibling of PSI (q109)
+    //      and token TV drift (q87)
+    "q142_embed_drift" -> ((s, dir) => {
+      // single-row-group testdata: spread the posexplode across cores
+      val e = Tables.embeddings(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.analyze.Drift.embeddingDrift(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          e.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+        .orderBy(col("dim"))
+    }),
+    // ---- per-type equi-width histogram of the value column: pure-integer
+    //      bin assignment over 6-dp quantized longs (no float boundary
+    //      flips), one broadcast [min,max] frame + one (type, bin) hash agg
+    "q143_histogram" -> ((s, dir) =>
+      graft.analyze.Profile.equiWidthHistogram(
+          Tables.events(s, dir), "value", 20, Seq("event_type"))
+        .select(col("event_type"), col("bin"), col("n"), col("bin_lo"),
+          col("bin_hi"))
+        .orderBy(col("event_type"), col("bin"))),
+    // ---- per-source quantile normalization of the q21 quality score onto
+    //      the global score distribution: integer-rank mapping (no float
+    //      quantile interpolation), range-shuffled global index, one idx
+    //      equi-join — cross-source score calibration before a global cut
+    "q144_quantile_norm" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.analyze.QuantileCut.quantileNormalize(
+          d, "source", "quality", "doc_id", "quality_norm")
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("quality_norm"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- perceptual-hash media near-dup: byte-resampled 8x8 average hash
+    //      (integer thresholding — the codec swaps in under the same
+    //      plumbing), 4-band/16-bit LSH join exact for hamming <= 3;
+    //      payloads reduce to 8-byte hashes in the scan and never shuffle
+    "q145_phash_neardup" -> ((s, dir) => {
+      // planted near-dups (constructed identically in both engines):
+      // every 5th doc re-appears with its MIDDLE character replaced —
+      // position ⌊len/2⌋ is always a sampled aHash cell (i=32), so the
+      // variant is a genuine small-hamming neighbor, the re-encode/
+      // re-crawl artifact the perceptual pass exists to catch
+      val d = Tables.documents(s, dir)
+      val tweaked = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          expr("concat(substring(text, 1, length(text) div 2), 'z', " +
+            "substring(text, length(text) div 2 + 2))").as("text"))
+      val media = graft.multimodal.Multimodal.ingestFromDocuments(
+        d.select(col("doc_id"), col("text")).unionAll(tweaked),
+        "doc_id", "text")
+      graft.multimodal.Multimodal.nearDupPairs(media, "media_id", 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ---- z-order (Morton) curve values via the native graft_zvalue
+    //      expression — the 2-dim layout key behind writeZOrdered's
+    //      file-pruning layout (StorageLayoutSpec proves the pruning;
+    //      this query pins the curve itself against DuckDB bit arithmetic)
+    "q146_zorder" -> ((s, dir) => {
+      graft.functions.ZValue.register(s)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), (col("o_custkey") % 65536L).as("x"),
+          (col("o_orderkey") % 65536L).as("y"))
+        .withColumn("z", call_function(graft.functions.ZValue.Name,
+          col("x").cast("long"), col("y").cast("long")))
+        .orderBy(col("z"), col("o_orderkey")).limit(100)
+        .select(col("o_orderkey"), col("x"), col("y"), col("z"))
+    }),
     "q139_kcore" -> ((s, dir) => {
       val edges = Dedup.ngramJaccardPairs(
         Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
@@ -1230,7 +1320,13 @@ object SparkEntry {
     //      membership a pure function of the data, hash-oracled): counts
     //      AND the membership-sensitive id sum per stratum
     "q31_split_counts" -> ((s, dir) =>
-      StratifiedSplit.tagged(Tables.events(s, dir), "event_type", "event_id")
+      // project BEFORE tagging: the split is a pure function of
+      // (label, key), and tagged()'s eager checkpoint materializes every
+      // column it is handed — the full event row would ride the range
+      // shuffle and the checkpoint for nothing
+      StratifiedSplit.tagged(
+          Tables.events(s, dir).select(col("event_type"), col("event_id")),
+          "event_type", "event_id")
         .groupBy(col("split"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
         .orderBy(col("split"), col("event_type"))),
@@ -1607,6 +1703,147 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q140_ab_test" ->
+      """WITH v AS (
+           SELECT user_id,
+                  CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                       THEN 'A' ELSE 'B' END AS variant,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000.0 AS metric,
+                  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS converted
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT variant, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv,
+                      CAST(sum(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(metric AS DECIMAL(24,6)) * CAST(metric AS DECIMAL(14,6))) AS DOUBLE) AS sxx
+               FROM v GROUP BY 1),
+         ab AS (SELECT a.n AS n_a, b.n AS n_b, a.conv AS conv_a, b.conv AS conv_b,
+                       a.sx AS sx_a, b.sx AS sx_b, a.sxx AS sxx_a, b.sxx AS sxx_b
+                FROM s a, s b WHERE a.variant = 'A' AND b.variant = 'B'),
+         t AS (SELECT *,
+                      CASE WHEN n_a > 1 THEN (sxx_a - sx_a * sx_a / n_a) / (n_a - 1) END AS va,
+                      CASE WHEN n_b > 1 THEN (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) END AS vb,
+                      CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE) AS det,
+                      CAST(n_a * n_b AS DOUBLE) * CAST((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b) AS DOUBLE) AS den
+               FROM ab)
+         SELECT n_a, n_b, conv_a, conv_b,
+                round(CAST(conv_a AS DOUBLE) / n_a, 4) AS rate_a,
+                round(CAST(conv_b AS DOUBLE) / n_b, 4) AS rate_b,
+                round(sx_a / n_a, 4) AS mean_a,
+                round(sx_b / n_b, 4) AS mean_b,
+                round(CASE WHEN va / n_a + vb / n_b > 0
+                      THEN (sx_a / n_a - sx_b / n_b) / sqrt(va / n_a + vb / n_b) END, 4) + 0.0 AS welch_t,
+                round(CASE WHEN den > 0 THEN CAST(n_a + n_b AS DOUBLE) * det * det / den END, 4) + 0.0 AS chi2
+         FROM t""",
+    "q141_window_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+         d AS (SELECT user_id, t1, t1 + INTERVAL 1 DAY AS dl FROM s1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2, d.dl
+                FROM events e JOIN d ON e.user_id = d.user_id
+                WHERE e.event_type = 'click' AND e.ts > d.t1 AND e.ts <= d.dl
+                GROUP BY e.user_id, d.dl),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.dl
+                GROUP BY e.user_id),
+         c AS (SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, (SELECT count(*) FROM s1) AS n_users
+               UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+               UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+         SELECT step_idx, step, n_users,
+                round(CAST(n_users AS DOUBLE) / nullif(lag(n_users) OVER (ORDER BY step_idx), 0), 4) AS conversion
+         FROM c ORDER BY step_idx""",
+    "q142_embed_drift" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id % 2 AS half, i - 1 AS dim, v[i] AS x
+               FROM e, unnest(range(1, len(v) + 1)) r(i)),
+         m AS (SELECT half, dim,
+                      round((CAST(sum(CAST(round((x) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((x) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0
+                        + 0.0 AS mean
+               FROM c GROUP BY 1, 2),
+         j AS (SELECT a.dim AS dim, a.mean AS mean_base, b.mean AS mean_cur
+               FROM m a JOIN m b ON a.dim = b.dim AND a.half = 0 AND b.half = 1),
+         q AS (SELECT
+                 CAST(sum(CAST(round((mean_base * mean_cur) * 1000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot,
+                 CAST(sum(CAST(round((mean_base * mean_base) * 1000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS na,
+                 CAST(sum(CAST(round((mean_cur * mean_cur) * 1000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS nb
+               FROM j)
+         SELECT j.dim, j.mean_base, j.mean_cur,
+                round(j.mean_cur - j.mean_base, 4) + 0.0 AS delta,
+                round(CASE WHEN q.na > 0 AND q.nb > 0
+                      THEN q.dot / (sqrt(q.na) * sqrt(q.nb)) END, 6) + 0.0 AS centroid_cos
+         FROM j, q ORDER BY dim""",
+    "q143_histogram" ->
+      """WITH q AS (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+         b AS (SELECT min(vq) AS minq, max(vq) AS maxq FROM q),
+         g AS (SELECT event_type, ((vq - minq) * 20) // (maxq - minq + 1) AS bin,
+                      count(*) AS n, minq, maxq
+               FROM q, b GROUP BY event_type, 2, minq, maxq)
+         SELECT event_type, bin, n,
+                CAST(minq + ((maxq - minq + 1) * bin) // 20 AS DOUBLE) / 1000000.0 AS bin_lo,
+                CAST(minq + ((maxq - minq + 1) * (bin + 1)) // 20 AS DOUBLE) / 1000000.0 AS bin_hi
+         FROM g ORDER BY event_type, bin""",
+    "q144_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source,
+                  round((
+                    least(len(string_split_regex(lower(trim(text)), '\s+')), 50) / 50.0
+                    + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                           / greatest(length(text), 1))
+                    + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                          t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0
+                      / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+                  ) / 3.0, 4) AS quality
+           FROM documents),
+         r AS (SELECT doc_id, source, quality,
+                      row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk,
+                      count(*) OVER (PARTITION BY source) AS ng
+               FROM d),
+         g AS (SELECT quality AS gv, row_number() OVER (ORDER BY quality, doc_id) AS idx FROM d),
+         n AS (SELECT count(*) AS nn FROM d),
+         x AS (SELECT doc_id, source, quality,
+                      CASE WHEN ng > 1
+                           THEN 1 + ((rk - 1) * (nn - 1) * 2 + (ng - 1)) // ((ng - 1) * 2)
+                           ELSE (nn + 1) // 2 END AS idx
+               FROM r, n)
+         SELECT x.doc_id, x.source, x.quality, g.gv AS quality_norm
+         FROM x JOIN g ON x.idx = g.idx ORDER BY x.doc_id""",
+    "q145_phash_neardup" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000,
+                  concat(substr(text, 1, length(text) // 2), 'z',
+                         substr(text, length(text) // 2 + 2))
+           FROM documents WHERE doc_id % 5 = 0),
+         m AS (SELECT doc_id AS id, text, length(text) AS len FROM docs),
+         cells AS (SELECT id, i,
+                          CASE WHEN len = 0 THEN 0
+                               ELSE ord(substr(text, CAST((i * len) // 64 AS INTEGER) + 1, 1)) END AS cell
+                   FROM m, unnest(range(0, 64)) r(i)),
+         tot AS (SELECT id, sum(cell) AS total FROM cells GROUP BY 1),
+         bits AS (SELECT c.id, c.i,
+                         CASE WHEN c.cell * 64 > t.total THEN 1 ELSE 0 END AS b
+                  FROM cells c JOIN tot t ON c.id = t.id),
+         keys AS (SELECT id,
+                         CAST(sum(CASE WHEN i // 16 = 0 THEN CAST(b AS BIGINT) << CAST(i % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS k0,
+                         CAST(sum(CASE WHEN i // 16 = 1 THEN CAST(b AS BIGINT) << CAST(i % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS k1,
+                         CAST(sum(CASE WHEN i // 16 = 2 THEN CAST(b AS BIGINT) << CAST(i % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS k2,
+                         CAST(sum(CASE WHEN i // 16 = 3 THEN CAST(b AS BIGINT) << CAST(i % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS k3
+                  FROM bits GROUP BY 1)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
+                   + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) AS BIGINT) AS hamming
+         FROM keys a JOIN keys b ON a.id < b.id
+         WHERE (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3)
+           AND bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
+             + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) <= 3
+         ORDER BY id_a, id_b""",
+    "q146_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH t AS (SELECT o_orderkey, o_custkey % 65536 AS x,
+                            o_orderkey % 65536 AS y FROM orders)
+         SELECT o_orderkey, x, y, CAST($terms AS BIGINT) AS z
+         FROM t ORDER BY z, o_orderkey LIMIT 100"""
+    },
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round((CAST(sum(CAST(round((l_quantity) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((l_quantity) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 10000.0) / 100.0::DOUBLE AS sum_qty,

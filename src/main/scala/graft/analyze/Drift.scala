@@ -46,4 +46,51 @@ object Drift {
         round((col("__q") - col("__p")) * log(col("__q") / col("__p")), scale)
           .as("psi_term"))
   }
+
+  /** EMBEDDING-space drift between two snapshots of a vector corpus (the
+    * vector sibling of [[psi]] / token TV: re-embedding after a model
+    * swap, corpus refresh between crawls): per-dimension centroid means
+    * of both snapshots, their deltas, and the cosine between the two
+    * centroid vectors — the one-number "did the space move" summary.
+    *
+    * Determinism: per-dim means are exact 6-dp long split sums
+    * ([[graft.operators.ExactAgg.davg]], order-invariant, bit-identical
+    * in any engine), rounded to `scale` dp; the deltas and the centroid
+    * cosine are then computed IN DOUBLE FROM THE ROUNDED MEANS — both
+    * engines run identical IEEE ops on identical inputs.
+    *
+    * Scale shape: one posexplode + (dim)-keyed hash aggregate per
+    * snapshot — dims-many groups (bounded by the embedding width), so the
+    * reduce side is trivial; the cosine is an aggregate over that
+    * dims-row frame, broadcast back onto it. The corpus never shuffles
+    * as vectors, only as (dim, component) pairs with map-side partials. */
+  def embeddingDrift(base: DataFrame, current: DataFrame, vecCol: String,
+                     scale: Int = 4): DataFrame = {
+    def dimMeans(df: DataFrame, out: String) = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(graft.operators.ExactAgg.davg(col("x"), scale).as(out))
+    val joined = dimMeans(base, "mean_base")
+      .join(dimMeans(current, "mean_cur"), Seq("dim"))
+    // the three inner products are sums over only dims-many terms, but a
+    // double sum is still order-dependent — quantize each term to a
+    // 12-dp long (terms are products of 4-dp means, well inside the 1e6
+    // headroom) so the sums are exact and the cosine double is pinned
+    def qsum(c: org.apache.spark.sql.Column) =
+      sum(round(c * lit(1e12)).cast("long")).cast("double") / lit(1e12)
+    val cos = joined.agg(
+      qsum(col("mean_base") * col("mean_cur")).as("__dot"),
+      qsum(col("mean_base") * col("mean_base")).as("__na"),
+      qsum(col("mean_cur") * col("mean_cur")).as("__nb"))
+      .select(round(when(col("__na") > 0 && col("__nb") > 0,
+        col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb")))), 6)
+        .as("centroid_cos"))
+    // dims-row frame × 1-row summary: the broadcast join is free and the
+    // summary column makes the report self-contained per row
+    joined.join(broadcast(cos))
+      .select(col("dim").cast("long").as("dim"), col("mean_base"),
+        col("mean_cur"),
+        round(col("mean_cur") - col("mean_base"), scale).as("delta"),
+        col("centroid_cos"))
+  }
 }

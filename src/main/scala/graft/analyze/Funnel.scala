@@ -67,6 +67,48 @@ object Funnel {
       .select(col("step_idx"), col("step"), col("n_users"), col("conversion"))
   }
 
+  /** Time-bounded funnel (the `windowFunnel` of product-analytics SQL
+    * engines): step k counts only when the whole chain fits inside
+    * `windowSeconds` of the user's FIRST step-1 event. Same strict-order
+    * chaining as [[funnel]] (`t_k = min{ts : event = step_k, t_{k-1} <
+    * ts ≤ t_1 + W}`), deterministic because the anchor is the unique
+    * first step-1 timestamp — a slide-the-anchor variant would need
+    * per-occurrence search; anchoring at first entry is the common
+    * dashboard semantic and keeps every stage a min-aggregate.
+    *
+    * Scale shape: identical to [[funnel]] — one user-keyed min-aggregate
+    * per step, all sharing the user-hash partitioning; the deadline rides
+    * the per-user frame as one extra timestamp column. */
+  def windowFunnel(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String],
+                   windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel needs at least one step")
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).as("t"))
+    val first = base.filter(col("et") === steps.head)
+      .groupBy(col("u")).agg(min(col("t")).as("tk"))
+      .withColumn("deadline",
+        timestamp_micros(unix_micros(col("tk")) + windowSeconds * 1000000L))
+    val reached = steps.tail.scanLeft(first) { (p, step) =>
+      base.filter(col("et") === step).join(p, Seq("u"))
+        .filter(col("t") > col("tk") && col("t") <= col("deadline"))
+        .groupBy(col("u"), col("deadline")).agg(min(col("t")).as("tk"))
+    }
+    val counts = reached.zip(steps).zipWithIndex.map {
+      case ((df, step), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).cast("long").as("step_idx"), lit(step).as("step"),
+            col("n_users"))
+    }.reduce(_.unionAll(_))
+    val w = Window.orderBy(col("step_idx"))
+    val prev = lag(col("n_users"), 1).over(w)
+    counts
+      .withColumn("conversion",
+        round(col("n_users").cast("double") /
+          when(prev === 0, lit(null)).otherwise(prev), 4))
+      .select(col("step_idx"), col("step"), col("n_users"), col("conversion"))
+  }
+
   /** First-order Markov TRANSITION MATRIX over event types: for every
     * consecutive event pair of a user (ordered by `(ts, tie)`, gap ≤
     * `maxGapSeconds` — longer gaps are journey breaks, not

@@ -72,4 +72,48 @@ object QuantileCut {
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi", "__g")
   }
+
+  /** Per-group QUANTILE NORMALIZATION onto the global distribution: each
+    * row's value is replaced by the GLOBAL value at the same within-group
+    * quantile — the rank-based calibration that makes per-source scores
+    * comparable before a single global cut (one source's lenient scorer
+    * would otherwise eat another's budget; the cross-source
+    * score-calibration step upstream of [[cut]]).
+    *
+    * Engine-exact by integer ranks: within-group rank `r` of `n_g` maps
+    * to global sorted position `idx = 1 + round((r−1)·(N−1)/(n_g−1))`
+    * with ROUND-HALF-UP IN PURE INTEGER ARITHMETIC
+    * (`(2·(r−1)·(N−1) + (n_g−1)) div (2·(n_g−1))`) — no float quantile
+    * interpolation to drift by an ulp between engines; a singleton group
+    * maps to the global median position `(N+1) div 2`.
+    *
+    * Scale shape: within-group ranks are one group-hash window; the
+    * global sorted index is the distributed range-shuffled row index
+    * ([[graft.operators.Positional.withRowIndex]] — never a single-task
+    * global window); the mapping is an equi-join on `idx` against the
+    * (idx, value) frame, hash-partitioned on a dense long key. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String,
+                        outCol: String = "value_norm"): DataFrame = {
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(wg).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val globalIdx = graft.operators.Positional.withRowIndex(
+        df.select(col(valueCol).as("__gv"), col(idCol).as("__gid")),
+        Seq(col("__gv"), col("__gid")), "__gi")
+      .select((col("__gi") + 1L).as("__idx"), col("__gv"))
+    val n = df.select(count(lit(1)).as("__N"))
+    val idx = when(col("__ng") > 1,
+      lit(1L) + call_function("div",
+        (col("__r") - 1L) * (col("__N") - 1L) * 2L + (col("__ng") - 1L),
+        (col("__ng") - 1L) * 2L))
+      .otherwise(call_function("div", col("__N") + 1L, lit(2L)))
+    ranked.join(broadcast(n))
+      .withColumn("__idx", idx)
+      .join(globalIdx, Seq("__idx"))
+      .withColumn(outCol, col("__gv"))
+      .drop("__r", "__ng", "__N", "__idx", "__gv", "__gid")
+  }
 }

@@ -111,6 +111,70 @@ object Multimodal {
       .withColumn("n_kept", ceil(col("n_frames") / lit(stride.toDouble)).cast("int"))
   }
 
+  /** 64-bit AVERAGE HASH (aHash) of a media payload — the perceptual
+    * fingerprint behind image near-dup detection (resize to an 8×8
+    * grid, threshold each cell at the grid mean). Without codec libs the
+    * "pixels" are the raw payload bytes resampled to 64 cells
+    * (`cell_i = payload[⌊i·len/64⌋]`, unsigned); a real decoder would
+    * replace only the sampling, not the thresholding or anything
+    * downstream. The threshold compares `cell·64 > Σcells` in exact
+    * integer arithmetic — no float mean to drift. Empty payloads hash
+    * to 0. */
+  def aHash64(payload: Array[Byte]): Long = {
+    if (payload == null || payload.isEmpty) return 0L
+    val cells = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      cells(i) = payload(((i.toLong * payload.length) / 64).toInt) & 0xFF
+      i += 1
+    }
+    var total = 0L
+    i = 0
+    while (i < 64) { total += cells(i); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < 64) { if (cells(i) * 64L > total) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** The input plus an `ahash` column (iterator-to-iterator, payloads
+    * never leave their partition). */
+  def withAHash(media: DataFrame): DataFrame = {
+    val hasher = udf((p: Array[Byte]) => aHash64(p))
+    media.withColumn("ahash", hasher(col("payload")))
+  }
+
+  /** Perceptual near-dup pairs: media whose aHashes differ in at most
+    * `maxHamming` of 64 bits. EXACT for `maxHamming ≤ 3` via 4-band
+    * LSH on 16-bit slices — pigeonhole: ≤ 3 flipped bits cannot touch
+    * all 4 bands, so every qualifying pair collides on at least one
+    * unchanged band (the same guarantee structure as the SimHash band
+    * join, on the perceptual hash).
+    *
+    * Scale shape: payloads reduce to 8-byte hashes in the scan; the
+    * band join shuffles (band, key16, id, hash) only — 4 rows of ~28
+    * bytes per media item, never payloads; verification
+    * (`bit_count(xor) ≤ h`) runs inside the join, and the pair dedup is
+    * the only post-join exchange. */
+  def nearDupPairs(media: DataFrame, idCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band recall guarantee holds for maxHamming <= 3, got $maxHamming")
+    val hashed = withAHash(media).select(col(idCol).as("id"), col("ahash"))
+    val keys = (0 until 4).map(b =>
+      shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = hashed.select(col("id"), col("ahash"),
+        posexplode(array(keys: _*)).as(Seq("band", "key")))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** "Resize": deterministic payload down-sampling to a byte budget (every
     * k-th byte) with the metadata updated to match — the shape of a real
     * thumbnailing stage without the codec. */

@@ -60,6 +60,30 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Z-ORDERED layout: range-partition + sort the table by the Morton
+    * interleave of two dimension keys ([[graft.functions.ZValue]]), so
+    * every output file covers a small rectangle of (xCol, yCol) space
+    * and its parquet min/max statistics prune scans filtered on EITHER
+    * column — hive-partitioning ([[writePartitioned]]) handles ONE
+    * coarse dimension; z-ordering is the layout for two selective ones
+    * (the lakehouse OPTIMIZE ZORDER BY).
+    *
+    * Both columns must be non-negative integers (bucketize/rank first
+    * otherwise). One range shuffle (sampled bounds, skew-proof) + an
+    * in-partition sort; the z column itself never hits disk. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    nFiles: Int): Unit = {
+    graft.functions.ZValue.register(df.sparkSession)
+    df.withColumn("__z", org.apache.spark.sql.functions.call_function(
+        graft.functions.ZValue.Name,
+        org.apache.spark.sql.functions.col(xCol).cast("long"),
+        org.apache.spark.sql.functions.col(yCol).cast("long")))
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Parquet source with optional schema pinning (inference is an extra
     * scan) and `mergeSchema` for layouts whose files were written under
     * EVOLVED schemas (new nullable columns appear over a corpus' life;

@@ -61,4 +61,48 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(md5($"payload") =!= md5($"orig")).count()
     assert(diff == 0, "under-budget payloads must be untouched")
   }
+
+  test("aHash64: known 64-byte ramp sets exactly the above-mean bits") {
+    // cells = bytes 0..63, mean 31.5 → bits 32..63 set
+    val ramp = (0 until 64).map(_.toByte).toArray
+    assert(Multimodal.aHash64(ramp) == 0xFFFFFFFF00000000L)
+    assert(Multimodal.aHash64(Array.empty[Byte]) == 0L)
+    assert(Multimodal.aHash64(null) == 0L)
+    // constant payload: no cell exceeds the mean → all bits clear
+    assert(Multimodal.aHash64(Array.fill(100)(7.toByte)) == 0L)
+  }
+
+  test("nearDupPairs equals brute force for hamming <= 3") {
+    import spark.implicits._
+    // payloads with controlled bit flips: swapping a below-mean cell with
+    // an above-mean cell keeps the total (and so the threshold) EXACT
+    // while flipping exactly those two bits — k swaps = hamming 2k
+    val ramp = (0 until 64).map(_.toByte).toArray
+    def swapped(k: Int): Array[Byte] = {
+      val p = ramp.clone()
+      (0 until k).foreach { j =>
+        val t = p(j); p(j) = p(63 - j); p(63 - j) = t
+      }
+      p
+    }
+    val rows = Seq(
+      (1L, ramp), (2L, swapped(1)), (3L, swapped(2)),
+      (4L, swapped(5)), (5L, ramp.clone())) ++
+      (6L to 40L).map(i =>
+        i -> Array.tabulate(64)(j => ((i * 37 + j * j * 13) % 256).toByte))
+    val media = rows.toDF("media_id", "payload")
+    val got = Multimodal.nearDupPairs(media, "media_id", 3)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val hashes = rows.map { case (id, p) => id -> Multimodal.aHash64(p) }
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 2)) && got.contains((1L, 5L, 0)))
+    // hamming 4 (two swaps) and 10 (five) sit past the threshold
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) })
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 4L) })
+  }
 }
