@@ -49,6 +49,37 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- wide→long reshape (inverse of the A6 pivot): unpivot the four
+    //      lineitem measures and profile each — a single shuffle-free
+    //      projection into a 4-row hash aggregate
+    "q147_melt" -> ((s, dir) =>
+      graft.operators.Reshape.meltSummary(
+        Tables.lineitem(s, dir), Seq.empty,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // ---- k-fold cross-validation assignment: portable md5 folds
+    //      (the L1/L2 split generalized to k); per-fold balance audit
+    "q148_kfold" -> ((s, dir) =>
+      graft.analyze.CrossVal.foldReport(
+        Tables.documents(s, dir), "doc_id", 5, "n_chars")),
+    // ---- dyadic EWMA smoothing: α=1/2 power-of-two weights over the
+    //      trailing 11 rows per user — exact integer numerator and
+    //      denominator, so the recursive-float portability trap never opens
+    "q149_ewma" -> ((s, dir) =>
+      graft.analyze.Smoothing.ewmaDyadic(
+          Tables.events(s, dir), "user_id", "ts", "event_id", "value")
+        .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+        .orderBy(col("user_id"), col("event_id"))),
+    // ---- first/last-touch conversion attribution: both ranks from one
+    //      user-keyed window pass over pre-conversion touches
+    "q150_attribution" -> ((s, dir) =>
+      graft.analyze.Attribution.touchReport(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        col("event_type") === "purchase")),
+    // ---- Flesch readability: vowel-run syllables + terminal-punct
+    //      sentences, all regexp projections riding the scan
+    "q151_readability" -> ((s, dir) =>
+      graft.text.Readability.report(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // ---- A1/A2 pricing summary (sum/avg/count aggregate, filter pushdown)
     "q01_pricing_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1703,6 +1734,56 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q147_melt" ->
+      """WITH u AS (SELECT metric, val FROM (
+           UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+           ON l_quantity, l_extendedprice, l_discount, l_tax INTO NAME metric VALUE val))
+         SELECT metric, count(*) AS n,
+           round((CAST(sum(CAST(round((val) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((val) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 10000.0) / 100.0 AS total,
+           min(val) AS vmin, max(val) AS vmax
+         FROM u GROUP BY 1 ORDER BY 1""",
+    "q148_kfold" ->
+      """WITH f AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold, n_chars FROM documents)
+         SELECT fold, count(*) AS n,
+           round((CAST(sum(CAST(round((n_chars) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((n_chars) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0 AS mean_val
+         FROM f GROUP BY 1 ORDER BY 1""",
+    "q149_ewma" -> {
+      val lags = (1 to 10).map(k => s"lag(vq, $k) OVER w AS v$k").mkString(", ")
+      val terms = "vq * 1024 + " +
+        (1 to 10).map(k => s"coalesce(v$k, 0) * ${1L << (10 - k)}").mkString(" + ")
+      s"""WITH q AS (SELECT user_id, event_id, ts, value, CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+         l AS (SELECT user_id, event_id, value, vq, $lags,
+               least(row_number() OVER w, 11) AS m
+               FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id, value,
+           round(CAST($terms AS DOUBLE) / CAST(2048 - (1 << CAST(11 - m AS INTEGER)) AS DOUBLE) / 1000000.0, 4) AS ewma
+         FROM l ORDER BY user_id, event_id"""
+    },
+    "q150_attribution" ->
+      """WITH p AS (SELECT user_id, min(ts) AS conv_ts FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         t AS (SELECT e.user_id, e.event_type AS channel, e.ts, e.event_id
+               FROM events e JOIN p ON e.user_id = p.user_id
+               WHERE e.ts < p.conv_ts AND e.event_type <> 'purchase'),
+         r AS (SELECT channel,
+                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+                      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+               FROM t)
+         SELECT channel,
+                CAST(sum(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+                CAST(sum(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch
+         FROM r WHERE rn_a = 1 OR rn_d = 1 GROUP BY 1 ORDER BY 1""",
+    "q151_readability" ->
+      """WITH c AS (SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\s+')) AS wd,
+           greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), len(string_split_regex(lower(trim(text)), '\s+'))) AS sy,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS st
+           FROM documents)
+         SELECT doc_id, CAST(wd AS BIGINT) AS n_words, CAST(sy AS BIGINT) AS n_syllables, CAST(st AS BIGINT) AS n_sentences,
+           round(206.835 - 1.015 * (CAST(wd AS DOUBLE) / st) - 84.6 * (CAST(sy AS DOUBLE) / wd), 4) AS flesch,
+           CASE WHEN round(206.835 - 1.015 * (CAST(wd AS DOUBLE) / st) - 84.6 * (CAST(sy AS DOUBLE) / wd), 4) >= 60 THEN 'easy'
+                WHEN round(206.835 - 1.015 * (CAST(wd AS DOUBLE) / st) - 84.6 * (CAST(sy AS DOUBLE) / wd), 4) >= 30 THEN 'medium'
+                ELSE 'hard' END AS band
+         FROM c ORDER BY doc_id""",
     "q140_ab_test" ->
       """WITH v AS (
            SELECT user_id,
