@@ -80,6 +80,47 @@ object SparkEntry {
     "q151_readability" -> ((s, dir) =>
       graft.text.Readability.report(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- frequent item pairs (2-itemset lattice level, exact): distinct
+    //      baskets shuffle once on the user key; the self-join is
+    //      per-basket and the rollup is vocabulary-bounded
+    "q152_freq_pairs" -> ((s, dir) =>
+      graft.analyze.Itemsets.frequentPairs(
+        Tables.events(s, dir), "user_id", "event_type", 2L)),
+    // ---- entry-path analysis: top opening event-type sequences (depth 3)
+    //      — discovers the paths q117's funnel hypothesizes
+    "q153_entry_paths" -> ((s, dir) =>
+      graft.analyze.Paths.entryPaths(
+        Tables.events(s, dir), "user_id", "event_type", "ts", "event_id", 3)),
+    // ---- median/MAD robust outliers: exact integer lower-medians under a
+    //      pinned total order — no percentile interpolation anywhere
+    "q154_mad_outliers" -> ((s, dir) =>
+      graft.analyze.RobustStats.madReport(
+        Tables.events(s, dir), "event_type", "value", "event_id")),
+    // ---- data-quality expectations: five rules, ONE scan, |rules|-row
+    //      report exploded from a single aggregate
+    "q155_expectations" -> ((s, dir) =>
+      graft.analyze.Expectations.report(Tables.events(s, dir), Seq(
+        "r1_user_not_null" -> col("user_id").isNotNull,
+        "r2_value_range" -> (col("value") >= 0 && col("value") <= 100),
+        "r3_type_domain" -> col("event_type").isin(
+          "view", "click", "purchase", "signup", "error"),
+        "r4_props_has_k" -> get_json_object(col("props"), "$.k").isNotNull,
+        "r5_ts_bounds" -> (col("ts") >= lit("2015-01-01").cast("timestamp") &&
+          col("ts") < lit("2035-01-01").cast("timestamp"))))),
+    // ---- deterministic label-propagation communities over the near-dup
+    //      graph: synchronous min-label-of-modal-neighbors rounds (not
+    //      SQL-expressible — spec-verified, rows-only here)
+    "q156_lpa" -> ((s, dir) => {
+      val edges = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+      graft.graph.LabelPropagation.run(edges, "id_a", "id_b", 5)
+    }),
+    // ---- PrefixSpan sequential patterns at maxLen=2 — the spark.ml
+    //      distributed miner pinned against the SQL subsequence count
+    "q157_prefixspan" -> ((s, dir) =>
+      graft.analyze.Itemsets.prefixSpan(
+        Tables.events(s, dir), "user_id", "event_type", "ts", "event_id",
+        0.4, 2)),
     // ---- A1/A2 pricing summary (sum/avg/count aggregate, filter pushdown)
     "q01_pricing_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1784,6 +1825,57 @@ object SparkEntry {
                 WHEN round(206.835 - 1.015 * (CAST(wd AS DOUBLE) / st) - 84.6 * (CAST(sy AS DOUBLE) / wd), 4) >= 30 THEN 'medium'
                 ELSE 'hard' END AS band
          FROM c ORDER BY doc_id""",
+    "q152_freq_pairs" ->
+      """WITH b AS (SELECT DISTINCT user_id AS e, event_type AS item FROM events)
+         SELECT l.item AS item_a, r.item AS item_b, count(*) AS support
+         FROM b l JOIN b r ON l.e = r.e AND l.item < r.item
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY support DESC, item_a, item_b""",
+    "q153_entry_paths" ->
+      """WITH r AS (SELECT user_id AS u, event_type AS t,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events),
+         p AS (SELECT u, string_agg(t, '>' ORDER BY rn) AS path FROM r WHERE rn <= 3 GROUP BY u)
+         SELECT path, count(*) AS n_users FROM p GROUP BY 1 ORDER BY n_users DESC, path""",
+    "q154_mad_outliers" ->
+      """WITH q AS (SELECT event_type AS g, event_id AS tie, CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY vq, tie) AS rn, count(*) OVER (PARTITION BY g) AS n FROM q),
+         m AS (SELECT g, vq AS med FROM r WHERE rn = (n + 1) // 2),
+         d AS (SELECT q.g, q.tie, abs(q.vq - m.med) AS dev, m.med FROM q JOIN m ON q.g = m.g),
+         r2 AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY dev, tie) AS rn, count(*) OVER (PARTITION BY g) AS n FROM d),
+         md AS (SELECT g, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+         SELECT d.g AS event_type, count(*) AS n,
+                CAST(max(d.med) AS DOUBLE) / 1000000.0 AS median,
+                CAST(max(md.mad) AS DOUBLE) / 1000000.0 AS mad,
+                CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM d JOIN md ON d.g = md.g GROUP BY 1 ORDER BY 1""",
+    "q155_expectations" ->
+      """WITH a AS (SELECT count(*) AS n,
+           sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS f1,
+           sum(CASE WHEN value >= 0 AND value <= 100 THEN 0 ELSE 1 END) AS f2,
+           sum(CASE WHEN event_type IN ('view','click','purchase','signup','error') THEN 0 ELSE 1 END) AS f3,
+           sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 0 ELSE 1 END) AS f4,
+           sum(CASE WHEN ts >= TIMESTAMP '2015-01-01' AND ts < TIMESTAMP '2035-01-01' THEN 0 ELSE 1 END) AS f5
+           FROM events),
+         u AS (SELECT 'r1_user_not_null' AS rule, n, f1 AS n_failed FROM a
+           UNION ALL SELECT 'r2_value_range', n, f2 FROM a
+           UNION ALL SELECT 'r3_type_domain', n, f3 FROM a
+           UNION ALL SELECT 'r4_props_has_k', n, f4 FROM a
+           UNION ALL SELECT 'r5_ts_bounds', n, f5 FROM a)
+         SELECT rule, CAST(n AS BIGINT) AS n_checked, CAST(n_failed AS BIGINT) AS n_failed,
+                round(CAST(n - n_failed AS DOUBLE) / n, 6) AS pass_rate
+         FROM u ORDER BY rule""",
+    "q157_prefixspan" ->
+      """WITH nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
+         s1 AS (SELECT event_type AS pattern, CAST(count(DISTINCT user_id) AS BIGINT) AS freq FROM events GROUP BY 1),
+         s2 AS (SELECT a.event_type || '>' || b.event_type AS pattern,
+                       CAST(count(DISTINCT a.user_id) AS BIGINT) AS freq
+                FROM events a JOIN events b ON a.user_id = b.user_id
+                     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+                GROUP BY 1),
+         allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
+         ORDER BY freq DESC, pattern""",
     "q140_ab_test" ->
       """WITH v AS (
            SELECT user_id,

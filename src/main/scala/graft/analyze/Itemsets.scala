@@ -1,0 +1,82 @@
+package graft.analyze
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.fpm.{FPGrowth, PrefixSpan}
+
+/** Frequent-pattern mining over per-entity item baskets — the market-basket
+  * and behavioral-sequence layer of the analytics stack (reference anchor:
+  * the per-class count rollups of `process_logs_v10.py` §counts, taken from
+  * marginals to co-occurrence).
+  *
+  * Three rungs, per the builder's preference ladder:
+  *  - [[frequentPairs]] composes built-ins only — distinct + self-join with
+  *    an `a < b` prefix cut, the exact 2-itemset lattice level. Support
+  *    counts are exact and SQL-oracle-able.
+  *  - [[fpGrowth]] / [[prefixSpan]] wrap spark.ml's distributed FP-Growth
+  *    (Han 2000, PFP: Li 2008) and PrefixSpan (Pei 2001) for the full
+  *    variable-length lattice; their outputs are flattened to stable
+  *    string keys and deterministic order so results remain comparable.
+  *
+  * Scale shape: frequentPairs shuffles the distinct (entity, item) frame
+  * once on the entity key; the self-join is per-entity (baskets are small
+  * — bounded by the item vocabulary), and the pair rollup keys on ≤|V|²/2
+  * pairs. FP-Growth/PrefixSpan shuffle `collect_set`/`collect_list`
+  * baskets once, then mine group-partitioned projected databases — both
+  * are the published distributed formulations, not driver loops.
+  */
+object Itemsets {
+
+  /** Exact support counts for item PAIRS: number of entities whose basket
+    * contains both. `minSupport` is an absolute entity count. */
+  def frequentPairs(df: DataFrame, entityCol: String, itemCol: String,
+                    minSupport: Long): DataFrame = {
+    val b = df.select(col(entityCol).as("e"), col(itemCol).as("item")).distinct()
+    val l = b.select(col("e"), col("item").as("item_a"))
+    val r = b.select(col("e"), col("item").as("item_b"))
+    l.join(r, Seq("e")).filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("item_a"), col("item_b"))
+  }
+
+  /** Distributed FP-Growth itemsets: `(itemset, freq)` with the itemset
+    * rendered as a sorted comma-joined string (deterministic key). */
+  def fpGrowth(df: DataFrame, entityCol: String, itemCol: String,
+               minSupportFraction: Double): DataFrame = {
+    val baskets = df.groupBy(col(entityCol).as("e"))
+      .agg(collect_set(col(itemCol)).as("items"))
+    val model = new FPGrowth().setItemsCol("items")
+      .setMinSupport(minSupportFraction).setMinConfidence(0.5)
+      .fit(baskets)
+    model.freqItemsets
+      .select(array_join(array_sort(col("items")), ",").as("itemset"),
+        col("freq"))
+      .orderBy(col("freq").desc, col("itemset"))
+  }
+
+  /** Distributed PrefixSpan sequential patterns over per-entity event
+    * sequences ordered by `(tsCol, tieCol)`: `(pattern, freq)` where
+    * pattern is `a>b>…` (each step a single item). `maxLen` bounds the
+    * pattern length — at `maxLen = 2` the result is exactly the
+    * SQL-expressible "a then later b" subsequence count. */
+  def prefixSpan(df: DataFrame, entityCol: String, itemCol: String,
+                 tsCol: String, tieCol: String,
+                 minSupportFraction: Double, maxLen: Int): DataFrame = {
+    val seqs = df
+      .withColumn("__k", struct(col(tsCol), col(tieCol)))
+      .groupBy(col(entityCol).as("e"))
+      .agg(sort_array(collect_list(struct(col("__k"), col(itemCol).as("i"))))
+        .as("s"))
+      .select(transform(col("s"), x => array(x.getField("i"))).as("sequence"))
+    val ps = new PrefixSpan().setMinSupport(minSupportFraction)
+      .setMaxPatternLength(maxLen).setSequenceCol("sequence")
+    ps.findFrequentSequentialPatterns(seqs)
+      .select(
+        array_join(transform(col("sequence"), s => array_join(s, "+")), ">")
+          .as("pattern"),
+        col("freq"))
+      .orderBy(col("freq").desc, col("pattern"))
+  }
+}
