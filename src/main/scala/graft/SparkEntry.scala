@@ -121,6 +121,32 @@ object SparkEntry {
       graft.analyze.Itemsets.prefixSpan(
         Tables.events(s, dir), "user_id", "event_type", "ts", "event_id",
         0.4, 2)),
+    // ---- tokenizer-vocab OOV rate per source: total-order top-k vocab
+    //      broadcast against the exploded token stream
+    "q158_oov_rate" -> ((s, dir) =>
+      graft.text.VocabCoverage.oovReport(
+        Tables.documents(s, dir), "source", "text", 30)),
+    // ---- Heaps-law vocabulary growth over id-range corpus prefixes:
+    //      each type contributes only its FIRST bucket (min-aggregate),
+    //      cumulative sum on the 10-row axis
+    "q159_vocab_growth" -> ((s, dir) =>
+      graft.text.VocabCoverage.vocabGrowth(
+        Tables.documents(s, dir), "doc_id", "text", 10)),
+    // ---- Kaplan-Meier time-to-first-purchase with right-censoring at the
+    //      user's last event: pinned ascending-time survival fold
+    "q160_kaplan_meier" -> ((s, dir) =>
+      graft.analyze.Survival.kaplanMeier(
+        Tables.events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase")),
+    // ---- L4 sibling: gradient-boosted-tree importance over the windowed
+    //      features, sufficient-statistics weighted fit (rows-only)
+    "q161_gbt_importance" -> ((s, dir) => {
+      val feats = windowedFeatures(s, dir)
+      val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+      val train = Models.assemble(Models.compressWeighted(feats, cols, "label"), cols, "label")
+      val model = Models.fitGbt(train, weightCol = Some("weight"))
+      Models.gbtImportance(s, model, cols)
+    }),
     // ---- A1/A2 pricing summary (sum/avg/count aggregate, filter pushdown)
     "q01_pricing_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1876,6 +1902,42 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q158_oov_rate" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+         v AS (SELECT token FROM (SELECT token, count(*) AS c FROM tok GROUP BY 1 ORDER BY c DESC, token LIMIT 30)),
+         j AS (SELECT t.source, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+               FROM tok t LEFT JOIN v ON t.token = v.token)
+         SELECT source, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+                round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "q159_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         tok AS (SELECT (doc_id * 10) // (mx + 1) AS bucket, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents, mx),
+         f AS (SELECT token, min(bucket) AS first_bucket FROM tok GROUP BY 1),
+         c AS (SELECT first_bucket, count(*) AS new_tokens FROM f GROUP BY 1),
+         d AS (SELECT i AS bucket FROM unnest(range(0, 10)) r(i))
+         SELECT d.bucket, CAST(coalesce(c.new_tokens, 0) AS BIGINT) AS new_tokens,
+                CAST(sum(coalesce(c.new_tokens, 0)) OVER (ORDER BY d.bucket) AS BIGINT) AS vocab_size
+         FROM d LEFT JOIN c ON d.bucket = c.first_bucket ORDER BY d.bucket""",
+    "q160_kaplan_meier" ->
+      """WITH u AS (SELECT user_id, min(ts) AS t0,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+                max(ts) AS tl
+              FROM events GROUP BY 1),
+         dd AS (SELECT CASE WHEN tp IS NOT NULL THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                            ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE)) END AS dur,
+                       CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS death
+                FROM u),
+         g AS (SELECT dur AS t, count(*) AS m, CAST(sum(death) AS BIGINT) AS d FROM dd GROUP BY 1),
+         r AS (SELECT t, d, CAST(sum(m) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM g),
+         dl AS (SELECT t, d, n_risk FROM r WHERE d > 0),
+         s AS (SELECT list(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / n_risk ORDER BY t) AS fs,
+                      list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
+                      list(n_risk ORDER BY t) AS ns FROM dl),
+         e AS (SELECT ts[i] AS t, ds[i] AS d, ns[i] AS n_risk,
+                      list_reduce(list_prepend(CAST(1 AS DOUBLE), fs[1:i]), (a, b) -> a * b) AS surv
+               FROM s, unnest(range(1, len(ts) + 1)) r(i))
+         SELECT t, d, n_risk, round(surv, 6) AS surv FROM e ORDER BY t""",
     "q140_ab_test" ->
       """WITH v AS (
            SELECT user_id,

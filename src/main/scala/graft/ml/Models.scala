@@ -64,6 +64,31 @@ object Models {
     rf.fit(train)
   }
 
+  /** Gradient-boosted trees (L4 sibling — the bias-reducing ensemble next
+    * to the variance-reducing forest). Seed pinned; `weightCol` enables
+    * the [[compressWeighted]] sufficient-statistics path exactly as for
+    * the forest. */
+  def fitGbt(train: DataFrame, maxIter: Int = 20, seed: Long = 42L,
+             weightCol: Option[String] = None)
+      : org.apache.spark.ml.classification.GBTClassificationModel = {
+    val gbt = new org.apache.spark.ml.classification.GBTClassifier()
+      .setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").setLabelCol("label")
+    weightCol.foreach(gbt.setWeightCol)
+    gbt.fit(train)
+  }
+
+  /** GBT feature importance, descending (same contract as
+    * [[rfImportance]]). */
+  def gbtImportance(spark: org.apache.spark.sql.SparkSession,
+                    model: org.apache.spark.ml.classification.GBTClassificationModel,
+                    featureCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    featureCols.zip(model.featureImportances.toArray)
+      .toDF("feature", "importance")
+      .orderBy(desc("importance"), asc("feature"))
+  }
+
   /** EXACT ROC AUC via the Mann-Whitney U statistic with average-rank tie
     * handling: collapse to distinct scores (one hash shuffle), prefix-sum
     * the group counts for average ranks, then
