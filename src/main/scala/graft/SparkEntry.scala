@@ -138,6 +138,63 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- streaming data-quality monitor: the q155 expectations as a
+    //      tumbling-window wide report under genuine streaming execution
+    "q162_stream_expectations" -> ((s, dir) => {
+      val path = s"${dir.stripSuffix("/")}/events.parquet"
+      val schema = s.read.parquet(path).schema
+      graft.streaming.StreamingOps.runToMemory(s, src =>
+          graft.analyze.Expectations.windowedWide(
+            Tables.normalizeTs(src, "ts"), "ts", "1 day", Seq(
+              "value_range" -> (col("value") >= 0 && col("value") <= 100),
+              "type_domain" -> col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"))),
+          dir.stripSuffix("/"), "events.parquet", schema)
+        .orderBy(col("window_start"))
+    }),
+    // ---- interval-overlap join WITHOUT a cartesian: bucketized equi-join
+    //      + first-bucket exactly-once rule; user daily activity spans ×
+    //      ±30 min error windows
+    "q163_interval_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val act = ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(expr("unix_micros(min(ts)) div 1000000").as("a_start"),
+          expr("unix_micros(max(ts)) div 1000000").as("a_end"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"),
+          (expr("unix_micros(ts) div 1000000") - 1800L).as("b_start"),
+          (expr("unix_micros(ts) div 1000000") + 1800L).as("b_end"))
+      graft.operators.IntervalJoin.overlapJoin(
+          act, err, "a_start", "a_end", "b_start", "b_end", 3600L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("user_id"))
+    }),
+    // ---- incremental aggregate maintenance: merge(partials(S),
+    //      partials(Δ)) — the oracle recomputes from the full history, so
+    //      the hash match IS the mergeability proof
+    "q164_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val state = graft.operators.IncrementalAgg.partials(
+        ev.filter(pmod(col("event_id"), lit(3)) =!= 0), "event_type", "value")
+      val delta = graft.operators.IncrementalAgg.partials(
+        ev.filter(pmod(col("event_id"), lit(3)) === 0), "event_type", "value")
+      graft.operators.IncrementalAgg.render(
+        graft.operators.IncrementalAgg.merge(state, delta))
+    }),
+    // ---- Matryoshka truncation report: cosine structure surviving
+    //      prefix dims 4/8/16, native sequential-fold cosines, exact
+    //      9-dp-quantized deviation sums
+    "q165_matryoshka" -> ((s, dir) =>
+      graft.sim.Matryoshka.truncationReport(
+        Tables.embeddings(s, dir), "vec_id", "embedding", Seq(4, 8, 16))),
+    // ---- count-min point estimates for the event-type probe set
+    //      (engine-private hashing — no oracle; spec pins the one-sided
+    //      ε·N guarantee against exact counts)
+    "q166_cms_estimates" -> ((s, dir) =>
+      graft.operators.Sketches.cmsEstimates(
+        Tables.events(s, dir), "event_type",
+        Seq("view", "click", "purchase", "signup", "error"))),
     // ---- L4 sibling: gradient-boosted-tree importance over the windowed
     //      features, sufficient-statistics weighted fit (rows-only)
     "q161_gbt_importance" -> ((s, dir) => {
@@ -1902,6 +1959,53 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q162_stream_expectations" ->
+      """SELECT date_trunc('day', ts) AS window_start, count(*) AS n_checked,
+         CAST(sum(CASE WHEN value >= 0 AND value <= 100 THEN 0 ELSE 1 END) AS BIGINT) AS fail_value_range,
+         CAST(sum(CASE WHEN event_type IN ('view','click','purchase','signup','error') THEN 0 ELSE 1 END) AS BIGINT) AS fail_type_domain
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q163_interval_overlap" ->
+      """WITH act AS (SELECT user_id, date_trunc('day', ts) AS day,
+                epoch_us(min(ts)) // 1000000 AS a_start,
+                epoch_us(max(ts)) // 1000000 AS a_end
+              FROM events GROUP BY 1, 2),
+         err AS (SELECT event_id, epoch_us(ts) // 1000000 - 1800 AS b_start,
+                        epoch_us(ts) // 1000000 + 1800 AS b_end
+                 FROM events WHERE event_type = 'error')
+         SELECT act.user_id, count(*) AS n_overlaps
+         FROM act JOIN err ON act.a_start <= err.b_end AND err.b_start <= act.a_end
+         GROUP BY 1 ORDER BY 1""",
+    "q164_incremental_agg" ->
+      """SELECT event_type AS key, count(*) AS n,
+         round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0 AS total,
+         min(value) AS vmin, max(value) AS vmax
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q165_matryoshka" -> {
+      def dot(t: String, d: String) = {
+        val prod = t match {
+          case "ab" => "va[i] * vb[i]"
+          case "aa" => "va[i] * va[i]"
+          case _ => "vb[i] * vb[i]"
+        }
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$prod for i in range(1, $d + 1)]), (x, y) -> x + y)"
+      }
+      def cosSql(d: String) =
+        s"(${dot("ab", d)}) / (sqrt(${dot("aa", d)}) * sqrt(${dot("bb", d)}))"
+      val dims = Seq(4, 8, 16)
+      val sel = dims.map(d =>
+        s"SELECT $d AS dim, CAST(round(abs((${cosSql(d.toString)}) - cf) * 1000000000) AS BIGINT) AS dq, cq FROM p")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (SELECT a.v AS va, b.v AS vb,
+                 (${cosSql("len(va)")}) AS cf,
+                 CAST(round((${cosSql("len(va)")}) * 1000000000) AS BIGINT) AS cq
+               FROM e a JOIN e b ON a.vec_id % 2 = 0 AND b.vec_id = a.vec_id + 1),
+         u AS ($sel)
+         SELECT dim, count(*) AS n_pairs,
+           round(CAST(sum(dq) AS DOUBLE) / count(*) / 100000.0) / 10000.0 AS mean_abs_dcos,
+           round(CAST(sum(cq) AS DOUBLE) / count(*) / 100000.0) / 10000.0 AS mean_cos_full
+         FROM u GROUP BY 1 ORDER BY 1"""
+    },
     "q158_oov_rate" ->
       """WITH tok AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
          v AS (SELECT token FROM (SELECT token, count(*) AS c FROM tok GROUP BY 1 ORDER BY c DESC, token LIMIT 30)),

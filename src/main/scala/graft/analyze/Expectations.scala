@@ -41,4 +41,24 @@ object Expectations {
           col("n_checked"), 6))
       .orderBy(col("rule"))
   }
+
+  /** Tumbling-window wide form of the report — one row per window with a
+    * failure-count column per rule. Streaming-compatible (a plain
+    * windowed aggregation: runs under `readStream` with complete/update
+    * output as the live data-quality monitor; same single-scan shape in
+    * batch). */
+  def windowedWide(df: DataFrame, tsCol: String, windowDuration: String,
+                   rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    val aggs = count(lit(1)).as("n_checked") +:
+      rules.map { case (name, pred) =>
+        sum(when(pred, 0L).otherwise(1L)).as(s"fail_$name")
+      }
+    df.groupBy(window(col(tsCol), windowDuration).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+      .select(col("window_start") +: col("n_checked") +:
+        rules.map { case (n, _) => col(s"fail_$n") }: _*)
+  }
 }

@@ -51,7 +51,18 @@ object LabelPropagation {
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-    val und = sym.unionAll(sym.select(col("v").as("u"), col("u").as("v")))
+    // truncate ONCE: `und` joins into every round — without this the
+    // (possibly expensive) upstream edge derivation re-executes per round
+    val symT = truncate(sym)
+    // same conf-driven local-finisher contract as KCore/CC: a graph small
+    // enough to collect (≤2^17 edges ~2 MB) runs the IDENTICAL dynamics
+    // in memory instead of 2·nIter distributed shuffles; the spec pins
+    // local ≡ distributed
+    val localMax = edges.sparkSession.conf
+      .getOption("graft.lpa.localFinishEdges").map(_.toLong).getOrElse(1L << 17)
+    val nEdges = symT.count()
+    if (nEdges <= localMax) return localFinish(symT, nIter)
+    val und = symT.unionAll(symT.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
     // degree-seeded init over the CLOSED neighborhood: order by
     // (degree desc, self first, id asc), realized as max over a struct
@@ -78,6 +89,33 @@ object LabelPropagation {
           .select(col("id"), (-col("neg")).as("label")))
     }
     labels.orderBy(col("id"))
+  }
+
+  /** Exact in-memory run of the same seed + synchronous dynamics. */
+  private def localFinish(sym: DataFrame, nIter: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val pairs = sym.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    pairs.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.HashSet.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.HashSet.empty) += u
+    }
+    // seed: (degree desc, self first, id asc) over the closed neighborhood
+    var labels: Map[Long, Long] = adj.iterator.map { case (v, nb) =>
+      val best = (nb.iterator ++ Iterator(v)).maxBy(u =>
+        (adj(u).size.toLong, if (u == v) 1L else 0L, -u))
+      v -> best
+    }.toMap
+    for (_ <- 1 to nIter) {
+      labels = adj.iterator.map { case (v, nb) =>
+        val hist = nb.toSeq.map(labels).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size.toLong) }
+        v -> hist.maxBy { case (l, c) => (c, -l) }._1
+      }.toMap
+    }
+    labels.toSeq.sortBy(_._1).toDF("id", "label")
   }
 
   private def truncate(df: DataFrame): DataFrame =

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IncrementalAgg, IntervalJoin, Sketches}
+import graft.sim.Matryoshka
+
+/** Round-7 batch-5 additions: interval overlap join, incremental
+  * aggregate maintenance, Matryoshka truncation, count-min estimates. */
+class IncrementalIntervalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  // ------------------------------------------------------- interval join
+
+  test("overlapJoin equals the brute-force theta join, each pair once") {
+    import spark.implicits._
+    // deterministic pseudo-random intervals spanning multiple buckets
+    val a = (0 until 60).map { i =>
+      val s = (i * 733) % 5000L; (i.toLong, s, s + (i * 97) % 700L)
+    }.toDF("a_id", "a_start", "a_end")
+    val b = (0 until 60).map { i =>
+      val s = (i * 911) % 5000L; (i.toLong, s, s + (i * 53) % 400L)
+    }.toDF("b_id", "b_start", "b_end")
+    val got = IntervalJoin.overlapJoin(a, b, "a_start", "a_end",
+        "b_start", "b_end", 256L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = for {
+      (ai, as_, ae) <- a.as[(Long, Long, Long)].collect().toSeq
+      (bi, bs, be) <- b.as[(Long, Long, Long)].collect().toSeq
+      if as_ <= be && bs <= ae
+    } yield (ai, bi)
+    // exactly once: sequence equality after sort, not set equality
+    assert(got.sorted == brute.sorted)
+    assert(got.size == got.toSet.size)
+  }
+
+  test("overlapJoin handles touching endpoints and disjoint intervals") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 10L), (2L, 100L, 110L)).toDF("a_id", "a_start", "a_end")
+    val b = Seq((1L, 10L, 20L), (2L, 111L, 120L)).toDF("b_id", "b_start", "b_end")
+    val got = IntervalJoin.overlapJoin(a, b, "a_start", "a_end",
+        "b_start", "b_end", 7L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L))) // endpoint touch joins; disjoint does not
+  }
+
+  // ---------------------------------------------------- incremental agg
+
+  test("merge of partials equals partials of the union, exactly") {
+    import spark.implicits._
+    val full = (0 until 500).map(i =>
+      (s"k${i % 7}", (i * 13 % 101) + 0.37)).toDF("k", "v")
+    val s1 = full.filter(expr("pmod(crc32(cast(v as string)), 2) = 0"))
+    val s2 = full.except(s1)
+    val merged = IncrementalAgg.render(IncrementalAgg.merge(
+      IncrementalAgg.partials(s1, "k", "v"),
+      IncrementalAgg.partials(s2, "k", "v")))
+    val direct = IncrementalAgg.render(IncrementalAgg.partials(full, "k", "v"))
+    assert(merged.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("merge with keys present on only one side keeps them intact") {
+    import spark.implicits._
+    val s1 = Seq(("a", 1.0), ("a", 2.0)).toDF("k", "v")
+    val s2 = Seq(("b", 5.0)).toDF("k", "v")
+    val got = IncrementalAgg.render(IncrementalAgg.merge(
+        IncrementalAgg.partials(s1, "k", "v"),
+        IncrementalAgg.partials(s2, "k", "v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("a", 2L, 3.0, 1.0, 2.0), ("b", 1L, 5.0, 5.0, 5.0)))
+  }
+
+  // ------------------------------------------------------- matryoshka
+
+  test("truncation at the full width reports zero cosine deviation") {
+    import spark.implicits._
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat / 3f))
+    }.toDF("vec_id", "embedding")
+    val got = Matryoshka.truncationReport(vecs, "vec_id", "embedding", Seq(4, 8))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got.map(_._1) == List(4, 8))
+    assert(got.forall(_._2 == 10L))
+    assert(got(1)._3 == 0.0)     // d = full width → identical cosine
+    assert(got(0)._3 > 0.0)      // d = 4 loses structure on this data
+  }
+
+  // -------------------------------------------------------------- cms
+
+  test("count-min estimates obey the one-sided epsilon-N guarantee") {
+    import spark.implicits._
+    val df = (0 until 3000).map(i => s"k${i % 11}").toDF("k")
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = exact.keys.toSeq.sorted
+    val got = Sketches.cmsEstimates(df, "k", probes, eps = 0.01)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (k, est, total) =>
+      assert(total == 3000L)
+      assert(est >= exact(k), s"$k undercount")
+      assert(est <= exact(k) + math.ceil(0.01 * 3000).toLong, s"$k overcount")
+    }
+  }
+}

@@ -134,6 +134,21 @@ class PatternMiningSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("label propagation: local finisher ≡ distributed dynamics") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 1L)).toDF("a", "b")
+    val local = LabelPropagation.run(edges, "a", "b", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    spark.conf.set("graft.lpa.localFinishEdges", "0")
+    try {
+      val dist = LabelPropagation.run(edges, "a", "b", 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(local == dist)
+    } finally spark.conf.unset("graft.lpa.localFinishEdges")
+  }
+
   test("label propagation is invariant to input partitioning") {
     import spark.implicits._
     val edges = (1L to 40L).flatMap(i => Seq((i, i % 20 + 100L)))
