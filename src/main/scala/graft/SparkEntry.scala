@@ -138,6 +138,29 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- per-group OLS trend lines: exact DECIMAL moment sums over
+    //      centered integer seconds, closed form in double at the end
+    "q167_trend_lines" -> ((s, dir) =>
+      graft.analyze.Trend.trendLines(
+        Tables.events(s, dir), "event_type", "ts", "value")),
+    // ---- cohort LTV curve: Monday-week cohorts, integer week indices,
+    //      exact revenue sums cumulated on the cohorts×weeks frame
+    "q168_cohort_ltv" -> ((s, dir) =>
+      graft.analyze.Cohort.ltvCurve(
+          Tables.events(s, dir), "user_id", "ts", "value",
+          col("event_type") === "purchase")
+        .withColumn("cohort_week", col("cohort_week").cast("date"))),
+    // ---- lag-1 autocorrelation of daily totals: corpus folds to
+    //      (group, day) once; lags and exact moments on the small frame
+    "q169_autocorr" -> ((s, dir) =>
+      graft.analyze.Trend.lagAutocorr(
+        Tables.events(s, dir), "event_type", "ts", "value")),
+    // ---- join-size estimate WITHOUT the join: multiplicity histograms
+    //      meet on the key; Σ ca·cb is the exact inner cardinality
+    "q170_join_size" -> ((s, dir) =>
+      graft.operators.JoinStats.innerJoinSize(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        "l_orderkey", "o_orderkey")),
     // ---- streaming data-quality monitor: the q155 expectations as a
     //      tumbling-window wide report under genuine streaming execution
     "q162_stream_expectations" -> ((s, dir) => {
@@ -1959,6 +1982,57 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q167_trend_lines" ->
+      """WITH m AS (SELECT event_type, min(epoch_us(ts) // 1000000) AS t0 FROM events GROUP BY 1),
+         q AS (SELECT e.event_type, epoch_us(e.ts) // 1000000 - m.t0 AS xc, CAST(round(value * 1000000) AS BIGINT) AS yq
+               FROM events e JOIN m ON e.event_type = m.event_type),
+         s AS (SELECT event_type, count(*) AS n, sum(CAST(xc AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+                      sum(CAST(xc AS HUGEINT) * yq) AS sxy, sum(CAST(xc AS HUGEINT) * xc) AS sxx
+               FROM q GROUP BY 1)
+         SELECT event_type, n,
+           round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * 86400.0 / 1000000.0 END, 6) + 0.0 AS slope_per_day,
+           round(CAST(sy AS DOUBLE) / n / 1000000.0, 6) AS mean_val
+         FROM s ORDER BY 1""",
+    "q168_cohort_ltv" ->
+      """WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY 1),
+         r AS (SELECT c.cohort_week,
+                      date_diff('day', CAST(c.cohort_week AS DATE), CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_k,
+                      CAST(round(e.value * 1000000) AS BIGINT) AS vq
+               FROM events e JOIN c ON e.user_id = c.user_id WHERE e.event_type = 'purchase'),
+         g AS (SELECT cohort_week, CAST(week_k AS BIGINT) AS week_k, sum(vq) AS rq FROM r GROUP BY 1, 2)
+         SELECT CAST(cohort_week AS DATE) AS cohort_week, week_k,
+                round(CAST(rq AS DOUBLE) / 10000.0) / 100.0 AS revenue,
+                round(CAST(sum(rq) OVER (PARTITION BY cohort_week ORDER BY week_k) AS DOUBLE) / 10000.0) / 100.0 AS cum_revenue
+         FROM g ORDER BY 1, 2""",
+    "q169_autocorr" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day, sum(CAST(round(value * 1000000) AS BIGINT)) AS yq FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, yq, lag(yq, 1) OVER (PARTITION BY event_type ORDER BY day) AS yprev FROM daily),
+         f AS (SELECT * FROM p WHERE yprev IS NOT NULL),
+         s AS (SELECT event_type, count(*) AS n, sum(CAST(yq AS HUGEINT)) AS sa, sum(CAST(yprev AS HUGEINT)) AS sb,
+                      sum(CAST(yq AS HUGEINT) * yprev) AS sab, sum(CAST(yq AS HUGEINT) * yq) AS saa,
+                      sum(CAST(yprev AS HUGEINT) * yprev) AS sbb
+               FROM f GROUP BY 1)
+         SELECT event_type, n AS n_days,
+           round(CASE WHEN CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+                       AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) END, 6) + 0.0 AS autocorr
+         FROM s ORDER BY 1""",
+    "q170_join_size" ->
+      """WITH a AS (SELECT l_orderkey AS key, count(*) AS ca FROM lineitem GROUP BY 1),
+         b AS (SELECT o_orderkey AS key, count(*) AS cb FROM orders GROUP BY 1),
+         j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb FROM a FULL OUTER JOIN b ON a.key = b.key)
+         SELECT CAST(sum(ca) AS BIGINT) AS n_left, CAST(sum(cb) AS BIGINT) AS n_right,
+                CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched_keys,
+                CAST(sum(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS left_only_keys,
+                CAST(sum(CASE WHEN ca = 0 THEN 1 ELSE 0 END) AS BIGINT) AS right_only_keys,
+                CAST(sum(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS est_inner_rows,
+                CAST(max(ca * cb) AS BIGINT) AS max_key_contrib
+         FROM j""",
     "q162_stream_expectations" ->
       """SELECT date_trunc('day', ts) AS window_start, count(*) AS n_checked,
          CAST(sum(CASE WHEN value >= 0 AND value <= 100 THEN 0 ELSE 1 END) AS BIGINT) AS fail_value_range,
