@@ -138,6 +138,34 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- Benford first-digit conformance: digit from the DECIMAL STRING
+    //      of the quantized value (log-free — a log10 ulp can flip digits
+    //      at power-of-ten boundaries), expectations as literals
+    "q171_benford" -> ((s, dir) =>
+      graft.analyze.Concentration.benfordReport(
+        Tables.events(s, dir), "value")),
+    // ---- per-group Gini concentration: exact rank formulation over
+    //      quantized longs, (value, tie) total order pins the tie
+    //      convention, DECIMAL rank-product sums
+    "q172_gini" -> ((s, dir) =>
+      graft.analyze.Concentration.gini(
+        Tables.events(s, dir), "event_type", "value", "event_id")),
+    // ---- per-day session stats (composition: q44's sessionize feeding a
+    //      rollup): session counts, bounce rate, exact mean duration
+    "q173_session_stats" -> ((s, dir) => {
+      val sess = Temporal.sessionize(Tables.events(s, dir), "user_id", "ts", 1800L)
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"),
+          count(lit(1)).as("n"))
+        .groupBy(date_trunc("day", col("st")).as("day"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          round(sum(when(col("n") === 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 4).as("bounce_rate"),
+          round(sum(unix_micros(col("en")) - unix_micros(col("st")))
+            .cast("double") / count(lit(1)) / 1e6, 2).as("mean_duration_sec"))
+        .orderBy(col("day"))
+    }),
     // ---- per-group OLS trend lines: exact DECIMAL moment sums over
     //      centered integer seconds, closed form in double at the end
     "q167_trend_lines" -> ((s, dir) =>
@@ -1982,6 +2010,35 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q171_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(value * 1000000) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM events WHERE value > 0),
+         g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         t AS (SELECT sum(n) AS tot FROM g)
+         SELECT digit, n, round(CAST(n AS DOUBLE) / tot, 4) AS share,
+           CAST(CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
+            WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+            WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END AS DOUBLE) AS benford
+         FROM g, t ORDER BY digit""",
+    "q172_gini" ->
+      """WITH q AS (SELECT event_type AS g, event_id AS tie, CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+         r AS (SELECT g, vq, row_number() OVER (PARTITION BY g ORDER BY vq, tie) AS i FROM q),
+         s AS (SELECT g AS event_type, count(*) AS n, sum(CAST(vq AS HUGEINT)) AS sx,
+                      sum(CAST(i AS HUGEINT) * vq) AS six FROM r GROUP BY 1)
+         SELECT event_type, n,
+           round(CASE WHEN sx > 0 THEN (2.0 * CAST(six AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                                       / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END, 4) + 0.0 AS gini
+         FROM s ORDER BY 1""",
+    "q173_session_stats" ->
+      """WITH o AS (SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id FROM o),
+         g AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en, count(*) AS n FROM s GROUP BY 1, 2)
+         SELECT date_trunc('day', st) AS day, count(*) AS n_sessions,
+                round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS bounce_rate,
+                round(CAST(sum(epoch_us(en) - epoch_us(st)) AS DOUBLE) / count(*) / 1000000.0, 2) AS mean_duration_sec
+         FROM g GROUP BY 1 ORDER BY 1""",
     "q167_trend_lines" ->
       """WITH m AS (SELECT event_type, min(epoch_us(ts) // 1000000) AS t0 FROM events GROUP BY 1),
          q AS (SELECT e.event_type, epoch_us(e.ts) // 1000000 - m.t0 AS xc, CAST(round(value * 1000000) AS BIGINT) AS yq

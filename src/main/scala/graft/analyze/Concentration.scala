@@ -1,0 +1,72 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributional forensics: Benford first-digit conformance and the Gini
+  * concentration coefficient — the "does this column look organic, and
+  * how skewed is the mass" pair a data-quality pass runs next to the
+  * expectations gate ([[Expectations]]) and the skew report
+  * ([[graft.operators.Skew]]).
+  *
+  * Both are engine-portable by integer construction:
+  *  - Benford's first digit comes from the DECIMAL STRING of the 6-dp
+    *  quantized value — never `floor(x/10^floor(log10 x))`, whose last-ulp
+    *  log differences can flip a digit at power-of-ten boundaries;
+  *  - Gini uses the exact rank formulation
+  *    `(2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)` over quantized longs with
+  *    DECIMAL rank-product sums, ties pinned by `(value, tie)` total
+  *    order (the classic sorted-rank estimator is tie-order-dependent;
+  *    pinning the order makes it a deterministic convention).
+  */
+object Concentration {
+
+  /** Per-first-digit observed share vs Benford expectation (4 dp) over
+    * positive values: `(digit, n, share, benford)`. */
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
+    val vq = round(col(valueCol) * lit(1000000)).cast("long")
+    val digits = df.filter(col(valueCol) > 0)
+      .select(substring(vq.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    // Benford P(d) = log10(1 + 1/d), emitted as literals so no engine's
+    // log implementation enters the comparison
+    val benford = Map(1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.09691, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    val bcol = benford.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, p).otherwise(acc)
+    }
+    digits
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(w), 4))
+      .withColumn("benford", bcol)
+      .orderBy(col("digit"))
+  }
+
+  /** Per-group Gini coefficient (4 dp) of non-negative `valueCol`:
+    * `(group, n, gini)`. 0 = perfectly equal, →1 = all mass on one row. */
+  def gini(df: DataFrame, groupCol: String, valueCol: String,
+           tieCol: String): DataFrame = {
+    val vq = round(col(valueCol) * lit(1000000)).cast("long")
+    val wg = Window.partitionBy(col("g")).orderBy(col("vq"), col("tie"))
+    val ranked = df
+      .select(col(groupCol).as("g"), col(tieCol).as("tie"), vq.as("vq"))
+      .withColumn("i", row_number().over(wg))
+    ranked.groupBy(col("g").as(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vq").cast("decimal(19,0)")).as("sx"),
+        sum(col("i").cast("decimal(19,0)") * col("vq").cast("decimal(19,0)"))
+          .as("six"))
+      .select(col(groupCol), col("n"),
+        round(
+          when(col("sx") > 0,
+            (lit(2.0) * col("six").cast("double") -
+              (col("n") + 1).cast("double") * col("sx").cast("double")) /
+            (col("n").cast("double") * col("sx").cast("double"))), 4)
+          .as("gini"))
+      .orderBy(col(groupCol))
+  }
+}
