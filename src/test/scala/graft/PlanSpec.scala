@@ -123,4 +123,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"cut-table join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no sort-merge expected:\n$p")
   }
+
+  test("q163: interval overlap is a bucket EQUI-join, never a nested loop") {
+    val p = plan("q163_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketization must prevent the theta-join nested loop:\n$p")
+  }
+
+  test("q170: join-size estimate only ever joins the key histograms") {
+    val p = plan("q170_join_size")
+    // two pre-aggregation shuffles; the full-outer merge REUSES their
+    // partitioning (no third key exchange before the join)
+    val hash = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 2, s"expected exactly the two histogram shuffles, got $hash:\n$p")
+  }
+
+  test("q167: trend centering joins the per-group min frame by broadcast") {
+    val p = plan("q167_trend_lines")
+    assert(p.contains("BroadcastHashJoin"), s"mins join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge expected:\n$p")
+  }
+
+  test("q149: EWMA plans one key shuffle plus the result ordering only") {
+    val p = plan("q149_ewma")
+    val hash = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 1, s"one window shuffle promised, got $hash:\n$p")
+  }
 }
