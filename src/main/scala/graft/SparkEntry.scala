@@ -138,6 +138,30 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- TextRank keywords (Mihalcea 2004): PageRank over the adjacent-
+    //      token co-occurrence graph — q97's engine composed with the text
+    //      layer; dense vocab ids keep node keys numeric (rows-only:
+    //      iterative float flow has no SQL twin)
+    "q174_textrank" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(graft.text.TextAnalysis.tokens(col("text")))
+          .as(Seq("pos", "token")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val pairs = tok
+        .withColumn("prev", lag(col("token"), 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= col("token"))
+      // deterministic dense ids; the vocab frame is small by construction
+      val vocab = tok.select(col("token")).distinct()
+        .withColumn("id", row_number().over(Window.orderBy(col("token"))).cast("long"))
+      val edges = pairs
+        .join(vocab.select(col("token").as("prev"), col("id").as("src")), "prev")
+        .join(vocab.select(col("token"), col("id").as("dst")), "token")
+        .select(col("src"), col("dst"))
+      graft.graph.PageRank.run(edges, "src", "dst", iters = 10)
+        .join(vocab.withColumnRenamed("id", "node"), "node")
+        .select(col("token"), round(col("rank") * 1000, 4).as("rank_x1000"))
+        .orderBy(desc("rank_x1000"), col("token")).limit(20)
+    }),
     // ---- Benford first-digit conformance: digit from the DECIMAL STRING
     //      of the quantized value (log-free — a log10 ulp can flip digits
     //      at power-of-ten boundaries), expectations as literals

@@ -52,13 +52,16 @@ object Trend {
         sum(xprod(col("xc"), col("yq"))).as("sxy"),
         sum(xprod(col("xc"), col("xc"))).as("sxx"))
       .select(col(groupCol), col("n"),
-        round(
-          when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+        round({
+          // guard in DOUBLE, same as the oracle: a decimal (38,0)² guard
+          // product can overflow and costs far more codegen
+          val den = col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")
+          when(den =!= 0,
             (col("n").cast("double") * col("sxy").cast("double") -
-              col("sx").cast("double") * col("sy").cast("double")) /
-            (col("n").cast("double") * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double")) *
-            lit(86400.0) / lit(1000000.0)), 6).as("slope_per_day"),
+              col("sx").cast("double") * col("sy").cast("double")) / den *
+            lit(86400.0) / lit(1000000.0))
+        }, 6).as("slope_per_day"),
         round(col("sy").cast("double") / col("n") / lit(1000000.0), 6)
           .as("mean_val"))
       .orderBy(col(groupCol))

@@ -44,4 +44,18 @@ object IntervalJoin {
         floor(greatest(col(aStart), col(bStart)) / bucketSeconds).cast("long"))
       .drop("__bucket")
   }
+
+  /** [[overlapJoin]] with the bucket width chosen FROM THE DATA: the
+    * median span of both sides (GK sketch — one cheap pass), clamped to
+    * ≥ 1 s. Median, not mean: one giant outlier interval must not widen
+    * every bucket (it only widens its own replication). */
+  def overlapJoinAuto(a: DataFrame, b: DataFrame,
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String): DataFrame = {
+    val spans = a.select((col(aEnd) - col(aStart)).cast("double").as("s"))
+      .unionAll(b.select((col(bEnd) - col(bStart)).cast("double").as("s")))
+    val med = spans.stat.approxQuantile("s", Array(0.5), 0.01).head
+    overlapJoin(a, b, aStart, aEnd, bStart, bEnd,
+      math.max(1L, math.round(med)))
+  }
 }
