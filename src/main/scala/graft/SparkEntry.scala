@@ -138,6 +138,26 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- leave-one-out target encoding (Micci-Barrecca 2001): exact
+    //      integer sums, LOO as algebra not a loop, broadcast stats
+    "q175_target_encode" -> ((s, dir) =>
+      graft.ml.Encoding.targetEncodeLoo(
+          Tables.events(s, dir), "event_type", col("value") > 50)
+        .select(col("event_id"), col("event_type"), col("target_enc"))
+        .orderBy(col("event_id"))),
+    // ---- k-anonymity audit (Sweeney 2002): equivalence classes of the
+    //      (type, day, value-band) quasi-identifier tuple — one hash agg
+    //      + 1-row rollup; band from integer division of the quantized
+    //      value, no float boundary
+    "q176_k_anonymity" -> ((s, dir) =>
+      graft.analyze.Privacy.kAnonymityReport(Tables.events(s, dir), Seq(
+        col("event_type"), date_trunc("day", col("ts")),
+        expr("cast(round(value * 1000000) as bigint) div 100000000")), 5L)),
+    // ---- temporal train/test split audit: rank cut on the (ts, tie)
+    //      total order, leakage invariant RE-DERIVED from the data
+    "q177_temporal_split" -> ((s, dir) =>
+      graft.analyze.TemporalSplit.auditReport(
+        Tables.events(s, dir), "ts", "event_id", 0.8)),
     // ---- TextRank keywords (Mihalcea 2004): PageRank over the adjacent-
     //      token co-occurrence graph — q97's engine composed with the text
     //      layer; dense vocab ids keep node keys numeric (rows-only:
@@ -2034,6 +2054,31 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q175_target_encode" ->
+      """WITH y AS (SELECT event_id, event_type, CASE WHEN value > 50 THEN 1 ELSE 0 END AS y FROM events),
+         s AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy FROM y GROUP BY 1),
+         g AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM y)
+         SELECT y.event_id, y.event_type,
+                round((s.sy - y.y + 10.0 * g.prior) / (s.n - 1 + 10.0), 6) AS target_enc
+         FROM y JOIN s ON y.event_type = s.event_type, g ORDER BY y.event_id""",
+    "q176_k_anonymity" ->
+      """WITH c AS (SELECT count(*) AS n
+           FROM events
+           GROUP BY event_type, date_trunc('day', ts), CAST(round(value * 1000000) AS BIGINT) // 100000000)
+         SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_classes,
+                min(n) AS k_min,
+                CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+                CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k
+         FROM c""",
+    "q177_temporal_split" ->
+      """WITH r AS (SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn, count(*) OVER () AS n FROM events),
+         s AS (SELECT ts, CASE WHEN rn <= CAST(floor(n * 0.8) AS BIGINT) THEN 'train' ELSE 'test' END AS split FROM r)
+         SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+                max(CASE WHEN split = 'train' THEN ts END) AS train_end,
+                min(CASE WHEN split = 'test' THEN ts END) AS test_start,
+                max(CASE WHEN split = 'train' THEN ts END) <= min(CASE WHEN split = 'test' THEN ts END) AS no_leakage
+         FROM s""",
     "q171_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(round(value * 1000000) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
            FROM events WHERE value > 0),
