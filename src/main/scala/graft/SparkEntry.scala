@@ -138,6 +138,12 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- split conformal intervals (Vovk 2005): exact integer rank
+    //      selection of q̂ (|v·n − Σv| ranks like |v − mean| without the
+    //      float mean), coverage re-measured on the held-out half
+    "q178_conformal" -> ((s, dir) =>
+      graft.ml.Conformal.splitConformal(
+        Tables.events(s, dir), "event_type", "event_id", "value", 0.9)),
     // ---- leave-one-out target encoding (Micci-Barrecca 2001): exact
     //      integer sums, LOO as algebra not a loop, broadcast stats
     "q175_target_encode" -> ((s, dir) =>
@@ -2054,6 +2060,20 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q178_conformal" ->
+      """WITH base AS (SELECT event_type AS g, event_id AS id, CAST(round(value * 1000000) AS BIGINT) AS vq, event_id % 2 AS par FROM events),
+         calib AS (SELECT * FROM base WHERE par = 0),
+         ev AS (SELECT * FROM base WHERE par = 1),
+         pred AS (SELECT g, CAST(sum(vq) AS BIGINT) AS sv, count(*) AS nc FROM calib GROUP BY 1),
+         scored AS (SELECT c.g, c.id, abs(c.vq * p.nc - p.sv) AS resn, p.nc FROM calib c JOIN pred p ON c.g = p.g),
+         r AS (SELECT g, resn, row_number() OVER (PARTITION BY g ORDER BY resn, id) AS rn, nc FROM scored),
+         qh AS (SELECT g, resn AS qn FROM r WHERE rn = CAST(ceil((nc + 1) * 0.9) AS BIGINT))
+         SELECT e.g AS event_type, max(p.nc) AS n_calib,
+                round(max(CAST(p.sv AS DOUBLE) / p.nc) / 1000000.0, 4) AS pred,
+                round(max(CAST(q.qn AS DOUBLE) / p.nc) / 1000000.0, 4) AS qhat,
+                round(CAST(sum(CASE WHEN abs(e.vq * p.nc - p.sv) <= q.qn THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS coverage
+         FROM ev e JOIN pred p ON e.g = p.g JOIN qh q ON e.g = q.g
+         GROUP BY 1 ORDER BY 1""",
     "q175_target_encode" ->
       """WITH y AS (SELECT event_id, event_type, CASE WHEN value > 50 THEN 1 ELSE 0 END AS y FROM events),
          s AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy FROM y GROUP BY 1),
