@@ -138,6 +138,19 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- strongly-connected components of the directed user-interaction
+    //      graph (q97's edges): Kosaraju local finisher / FW-BW+trim
+    //      distributed — min-id component labels (rows-only: fixpoint)
+    "q179_scc" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val edges = Tables.events(s, dir)
+        .withColumn("prev_user", lag(col("user_id"), 1).over(w))
+        .filter(col("prev_user").isNotNull && col("prev_user") =!= col("user_id"))
+        .select(col("prev_user").as("src"), col("user_id").as("dst"))
+      graft.graph.Scc.components(edges, "src", "dst")
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .orderBy(desc("size"), col("component")).limit(20)
+    }),
     // ---- split conformal intervals (Vovk 2005): exact integer rank
     //      selection of q̂ (|v·n − Σv| ranks like |v − mean| without the
     //      float mean), coverage re-measured on the held-out half

@@ -54,6 +54,24 @@ object Skew {
     * diagnostic norm); `exact = false` swaps in `approx_percentile`
     * (mergeable GK sketch, bounded memory) for billion-key corpora —
     * the same exact/sketch toggle as [[graft.analyze.Profile]]. */
+  /** [[saltedJoin]] with the salt factor chosen FROM THE DATA: the
+    * fact side's max/mean key-group ratio, clamped to [1, maxSalts].
+    * Ratio ≤ 2 → no salting (the plain join wins — replication is not
+    * free); beyond that, salt ≈ the skew ratio so the hottest key's
+    * partitions land near the mean. One cheap count-aggregate decides. */
+  def autoSaltedJoin(fact: DataFrame, dim: DataFrame,
+                     factKey: String, dimKey: String,
+                     maxSalts: Int = 64): DataFrame = {
+    val stats = fact.groupBy(col(factKey)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).cast("double").as("mx"),
+        avg(col("n")).as("mean"))
+      .head()
+    val ratio = stats.getDouble(0) / math.max(stats.getDouble(1), 1e-9)
+    if (ratio <= 2.0) fact.join(dim, fact(factKey) === dim(dimKey))
+    else saltedJoin(fact, dim, factKey, dimKey,
+      math.min(maxSalts, math.ceil(ratio).toInt))
+  }
+
   def keyReport(df: DataFrame, keyCol: String,
                 exact: Boolean = true): DataFrame = {
     def pct(p: Double): Column =
