@@ -138,6 +138,95 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- SQL surface: LATERAL VIEW explode + correlated EXISTS — the
+    //      spark.sql front door over the same tables (q41's sibling for
+    //      nested/correlated shapes)
+    "q184_sql_lateral" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT t.token, count(*) AS n
+        FROM documents_v d
+        LATERAL VIEW explode(split(lower(trim(d.text)), '\\s+')) t AS token
+        WHERE length(t.token) >= 6
+          AND EXISTS (SELECT 1 FROM events_v e
+                      WHERE e.user_id = d.doc_id % 100 AND e.event_type = 'purchase')
+        GROUP BY t.token
+        ORDER BY n DESC, t.token
+        LIMIT 20""")
+    }),
+    // ---- Pareto contribution cut ("which sources cover 80% of the
+    //      mass"): exact 6-dp totals, cumulative share on the
+    //      |groups|-row frame, boundary group INCLUDED (first group whose
+    //      running share reaches the cut)
+    "q185_pareto" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(round(col("value") * lit(1000000)).cast("long")).as("vq"))
+      val w = Window.orderBy(col("vq").desc, col("event_type"))
+        .rowsBetween(Long.MinValue, 0)
+      val tot = per.agg(sum(col("vq")).as("tq"))
+      // cumulative over the groups-frame (5 rows), never the corpus
+      per.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("vq")).over(w))
+        .select(col("event_type"),
+          (round(col("vq").cast("double") / 10000.0) / 100.0).as("revenue"),
+          round(col("cum").cast("double") / col("tq"), 6).as("cum_share"),
+          (lag(col("cum"), 1, 0L).over(
+            Window.orderBy(col("vq").desc, col("event_type"))).cast("double") /
+            col("tq") < 0.8).as("in_top80"))
+        .orderBy(col("cum_share"))
+    }),
+    // ---- SLO burn rate: per-day error share against a 99% objective,
+    //      burn = rate/budget, windows burning >1× flagged
+    "q186_slo_burn" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+        .withColumn("error_rate",
+          round(col("errors").cast("double") / col("n"), 6))
+        .withColumn("burn_rate",
+          round(col("errors").cast("double") / col("n") / lit(0.01), 4))
+        .withColumn("burning",
+          col("errors").cast("double") / col("n") > 0.01)
+        .orderBy(col("day"))),
+    // ---- growth accounting: active/new/returning/cumulative users per
+    //      day — "new" from each user's FIRST day (min-agg), cumulative
+    //      on the days-frame
+    "q182_growth_accounting" -> ((s, dir) =>
+      graft.analyze.Growth.dailyAccounting(
+        Tables.events(s, dir), "user_id", "ts")),
+    // ---- RFM quintile segmentation: exact integer bucket arithmetic on
+    //      range-partitioned global ranks (never a SinglePartition window,
+    //      never ntile) — 125-row census however large the user base
+    "q183_rfm" -> ((s, dir) =>
+      graft.analyze.Growth.rfmSegments(
+        Tables.events(s, dir), "user_id", "ts", "value",
+        col("event_type") === "purchase")),
+    // ---- personalized PageRank from a pinned seed set: teleport AND
+    //      dangling mass return to the seeds — proximity ranking, zeros
+    //      off the reachable set (rows-only: iterative float flow)
+    "q180_ppr" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val edges = Tables.events(s, dir)
+        .withColumn("prev_user", lag(col("user_id"), 1).over(w))
+        .filter(col("prev_user").isNotNull && col("prev_user") =!= col("user_id"))
+        .select(col("prev_user").as("src"), col("user_id").as("dst"))
+      graft.graph.PersonalizedPageRank.run(edges, "src", "dst",
+          seeds = Seq(0L, 1L, 2L), iters = 10)
+        .select(col("node"), round(col("rank") * 1000, 4).as("rank_x1000"))
+        .orderBy(desc("rank_x1000"), col("node")).limit(20)
+    }),
+    // ---- product quantization (Jégou 2011): m=8 × k=16 codebooks over
+    //      the 64-dim embeddings, per-subspace reconstruction MSE —
+    //      ONE distributed pass per Lloyd iteration for all subspaces
+    //      (rows-only: float centroid means are partition-order floats)
+    "q181_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = graft.sim.ProductQuantize.train(e, "vec_id", "embedding", 8, 16)
+      graft.sim.ProductQuantize.mseReport(e, "vec_id", "embedding", cb)
+    }),
     // ---- strongly-connected components of the directed user-interaction
     //      graph (q97's edges): Kosaraju local finisher / FW-BW+trim
     //      distributed — min-id component labels (rows-only: fixpoint)
@@ -2073,6 +2162,51 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q184_sql_lateral" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents) t
+         WHERE length(token) >= 6
+           AND EXISTS (SELECT 1 FROM events e WHERE e.user_id = t.doc_id % 100 AND e.event_type = 'purchase')
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "q185_pareto" ->
+      """WITH per AS (SELECT event_type, CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS vq FROM events GROUP BY 1),
+         tot AS (SELECT sum(vq) AS tq FROM per),
+         c AS (SELECT event_type, vq,
+                      CAST(sum(vq) OVER (ORDER BY vq DESC, event_type ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                      CAST(coalesce(sum(vq) OVER (ORDER BY vq DESC, event_type ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prevcum
+               FROM per)
+         SELECT event_type,
+                round(CAST(vq AS DOUBLE) / 10000.0) / 100.0 AS revenue,
+                round(CAST(cum AS DOUBLE) / tq, 6) AS cum_share,
+                CAST(prevcum AS DOUBLE) / tq < 0.8 AS in_top80
+         FROM c, tot ORDER BY cum_share""",
+    "q186_slo_burn" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+         round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS error_rate,
+         round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) / 0.01, 4) AS burn_rate,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) > 0.01 AS burning
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q182_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day FROM events),
+         fd AS (SELECT u, min(day) AS fd FROM ud GROUP BY 1),
+         d AS (SELECT day, count(*) AS n_active,
+                      CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+               FROM ud JOIN fd ON ud.u = fd.u GROUP BY 1)
+         SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+                CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+         FROM d ORDER BY day""",
+    "q183_rfm" ->
+      """WITH per AS (SELECT user_id AS u, max(epoch_us(ts)) AS last_ts, count(*) AS freq,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS mon
+              FROM events GROUP BY 1),
+         q AS (SELECT u,
+                      ((row_number() OVER (ORDER BY last_ts, u) - 1) * 5) // (count(*) OVER ()) + 1 AS r,
+                      ((row_number() OVER (ORDER BY freq, u) - 1) * 5) // (count(*) OVER ()) + 1 AS f,
+                      ((row_number() OVER (ORDER BY mon, u) - 1) * 5) // (count(*) OVER ()) + 1 AS m
+               FROM per)
+         SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m, count(*) AS n_users
+         FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q178_conformal" ->
       """WITH base AS (SELECT event_type AS g, event_id AS id, CAST(round(value * 1000000) AS BIGINT) AS vq, event_id % 2 AS par FROM events),
          calib AS (SELECT * FROM base WHERE par = 0),
