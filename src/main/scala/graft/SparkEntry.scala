@@ -138,6 +138,34 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- language-mix rebalancing APPLY (the enforcement of q67's
+    //      weights): water-filling by the binding group, per-group
+    //      portable-hash rank selection — the mix is exact, membership
+    //      replays on any engine
+    "q187_lang_rebalance" -> ((s, dir) =>
+      graft.operators.Rebalance.toTargetMix(
+          Tables.documents(s, dir), "lang", "doc_id",
+          Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15,
+            "zh" -> 0.15))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+    // ---- token-budget corpus trim: greedy by (quality desc, id), running
+    //      total via range-partitioned offsets — never a SinglePartition
+    //      cumsum wall
+    "q188_token_budget" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Rebalance.tokenBudgetTrim(
+          d, "doc_id", "quality", "n_tokens", 10000L)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- churn-label engineering: (user, week) frame, lead-based
+    //      "silent next week" labels, censoring guard on the horizon week
+    "q189_churn_labels" -> ((s, dir) =>
+      graft.analyze.ChurnLabels.weekly(
+        Tables.events(s, dir), "user_id", "ts")),
     // ---- SQL surface: LATERAL VIEW explode + correlated EXISTS — the
     //      spark.sql front door over the same tables (q41's sibling for
     //      nested/correlated shapes)
@@ -2162,6 +2190,42 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q187_lang_rebalance" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         sh AS (SELECT * FROM (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)) s(lang, share)),
+         j AS (SELECT c.lang, c.n, CAST(sh.share AS DOUBLE) AS share FROM counts c JOIN sh ON c.lang = sh.lang),
+         m AS (SELECT min(floor(n / share)) AS m FROM j),
+         q AS (SELECT lang, CAST(round(share * m.m) AS BIGINT) AS k FROM j, m),
+         r AS (SELECT doc_id, d.lang,
+                      row_number() OVER (PARTITION BY d.lang
+                        ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn
+               FROM documents d)
+         SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang WHERE rn <= q.k ORDER BY doc_id""",
+    "q188_token_budget" ->
+      """WITH d AS (SELECT doc_id,
+           round((
+             least(len(string_split_regex(lower(trim(text)), '\s+')), 50) / 50.0
+             + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                    / greatest(length(text), 1))
+             + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0
+               / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+           ) / 3.0, 4) AS q,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      sum(n_tokens) OVER (ORDER BY q DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM d)
+         SELECT doc_id, n_tokens FROM c WHERE cum <= 10000 ORDER BY doc_id""",
+    "q189_churn_labels" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS "user", date_trunc('week', ts) AS week FROM events),
+         h AS (SELECT max(week) AS hh FROM uw),
+         l AS (SELECT "user", week, row_number() OVER (PARTITION BY "user" ORDER BY week) AS na,
+                      lead(week, 1) OVER (PARTITION BY "user" ORDER BY week) AS nxt
+               FROM uw)
+         SELECT "user", week, CAST(na AS BIGINT) AS n_weeks_active_so_far,
+                (nxt IS NULL OR date_diff('day', CAST(week AS DATE), CAST(nxt AS DATE)) > 7) AS churned
+         FROM l, h WHERE week < hh ORDER BY "user", week""",
     "q184_sql_lateral" ->
       """SELECT token, count(*) AS n
          FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents) t
