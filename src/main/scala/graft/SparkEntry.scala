@@ -138,6 +138,21 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- dead-letter routing (the enforcement sibling of q155's
+    //      expectations): first-failing-rule reasons, NULL fails, good/bad
+    //      are filters of ONE tagged projection
+    "q190_dead_letter" -> ((s, dir) =>
+      graft.operators.DeadLetter.report(Tables.events(s, dir), Seq(
+        "props_k" -> get_json_object(col("props"), "$.k").isNotNull,
+        "value_range" -> (col("value") >= 0 && col("value") <= 100),
+        "ts_bounds" -> (col("ts") >= lit("2015-01-01").cast("timestamp") &&
+          col("ts") < lit("2035-01-01").cast("timestamp"))))),
+    // ---- event-time disorder audit: measures the watermark instead of
+    //      guessing it — exact integer backsteps, exact p99 rank statistic
+    //      over the disordered sliver
+    "q191_disorder_audit" -> ((s, dir) =>
+      graft.analyze.DisorderAudit.report(
+        Tables.events(s, dir), "user_id", "ts", "event_id")),
     // ---- language-mix rebalancing APPLY (the enforcement of q67's
     //      weights): water-filling by the binding group, per-group
     //      portable-hash rank selection — the mix is exact, membership
@@ -2190,6 +2205,24 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q190_dead_letter" ->
+      """SELECT CASE WHEN NOT coalesce(json_extract_string(props, '$.k') IS NOT NULL, false) THEN 'props_k'
+                     WHEN NOT coalesce(value >= 0 AND value <= 100, false) THEN 'value_range'
+                     WHEN NOT coalesce(ts >= TIMESTAMP '2015-01-01' AND ts < TIMESTAMP '2035-01-01', false) THEN 'ts_bounds'
+                     ELSE 'ok' END AS reject_reason, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q191_disorder_audit" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+              FROM events),
+         b AS (SELECT CASE WHEN prior_max > tus THEN prior_max - tus ELSE 0 END AS backstep, event_id FROM s),
+         l AS (SELECT backstep, row_number() OVER (ORDER BY backstep, event_id) AS rn, count(*) OVER () AS n FROM b WHERE backstep > 0),
+         p AS (SELECT coalesce(max(CASE WHEN rn = least(CAST(ceil((n + 1) * 0.99) AS BIGINT), n) THEN backstep END), 0) AS p99b FROM l)
+         SELECT (SELECT count(*) FROM b) AS n_events,
+                (SELECT CAST(sum(CASE WHEN backstep > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM b) AS n_disordered,
+                (SELECT round(CAST(max(backstep) AS DOUBLE) / 1000000.0, 6) FROM b) AS max_backstep_sec,
+                round(CAST(p99b AS DOUBLE) / 1000000.0, 6) AS p99_backstep_sec
+         FROM p""",
     "q187_lang_rebalance" ->
       """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          sh AS (SELECT * FROM (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)) s(lang, share)),
