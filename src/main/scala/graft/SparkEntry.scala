@@ -138,6 +138,22 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- keyframe selection (shot-boundary detection on the stubbed
+    //      frame stream): per-frame aHash, lag-hamming vs the previous
+    //      frame, frames differing > τ bits kept; hashes reported as four
+    //      16-bit bands (a signed 64-bit literal can't round-trip every
+    //      engine's bit arithmetic)
+    "q192_keyframes" -> ((s, dir) => {
+      val kf = graft.multimodal.Multimodal.keyframes(
+        Tables.documents(s, dir), "doc_id", "text", 64, 10)
+      kf.select(col("media_id"), col("frame_idx"),
+          shiftrightunsigned(col("ahash"), 0).bitwiseAND(lit(0xFFFFL)).as("k0"),
+          shiftrightunsigned(col("ahash"), 16).bitwiseAND(lit(0xFFFFL)).as("k1"),
+          shiftrightunsigned(col("ahash"), 32).bitwiseAND(lit(0xFFFFL)).as("k2"),
+          shiftrightunsigned(col("ahash"), 48).bitwiseAND(lit(0xFFFFL)).as("k3"),
+          col("hamming"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
     // ---- dead-letter routing (the enforcement sibling of q155's
     //      expectations): first-failing-rule reasons, NULL fails, good/bad
     //      are filters of ONE tagged projection
@@ -2205,6 +2221,37 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q192_keyframes" ->
+      """WITH f AS (
+           SELECT doc_id AS media_id, i AS frame_idx,
+                  substr(text, CAST(i * 64 + 1 AS INTEGER), 64) AS frame
+           FROM documents, unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) r(i)),
+         cells AS (
+           SELECT media_id, frame_idx, j,
+                  CASE WHEN length(frame) = 0 THEN 0
+                       ELSE ord(substr(frame, CAST((j * length(frame)) // 64 AS INTEGER) + 1, 1)) END AS cell
+           FROM f, unnest(range(0, 64)) s(j)),
+         tot AS (SELECT media_id, frame_idx, sum(cell) AS total FROM cells GROUP BY 1, 2),
+         bits AS (SELECT c.media_id, c.frame_idx, c.j,
+                         CASE WHEN c.cell * 64 > t.total THEN 1 ELSE 0 END AS b
+                  FROM cells c JOIN tot t ON c.media_id = t.media_id AND c.frame_idx = t.frame_idx),
+         keys AS (SELECT media_id, frame_idx,
+                         CAST(sum(CASE WHEN j // 16 = 0 THEN CAST(b AS BIGINT) << CAST(j % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS k0,
+                         CAST(sum(CASE WHEN j // 16 = 1 THEN CAST(b AS BIGINT) << CAST(j % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS k1,
+                         CAST(sum(CASE WHEN j // 16 = 2 THEN CAST(b AS BIGINT) << CAST(j % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS k2,
+                         CAST(sum(CASE WHEN j // 16 = 3 THEN CAST(b AS BIGINT) << CAST(j % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS k3
+                  FROM bits GROUP BY 1, 2),
+         l AS (SELECT media_id, frame_idx, k0, k1, k2, k3,
+                      lag(k0) OVER w AS p0, lag(k1) OVER w AS p1,
+                      lag(k2) OVER w AS p2, lag(k3) OVER w AS p3
+               FROM keys WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+         h AS (SELECT media_id, frame_idx, k0, k1, k2, k3,
+                      CASE WHEN p0 IS NULL THEN 64
+                           ELSE bit_count(xor(k0, p0)) + bit_count(xor(k1, p1)) + bit_count(xor(k2, p2)) + bit_count(xor(k3, p3)) END AS hamming
+               FROM l)
+         SELECT media_id, frame_idx, k0, k1, k2, k3, CAST(hamming AS BIGINT) AS hamming
+         FROM h WHERE hamming > 10 OR frame_idx = 0
+         ORDER BY media_id, frame_idx""",
     "q190_dead_letter" ->
       """SELECT CASE WHEN NOT coalesce(json_extract_string(props, '$.k') IS NOT NULL, false) THEN 'props_k'
                      WHEN NOT coalesce(value >= 0 AND value <= 100, false) THEN 'value_range'

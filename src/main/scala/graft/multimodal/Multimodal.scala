@@ -144,6 +144,41 @@ object Multimodal {
     media.withColumn("ahash", hasher(col("payload")))
   }
 
+  /** Keyframe selection by frame difference — shot-boundary detection
+    * under the same honest stub contract as the rest of this module: the
+    * "video" is the payload text chunked into fixed `frameChars` frames,
+    * each frame perceptually hashed ([[aHash64]] on its bytes), and a
+    * frame is a KEYFRAME when its hash differs from the PREVIOUS frame's
+    * by more than `tau` bits (frame 0 always is). A real codec would
+    * replace the chunking+sampling only; the lag/threshold/selection
+    * machinery is the production shape.
+    *
+    * Scale: frames explode per item (bounded by payload/frameChars), the
+    * lag runs under a per-item window — one key shuffle, no cross-item
+    * state. */
+  def keyframes(docs: DataFrame, idCol: String, textCol: String,
+                frameChars: Int, tau: Int): DataFrame = {
+    require(frameChars >= 1 && tau >= 0, s"bad params $frameChars/$tau")
+    val hashText = udf((s: String) =>
+      aHash64(if (s == null) null else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val frames = docs.select(col(idCol).as("media_id"),
+        posexplode(expr(
+          s"transform(sequence(0, int(ceil(length($textCol) / $frameChars.0)) - 1)," +
+          s" i -> substring($textCol, i * $frameChars + 1, $frameChars))"))
+          .as(Seq("frame_idx", "frame")))
+      .withColumn("ahash", hashText(col("frame")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .withColumn("hamming",
+        when(col("prev").isNull, lit(64L))
+          .otherwise(bit_count(col("ahash").bitwiseXOR(col("prev"))).cast("long")))
+      .filter(col("prev").isNull || col("hamming") > tau)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("ahash"), col("hamming"))
+  }
+
   /** Perceptual near-dup pairs: media whose aHashes differ in at most
     * `maxHamming` of 64 bits. EXACT for `maxHamming ≤ 3` via 4-band
     * LSH on 16-bit slices — pigeonhole: ≤ 3 flipped bits cannot touch

@@ -105,4 +105,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) })
     assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 4L) })
   }
+
+  test("keyframes: identical frames collapse to frame 0; a cut is kept") {
+    import spark.implicits._
+    val frame = "abcdefgh" * 8                 // 64 chars
+    val cut = "ZZZZZZZZ" + "abcdefgh" * 7      // very different start
+    val docs = Seq(
+      (1L, frame + frame + frame),             // 3 identical frames
+      (2L, frame + cut + frame)                // change at frame 1 and back
+    ).toDF("doc_id", "text")
+    val got = Multimodal.keyframes(docs, "doc_id", "text", 64, 10)
+      .select("media_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 0L)) && !got.contains((1L, 1L)) &&
+      !got.contains((1L, 2L)))
+    assert(got.contains((2L, 0L)))
+    // frame 1 differs from 0 AND frame 2 differs from 1 → both kept iff
+    // the hash moves by > τ; verify via the hashes directly
+    val h = Multimodal.aHash64(frame.getBytes)
+    val hc = Multimodal.aHash64(cut.getBytes)
+    if (java.lang.Long.bitCount(h ^ hc) > 10) {
+      assert(got.contains((2L, 1L)) && got.contains((2L, 2L)))
+    }
+  }
 }
