@@ -190,4 +190,40 @@ object StreamingOps {
     q.awaitTermination()
     ss.table(name)
   }
+
+  /** Streaming ingestion into a [[graft.sources.Versioned]] table: each
+    * micro-batch commits one snapshot version via `foreachBatch`, so a
+    * reader always sees whole batches (the manifest rename is the
+    * visibility point — never a half-written batch) and TIME TRAVEL
+    * works across the ingestion history. `AvailableNow` +
+    * `maxFilesPerTrigger=1` drains the backlog one source file per
+    * batch/version; a live deployment would keep the query running with
+    * the same sink.
+    *
+    * Exactly-once caveat, stated honestly: `foreachBatch` is
+    * at-least-once on failure/retry — a re-run batch would commit a
+    * DUPLICATE version, not corrupt one (append-only manifests). A
+    * production sink would record the batchId in the manifest and
+    * no-op on replay; the spec pins the normal-path version count. */
+  def streamToVersioned(spark: SparkSession, sourceDir: String,
+                        globFilter: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        root: String,
+                        build: DataFrame => DataFrame = identity): Int = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val src = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", globFilter)
+      .parquet(sourceDir)
+    val q = build(src).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Versioned.commit(batch, root): Unit
+      }
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.Versioned.versions(root).size
+  }
 }

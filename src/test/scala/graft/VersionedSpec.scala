@@ -52,6 +52,33 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming micro-batches commit one snapshot version each") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-streamsrc").toString
+    // two FLAT source files → two micro-batches at maxFilesPerTrigger=1
+    // (df.write.parquet(path) makes a directory; the file source wants
+    // plain files, so lift the single part file out)
+    def writeFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-flat").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(srcDir, name))
+    }
+    writeFlat(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "f1.parquet")
+    writeFlat(Seq((3L, "c")).toDF("id", "s"), "f2.parquet")
+    val schema = spark.read.parquet(s"$srcDir/f1.parquet").schema
+    val root = tmpRoot()
+    val nVersions = graft.streaming.StreamingOps.streamToVersioned(
+      spark, srcDir, "*.parquet", schema, root)
+    assert(nVersions == 2)
+    // latest version holds the full backlog (append mode accumulates)
+    assert(Versioned.read(spark, root).count() == 3)
+    // the first version is a strict prefix — time travel over ingestion
+    val v0 = Versioned.read(spark, root, Some(0)).count()
+    assert(v0 == 1 || v0 == 2) // file pickup order is not contractual
+  }
+
   test("overlapJoinAuto matches the fixed-bucket result") {
     import spark.implicits._
     val a = (0 until 40).map { i =>
