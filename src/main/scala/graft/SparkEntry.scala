@@ -138,6 +138,13 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- retrieval-quality eval (the harness the BM25/ANN family needs
+    //      to be tunable): posting-join token-overlap retrieval, MRR /
+    //      recall@10 / literal-gain nDCG, per-query metrics quantized
+    //      before the cross-query mean
+    "q193_retrieval_eval" -> ((s, dir) =>
+      graft.text.RetrievalEval.selfRetrievalReport(
+        Tables.documents(s, dir), "doc_id", "text", 25, 5, 10)),
     // ---- keyframe selection (shot-boundary detection on the stubbed
     //      frame stream): per-frame aHash, lag-hamming vs the previous
     //      frame, frames differing > τ bits kept; hashes reported as four
@@ -2221,6 +2228,29 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q193_retrieval_eval" ->
+      """WITH q AS (SELECT doc_id AS qid, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+')[1:5])) AS token
+               FROM documents WHERE doc_id % 25 = 0),
+         d AS (SELECT doc_id AS doc, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
+               FROM documents),
+         s AS (SELECT qid, doc, count(*) AS score FROM q JOIN d ON q.token = d.token GROUP BY 1, 2),
+         r AS (SELECT qid, doc, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank FROM s),
+         t AS (SELECT qid, rank FROM r WHERE rank <= 10 AND doc = qid),
+         g AS (SELECT qid, CAST(round(CAST(1000000000 AS DOUBLE) / rank) AS BIGINT) AS mrr9,
+                      CAST(round(CAST(1000000000 AS DOUBLE) * (CASE rank WHEN 1 THEN 1.0 WHEN 2 THEN 0.630929754
+                        WHEN 3 THEN 0.5 WHEN 4 THEN 0.430676558 WHEN 5 THEN 0.386852807
+                        WHEN 6 THEN 0.356207187 WHEN 7 THEN 0.333333333 WHEN 8 THEN 0.315464877
+                        WHEN 9 THEN 0.301029996 WHEN 10 THEN 0.289064826 END)) AS BIGINT) AS ndcg9
+               FROM t),
+         n AS (SELECT count(*) AS n_queries FROM documents WHERE doc_id % 25 = 0),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS hits,
+                      CAST(coalesce(sum(mrr9), 0) AS BIGINT) AS m,
+                      CAST(coalesce(sum(ndcg9), 0) AS BIGINT) AS nd FROM g)
+         SELECT n.n_queries,
+                round(CAST(a.m AS DOUBLE) / n.n_queries / 1000000000.0, 6) AS mrr,
+                round(CAST(a.hits AS DOUBLE) / n.n_queries, 6) AS recall_at_k,
+                round(CAST(a.nd AS DOUBLE) / n.n_queries / 1000000000.0, 6) AS ndcg
+         FROM n, a""",
     "q192_keyframes" ->
       """WITH f AS (
            SELECT doc_id AS media_id, i AS frame_idx,
