@@ -138,6 +138,23 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- window-function surface: percent_rank / cume_dist / framed
+    //      first+last / defaulted lead under a TOTAL order (q41's sibling
+    //      for the ranking-window corner) — sampled output
+    "q194_window_surface" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val wf = w.rowsBetween(-1, 1)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          first(col("value")).over(wf).as("prev_val"),
+          last(col("value")).over(wf).as("next_val"),
+          lead(col("value"), 1, -1.0).over(w).as("lead_or_default"))
+        .filter(pmod(col("event_id"), lit(100)) === 0)
+        .orderBy(col("event_id"))
+    }),
     // ---- retrieval-quality eval (the harness the BM25/ANN family needs
     //      to be tunable): posting-join token-overlap retrieval, MRR /
     //      recall@10 / literal-gain nDCG, per-query metrics quantized
@@ -2228,6 +2245,16 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q194_window_surface" ->
+      """WITH r AS (SELECT event_id, event_type, value,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume,
+                first_value(value) OVER (PARTITION BY event_type ORDER BY value, event_id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS prev_val,
+                last_value(value) OVER (PARTITION BY event_type ORDER BY value, event_id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS next_val,
+                coalesce(lead(value, 1) OVER w, -1.0) AS lead_or_default
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+         SELECT * FROM r WHERE event_id % 100 = 0 ORDER BY event_id""",
     "q193_retrieval_eval" ->
       """WITH q AS (SELECT doc_id AS qid, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+')[1:5])) AS token
                FROM documents WHERE doc_id % 25 = 0),
