@@ -138,6 +138,37 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- mergeable distinct rollup: per-day Datasketches HLL sketches
+    //      UNIONED to per-type totals — the incremental form of COUNT
+    //      DISTINCT (kilobytes of sketch cross the day boundary, never
+    //      keys; rows-only — sketch estimates are engine-internal)
+    "q195_hll_rollup" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .cast("long").as("approx_distinct_users"))
+        .orderBy(col("event_type"))
+    }),
+    // ---- dedup provenance export: per kept representative, the sorted
+    //      list of discarded duplicate ids — the audit record a deletion
+    //      pipeline must ship (which rows died, to whose benefit)
+    "q196_dedup_provenance" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val groups = d.select(col("doc_id"),
+          TextAnalysis.setFingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          sort_array(collect_list(col("doc_id"))).as("all_ids"))
+        .filter(size(col("all_ids")) >= 2)
+      groups.select(col("keep_id"),
+          array_join(slice(col("all_ids"), 2, 1000000), ",").as("dropped_ids"),
+          (size(col("all_ids")) - 1).cast("long").as("n_dropped"))
+        .orderBy(col("keep_id"))
+    }),
     // ---- window-function surface: percent_rank / cume_dist / framed
     //      first+last / defaulted lead under a TOTAL order (q41's sibling
     //      for the ranking-window corner) — sampled output
@@ -2245,6 +2276,17 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q196_dedup_provenance" ->
+      """WITH fps AS (
+           SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct(
+                    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+           FROM documents),
+         g AS (SELECT fp, min(doc_id) AS keep_id, list_sort(list(doc_id)) AS all_ids
+               FROM fps GROUP BY fp HAVING count(*) >= 2)
+         SELECT keep_id, array_to_string(all_ids[2:], ',') AS dropped_ids,
+                CAST(len(all_ids) - 1 AS BIGINT) AS n_dropped
+         FROM g ORDER BY keep_id""",
     "q194_window_surface" ->
       """WITH r AS (SELECT event_id, event_type, value,
                 round(percent_rank() OVER w, 6) AS pct_rank,

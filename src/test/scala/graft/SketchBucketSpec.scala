@@ -8,6 +8,21 @@ import graft.sources.Tables
 class SketchSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
+  test("HLL rollup: union of daily sketches ≈ direct distinct (merge law)") {
+    import spark.implicits._
+    val rows = (0 until 5000).map { i =>
+      (s"d${i % 7}", (i * 131) % 900L) // 900 distinct users over 7 days
+    }
+    val daily = rows.toDF("day", "user").groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user"), lit(12)).as("sk"))
+    val merged = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).cast("long"))
+      .head().getLong(0)
+    val exact = rows.map(_._2).distinct.size
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged $merged vs exact $exact")
+  }
+
   test("HLL approx distinct within rsd-scaled error of exact") {
     import spark.implicits._
     val events = Tables.events(spark, TestSession.sf)
