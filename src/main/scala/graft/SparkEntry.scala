@@ -138,6 +138,12 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- single-breakpoint changepoint (Page/Hinkley piecewise-constant
+    //      least squares): exact integer prefix sums, O(T) candidate scan
+    //      on the days-frame, struct-min argmin with earlier-day ties
+    "q197_changepoint" -> ((s, dir) =>
+      graft.analyze.Changepoint.singleBreak(
+        Tables.events(s, dir), "event_type", "ts", "value")),
     // ---- mergeable distinct rollup: per-day Datasketches HLL sketches
     //      UNIONED to per-type totals — the incremental form of COUNT
     //      DISTINCT (kilobytes of sketch cross the day boundary, never
@@ -2276,6 +2282,34 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q197_changepoint" ->
+      """WITH daily AS (SELECT event_type AS k, date_trunc('day', ts) AS day,
+                CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+              FROM events GROUP BY 1, 2),
+         pre AS (SELECT k, day, yq,
+                row_number() OVER w AS t,
+                sum(CAST(yq AS HUGEINT)) OVER (PARTITION BY k ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sa,
+                sum(CAST(yq AS HUGEINT) * yq) OVER (PARTITION BY k ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS saa,
+                count(*) OVER (PARTITION BY k) AS n,
+                sum(CAST(yq AS HUGEINT)) OVER (PARTITION BY k) AS ta,
+                sum(CAST(yq AS HUGEINT) * yq) OVER (PARTITION BY k) AS taa,
+                lead(day, 1) OVER w AS next_day
+              FROM daily WINDOW w AS (PARTITION BY k ORDER BY day)),
+         cands AS (SELECT k, next_day, t,
+                CAST(t AS DOUBLE) AS nl, CAST(n - t AS DOUBLE) AS nr,
+                CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(t AS DOUBLE)
+                  + CAST(taa - saa AS DOUBLE) - CAST(ta - sa AS DOUBLE) * CAST(ta - sa AS DOUBLE) / CAST(n - t AS DOUBLE) AS sse,
+                CAST(sa AS DOUBLE) / CAST(t AS DOUBLE) / 1000000.0 AS mb,
+                CAST(ta - sa AS DOUBLE) / CAST(n - t AS DOUBLE) / 1000000.0 AS ma
+              FROM pre WHERE t < n),
+         best AS (SELECT k, next_day, sse, mb, ma,
+                row_number() OVER (PARTITION BY k ORDER BY sse, t) AS rk
+              FROM cands)
+         SELECT k AS event_type, next_day AS break_day,
+                round(mb * 10000.0) / 10000.0 AS mean_before,
+                round(ma * 10000.0) / 10000.0 AS mean_after,
+                round(sse / 1000000000000.0 * 10000.0) / 10000.0 AS sse
+         FROM best WHERE rk = 1 ORDER BY event_type""",
     "q196_dedup_provenance" ->
       """WITH fps AS (
            SELECT doc_id,

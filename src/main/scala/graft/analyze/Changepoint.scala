@@ -1,0 +1,80 @@
+package graft.analyze
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Single-breakpoint changepoint detection on keyed daily series — the
+  * "when did this metric change regime" readout that closes the trend
+  * family ([[Trend]] asks "is it drifting", the rolling z-score asks "is
+  * this point weird", this asks WHEN the level shifted): piecewise-
+  * constant least squares, breakpoint = the split minimizing total SSE
+  * (the classic CUSUM-equivalent formulation, Page 1954 / Hinkley 1970).
+  *
+  * Determinism: daily totals are exact 6-dp longs; each candidate
+  * split's SSE is the two-segment variance identity
+  * `Σy² − (Σy)²/n` computed in double FROM EXACT integer prefix sums —
+  * identical inputs, identical IEEE ops on every engine; argmin ties
+  * break on the earlier day via a struct-min total order.
+  *
+  * Scale shape: the corpus folds to (key, day) once; prefix sums,
+  * the candidate scan and the argmin all run on the days×keys frame
+  * (window per key over ≤ study-span rows). Candidates are evaluated
+  * with O(T) prefix arithmetic — never an O(T²) self-join. */
+object Changepoint {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+
+  /** Per key: `(key, break_day, mean_before, mean_after, sse)` — the
+    * breakpoint is the FIRST day of the second segment. Keys with < 2
+    * days report no row. */
+  def singleBreak(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("k"),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("k"))
+    val pre = daily
+      .withColumn("t", row_number().over(w))
+      .withColumn("sa", sum(dec(col("yq"))).over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("saa", sum(
+        col("yq").cast("decimal(19,0)") * col("yq").cast("decimal(19,0)"))
+        .over(w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("ta", sum(dec(col("yq"))).over(wAll))
+      .withColumn("taa", sum(
+        col("yq").cast("decimal(19,0)") * col("yq").cast("decimal(19,0)"))
+        .over(wAll))
+    // candidate split AFTER row t (t = 1 .. n-1): left stats are the
+    // prefix at t, right stats the complement — O(1) per candidate
+    val cands = pre.filter(col("t") < col("n"))
+      .withColumn("nl", col("t").cast("double"))
+      .withColumn("nr", (col("n") - col("t")).cast("double"))
+      .withColumn("sseL",
+        col("saa").cast("double") -
+          col("sa").cast("double") * col("sa").cast("double") / col("nl"))
+      .withColumn("sseR",
+        (col("taa") - col("saa")).cast("double") -
+          (col("ta") - col("sa")).cast("double") *
+            (col("ta") - col("sa")).cast("double") / col("nr"))
+      .withColumn("sse", col("sseL") + col("sseR"))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .withColumn("mb", col("sa").cast("double") / col("nl") / 1e6)
+      .withColumn("ma",
+        (col("ta") - col("sa")).cast("double") / col("nr") / 1e6)
+    cands
+      .groupBy(col("k").as(keyCol))
+      .agg(min(struct(col("sse"), col("t"),
+        col("next_day").as("bd"), col("mb"), col("ma"))).as("best"))
+      .select(col(keyCol), col("best.bd").as("break_day"),
+        // SCALE-0 rounding (round(x·10^4)/10^4), not round(x, 4): scaled
+        // rounding implementations disagree on exact .5@4dp ties (hit in
+        // practice — a mean of 3031.93875), scale-0 half-up agrees
+        (round(col("best.mb") * 1e4) / 1e4).as("mean_before"),
+        (round(col("best.ma") * 1e4) / 1e4).as("mean_after"),
+        (round(col("best.sse") / lit(1e12) * 1e4) / 1e4).as("sse"))
+      .orderBy(col(keyCol))
+  }
+}
