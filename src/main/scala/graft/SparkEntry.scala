@@ -138,6 +138,23 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- weekly seasonality index: day-of-week mean vs overall mean per
+    //      type — exact 6-dp sums, one (type, dow) agg + a broadcast
+    //      7×|types| join; dow normalized to 0=Sunday on both engines
+    "q198_seasonality" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val vq = round(col("value") * lit(1000000)).cast("long")
+      val byDow = ev.groupBy(col("event_type"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+        .agg(sum(vq).as("sq"), count(lit(1)).as("n"))
+      val overall = ev.groupBy(col("event_type"))
+        .agg(sum(vq).as("tq"), count(lit(1)).as("tn"))
+      byDow.join(broadcast(overall), "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          round(col("sq").cast("double") / col("n") /
+            (col("tq").cast("double") / col("tn")), 6).as("season_index"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
     // ---- single-breakpoint changepoint (Page/Hinkley piecewise-constant
     //      least squares): exact integer prefix sums, O(T) candidate scan
     //      on the days-frame, struct-min argmin with earlier-day ties
@@ -2282,6 +2299,14 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q198_seasonality" ->
+      """WITH q AS (SELECT event_type, dayofweek(ts) AS dow, CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+         d AS (SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(sum(vq) AS BIGINT) AS sq, count(*) AS n FROM q GROUP BY 1, 2),
+         o AS (SELECT event_type, CAST(sum(vq) AS BIGINT) AS tq, count(*) AS tn FROM q GROUP BY 1)
+         SELECT d.event_type, d.dow, d.n,
+                round(CAST(d.sq AS DOUBLE) / d.n / (CAST(o.tq AS DOUBLE) / o.tn), 6) AS season_index
+         FROM d JOIN o ON d.event_type = o.event_type
+         ORDER BY d.event_type, d.dow""",
     "q197_changepoint" ->
       """WITH daily AS (SELECT event_type AS k, date_trunc('day', ts) AS day,
                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
