@@ -138,6 +138,44 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- SCD2 point-in-time reconstruction: asOf(history(S), v) must
+    //      equal snapshot v EXACTLY — the oracle rebuilds v2 directly, so
+    //      the hash match IS the round-trip proof
+    "q199_scd2_asof" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val v2 = base.filter(pmod(col("c_custkey"), lit(13)) =!= 0)
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(7)) === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+      val v3 = v2.withColumn("c_mktsegment",
+        when(pmod(col("c_custkey"), lit(5)) === 0, lit("CHANGED"))
+          .otherwise(col("c_mktsegment")))
+      val hist = graft.analyze.Scd2.history(Seq((1L, base), (2L, v2), (3L, v3)),
+        "c_custkey", Seq("c_name", "c_acctbal", "c_mktsegment"))
+      graft.analyze.Scd2.asOf(hist, 2L).orderBy(col("c_custkey"))
+    }),
+    // ---- exact per-day quartile bands (type-1 quantiles at ceil(n·p)
+    //      ranks — no interpolation, no engine quantile algorithm):
+    //      one rank window per day over the day's rows
+    "q200_daily_quartiles" -> ((s, dir) => {
+      val q = Tables.events(s, dir).select(
+        date_trunc("day", col("ts")).as("day"), col("event_id"),
+        round(col("value") * lit(1000000)).cast("long").as("vq"))
+      val w = Window.partitionBy(col("day")).orderBy(col("vq"), col("event_id"))
+      q.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("day"))))
+        .groupBy(col("day"))
+        .agg(
+          max(col("n")).as("n"),
+          (max(when(col("rn") === ceil(col("n") / 4), col("vq")))
+            .cast("double") / 1e6).as("q1"),
+          (max(when(col("rn") === ceil(col("n") / 2), col("vq")))
+            .cast("double") / 1e6).as("q2"),
+          (max(when(col("rn") === ceil(col("n") * 3 / 4), col("vq")))
+            .cast("double") / 1e6).as("q3"))
+        .orderBy(col("day"))
+    }),
     // ---- weekly seasonality index: day-of-week mean vs overall mean per
     //      type — exact 6-dp sums, one (type, dow) agg + a broadcast
     //      7×|types| join; dow normalized to 0=Sunday on both engines
@@ -2299,6 +2337,26 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q199_scd2_asof" ->
+      """SELECT c_custkey, c_name,
+                CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+                c_mktsegment
+         FROM customer WHERE c_custkey % 13 <> 0
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 13 = 0
+         ORDER BY c_custkey""",
+    "q200_daily_quartiles" ->
+      """WITH q AS (SELECT date_trunc('day', ts) AS day, event_id, CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+         r AS (SELECT day, vq,
+                      row_number() OVER (PARTITION BY day ORDER BY vq, event_id) AS rn,
+                      count(*) OVER (PARTITION BY day) AS n
+               FROM q)
+         SELECT day, max(n) AS n,
+                CAST(max(CASE WHEN rn = ceil(n / 4) THEN vq END) AS DOUBLE) / 1000000.0 AS q1,
+                CAST(max(CASE WHEN rn = ceil(n / 2) THEN vq END) AS DOUBLE) / 1000000.0 AS q2,
+                CAST(max(CASE WHEN rn = ceil(n * 3 / 4) THEN vq END) AS DOUBLE) / 1000000.0 AS q3
+         FROM r GROUP BY day ORDER BY day""",
     "q198_seasonality" ->
       """WITH q AS (SELECT event_type, dayofweek(ts) AS dow, CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
          d AS (SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(sum(vq) AS BIGINT) AS sq, count(*) AS n FROM q GROUP BY 1, 2),

@@ -63,4 +63,19 @@ object Scd2 {
       .select((col(keyCol) +: attrCols.map(col)) :+
         col("__v").as("valid_from") :+ col("valid_to"): _*)
   }
+
+  /** Point-in-time reconstruction: the state as of `version` — rows
+    * whose interval covers it (`valid_from ≤ v < valid_to`, open
+    * intervals cover everything ≥ their start). For keys PRESENT in
+    * snapshot v this reproduces the snapshot row exactly; keys that
+    * DISAPPEARED in an earlier snapshot surface with their last-known
+    * attributes — [[history]] tracks attribute changes, not deletions
+    * (the standard update-only SCD2 simplification; model deletions by
+    * writing tombstone rows if they matter). The q199 oracle pins
+    * exactly this semantic: snapshot-v content ∪ last-known rows of
+    * since-deleted keys. A pure filter: no shuffle. */
+  def asOf(history: DataFrame, version: Long): DataFrame =
+    history.filter(col("valid_from") <= version &&
+        (col("valid_to").isNull || col("valid_to") > version))
+      .drop("valid_from", "valid_to")
 }
