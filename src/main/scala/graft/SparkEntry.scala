@@ -138,6 +138,19 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- R×C chi-square independence (event mix vs weekday) + Cramér's
+    //      V: cross-multiplied form — no expected-count rounding — with
+    //      per-cell terms quantized at 9 dp before the sum
+    "q201_chisq_independence" -> ((s, dir) =>
+      graft.analyze.Contingency.chiSquare(
+        Tables.events(s, dir), col("event_type"), dayofweek(col("ts")))),
+    // ---- multi-breakpoint changepoints via binary segmentation (Scott &
+    //      Knott): recursive single-break on the tiny days-frame, 5%
+    //      min-gain stop (rows-only: recursive argmin has no SQL twin)
+    "q202_binseg" -> ((s, dir) =>
+      graft.analyze.Changepoint.binarySegmentation(
+        Tables.events(s, dir), "event_type", "ts", "value",
+        maxBreaks = 4, minGain = 0.02)),
     // ---- SCD2 point-in-time reconstruction: asOf(history(S), v) must
     //      equal snapshot v EXACTLY — the oracle rebuilds v2 directly, so
     //      the hash match IS the round-trip proof
@@ -2337,6 +2350,26 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q201_chisq_independence" ->
+      """WITH cells AS (SELECT event_type AS a, dayofweek(ts) AS b, count(*) AS o FROM events GROUP BY 1, 2),
+         rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+         cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT a) AS nr, count(DISTINCT b) AS nc FROM cells),
+         terms AS (SELECT t.n, t.nr, t.nc,
+                CAST(round(((CAST(o AS DOUBLE) * t.n - CAST(r AS DOUBLE) * c)
+                          * (CAST(o AS DOUBLE) * t.n - CAST(r AS DOUBLE) * c)
+                          / (CAST(r AS DOUBLE) * c * t.n)
+                          - CAST(r AS DOUBLE) * c / t.n)
+                         * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS t9
+              FROM cells JOIN rm ON cells.a = rm.a JOIN cm ON cells.b = cm.b, t),
+         agg AS (SELECT n, nr, nc,
+                CAST(sum(t9) AS DOUBLE) / CAST(1000000000 AS DOUBLE) + CAST(n AS DOUBLE) AS chi2d
+              FROM terms GROUP BY n, nr, nc)
+         SELECT n, nr AS n_rows, nc AS n_cols,
+                round(chi2d, 4) AS chi2,
+                (nr - 1) * (nc - 1) AS dof,
+                round(sqrt(greatest(chi2d, 0.0) / (n * (least(nr, nc) - 1))), 4) AS cramers_v
+         FROM agg""",
     "q199_scd2_asof" ->
       """SELECT c_custkey, c_name,
                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,

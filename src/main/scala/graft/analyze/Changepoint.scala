@@ -25,6 +25,62 @@ object Changepoint {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
 
+  /** Multi-breakpoint detection by BINARY SEGMENTATION (Scott & Knott
+    * 1974): apply [[singleBreak]] recursively to each segment while the
+    * split reduces that segment's SSE by at least `minGain`
+    * (fractional), to at most `maxBreaks` breakpoints. Driver-coordinated
+    * recursion — each level is one distributed pass over the (tiny)
+    * days-frame filtered to the segment; depth ≤ maxBreaks. Returns
+    * `(key, break_day)` rows, ordered. */
+  def binarySegmentation(df: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, maxBreaks: Int,
+                         minGain: Double = 0.05): DataFrame = {
+    require(maxBreaks >= 1 && maxBreaks <= 16, s"maxBreaks: $maxBreaks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // materialize the daily frame once; recursion filters it
+    val daily = df.groupBy(col(keyCol).cast("string").as("k"),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg((sum(round(col(valueCol) * lit(1000000)).cast("long"))
+        .cast("double") / 1e6).as("y"))
+      .localCheckpoint(true)
+    // local recursion per key over the collected daily series — the
+    // frame is days×keys (bounded by study span); the distributed work
+    // was the single corpus fold above
+    val series = daily.as[(String, java.sql.Timestamp, Double)].collect()
+      .groupBy(_._1)
+    def sse(ys: Array[Double]): Double = {
+      val n = ys.length
+      if (n == 0) 0.0 else {
+        val s = ys.sum; val ss = ys.map(v => v * v).sum
+        ss - s * s / n
+      }
+    }
+    def splits(days: Array[(java.sql.Timestamp, Double)],
+               budget: Int): List[java.sql.Timestamp] = {
+      if (budget == 0 || days.length < 2) return Nil
+      val ys = days.map(_._2)
+      val total = sse(ys)
+      var best = -1; var bestSse = Double.MaxValue
+      (1 until days.length).foreach { t =>
+        val s = sse(ys.take(t)) + sse(ys.drop(t))
+        if (s < bestSse - 1e-12) { bestSse = s; best = t }
+      }
+      if (best < 0 || total <= 0 || (total - bestSse) / total < minGain) Nil
+      else {
+        val (l, r) = days.splitAt(best)
+        val lb = splits(l, budget - 1)
+        val rb = splits(r, budget - 1 - lb.length)
+        (days(best)._1 :: lb ::: rb).sortBy(_.getTime)
+      }
+    }
+    series.toSeq.sortBy(_._1).flatMap { case (k, rows) =>
+      val days = rows.sortBy(_._2.getTime).map(r => (r._2, r._3)).toArray
+      splits(days, maxBreaks).map(d => (k, d))
+    }.toDF(keyCol, "break_day")
+      .orderBy(col(keyCol), col("break_day"))
+  }
+
   /** Per key: `(key, break_day, mean_before, mean_after, sse)` — the
     * breakpoint is the FIRST day of the second segment. Keys with < 2
     * days report no row. */

@@ -39,6 +39,50 @@ class ChangepointSpec extends AnyFunSuite {
     assert(r.getDouble(2) < 30 && r.getDouble(3) > 70)
   }
 
+  test("binary segmentation finds both breaks of a three-level series") {
+    import spark.implicits._
+    // 10 days @ 5, 10 days @ 50, 10 days @ 200 → breaks at day 11 and 21
+    val rows = (0 until 30).map { d =>
+      ("g", ts(f"2024-01-${d + 1}%02d 12:00:00"),
+        if (d < 10) 5.0 else if (d < 20) 50.0 else 200.0)
+    }
+    val got = Changepoint.binarySegmentation(
+        rows.toDF("g", "ts", "v"), "g", "ts", "v", maxBreaks = 4)
+      .collect().map(_.getTimestamp(1).toString.take(10)).toSeq
+    assert(got == Seq("2024-01-11", "2024-01-21"))
+  }
+
+  test("binary segmentation: flat series yields no breaks; budget caps") {
+    import spark.implicits._
+    val flat = (0 until 20).map(d =>
+      ("g", ts(f"2024-01-${d + 1}%02d 12:00:00"), 7.0))
+    assert(Changepoint.binarySegmentation(
+      flat.toDF("g", "ts", "v"), "g", "ts", "v", 4).count() == 0)
+    // alternating noise: gains are real but budget must cap the count
+    val alt = (0 until 24).map(d =>
+      ("g", ts(f"2024-01-${d + 1}%02d 12:00:00"),
+        if (d % 2 == 0) 0.0 else 100.0))
+    assert(Changepoint.binarySegmentation(
+      alt.toDF("g", "ts", "v"), "g", "ts", "v", 3).count() <= 3)
+  }
+
+  test("chi-square: independent table ≈ 0; dependent table is large") {
+    import spark.implicits._
+    import graft.analyze.Contingency
+    // perfectly independent: every (a,b) cell equal
+    val ind = (for { a <- 'a' to 'c'; b <- 1 to 4; _ <- 1 to 25 }
+      yield (a.toString, b)).toDF("x", "y")
+    val r1 = Contingency.chiSquare(ind, col("x"), col("y")).collect().head
+    assert(r1.getDouble(3) == 0.0 && r1.getDouble(5) == 0.0)
+    assert(r1.getLong(4) == 6) // (3-1)(4-1)
+    // perfectly dependent: b determined by a
+    val dep = (for { a <- 1 to 3; _ <- 1 to 30 } yield (s"k$a", a)).toDF("x", "y")
+    val r2 = Contingency.chiSquare(dep, col("x"), col("y")).collect().head
+    // χ² = N·(min(R,C)−1) at full association → V = 1
+    assert(math.abs(r2.getDouble(3) - 180.0) < 1e-6)
+    assert(r2.getDouble(5) == 1.0)
+  }
+
   test("single-day keys are dropped, multi-key frames stay independent") {
     import spark.implicits._
     val rows = Seq(
