@@ -138,6 +138,24 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- partial correlation r_xy·z (the confounder check q30's matrix
+    //      can't answer): do clicks and errors co-move beyond volume?
+    //      nine exact DECIMAL moments, formulas in double at the end
+    "q203_partial_corr" -> ((s, dir) => {
+      val per = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0))
+            .cast("double").as("x"),
+          sum(when(col("event_type") === "error", 1).otherwise(0))
+            .cast("double").as("y"),
+          count(lit(1)).cast("double").as("z"))
+      graft.analyze.Contingency.partialCorr(per, col("x"), col("y"), col("z"))
+    }),
+    // ---- Theil-Sen slope + Mann-Kendall S/z per type: outlier-proof
+    //      trend on the days-frame pair lattice (T², frame-bounded)
+    "q204_theil_sen" -> ((s, dir) =>
+      graft.analyze.Trend.theilSenMannKendall(
+        Tables.events(s, dir), "event_type", "ts", "value")),
     // ---- R×C chi-square independence (event mix vs weekday) + Cramér's
     //      V: cross-multiplied form — no expected-count rounding — with
     //      per-cell terms quantized at 9 dp before the sum
@@ -2350,6 +2368,59 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q203_partial_corr" ->
+      """WITH per AS (SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS y,
+                CAST(count(*) AS DOUBLE) AS z
+              FROM events GROUP BY 1),
+         q AS (SELECT CAST(round(x * 1000000) AS BIGINT) AS x, CAST(round(y * 1000000) AS BIGINT) AS y, CAST(round(z * 1000000) AS BIGINT) AS z FROM per),
+         m AS (SELECT count(*) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(z AS HUGEINT)) AS sz,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy, sum(CAST(z AS HUGEINT) * z) AS szz,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * z) AS sxz, sum(CAST(y AS HUGEINT) * z) AS syz
+               FROM q),
+         r AS (SELECT n,
+                 CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                       AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                   THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS rxy,
+                 CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                       AND (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) > 0
+                   THEN (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) END AS rxz,
+                 CASE WHEN (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                       AND (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) > 0
+                   THEN (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) END AS ryz
+               FROM m)
+         SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz, round(ryz, 6) AS r_yz,
+                round(CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+                      THEN (rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END, 6) + 0.0 AS r_xy_given_z
+         FROM r""",
+    "q204_theil_sen" ->
+      """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts) AS day,
+                CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+              FROM events GROUP BY 1, 2),
+         pairs AS (SELECT a.g, a.day AS d1, b.day AS d2,
+                CAST(b.yq - a.yq AS DOUBLE) / date_diff('day', CAST(a.day AS DATE), CAST(b.day AS DATE)) / 1000000.0 AS slope,
+                CAST(sign(CAST(b.yq - a.yq AS DOUBLE)) AS BIGINT) AS sgn
+              FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day),
+         med AS (SELECT g, slope AS ts_slope FROM (
+                   SELECT g, slope, row_number() OVER (PARTITION BY g ORDER BY slope, d1, d2) AS rn,
+                          count(*) OVER (PARTITION BY g) AS np
+                   FROM pairs) WHERE rn = (np + 1) // 2),
+         mk AS (SELECT g, CAST(sum(sgn) AS BIGINT) AS s_stat FROM pairs GROUP BY 1),
+         nd AS (SELECT g, count(*) AS n_days FROM daily GROUP BY 1)
+         SELECT mk.g AS event_type, nd.n_days, round(med.ts_slope, 6) AS ts_slope, mk.s_stat,
+                round(CASE WHEN CAST(nd.n_days AS DOUBLE) * (nd.n_days - 1) * (2 * nd.n_days + 5) / 18.0 > 0
+                      THEN CAST(mk.s_stat - sign(mk.s_stat) AS DOUBLE)
+                         / sqrt(CAST(nd.n_days AS DOUBLE) * (nd.n_days - 1) * (2 * nd.n_days + 5) / 18.0) END, 4) + 0.0 AS mk_z
+         FROM mk JOIN med ON mk.g = med.g JOIN nd ON mk.g = nd.g
+         ORDER BY event_type""",
     "q201_chisq_independence" ->
       """WITH cells AS (SELECT event_type AS a, dayofweek(ts) AS b, count(*) AS o FROM events GROUP BY 1, 2),
          rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),

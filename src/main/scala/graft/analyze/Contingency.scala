@@ -21,6 +21,53 @@ import org.apache.spark.sql.functions._
   * summation order cannot drift. */
 object Contingency {
 
+  /** First-order partial correlation `r_xy·z` — the association between
+    * x and y with the shared driver z regressed out
+    * (`(r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))`): the confounder check
+    * the plain q30 correlation matrix can't answer ("do clicks and
+    * errors co-move, or do both just follow volume?").
+    *
+    * All nine moment sums (Σx…Σz², Σxy…Σyz) are exact — inputs quantized
+    * to 6-dp longs, cross products in DECIMAL(19,0)² — and the three
+    * Pearson r's plus the partial formula run in double at the end.
+    * One aggregate over the scan; output is one row. */
+  def partialCorr(df: DataFrame, x: Column, y: Column, z: Column): DataFrame = {
+    def q(c: Column) = round(c * lit(1000000)).cast("long")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val base = df.select(q(x).as("x"), q(y).as("y"), q(z).as("z"))
+    val m = base.agg(
+      count(lit(1)).as("n"),
+      sum(d19(col("x"))).as("sx"), sum(d19(col("y"))).as("sy"),
+      sum(d19(col("z"))).as("sz"),
+      sum(d19(col("x")) * d19(col("x"))).as("sxx"),
+      sum(d19(col("y")) * d19(col("y"))).as("syy"),
+      sum(d19(col("z")) * d19(col("z"))).as("szz"),
+      sum(d19(col("x")) * d19(col("y"))).as("sxy"),
+      sum(d19(col("x")) * d19(col("z"))).as("sxz"),
+      sum(d19(col("y")) * d19(col("z"))).as("syz"))
+    def r(sab: Column, sa: Column, sb: Column,
+          saa: Column, sbb: Column): Column = {
+      val n = col("n").cast("double")
+      val cov = n * sab.cast("double") - sa.cast("double") * sb.cast("double")
+      val va = n * saa.cast("double") - sa.cast("double") * sa.cast("double")
+      val vb = n * sbb.cast("double") - sb.cast("double") * sb.cast("double")
+      when(va > 0 && vb > 0, cov / sqrt(va * vb))
+    }
+    m.withColumn("rxy", r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")))
+      .withColumn("rxz", r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")))
+      .withColumn("ryz", r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")))
+      .select(col("n"),
+        round(col("rxy"), 6).as("r_xy"),
+        round(col("rxz"), 6).as("r_xz"),
+        round(col("ryz"), 6).as("r_yz"),
+        round({
+          val den = (lit(1.0) - col("rxz") * col("rxz")) *
+            (lit(1.0) - col("ryz") * col("ryz"))
+          when(den > 0,
+            (col("rxy") - col("rxz") * col("ryz")) / sqrt(den))
+        }, 6).as("r_xy_given_z"))
+  }
+
   /** One row: `(n, n_rows, n_cols, chi2, dof, cramers_v)` (4 dp). */
   def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val cells = df.groupBy(aCol.as("a"), bCol.as("b"))

@@ -67,6 +67,57 @@ object Trend {
       .orderBy(col(groupCol))
   }
 
+  /** Theil-Sen robust slope + Mann-Kendall trend test per group, over
+    * DAILY totals — the outlier-proof siblings of [[trendLines]]' OLS
+    * (one wild day drags a least-squares slope; the median of pairwise
+    * slopes and the sign statistic shrug it off).
+    *
+    * Exactness: pairwise slopes divide exact integers (IEEE division —
+    * identical everywhere), the median is the LOWER rank statistic under
+    * `(slope, day_i, day_j)` total order; Mann-Kendall S is a pure
+    * integer sign sum; its normal-approximation z uses the no-tie
+    * variance n(n−1)(2n+5)/18 in double over exact inputs (daily totals
+    * of a continuous measure — exact yq ties are measure-zero and would
+    * only shade z, never S).
+    *
+    * Scale shape: the corpus folds to (group, day) ONCE; the O(T²) pair
+    * frame lives on the days-frame (T = study span — hundreds), never
+    * the corpus: a deliberate, documented bound, same as the life-table
+    * and changepoint ops. */
+  def theilSenMannKendall(df: DataFrame, groupCol: String, tsCol: String,
+                          valueCol: String): DataFrame = {
+    val daily = df.groupBy(col(groupCol).as("g"),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val a = daily.select(col("g"), col("day").as("d1"), col("yq").as("y1"))
+    val b = daily.select(col("g"), col("day").as("d2"), col("yq").as("y2"))
+    val pairs = a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+      .select(col("g"), col("d1"), col("d2"),
+        ((col("y2") - col("y1")).cast("double") /
+          datediff(col("d2"), col("d1")) / 1e6).as("slope"),
+        signum((col("y2") - col("y1")).cast("double")).cast("long").as("sgn"))
+    val w = Window.partitionBy(col("g")).orderBy(col("slope"), col("d1"), col("d2"))
+    val med = pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("rn") === floor((col("np") + 1) / 2))
+      .select(col("g"), col("slope").as("ts_slope"))
+    val mk = pairs.groupBy(col("g"))
+      .agg(sum(col("sgn")).as("s_stat"))
+    val nd = daily.groupBy(col("g")).agg(count(lit(1)).as("n_days"))
+    mk.join(med, "g").join(nd, "g")
+      .select(col("g").as(groupCol), col("n_days"),
+        round(col("ts_slope"), 6).as("ts_slope"),
+        col("s_stat"),
+        round({
+          val n = col("n_days").cast("double")
+          val v = n * (n - lit(1.0)) * (lit(2.0) * n + lit(5.0)) / lit(18.0)
+          when(v > 0,
+            (col("s_stat") - signum(col("s_stat"))).cast("double") / sqrt(v))
+        }, 4).as("mk_z"))
+      .orderBy(col(groupCol))
+  }
+
   /** Lag-1 Pearson autocorrelation of the DAILY total of `valueCol` per
     * group: `(group, n_days, autocorr)` (6 dp; null when undefined).
     * Missing days are skipped, not zero-filled — compose with

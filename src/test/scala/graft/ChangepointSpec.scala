@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 import graft.analyze.Changepoint
+import graft.analyze.Trend
 
 /** Single-breakpoint changepoint detection. */
 class ChangepointSpec extends AnyFunSuite {
@@ -93,5 +94,47 @@ class ChangepointSpec extends AnyFunSuite {
       .collect()
     assert(got.map(_.getString(0)).toSeq == Seq("pair"))
     assert(got.head.getDouble(2) == 1.0 && got.head.getDouble(3) == 9.0)
+  }
+
+  test("partial correlation removes a pure common driver") {
+    import spark.implicits._
+    import graft.analyze.Contingency
+    // x = z + noise_x, y = z + noise_y with independent noises:
+    // r_xy is large through z; r_xy.z collapses toward 0
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { _ =>
+      val z = rnd.nextInt(100).toDouble
+      (z + rnd.nextInt(10), z + rnd.nextInt(10), z)
+    }
+    val r = Contingency.partialCorr(rows.toDF("x", "y", "z"),
+      org.apache.spark.sql.functions.col("x"),
+      org.apache.spark.sql.functions.col("y"),
+      org.apache.spark.sql.functions.col("z")).collect().head
+    assert(r.getDouble(1) > 0.9)             // raw r_xy inflated by z
+    assert(math.abs(r.getDouble(4)) < 0.2)   // partialled out
+  }
+
+  test("Theil-Sen slope resists the outlier that drags OLS") {
+    import spark.implicits._
+    // y = 2/day, one wild day at +10000
+    val rows = (0 until 20).map { d =>
+      ("g", ts(f"2024-01-${d + 1}%02d 12:00:00"),
+        2.0 * d + (if (d == 10) 10000.0 else 0.0))
+    }
+    val df = rows.toDF("g", "ts", "v")
+    val ts_ = Trend.theilSenMannKendall(df, "g", "ts", "v").collect().head
+    assert(math.abs(ts_.getDouble(2) - 2.0) < 0.5, s"TS slope ${ts_.getDouble(2)}")
+    val ols = Trend.trendLines(df, "g", "ts", "v").collect().head
+    assert(math.abs(ols.getDouble(2) - 2.0) > 5.0, s"OLS should be dragged: ${ols.getDouble(2)}")
+  }
+
+  test("Mann-Kendall S on a strictly increasing series is n(n-1)/2") {
+    import spark.implicits._
+    val rows = (0 until 12).map(d =>
+      ("g", ts(f"2024-01-${d + 1}%02d 12:00:00"), d.toDouble))
+    val r = Trend.theilSenMannKendall(rows.toDF("g", "ts", "v"), "g", "ts", "v")
+      .collect().head
+    assert(r.getLong(3) == 66L) // 12*11/2
+    assert(r.getDouble(2) == 1.0)
   }
 }
