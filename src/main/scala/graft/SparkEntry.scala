@@ -138,6 +138,26 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- CUPED variance reduction (Deng 2013): pre-period covariate
+    //      adjustment with pooled θ — exact decimal moments, adjusted
+    //      means by algebra (no second pass), ρ² reduction reported
+    "q205_cuped" -> ((s, dir) =>
+      graft.analyze.Experiment.cuped(
+        Tables.events(s, dir), "user_id", "value",
+        col("ts") < lit("2024-01-16").cast("timestamp"),
+        col("ts") >= lit("2024-01-16").cast("timestamp"))),
+    // ---- two-proportion sample-size calculator from the observed arms
+    //      (z quantiles as literals — no engine inverse-normal)
+    "q206_power" -> ((s, dir) =>
+      graft.analyze.Experiment.requiredSampleSize(
+        Tables.events(s, dir), "user_id", col("event_type") === "signup")),
+    // ---- difference-in-differences: nets out the group gap AND the
+    //      time trend in one exact-sum aggregate
+    "q207_did" -> ((s, dir) =>
+      graft.analyze.Experiment.diffInDiff(
+        Tables.events(s, dir), "user_id", "value",
+        col("ts") < lit("2024-01-16").cast("timestamp"),
+        col("ts") >= lit("2024-01-16").cast("timestamp"))),
     // ---- partial correlation r_xy·z (the confounder check q30's matrix
     //      can't answer): do clicks and errors co-move beyond volume?
     //      nine exact DECIMAL moments, formulas in double at the end
@@ -2368,6 +2388,77 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q205_cuped" ->
+      """WITH units AS (SELECT user_id AS unit,
+                CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS xq,
+                CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS yq,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+              FROM events GROUP BY user_id),
+         m AS (SELECT count(*) AS n,
+                 sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+                 sum(CAST(xq AS HUGEINT) * xq) AS sxx, sum(CAST(xq AS HUGEINT) * yq) AS sxy, sum(CAST(yq AS HUGEINT) * yq) AS syy,
+                 CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 sum(CASE WHEN variant = 'A' THEN CAST(xq AS HUGEINT) ELSE 0 END) AS sxa,
+                 sum(CASE WHEN variant = 'A' THEN CAST(yq AS HUGEINT) ELSE 0 END) AS sya
+               FROM units)
+         SELECT n, na AS n_a, n - na AS n_b,
+           round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) + 0.0 AS theta,
+           round(CAST(sya AS DOUBLE) / na / 1000000.0, 4) AS mean_y_a,
+           round(CAST(sy - sya AS DOUBLE) / (n - na) / 1000000.0, 4) AS mean_y_b,
+           round(CAST(sya AS DOUBLE) / na / 1000000.0
+               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * (CAST(sxa AS DOUBLE) / na / 1000000.0 - CAST(sx AS DOUBLE) / n / 1000000.0), 4) AS mean_adj_a,
+           round(CAST(sy - sya AS DOUBLE) / (n - na) / 1000000.0
+               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * (CAST(sx - sxa AS DOUBLE) / (n - na) / 1000000.0 - CAST(sx AS DOUBLE) / n / 1000000.0), 4) AS mean_adj_b,
+           round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                       AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) + 0.0 AS var_reduction
+         FROM m""",
+    "q206_power" ->
+      """WITH units AS (SELECT user_id AS unit,
+                max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS conv,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+              FROM events GROUP BY user_id),
+         a AS (SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                      CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS ca,
+                      CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                      CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS cb
+               FROM units)
+         SELECT na AS n_a, nb AS n_b,
+                round(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+                round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+                CASE WHEN CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na <> 0 THEN
+                  CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
+                    * (CAST(ca AS DOUBLE) / na * (1.0 - CAST(ca AS DOUBLE) / na)
+                     + CAST(cb AS DOUBLE) / nb * (1.0 - CAST(cb AS DOUBLE) / nb))
+                    / ((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) * (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na))) AS BIGINT) END AS n_required_per_arm
+         FROM a""",
+    "q207_did" ->
+      """WITH c AS (SELECT
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' AND ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS stpre,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' AND ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ntpre,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS stpost,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ntpost,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' AND ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 <> 0 THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS scpre,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' AND ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ncpre,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 <> 0 THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS scpost,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ncpost
+           FROM events)
+         SELECT round(CAST(stpre AS DOUBLE) / ntpre / 1000000.0, 4) AS treat_pre,
+                round(CAST(stpost AS DOUBLE) / ntpost / 1000000.0, 4) AS treat_post,
+                round(CAST(scpre AS DOUBLE) / ncpre / 1000000.0, 4) AS control_pre,
+                round(CAST(scpost AS DOUBLE) / ncpost / 1000000.0, 4) AS control_post,
+                round((CAST(stpost AS DOUBLE) / ntpost / 1000000.0 - CAST(stpre AS DOUBLE) / ntpre / 1000000.0)
+                    - (CAST(scpost AS DOUBLE) / ncpost / 1000000.0 - CAST(scpre AS DOUBLE) / ncpre / 1000000.0), 4) AS did
+         FROM c""",
     "q203_partial_corr" ->
       """WITH per AS (SELECT user_id,
                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS x,

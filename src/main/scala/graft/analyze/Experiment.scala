@@ -34,6 +34,133 @@ import graft.operators.Sharding
   */
 object Experiment {
 
+  private def d19(c: Column): Column = c.cast("decimal(19,0)")
+
+  /** CUPED variance reduction (Deng 2013 — the industry-standard
+    * experiment sensitivity boost): adjust the experiment metric by the
+    * PRE-experiment covariate, `y' = y − θ(x − x̄)` with
+    * `θ = cov(x,y)/var(x)` estimated POOLED across arms (assignment is
+    * independent of x, so pooling is unbiased and uses all data). One
+    * row: θ, per-arm raw and adjusted means, and the variance-reduction
+    * fraction `1 − (1−ρ²)` = ρ² the method guarantees in expectation.
+    *
+    * Exactness: x and y are exact 6-dp long sums per unit; all five
+    * pooled moments are DECIMAL sums of DECIMAL(19,0)² products; θ, the
+    * adjusted means (which need only arm means of x and y — algebra, not
+    * a second pass) and ρ² run in double at the end.
+    *
+    * Scale shape: one unit-keyed aggregate over the corpus, then a 2-row
+    * arm rollup and a 1-row moment aggregate. */
+  def cuped(events: DataFrame, userCol: String, valueCol: String,
+            preFilter: Column, postFilter: Column): DataFrame = {
+    val v6 = round(col(valueCol) * lit(1000000)).cast("long")
+    val units = events.groupBy(col(userCol).as("unit"))
+      .agg(
+        sum(when(preFilter, v6).otherwise(0L)).as("xq"),
+        sum(when(postFilter, v6).otherwise(0L)).as("yq"))
+      .withColumn("variant",
+        when(graft.operators.Sharding.hash32(col("unit")) % 2 === 0, "A")
+          .otherwise("B"))
+    val m = units.agg(
+      count(lit(1)).as("n"),
+      sum(d19(col("xq"))).as("sx"), sum(d19(col("yq"))).as("sy"),
+      sum(d19(col("xq")) * d19(col("xq"))).as("sxx"),
+      sum(d19(col("xq")) * d19(col("yq"))).as("sxy"),
+      sum(d19(col("yq")) * d19(col("yq"))).as("syy"),
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("variant") === "A", d19(col("xq")))
+        .otherwise(lit(0).cast("decimal(19,0)"))).as("sxa"),
+      sum(when(col("variant") === "A", d19(col("yq")))
+        .otherwise(lit(0).cast("decimal(19,0)"))).as("sya"))
+    m.select({
+        val n = col("n").cast("double")
+        val cov = n * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val vx = n * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        val vy = n * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")
+        val theta = when(vx > 0, cov / vx)
+        val xbar = col("sx").cast("double") / n
+        val nb = (col("n") - col("na")).cast("double")
+        val mya = col("sya").cast("double") / col("na") / 1e6
+        val myb = (col("sy") - col("sya")).cast("double") / nb / 1e6
+        val mxa = col("sxa").cast("double") / col("na") / 1e6
+        val mxb = (col("sx") - col("sxa")).cast("double") / nb / 1e6
+        val rho2 = when(vx > 0 && vy > 0, cov * cov / (vx * vy))
+        Seq(
+          col("n"), col("na").as("n_a"), (col("n") - col("na")).as("n_b"),
+          round(theta, 6).as("theta"),
+          round(mya, 4).as("mean_y_a"), round(myb, 4).as("mean_y_b"),
+          round(mya - theta * (mxa - xbar / 1e6), 4).as("mean_adj_a"),
+          round(myb - theta * (mxb - xbar / 1e6), 4).as("mean_adj_b"),
+          round(rho2, 6).as("var_reduction"))
+      }: _*)
+  }
+
+  /** Two-proportion sample-size calculator from the OBSERVED arms
+    * (α = 0.05 two-sided, power = 0.8 — quantiles as literals):
+    * `n/arm = (z_{α/2} + z_β)² (p_a(1−p_a) + p_b(1−p_b)) / Δ²`. Answers
+    * "how many users would this experiment need to confirm the uplift it
+    * is showing". Null when the observed Δ is zero. */
+  def requiredSampleSize(events: DataFrame, userCol: String,
+                         convFilter: Column): DataFrame = {
+    val units = events.groupBy(col(userCol).as("unit"))
+      .agg(max(when(convFilter, 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant",
+        when(graft.operators.Sharding.hash32(col("unit")) % 2 === 0, "A")
+          .otherwise("B"))
+    units.agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("variant") === "A", col("conv")).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("nb"),
+        sum(when(col("variant") === "B", col("conv")).otherwise(0L)).as("cb"))
+      .select({
+        val pa = col("ca").cast("double") / col("na")
+        val pb = col("cb").cast("double") / col("nb")
+        val delta = pb - pa
+        val z = lit(1.959964) + lit(0.841621)
+        Seq(col("na").as("n_a"), col("nb").as("n_b"),
+          round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+          when(delta =!= 0,
+            ceil(z * z * (pa * (lit(1.0) - pa) + pb * (lit(1.0) - pb)) /
+              (delta * delta)).cast("long")).as("n_required_per_arm"))
+      }: _*)
+  }
+
+  /** Difference-in-differences: `(ȳ_T,post − ȳ_T,pre) − (ȳ_C,post −
+    * ȳ_C,pre)` — the panel estimate that nets out both the group gap and
+    * the time trend. Treatment = portable hash arm; periods from the
+    * caller's filters; means are exact 6-dp sums over event rows. */
+  def diffInDiff(events: DataFrame, userCol: String, valueCol: String,
+                 preFilter: Column, postFilter: Column): DataFrame = {
+    val v6 = round(col(valueCol) * lit(1000000)).cast("long")
+    val treated = graft.operators.Sharding.hash32(col(userCol)) % 2 === 0
+    def cell(f: Column, t: Boolean): (Column, Column) = {
+      val in = f && (if (t) treated else !treated)
+      (sum(when(in, v6).otherwise(0L)), sum(when(in, 1L).otherwise(0L)))
+    }
+    val (stPre, ntPre) = cell(preFilter, t = true)
+    val (stPost, ntPost) = cell(postFilter, t = true)
+    val (scPre, ncPre) = cell(preFilter, t = false)
+    val (scPost, ncPost) = cell(postFilter, t = false)
+    events.agg(stPre.as("stpre"), ntPre.as("ntpre"), stPost.as("stpost"),
+        ntPost.as("ntpost"), scPre.as("scpre"), ncPre.as("ncpre"),
+        scPost.as("scpost"), ncPost.as("ncpost"))
+      .select({
+        def mean(s: Column, n: Column) =
+          when(n > 0, s.cast("double") / n / 1e6)
+        val mtPre = mean(col("stpre"), col("ntpre"))
+        val mtPost = mean(col("stpost"), col("ntpost"))
+        val mcPre = mean(col("scpre"), col("ncpre"))
+        val mcPost = mean(col("scpost"), col("ncpost"))
+        Seq(
+          round(mtPre, 4).as("treat_pre"), round(mtPost, 4).as("treat_post"),
+          round(mcPre, 4).as("control_pre"), round(mcPost, 4).as("control_post"),
+          round((mtPost - mtPre) - (mcPost - mcPre), 4).as("did"))
+      }: _*)
+  }
+
   /** Per-user experiment frame: `(user, variant, metric, converted)`.
     * `metricFilter` selects the metric-bearing events (their `valueCol`
     * sums into the per-user metric, exact at 6 dp); `convFilter` defines

@@ -197,4 +197,52 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // group b rank 1/5 → global min, rank 5/5 → global max
     assert(got(4L) == 1.0 && got(8L) == 30.0)
   }
+
+  test("CUPED: variance reduction equals the x-y correlation squared") {
+    import spark.implicits._
+    // y strongly predicted by pre-period x → big reduction
+    val rows = (1 to 200).flatMap { u =>
+      val base = (u * 13 % 50).toDouble
+      Seq((u.toLong, ts("2024-01-05 00:00:00"), "view", base),
+        (u.toLong, ts("2024-01-20 00:00:00"), "view", base + (u % 5)))
+    }
+    val ev = rows.toDF("user_id", "ts", "event_type", "value")
+    val r = Experiment.cuped(ev, "user_id", "value",
+      col("ts") < lit("2024-01-16").cast("timestamp"),
+      col("ts") >= lit("2024-01-16").cast("timestamp")).collect().head
+    assert(r.getLong(0) == 200)
+    assert(r.getAs[Double]("var_reduction") > 0.9, s"reduction ${r.getAs[Double]("var_reduction")}")
+    // adjusted means move toward each other when arms differ only via x
+    assert(math.abs(r.getAs[Double]("mean_adj_a") - r.getAs[Double]("mean_adj_b")) <=
+      math.abs(r.getAs[Double]("mean_y_a") - r.getAs[Double]("mean_y_b")) + 0.5)
+  }
+
+  test("required sample size: bigger observed gaps need fewer users") {
+    import spark.implicits._
+    def ev(shift: Int) = (1 to 400).map { u =>
+      val conv = if (refHash32(u.toString) % 2 == 0) u % 10 < 3 else u % 10 < 3 + shift
+      (u.toLong, if (conv) "signup" else "view")
+    }.toDF("user_id", "event_type")
+    val small = Experiment.requiredSampleSize(ev(1), "user_id",
+      col("event_type") === "signup").collect().head.getAs[Long]("n_required_per_arm")
+    val big = Experiment.requiredSampleSize(ev(4), "user_id",
+      col("event_type") === "signup").collect().head.getAs[Long]("n_required_per_arm")
+    assert(big < small, s"big-effect n $big should be < small-effect n $small")
+  }
+
+  test("difference-in-differences nets out a shared time trend") {
+    import spark.implicits._
+    // both arms drift +10 post; treated gets +5 extra → DiD = 5
+    val rows = (1 to 300).flatMap { u =>
+      val treated = refHash32(u.toString) % 2 == 0
+      Seq((u.toLong, ts("2024-01-05 00:00:00"), "view", 100.0),
+        (u.toLong, ts("2024-01-20 00:00:00"), "view",
+          100.0 + 10.0 + (if (treated) 5.0 else 0.0)))
+    }
+    val r = Experiment.diffInDiff(rows.toDF("user_id", "ts", "event_type", "value"),
+      "user_id", "value",
+      col("ts") < lit("2024-01-16").cast("timestamp"),
+      col("ts") >= lit("2024-01-16").cast("timestamp")).collect().head
+    assert(r.getAs[Double]("did") == 5.0)
+  }
 }
