@@ -138,6 +138,36 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- log-rank test between hash arms on time-to-purchase: the
+    //      censoring-aware survival comparison (mean time-to-convert
+    //      ignores censoring; this can't) — exact life-table counts,
+    //      9-dp quantized E/V terms
+    "q208_logrank" -> ((s, dir) =>
+      graft.analyze.Survival.logRank(
+        Tables.events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase")),
+    // ---- calibration/reliability table + Brier for the LOO-encoded
+    //      (type × dow) score: are the probabilities honest?
+    "q209_calibration" -> ((s, dir) => {
+      val scored = graft.ml.Encoding.targetEncodeLoo(
+        Tables.events(s, dir)
+          .withColumn("cat", concat_ws("_", col("event_type"),
+            (dayofweek(col("ts")) - 1).cast("string"))),
+        "cat", col("value") > 50)
+      graft.ml.Evaluation.calibrationReport(
+        scored, col("target_enc"), col("value") > 50)
+    }),
+    // ---- decile lift/gains for the same score: how much better than
+    //      random is acting on the top slice — range-partitioned deciles
+    "q210_lift" -> ((s, dir) => {
+      val scored = graft.ml.Encoding.targetEncodeLoo(
+        Tables.events(s, dir)
+          .withColumn("cat", concat_ws("_", col("event_type"),
+            (dayofweek(col("ts")) - 1).cast("string"))),
+        "cat", col("value") > 50)
+      graft.ml.Evaluation.liftTable(
+        scored, "event_id", col("target_enc"), col("value") > 50)
+    }),
     // ---- CUPED variance reduction (Deng 2013): pre-period covariate
     //      adjustment with pooled θ — exact decimal moments, adjusted
     //      means by algebra (no second pass), ρ² reduction reported
@@ -2388,6 +2418,73 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q208_logrank" ->
+      """WITH u AS (SELECT user_id, min(ts) AS t0,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp, max(ts) AS tl
+              FROM events GROUP BY 1),
+         dd AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS arm1,
+                       CASE WHEN tp IS NOT NULL THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                            ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE)) END AS dur,
+                       CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS death
+                FROM u),
+         g AS (SELECT dur AS t, count(*) AS m, CAST(sum(death) AS BIGINT) AS d,
+                      CAST(sum(arm1) AS BIGINT) AS m1, CAST(sum(arm1 * death) AS BIGINT) AS d1
+               FROM dd GROUP BY 1),
+         r AS (SELECT t, d, d1,
+                      CAST(sum(m) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nt,
+                      CAST(sum(m1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1t
+               FROM g),
+         terms AS (SELECT d1,
+                      CAST(round(CAST(d AS DOUBLE) * n1t / nt * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS e9,
+                      CAST(round((CASE WHEN nt > 1
+                          THEN CAST(d AS DOUBLE) * (CAST(n1t AS DOUBLE) / nt) * (1.0 - CAST(n1t AS DOUBLE) / nt)
+                             * CAST(nt - d AS DOUBLE) / (nt - 1) ELSE 0.0 END) * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS v9
+                   FROM r WHERE d > 0)
+         SELECT CAST(sum(d1) AS BIGINT) AS o1,
+                round(CAST(sum(e9) AS DOUBLE) / CAST(1000000000 AS DOUBLE), 4) AS e1,
+                round(CASE WHEN CAST(sum(v9) AS DOUBLE) > 0
+                      THEN (CAST(sum(d1) AS DOUBLE) - CAST(sum(e9) AS DOUBLE) / 1000000000.0)
+                         * (CAST(sum(d1) AS DOUBLE) - CAST(sum(e9) AS DOUBLE) / 1000000000.0)
+                         / (CAST(sum(v9) AS DOUBLE) / 1000000000.0) END, 4) + 0.0 AS chi2
+         FROM terms""",
+    "q209_calibration" ->
+      """WITH yy AS (SELECT event_id, concat(event_type, '_', CAST(dayofweek(ts) AS VARCHAR)) AS cat,
+                   CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+             FROM events),
+         s AS (SELECT cat, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy FROM yy GROUP BY 1),
+         g AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM yy),
+         scored AS (SELECT yy.event_id, yy.y,
+               round((s.sy - yy.y + 10.0 * g.prior) / (s.n - 1 + 10.0), 6) AS enc
+             FROM yy JOIN s ON yy.cat = s.cat, g),
+         base AS (SELECT CAST(round(enc * 1000000) AS BIGINT) AS sq, y FROM scored),
+         b AS (SELECT least(sq // 100000, 9) AS bin, sq, y,
+                      CAST(sq - y * 1000000 AS HUGEINT) * (sq - y * 1000000) AS e2
+               FROM base),
+         tot AS (SELECT CAST(sum(e2) AS DOUBLE) / count(*) / 1000000000000.0 AS brier FROM b)
+         SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+                round(CAST(sum(sq) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_score,
+                round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate,
+                round(tot.brier, 6) AS brier
+         FROM b, tot GROUP BY bin, tot.brier ORDER BY bin""",
+    "q210_lift" ->
+      """WITH yy AS (SELECT event_id, concat(event_type, '_', CAST(dayofweek(ts) AS VARCHAR)) AS cat,
+                   CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+             FROM events),
+         s AS (SELECT cat, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy FROM yy GROUP BY 1),
+         g AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM yy),
+         scored AS (SELECT yy.event_id, yy.y,
+               round((s.sy - yy.y + 10.0 * g.prior) / (s.n - 1 + 10.0), 6) AS enc
+             FROM yy JOIN s ON yy.cat = s.cat, g),
+         base AS (SELECT event_id AS id, CAST(round(enc * 1000000) AS BIGINT) AS sq, y FROM scored),
+         nn AS (SELECT count(*) AS nn, CAST(sum(y) AS BIGINT) AS resp_total FROM base),
+         r AS (SELECT id, sq, y, row_number() OVER (ORDER BY sq DESC, id) AS rn FROM base),
+         d AS (SELECT ((rn - 1) * 10) // nn.nn + 1 AS decile, count(*) AS dn, CAST(sum(y) AS BIGINT) AS responders
+               FROM r, nn GROUP BY 1)
+         SELECT CAST(d.decile AS BIGINT) AS decile, dn AS n, responders,
+                round(CAST(responders AS DOUBLE) / dn, 6) AS response_rate,
+                round(CAST(responders AS DOUBLE) / dn / (CAST(nn.resp_total AS DOUBLE) / nn.nn), 4) AS lift,
+                round(CAST(sum(responders) OVER (ORDER BY d.decile) AS DOUBLE) / nn.resp_total, 6) AS cum_capture
+         FROM d, nn ORDER BY decile""",
     "q205_cuped" ->
       """WITH units AS (SELECT user_id AS unit,
                 CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS xq,

@@ -25,6 +25,62 @@ import org.apache.spark.sql.functions._
   */
 object Survival {
 
+  /** Log-rank test (Mantel 1966) between the two portable-hash arms on
+    * time-to-first-`deathFilter`: the survival-curve significance test
+    * that completes the KM + experimentation stack (a mean comparison
+    * ignores censoring; this doesn't). Per pooled death time:
+    * `O₁ = Σd₁ₜ`, `E₁ = Σ dₜ·n₁ₜ/nₜ`,
+    * `V = Σ dₜ(n₁ₜ/nₜ)(1−n₁ₜ/nₜ)(nₜ−dₜ)/(nₜ−1)`, χ² = (O₁−E₁)²/V.
+    *
+    * Counts are exact integers (at-risk via suffix sums over the
+    * ≤study-span life table); E₁/V/χ² run in double over identical
+    * integer inputs, summed after 9-dp quantization so cross-time order
+    * can't drift. One user-keyed corpus aggregate; everything after is
+    * frame-sized. */
+  def logRank(events: DataFrame, userCol: String, tsCol: String,
+              deathFilter: Column): DataFrame = {
+    val u = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t0"),
+        min(when(deathFilter, col(tsCol))).as("tp"),
+        max(col(tsCol)).as("tl"))
+      .select(
+        when(graft.operators.Sharding.hash32(col(userCol)) % 2 === 0, 1L)
+          .otherwise(0L).as("arm1"),
+        when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+          .otherwise(datediff(col("tl"), col("t0"))).cast("long").as("dur"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("death"))
+    val g = u.groupBy(col("dur").as("t"))
+      .agg(count(lit(1)).as("m"), sum(col("death")).as("d"),
+        sum(col("arm1")).as("m1"),
+        sum(col("arm1") * col("death")).as("d1"))
+    val wDesc = Window.orderBy(col("t").desc).rowsBetween(Long.MinValue, 0)
+    val r = g
+      .withColumn("nt", sum(col("m")).over(wDesc))
+      .withColumn("n1t", sum(col("m1")).over(wDesc))
+      .filter(col("d") > 0)
+    val terms = r.select(
+      col("d1"),
+      round(col("d").cast("double") * col("n1t") / col("nt") * lit(1e9))
+        .cast("long").as("e9"),
+      round({
+        val p = col("n1t").cast("double") / col("nt")
+        when(col("nt") > 1,
+          col("d").cast("double") * p * (lit(1.0) - p) *
+            (col("nt") - col("d")).cast("double") / (col("nt") - 1))
+          .otherwise(lit(0.0)) * lit(1e9)
+      }).cast("long").as("v9"))
+    terms.agg(
+        sum(col("d1")).as("o1"),
+        sum(col("e9")).as("se9"), sum(col("v9")).as("sv9"))
+      .select(col("o1"),
+        round(col("se9").cast("double") / 1e9, 4).as("e1"),
+        round({
+          val diff = col("o1").cast("double") - col("se9").cast("double") / 1e9
+          val v = col("sv9").cast("double") / 1e9
+          when(v > 0, diff * diff / v)
+        }, 4).as("chi2"))
+  }
+
   /** Life table `(t, d, n_risk, surv)` for time-to-first-`deathFilter`
     * event, censored at the user's last event: one row per duration with
     * ≥1 death, `surv` = Π_{t'≤t} (1 − d/n_risk). */
