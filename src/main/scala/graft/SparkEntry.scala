@@ -138,6 +138,17 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- per-type 5% trimmed mean: exact rank cut, exact core sums —
+    //      between the outlier-dragged mean and the info-discarding median
+    "q211_trimmed_mean" -> ((s, dir) =>
+      graft.analyze.RobustStats.trimmedMean(
+        Tables.events(s, dir), "event_type", "value", "event_id", 0.05)),
+    // ---- exact two-sample KS: even vs odd event ids — integer
+    //      cross-multiplied CDF gaps, no float comparison anywhere
+    "q212_ks_test" -> ((s, dir) =>
+      graft.analyze.RobustStats.ksTest(
+        Tables.events(s, dir), "value",
+        pmod(col("event_id"), lit(2)) === 0)),
     // ---- log-rank test between hash arms on time-to-purchase: the
     //      censoring-aware survival comparison (mean time-to-convert
     //      ignores censoring; this can't) — exact life-table counts,
@@ -2418,6 +2429,32 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q211_trimmed_mean" ->
+      """WITH q AS (SELECT event_type AS g, event_id AS tie, CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+         r AS (SELECT g, vq, row_number() OVER (PARTITION BY g ORDER BY vq, tie) AS rn,
+                      count(*) OVER (PARTITION BY g) AS n
+               FROM q),
+         f AS (SELECT g, vq, n, CAST(floor(n * 0.05) AS BIGINT) AS k FROM r
+               WHERE rn > CAST(floor(n * 0.05) AS BIGINT) AND rn <= n - CAST(floor(n * 0.05) AS BIGINT))
+         SELECT g AS event_type, count(*) AS n_kept,
+                round(CAST(sum(vq) AS DOUBLE) / 100.0 / count(*)) / 10000.0 AS trimmed_mean
+         FROM f GROUP BY 1 ORDER BY 1""",
+    "q212_ks_test" ->
+      """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vq,
+                CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS s1 FROM events),
+         byv AS (SELECT vq, CAST(sum(s1) AS BIGINT) AS a1, CAST(sum(1 - s1) AS BIGINT) AS a2 FROM q GROUP BY 1),
+         cum AS (SELECT vq,
+                CAST(sum(a1) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+                CAST(sum(a2) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+               FROM byv),
+         tot AS (SELECT CAST(sum(s1) AS BIGINT) AS n1, CAST(count(*) - sum(s1) AS BIGINT) AS n2 FROM q),
+         mx AS (SELECT tot.n1, tot.n2, max(abs(CAST(c1 AS HUGEINT) * tot.n2 - CAST(c2 AS HUGEINT) * tot.n1)) AS m
+               FROM cum, tot GROUP BY tot.n1, tot.n2)
+         SELECT n1, n2,
+                round(CAST(m AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d,
+                round(CAST(m AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                    * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)), 4) AS ks_z
+         FROM mx""",
     "q208_logrank" ->
       """WITH u AS (SELECT user_id, min(ts) AS t0,
                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp, max(ts) AS tl

@@ -1,6 +1,6 @@
 package graft.analyze
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,65 @@ import org.apache.spark.sql.functions._
   * arrays.
   */
 object RobustStats {
+
+  /** Per-group trimmed mean: drop the exact `floor(n·trim)` smallest and
+    * largest rows by `(value, tie)` rank and average the core — the
+    * between-option of the mean (outlier-dragged) and the median
+    * (information-discarding). Sums over the kept core are exact 6-dp
+    * longs; one rank window per group. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCol: String, trim: Double = 0.05): DataFrame = {
+    require(trim >= 0 && trim < 0.5, s"trim out of [0, 0.5): $trim")
+    val q = df.select(col(groupCol).as("g"), col(tieCol).as("tie"),
+      round(col(valueCol) * lit(1000000)).cast("long").as("vq"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("vq"), col("tie"))
+    q.withColumn("rn", row_number().over(wg))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("k", floor(col("n") * lit(trim)).cast("long"))
+      .filter(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_kept"),
+        (round(sum(col("vq")).cast("double") / 100.0 /
+          count(lit(1))) / 1e4).as("trimmed_mean"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov D between `sampleFilter` rows
+    * and the rest: `D = max |F₁ − F₂|` over the pooled distinct values,
+    * computed as `max |c₁·n₂ − c₂·n₁| / (n₁·n₂)` in EXACT integer
+    * cross-multiplication — no float CDF ever compared. The z-scaled
+    * statistic `D·√(n₁n₂/(n₁+n₂))` is reported for reference (4 dp).
+    *
+    * Scale shape: one (value → per-sample count) aggregate, cumulative
+    * sums over the DISTINCT-value frame (single-partition window over
+    * distinct values — bounded by value cardinality, not rows; quantize
+    * coarser upstream if the domain is truly continuous at scale). */
+  def ksTest(df: DataFrame, valueCol: String, sampleFilter: Column): DataFrame = {
+    val q = df.select(round(col(valueCol) * lit(1000000)).cast("long").as("vq"),
+      when(sampleFilter, 1L).otherwise(0L).as("s1"))
+    val byV = q.groupBy(col("vq"))
+      .agg(sum(col("s1")).as("a1"), sum(lit(1L) - col("s1")).as("a2"))
+    val w = Window.orderBy(col("vq")).rowsBetween(Long.MinValue, 0)
+    val cum = byV
+      .withColumn("c1", sum(col("a1")).over(w))
+      .withColumn("c2", sum(col("a2")).over(w))
+    val tot = q.agg(sum(col("s1")).as("n1"),
+      (count(lit(1)) - sum(col("s1"))).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("c1").cast("decimal(19,0)") * col("n2").cast("decimal(19,0)") -
+          col("c2").cast("decimal(19,0)") * col("n1").cast("decimal(19,0)"))
+          .as("num"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("num")).as("mx"))
+      .select(col("n1"), col("n2"),
+        round(col("mx").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")), 6).as("d"),
+        round(col("mx").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")) *
+          sqrt(col("n1").cast("double") * col("n2").cast("double") /
+            (col("n1") + col("n2")).cast("double")), 4).as("ks_z"))
+  }
 
   /** Per-group `(group, n, median, mad, n_outliers)` where outliers are
     * rows with `|vq − median| > cutoff · mad` in exact integer

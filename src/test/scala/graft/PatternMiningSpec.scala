@@ -159,4 +159,31 @@ class PatternMiningSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(l1 == l2)
   }
+
+  test("trimmed mean ignores the extremes the plain mean is dragged by") {
+    import spark.implicits._
+    // 1..20 with both tails wild; 5% trim on 22 rows drops exactly 1/end
+    val vals = Seq(-10000.0) ++ (1 to 20).map(_.toDouble) ++ Seq(10000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "id", "v")
+    val r = RobustStats.trimmedMean(df, "g", "v", "id", 0.05).collect().head
+    assert(r.getLong(1) == 20)
+    assert(r.getDouble(2) == 10.5) // mean of 1..20 exactly
+  }
+
+  test("KS: identical samples give D = 0; disjoint supports give D = 1") {
+    import spark.implicits._
+    // ids 2k and 2k+1 carry the same value → the two parity samples are
+    // identical distributions
+    val same = (0 until 100).map(i => (i.toLong, ((i / 2) % 10).toDouble))
+      .toDF("id", "v")
+    val r0 = RobustStats.ksTest(same, "v", pmod(col("id"), lit(2)) === 0)
+      .collect().head
+    assert(r0.getDouble(2) == 0.0)
+    val disjoint = ((1 to 50).map(i => (i.toLong * 2, i.toDouble)) ++
+      (1 to 50).map(i => (i.toLong * 2 + 1, i + 1000.0))).toDF("id", "v")
+    val r1 = RobustStats.ksTest(disjoint, "v", pmod(col("id"), lit(2)) === 0)
+      .collect().head
+    assert(r1.getDouble(2) == 1.0)
+  }
 }
