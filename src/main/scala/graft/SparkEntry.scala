@@ -138,6 +138,18 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- Mann-Whitney rank-sum between hash arms: exact doubled-rank
+    //      sums on the distinct-value frame, tie-corrected z
+    "q213_mann_whitney" -> ((s, dir) =>
+      graft.analyze.RankStats.mannWhitney(
+        Tables.events(s, dir), "value",
+        graft.operators.Sharding.hash32(col("user_id")) % 2 === 0)),
+    // ---- Spearman rank correlation (value vs event time): Pearson on
+    //      exact doubled average ranks — monotone association, outlier-proof
+    "q214_spearman" -> ((s, dir) =>
+      graft.analyze.RankStats.spearman(
+        Tables.events(s, dir), col("value"),
+        unix_seconds(col("ts")).cast("double"))),
     // ---- per-type 5% trimmed mean: exact rank cut, exact core sums —
     //      between the outlier-dragged mean and the info-discarding median
     "q211_trimmed_mean" -> ((s, dir) =>
@@ -2429,6 +2441,46 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q213_mann_whitney" ->
+      """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS s1
+              FROM events),
+         byv AS (SELECT v, CAST(sum(s1) AS BIGINT) AS c1, count(*) AS ct FROM q GROUP BY 1),
+         ranked AS (SELECT v, c1, ct,
+                2 * CAST(coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + ct + 1 AS r2
+              FROM byv),
+         agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                        CAST(sum(ct) - sum(c1) AS BIGINT) AS n2,
+                        sum(CAST(c1 AS HUGEINT) * r2) AS r1x2,
+                        sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tie3
+                 FROM ranked)
+         SELECT n1, n2,
+                round(CAST(r1x2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0, 1) AS u1,
+                round(CASE WHEN CAST(n1 AS DOUBLE) * n2 / 12.0 * ((CAST(n1 + n2 AS DOUBLE) + 1) - CAST(tie3 AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1))) > 0
+                      THEN (CAST(r1x2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                         / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * ((CAST(n1 + n2 AS DOUBLE) + 1) - CAST(tie3 AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) END, 4) + 0.0 AS z
+         FROM agg""",
+    "q214_spearman" ->
+      """WITH base AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS x,
+                CAST(round(CAST(epoch_us(ts) // 1000000 AS DOUBLE) * 1000000) AS BIGINT) AS y
+              FROM events),
+         rxv AS (SELECT x AS v, count(*) AS cnt FROM base GROUP BY 1),
+         rx AS (SELECT v AS x, 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + cnt + 1 AS rx FROM rxv),
+         ryv AS (SELECT y AS v, count(*) AS cnt FROM base GROUP BY 1),
+         ry AS (SELECT v AS y, 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + cnt + 1 AS ry FROM ryv),
+         j AS (SELECT rx.rx, ry.ry FROM base JOIN rx ON base.x = rx.x JOIN ry ON base.y = ry.y),
+         m AS (SELECT count(*) AS n,
+                 sum(CAST(rx AS HUGEINT)) AS sa, sum(CAST(ry AS HUGEINT)) AS sb,
+                 sum(CAST(rx AS HUGEINT) * rx) AS saa, sum(CAST(ry AS HUGEINT) * ry) AS sbb,
+                 sum(CAST(rx AS HUGEINT) * ry) AS sab
+               FROM j)
+         SELECT n,
+                round(CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+                            AND (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+                      THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) END, 6) + 0.0 AS spearman_rho
+         FROM m""",
     "q211_trimmed_mean" ->
       """WITH q AS (SELECT event_type AS g, event_id AS tie, CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
          r AS (SELECT g, vq, row_number() OVER (PARTITION BY g ORDER BY vq, tie) AS rn,
