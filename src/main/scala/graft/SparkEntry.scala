@@ -138,6 +138,18 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- Cohen's kappa: agreement beyond chance between two binary
+    //      judgments (value-rule vs props-rule) — the weak-label check
+    "q215_cohens_kappa" -> ((s, dir) =>
+      graft.analyze.Contingency.cohensKappa(
+        Tables.events(s, dir), col("value") > 50,
+        get_json_object(col("props"), "$.k").cast("long") >= 50)),
+    // ---- Cohen's d: HOW BIG the arm difference is (q140's Welch t says
+    //      how sure) — pooled SD from exact decimal moments
+    "q216_cohens_d" -> ((s, dir) =>
+      graft.analyze.Experiment.cohensD(
+        Tables.events(s, dir), "user_id", "value",
+        col("event_type") === "purchase")),
     // ---- Mann-Whitney rank-sum between hash arms: exact doubled-rank
     //      sums on the distinct-value frame, tie-corrected z
     "q213_mann_whitney" -> ((s, dir) =>
@@ -2441,6 +2453,45 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q215_cohens_kappa" ->
+      """WITH j AS (SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END AS a,
+                CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 ELSE 0 END AS b
+              FROM events),
+         t AS (SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                 CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                 CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                 CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+               FROM j)
+         SELECT n, n11, n10, n01, n00,
+                round(CASE WHEN (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                         + (1.0 - CAST(n11 + n10 AS DOUBLE) / n) * (1.0 - CAST(n11 + n01 AS DOUBLE) / n) <> 1.0
+                      THEN (CAST(n11 + n00 AS DOUBLE) / n
+                          - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                           + (1.0 - CAST(n11 + n10 AS DOUBLE) / n) * (1.0 - CAST(n11 + n01 AS DOUBLE) / n)))
+                         / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                                 + (1.0 - CAST(n11 + n10 AS DOUBLE) / n) * (1.0 - CAST(n11 + n01 AS DOUBLE) / n))) END, 6) + 0.0 AS kappa
+         FROM t""",
+    "q216_cohens_d" ->
+      """WITH units AS (SELECT user_id AS unit,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS mq,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS arm1
+              FROM events GROUP BY user_id),
+         a AS (SELECT CAST(sum(arm1) AS BIGINT) AS n1, CAST(count(*) - sum(arm1) AS BIGINT) AS n2,
+                      sum(CASE WHEN arm1 = 1 THEN CAST(mq AS HUGEINT) ELSE 0 END) AS s1,
+                      sum(CASE WHEN arm1 = 0 THEN CAST(mq AS HUGEINT) ELSE 0 END) AS s2,
+                      sum(CASE WHEN arm1 = 1 THEN CAST(mq AS HUGEINT) * mq ELSE 0 END) AS ss1,
+                      sum(CASE WHEN arm1 = 0 THEN CAST(mq AS HUGEINT) * mq ELSE 0 END) AS ss2
+               FROM units)
+         SELECT n1, n2,
+                round(CASE WHEN sqrt(((CAST(n1 AS DOUBLE) - 1) * ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1))
+                                   + (CAST(n2 AS DOUBLE) - 1) * ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1)))
+                                  / (CAST(n1 + n2 AS DOUBLE) - 2)) > 0
+                      THEN (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                         / sqrt(((CAST(n1 AS DOUBLE) - 1) * ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1))
+                               + (CAST(n2 AS DOUBLE) - 1) * ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1)))
+                              / (CAST(n1 + n2 AS DOUBLE) - 2)) END, 6) + 0.0 AS cohens_d
+         FROM a""",
     "q213_mann_whitney" ->
       """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS s1

@@ -68,6 +68,30 @@ object Contingency {
         }, 6).as("r_xy_given_z"))
   }
 
+  /** Cohen's kappa — agreement between two binary judgments beyond
+    * chance (label-vs-label, model-vs-model, rater-vs-rater):
+    * `κ = (p_o − p_e)/(1 − p_e)` from the exact 2×2 agreement table in
+    * ONE scan. The standard check before trusting weak labels. */
+  def cohensKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val aa = when(a, 1L).otherwise(0L)
+    val bb = when(b, 1L).otherwise(0L)
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(when(aa === 1 && bb === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(aa === 1 && bb === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(aa === 0 && bb === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(aa === 0 && bb === 0, 1L).otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round({
+          val n = col("n").cast("double")
+          val po = (col("n11") + col("n00")).cast("double") / n
+          val pa1 = (col("n11") + col("n10")).cast("double") / n
+          val pb1 = (col("n11") + col("n01")).cast("double") / n
+          val pe = pa1 * pb1 + (lit(1.0) - pa1) * (lit(1.0) - pb1)
+          when(pe =!= 1.0, (po - pe) / (lit(1.0) - pe))
+        }, 6).as("kappa"))
+  }
+
   /** One row: `(n, n_rows, n_cols, chi2, dof, cramers_v)` (4 dp). */
   def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val cells = df.groupBy(aCol.as("a"), bCol.as("b"))

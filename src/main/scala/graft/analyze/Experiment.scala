@@ -98,6 +98,42 @@ object Experiment {
       }: _*)
   }
 
+  /** Cohen's d effect size between the hash arms (how BIG, where the
+    * Welch t of [[abReport]] says how sure): `(m₁−m₂)/s_pooled` with the
+    * pooled SD from exact DECIMAL moments — the number a meta-analysis
+    * or an MDE plan consumes. */
+  def cohensD(events: DataFrame, userCol: String, valueCol: String,
+              metricFilter: Column): DataFrame = {
+    val v6 = round(col(valueCol) * lit(1000000)).cast("long")
+    val units = events.groupBy(col(userCol).as("unit"))
+      .agg(sum(when(metricFilter, v6).otherwise(0L)).as("mq"))
+      .withColumn("arm1",
+        when(graft.operators.Sharding.hash32(col("unit")) % 2 === 0, 1L)
+          .otherwise(0L))
+    units.agg(
+        sum(col("arm1")).as("n1"),
+        (count(lit(1)) - sum(col("arm1"))).as("n2"),
+        sum(when(col("arm1") === 1, d19(col("mq")))
+          .otherwise(lit(0).cast("decimal(19,0)"))).as("s1"),
+        sum(when(col("arm1") === 0, d19(col("mq")))
+          .otherwise(lit(0).cast("decimal(19,0)"))).as("s2"),
+        sum(when(col("arm1") === 1, d19(col("mq")) * d19(col("mq")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ss1"),
+        sum(when(col("arm1") === 0, d19(col("mq")) * d19(col("mq")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ss2"))
+      .select(col("n1"), col("n2"), round({
+        val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+        val m1 = col("s1").cast("double") / n1
+        val m2 = col("s2").cast("double") / n2
+        val v1 = (col("ss1").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / n1) / (n1 - 1)
+        val v2 = (col("ss2").cast("double") -
+          col("s2").cast("double") * col("s2").cast("double") / n2) / (n2 - 1)
+        val sp = sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+        when(sp > 0, (m1 - m2) / sp)
+      }, 6).as("cohens_d"))
+  }
+
   /** Two-proportion sample-size calculator from the OBSERVED arms
     * (α = 0.05 two-sided, power = 0.8 — quantiles as literals):
     * `n/arm = (z_{α/2} + z_β)² (p_a(1−p_a) + p_b(1−p_b)) / Δ²`. Answers

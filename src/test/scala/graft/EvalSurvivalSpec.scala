@@ -68,4 +68,37 @@ class EvalSurvivalSpec extends AnyFunSuite {
       col("event_type") === "purchase").collect().head
     assert(r.getDouble(2) > 50.0, s"chi2 ${r.getDouble(2)}")
   }
+
+  test("Cohen's kappa: perfect agreement 1, independent judgments ~0") {
+    import spark.implicits._
+    import graft.analyze.Contingency
+    val agree = (1 to 100).map(i => (i.toLong, i % 2 == 0, i % 2 == 0))
+      .toDF("id", "a", "b")
+    assert(Contingency.cohensKappa(agree, col("a"), col("b"))
+      .collect().head.getDouble(5) == 1.0)
+    // b independent of a (period-4 vs period-2 phase shift)
+    val indep = (1 to 400).map(i => (i.toLong, i % 2 == 0, (i / 2) % 2 == 0))
+      .toDF("id", "a", "b")
+    assert(math.abs(Contingency.cohensKappa(indep, col("a"), col("b"))
+      .collect().head.getDouble(5)) < 0.05)
+  }
+
+  test("Cohen's d recovers a planted standardized shift") {
+    import spark.implicits._
+    import graft.analyze.Experiment
+    // per-unit metric: arm A ~ base + 10, arm B ~ base; common spread 4
+    val ev = (1 to 400).map { u =>
+      val arm0 = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(u.toString.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0
+      }
+      val base = (u % 9).toDouble // spread
+      (u.toLong, "purchase", base + (if (arm0) 10.0 else 0.0))
+    }.toDF("user_id", "event_type", "value")
+    val d = Experiment.cohensD(ev, "user_id", "value",
+      col("event_type") === "purchase").collect().head.getDouble(2)
+    assert(d > 2.0, s"d $d should be large for a 10-unit shift on ~2.6 sd")
+  }
 }
