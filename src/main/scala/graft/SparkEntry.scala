@@ -138,6 +138,25 @@ object SparkEntry {
       graft.analyze.Survival.kaplanMeier(
         Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- audience overlap: exact Jaccard between event types' user
+    //      SETS (the behavioral sibling of q138's content overlap) — one
+    //      distinct (type, user) frame self-joined on the user key,
+    //      |types|²-bounded output
+    "q217_audience_overlap" -> ((s, dir) => {
+      val tu = Tables.events(s, dir)
+        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      val inter = tu.toDF("ta", "u").join(tu.toDF("tb", "u2"),
+          col("u") === col("u2") && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("both"))
+      inter
+        .join(sizes.toDF("ta", "na"), "ta")
+        .join(sizes.toDF("tb", "nb"), "tb")
+        .select(col("ta"), col("tb"), col("both"),
+          round(col("both").cast("double") /
+            (col("na") + col("nb") - col("both")), 6).as("jaccard"))
+        .orderBy(col("ta"), col("tb"))
+    }),
     // ---- Cohen's kappa: agreement beyond chance between two binary
     //      judgments (value-rule vs props-rule) — the weak-label check
     "q215_cohens_kappa" -> ((s, dir) =>
@@ -2453,6 +2472,16 @@ object SparkEntry {
          allp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          SELECT pattern, freq FROM allp, nu WHERE freq >= ceil(0.4 * n)
          ORDER BY freq DESC, pattern""",
+    "q217_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+         sizes AS (SELECT t, count(*) AS n FROM tu GROUP BY 1),
+         inter AS (SELECT a.t AS ta, b.t AS tb, count(*) AS both
+               FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+               GROUP BY 1, 2)
+         SELECT i.ta, i.tb, CAST(i.both AS BIGINT) AS both,
+                round(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 6) AS jaccard
+         FROM inter i JOIN sizes sa ON i.ta = sa.t JOIN sizes sb ON i.tb = sb.t
+         ORDER BY i.ta, i.tb""",
     "q215_cohens_kappa" ->
       """WITH j AS (SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END AS a,
                 CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 ELSE 0 END AS b
