@@ -49,6 +49,67 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Jensen-Shannon divergence between the event-type mixes of the
+    //      two md5 user halves: the symmetric, finite categorical-drift
+    //      monitor (PSI's ε-floor sibling) — two category-bounded
+    //      aggregates, no row shuffle
+    "q218_jsd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(2)) === 0
+      graft.analyze.Drift.jensenShannon(
+          ev.where(arm), ev.where(!arm), "event_type")
+        .orderBy(col("cat"))
+    }),
+    // ---- degree assortativity of the co-purchase part graph (Newman
+    //      2002): do popular parts co-sell with popular parts? — exact
+    //      DECIMAL moments over edge-end degree pairs
+    "q219_assortativity" -> ((s, dir) =>
+      graft.graph.LinkPrediction.degreeAssortativity(
+        graft.graph.LinkPrediction.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))),
+    // ---- Adamic-Adar link prediction on the same graph: top non-
+    //      adjacent part pairs by rarity-weighted shared neighbors —
+    //      12-dp-quantized wedge weights make the top-k cut exact
+    "q220_adamic_adar" -> ((s, dir) =>
+      graft.graph.LinkPrediction.adamicAdar(
+        graft.graph.LinkPrediction.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"), 20)),
+    // ---- Zipf-law fit: OLS of ln(freq) on ln(rank) over the top-1000
+    //      tokens — slope ≈ −1 reads like language; vocabulary-bounded
+    //      aggregate + top-N heap cut, exact DECIMAL moments
+    "q221_zipf" -> ((s, dir) =>
+      graft.text.CorpusStats.zipfFit(Tables.documents(s, dir), "text", 1000)),
+    // ---- isotonic (PAV) calibration of the LOO target-encoded score:
+    //      the monotone repair of q209's reliability table — bounded bin
+    //      aggregate, driver PAV finisher (sequential by nature)
+    "q222_isotonic" -> ((s, dir) => {
+      val scored = graft.ml.Encoding.targetEncodeLoo(
+        Tables.events(s, dir)
+          .withColumn("cat", concat_ws("_", col("event_type"),
+            (dayofweek(col("ts")) - 1).cast("string"))),
+        "cat", col("value") > 50)
+      graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
+    }),
+    // ---- pairwise source token-profile cosine: the angular sibling of
+    //      q87's TV distance — vocab-bounded counts joined on the token
+    //      key, exact DECIMAL dots/norms
+    "q223_source_cosine" -> ((s, dir) =>
+      graft.text.CorpusStats.sourceCosine(
+        Tables.documents(s, dir), "source", "text")),
+    // ---- association rules over user event-type baskets: confidence
+    //      and lift from exact supports (both directions of each pair)
+    "q224_assoc_rules" -> ((s, dir) =>
+      graft.analyze.Itemsets.associationRules(
+        Tables.events(s, dir), "user_id", "event_type", 2L)),
+    // ---- information gain of event_type and day-of-week on the
+    //      value>50 label: model-free feature ranking via exact-count
+    //      x·ln x identities
+    "q225_infogain" -> ((s, dir) =>
+      graft.analyze.Contingency.infoGain(
+        Tables.events(s, dir), col("value") > 50, Seq(
+          "event_type" -> col("event_type"),
+          "dow" -> (dayofweek(col("ts")) - 1).cast("string")))),
     // ---- wide→long reshape (inverse of the A6 pivot): unpivot the four
     //      lineitem measures and profile each — a single shuffle-free
     //      projection into a 4-row hash aggregate
@@ -2371,6 +2432,136 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q218_jsd" ->
+      """WITH s AS (SELECT event_type AS cat,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b
+              FROM events),
+         g AS (SELECT cat, CAST(sum(b) AS BIGINT) AS n_base,
+                      CAST(count(*) - sum(b) AS BIGINT) AS n_cur FROM s GROUP BY 1),
+         t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS tb, CAST(sum(n_cur) AS DOUBLE) AS tc FROM g),
+         terms AS (SELECT cat, n_base, n_cur,
+                CAST(round(((CASE WHEN n_base > 0 THEN (n_base / tb) * ln((n_base / tb) / ((n_base / tb + n_cur / tc) / 2.0)) ELSE 0.0 END
+                           + CASE WHEN n_cur > 0 THEN (n_cur / tc) * ln((n_cur / tc) / ((n_base / tb + n_cur / tc) / 2.0)) ELSE 0.0 END) * 0.5) * 1e12) AS BIGINT) AS t12
+              FROM g, t)
+         SELECT cat, n_base, n_cur, round(t12 / 1e12, 6) + 0.0 AS jsd_term,
+                (SELECT round(CAST(sum(t12) AS DOUBLE) / 1e12, 6) FROM terms) + 0.0 AS jsd_nats
+         FROM terms ORDER BY cat""",
+    "q219_assortativity" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS ea, b.l_partkey AS eb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         ends AS (SELECT ea AS x, eb AS y FROM e UNION ALL SELECT eb, ea FROM e),
+         deg AS (SELECT x AS v, count(*) AS d FROM ends GROUP BY 1),
+         pairs AS (SELECT dx.d AS di, dy.d AS dj
+              FROM ends JOIN deg dx ON ends.x = dx.v JOIN deg dy ON ends.y = dy.v),
+         m AS (SELECT count(*) AS n_ends,
+                      sum(CAST(di AS HUGEINT)) AS sx, sum(CAST(dj AS HUGEINT)) AS sy,
+                      sum(CAST(di AS HUGEINT) * di) AS sxx, sum(CAST(dj AS HUGEINT) * dj) AS syy,
+                      sum(CAST(di AS HUGEINT) * dj) AS sxy
+               FROM pairs)
+         SELECT n_ends,
+                round(CASE WHEN (CAST(n_ends AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                            AND (CAST(n_ends AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                      THEN (CAST(n_ends AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n_ends AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n_ends AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) + 0.0 AS assortativity
+         FROM m""",
+    "q220_adamic_adar" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS ea, b.l_partkey AS eb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         ends AS (SELECT ea AS z, eb AS nb FROM e UNION ALL SELECT eb, ea FROM e),
+         deg AS (SELECT z, count(*) AS d FROM ends GROUP BY 1),
+         w AS (SELECT p.u, p.v, deg.d
+              FROM (SELECT a.z, a.nb AS u, b.nb AS v FROM ends a JOIN ends b
+                      ON a.z = b.z AND a.nb < b.nb) p
+              JOIN deg ON deg.z = p.z),
+         aa AS (SELECT u, v, count(*) AS common,
+                       sum(CAST(round(1e12 / ln(CAST(d AS DOUBLE))) AS HUGEINT)) AS s12
+                FROM w GROUP BY 1, 2),
+         sel AS (SELECT aa.u, aa.v, aa.common,
+                        round(CAST(s12 AS DOUBLE) / 1e12, 6) + 0.0 AS aa_score
+                 FROM aa LEFT JOIN e ON aa.u = e.ea AND aa.v = e.eb
+                 WHERE e.ea IS NULL)
+         SELECT * FROM sel ORDER BY aa_score DESC, u, v LIMIT 20""",
+    "q221_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+         c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         r AS (SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rnk, cnt FROM c),
+         t AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e12) AS BIGINT) AS x12,
+                      CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e12) AS BIGINT) AS y12
+               FROM r WHERE rnk <= 1000),
+         m AS (SELECT count(*) AS n_terms,
+                      sum(CAST(x12 AS HUGEINT)) AS sx, sum(CAST(y12 AS HUGEINT)) AS sy,
+                      sum(CAST(x12 AS HUGEINT) * x12) AS sxx, sum(CAST(y12 AS HUGEINT) * y12) AS syy,
+                      sum(CAST(x12 AS HUGEINT) * y12) AS sxy
+               FROM t)
+         SELECT n_terms,
+                round(CASE WHEN (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12)) > 0
+                      THEN (CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))
+                         / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12)) END, 6) + 0.0 AS slope,
+                round(CASE WHEN (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12)) > 0
+                      THEN ((CAST(sy AS DOUBLE) / 1e12) - ((CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))
+                         / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))) * (CAST(sx AS DOUBLE) / 1e12)) / CAST(n_terms AS DOUBLE) END, 6) + 0.0 AS intercept,
+                round(CASE WHEN (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12)) > 0
+                            AND (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12)) > 0
+                      THEN (CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))
+                         * (CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))
+                         / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
+                          * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
+         FROM m""",
+    "q223_source_cosine" ->
+      """WITH c AS (SELECT source AS src, tok, count(*) AS cnt FROM (
+                SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                FROM documents) GROUP BY 1, 2),
+         norms AS (SELECT src, sum(CAST(cnt AS HUGEINT) * cnt) AS nrm FROM c GROUP BY 1),
+         dots AS (SELECT a.src AS sa, b.src AS sb, sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS dot
+              FROM c a JOIN c b ON a.tok = b.tok AND a.src < b.src
+              GROUP BY 1, 2)
+         SELECT sa AS source_a, sb AS source_b,
+                round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+         FROM dots JOIN norms na ON na.src = dots.sa JOIN norms nb ON nb.src = dots.sb
+         ORDER BY source_a, source_b""",
+    "q224_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id AS e, event_type AS item FROM events),
+         n AS (SELECT count(DISTINCT e) AS nb FROM b),
+         supp AS (SELECT item, count(*) AS s FROM b GROUP BY 1),
+         pairs AS (SELECT a.item AS item_a, c.item AS item_b, count(*) AS supp_ab
+              FROM b a JOIN b c ON a.e = c.e AND a.item < c.item
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+         directed AS (SELECT item_a AS antecedent, item_b AS consequent, supp_ab FROM pairs
+                UNION ALL SELECT item_b, item_a, supp_ab FROM pairs),
+         r AS (SELECT d.antecedent, d.consequent, d.supp_ab, sa.s AS supp_a,
+                      round(CAST(d.supp_ab AS DOUBLE) / CAST(sa.s AS DOUBLE), 6) + 0.0 AS confidence,
+                      round(CAST(d.supp_ab AS DOUBLE) * CAST(n.nb AS DOUBLE) / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 6) + 0.0 AS lift
+               FROM directed d
+               JOIN supp sa ON sa.item = d.antecedent
+               JOIN supp sb ON sb.item = d.consequent
+               CROSS JOIN n)
+         SELECT * FROM r ORDER BY lift DESC, antecedent, consequent""",
+    "q225_infogain" ->
+      """WITH src AS (SELECT event_type,
+                CAST(dayofweek(ts) AS VARCHAR) AS dow,
+                CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+              FROM events),
+         f AS (SELECT 'event_type' AS feature, event_type AS v, y FROM src
+               UNION ALL SELECT 'dow', dow, y FROM src),
+         byv AS (SELECT feature, v, count(*) AS nv, CAST(sum(y) AS BIGINT) AS pv
+                 FROM f GROUP BY 1, 2),
+         agg AS (SELECT feature,
+                        CAST(sum(nv) AS BIGINT) AS n, CAST(sum(pv) AS BIGINT) AS pos,
+                        sum(CAST(round(((CASE WHEN nv > 0 THEN nv * ln(CAST(nv AS DOUBLE)) ELSE 0.0 END)
+                                      - (CASE WHEN pv > 0 THEN pv * ln(CAST(pv AS DOUBLE)) ELSE 0.0 END)
+                                      - (CASE WHEN nv - pv > 0 THEN (nv - pv) * ln(CAST(nv - pv AS DOUBLE)) ELSE 0.0 END)) * 1e6) AS HUGEINT)) AS c6
+                 FROM byv GROUP BY 1),
+         ent AS (SELECT feature, n,
+                        round(((CASE WHEN n > 0 THEN n * ln(CAST(n AS DOUBLE)) ELSE 0.0 END)
+                             - (CASE WHEN pos > 0 THEN pos * ln(CAST(pos AS DOUBLE)) ELSE 0.0 END)
+                             - (CASE WHEN n - pos > 0 THEN (n - pos) * ln(CAST(n - pos AS DOUBLE)) ELSE 0.0 END)) / CAST(n AS DOUBLE), 6) + 0.0 AS h_label,
+                        round(CAST(c6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) + 0.0 AS h_cond
+                 FROM agg)
+         SELECT feature, n, h_label, h_cond, round(h_label - h_cond, 6) + 0.0 AS info_gain
+         FROM ent ORDER BY feature""",
     "q147_melt" ->
       """WITH u AS (SELECT metric, val FROM (
            UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)

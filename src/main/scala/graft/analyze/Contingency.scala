@@ -126,4 +126,44 @@ object Contingency {
         round(sqrt(greatest(col("chi2d"), lit(0.0)) /
           (col("n") * (least(col("nr"), col("nc")) - 1))), 4).as("cramers_v"))
   }
+
+  /** Information gain (mutual information, nats) of each categorical
+    * feature against a boolean label — the model-free split-quality
+    * ranking (what a decision stump would gain; the chi-square's
+    * information-theoretic sibling, and the sanity check for q33/q48's
+    * model-based importances). One row per feature:
+    * `(feature, n, h_label, h_cond, info_gain)`.
+    *
+    * Determinism: with `x ln x` on exact integer counts (0 ln 0 = 0),
+    * `n_v·H_v = n_v ln n_v − pos_v ln pos_v − neg_v ln neg_v` is a pure
+    * function of integers, quantized to a 6-dp long per feature value
+    * and summed exactly; entropies divide by N once at the end. Scale:
+    * one (feature-value)-keyed count aggregate per feature — category-
+    * bounded, map-side combined, no row shuffle. */
+  def infoGain(df: DataFrame, labelCol: Column,
+               features: Seq[(String, Column)]): DataFrame = {
+    def xlnx(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(0.0)
+    val frames = features.map { case (name, f) =>
+      val byV = df.select(f.as("v"), when(labelCol, 1L).otherwise(0L).as("y"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("nv"), sum(col("y")).as("pv"))
+      byV.agg(
+          sum(col("nv")).as("n"), sum(col("pv")).as("pos"),
+          sum(round((xlnx(col("nv")) - xlnx(col("pv")) -
+            xlnx(col("nv") - col("pv"))) * lit(1e6)).cast("long")).as("__c6"))
+        .select(lit(name).as("feature"), col("n"), {
+          val n = col("n").cast("double")
+          val hl = (xlnx(col("n")) - xlnx(col("pos")) -
+            xlnx(col("n") - col("pos"))) / n
+          round(hl, 6).as("h_label")
+        }, {
+          round(col("__c6").cast("double") / 1e6 /
+            col("n").cast("double"), 6).as("h_cond")
+        })
+        .select(col("feature"), col("n"), col("h_label"), col("h_cond"),
+          round(col("h_label") - col("h_cond"), 6).as("info_gain"))
+    }
+    frames.reduce(_ unionAll _).orderBy(col("feature"))
+  }
 }

@@ -47,6 +47,46 @@ object Drift {
           .as("psi_term"))
   }
 
+  /** Jensen-Shannon divergence (in nats) between the CATEGORICAL
+    * distributions of two snapshots — the symmetric, always-finite
+    * sibling of KL for discrete drift (PSI needs an ε floor against
+    * empty buckets; JSD doesn't: a category absent on one side
+    * contributes `p/2·ln 2`, never ∞). Per-category report rows
+    * `(cat, n_base, n_cur, jsd_term)` plus the corpus-level `jsd_nats`
+    * total broadcast onto every row (0 = identical, ln 2 ≈ 0.693 =
+    * disjoint supports).
+    *
+    * Scale shape: one count-aggregate per side (category-bounded), a
+    * full-outer join on the category key, two broadcast scalar totals —
+    * the snapshots themselves never shuffle as rows. Determinism: counts
+    * are exact; each per-category term is computed in double from the
+    * exact counts and quantized to a 12-dp long BEFORE the total sum, so
+    * the sum is order-invariant and engine-stable. */
+  def jensenShannon(base: DataFrame, current: DataFrame,
+                    catCol: String, scale: Int = 6): DataFrame = {
+    val b = base.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_base"))
+    val c = current.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_cur"))
+    val joined = b.join(c, Seq("cat"), "full_outer")
+      .select(col("cat"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .join(broadcast(b.agg(sum(col("n_base")).cast("double").as("__tb"))))
+      .join(broadcast(c.agg(sum(col("n_cur")).cast("double").as("__tc"))))
+    val p = col("n_base").cast("double") / col("__tb")
+    val q = col("n_cur").cast("double") / col("__tc")
+    val m = (p + q) / 2.0
+    val term = (when(col("n_base") > 0, p * log(p / m)).otherwise(0.0) +
+      when(col("n_cur") > 0, q * log(q / m)).otherwise(0.0)) * 0.5
+    val terms = joined.select(col("cat"), col("n_base"), col("n_cur"),
+      round(term * lit(1e12)).cast("long").as("__t12"))
+    val total = terms.agg(
+      round(sum(col("__t12")).cast("double") / 1e12, scale).as("jsd_nats"))
+    terms.join(broadcast(total))
+      .select(col("cat"), col("n_base"), col("n_cur"),
+        round(col("__t12").cast("double") / 1e12, scale).as("jsd_term"),
+        col("jsd_nats"))
+  }
+
   /** EMBEDDING-space drift between two snapshots of a vector corpus (the
     * vector sibling of [[psi]] / token TV: re-embedding after a model
     * swap, corpus refresh between crawls): per-dimension centroid means

@@ -41,6 +41,42 @@ object Itemsets {
       .orderBy(col("support").desc, col("item_a"), col("item_b"))
   }
 
+  /** Association rules from the exact pair lattice: both directions of
+    * every frequent pair as `(antecedent, consequent, supp_ab, supp_a,
+    * confidence, lift)` — confidence = supp(ab)/supp(a), lift =
+    * supp(ab)·N / (supp(a)·supp(b)) with N = basket count. All supports
+    * are exact entity counts (one distinct + one self-join per basket,
+    * the [[frequentPairs]] shape plus an item-support broadcast); the
+    * two ratios are single divisions of exact integers, 6 dp. Ordered by
+    * lift desc then (antecedent, consequent) — deterministic because the
+    * rounded lift is a pure function of exact integer supports. */
+  def associationRules(df: DataFrame, entityCol: String, itemCol: String,
+                       minSupport: Long): DataFrame = {
+    val b = df.select(col(entityCol).as("e"), col(itemCol).as("item")).distinct()
+    val n = b.agg(countDistinct(col("e")).as("__n"))
+    val itemSupp = b.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val pairs = frequentPairs(df, entityCol, itemCol, minSupport)
+      .withColumnRenamed("support", "supp_ab")
+    val directed = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("supp_ab"))
+      .unionAll(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("supp_ab")))
+    directed
+      .join(broadcast(itemSupp.select(col("item").as("antecedent"),
+        col("supp").as("supp_a"))), Seq("antecedent"))
+      .join(broadcast(itemSupp.select(col("item").as("consequent"),
+        col("supp").as("supp_b"))), Seq("consequent"))
+      .join(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("supp_ab"),
+        col("supp_a"),
+        round(col("supp_ab").cast("double") / col("supp_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("supp_ab").cast("double") * col("__n").cast("double") /
+          (col("supp_a").cast("double") * col("supp_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(desc("lift"), col("antecedent"), col("consequent"))
+  }
+
   /** Distributed FP-Growth itemsets: `(itemset, freq)` with the itemset
     * rendered as a sorted comma-joined string (deterministic key). */
   def fpGrowth(df: DataFrame, entityCol: String, itemCol: String,

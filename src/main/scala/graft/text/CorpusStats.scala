@@ -148,4 +148,111 @@ object CorpusStats {
         when(coalesce(col("n_ngrams"), lit(0L)) > 0,
           round(col("n_distinct").cast("double") / col("n_ngrams"), 6)).as("ttr"))
   }
+
+  /** Pairwise cosine similarity between the TOKEN-COUNT profiles of the
+    * corpus sources — the angular sibling of [[sourceTvDivergence]]'s
+    * total-variation distance (TV weighs mass moved; cosine weighs
+    * co-direction, dominated by the shared head vocabulary). Rows
+    * `(source_a, source_b, cosine)` for `source_a < source_b`.
+    *
+    * Scale shape: one vocabulary-bounded (source, token) count
+    * aggregate; the pair frame joins that aggregate to itself ON THE
+    * TOKEN KEY (never a row-level cross product — |sources|² pairs per
+    * token, with sources a handful), and per-source norms are one more
+    * rollup of the same counts. Dot products and norms are exact
+    * DECIMAL integer sums; the cosine is one double division, 6 dp. */
+  def sourceCosine(df: DataFrame, sourceCol: String,
+                   textCol: String): DataFrame = {
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val c = df.select(col(sourceCol).as("src"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val norms = c.groupBy(col("src"))
+      .agg(sum(d19(col("cnt")) * d19(col("cnt"))).as("nrm"))
+    val dots = c.select(col("src").as("sa"), col("tok"), col("cnt").as("ca"))
+      .join(c.select(col("src").as("sb"), col("tok"), col("cnt").as("cb")),
+        Seq("tok"))
+      .where(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(d19(col("ca")) * d19(col("cb"))).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("src").as("sa"), col("nrm").as("na"))),
+        Seq("sa"))
+      .join(broadcast(norms.select(col("src").as("sb"), col("nrm").as("nb"))),
+        Seq("sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        round(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("cosine"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Zipf-law fit over the top-`topN` token frequencies: OLS of
+    * `ln(freq)` on `ln(rank)` — slope ≈ −1 for natural language (the
+    * Zipf exponent), r² for how power-law the corpus is. The companion
+    * of the Heaps-law curve ([[VocabCoverage]]): together they fingerprint
+    * whether a corpus "reads like language" or like logs/boilerplate.
+    *
+    * One row `(n_terms, slope, intercept, r2)`.
+    *
+    * Scale shape: token counts are a vocabulary-bounded hash aggregate
+    * (map-side combine; the corpus shuffles only as (token, count)); the
+    * rank cut is a top-N sort-limit (TakeOrdered — per-partition heaps,
+    * never a full sort) and the regression runs over topN rows.
+    * Determinism: ln(rank)/ln(count) are logs of exact integers,
+    * quantized to 12-dp longs; all five moments are exact DECIMAL sums
+    * of those longs, and the closed form runs in double over the exact
+    * moments — the same contract as the rank-stats family. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("tok")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), col("tok"))
+    val t = counts
+      .withColumn("rnk", row_number().over(w))
+      .select(
+        round(log(col("rnk").cast("double")) * lit(1e12)).cast("long").as("x12"),
+        round(log(col("cnt").cast("double")) * lit(1e12)).cast("long").as("y12"))
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    t.agg(count(lit(1)).as("n_terms"),
+        sum(d19(col("x12"))).as("__sx"), sum(d19(col("y12"))).as("__sy"),
+        sum(d19(col("x12")) * d19(col("x12"))).as("__sxx"),
+        sum(d19(col("y12")) * d19(col("y12"))).as("__syy"),
+        sum(d19(col("x12")) * d19(col("y12"))).as("__sxy"))
+      .select(col("n_terms"), {
+        val n = col("n_terms").cast("double")
+        val sx = col("__sx").cast("double") / 1e12
+        val sy = col("__sy").cast("double") / 1e12
+        val sxx = col("__sxx").cast("double") / 1e24
+        val syy = col("__syy").cast("double") / 1e24
+        val sxy = col("__sxy").cast("double") / 1e24
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        val deny = n * syy - sy * sy
+        val slope = num / den
+        round(when(den > 0, slope), 6).as("slope")
+      }, {
+        val n = col("n_terms").cast("double")
+        val sx = col("__sx").cast("double") / 1e12
+        val sy = col("__sy").cast("double") / 1e12
+        val sxx = col("__sxx").cast("double") / 1e24
+        val sxy = col("__sxy").cast("double") / 1e24
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        round(when(den > 0, (sy - (num / den) * sx) / n), 6).as("intercept")
+      }, {
+        val n = col("n_terms").cast("double")
+        val sx = col("__sx").cast("double") / 1e12
+        val sy = col("__sy").cast("double") / 1e12
+        val sxx = col("__sxx").cast("double") / 1e24
+        val syy = col("__syy").cast("double") / 1e24
+        val sxy = col("__sxy").cast("double") / 1e24
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        val deny = n * syy - sy * sy
+        round(when(den > 0 && deny > 0, num * num / (den * deny)), 6).as("r2")
+      })
+  }
 }

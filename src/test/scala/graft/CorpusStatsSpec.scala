@@ -127,6 +127,46 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got(3)._2 == 3L)
   }
 
+  test("sourceCosine: identical profiles 1, skewed < 1, disjoint omitted") {
+    val df = Seq(
+      (1L, "s1", "alpha beta beta"),
+      (2L, "s2", "alpha beta beta"),   // identical profile to s1
+      (3L, "s3", "alpha alpha alpha"), // shares alpha only
+      (4L, "s4", "zeta zeta")          // disjoint vocabulary
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusStats.sourceCosine(df, "source", "text")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("s1", "s2")) == 1.0)
+    // s1=(1,2), s3=(3,0): cos = 3/(√5·3) = 1/√5
+    assert(math.abs(got(("s1", "s3")) - 1.0 / math.sqrt(5)) < 1e-6)
+    assert(!got.keySet.exists(p => p._1 == "s4" || p._2 == "s4"),
+      "no-shared-vocabulary pairs are omitted by design")
+  }
+
+  test("zipfFit recovers the exponent of a synthetic Zipf corpus") {
+    // token t_i repeated floor(2000/i) times: ln(freq) ≈ ln 2000 − ln rank
+    val docs = (1 to 200).flatMap { i =>
+      val reps = 2000 / i
+      Seq.fill(reps)(f"t$i%03d")
+    }.grouped(50).zipWithIndex
+      .map { case (toks, j) => (j.toLong, toks.mkString(" ")) }.toSeq
+    val df = docs.toDF("doc_id", "text")
+    val row = CorpusStats.zipfFit(df, "text", 200).head
+    assert(row.getAs[Long]("n_terms") == 200L)
+    val slope = row.getAs[Double]("slope")
+    val r2 = row.getAs[Double]("r2")
+    assert(math.abs(slope - (-1.0)) < 0.02, s"slope $slope should be ≈ −1")
+    assert(r2 > 0.999, s"synthetic Zipf should fit tightly, r2=$r2")
+  }
+
+  test("zipfFit on a uniform corpus has slope ≈ 0") {
+    val df = Seq((1L, Seq.tabulate(300)(i => s"u$i u$i u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val row = CorpusStats.zipfFit(df, "text", 300).head
+    assert(math.abs(row.getAs[Double]("slope")) < 1e-9)
+  }
+
   test("docCharEntropy flags padding low and diverse text high") {
     val df = Seq(
       (1L, "xxxxxxxxxxxxxxxxxxxx"),

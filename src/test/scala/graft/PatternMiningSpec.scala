@@ -28,6 +28,50 @@ class PatternMiningSpec extends AnyFunSuite {
     assert(got == Seq(("a", "b", 2L), ("a", "c", 2L)))
   }
 
+  test("associationRules: confidence and lift from exact supports") {
+    import spark.implicits._
+    // baskets: {a,b} ×3, {a} ×1, {b,c} ×1  → N=5, supp a=4, b=4, c=1,
+    // supp(ab)=3, supp(bc)=1
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (3L, "b"),
+      (4L, "a"), (5L, "b"), (5L, "c")
+    ).toDF("e", "item")
+    val got = Itemsets.associationRules(df, "e", "item", 1L)
+      .select("antecedent", "consequent", "supp_ab", "supp_a", "confidence", "lift")
+      .as[(String, String, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = got(("a", "b"))
+    assert(ab._3 == 3L && ab._4 == 4L)
+    assert(ab._5 == 0.75) // 3/4
+    assert(ab._6 == math.rint(3.0 * 5 / (4 * 4) * 1e6) / 1e6) // 0.9375
+    val cb = got(("c", "b"))
+    assert(cb._5 == 1.0) // supp(bc)/supp(c) = 1/1
+    assert(cb._6 == 1.25) // 1·5/(1·4)
+    // both directions present
+    assert(got.contains(("b", "a")) && got.contains(("b", "c")))
+  }
+
+  test("infoGain: perfect predictor gains H(label); constant gains 0") {
+    import spark.implicits._
+    import graft.analyze.Contingency
+    val df = (1 to 400).map { i =>
+      val y = i % 4 == 0 // 25% positive
+      (i.toLong, if (y) "pos" else "neg", "same")
+    }.toDF("id", "perfect", "constant")
+    val got = Contingency.infoGain(df, col("perfect") === "pos", Seq(
+        "perfect" -> col("perfect"), "constant" -> col("constant")))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    val h = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75))
+    val p = got("perfect")
+    assert(math.abs(p.getAs[Double]("h_label") - h) < 1e-5)
+    assert(math.abs(p.getAs[Double]("info_gain") - h) < 1e-5,
+      "perfect predictor must gain the full label entropy")
+    assert(p.getAs[Double]("h_cond") == 0.0)
+    val c = got("constant")
+    assert(math.abs(c.getAs[Double]("info_gain")) < 1e-9,
+      "constant feature must gain nothing")
+  }
+
   test("fpGrowth finds the same frequent pairs as the exact lattice level") {
     import spark.implicits._
     val df = (1 to 20).flatMap { e =>

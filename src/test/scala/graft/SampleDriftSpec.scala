@@ -48,6 +48,37 @@ class SampleDriftSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_base")).sum == 1000)
   }
 
+  // ------------------------------------------------------------------ JSD
+
+  test("jsd of identical categorical snapshots is zero") {
+    val df = (1 to 300).map(i => (i.toLong, s"c${i % 7}")).toDF("id", "cat")
+    val got = Drift.jensenShannon(df, df, "cat").collect()
+    assert(got.length == 7)
+    assert(got.forall(_.getAs[Double]("jsd_nats") == 0.0))
+    assert(got.forall(_.getAs[Double]("jsd_term") == 0.0))
+  }
+
+  test("jsd of disjoint supports is ln 2, each term p/2 * ln 2") {
+    val a = (1 to 100).map(i => (i.toLong, "only_a")).toDF("id", "cat")
+    val b = (1 to 50).map(i => (i.toLong, "only_b")).toDF("id", "cat")
+    val got = Drift.jensenShannon(a, b, "cat").collect()
+    val total = got.head.getAs[Double]("jsd_nats")
+    assert(math.abs(total - math.log(2.0)) < 1e-6,
+      s"disjoint supports must give ln 2, got $total")
+    // symmetric: both categories carry half the divergence
+    assert(got.forall(r =>
+      math.abs(r.getAs[Double]("jsd_term") - math.log(2.0) / 2) < 1e-6))
+  }
+
+  test("jsd is symmetric and bounded by ln 2") {
+    val a = (1 to 400).map(i => (i.toLong, s"c${i % 5}")).toDF("id", "cat")
+    val b = (1 to 400).map(i => (i.toLong, s"c${i % 3}")).toDF("id", "cat")
+    val ab = Drift.jensenShannon(a, b, "cat").head.getAs[Double]("jsd_nats")
+    val ba = Drift.jensenShannon(b, a, "cat").head.getAs[Double]("jsd_nats")
+    assert(ab == ba, s"JSD must be symmetric: $ab vs $ba")
+    assert(ab > 0 && ab <= math.log(2.0) + 1e-12)
+  }
+
   test("psi detects a shifted distribution") {
     val base = (1 to 1000).map(i => i.toLong -> (i % 100).toDouble).toDF("id", "value")
     val shifted = (1 to 1000).map(i => i.toLong -> ((i % 100) + 60.0)).toDF("id", "value")
