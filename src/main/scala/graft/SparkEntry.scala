@@ -67,14 +67,14 @@ object SparkEntry {
     "q219_assortativity" -> ((s, dir) =>
       graft.graph.LinkPrediction.degreeAssortativity(
         graft.graph.LinkPrediction.coOccurrenceEdges(
-          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))),
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2L))),
     // ---- Adamic-Adar link prediction on the same graph: top non-
     //      adjacent part pairs by rarity-weighted shared neighbors —
     //      12-dp-quantized wedge weights make the top-k cut exact
     "q220_adamic_adar" -> ((s, dir) =>
       graft.graph.LinkPrediction.adamicAdar(
         graft.graph.LinkPrediction.coOccurrenceEdges(
-          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"), 20)),
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2L), 20)),
     // ---- Zipf-law fit: OLS of ln(freq) on ln(rank) over the top-1000
     //      tokens — slope ≈ −1 reads like language; vocabulary-bounded
     //      aggregate + top-N heap cut, exact DECIMAL moments
@@ -91,6 +91,12 @@ object SparkEntry {
         "cat", col("value") > 50)
       graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
     }),
+    // ---- cross-doc substring duplication (Lee et al. span-level
+    //      boilerplate): 100-char md5 window fingerprints at stride 50,
+    //      digest-only shuffle, per-source dup-mass report
+    "q226_substring_dup" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.perSourceReport(
+        Tables.documents(s, dir), "doc_id", "source", "text", 20, 4)),
     // ---- pairwise source token-profile cosine: the angular sibling of
     //      q87's TV distance — vocab-bounded counts joined on the token
     //      key, exact DECIMAL dots/norms
@@ -2447,9 +2453,10 @@ object SparkEntry {
                 (SELECT round(CAST(sum(t12) AS DOUBLE) / 1e12, 6) FROM terms) + 0.0 AS jsd_nats
          FROM terms ORDER BY cat""",
     "q219_assortativity" ->
-      """WITH e AS (SELECT DISTINCT a.l_partkey AS ea, b.l_partkey AS eb
+      """WITH inst AS (SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS ea, b.l_partkey AS eb
               FROM lineitem a JOIN lineitem b
                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         e AS (SELECT ea, eb FROM inst GROUP BY ea, eb HAVING count(*) >= 2),
          ends AS (SELECT ea AS x, eb AS y FROM e UNION ALL SELECT eb, ea FROM e),
          deg AS (SELECT x AS v, count(*) AS d FROM ends GROUP BY 1),
          pairs AS (SELECT dx.d AS di, dy.d AS dj
@@ -2467,9 +2474,10 @@ object SparkEntry {
                               * (CAST(n_ends AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) + 0.0 AS assortativity
          FROM m""",
     "q220_adamic_adar" ->
-      """WITH e AS (SELECT DISTINCT a.l_partkey AS ea, b.l_partkey AS eb
+      """WITH inst AS (SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS ea, b.l_partkey AS eb
               FROM lineitem a JOIN lineitem b
                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         e AS (SELECT ea, eb FROM inst GROUP BY ea, eb HAVING count(*) >= 2),
          ends AS (SELECT ea AS z, eb AS nb FROM e UNION ALL SELECT eb, ea FROM e),
          deg AS (SELECT z, count(*) AS d FROM ends GROUP BY 1),
          w AS (SELECT p.u, p.v, deg.d
@@ -2510,6 +2518,28 @@ object SparkEntry {
                          / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
                           * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
          FROM m""",
+    "q226_substring_dup" ->
+      """WITH d AS (SELECT doc_id AS doc, source AS src,
+                string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents),
+         w AS (SELECT doc, src,
+                md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 19], ' ')) AS fp
+              FROM (SELECT doc, src, toks, unnest(range(1, len(toks) - 18)) AS i
+                    FROM d WHERE len(toks) >= 20)
+              WHERE ('0x' || substr(md5(toks[CAST(i AS INT)]), 1, 2))::BIGINT % 4 = 0),
+         dupfp AS (SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc) >= 2),
+         wins AS (SELECT src, count(*) AS n_windows FROM w GROUP BY 1),
+         dups AS (SELECT src, count(*) AS dup_windows FROM w
+                  WHERE fp IN (SELECT fp FROM dupfp) GROUP BY 1),
+         docs AS (SELECT source AS src, count(*) AS n_docs FROM documents GROUP BY 1)
+         SELECT docs.src AS source, n_docs,
+                coalesce(n_windows, 0) AS n_windows,
+                coalesce(dup_windows, 0) AS dup_windows,
+                CASE WHEN coalesce(n_windows, 0) > 0
+                     THEN round(CAST(coalesce(dup_windows, 0) AS DOUBLE) / n_windows, 6) + 0.0 END AS dup_ratio
+         FROM docs LEFT JOIN wins ON wins.src = docs.src
+                   LEFT JOIN dups ON dups.src = docs.src
+         ORDER BY source""",
     "q223_source_cosine" ->
       """WITH c AS (SELECT source AS src, tok, count(*) AS cnt FROM (
                 SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok

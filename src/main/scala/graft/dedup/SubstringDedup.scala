@@ -1,0 +1,98 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document SUBSTRING duplication — the span-level signal behind
+  * suffix-array dedup (Lee et al. 2022, "Deduplicating Training Data
+  * Makes Language Models Better"): document-level dedup (exact q18,
+  * near-dup q59/q24) misses long boilerplate spans embedded in otherwise
+  * distinct documents; this measures them.
+  *
+  * Method: fixed-length TOKEN windows (`window` tokens) fingerprinted
+  * with md5, anchored at CONTENT-DEFINED positions — a window starts at
+  * token i only when `md5(token_i) mod anchorMod == 0` (Manber 1994
+  * mod-p fingerprint selection, the winnowing family). Because the
+  * anchor decision depends on the token's content, not its offset, two
+  * documents sharing a span select the SAME windows inside it whatever
+  * the span's alignment — the property fixed-stride sampling lacks.
+  * Expected anchor gap is `anchorMod` tokens, so a duplicated span of
+  * `window + g` tokens is missed with probability
+  * `(1 − 1/anchorMod)^(g+1)` (≈0.1% at g = 24, anchorMod = 4) — and
+  * identically missed in every document, never inconsistently. Exact
+  * suffix arrays are a sequential construction that buys little at
+  * corpus scale over this one-scan approximation.
+  *
+  * Scale shape: anchoring + fingerprinting happen INSIDE the row (one
+  * codegen'd projection over the token array; text never leaves the
+  * scan stage) and only (16-byte fingerprint, doc, source) rows
+  * shuffle; the duplicated-fingerprint set is a digest-keyed aggregate
+  * re-joined by fingerprint. Cost ≈ one md5 per token plus one per
+  * selected window (~1/anchorMod per token).
+  */
+object SubstringDedup {
+
+  /** Anchored-window fingerprints `(doc, src?, fp)` for a token window
+    * of `window`, anchor density 1/`anchorMod`. */
+  private def windowFrame(df: DataFrame, idCol: String,
+                          srcCol: Option[String], textCol: String,
+                          window: Int, anchorMod: Int): DataFrame = {
+    val base = Seq(col(idCol).as("doc")) ++ srcCol.map(c => col(c).as("src"))
+    val kept = Seq(col("doc")) ++ srcCol.map(_ => col("src"))
+    df.select((base :+ graft.text.TextAnalysis.tokens(col(textCol))
+        .as("__toks")): _*)
+      .where(size(col("__toks")) >= window)
+      .select((kept :+ explode(expr(
+        // anchor: first md5 hex byte of the token ≡ 0 (mod anchorMod);
+        // fingerprint: md5 of the space-joined window slice
+        s"""filter(transform(sequence(1, size(__toks) - ${window - 1}),
+           |  i -> IF(CAST(conv(substring(md5(element_at(__toks, i)), 1, 2), 16, 10) AS INT) % $anchorMod = 0,
+           |          md5(array_join(slice(__toks, i, $window), ' ')),
+           |          CAST(NULL AS STRING))),
+           |x -> x IS NOT NULL)""".stripMargin)).as("fp")): _*)
+  }
+
+  /** Per-source duplicated-window report: `(source, n_docs, n_windows,
+    * dup_windows, dup_ratio)` where a window is `dup` when its
+    * fingerprint occurs in ≥ 2 DISTINCT documents (intra-doc repetition
+    * is [[graft.text.Repetition]]'s business, not cross-doc
+    * contamination). Docs with fewer than `window` tokens contribute no
+    * windows but still count in `n_docs`. */
+  def perSourceReport(df: DataFrame, idCol: String, sourceCol: String,
+                      textCol: String, window: Int = 20,
+                      anchorMod: Int = 4): DataFrame = {
+    require(window >= 2 && anchorMod >= 1,
+      s"bad window/anchorMod: $window/$anchorMod")
+    val w = windowFrame(df, idCol, Some(sourceCol), textCol, window, anchorMod)
+    val dupFp = w.groupBy(col("fp"))
+      .agg(countDistinct(col("doc")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("fp"))
+    val winPerSrc = w.groupBy(col("src")).agg(count(lit(1)).as("n_windows"))
+    val dupPerSrc = w.join(dupFp, Seq("fp"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("dup_windows"))
+    df.groupBy(col(sourceCol).as("src")).agg(count(lit(1)).as("n_docs"))
+      .join(winPerSrc, Seq("src"), "left_outer")
+      .join(dupPerSrc, Seq("src"), "left_outer")
+      .select(col("src").as("source"), col("n_docs"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          round(coalesce(col("dup_windows"), lit(0L)).cast("double") /
+            col("n_windows"), 6)).as("dup_ratio"))
+      .orderBy(col("source"))
+  }
+
+  /** The most-duplicated windows themselves: `(fp, n_docs, n_occ)` top-k
+    * by distinct-document reach — the "what IS this boilerplate"
+    * drill-down (join back on the fingerprint to recover spans). */
+  def topWindows(df: DataFrame, idCol: String, textCol: String,
+                 window: Int, anchorMod: Int, k: Int): DataFrame = {
+    val w = windowFrame(df, idCol, None, textCol, window, anchorMod)
+    w.groupBy(col("fp"))
+      .agg(countDistinct(col("doc")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occ"), col("fp"))
+      .limit(k)
+  }
+}

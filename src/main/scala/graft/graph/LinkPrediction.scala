@@ -29,12 +29,19 @@ import org.apache.spark.sql.functions._
 object LinkPrediction {
 
   /** Distinct co-occurrence edges `(a, b)` with `a < b` from (group,
-    * item) rows: one shuffle on the group key, pair expansion inside the
-    * row over the sorted distinct-item array (groups are basket-sized,
-    * so the quadratic is per-row and tiny), then a distinct on the pair.
-    */
+    * item) rows, kept only when the pair co-occurs in ≥ `minSupport`
+    * groups: one shuffle on the group key, pair expansion inside the row
+    * over the sorted distinct-item array (groups are basket-sized, so
+    * the quadratic is per-row and tiny), then a pair-keyed support
+    * count. `minSupport` is the density throttle that keeps the graph's
+    * degree CO-OCCURRENCE-bounded, not corpus-bounded: at support 1 a
+    * large basket corpus yields a near-clique of single-coincidence
+    * edges whose wedge expansion is quadratic in a degree that grows
+    * with corpus size — at support ≥ 2 the noise edges (the vast
+    * majority under sparse random co-occurrence) vanish and downstream
+    * wedge counts stay flat as the corpus scales. */
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
-                        itemCol: String): DataFrame =
+                        itemCol: String, minSupport: Long = 1L): DataFrame =
     df.groupBy(col(groupCol))
       .agg(array_sort(collect_set(col(itemCol))).as("__items"))
       .where(size(col("__items")) >= 2)
@@ -42,8 +49,10 @@ object LinkPrediction {
         "flatten(transform(__items, (x, i) -> " +
           "transform(slice(__items, i + 2, size(__items)), " +
           "y -> struct(x AS a, y AS b))))")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("__supp"))
+      .where(col("__supp") >= minSupport)
+      .select(col("a"), col("b"))
 
   /** Both orientations of a distinct `(a, b)` edge list: 2|E| directed
     * ends `(x, y)`. */
@@ -60,9 +69,11 @@ object LinkPrediction {
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val ends = directedEnds(edges)
     val deg = ends.groupBy(col("x").as("v")).agg(count(lit(1)).as("d"))
+    // the degree table is ITEM-bounded (one row per node), never
+    // corpus-bounded — broadcast both sides of the decoration join
     val pairs = ends
-      .join(deg.select(col("v").as("x"), col("d").as("di")), Seq("x"))
-      .join(deg.select(col("v").as("y"), col("d").as("dj")), Seq("y"))
+      .join(broadcast(deg.select(col("v").as("x"), col("d").as("di"))), Seq("x"))
+      .join(broadcast(deg.select(col("v").as("y"), col("d").as("dj"))), Seq("y"))
     def d19(c: Column) = c.cast("decimal(19,0)")
     pairs.agg(
         count(lit(1)).as("n_ends"),

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.SubstringDedup
+
+/** Content-anchored window-fingerprint substring duplication:
+  * alignment-invariance and non-detection of unique / intra-doc-only
+  * content. */
+class SubstringDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** Deterministic pseudo-random word soup: `n` 6-letter tokens. */
+  private def words(tag: String, n: Int): String = {
+    val rnd = new scala.util.Random(tag.hashCode)
+    (1 to n).map(_ => (1 to 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .mkString(" ")
+  }
+
+  test("a shared 60-token span is detected at ANY token alignment") {
+    val boiler = words("boiler", 60) // window 20, anchors every ~4 tokens
+    for (offset <- Seq(0, 1, 7, 23)) {
+      val docs = Seq(
+        (1L, "s1", (if (offset == 0) "" else words("pre1", offset) + " ") +
+          boiler + " " + words("tail1", 30)),
+        (2L, "s2", words("pre2", 51) + " " + boiler + " " + words("tail2", 9))
+      ).toDF("doc_id", "source", "text")
+      val got = SubstringDedup
+        .perSourceReport(docs, "doc_id", "source", "text", 20, 4)
+        .collect().map(r => r.getAs[String]("source") ->
+          r.getAs[Long]("dup_windows")).toMap
+      assert(got("s1") > 0 && got("s2") > 0,
+        s"offset $offset: shared 60-token span must be caught on both sides")
+    }
+  }
+
+  test("fully distinct documents have zero duplicated windows") {
+    val docs = (1 to 6).map(i => (i.toLong, "s", words(s"d$i", 80)))
+      .toDF("doc_id", "source", "text")
+    val row = SubstringDedup
+      .perSourceReport(docs, "doc_id", "source", "text", 20, 4).head
+    assert(row.getAs[Long]("dup_windows") == 0L)
+    assert(row.getAs[Double]("dup_ratio") == 0.0)
+    assert(row.getAs[Long]("n_docs") == 6L && row.getAs[Long]("n_windows") > 0)
+  }
+
+  test("intra-doc repetition alone is NOT cross-doc duplication") {
+    val span = words("selfrep", 25)
+    val docs = Seq(
+      (1L, "s", span + " " + span + " " + span), // repeats inside one doc
+      (2L, "s", words("other", 80))
+    ).toDF("doc_id", "source", "text")
+    val row = SubstringDedup
+      .perSourceReport(docs, "doc_id", "source", "text", 20, 4).head
+    assert(row.getAs[Long]("dup_windows") == 0L)
+  }
+
+  test("short docs contribute no windows but count as docs") {
+    val docs = Seq((1L, "s", "tiny doc"), (2L, "s", words("long", 60)))
+      .toDF("doc_id", "source", "text")
+    val row = SubstringDedup
+      .perSourceReport(docs, "doc_id", "source", "text", 20, 4).head
+    assert(row.getAs[Long]("n_docs") == 2L)
+    assert(row.getAs[Long]("n_windows") > 0L)
+  }
+
+  test("anchor selection is content-defined: same doc twice, same windows") {
+    val text = words("stable", 100)
+    val a = SubstringDedup.topWindows(
+      Seq((1L, text), (2L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", 20, 4, 100).collect()
+    assert(a.nonEmpty)
+    // every window of doc 1 is matched by doc 2 → all fingerprints reach 2
+    assert(a.forall(_.getAs[Long]("n_docs") == 2L))
+  }
+
+  test("topWindows surfaces the boilerplate fingerprint with its reach") {
+    val boiler = words("wide", 60)
+    val docs = (1 to 5).map(i =>
+      (i.toLong, words(s"pre$i", 10 + i) + " " + boiler))
+      .toDF("doc_id", "text")
+    val top = SubstringDedup.topWindows(docs, "doc_id", "text", 20, 4, 5)
+      .collect()
+    assert(top.nonEmpty)
+    assert(top.head.getAs[Long]("n_docs") == 5L)
+  }
+}
