@@ -91,6 +91,18 @@ object SparkEntry {
         "cat", col("value") > 50)
       graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
     }),
+    // ---- per-source mojibake/encoding-damage scan: length-delta
+    //      artifact count, one scan, group-bounded aggregate
+    "q228_mojibake" -> ((s, dir) =>
+      graft.text.UnicodeNorm.mojibakeReport(
+        Tables.documents(s, dir), "source", "text")),
+    // ---- greedy k-center coreset (Gonzalez farthest-point traversal):
+    //      16 diversity-maximizing exemplars over the embedding corpus —
+    //      one broadcast center + one (max, argmax) aggregate per round;
+    //      sequential by nature, spec-verified (rows-only here)
+    "q227_kcenter" -> ((s, dir) =>
+      graft.sim.KCenter.greedy(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 16)),
     // ---- cross-doc substring duplication (Lee et al. span-level
     //      boilerplate): 100-char md5 window fingerprints at stride 50,
     //      digest-only shuffle, per-source dup-mass report
@@ -2518,6 +2530,15 @@ object SparkEntry {
                          / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
                           * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
          FROM m""",
+    "q228_mojibake" ->
+      """WITH a AS (SELECT source,
+                len(text) - len(regexp_replace(text, '[ÃÂâ�]', '', 'g')) AS art
+              FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN art > 0 THEN 1 ELSE 0 END) AS BIGINT) AS affected_docs,
+                CAST(sum(art) AS BIGINT) AS artifact_chars,
+                round(CAST(sum(CASE WHEN art > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) + 0.0 AS affected_rate
+         FROM a GROUP BY source ORDER BY source""",
     "q226_substring_dup" ->
       """WITH d AS (SELECT doc_id AS doc, source AS src,
                 string_split_regex(lower(trim(text)), '\s+') AS toks

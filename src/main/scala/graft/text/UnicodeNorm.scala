@@ -35,4 +35,32 @@ object UnicodeNorm {
     * + trim. Idempotent (spec'd). */
   def canonicalize(c: Column): Column =
     trim(regexp_replace(stripControls(nfc(c)), "\\s+", " "))
+
+  /** Mojibake markers: U+FFFD replacement chars (decoder gave up) and
+    * the latin-1-read-as-utf8 tells `Ã` / `Â` / `â` that double-decoded
+    * text is saturated with. A literal character class — identical
+    * semantics on any regex engine. */
+  val MojibakePattern = "[ÃÂâ�]"
+
+  /** Per-group encoding-damage report `(group, n_docs, affected_docs,
+    * artifact_chars, affected_rate)` — the CCNet-style drop/repair
+    * signal for double-decoded or lossily-decoded documents. Artifact
+    * occurrences are counted as a LENGTH DELTA against a
+    * strip-projection (no extraction, no explode): one scan, one
+    * group-bounded aggregate. */
+  def mojibakeReport(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val artifacts = length(col(textCol)) -
+      length(regexp_replace(col(textCol), MojibakePattern, ""))
+    df.select(col(groupCol).as("grp"), artifacts.cast("long").as("__a"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__a") > 0, 1L).otherwise(0L)).as("affected_docs"),
+        sum(col("__a")).as("artifact_chars"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("affected_docs"),
+        col("artifact_chars"),
+        round(col("affected_docs").cast("double") / col("n_docs"), 6)
+          .as("affected_rate"))
+      .orderBy(col(groupCol))
+  }
 }

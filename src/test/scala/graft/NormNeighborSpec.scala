@@ -121,6 +121,24 @@ class NormNeighborSpec extends AnyFunSuite {
     assert(got.values.count(v => v == 95.05) == 5)
   }
 
+  test("mojibakeReport counts artifact chars and affected docs per group") {
+    import graft.text.UnicodeNorm
+    val df = Seq(
+      (1L, "s1", "clean text here"),
+      (2L, "s1", "double dÃ©codÃ© text"),     // 2 artifacts
+      (3L, "s1", "lost � twice �"), // 2 artifacts
+      (4L, "s2", "perfectly fine")
+    ).toDF("doc_id", "source", "text")
+    val got = UnicodeNorm.mojibakeReport(df, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getAs[Long]("n_docs") == 3L)
+    assert(s1.getAs[Long]("affected_docs") == 2L)
+    assert(s1.getAs[Long]("artifact_chars") == 4L)
+    assert(got("s2").getAs[Long]("affected_docs") == 0L)
+    assert(got("s2").getAs[Double]("affected_rate") == 0.0)
+  }
+
   test("winsorize groups are independent") {
     val df = ((1 to 10).map(i => (i.toLong, "a", i.toDouble)) ++
       (1 to 10).map(i => (100 + i.toLong, "b", 1000 + i.toDouble)))
