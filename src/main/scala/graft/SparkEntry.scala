@@ -91,6 +91,21 @@ object SparkEntry {
         "cat", col("value") > 50)
       graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
     }),
+    // ---- conditional next-event entropy of the q127 transition chain:
+    //      per-state H(next|s) + the chain-level one-number summary —
+    //      |types|-bounded after the lag window
+    "q229_markov_entropy" -> ((s, dir) =>
+      graft.analyze.Funnel.transitionEntropy(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id", 1800L)),
+    // ---- vocabulary richness: Chao1 unseen-species estimate and the
+    //      Good-Turing novel-token mass from the count-of-counts frame
+    "q230_vocab_richness" -> ((s, dir) =>
+      graft.text.CorpusStats.vocabRichness(Tables.documents(s, dir), "text")),
+    // ---- daily-count dispersion index per event type: Poisson ≈ 1,
+    //      bursty ≫ 1, synthetic-regular ≪ 1 — exact integer moments
+    "q231_dispersion" -> ((s, dir) =>
+      graft.analyze.Trend.dispersionIndex(
+        Tables.events(s, dir), "event_type", "ts")),
     // ---- per-source mojibake/encoding-damage scan: length-delta
     //      artifact count, one scan, group-bounded aggregate
     "q228_mojibake" -> ((s, dir) =>
@@ -2530,6 +2545,59 @@ object SparkEntry {
                          / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
                           * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
          FROM m""",
+    "q229_markov_entropy" ->
+      """WITH l AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER w AS pt,
+             epoch_us(date_trunc('microseconds', ts)) -
+               epoch_us(lag(date_trunc('microseconds', ts)) OVER w) AS gap
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY date_trunc('microseconds', ts), event_id)),
+         c AS (
+           SELECT pt AS from_type, event_type AS to_type, count(*) AS cnt
+           FROM l WHERE pt IS NOT NULL AND gap <= 1800000000
+           GROUP BY 1, 2),
+         byfrom AS (
+           SELECT from_type, CAST(sum(cnt) AS BIGINT) AS ns,
+                  sum(CAST(round((CASE WHEN cnt > 0 THEN cnt * ln(CAST(cnt AS DOUBLE)) ELSE 0.0 END) * 1e6) AS HUGEINT)) AS sxl6
+           FROM c GROUP BY 1),
+         h AS (
+           SELECT from_type, ns,
+                  round(((CASE WHEN ns > 0 THEN ns * ln(CAST(ns AS DOUBLE)) ELSE 0.0 END) - CAST(sxl6 AS DOUBLE) / 1e6)
+                        / CAST(ns AS DOUBLE), 6) + 0.0 AS h_next
+           FROM byfrom),
+         t AS (
+           SELECT CAST(sum(ns) AS BIGINT) AS n,
+                  sum(CAST(round(h_next * CAST(ns AS DOUBLE) * 1e6) AS HUGEINT)) AS h6
+           FROM h)
+         SELECT from_type, ns AS n, h_next,
+                (SELECT round(CAST(h6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) FROM t) + 0.0 AS h_cond
+         FROM h ORDER BY from_type""",
+    "q230_vocab_richness" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+         c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         m AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS vocab,
+                      CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                      CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+               FROM c)
+         SELECT n_tokens, vocab, f1, f2,
+                round(CAST(vocab AS DOUBLE) + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1) / (2.0 * (CAST(f2 AS DOUBLE) + 1)), 2) + 0.0 AS chao1,
+                round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS gt_unseen_mass
+         FROM m""",
+    "q231_dispersion" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+              FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, count(*) AS n_days,
+                      sum(CAST(c AS HUGEINT)) AS s, sum(CAST(c AS HUGEINT) * c) AS ss
+               FROM daily GROUP BY 1)
+         SELECT event_type, n_days,
+                round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 4) + 0.0 AS mean_daily,
+                round(CASE WHEN CAST(s AS DOUBLE) > 0
+                      THEN (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
+                          - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                         / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) END, 4) + 0.0 AS dispersion
+         FROM m ORDER BY event_type""",
     "q228_mojibake" ->
       """WITH a AS (SELECT source,
                 len(text) - len(regexp_replace(text, '[ÃÂâ�]', '', 'g')) AS art

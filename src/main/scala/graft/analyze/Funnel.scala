@@ -1,6 +1,6 @@
 package graft.analyze
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,41 @@ object Funnel {
     counts
       .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(byFrom), 4))
       .select(col("from_type"), col("to_type"), col("n"), col("p"))
+  }
+
+  /** Conditional next-event entropy of the first-order transition chain
+    * (nats): per-state `H(next | state)` plus the chain-level
+    * `H(next | cur) = Σ p(s)·H(next|s)` — LOW means navigation is
+    * predictable (template traffic), HIGH means exploratory; the
+    * one-number summary of [[transitionMatrix]]'s |types|² rows.
+    *
+    * Determinism: the `x·ln x` identity on exact transition counts
+    * (`n_s·H_s = ln-sum form`), per-term 6-dp quantized before the
+    * state-bounded sums — the [[Contingency.infoGain]] contract. Scale:
+    * everything after the lag window is |types|-bounded. */
+  def transitionEntropy(events: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, tieCol: String,
+                        maxGapSeconds: Long): DataFrame = {
+    def xlnx(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(0.0)
+    val counts = transitionMatrix(events, userCol, typeCol, tsCol, tieCol,
+      maxGapSeconds).select(col("from_type"), col("n"))
+    val byFrom = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("ns"),
+        sum(round(xlnx(col("n")) * lit(1e6)).cast("long")).as("__sxl6"))
+      .select(col("from_type"), col("ns"),
+        round((xlnx(col("ns")) - col("__sxl6").cast("double") / 1e6) /
+          col("ns").cast("double"), 6).as("h_next"))
+    val total = byFrom.agg(
+        sum(col("ns")).as("__n"),
+        sum(round(col("h_next") * col("ns").cast("double") * lit(1e6))
+          .cast("long")).as("__h6"))
+      .select(round(col("__h6").cast("double") / 1e6 /
+        col("__n").cast("double"), 6).as("h_cond"))
+    byFrom.join(broadcast(total))
+      .select(col("from_type"), col("ns").as("n"), col("h_next"),
+        col("h_cond"))
+      .orderBy(col("from_type"))
   }
 
   /** Time-to-convert distribution for a funnel: per-user elapsed seconds

@@ -118,6 +118,39 @@ object Trend {
       .orderBy(col(groupCol))
   }
 
+  /** Dispersion index (variance-to-mean ratio) of DAILY event counts per
+    * group: the burstiness detector — ≈1 reads Poisson (steady arrivals),
+    * ≫1 reads overdispersed (bursts/incidents), ≪1 reads suspiciously
+    * regular (synthetic traffic). `(group, n_days, mean_daily,
+    * dispersion)` over OBSERVED days (zero days excluded — compose with
+    * gap fill to count them). Population variance from exact integer
+    * count sums; two divisions at the end. */
+  def dispersionIndex(df: DataFrame, groupCol: String,
+                      tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(groupCol),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("c"))).as("__s"),
+        sum(dec(col("c")) * dec(col("c"))).as("__ss"))
+      .select(col(groupCol), col("n_days"), {
+        val n = col("n_days").cast("double")
+        val s = col("__s").cast("double")
+        val ss = col("__ss").cast("double")
+        val mean = s / n
+        round(mean, 4).as("mean_daily")
+      }, {
+        val n = col("n_days").cast("double")
+        val s = col("__s").cast("double")
+        val ss = col("__ss").cast("double")
+        val mean = s / n
+        val popVar = ss / n - mean * mean
+        round(when(s > 0, popVar / mean), 4).as("dispersion")
+      })
+      .orderBy(col(groupCol))
+  }
+
   /** Lag-1 Pearson autocorrelation of the DAILY total of `valueCol` per
     * group: `(group, n_days, autocorr)` (6 dp; null when undefined).
     * Missing days are skipped, not zero-filled — compose with

@@ -149,6 +149,34 @@ object CorpusStats {
           round(col("n_distinct").cast("double") / col("n_ngrams"), 6)).as("ttr"))
   }
 
+  /** Vocabulary-richness estimators from the count-of-counts frame: how
+    * much vocabulary the corpus HASN'T shown yet. One row
+    * `(n_tokens, vocab, f1, f2, chao1, gt_unseen_mass)` —
+    * `chao1 = V + f1(f1−1)/(2(f2+1))` (bias-corrected Chao 1984 species
+    * estimate of the true vocabulary) and `gt_unseen_mass = f1/N`
+    * (Good-Turing probability that the NEXT token is novel — the
+    * scaling-law companion of the Heaps curve).
+    *
+    * Scale shape: token counts (vocab-bounded, map-side combined) →
+    * count-of-counts (a handful of rows) → one closed form over exact
+    * integers. */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        round(col("vocab").cast("double") +
+          col("f1").cast("double") * (col("f1").cast("double") - 1) /
+            ((col("f2").cast("double") + 1) * 2.0), 2).as("chao1"),
+        round(col("f1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("gt_unseen_mass"))
+  }
+
   /** Pairwise cosine similarity between the TOKEN-COUNT profiles of the
     * corpus sources — the angular sibling of [[sourceTvDivergence]]'s
     * total-variation distance (TV weighs mass moved; cosine weighs

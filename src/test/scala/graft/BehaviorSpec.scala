@@ -212,6 +212,31 @@ class BehaviorSpec extends AnyFunSuite {
       ("c", "b") -> ((1L, 1.0))))
   }
 
+  test("transitionEntropy: deterministic chain 0, uniform chain ln k") {
+    import spark.implicits._
+    // user 10: a→b→a→b... (deterministic); ln-k case: a→{b,c} evenly
+    val det = (0 until 20).map(i =>
+      (i.toLong, 10L, if (i % 2 == 0) "a" else "b",
+        ts(f"2024-01-01 10:${i}%02d:00")))
+    val got = graft.analyze.Funnel.transitionEntropy(
+        det.toDF("event_id", "user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", "event_id", 1800L)
+      .collect()
+    assert(got.forall(_.getAs[Double]("h_next") == 0.0))
+    assert(got.head.getAs[Double]("h_cond") == 0.0)
+    val unif = (0 until 40).map { i =>
+      val t = if (i % 2 == 0) "a" else if ((i / 2) % 2 == 0) "b" else "c"
+      (i.toLong, 20L, t, ts(f"2024-01-01 10:${i}%02d:00"))
+    }
+    val got2 = graft.analyze.Funnel.transitionEntropy(
+        unif.toDF("event_id", "user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", "event_id", 1800L)
+      .collect().map(r => r.getAs[String]("from_type") ->
+        r.getAs[Double]("h_next")).toMap
+    // from state a the next is b or c with equal counts → H = ln 2
+    assert(math.abs(got2("a") - math.log(2.0)) < 1e-4)
+  }
+
   // ------------------------------------------------------- preference
 
   test("Preference.pairs picks best/worst with the deterministic tie contract") {

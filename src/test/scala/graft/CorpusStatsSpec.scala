@@ -127,6 +127,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got(3)._2 == 3L)
   }
 
+  test("vocabRichness: closed corpus f1=0 -> chao1 = vocab, unseen 0") {
+    // every token appears >= 3 times: nothing is rare, estimator says done
+    val df = Seq((1L, "x x x y y y z z z")).toDF("doc_id", "text")
+    val r = CorpusStats.vocabRichness(df, "text").head
+    assert(r.getAs[Long]("vocab") == 3L && r.getAs[Long]("f1") == 0L)
+    assert(r.getAs[Double]("chao1") == 3.0)
+    assert(r.getAs[Double]("gt_unseen_mass") == 0.0)
+  }
+
+  test("vocabRichness: hand-computed Chao1 and Good-Turing mass") {
+    // counts: a:1 b:1 c:2 d:3 → N=7, V=4, f1=2, f2=1
+    val df = Seq((1L, "a b c c d d d")).toDF("doc_id", "text")
+    val r = CorpusStats.vocabRichness(df, "text").head
+    assert(r.getAs[Long]("n_tokens") == 7L && r.getAs[Long]("vocab") == 4L)
+    assert(r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 1L)
+    assert(r.getAs[Double]("chao1") == 4.5) // 4 + 2*1/(2*2)
+    assert(r.getAs[Double]("gt_unseen_mass") ==
+      math.rint(2.0 / 7 * 1e6) / 1e6)
+  }
+
   test("sourceCosine: identical profiles 1, skewed < 1, disjoint omitted") {
     val df = Seq(
       (1L, "s1", "alpha beta beta"),

@@ -51,6 +51,23 @@ class TrendCohortSpec extends AnyFunSuite {
     assert(got.getDouble(2) < -0.9)
   }
 
+  test("dispersionIndex: constant daily counts 0, bursty >> 1") {
+    import spark.implicits._
+    // "flat": 4 events every day for 10 days → var 0 → dispersion 0
+    // "burst": 1 event on 9 days, 31 on one day → heavily overdispersed
+    val rows =
+      (0 until 10).flatMap(d => (1 to 4).map(i =>
+        ("flat", ts(f"2024-01-${d + 1}%02d 0$i:00:00")))) ++
+      (0 until 9).map(d => ("burst", ts(f"2024-01-${d + 1}%02d 12:00:00"))) ++
+      (1 to 31).map(i => ("burst", ts(f"2024-01-10 ${i % 24}%02d:30:00")))
+    val got = Trend.dispersionIndex(rows.toDF("g", "ts"), "g", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("flat").getAs[Double]("dispersion") == 0.0)
+    assert(got("flat").getAs[Double]("mean_daily") == 4.0)
+    // burst: mean 4, pop var = (9*(1-4)^2 + (31-4)^2)/10 = 81 → D = 20.25
+    assert(got("burst").getAs[Double]("dispersion") == 20.25)
+  }
+
   test("lagAutocorr: constant series has undefined (null) autocorr") {
     import spark.implicits._
     val rows = (0 until 5).map(d =>
