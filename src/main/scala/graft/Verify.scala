@@ -15,10 +15,14 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    // dump-only mode: write the COMPLETE oracle_sql.json (ignoring the
+    // subset filter) without executing queries — feeds tools/twin_bench.py
+    val dumpOnly = sys.env.get("SPARK_GRAFT_ORACLE_DUMP_ONLY").contains("1")
     // every failure is RECORDED, not just logged: a green wall with silent
     // omissions would pass a "zero err" gate while queries crash
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter(kv => !dumpOnly && keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -45,7 +49,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val json = SparkEntry.oracleSql.filter(kv => dumpOnly || keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // self-describing failure record (empty object on a clean run)
