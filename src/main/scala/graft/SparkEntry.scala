@@ -91,6 +91,24 @@ object SparkEntry {
         "cat", col("value") > 50)
       graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
     }),
+    // ---- MMR diversity re-rank of the top-30 pool nearest the label-0
+    //      centroid: distributed scoring + pool cut, driver greedy over
+    //      the bounded pool (spec-verified; rows-only here)
+    "q233_mmr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroid = emb.where(col("label") === 0)
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+        .groupBy(col("dim")).agg(avg(col("x")).as("m"))
+        .orderBy(col("dim")).collect().map(_.getDouble(1))
+      graft.sim.Mmr.rerank(emb, "vec_id", "embedding", centroid, 30, 10)
+    }),
+    // ---- one-sided CUSUM mean-shift monitor (Page 1954) on daily value
+    //      sums — recursion eliminated via the Kadane prefix-sum
+    //      identity: two window passes, exact integer arithmetic
+    "q232_cusum" -> ((s, dir) =>
+      graft.analyze.Changepoint.cusum(
+        Tables.events(s, dir), "event_type", "ts", "value")),
     // ---- conditional next-event entropy of the q127 transition chain:
     //      per-state H(next|s) + the chain-level one-number summary —
     //      |types|-bounded after the lag window
@@ -2545,6 +2563,29 @@ object SparkEntry {
                          / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
                           * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
          FROM m""",
+    "q232_cusum" ->
+      """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts) AS day,
+                CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS q
+              FROM events GROUP BY 1, 2),
+         m AS (SELECT g, count(*) AS n_days,
+                      CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) / count(*) AS mu,
+                      sqrt(greatest(CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) / count(*)
+                        - (CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) / count(*)) * (CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) / count(*)), 0.0)) AS sigma
+               FROM daily GROUP BY 1),
+         sy AS (SELECT daily.g, day, n_days, sigma,
+                       CAST(round(CAST(q AS DOUBLE) - mu - 0.5 * sigma) AS BIGINT) AS y,
+                       CAST(round(4.0 * sigma) AS BIGINT) AS hq
+                FROM daily JOIN m ON m.g = daily.g),
+         pp AS (SELECT g, day, n_days, sigma, hq,
+                       sum(y) OVER (PARTITION BY g ORDER BY day) AS p
+                FROM sy),
+         st AS (SELECT g, day, n_days, sigma, hq, p,
+                       p - least(CAST(0 AS BIGINT), coalesce(min(p) OVER (PARTITION BY g ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT))) AS s_t
+                FROM pp)
+         SELECT g AS event_type, n_days,
+                round(CASE WHEN sigma > 0 THEN CAST(max(s_t) AS DOUBLE) / sigma END, 4) + 0.0 AS s_max,
+                min(CASE WHEN s_t >= hq AND hq > 0 THEN day END) AS alarm_day
+         FROM st GROUP BY g, n_days, sigma ORDER BY event_type""",
     "q229_markov_entropy" ->
       """WITH l AS (
            SELECT user_id, event_type,

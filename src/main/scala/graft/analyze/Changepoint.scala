@@ -84,6 +84,63 @@ object Changepoint {
   /** Per key: `(key, break_day, mean_before, mean_after, sse)` — the
     * breakpoint is the FIRST day of the second segment. Keys with < 2
     * days report no row. */
+  /** One-sided CUSUM mean-shift monitor over the DAILY SUM of `valueCol`
+    * per group (Page 1954): `S_t = max(0, S_{t−1} + (x_t − μ − kσ))`,
+    * alarm when S crosses `hσ`. The RECURSION is eliminated with the
+    * Kadane prefix-sum identity — `S_t = P_t − min(0, min_{i≤t−1} P_i)`
+    * where `P` is the running sum of the slack-adjusted series — so the
+    * whole monitor is two per-group WINDOW passes (cumsum, running min),
+    * never a sequential loop: the q197/q202 changepoint family's online
+    * sibling, fully distributed.
+    *
+    * Output `(group, n_days, s_max, alarm_day)`: the peak CUSUM (in σ
+    * units, 4 dp) and the FIRST day the statistic crossed `h`·σ (null =
+    * never). Determinism: daily sums are 6-dp-quantized longs; μ/σ come
+    * from exact integer moments; the slack-adjusted increments are
+    * re-quantized to longs so every prefix sum and min is exact integer
+    * arithmetic — both engines compare identical longs. */
+  def cusum(df: DataFrame, groupCol: String, tsCol: String,
+            valueCol: String, k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    val daily = df.groupBy(col(groupCol).as("g"),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("q"))
+    val moments = daily.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("q"))).as("__s"),
+        sum(dec(col("q")) * dec(col("q"))).as("__ss"))
+      .select(col("g"), col("n_days"), {
+        val n = col("n_days").cast("double")
+        (col("__s").cast("double") / n).as("__mu")
+      }, {
+        val n = col("n_days").cast("double")
+        val mu = col("__s").cast("double") / n
+        sqrt(greatest(col("__ss").cast("double") / n - mu * mu, lit(0.0)))
+          .as("__sigma")
+      })
+    val w = Window.partitionBy(col("g")).orderBy(col("day"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val scored = daily
+      .join(broadcast(moments), Seq("g"))
+      // slack-adjusted increment, re-quantized: exact longs from here on
+      .withColumn("__y",
+        round(col("q").cast("double") - col("__mu") - lit(k) * col("__sigma"))
+          .cast("long"))
+      .withColumn("__p", sum(col("__y")).over(w))
+      .withColumn("__s_t", col("__p") -
+        least(lit(0L), coalesce(min(col("__p")).over(wPrev), lit(0L))))
+      // threshold in the same quantized unit
+      .withColumn("__h", round(lit(h) * col("__sigma")).cast("long"))
+    scored.groupBy(col("g"), col("n_days"), col("__sigma"))
+      .agg(max(col("__s_t")).as("__smax"),
+        min(when(col("__s_t") >= col("__h") && col("__h") > 0, col("day")))
+          .as("alarm_day"))
+      .select(col("g").as(groupCol), col("n_days"),
+        round(when(col("__sigma") > 0,
+          col("__smax").cast("double") / col("__sigma")), 4).as("s_max"),
+        col("alarm_day"))
+      .orderBy(col(groupCol))
+  }
+
   def singleBreak(df: DataFrame, keyCol: String, tsCol: String,
                   valueCol: String): DataFrame = {
     val daily = df.groupBy(col(keyCol).as("k"),

@@ -72,3 +72,66 @@ object KCenter {
       .toDF("step", "id", "radius")
   }
 }
+
+/** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+  * from a relevance-ranked candidate pool, greedily pick the next result
+  * maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — the standard
+  * diversity pass between retrieval and the context window (RAG serving,
+  * eval-set construction; redundant near-identical hits waste the
+  * budget that q193's nDCG measures).
+  *
+  * Scale shape: relevance scoring + the top-`poolSize` cut run
+  * distributed ([[Similarity.bruteTopK]]'s broadcast-query plan — swap
+  * in the IVF path at corpus scale); the greedy selection is inherently
+  * sequential and runs on the driver over the POOL ONLY (`poolSize`
+  * rows with their vectors — a documented-bounded finisher, the k-core
+  * pattern). Determinism: cosines are per-row double chains with a
+  * (score, lowest-id) argmax — no cross-row float accumulation. */
+object Mmr {
+
+  /** Top-`k` MMR selection from the `poolSize`-candidate pool nearest to
+    * `queryVec` (a driver-side vector, e.g. a class centroid). Output
+    * `(rank, id, relevance, mmr_score)` in selection order, 6 dp. */
+  def rerank(data: DataFrame, idCol: String, vecCol: String,
+             queryVec: Array[Double], poolSize: Int, k: Int,
+             lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1: $poolSize/$k")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val qdf = Seq(Tuple1(queryVec.toSeq)).toDF("qv").select(lit(0L).as("qid"),
+      col("qv").cast("array<double>").as("qv"))
+    val pool = Similarity.bruteTopK(
+        data.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("v")),
+        "id", "v", qdf, "qid", "qv", poolSize)
+      .join(data.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")), Seq("id"))
+      .select(col("id"), col("sim"), col("v"))
+      .collect() // bounded: poolSize rows by construction
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("sim"),
+        r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var selected = List.empty[(Int, Long, Double, Double)]
+    var chosen = List.empty[Array[Double]]
+    var remaining = pool.toList
+    for (rank <- 1 to k) {
+      val (best, bestScore) = remaining.map { c =>
+        val redundancy =
+          if (chosen.isEmpty) 0.0 else chosen.map(s => cos(c._3, s)).max
+        (c, lambda * c._2 - (1 - lambda) * redundancy)
+      }.maxBy { case (c, sc) => (sc, -c._1) }
+      selected = (rank, best._1, best._2, bestScore) :: selected
+      chosen = best._3 :: chosen
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    selected.reverse
+      .map { case (r, i, rel, sc) =>
+        (r, i, math.rint(rel * 1e6) / 1e6, math.rint(sc * 1e6) / 1e6) }
+      .toDF("rank", "id", "relevance", "mmr_score")
+  }
+}

@@ -13,6 +13,49 @@ class ChangepointSpec extends AnyFunSuite {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("cusum matches the brute recursive monitor on a noisy series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val xs = (0 until 40).map(d =>
+      10.0 + rnd.nextGaussian() + (if (d >= 30) 3.0 else 0.0))
+    val rows = xs.zipWithIndex.map { case (x, d) =>
+      ("g", Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 12, 0).plusDays(d)), x)
+    }
+    val got = Changepoint.cusum(rows.toDF("g", "ts", "v"), "g", "ts", "v")
+      .head
+    // brute: identical quantization path
+    val qs = xs.map(x => math.rint(x * 1e6).toLong)
+    val n = qs.length
+    val mu = qs.map(_.toDouble).sum / n
+    val sigma = math.sqrt(math.max(
+      qs.map(q => q.toDouble * q).sum / n - mu * mu, 0.0))
+    val ys = qs.map(q => math.rint(q - mu - 0.5 * sigma).toLong)
+    var s = 0L; var smax = 0L; var alarm = -1
+    val hq = math.rint(4.0 * sigma).toLong
+    for ((y, d) <- ys.zipWithIndex) {
+      s = math.max(0L, s + y); smax = math.max(smax, s)
+      if (alarm < 0 && hq > 0 && s >= hq) alarm = d
+    }
+    assert(got.getAs[Long]("n_days") == 40L)
+    assert(got.getAs[Double]("s_max") ==
+      math.rint(smax.toDouble / sigma * 1e4) / 1e4)
+    assert(alarm >= 30, "alarm must fire after the planted shift")
+    assert(got.getAs[Timestamp]("alarm_day").toLocalDateTime.toLocalDate ==
+      java.time.LocalDate.of(2024, 1, 1).plusDays(alarm))
+  }
+
+  test("cusum: stable series never alarms") {
+    import spark.implicits._
+    val rows = (0 until 30).map(d =>
+      ("g", ts(f"2024-01-${d + 1}%02d 12:00:00"),
+        if (d % 2 == 0) 10.0 else 12.0))
+    val got = Changepoint.cusum(rows.toDF("g", "ts", "v"), "g", "ts", "v")
+      .head
+    assert(got.isNullAt(got.fieldIndex("alarm_day")))
+    assert(got.getAs[Double]("s_max") < 4.0)
+  }
+
   test("a clean level shift is found at the exact day") {
     import spark.implicits._
     // 10 days at 10.0, then 10 days at 50.0 → break at day 11
