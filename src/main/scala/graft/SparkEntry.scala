@@ -91,6 +91,15 @@ object SparkEntry {
         "cat", col("value") > 50)
       graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
     }),
+    // ---- exact 1-D Wasserstein-1 between the md5 user halves' value
+    //      distributions: gap-weighted integer CDF differences on the
+    //      distinct-value frame — the "how far did mass move" drift
+    "q234_wasserstein" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(2)) === 0
+      graft.analyze.Drift.wasserstein1(ev.where(arm), ev.where(!arm), "value")
+    }),
     // ---- MMR diversity re-rank of the top-30 pool nearest the label-0
     //      centroid: distributed scoring + pool cut, driver greedy over
     //      the bounded pool (spec-verified; rows-only here)
@@ -2563,6 +2572,25 @@ object SparkEntry {
                          / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
                           * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
          FROM m""",
+    "q234_wasserstein" ->
+      """WITH s AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 0 ELSE 1 END AS arm
+              FROM events),
+         byv AS (SELECT v,
+                CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+              FROM s GROUP BY 1),
+         t AS (SELECT CAST(sum(d1) AS BIGINT) AS n_base, CAST(sum(d2) AS BIGINT) AS n_cur FROM byv),
+         cum AS (SELECT v,
+                sum(d1) OVER (ORDER BY v) AS c1,
+                sum(d2) OVER (ORDER BY v) AS c2,
+                lead(v) OVER (ORDER BY v) - v AS gap
+              FROM byv),
+         m AS (SELECT sum(CAST(gap AS HUGEINT) * abs(CAST(c1 AS HUGEINT) * (SELECT n_cur FROM t) - CAST(c2 AS HUGEINT) * (SELECT n_base FROM t))) AS sm
+               FROM cum WHERE gap IS NOT NULL)
+         SELECT n_base, n_cur,
+                round(CAST(sm AS DOUBLE) / (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE) * 1e6), 6) + 0.0 AS w1
+         FROM m, t""",
     "q232_cusum" ->
       """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts) AS day,
                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS q

@@ -47,6 +47,50 @@ object Drift {
           .as("psi_term"))
   }
 
+  /** EXACT 1-D Wasserstein-1 (earth-mover) distance between two numeric
+    * snapshots: `W₁ = ∫|F_base − F_cur|` — the drift metric that, unlike
+    * PSI/KS, weighs HOW FAR mass moved, not only how much, and needs no
+    * binning at all. One row `(n_base, n_cur, w1)`.
+    *
+    * Exactness: on the sorted DISTINCT-value frame (values 6-dp
+    * quantized), `W₁ = Σ_j gap_j·|c1_j·n2 − c2_j·n1| / (n1·n2)` with
+    * cumulative counts c and value gaps as INTEGERS — every term and the
+    * sum are exact DECIMAL products; the single division to doubles
+    * happens once at the end (the q212 KS contract, upgraded from max to
+    * a weighted sum). Scale shape: a value-keyed count aggregate, then
+    * windows over the distinct-value frame only. */
+  def wasserstein1(base: DataFrame, current: DataFrame, valueCol: String,
+                   scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def q(df: DataFrame, arm: Int) = df.select(
+      round(col(valueCol) * lit(1000000)).cast("long").as("v"),
+      lit(arm).as("arm"))
+    val byV = q(base, 0).unionAll(q(current, 1))
+      .groupBy(col("v"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("d2"))
+    val w = Window.orderBy(col("v"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cum = byV
+      .withColumn("c1", sum(col("d1")).over(w))
+      .withColumn("c2", sum(col("d2")).over(w))
+      .withColumn("gap", lead(col("v"), 1).over(w) - col("v"))
+      .where(col("gap").isNotNull)
+    // totals from the pre-window count frame (the last distinct value's
+    // row carries gap = null and is excluded from the sum — its cumsum
+    // IS the total, so max-over-cum would undercount)
+    val tot = byV.agg(
+      sum(col("d1")).as("n_base"), sum(col("d2")).as("n_cur"))
+    cum.join(broadcast(tot))
+      .agg(first(col("n_base")).as("n_base"), first(col("n_cur")).as("n_cur"),
+        sum(dec(col("gap")) * dec(abs(col("c1") * col("n_cur") -
+          col("c2") * col("n_base")))).as("__s"))
+      .select(col("n_base"), col("n_cur"),
+        round(col("__s").cast("double") /
+          (col("n_base").cast("double") * col("n_cur").cast("double") * 1e6),
+          scale).as("w1"))
+  }
+
   /** Jensen-Shannon divergence (in nats) between the CATEGORICAL
     * distributions of two snapshots — the symmetric, always-finite
     * sibling of KL for discrete drift (PSI needs an ε floor against

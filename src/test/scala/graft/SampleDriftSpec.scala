@@ -38,6 +38,29 @@ class SampleDriftSpec extends AnyFunSuite {
       s"heavy stratum won only $heavy of ${picked.length}")
   }
 
+  // ----------------------------------------------------------- Wasserstein
+
+  test("wasserstein1: identical snapshots 0; pure shift = the shift") {
+    val a = (1 to 500).map(i => (i.toLong, (i % 50).toDouble)).toDF("id", "value")
+    assert(Drift.wasserstein1(a, a, "value").head.getAs[Double]("w1") == 0.0)
+    val b = (1 to 500).map(i => (i.toLong, (i % 50) + 7.25)).toDF("id", "value")
+    // W1 between X and X + c is exactly |c|
+    assert(Drift.wasserstein1(a, b, "value").head.getAs[Double]("w1") == 7.25)
+  }
+
+  test("wasserstein1 matches a brute sorted-sample computation") {
+    val rnd = new scala.util.Random(17)
+    val xs = Seq.fill(300)(math.rint(rnd.nextDouble() * 1e4) / 1e2)
+    val ys = Seq.fill(300)(math.rint(rnd.nextDouble() * 1e4) / 1e2 + 5)
+    val a = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "value")
+    val b = ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }.toDF("id", "value")
+    val got = Drift.wasserstein1(a, b, "value").head.getAs[Double]("w1")
+    // equal sample sizes: W1 = mean |x_(i) − y_(i)| over sorted samples
+    val brute = xs.sorted.zip(ys.sorted).map { case (x, y) => math.abs(x - y) }
+      .sum / 300
+    assert(math.abs(got - brute) < 1e-6, s"$got vs $brute")
+  }
+
   // ------------------------------------------------------------------ PSI
 
   test("psi of identical snapshots is zero in every bucket") {
