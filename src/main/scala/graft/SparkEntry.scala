@@ -91,6 +91,35 @@ object SparkEntry {
         "cat", col("value") > 50)
       graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
     }),
+    // ---- sketch-based audience set ops: pairwise HLL union +
+    //      inclusion-exclusion intersection between event-type user
+    //      sets — the mergeable-sketch sibling of q217's exact overlap
+    //      (estimates are sketch-impl-specific → spec-gated vs exact)
+    "q235_hll_overlap" -> ((s, dir) => {
+      val sk = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+          countDistinct(col("user_id")).as("exact"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"),
+        col("exact").as("na"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"),
+        col("exact").as("nb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          hll_sketch_estimate(col("ska")).as("est_a"),
+          hll_sketch_estimate(col("skb")).as("est_b"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+            .as("est_union"))
+        .withColumn("est_intersect",
+          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+    // ---- half-life time-decayed popularity per event type (h = 7 days,
+    //      anchored at the corpus max ts): per-event decay terms 6-dp
+    //      quantized, exact long sum — trending-score semantics
+    "q236_decay_popularity" -> ((s, dir) =>
+      graft.analyze.Growth.decayedPopularity(
+        Tables.events(s, dir), "event_type", "ts", 7.0)),
     // ---- exact 1-D Wasserstein-1 between the md5 user halves' value
     //      distributions: gap-weighted integer CDF differences on the
     //      distinct-value frame — the "how far did mass move" drift
@@ -2572,6 +2601,14 @@ object SparkEntry {
                          / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
                           * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
          FROM m""",
+    "q236_decay_popularity" ->
+      """WITH a AS (SELECT max(epoch_us(date_trunc('microseconds', ts))) AS amax FROM events),
+         t AS (SELECT event_type,
+                CAST(round(pow(2.0, -(CAST(amax - epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / (86400000000.0 * 7))) * 1e6) AS BIGINT) AS t6
+              FROM events, a)
+         SELECT event_type, count(*) AS n_events,
+                round(CAST(sum(CAST(t6 AS HUGEINT)) AS DOUBLE) / 1e6, 4) + 0.0 AS decayed_score
+         FROM t GROUP BY event_type ORDER BY event_type""",
     "q234_wasserstein" ->
       """WITH s AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 0 ELSE 1 END AS arm

@@ -47,6 +47,28 @@ object Growth {
     * zipWithIndex) — a global `Window.orderBy` would plan a
     * SinglePartition sort wall over the whole user base; this shape
     * sorts distributed, three range shuffles total. */
+  /** Half-life time-decayed popularity per group, anchored at the corpus
+    * max timestamp: `score = Σ 2^(−age/halfLife)` — the trending-score
+    * semantics (an event `halfLife` old counts half a fresh one).
+    * Per-event decay terms are 6-dp-quantized longs, so the per-group
+    * sum is exact and order-invariant; one broadcast anchor, one
+    * group-bounded aggregate. `(group, n_events, decayed_score)`. */
+  def decayedPopularity(events: DataFrame, groupCol: String, tsCol: String,
+                        halfLifeDays: Double): DataFrame = {
+    val anchor = events.agg(max(unix_micros(col(tsCol))).as("__amax"))
+    events.join(broadcast(anchor))
+      .select(col(groupCol).as("g"),
+        round(pow(lit(2.0),
+          -((col("__amax") - unix_micros(col(tsCol))).cast("double") /
+            lit(86400.0e6 * halfLifeDays))) * lit(1e6)).cast("long")
+          .as("__t6"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("__t6")).cast("double") / 1e6, 4).as("decayed_score"))
+      .select(col("g").as(groupCol), col("n_events"), col("decayed_score"))
+      .orderBy(col(groupCol))
+  }
+
   def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
                   valueCol: String, monetaryFilter: Column): DataFrame = {
     val per = events.groupBy(col(userCol).as("u"))

@@ -37,6 +37,40 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL pairwise set ops: union + inclusion-exclusion track exact overlap") {
+    import spark.implicits._
+    // sets: A = 0..599, B = 300..899 → |A∪B| = 900, |A∩B| = 300
+    val rows = (0 until 600).map(i => ("a", i.toLong)) ++
+      (300 until 900).map(i => ("b", i.toLong))
+    val sk = rows.toDF("t", "user").groupBy(col("t"))
+      .agg(hll_sketch_agg(col("user"), lit(12)).as("sk"))
+    val a = sk.where(col("t") === "a").select(col("sk").as("ska"))
+    val b = sk.where(col("t") === "b").select(col("sk").as("skb"))
+    val r = a.crossJoin(b).select(
+      hll_sketch_estimate(col("ska")).as("ea"),
+      hll_sketch_estimate(col("skb")).as("eb"),
+      hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("eu")).head
+    val (ea, eb, eu) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(math.abs(eu - 900).toDouble / 900 < 0.05, s"union est $eu")
+    val inter = ea + eb - eu
+    assert(math.abs(inter - 300).toDouble / 300 < 0.15,
+      s"inclusion-exclusion intersect $inter")
+  }
+
+  test("half-life decay: events a half-life apart weigh 2:1") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // anchor event at t0, one event 7 days earlier (weight 1/2), one 14
+    // days earlier (weight 1/4): score = 1 + 0.5 + 0.25
+    val t0 = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    val rows = Seq(0, 7, 14).map(d =>
+      (1L, "x", Timestamp.valueOf(t0.minusDays(d))))
+    val df = rows.toDF("event_id", "event_type", "ts")
+    val got = graft.analyze.Growth.decayedPopularity(df, "event_type", "ts", 7.0)
+      .head.getAs[Double]("decayed_score")
+    assert(got == 1.75)
+  }
+
   test("approx quantiles bracket the exact median") {
     import spark.implicits._
     val li = Tables.lineitem(spark, TestSession.sf)
