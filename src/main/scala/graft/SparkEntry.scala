@@ -91,6 +91,11 @@ object SparkEntry {
         "cat", col("value") > 50)
       graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
     }),
+    // ---- Simpson concentration per source (repeat-draw probability and
+    //      effective vocabulary): exact integer c(c−1) sums
+    "q237_simpson" -> ((s, dir) =>
+      graft.text.CorpusStats.simpsonIndex(
+        Tables.documents(s, dir), "source", "text")),
     // ---- sketch-based audience set ops: pairwise HLL union +
     //      inclusion-exclusion intersection between event-type user
     //      sets — the mergeable-sketch sibling of q217's exact overlap
@@ -2601,6 +2606,19 @@ object SparkEntry {
                          / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
                           * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
          FROM m""",
+    "q237_simpson" ->
+      """WITH tok AS (SELECT source AS g, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+         c AS (SELECT g, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         m AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                      sum(CAST(cnt AS HUGEINT) * (cnt - 1)) AS cc
+               FROM c GROUP BY 1),
+         s AS (SELECT g AS source, n_tokens,
+                      round(CASE WHEN n_tokens > 1
+                            THEN CAST(cc AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1)) END, 6) + 0.0 AS simpson
+               FROM m)
+         SELECT source, n_tokens, simpson,
+                round(CASE WHEN simpson > 0 THEN 1.0 / simpson END, 4) + 0.0 AS inv_simpson
+         FROM s ORDER BY source""",
     "q236_decay_popularity" ->
       """WITH a AS (SELECT max(epoch_us(date_trunc('microseconds', ts))) AS amax FROM events),
          t AS (SELECT event_type,

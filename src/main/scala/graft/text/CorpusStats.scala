@@ -149,6 +149,31 @@ object CorpusStats {
           round(col("n_distinct").cast("double") / col("n_ngrams"), 6)).as("ttr"))
   }
 
+  /** Simpson concentration λ = Σc(c−1)/(N(N−1)) per group — the
+    * probability two tokens drawn without replacement are the SAME type
+    * (high λ = repetitive/templated text), and its inverse (effective
+    * vocabulary size). EXACT integer formulation — no squared-frequency
+    * floats; one vocab-bounded count aggregate per group, one division
+    * at the end. `(group, n_tokens, simpson, inv_simpson)`. */
+  def simpsonIndex(df: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val counts = df.select(col(groupCol).as("g"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(d19(col("cnt")) * (d19(col("cnt")) - 1)).as("__cc"))
+      .select(col("g").as(groupCol), col("n_tokens"), {
+        val n = col("n_tokens").cast("double")
+        round(when(col("n_tokens") > 1,
+          col("__cc").cast("double") / (n * (n - 1))), 6).as("simpson")
+      })
+      .withColumn("inv_simpson",
+        round(when(col("simpson") > 0, lit(1.0) / col("simpson")), 4))
+      .orderBy(col(groupCol))
+  }
+
   /** Vocabulary-richness estimators from the count-of-counts frame: how
     * much vocabulary the corpus HASN'T shown yet. One row
     * `(n_tokens, vocab, f1, f2, chao1, gt_unseen_mass)` —

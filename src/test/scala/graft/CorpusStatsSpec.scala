@@ -127,6 +127,17 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got(3)._2 == 3L)
   }
 
+  test("simpsonIndex: uniform 3x3 gives 0.25, all-same gives 1") {
+    val df = Seq((1L, "u", "x x x y y y z z z"), (2L, "m", "x x x x"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.simpsonIndex(df, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("u").getAs[Double]("simpson") == 0.25) // 3·(3·2)/(9·8)
+    assert(got("u").getAs[Double]("inv_simpson") == 4.0)
+    assert(got("m").getAs[Double]("simpson") == 1.0)
+    assert(got("m").getAs[Long]("n_tokens") == 4L)
+  }
+
   test("vocabRichness: closed corpus f1=0 -> chao1 = vocab, unseen 0") {
     // every token appears >= 3 times: nothing is rare, estimator says done
     val df = Seq((1L, "x x x y y y z z z")).toDF("doc_id", "text")
