@@ -91,6 +91,15 @@ object SparkEntry {
         "cat", col("value") > 50)
       graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
     }),
+    // ---- 2-D skyline (Pareto frontier) of orders maximizing
+    //      (totalprice, recency): staircase on the distinct-x frame,
+    //      no quadratic dominance join anywhere
+    "q238_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.skyline2dMax(
+        Tables.orders(s, dir),
+        col("o_totalprice"),
+        unix_micros(col("o_orderdate")).cast("double") / 1e6,
+        Seq("o_orderkey" -> col("o_orderkey")))),
     // ---- Simpson concentration per source (repeat-draw probability and
     //      effective vocabulary): exact integer c(c−1) sums
     "q237_simpson" -> ((s, dir) =>
@@ -2606,6 +2615,20 @@ object SparkEntry {
                          / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
                           * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
          FROM m""",
+    "q238_skyline" ->
+      """WITH base AS (SELECT o_orderkey,
+                CAST(round(o_totalprice * 1000000) AS BIGINT) AS x_q,
+                CAST(round((CAST(epoch_us(date_trunc('microseconds', o_orderdate)) AS DOUBLE) / 1e6) * 1000000) AS BIGINT) AS y_q
+              FROM orders),
+         grp AS (SELECT x_q, max(y_q) AS ymax FROM base GROUP BY 1),
+         surv AS (SELECT x_q, ymax AS y_q FROM (
+                SELECT x_q, ymax,
+                       max(ymax) OVER (ORDER BY x_q DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hiy
+                FROM grp)
+              WHERE hiy IS NULL OR hiy < ymax)
+         SELECT b.o_orderkey, b.x_q, b.y_q
+         FROM base b JOIN surv USING (x_q, y_q)
+         ORDER BY x_q DESC, o_orderkey""",
     "q237_simpson" ->
       """WITH tok AS (SELECT source AS g, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
          c AS (SELECT g, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
