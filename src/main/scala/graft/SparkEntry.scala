@@ -91,6 +91,28 @@ object SparkEntry {
         "cat", col("value") > 50)
       graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
     }),
+    // ---- average precision (PR-AUC, step convention): threshold-block
+    //      formulation on the distinct-score frame — the imbalanced-
+    //      target companion to ROC-AUC
+    "q239_avg_precision" -> ((s, dir) =>
+      graft.ml.Evaluation.averagePrecision(
+        Tables.events(s, dir), col("value") / 100,
+        col("event_type") === "purchase")),
+    // ---- Kendall tau-b per event type between day and daily total:
+    //      pair-counting monotone trend on the T²-bounded days frame
+    "q240_kendall_tau" -> ((s, dir) =>
+      graft.analyze.RankStats.kendallTau(
+        Tables.events(s, dir), "event_type", "ts", "value")),
+    // ---- per-segment Welch z + Benjamini-Hochberg FDR step-up: the
+    //      multiple-testing guard over the segment fan-out
+    "q241_bh_fdr" -> ((s, dir) =>
+      graft.analyze.Multiplicity.welchByGroupBH(
+        Tables.events(s, dir), "event_type", "user_id", "value")),
+    // ---- Theil T inequality of document lengths per source: the
+    //      decomposable concentration measure next to q172's Gini
+    "q242_theil" -> ((s, dir) =>
+      graft.analyze.Concentration.theilIndex(
+        Tables.documents(s, dir), "source", "n_chars")),
     // ---- 2-D skyline (Pareto frontier) of orders maximizing
     //      (totalprice, recency): staircase on the distinct-x frame,
     //      no quadratic dominance join anywhere
@@ -2615,6 +2637,89 @@ object SparkEntry {
                          / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
                           * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
          FROM m""",
+    "q239_avg_precision" ->
+      """WITH q AS (SELECT CAST(round(value / 100 * 1000000) AS BIGINT) AS sq,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events),
+         b AS (SELECT sq, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos FROM q GROUP BY 1),
+         c AS (SELECT sq, cnt, pos,
+                CAST(sum(cnt) OVER (ORDER BY sq DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                CAST(sum(pos) OVER (ORDER BY sq DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumpos,
+                CAST(sum(pos) OVER () AS BIGINT) AS p_total
+              FROM b),
+         a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np,
+                max(p_total) AS p_total,
+                CAST(sum(CASE WHEN pos > 0
+                     THEN CAST(round(CAST(pos AS DOUBLE) * CAST(cumpos AS DOUBLE)
+                            / (CAST(p_total AS DOUBLE) * CAST(cum AS DOUBLE)) * 1e12) AS BIGINT)
+                     ELSE 0 END) AS HUGEINT) AS ap_pico
+               FROM c)
+         SELECT n, np AS n_pos,
+                round(CASE WHEN p_total > 0 THEN CAST(ap_pico AS DOUBLE) / 1e12 END, 6) + 0.0 AS avg_precision
+         FROM a""",
+    "q240_kendall_tau" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS vq
+              FROM events GROUP BY 1, 2),
+         p AS (SELECT a.g, a.vq AS v1, b.vq AS v2
+               FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day),
+         agg AS (SELECT g,
+                CAST(sum(CASE WHEN v2 > v1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(sum(CASE WHEN v2 < v1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                CAST(sum(CASE WHEN v2 = v1 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+                count(*) AS n0
+               FROM p GROUP BY 1),
+         nd AS (SELECT g, count(*) AS n_days FROM daily GROUP BY 1)
+         SELECT agg.g AS event_type, nd.n_days, c AS concordant, d AS discordant,
+                round(CASE WHEN sqrt(CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE))) > 0
+                      THEN CAST(c - d AS DOUBLE)
+                         / sqrt(CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE))) END, 6) + 0.0 AS tau_b
+         FROM agg JOIN nd USING (g) ORDER BY 1""",
+    "q241_bh_fdr" ->
+      """WITH q AS (SELECT event_type AS g, CAST(round(value * 1000000) AS BIGINT) AS vq,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS a1
+              FROM events),
+         m AS (SELECT g, CAST(sum(a1) AS BIGINT) AS n1, CAST(count(*) - sum(a1) AS BIGINT) AS n2,
+                sum(CASE WHEN a1 = 1 THEN CAST(vq AS HUGEINT) ELSE 0 END) AS s1,
+                sum(CASE WHEN a1 = 0 THEN CAST(vq AS HUGEINT) ELSE 0 END) AS s2,
+                sum(CASE WHEN a1 = 1 THEN CAST(vq AS HUGEINT) * vq ELSE 0 END) AS ss1,
+                sum(CASE WHEN a1 = 0 THEN CAST(vq AS HUGEINT) * vq ELSE 0 END) AS ss2
+               FROM q GROUP BY 1),
+         sc AS (SELECT g, n1, n2,
+                CASE WHEN n1 > 1 AND n2 > 1
+                      AND (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) / CAST(n1 AS DOUBLE)
+                        + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1) / CAST(n2 AS DOUBLE) > 0
+                     THEN (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                        / sqrt((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) / CAST(n1 AS DOUBLE)
+                             + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1) / CAST(n2 AS DOUBLE))
+                     END AS z
+               FROM m),
+         pp AS (SELECT g, n1, n2, z,
+                CAST(round(2.0 * (1.0 - (1.0 - exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002
+                     * ((1.0 / (1.0 + 0.2316419 * abs(z))) * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z))) * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z))) * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z))) * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z))) * 1.330274429))))))) * 1e12) AS BIGINT) AS pq
+               FROM sc),
+         rk AS (SELECT g, n1, n2, z, pq,
+                CAST(sum(CASE WHEN pq IS NOT NULL THEN 1 ELSE 0 END) OVER () AS BIGINT) AS m_tested,
+                CASE WHEN pq IS NOT NULL THEN row_number() OVER (ORDER BY pq ASC NULLS LAST, g) END AS p_rank
+               FROM pp),
+         fl AS (SELECT *, (pq IS NOT NULL AND pq * m_tested <= p_rank * 50000000000) AS pass FROM rk),
+         kk AS (SELECT *, max(CASE WHEN pass THEN p_rank END) OVER () AS k FROM fl)
+         SELECT g AS event_type, n1, n2, round(z, 4) + 0.0 AS z,
+                round(CAST(pq AS DOUBLE) / 1e12, 6) + 0.0 AS p,
+                CAST(p_rank AS BIGINT) AS p_rank,
+                CAST(CASE WHEN p_rank IS NOT NULL AND k IS NOT NULL AND p_rank <= k THEN 1 ELSE 0 END AS BIGINT) AS rejected
+         FROM kk ORDER BY 1""",
+    "q242_theil" ->
+      """WITH base AS (SELECT source AS g, CAST(round(n_chars * 1000000) AS BIGINT) AS vq
+              FROM documents WHERE n_chars > 0),
+         sums AS (SELECT g, count(*) AS n, sum(CAST(vq AS HUGEINT)) AS s FROM base GROUP BY 1),
+         t AS (SELECT base.g,
+                CAST(round((CAST(vq AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+                     * ln(CAST(vq AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE)) * 1e12) AS BIGINT) AS t_pico,
+                n
+               FROM base JOIN sums ON base.g = sums.g)
+         SELECT g AS source, CAST(max(n) AS BIGINT) AS n,
+                round(CAST(sum(CAST(t_pico AS HUGEINT)) AS DOUBLE) / 1e12 / CAST(max(n) AS DOUBLE), 6) + 0.0 AS theil
+         FROM t GROUP BY 1 ORDER BY 1""",
     "q238_skyline" ->
       """WITH base AS (SELECT o_orderkey,
                 CAST(round(o_totalprice * 1000000) AS BIGINT) AS x_q,

@@ -69,4 +69,38 @@ object Concentration {
           .as("gini"))
       .orderBy(col(groupCol))
   }
+
+  /** Per-group Theil T inequality index of positive `valueCol`:
+    * `T = (1/n) Σ (xᵢ/μ) ln(xᵢ/μ)` — 0 = perfectly equal, ln(n) = all
+    * mass on one row. The DECOMPOSABLE inequality measure (between-group
+    * + within-group Theils sum exactly to the population Theil — the
+    * property [[gini]] lacks), which is why concentration audits carry
+    * both.
+    *
+    * Determinism: per-group (n, Σx) come from one exact integer
+    * aggregate; each row's term `(x·n/S)·ln(x·n/S)` is ONE pinned double
+    * expression over those integers, 12-dp-quantized to a long before
+    * the order-invariant sum. Two passes over the corpus (sums, then
+    * terms) with the bounded per-group sums frame BROADCAST back —
+    * nothing beyond the two scans grows with corpus size. */
+  def theilIndex(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vq = round(col(valueCol) * lit(1000000)).cast("long")
+    val base = df.filter(col(valueCol) > 0)
+      .select(col(groupCol).as("g"), vq.as("vq"))
+    val sums = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("vq").cast("decimal(19,0)")).as("s"))
+    val terms = base.join(broadcast(sums), "g")
+      .withColumn("ratio",
+        col("vq").cast("double") * col("n").cast("double") /
+          col("s").cast("double"))
+      .withColumn("t_pico",
+        round(col("ratio") * log(col("ratio")) * lit(1e12)).cast("long"))
+    terms.groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n"),
+        // decimal sum: Σ ratio·ln(ratio) ≤ n·ln(n), whose picounits pass
+        // the long ceiling near n ≈ 10⁸ — corpus-scale needs the headroom
+        round(sum(col("t_pico").cast("decimal(38,0)")).cast("double") / 1e12 /
+          max(col("n")).cast("double"), 6).as("theil"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -89,4 +89,46 @@ object RankStats {
       }, 6).as("spearman_rho"))
     out
   }
+
+  /** Kendall tau-b per group between a time axis and a daily metric —
+    * the pair-counting cousin of [[spearman]] (and the correlation the
+    * Mann-Kendall S of [[Trend.theilSenMannKendall]] normalizes into):
+    * `τ_b = (C − D) / √((n₀ − n_x)(n₀ − n_y))` with `n₀ = n(n−1)/2`
+    * and the tie corrections `n_x/n_y = Σ t(t−1)/2`.
+    *
+    * Exactness: the corpus folds ONCE to the per-(group, day) exact
+    * 6-dp-long totals frame; concordant/discordant/tie counts are
+    * integer aggregates over the day-pair self-join — the SAME
+    * T²-per-group bound as Theil-Sen's pairwise slopes (T = days in
+    * range, a constant of the study window, NOT of corpus size); τ_b is
+    * one double expression at the end. Output per group:
+    * `(group, n_days, concordant, discordant, tau_b)`. */
+  def kendallTau(df: DataFrame, groupCol: String, tsCol: String,
+                 valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("vq"))
+    val a = daily.select(col("g"), col("day").as("d1"), col("vq").as("v1"))
+    val b = daily.select(col("g"), col("day").as("d2"), col("vq").as("v2"))
+    val pairs = a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+    val agg = pairs.groupBy(col("g"))
+      .agg(
+        sum(when(col("v2") > col("v1"), 1L).otherwise(0L)).as("c"),
+        sum(when(col("v2") < col("v1"), 1L).otherwise(0L)).as("d"),
+        // x (the day) is distinct by construction → n_x = 0; y ties
+        // counted directly on the pair frame: a tied pair is one tie pair
+        sum(when(col("v2") === col("v1"), 1L).otherwise(0L)).as("ty"),
+        count(lit(1)).as("n0"))
+    val nDays = daily.groupBy(col("g")).agg(count(lit(1)).as("n_days"))
+    agg.join(nDays, "g")
+      .select(col("g").as(groupCol), col("n_days"),
+        col("c").as("concordant"), col("d").as("discordant"),
+        round({
+          val n0 = col("n0").cast("double")
+          val denom = sqrt(n0 * (n0 - col("ty").cast("double")))
+          when(denom > 0,
+            (col("c") - col("d")).cast("double") / denom)
+        }, 6).as("tau_b"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -76,4 +76,54 @@ object Evaluation {
           .as("cum_capture"))
       .orderBy(col("decile"))
   }
+
+  /** Average precision (the area under the precision-recall curve in the
+    * step-function convention — the AUC companion for imbalanced
+    * targets, where ROC-AUC flatters the majority class):
+    * `AP = Σ_b (ΔR_b) · P_b` over distinct-score threshold blocks b in
+    * DESCENDING score order, with `ΔR_b = pos_b / P` and
+    * `P_b = cumpos_b / cum_b` — the threshold-block (not per-row)
+    * formulation, so tie order inside a block cannot change the result.
+    *
+    * Exactness: scores quantize to 6-dp longs (blocks are identical on
+    * any engine); `pos/cum` counts are exact integers off one hash
+    * aggregate over the distinct-score frame; each block term
+    * `pos_b·cumpos_b / (P·cum_b)` is one pinned double expression
+    * 12-dp-quantized to a long, so the final sum is order-invariant.
+    *
+    * Scale shape: one corpus-scan aggregate to the distinct-score frame;
+    * the running `cum*` window sorts |distinct scores| rows — the
+    * [[graft.analyze.RankStats]] contract (the distinct-value frame, not
+    * the corpus, bounds the window). Output: one row
+    * `(n, n_pos, avg_precision)`. */
+  def averagePrecision(df: DataFrame, score: Column, target: Column): DataFrame = {
+    val blocks = df
+      .select(round(score * lit(1000000)).cast("long").as("sq"),
+        when(target, 1L).otherwise(0L).as("y"))
+      .groupBy(col("sq"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sq").desc).rowsBetween(Long.MinValue, 0)
+    val cum = blocks
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cumpos", sum(col("pos")).over(w))
+    // P (positive total) decorates every block via an unpartitioned
+    // window over the block frame — already bounded by |distinct scores|
+    val withP = cum.withColumn("p_total",
+      sum(col("pos")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy()))
+    withP.agg(
+        sum(col("cnt")).as("n"), sum(col("pos")).as("np"),
+        max(col("p_total")).as("p_total"),
+        // pos = 0 blocks contribute nothing — guarding them also keeps
+        // the all-negative corpus away from 0/0 (NaN here, NULL in
+        // engines that null out float division by zero)
+        sum(when(col("pos") > 0,
+          round(col("pos").cast("double") * col("cumpos").cast("double") /
+            (col("p_total").cast("double") * col("cum").cast("double"))
+            * lit(1e12)).cast("long")).otherwise(0L)).as("ap_pico"))
+      .select(col("n"), col("np").as("n_pos"),
+        round(when(col("p_total") > 0,
+          col("ap_pico").cast("double") / 1e12), 6).as("avg_precision"))
+  }
 }
