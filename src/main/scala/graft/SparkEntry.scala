@@ -91,6 +91,30 @@ object SparkEntry {
         "cat", col("value") > 50)
       graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
     }),
+    // ---- per-label centroid silhouette over the embedding corpus:
+    //      O(n·k·d) simplified form, exact integer distances
+    "q243_silhouette" -> ((s, dir) =>
+      graft.sim.ClusterEval.centroidSilhouette(
+        Tables.embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism),
+        "vec_id", "embedding", "label")),
+    // ---- adjusted Rand index between the lang and source partitions:
+    //      pair-counting agreement corrected for chance
+    "q244_adjusted_rand" -> ((s, dir) =>
+      graft.analyze.Contingency.adjustedRand(
+        Tables.documents(s, dir), col("lang"), col("source"))),
+    // ---- per-node local clustering coefficient of the near-dup graph:
+    //      the node-level refinement of q132's global triangle count
+    "q245_local_clustering" -> ((s, dir) =>
+      graft.graph.Triangles.localClustering(
+        graft.dedup.Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text", 3, 0.9),
+        "id_a", "id_b")),
+    // ---- seasonality-strength scan p ∈ [2,14] on daily totals: one-way
+    //      ANOVA R² per candidate period — the time-domain periodogram
+    "q246_seasonality_scan" -> ((s, dir) =>
+      graft.analyze.Trend.seasonalityScan(
+        Tables.events(s, dir), "event_type", "ts", "value")),
     // ---- average precision (PR-AUC, step convention): threshold-block
     //      formulation on the distinct-score frame — the imbalanced-
     //      target companion to ROC-AUC
@@ -2637,6 +2661,98 @@ object SparkEntry {
                          / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
                           * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
          FROM m""",
+    "q243_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         ex AS (SELECT vec_id, label, i - 1 AS dim, v[i] AS x
+               FROM e, unnest(range(1, len(v) + 1)) r(i)),
+         cent AS (SELECT label AS clab, dim,
+                round((CAST(sum(CAST(round((x) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0
+                     + CAST(sum(CAST(round((x) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0 / count(*)) / 10000.0 + 0.0 AS c
+               FROM ex GROUP BY 1, 2),
+         d2 AS (SELECT ex.vec_id, ex.label, cent.clab,
+                CAST(sum(CAST(round((x - c) * (x - c) * 1e12) AS BIGINT)) AS BIGINT) AS d2q
+               FROM ex JOIN cent ON ex.dim = cent.dim GROUP BY 1, 2, 3),
+         per AS (SELECT vec_id, label,
+                min(CASE WHEN clab = label THEN d2q END) AS aq,
+                min(CASE WHEN clab <> label THEN d2q END) AS bq
+               FROM d2 GROUP BY 1, 2),
+         s AS (SELECT label,
+                CASE WHEN bq IS NULL THEN 0
+                     ELSE CAST(round(CASE WHEN greatest(sqrt(CAST(aq AS DOUBLE) / 1e12), sqrt(CAST(bq AS DOUBLE) / 1e12)) > 0
+                          THEN (sqrt(CAST(bq AS DOUBLE) / 1e12) - sqrt(CAST(aq AS DOUBLE) / 1e12))
+                             / greatest(sqrt(CAST(aq AS DOUBLE) / 1e12), sqrt(CAST(bq AS DOUBLE) / 1e12))
+                          ELSE 0.0 END * 1e12) AS BIGINT) END AS silq
+               FROM per)
+         SELECT label, count(*) AS n,
+                round(CAST(sum(silq) AS DOUBLE) / 1e12 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_silhouette
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "q244_adjusted_rand" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents GROUP BY 1, 2),
+         sij AS (SELECT sum(CAST(o AS HUGEINT) * (o - 1) // 2) AS sij, CAST(sum(o) AS BIGINT) AS n FROM cells),
+         sa AS (SELECT sum(CAST(ai AS HUGEINT) * (ai - 1) // 2) AS sa
+                FROM (SELECT CAST(sum(o) AS BIGINT) AS ai FROM cells GROUP BY a)),
+         sb AS (SELECT sum(CAST(bj AS HUGEINT) * (bj - 1) // 2) AS sb
+                FROM (SELECT CAST(sum(o) AS BIGINT) AS bj FROM cells GROUP BY b))
+         SELECT n,
+                round(CASE WHEN (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE) <> 0
+                      THEN (CAST(sij AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE))
+                         / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE)) END, 6) + 0.0 AS ari
+         FROM sij, sa, sb""",
+    "q245_local_clustering" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         e AS (
+           SELECT id_a AS s, id_b AS d
+           FROM shared
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+         deg AS (SELECT id, count(*) AS deg
+                FROM (SELECT s AS id FROM e UNION ALL SELECT d FROM e) GROUP BY 1),
+         w AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+               FROM e e1 JOIN e e2 ON e1.d = e2.s),
+         tri AS (SELECT w.a, w.b, w.c FROM w JOIN e ON w.a = e.s AND w.c = e.d),
+         pn AS (SELECT id, count(*) AS triangles
+               FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY 1)
+         SELECT deg.id, deg.deg, CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+                round(CAST(coalesce(pn.triangles, 0) AS DOUBLE) * 2
+                    / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6) + 0.0 AS lcc
+         FROM deg LEFT JOIN pn USING (id) WHERE deg.deg >= 2 ORDER BY id""",
+    "q246_seasonality_scan" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS vq
+              FROM events GROUP BY 1, 2),
+         mn AS (SELECT g, min(day) AS d0 FROM daily GROUP BY 1),
+         idx AS (SELECT daily.g, (day - d0) AS di, vq FROM daily JOIN mn USING (g)),
+         pp AS (SELECT g, di, vq, p FROM idx, unnest(range(2, 15)) r(p)),
+         byc AS (SELECT g, p, di % p AS b, count(*) AS nb, sum(CAST(vq AS HUGEINT)) AS sb
+               FROM pp GROUP BY 1, 2, 3),
+         tot AS (SELECT g, count(*) AS n, sum(CAST(vq AS HUGEINT)) AS s,
+                      sum(CAST(vq AS HUGEINT) * vq) AS qq
+               FROM daily GROUP BY 1),
+         uq AS (SELECT byc.g, p, n, s, qq,
+                CAST(round(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                     / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(nb AS DOUBLE) * 1e12) AS BIGINT) AS u
+               FROM byc JOIN tot ON byc.g = tot.g),
+         ag AS (SELECT g, p, n, s, qq, CAST(sum(u) AS BIGINT) AS ssbq FROM uq GROUP BY 1, 2, 3, 4, 5)
+         SELECT g AS event_type, CAST(p AS BIGINT) AS period,
+                round(CASE WHEN CAST(qq AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - 1.0 / CAST(n AS DOUBLE) > 0
+                      THEN (CAST(ssbq AS DOUBLE) / 1e12 - 1.0 / CAST(n AS DOUBLE))
+                         / (CAST(qq AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - 1.0 / CAST(n AS DOUBLE)) END, 6) + 0.0 AS strength
+         FROM ag ORDER BY 1, 2""",
     "q239_avg_precision" ->
       """WITH q AS (SELECT CAST(round(value / 100 * 1000000) AS BIGINT) AS sq,
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events),

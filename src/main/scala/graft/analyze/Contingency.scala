@@ -140,6 +140,41 @@ object Contingency {
     * and summed exactly; entropies divide by N once at the end. Scale:
     * one (feature-value)-keyed count aggregate per feature — category-
     * bounded, map-side combined, no row shuffle. */
+  /** Adjusted Rand index (Hubert & Arabie 1985) between two categorical
+    * partitions of the same rows — pair-counting agreement corrected for
+    * chance (the clustering-comparison standard: 1 = identical
+    * partitions, ≈0 = independent, < 0 = worse than chance):
+    * `ARI = (Σᵢⱼ C(nᵢⱼ,2) − t) / (½[Σᵢ C(aᵢ,2) + Σⱼ C(bⱼ,2)] − t)` with
+    * `t = Σᵢ C(aᵢ,2)·Σⱼ C(bⱼ,2)/C(n,2)`.
+    *
+    * Exactness: every pair count is exact integer/DECIMAL arithmetic off
+    * ONE contingency-table scan (cells and both margins derive from the
+    * same |A|×|B|-bounded cell frame); the chance correction's rational
+    * `t` enters in double only in the final expression. One corpus
+    * aggregate; everything downstream is category-bounded. */
+  def adjustedRand(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    def c2(c: Column) = // C(x, 2) exact in DECIMAL
+      (c.cast("decimal(38,0)") * (c - 1).cast("decimal(38,0)")) / 2
+    val cells = df.groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sij = cells.agg(sum(c2(col("o"))).as("sij"), sum(col("o")).as("n"))
+    val sa = cells.groupBy(col("a")).agg(sum(col("o")).as("ai"))
+      .agg(sum(c2(col("ai"))).as("sa"))
+    val sb = cells.groupBy(col("b")).agg(sum(col("o")).as("bj"))
+      .agg(sum(c2(col("bj"))).as("sb"))
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("n"),
+        round({
+          val t = col("sa").cast("double") * col("sb").cast("double") /
+            c2(col("n")).cast("double")
+          val half = (col("sa").cast("double") + col("sb").cast("double")) /
+            lit(2.0)
+          when(half - t =!= 0.0,
+            (col("sij").cast("double") - t) / (half - t))
+        }, 6).as("ari"))
+  }
+
   def infoGain(df: DataFrame, labelCol: Column,
                features: Seq[(String, Column)]): DataFrame = {
     def xlnx(c: Column): Column =

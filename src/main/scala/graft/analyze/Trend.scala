@@ -185,4 +185,56 @@ object Trend {
         }, 6).as("autocorr"))
       .orderBy(col(groupCol))
   }
+
+  /** Seasonality-strength scan over candidate periods: for each period
+    * `p ∈ [2, maxP]`, the share of daily-total variance explained by
+    * grouping days into day-of-period classes `b = day_index mod p` —
+    * the one-way-ANOVA R² `SSB/SST`, the time-domain periodogram (a
+    * weekly cycle peaks at p = 7 AND its harmonics p = 14; the scan
+    * surfaces the whole signature where q198's fixed day-of-week index
+    * assumes the answer).
+    *
+    * Exactness: daily totals are exact 6-dp longs; per-class sums and
+    * the ΣX² moment are exact DECIMAL; the per-class variance term
+    * `(s_b/S)²/n_b` is one pinned double expression 12-dp-quantized
+    * before its exact class-sum, and the final ratio
+    * `(Σ_b u_b²/n_b − 1/n) / (Q/S² − 1/n)` (the SSB/SST identity
+    * normalized by S²) is a single double expression over exact inputs.
+    *
+    * Scale shape: the corpus folds ONCE to the (group, day) frame;
+    * everything after lives on days×(maxP−1) rows. */
+  def seasonalityScan(df: DataFrame, groupCol: String, tsCol: String,
+                      valueCol: String, maxP: Int = 14): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("vq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wg = Window.partitionBy(col("g"))
+    val idx = daily
+      .withColumn("di", datediff(col("day"), min(col("day")).over(wg)))
+      .withColumn("p", explode(sequence(lit(2), lit(maxP))))
+    val byClass = idx
+      .groupBy(col("g"), col("p"), pmod(col("di"), col("p")).as("b"))
+      .agg(count(lit(1)).as("nb"), sum(dec(col("vq"))).as("sb"))
+    val totals = daily.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("vq"))).as("s"),
+        sum(xprod(col("vq"), col("vq"))).as("qq"))
+    byClass.join(broadcast(totals), "g")
+      .withColumn("uq",
+        round(col("sb").cast("double") * col("sb").cast("double") /
+          (col("s").cast("double") * col("s").cast("double")) /
+          col("nb").cast("double") * lit(1e12)).cast("long"))
+      .groupBy(col("g"), col("p"), col("n"), col("s"), col("qq"))
+      .agg(sum(col("uq")).as("ssbq"))
+      .select(col("g").as(groupCol), col("p").cast("long").as("period"),
+        round({
+          val n = col("n").cast("double")
+          val num = col("ssbq").cast("double") / lit(1e12) - lit(1.0) / n
+          val den = col("qq").cast("double") /
+            (col("s").cast("double") * col("s").cast("double")) -
+            lit(1.0) / n
+          when(den > 0, num / den)
+        }, 6).as("strength"))
+      .orderBy(col(groupCol), col("period"))
+  }
 }

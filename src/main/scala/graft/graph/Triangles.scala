@@ -78,4 +78,37 @@ object Triangles {
     e0.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges"))
       .crossJoin(tri.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles")))
   }
+
+  /** Per-node local clustering coefficient (Watts-Strogatz 1998):
+    * `lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))` — how close each node's
+    * neighborhood is to a clique; the node-level refinement of the
+    * global [[count]]. Only nodes with `deg ≥ 2` appear (the coefficient
+    * is undefined below that).
+    *
+    * Scale shape: the same a<b<c wedge-closure as [[count]] (each
+    * triangle materializes ONCE), then each triangle credits its three
+    * corners via one 3-way explode — per-node totals are a plain keyed
+    * aggregate. `lcc` is exact-integer arithmetic rendered in double
+    * (2T and deg(deg−1) are integers; one division at the end, 6 dp). */
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d")).distinct()
+      .localCheckpoint(eager = true)
+    val deg = e.select(explode(array(col("s"), col("d"))).as("id"))
+      .groupBy(col("id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+    val tri = wedges.join(e.toDF("a", "c"), Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
+          (col("deg") * (col("deg") - 1)).cast("double"), 6).as("lcc"))
+      .orderBy(col("id"))
+  }
 }
