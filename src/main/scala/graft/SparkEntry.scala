@@ -91,6 +91,43 @@ object SparkEntry {
         "cat", col("value") > 50)
       graft.ml.Isotonic.calibrate(scored, col("target_enc"), col("value") > 50)
     }),
+    // ---- HITS authorities on the bipartite user→event_type graph:
+    //      engagement-quality ranking (spec-gated fixpoint, no oracle)
+    "q247_hits" -> ((s, dir) =>
+      graft.graph.Hits.authorities(
+        // each user's TOP-2 event types by count (ties by name): the raw
+        // bipartite graph is near-complete (every user touches every
+        // type), which collapses HITS to the uniform vector — a
+        // per-user rank cut is scale-invariant where an absolute count
+        // threshold saturates again at 10× the data
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("__n").desc, col("event_type"))))
+          .filter(col("__r") <= 2),
+        "user_id", "event_type")),
+    // ---- two-sample Cramér-von Mises (whole-CDF companion to q212 KS):
+    //      exact cross-multiplied integer CDF gaps, squared and summed
+    "q248_cvm_test" -> ((s, dir) =>
+      graft.analyze.RobustStats.cvmTest(
+        Tables.events(s, dir), "value",
+        pmod(col("event_id"), lit(2)) === 0)),
+    // ---- modularity of the near-dup graph under the SOURCE partition:
+    //      do near-duplicates stay inside one source?
+    "q249_modularity" -> ((s, dir) =>
+      graft.graph.Modularity.attributePartition(
+        graft.dedup.Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text", 3, 0.9),
+        "id_a", "id_b",
+        Tables.documents(s, dir), "doc_id", "source")),
+    // ---- Gumbel fit to daily peak values per type (method of moments):
+    //      exact integer block maxima, 30-day return level
+    "q250_gumbel" -> ((s, dir) =>
+      graft.analyze.Extremes.gumbelFit(
+        Tables.events(s, dir), "event_type", "ts", "value")),
     // ---- per-label centroid silhouette over the embedding corpus:
     //      O(n·k·d) simplified form, exact integer distances
     "q243_silhouette" -> ((s, dir) =>
@@ -2661,6 +2698,75 @@ object SparkEntry {
                          / ((CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e24) - (CAST(sx AS DOUBLE) / 1e12) * (CAST(sx AS DOUBLE) / 1e12))
                           * (CAST(n_terms AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e24) - (CAST(sy AS DOUBLE) / 1e12) * (CAST(sy AS DOUBLE) / 1e12))) END, 6) + 0.0 AS r2
          FROM m""",
+    "q248_cvm_test" ->
+      """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vq,
+                CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS s1 FROM events),
+         byv AS (SELECT vq, CAST(sum(s1) AS BIGINT) AS a1, CAST(sum(1 - s1) AS BIGINT) AS a2 FROM q GROUP BY 1),
+         cum AS (SELECT vq, a1, a2,
+                CAST(sum(a1) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+                CAST(sum(a2) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+               FROM byv),
+         tot AS (SELECT CAST(sum(s1) AS BIGINT) AS n1, CAST(count(*) - sum(s1) AS BIGINT) AS n2 FROM q),
+         m AS (SELECT tot.n1, tot.n2,
+                sum(CAST(a1 + a2 AS HUGEINT)
+                  * (c1 * tot.n2 - c2 * tot.n1) * (c1 * tot.n2 - c2 * tot.n1)) AS s
+               FROM cum, tot GROUP BY 1, 2)
+         SELECT n1, n2,
+                round(CAST(s AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                    * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) + 0.0 AS cvm_t
+         FROM m""",
+    "q249_modularity" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         e AS (
+           SELECT id_a AS s, id_b AS d
+           FROM shared
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+         att AS (SELECT doc_id AS id, source AS comm FROM documents),
+         tg AS (SELECT e.s, e.d, a1.comm AS cs, a2.comm AS cd
+               FROM e JOIN att a1 ON e.s = a1.id JOIN att a2 ON e.d = a2.id),
+         deg AS (SELECT comm, count(*) AS dc
+               FROM (SELECT cs AS comm FROM tg UNION ALL SELECT cd FROM tg) GROUP BY 1),
+         d2 AS (SELECT count(*) AS n_comm, sum(CAST(dc AS HUGEINT) * dc) AS sdc2 FROM deg),
+         mm AS (SELECT count(*) AS m,
+                CAST(sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges FROM tg)
+         SELECT m, n_comm, intra_edges,
+                round(CASE WHEN m > 0
+                      THEN CAST(intra_edges AS DOUBLE) / CAST(m AS DOUBLE)
+                         - CAST(sdc2 AS DOUBLE) / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) END, 6) + 0.0 AS modularity
+         FROM mm, d2""",
+    "q250_gumbel" ->
+      """WITH mx AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                max(CAST(round(value * 1000000) AS BIGINT)) AS mq
+              FROM events GROUP BY 1, 2),
+         m AS (SELECT g, count(*) AS n, sum(CAST(mq AS HUGEINT)) AS s,
+                      sum(CAST(mq AS HUGEINT) * mq) AS ss
+               FROM mx GROUP BY 1)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n_blocks,
+                round(CASE WHEN n > 1 AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+                      THEN (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                          - 0.5772156649015329 * (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 0.7796968012336293)) / 1e6 END, 4) + 0.0 AS mu,
+                round(CASE WHEN n > 1 AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+                      THEN (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 0.7796968012336293) / 1e6 END, 4) + 0.0 AS beta,
+                round(CASE WHEN n > 1 AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+                      THEN ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                          - 0.5772156649015329 * (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 0.7796968012336293))
+                          - (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 0.7796968012336293)
+                            * ln(-ln(1.0 - 1.0 / 30.0))) / 1e6 END, 4) + 0.0 AS return_level
+         FROM m ORDER BY 1""",
     "q243_silhouette" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          ex AS (SELECT vec_id, label, i - 1 AS dim, v[i] AS x

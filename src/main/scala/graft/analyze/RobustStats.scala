@@ -84,6 +84,44 @@ object RobustStats {
             (col("n1") + col("n2")).cast("double")), 4).as("ks_z"))
   }
 
+  /** Two-sample Cramér-von Mises statistic — the WHOLE-CDF companion to
+    * [[ksTest]] (KS sees only the single worst gap; CvM integrates the
+    * squared gap over every pooled observation, so a distribution that
+    * differs a little everywhere — the shape-drift signature KS is blind
+    * to — still registers):
+    * `T = Σ ct·(c₁n₂ − c₂n₁)² / (N²·n₁·n₂)` over the distinct-value
+    * frame with multiplicities ct — the textbook
+    * `(n₁n₂/N²)·Σ(F̂₁−F̂₂)²` with every CDF comparison cross-multiplied
+    * into EXACT integers (the [[ksTest]] trick); one double division at
+    * the very end. Same scale shape as KS: one corpus aggregate to the
+    * distinct-value frame, one running window over it. */
+  def cvmTest(df: DataFrame, valueCol: String, sampleFilter: Column): DataFrame = {
+    val q = df.select(round(col(valueCol) * lit(1000000)).cast("long").as("vq"),
+      when(sampleFilter, 1L).otherwise(0L).as("s1"))
+    val byV = q.groupBy(col("vq"))
+      .agg(sum(col("s1")).as("a1"), sum(lit(1L) - col("s1")).as("a2"))
+    val w = Window.orderBy(col("vq")).rowsBetween(Long.MinValue, 0)
+    val cum = byV
+      .withColumn("c1", sum(col("a1")).over(w))
+      .withColumn("c2", sum(col("a2")).over(w))
+    val tot = q.agg(sum(col("s1")).as("n1"),
+      (count(lit(1)) - sum(col("s1"))).as("n2"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        (d38(col("a1") + col("a2")) *
+          d38(col("c1") * col("n2") - col("c2") * col("n1")) *
+          d38(col("c1") * col("n2") - col("c2") * col("n1"))).as("term"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("n1"), col("n2"),
+        round(col("s").cast("double") /
+          ((col("n1") + col("n2")).cast("double") *
+            (col("n1") + col("n2")).cast("double") *
+            col("n1").cast("double") * col("n2").cast("double")), 6)
+          .as("cvm_t"))
+  }
+
   /** Per-group `(group, n, median, mad, n_outliers)` where outliers are
     * rows with `|vq − median| > cutoff · mad` in exact integer
     * arithmetic. */
