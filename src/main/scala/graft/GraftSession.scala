@@ -24,6 +24,16 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Parallelism floors for SMALL inputs; inert at scale. The default
+      // 4 MB file-open cost makes a 20 MB parquet scan at most ~5 splits
+      // (and AQE's 1 MB min partition size coalesces CPU-heavy shuffle
+      // stages the same way), so on a 32-core node most of the machine
+      // idles through stages whose work-per-byte is high (shingle
+      // expansion, wedge counting, array merges). 256 KB floors let tiny
+      // stages use the cores; at 100 TB every split/partition is far
+      // above either floor, so production plans are untouched.
+      .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", (256L * 1024).toString)
       // testdata parquet has shipped both TIMESTAMP(NANOS) (read as long,
       // converted in graft.sources.Tables) and timestamp[us] without
       // timezone. Disable NTZ inference so the latter reads as plain

@@ -36,10 +36,13 @@ object RetrievalEval {
                           k: Int): DataFrame = {
     require(k >= 1 && k <= 10, s"k must be in [1,10]: $k")
     val toks = TextAnalysis.tokens(col(textCol))
-    val qtok = docs.filter(pmod(col(idCol), lit(queryEvery)) === 0)
+    // widen once: both token streams re-tokenize this frame map-side, and
+    // a narrow scan would run both explosions on 2-3 cores
+    val wide = graft.operators.Spread.widen(docs, col(idCol))
+    val qtok = wide.filter(pmod(col(idCol), lit(queryEvery)) === 0)
       .select(col(idCol).as("qid"),
         explode(array_distinct(slice(toks, 1, nQueryTokens))).as("token"))
-    val dtok = docs.select(col(idCol).as("doc"),
+    val dtok = wide.select(col(idCol).as("doc"),
         explode(array_distinct(toks)).as("token"))
     val scored = qtok.join(dtok, "token")
       .groupBy(col("qid"), col("doc"))
