@@ -49,6 +49,95 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- one-way ANOVA of line-item quantity across return flags: the
+    //      k-arm "does ANY class mean differ" readout — exact DECIMAL
+    //      moments per class, F/eta^2 in double at the end
+    "q251_anova" -> ((s, dir) =>
+      graft.analyze.VarianceTests.anovaF(
+        Tables.lineitem(s, dir), col("l_returnflag"), col("l_quantity"))),
+    // ---- Brown-Forsythe spread test on the same classes: ANOVA's F over
+    //      |x - class lower median| — the variance-homogeneity check the
+    //      mean comparison assumes
+    "q252_levene" -> ((s, dir) =>
+      graft.analyze.VarianceTests.leveneBF(
+        Tables.lineitem(s, dir), col("l_returnflag"), col("l_quantity"))),
+    // ---- Jarque-Bera normality screen on event values: moment-based
+    //      skew/kurtosis off exact 2-dp DECIMAL raw sums
+    "q253_jarque_bera" -> ((s, dir) =>
+      graft.analyze.RobustStats.jarqueBera(Tables.events(s, dir), "value")),
+    // ---- Ljung-Box portmanteau over lags 1..7 of the daily event-value
+    //      total: whole-ACF whiteness — n-scaled centered series keeps
+    //      every ACF moment an exact integer
+    "q254_ljung_box" -> ((s, dir) =>
+      graft.analyze.Trend.ljungBox(Tables.events(s, dir), "ts", "value", 7)),
+    // ---- Durbin-Watson on the daily-total trend residuals: serial-
+    //      correlation alarm for the OLS trend family (q167/q204)
+    "q255_durbin_watson" -> ((s, dir) =>
+      graft.analyze.Trend.durbinWatson(Tables.events(s, dir), "ts", "value")),
+    // ---- V-measure of the md5-bucket "clustering" against event types:
+    //      homogeneity/completeness decomposition over one contingency
+    //      scan — x ln x on exact integer counts throughout
+    "q256_vmeasure" -> ((s, dir) =>
+      graft.analyze.Contingency.vMeasure(Tables.events(s, dir),
+        col("event_type"),
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(8)))),
+    // ---- rich-club profile of the co-purchase part graph: phi(k) along
+    //      the degree axis from two degree-bounded histograms — the hub-
+    //      clique structure q219's single number summarizes
+    "q257_rich_club" -> ((s, dir) =>
+      graft.graph.RichClub.coefficients(
+        graft.graph.LinkPrediction.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2L),
+        "a", "b", 12)),
+    // ---- distinct l-diversity audit over the q176 quasi-identifier
+    //      classes with the event type as the sensitive attribute — the
+    //      homogeneity-attack check k-anonymity cannot see
+    "q258_l_diversity" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.analyze.Privacy.lDiversityReport(ev,
+        Seq(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          floor(col("value") / 100).as("band")),
+        col("user_id") % 10, 3L)
+    }),
+    // ---- sample-ratio-mismatch gate on the md5 4-way split: chi-square
+    //      GOF against uniform allocation, exact integer moments
+    "q259_srm" -> ((s, dir) =>
+      graft.analyze.Experiment.srmCheck(Tables.events(s, dir), "user_id", 4)),
+    // ---- Wald SPRT on the signup conversion rate (H0 p=0.30 vs H1
+    //      p=0.35): exact integer LLR walk in arrival order, first
+    //      boundary crossing via a min-struct aggregate
+    "q260_sprt" -> ((s, dir) =>
+      graft.analyze.Experiment.sprt(Tables.events(s, dir), "user_id", "ts",
+        col("event_type") === "signup", 0.30, 0.35)),
+    // ---- Anderson-Darling uniformity audit of the md5 unit hash (the
+    //      salt/shard function of q88/q137): tail-weighted EDF test over
+    //      the distributed global rank
+    "q261_ad_uniformity" -> ((s, dir) => {
+      val u32 = conv(substring(md5(col("user_id").cast("string")), 1, 8),
+        16, 10).cast("double")
+      graft.analyze.RobustStats.adUniformity(
+        Tables.events(s, dir).select(col("user_id"),
+          ((u32 + 0.5) / lit(4294967296.0)).as("u")),
+        col("u"), col("user_id"))
+    }),
+    // ---- reciprocal-rank fusion of the BM25 and token-overlap
+    //      retrievers (k0=60): rank-only ensemble, exact 12-dp integer
+    //      score sums, ties on doc id
+    "q262_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(graft.text.TextAnalysis.tokens(col("text")),
+            1, 8)).as("qtext"))
+      val bm = graft.text.Bm25.topK(docs, "doc_id", "text",
+          queries, "qid", "qtext", 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val ov = graft.text.RetrievalFusion.overlapTopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", 10)
+      graft.text.RetrievalFusion.rrf(Seq(bm, ov), 60, 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -2618,6 +2707,261 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q251_anova" ->
+      """WITH q AS (SELECT l_returnflag AS cls, CAST(round(l_quantity * 100) AS BIGINT) AS vq FROM lineitem),
+         per AS (SELECT cls, count(*) AS nc, sum(CAST(vq AS HUGEINT)) AS sc,
+                        sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS qc
+                 FROM q GROUP BY 1),
+         t AS (SELECT count(*) AS k, CAST(sum(nc) AS BIGINT) AS n,
+                      CAST(sum(sc) AS DOUBLE) AS s, CAST(sum(qc) AS DOUBLE) AS qq,
+                      CAST(sum(CAST(round(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / nc) AS BIGINT)) AS BIGINT) AS b
+               FROM per)
+         SELECT k, n,
+                round(CASE WHEN k >= 2 AND n > k AND (qq - b) > 0
+                      THEN (greatest(b - s * s / n, 0) / (k - 1)) / ((qq - b) / (n - k)) END, 6) AS f_stat,
+                round(CASE WHEN (qq - s * s / n) > 0
+                      THEN greatest(b - s * s / n, 0) / (qq - s * s / n) END, 6) AS eta_sq
+         FROM t""",
+    "q252_levene" ->
+      """WITH q AS (SELECT l_returnflag AS cls, CAST(round(l_quantity * 100) AS BIGINT) AS xq FROM lineitem),
+         m AS (SELECT cls, xq AS medq FROM (
+                 SELECT cls, xq, row_number() OVER (PARTITION BY cls ORDER BY xq) AS rn,
+                        count(*) OVER (PARTITION BY cls) AS nc FROM q)
+               WHERE rn = (nc + 1) // 2),
+         z AS (SELECT q.cls, abs(q.xq - m.medq) AS vq FROM q JOIN m ON q.cls = m.cls),
+         per AS (SELECT cls, count(*) AS nc, sum(CAST(vq AS HUGEINT)) AS sc,
+                        sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS qc
+                 FROM z GROUP BY 1),
+         t AS (SELECT count(*) AS k, CAST(sum(nc) AS BIGINT) AS n,
+                      CAST(sum(sc) AS DOUBLE) AS s, CAST(sum(qc) AS DOUBLE) AS qq,
+                      CAST(sum(CAST(round(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / nc) AS BIGINT)) AS BIGINT) AS b
+               FROM per)
+         SELECT k, n,
+                round(CASE WHEN k >= 2 AND n > k AND (qq - b) > 0
+                      THEN (greatest(b - s * s / n, 0) / (k - 1)) / ((qq - b) / (n - k)) END, 6) AS f_stat,
+                round(CASE WHEN (qq - s * s / n) > 0
+                      THEN greatest(b - s * s / n, 0) / (qq - s * s / n) END, 6) AS eta_sq
+         FROM t""",
+    "q253_jarque_bera" ->
+      """WITH q AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         t AS (SELECT count(*) AS n,
+                      CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) AS s1,
+                      CAST(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE) AS s2,
+                      CAST(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE) AS s3,
+                      CAST(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE) AS s4
+               FROM q),
+         c AS (SELECT n, s1 / n AS m,
+                      s2 / n - (s1 / n) * (s1 / n) AS m2,
+                      s3 / n - (s1 / n) * s2 / n * 3 + (s1 / n) * (s1 / n) * (s1 / n) * 2 AS m3,
+                      s4 / n - (s1 / n) * s3 / n * 4 + (s1 / n) * (s1 / n) * s2 / n * 6 - (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) * 3 AS m4
+               FROM t)
+         SELECT n,
+                round(CASE WHEN n >= 2 AND m2 > 0 THEN m3 / pow(m2, 1.5) END, 6) AS skewness,
+                round(CASE WHEN n >= 2 AND m2 > 0 THEN m4 / (m2 * m2) - 3 END, 6) AS kurtosis_excess,
+                round(CASE WHEN n >= 2 AND m2 > 0
+                      THEN n / 6 * ((m3 / pow(m2, 1.5)) * (m3 / pow(m2, 1.5)) + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4) END, 4) AS jb
+         FROM c""",
+    "q254_ljung_box" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         idx AS (SELECT day, yq, row_number() OVER (ORDER BY day) AS t FROM daily),
+         tot AS (SELECT count(*) AS n, sum(CAST(yq AS HUGEINT)) AS s FROM idx),
+         cent AS (SELECT t, n, CAST(n AS HUGEINT) * CAST(yq AS HUGEINT) - s AS c FROM idx CROSS JOIN tot),
+         den AS (SELECT sum(c * c) AS d FROM cent),
+         num AS (SELECT l.k AS lag, max(a.n) AS n, sum(a.c * b.c) AS nu
+                 FROM generate_series(1, 7) l(k)
+                 JOIN cent a ON true
+                 JOIN cent b ON a.t + l.k = b.t
+                 GROUP BY 1),
+         rk AS (SELECT lag, n,
+                       CAST(round(CASE WHEN d > 0 THEN CAST(nu AS DOUBLE) / CAST(d AS DOUBLE) END * 1e12) AS BIGINT) AS r12
+                FROM num CROSS JOIN den)
+         SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+                round(r12 / 1e12, 6) AS r,
+                round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) *
+                      sum((r12 / 1e12) * (r12 / 1e12) / CAST(n - lag AS DOUBLE))
+                        OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING), 4) AS q_stat
+         FROM rk ORDER BY lag""",
+    "q255_durbin_watson" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         idx AS (SELECT yq, row_number() OVER (ORDER BY day) AS t FROM daily),
+         mom AS (SELECT count(*) AS n,
+                        CAST(sum(CAST(t AS HUGEINT)) AS DOUBLE) AS st,
+                        CAST(sum(CAST(yq AS HUGEINT)) AS DOUBLE) AS sy,
+                        CAST(sum(CAST(t AS HUGEINT) * CAST(yq AS HUGEINT)) AS DOUBLE) AS sty,
+                        CAST(sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS DOUBLE) AS stt
+                 FROM idx),
+         resid AS (SELECT t, n,
+                          CAST(round(CAST(yq AS DOUBLE)
+                            - (sy - ((n * sty - st * sy) / (n * stt - st * st)) * st) / n
+                            - ((n * sty - st * sy) / (n * stt - st * st)) * CAST(t AS DOUBLE)) AS BIGINT) AS e
+                   FROM idx CROSS JOIN mom),
+         lagd AS (SELECT n, e, lag(e, 1) OVER (ORDER BY t) AS eprev FROM resid),
+         s AS (SELECT n, sum(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS see,
+                      sum(CASE WHEN eprev IS NOT NULL
+                          THEN CAST(e - eprev AS HUGEINT) * CAST(e - eprev AS HUGEINT)
+                          ELSE 0 END) AS sdd
+               FROM lagd GROUP BY 1)
+         SELECT s.n AS n_days,
+                round((m.n * m.sty - m.st * m.sy) / (m.n * m.stt - m.st * m.st) / 1e6, 6) AS slope_per_day,
+                round(CASE WHEN see > 0 THEN CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) END, 6) AS dw
+         FROM s CROSS JOIN mom m""",
+    "q256_vmeasure" ->
+      """WITH base AS (SELECT event_type AS c,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS k
+              FROM events),
+         cells AS (SELECT c, k, count(*) AS o FROM base GROUP BY 1, 2),
+         byc AS (SELECT c, CAST(sum(o) AS BIGINT) AS nc FROM cells GROUP BY 1),
+         byk AS (SELECT k, CAST(sum(o) AS BIGINT) AS nk FROM cells GROUP BY 1),
+         cs AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(CASE WHEN o > 0 THEN CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE)) ELSE 0.0 END * 1e6) AS BIGINT)) AS BIGINT) AS o6
+                FROM cells),
+         cc AS (SELECT CAST(sum(CAST(round(CASE WHEN nc > 0 THEN CAST(nc AS DOUBLE) * ln(CAST(nc AS DOUBLE)) ELSE 0.0 END * 1e6) AS BIGINT)) AS BIGINT) AS c6 FROM byc),
+         kk AS (SELECT CAST(sum(CAST(round(CASE WHEN nk > 0 THEN CAST(nk AS DOUBLE) * ln(CAST(nk AS DOUBLE)) ELSE 0.0 END * 1e6) AS BIGINT)) AS BIGINT) AS k6 FROM byk),
+         h AS (SELECT n,
+                      (CASE WHEN n > 0 THEN CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) ELSE 0.0 END - c6 / 1e6) / n AS hc,
+                      (CASE WHEN n > 0 THEN CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) ELSE 0.0 END - k6 / 1e6) / n AS hk,
+                      (CAST(k6 AS DOUBLE) - CAST(o6 AS DOUBLE)) / 1e6 / n AS hck,
+                      (CAST(c6 AS DOUBLE) - CAST(o6 AS DOUBLE)) / 1e6 / n AS hkc
+               FROM cs CROSS JOIN cc CROSS JOIN kk),
+         hv AS (SELECT n, hc, hk,
+                       CASE WHEN hc > 0 THEN 1.0 - hck / hc ELSE 1.0 END AS hom,
+                       CASE WHEN hk > 0 THEN 1.0 - hkc / hk ELSE 1.0 END AS com
+                FROM h)
+         SELECT n, round(hc, 6) AS h_class, round(hk, 6) AS h_cluster,
+                round(hom, 6) AS homogeneity, round(com, 6) AS completeness,
+                round(CASE WHEN hom + com > 0 THEN 2.0 * hom * com / (hom + com) ELSE 0.0 END, 6) AS v_measure
+         FROM hv""",
+    "q257_rich_club" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         e AS (SELECT x.i AS a, y.i AS b FROM it x JOIN it y ON x.g = y.g AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         ends AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+         deg AS (SELECT v, count(*) AS d FROM ends GROUP BY 1),
+         ks AS (SELECT k FROM generate_series(1, 12) t(k)),
+         nk AS (SELECT k, CAST(sum(nv) AS BIGINT) AS n_k
+                FROM (SELECT d, count(*) AS nv FROM deg GROUP BY 1) h CROSS JOIN ks
+                WHERE d > k GROUP BY 1),
+         emin AS (SELECT least(da.d, db.d) AS md
+                  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+         ek AS (SELECT k, CAST(sum(ne) AS BIGINT) AS e_k
+                FROM (SELECT md, count(*) AS ne FROM emin GROUP BY 1) h CROSS JOIN ks
+                WHERE md > k GROUP BY 1)
+         SELECT CAST(ks.k AS BIGINT) AS k,
+                coalesce(nk.n_k, 0) AS n_k, coalesce(ek.e_k, 0) AS e_k,
+                round(CASE WHEN coalesce(nk.n_k, 0) >= 2
+                      THEN 2.0 * coalesce(ek.e_k, 0) / (CAST(nk.n_k AS DOUBLE) * (nk.n_k - 1)) END, 6) AS phi
+         FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
+         ORDER BY k""",
+    "q258_l_diversity" ->
+      """WITH base AS (SELECT event_type AS q0, date_trunc('day', ts) AS q1,
+                floor(value / 100) AS q2, user_id % 10 AS s FROM events),
+         cells AS (SELECT q0, q1, q2, s, count(*) AS n FROM base GROUP BY 1, 2, 3, 4),
+         cls AS (SELECT q0, q1, q2, count(*) AS l, CAST(sum(n) AS BIGINT) AS rws
+                 FROM cells GROUP BY 1, 2, 3)
+         SELECT count(*) AS n_classes, CAST(sum(rws) AS BIGINT) AS n_rows,
+                min(l) AS l_min,
+                CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
+                CAST(sum(CASE WHEN l < 3 THEN rws ELSE 0 END) AS BIGINT) AS rows_below_l
+         FROM cls""",
+    "q259_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         v AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS variant FROM u),
+         byv AS (SELECT variant, count(*) AS o FROM v GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n_units, count(*) AS n_variants,
+                      sum(CAST(o AS HUGEINT) * CAST(o AS HUGEINT)) AS oo
+               FROM byv)
+         SELECT n_units, n_variants,
+                round(4.0 * CAST(oo AS DOUBLE) / n_units - CAST(n_units AS DOUBLE), 4) AS chi2,
+                CAST(3 AS BIGINT) AS dof,
+                (4.0 * CAST(oo AS DOUBLE) / n_units - CAST(n_units AS DOUBLE)) > 16.266 AS srm_flag
+         FROM t""",
+    "q260_sprt" ->
+      """WITH units AS (SELECT user_id AS unit, min(ts) AS t0,
+                max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS x
+              FROM events GROUP BY 1),
+         walk AS (SELECT count(*) OVER w AS t,
+                         CAST(sum(x) OVER w AS BIGINT) AS cv
+                  FROM units WINDOW w AS (ORDER BY t0, unit ROWS UNBOUNDED PRECEDING)),
+         lv AS (SELECT t, cv * 154150679827 + (t - cv) * (-74107972154) AS llr12 FROM walk),
+         crossed AS (SELECT t AS stop_t, llr12 AS stop_llr FROM lv
+                     WHERE llr12 >= 2772588722240 OR llr12 <= -1558144618047
+                     ORDER BY t LIMIT 1),
+         last AS (SELECT t AS n_units, llr12 AS last_llr FROM lv ORDER BY t DESC LIMIT 1)
+         SELECT CAST(n_units AS BIGINT) AS n_units,
+                CASE WHEN stop_llr IS NULL THEN 'continue'
+                     WHEN stop_llr >= 2772588722240 THEN 'accept_h1'
+                     ELSE 'accept_h0' END AS decision,
+                CAST(coalesce(stop_t, n_units) AS BIGINT) AS n_at_decision,
+                round(CAST(coalesce(stop_llr, last_llr) AS DOUBLE) / 1e12, 6) AS llr_final
+         FROM last LEFT JOIN crossed ON true""",
+    "q261_ad_uniformity" ->
+      """WITH q AS (SELECT user_id,
+                ((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0) AS u
+              FROM events),
+         f AS (SELECT u, user_id FROM q WHERE u > 0 AND u < 1),
+         r AS (SELECT u, row_number() OVER (ORDER BY u, user_id) AS i FROM f),
+         t AS (SELECT count(*) AS n,
+                      sum(CAST(round((2 * i - 1) * ln(u) * 1e9) AS BIGINT)) AS a9,
+                      sum(CAST(round((2 * i - 1) * ln(1.0 - u) * 1e9) AS BIGINT)) AS b9,
+                      sum(CAST(round(ln(1.0 - u) * 1e9) AS BIGINT)) AS c9
+               FROM r)
+         SELECT n,
+                round(-CAST(n AS DOUBLE)
+                  - CAST(CAST(a9 AS HUGEINT) + 2 * CAST(n AS HUGEINT) * CAST(c9 AS HUGEINT) - CAST(b9 AS HUGEINT) AS DOUBLE)
+                    / 1e9 / n, 4) AS a_sq
+         FROM t""",
+    "q262_rrf" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+         tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM post GROUP BY 1, 2, 3),
+         consts AS (
+           SELECT count(*) AS n_docs, avg(dl) AS avgdl
+           FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+         q AS (
+           SELECT doc_id AS qid, unnest(list_distinct(toks[1:8])) AS tok
+           FROM docs WHERE doc_id % 97 = 0),
+         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         bscored AS (
+           SELECT q.qid, tf.doc_id,
+             sum(CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                 (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 AS DECIMAL(27,12))) AS score_d
+           FROM tf
+           JOIN q ON tf.tok = q.tok
+           JOIN dfreq ON tf.tok = dfreq.tok
+           CROSS JOIN consts
+           GROUP BY 1, 2),
+         bm AS (
+           SELECT qid, doc_id, rank FROM (
+             SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score_d DESC, doc_id) AS rank
+             FROM bscored) WHERE rank <= 10),
+         od AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM docs),
+         oscored AS (SELECT q.qid, od.doc_id, count(*) AS score
+                     FROM q JOIN od ON q.tok = od.tok GROUP BY 1, 2),
+         ov AS (
+           SELECT qid, doc_id, rank FROM (
+             SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+             FROM oscored) WHERE rank <= 10),
+         allr AS (
+           SELECT qid, doc_id, CAST(round(1e12 / (60 + rank)) AS BIGINT) AS c12 FROM bm
+           UNION ALL
+           SELECT qid, doc_id, CAST(round(1e12 / (60 + rank)) AS BIGINT) AS c12 FROM ov),
+         f AS (SELECT qid, doc_id, count(*) AS n_runs, CAST(sum(c12) AS BIGINT) AS s12
+               FROM allr GROUP BY 1, 2),
+         fr AS (SELECT qid, doc_id, n_runs, s12,
+                  row_number() OVER (PARTITION BY qid ORDER BY s12 DESC, doc_id) AS rank
+                FROM f)
+         SELECT qid, doc_id, n_runs, round(s12 / 1e12, 6) AS rrf_score,
+                CAST(rank AS BIGINT) AS rank
+         FROM fr WHERE rank <= 10 ORDER BY qid, rank""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -201,4 +201,49 @@ object Contingency {
     }
     frames.reduce(_ unionAll _).orderBy(col("feature"))
   }
+
+  /** V-measure clustering evaluation (Rosenberg & Hirschberg 2007) of a
+    * cluster assignment against ground-truth classes: one row
+    * `(n, h_class, h_cluster, homogeneity, completeness, v_measure)` —
+    * homogeneity `1 − H(C|K)/H(C)` punishes mixed clusters, completeness
+    * `1 − H(K|C)/H(K)` punishes split classes, V is their harmonic mean.
+    * The entropy-based companion of [[adjustedRand]]'s pair counting
+    * (ARI rewards agreement; V-measure DECOMPOSES the failure mode).
+    *
+    * Determinism: every entropy term is `x ln x` over EXACT integer
+    * counts off one contingency-cell scan (the [[infoGain]] contract) —
+    * per-cell terms 6-dp-quantized and exactly summed; the conditional
+    * entropies use `H(C|K) = (Σ_k [n_k ln n_k − Σ_c n_ck ln n_ck])/n`.
+    * Convention: H = 0 (perfect) ⇒ score 1; single-class or
+    * single-cluster inputs hit the standard 0/0 guards and report 1. */
+  def vMeasure(df: DataFrame, classCol: Column, clusterCol: Column): DataFrame = {
+    def xlnx(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(0.0)
+    val cells = df.groupBy(classCol.as("c"), clusterCol.as("k"))
+      .agg(count(lit(1)).as("o"))
+    val byC = cells.groupBy(col("c")).agg(sum(col("o")).as("nc"))
+    val byK = cells.groupBy(col("k")).agg(sum(col("o")).as("nk"))
+    // Σ n_ck ln n_ck once; margins contribute Σ n_c ln n_c / Σ n_k ln n_k
+    val cellS = cells.agg(sum(col("o")).as("n"),
+      sum(round(xlnx(col("o")) * lit(1e6)).cast("long")).as("o6"))
+    val cS = byC.agg(sum(round(xlnx(col("nc")) * lit(1e6)).cast("long")).as("c6"))
+    val kS = byK.agg(sum(round(xlnx(col("nk")) * lit(1e6)).cast("long")).as("k6"))
+    cellS.crossJoin(broadcast(cS)).crossJoin(broadcast(kS))
+      .select(col("n"), {
+          val n = col("n").cast("double")
+          val hc = (xlnx(col("n")) - col("c6").cast("double") / 1e6) / n
+          val hk = (xlnx(col("n")) - col("k6").cast("double") / 1e6) / n
+          val hck = (col("k6").cast("double") - col("o6").cast("double")) / 1e6 / n
+          val hkc = (col("c6").cast("double") - col("o6").cast("double")) / 1e6 / n
+          val hom = when(hc > 0, lit(1.0) - hck / hc).otherwise(1.0)
+          val com = when(hk > 0, lit(1.0) - hkc / hk).otherwise(1.0)
+          struct(round(hc, 6).as("h_class"), round(hk, 6).as("h_cluster"),
+            round(hom, 6).as("homogeneity"), round(com, 6).as("completeness"),
+            round(when(hom + com > 0, lit(2.0) * hom * com / (hom + com))
+              .otherwise(0.0), 6).as("v_measure")).as("s")
+        })
+      .select(col("n"), col("s.h_class").as("h_class"),
+        col("s.h_cluster").as("h_cluster"), col("s.homogeneity").as("homogeneity"),
+        col("s.completeness").as("completeness"), col("s.v_measure").as("v_measure"))
+  }
 }

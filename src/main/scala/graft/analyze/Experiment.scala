@@ -263,4 +263,95 @@ object Experiment {
       round(when(chiDen > 0, n.cast("double") * det * det / chiDen), 4)
         .as("chi2"))
   }
+
+  /** Sample-ratio-mismatch check (the first thing to read on ANY A/B
+    * dashboard: a 50.8/49.2 split on a million users is not noise, it is
+    * a broken assignment pipeline): chi-square goodness of fit of the
+    * per-variant unit counts against the uniform allocation. One row
+    * `(n_units, n_variants, chi2, dof, srm_flag)`, flag = χ² above the
+    * α = 0.001 critical value for its dof (literal table for dof ≤ 4 —
+    * variant counts beyond 5 arms are a design smell, and NULL flags
+    * them for human eyes rather than guessing a quantile).
+    *
+    * Exactness: χ² = (k/n)·Σo² − n over exact integer counts — one
+    * double expression at the end, no per-cell float expectation. */
+  def srmCheck(events: DataFrame, userCol: String, nVariants: Int): DataFrame = {
+    // α=0.001 upper-tail chi-square critical values, dof 1..4
+    val crit: Map[Int, Double] = Map(1 -> 10.828, 2 -> 13.816,
+      3 -> 16.266, 4 -> 18.467)
+    val units = events.groupBy(col(userCol).as("unit")).agg(count(lit(1)).as("__e"))
+      .select(Sharding.shardId(col("unit"), nVariants).as("variant"))
+    val byV = units.groupBy(col("variant")).agg(count(lit(1)).as("o"))
+    byV.agg(sum(col("o")).as("n_units"), count(lit(1)).as("n_variants"),
+        sum(d19(col("o")) * d19(col("o"))).as("oo"))
+      .select(col("n_units"), col("n_variants"),
+        round({
+          lit(nVariants).cast("double") * col("oo").cast("double") /
+            col("n_units") - col("n_units").cast("double")
+        }, 4).as("chi2"),
+        lit(nVariants - 1).cast("long").as("dof"),
+        when(lit(crit.get(nVariants - 1).isDefined),
+          (lit(nVariants).cast("double") * col("oo").cast("double") /
+            col("n_units") - col("n_units").cast("double")) >
+            lit(crit.getOrElse(nVariants - 1, Double.MaxValue)))
+          .otherwise(lit(null).cast("boolean")).as("srm_flag"))
+  }
+
+  /** Wald's SPRT (1945) on the conversion rate of the event stream —
+    * the sequential decision layer over [[abReport]]'s fixed-horizon
+    * test: walk the units in their deterministic arrival order, add
+    * `ln(p₁/p₀)` per conversion and `ln((1−p₁)/(1−p₀))` per
+    * non-conversion, stop the moment the log-likelihood ratio leaves
+    * `[ln(β/(1−α)), ln((1−β)/α)]`. One row:
+    * `(n_units, decision, n_at_decision, llr_final)` where decision ∈
+    * accept_h1 / accept_h0 / continue and `llr_final` is the LLR at the
+    * stopping unit (or the last unit when no boundary is hit).
+    *
+    * Determinism: the two per-step increments are 12-dp-quantized
+    * literal longs, so the cumulative LLR is an EXACT integer walk —
+    * `llr_t = conv_t·L1 + (t−conv_t)·L0` needs only the cumulative
+    * conversion count, and every boundary comparison is exact. Order is
+    * the total `(first event ts, unit)` order of each unit's FIRST
+    * event — a pure function of the data.
+    *
+    * Scale shape: one unit-keyed aggregate (first ts + converted flag),
+    * one running-sum window over units ordered by arrival — the same
+    * single-series window contract as the funnel/retention family — and
+    * a 1-row driver-free summary via a min-struct aggregate over
+    * boundary-crossing rows. */
+  def sprt(events: DataFrame, userCol: String, tsCol: String,
+           convFilter: Column, p0: Double, p1: Double,
+           alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"need 0 < p0 != p1 < 1: $p0, $p1")
+    val l1 = math.round(math.log(p1 / p0) * 1e12) // per-conversion step
+    val l0 = math.round(math.log((1 - p1) / (1 - p0)) * 1e12)
+    val hi = math.round(math.log((1 - beta) / alpha) * 1e12)
+    val lo = math.round(math.log(beta / (1 - alpha)) * 1e12)
+    val units = events.groupBy(col(userCol).as("unit"))
+      .agg(min(col(tsCol)).as("t0"),
+        max(when(convFilter, 1L).otherwise(0L)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t0"), col("unit"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val walk = units
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("cv", sum(col("x")).over(w))
+      .select(col("t"),
+        (col("cv") * lit(l1) + (col("t") - col("cv")) * lit(l0)).as("llr12"))
+    val crossed = walk
+      .filter(col("llr12") >= lit(hi) || col("llr12") <= lit(lo))
+      .agg(min(struct(col("t"), col("llr12"))).as("s"))
+      .select(col("s.t").as("stop_t"), col("s.llr12").as("stop_llr"))
+    val last = walk.agg(max(struct(col("t"), col("llr12"))).as("e"))
+      .select(col("e.t").as("n_units"), col("e.llr12").as("last_llr"))
+    last.crossJoin(broadcast(crossed))
+      .select(col("n_units"),
+        when(col("stop_llr").isNull, "continue")
+          .when(col("stop_llr") >= lit(hi), "accept_h1")
+          .otherwise("accept_h0").as("decision"),
+        coalesce(col("stop_t"), col("n_units")).as("n_at_decision"),
+        round(coalesce(col("stop_llr"), col("last_llr")).cast("double") / 1e12, 6)
+          .as("llr_final"))
+  }
 }

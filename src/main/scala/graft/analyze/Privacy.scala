@@ -31,4 +31,36 @@ object Privacy {
       sum(when(col("__n") < k, 1L).otherwise(0L)).as("classes_below_k"),
       sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("rows_below_k"))
   }
+
+  /** Distinct l-diversity audit (Machanavajjhala 2007) — k-anonymity's
+    * necessary complement: a size-1000 equivalence class is still a leak
+    * if all 1000 rows share one SENSITIVE value (the homogeneity attack
+    * k-anonymity cannot see). Per quasi-identifier class, `l` = distinct
+    * sensitive values; report one row
+    * `(n_classes, n_rows, l_min, classes_below_l, rows_below_l)`.
+    *
+    * Scale shape: one hash aggregate on (quasi-ids, sensitive) — exact
+    * distinct via the two-level group-by, no distinct-count sketch — then
+    * a class rollup and a 1-row summary. */
+  def lDiversityReport(df: DataFrame, quasiIds: Seq[Column],
+                       sensitive: Column, l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "at least one quasi-identifier required")
+    // quasi-ids materialize under stable names FIRST: the class rollup
+    // re-groups the cell frame, where a computed quasi-id expression
+    // (date_trunc, banding) could not re-resolve against its source cols
+    val qNames = quasiIds.indices.map(i => s"__q$i")
+    val base = df.select(
+      quasiIds.zip(qNames).map { case (c, n) => c.as(n) } :+
+        sensitive.as("__s"): _*)
+    val cells = base.groupBy(qNames.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val classes = cells.groupBy(qNames.map(col): _*)
+      .agg(count(lit(1)).as("__l"), sum(col("__n")).as("__rows"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("__rows")).as("n_rows"),
+      min(col("__l")).as("l_min"),
+      sum(when(col("__l") < l, 1L).otherwise(0L)).as("classes_below_l"),
+      sum(when(col("__l") < l, col("__rows")).otherwise(0L)).as("rows_below_l"))
+  }
 }

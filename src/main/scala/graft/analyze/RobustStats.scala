@@ -151,4 +151,97 @@ object RobustStats {
           .as("n_outliers"))
       .orderBy(col(groupCol))
   }
+
+  /** Jarque-Bera normality test on a value column: one row
+    * `(n, skewness, kurtosis_excess, jb)` with
+    * `JB = n/6 · (S² + K²/4)` — the moment-based normality screen (is
+    * this metric's residual bell-shaped enough for the t/F machinery
+    * upstream to mean anything?).
+    *
+    * Exactness: values quantize to 2-dp longs (the raw powers must stay
+    * inside DECIMAL(38): at 2 dp a 1e7-magnitude value's 4th power times
+    * 1e9 rows still fits; 6 dp would overflow by 16 orders), raw moments
+    * S₁..S₄ are exact DECIMAL sums, and the central-moment closed forms
+    * `m₂ = S₂/n − μ²` etc. run in double over those exact integers —
+    * order-invariant on any engine. NULL when n < 2 or variance is 0. */
+  def jarqueBera(df: DataFrame, valueCol: String): DataFrame = {
+    val v = round(col(valueCol) * lit(100)).cast("long")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val x = d38(v)
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .select(col("n"), round({
+          val n = col("n").cast("double")
+          val m = col("s1").cast("double") / n
+          val m2 = col("s2").cast("double") / n - m * m
+          val m3 = col("s3").cast("double") / n - m * col("s2").cast("double") / n * 3 + m * m * m * 2
+          when(col("n") >= 2 && m2 > 0, m3 / pow(m2, 1.5))
+        }, 6).as("skewness"),
+        round({
+          val n = col("n").cast("double")
+          val m = col("s1").cast("double") / n
+          val m2 = col("s2").cast("double") / n - m * m
+          val m4 = col("s4").cast("double") / n -
+            m * col("s3").cast("double") / n * 4 +
+            m * m * col("s2").cast("double") / n * 6 - m * m * m * m * 3
+          when(col("n") >= 2 && m2 > 0, m4 / (m2 * m2) - 3)
+        }, 6).as("kurtosis_excess"),
+        round({
+          val n = col("n").cast("double")
+          val m = col("s1").cast("double") / n
+          val m2 = col("s2").cast("double") / n - m * m
+          val m3 = col("s3").cast("double") / n - m * col("s2").cast("double") / n * 3 + m * m * m * 2
+          val m4 = col("s4").cast("double") / n -
+            m * col("s3").cast("double") / n * 4 +
+            m * m * col("s2").cast("double") / n * 6 - m * m * m * m * 3
+          val sk = m3 / pow(m2, 1.5)
+          val ku = m4 / (m2 * m2) - 3
+          when(col("n") >= 2 && m2 > 0, n / 6 * (sk * sk + ku * ku / 4))
+        }, 4).as("jb"))
+  }
+
+  /** Anderson-Darling uniformity test of a `(0,1)`-valued column — the
+    * randomness audit for HASH-derived uniforms (is the salt/shard hash
+    * actually uniform? feeds the q88/q137 skew toolkit): one row
+    * `(n, a_sq)` with
+    * `A² = −n − (1/n)·Σᵢ (2i−1)(ln uᵢ + ln(1−u_{n+1−i}))`, folded to the
+    * single-pass form `Σᵢ [(2i−1)·ln uᵢ + (2n+1−2i)·ln(1−uᵢ)]` over the
+    * ascending rank i (the reversed-index pairing re-indexed — no second
+    * sort). AD weights the CDF tails where a bad hash leaks first, which
+    * plain KS under-weighs by construction.
+    *
+    * Determinism: the rank is a total order over `(u, tie)`; each row's
+    * log term is one pinned double expression quantized to a 9-dp long
+    * and summed exactly. The global rank is assigned DISTRIBUTED
+    * ([[graft.operators.Positional.withRowIndex]] — range shuffle +
+    * per-partition offsets), never a one-task global window. */
+  def adUniformity(df: DataFrame, uCol: Column, tieCol: Column): DataFrame = {
+    val ranked = graft.operators.Positional.withRowIndex(
+      df.select(uCol.as("u"), tieCol.as("tie"))
+        .filter(col("u") > 0 && col("u") < 1),
+      Seq(col("u"), col("tie")), "__i0")
+    // the reversed-pair weight (2n+1−2i) splits as 2n·1 + (1−2i), so
+    // three n-free per-row log terms (each one pinned double, 9-dp
+    // quantized, exactly summed) recombine with exact integer arithmetic:
+    // Σ(2i−1)ln uᵢ + Σ(2n+1−2i)ln(1−uᵢ) = A + 2n·C − B
+    ranked
+      .withColumn("i", col("__i0") + 1)
+      .groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(round((lit(2) * col("i") - 1).cast("double") *
+          log(col("u")) * lit(1e9)).cast("long")).as("a9"),
+        sum(round((lit(2) * col("i") - 1).cast("double") *
+          log(lit(1.0) - col("u")) * lit(1e9)).cast("long")).as("b9"),
+        sum(round(log(lit(1.0) - col("u")) * lit(1e9)).cast("long")).as("c9"))
+      .select(col("n"),
+        // 2n·C exceeds a long at corpus n (n ~ 1e6 × C ~ n·1e9) — the
+        // recombination runs in DECIMAL(38,0)
+        round(-col("n").cast("double") -
+          (col("a9").cast("decimal(38,0)") +
+            (lit(2) * col("n")).cast("decimal(19,0)") * col("c9").cast("decimal(19,0)") -
+            col("b9").cast("decimal(38,0)")).cast("double") /
+            1e9 / col("n"), 4).as("a_sq"))
+  }
 }

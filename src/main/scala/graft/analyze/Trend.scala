@@ -237,4 +237,114 @@ object Trend {
         }, 6).as("strength"))
       .orderBy(col(groupCol), col("period"))
   }
+
+  /** Ljung-Box portmanteau over lags 1..`maxLag` on the GLOBAL daily
+    * total series: one row per lag,
+    * `(lag, n_days, r, q_stat)` with the cumulative
+    * `Q(m) = n(n+2)·Σ_{k≤m} r_k²/(n−k)` — "is there ANY autocorrelation
+    * structure left", the whole-ACF upgrade of [[lagAutocorr]]'s single
+    * lag (and the residual-whiteness check q149/q167 forecasts need).
+    *
+    * Exactness: daily totals are exact 6-dp longs; the ACF is computed
+    * on the n-SCALED centered series `c_t = n·y_t − S` (exact integers —
+    * no float mean subtraction), so every Σc_t·c_{t+k} and Σc_t² is an
+    * exact DECIMAL; each r_k is one double division quantized to 12 dp
+    * before the Q accumulation. Days are indexed densely by their rank
+    * (gaps skip, as in [[lagAutocorr]]).
+    *
+    * Scale shape: corpus folds once to days; the lag fan-out is a
+    * days×maxLag self-join on the day-index offset — thousands of rows. */
+  def ljungBox(df: DataFrame, tsCol: String, valueCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val daily = df.groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val w = Window.orderBy(col("day"))
+    // the day frame is tiny (corpus already folded); a single-task rank
+    // window here is the days-count bound, not a corpus hazard
+    val idx = daily.withColumn("t", row_number().over(w))
+    val tot = idx.agg(count(lit(1)).as("n"), sum(dec(col("yq"))).as("s"))
+    val cent = idx.crossJoin(broadcast(tot))
+      // c_t = n·y_t − S: DECIMAL — n·y at 1e6 scale exceeds a long fast
+      // (19,0) so the c·c / c·c₂ products promote to an exact (38,0);
+      // |c| ≤ n·max|y| ~ 1e15 at 6-dp scale — far inside 19 digits
+      .select(col("t"), col("n"),
+        (col("n").cast("decimal(19,0)") * col("yq").cast("decimal(19,0)")
+          - col("s")).cast("decimal(19,0)").as("c"))
+    val lags = cent.select(col("t"), col("n"), col("c"))
+      .crossJoin(broadcast(
+        df.sparkSession.range(1, maxLag + 1).select(col("id").cast("int").as("lag"))))
+    val joined = lags.alias("a")
+      .join(cent.select(col("t").as("t2"), col("c").as("c2")).alias("b"),
+        col("a.t") + col("a.lag") === col("b.t2"))
+    val denom = cent.agg(sum((col("c") * col("c")).cast("decimal(38,0)")).as("den"))
+    val rk = joined.groupBy(col("lag"), col("n"))
+      .agg(sum((col("c") * col("c2")).cast("decimal(38,0)")).as("num"))
+      .crossJoin(broadcast(denom))
+      .select(col("lag"), col("n"),
+        // r_k pinned at 12 dp BEFORE the Q sum — the only double step
+        round(when(col("den") > 0,
+          col("num").cast("double") / col("den").cast("double")) * lit(1e12))
+          .cast("long").as("r12"))
+    val wq = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rk.withColumn("qterm",
+        col("r12").cast("double") / 1e12 * (col("r12").cast("double") / 1e12) /
+          (col("n") - col("lag")).cast("double"))
+      .withColumn("q_cum", sum(col("qterm")).over(wq))
+      .select(col("lag").cast("long").as("lag"), col("n").as("n_days"),
+        round(col("r12").cast("double") / 1e12, 6).as("r"),
+        round(col("n").cast("double") * (col("n") + 2).cast("double") *
+          col("q_cum"), 4).as("q_stat"))
+      .orderBy(col("lag"))
+  }
+
+  /** Durbin-Watson statistic of the residuals from the OLS line of the
+    * GLOBAL daily total on the day index: one row
+    * `(n_days, slope_per_day, dw)` — `DW = Σ(e_t−e_{t−1})²/Σe_t²`,
+    * ≈2 when the trend line's residuals are white, →0 under positive
+    * serial correlation (the "my regression's errors are not
+    * independent" alarm for every trend readout upstream).
+    *
+    * Exactness: slope/intercept come from exact DECIMAL moments of the
+    * (rank, 6-dp-long) day series; each residual is ONE pinned double
+    * expression quantized to a 6-dp long, so both DW sums are exact
+    * integers. */
+  def durbinWatson(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val idx = daily.withColumn("t", row_number().over(Window.orderBy(col("day"))))
+    val mom = idx.agg(count(lit(1)).as("n"),
+      sum(dec(col("t"))).as("st"), sum(dec(col("yq"))).as("sy"),
+      sum(xprod(col("t"), col("yq"))).as("sty"),
+      sum(xprod(col("t"), col("t"))).as("stt"))
+    val resid = idx.crossJoin(broadcast(mom))
+      .select(col("t"), col("n"), round({
+          val n = col("n").cast("double")
+          val st = col("st").cast("double"); val sy = col("sy").cast("double")
+          val b = (n * col("sty").cast("double") - st * sy) /
+            (n * col("stt").cast("double") - st * st)
+          val a = (sy - b * st) / n
+          (col("yq").cast("double") - a - b * col("t").cast("double"))
+        }).cast("long").as("e"))
+    val lagged = resid
+      .withColumn("eprev", lag(col("e"), 1).over(Window.orderBy(col("t"))))
+    lagged.groupBy(col("n"))
+      .agg(
+        sum(xprod(col("e"), col("e"))).as("see"),
+        sum(when(col("eprev").isNotNull,
+          xprod(col("e") - col("eprev"), col("e") - col("eprev")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("sdd"))
+      .crossJoin(broadcast(mom.select(col("n").as("n2"), col("st"), col("sy"),
+        col("sty"), col("stt"))))
+      .select(col("n").as("n_days"),
+        round({
+          val n = col("n2").cast("double")
+          val st = col("st").cast("double"); val sy = col("sy").cast("double")
+          (n * col("sty").cast("double") - st * sy) /
+            (n * col("stt").cast("double") - st * st) / 1e6
+        }, 6).as("slope_per_day"),
+        round(when(col("see") > 0,
+          col("sdd").cast("double") / col("see").cast("double")), 6).as("dw"))
+  }
 }

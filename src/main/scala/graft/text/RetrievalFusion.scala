@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+  * standard way to combine heterogeneous retrievers (lexical BM25 +
+  * overlap / embedding ANN) WITHOUT score calibration:
+  * `RRF(d) = Σ_runs 1/(k₀ + rank_run(d))` — only ranks enter, so a
+  * retriever with wild score scales cannot drown the others. The
+  * ensemble layer of the retrieval stack ([[Bm25]], the q193 overlap
+  * retriever, [[graft.sim.Similarity]] ANN all produce rank frames this
+  * fuses).
+  *
+  * Determinism: each run's contribution `1/(k₀+rank)` is one pinned
+  * double of an INTEGER argument, quantized to a 12-dp long — the fused
+  * score is an exact integer sum, order-invariant, and the final ranking
+  * ties break on doc id. Scale shape: fusing is one union + one
+  * (qid, doc)-keyed aggregate + one per-query top-k window over frames
+  * already cut to k·|queries| rows by their retrievers — nothing here
+  * touches the corpus.
+  */
+object RetrievalFusion {
+
+  /** Token-overlap top-`k` retriever (the q193 scorer exposed as a rank
+    * frame): score(q, d) = |distinct query tokens ∩ distinct doc
+    * tokens| via the posting join, zero-score docs excluded, ranks
+    * pinned by (score desc, doc). Output `(qid, doc_id, rank)`. */
+  def overlapTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queries: DataFrame, qidCol: String, qtextCol: String,
+                  k: Int): DataFrame = {
+    val dtok = graft.operators.Spread.widen(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
+    val qtok = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(TextAnalysis.tokens(col(qtextCol)))).as("token"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    qtok.join(dtok, "token")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Fuse rank frames `(qid, doc_id, rank)` into the top-`k` per query:
+    * `(qid, doc_id, n_runs, rrf_score, rank)` ordered by the fused rank
+    * (rrf_score at 6 dp; n_runs = how many runs retrieved the doc). */
+  def rrf(runs: Seq[DataFrame], k0: Int, k: Int): DataFrame = {
+    require(runs.nonEmpty, "at least one run required")
+    require(k0 >= 1 && k > 0, s"need k0 >= 1, k > 0: $k0, $k")
+    val all = runs.map(_.select(col("qid"), col("doc_id"),
+        round(lit(1e12) / (lit(k0) + col("rank"))).cast("long").as("c12")))
+      .reduce(_ unionAll _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("s12").desc, col("doc_id"))
+    all.groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"), sum(col("c12")).as("s12"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("n_runs"),
+        round(col("s12").cast("double") / 1e12, 6).as("rrf_score"),
+        col("rank").cast("long").as("rank"))
+  }
+}
