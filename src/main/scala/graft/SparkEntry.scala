@@ -138,6 +138,49 @@ object SparkEntry {
       graft.text.RetrievalFusion.rrf(Seq(bm, ov), 60, 10)
         .orderBy(col("qid"), col("rank"))
     }),
+    // ---- Dirichlet query-likelihood retrieval (mu=2000): the LM
+    //      ranking next to BM25 — sparse decomposition, every log term
+    //      a 12-dp-pinned long, exact integer scores
+    "q263_dirichlet_ql" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(graft.text.TextAnalysis.tokens(col("text")),
+            1, 8)).as("qtext"))
+      graft.text.QueryLikelihood.topK(docs, "doc_id", "text",
+          qs, "qid", "qtext", 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+    // ---- binary confusion report incl. Matthews correlation for the
+    //      value>75 ⇒ purchase rule: the class-imbalance-honest 2x2
+    //      readout over one exact aggregate
+    "q264_confusion" -> ((s, dir) =>
+      graft.analyze.Contingency.confusionReport(Tables.events(s, dir),
+        col("value") > 75, col("event_type") === "purchase")),
+    // ---- functional-dependency audit over order/lineitem candidates:
+    //      which "A determines B" contracts actually hold
+    "q265_fd_audit" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      graft.analyze.Dependencies.fdAudit(o, Seq(
+          ("o_orderkey->o_orderdate", col("o_orderkey"), col("o_orderdate")),
+          ("o_custkey->o_orderstatus", col("o_custkey"), col("o_orderstatus"))))
+        .unionAll(graft.analyze.Dependencies.fdAudit(li, Seq(
+          ("l_orderkey->l_shipdate", col("l_orderkey"), col("l_shipdate")))))
+        .orderBy(col("fd"))
+    }),
+    // ---- inclusion-dependency (FK) audit: distinct-value anti-joins
+    //      measure containment of the star schema's key references
+    "q266_fk_audit" -> ((s, dir) =>
+      graft.analyze.Dependencies.indAudit(Seq(
+        ("lineitem.l_orderkey<=orders", Tables.lineitem(s, dir),
+          col("l_orderkey"), Tables.orders(s, dir), col("o_orderkey")),
+        ("lineitem.l_partkey<=part", Tables.lineitem(s, dir),
+          col("l_partkey"), Tables.part(s, dir), col("p_partkey")),
+        ("orders.o_custkey<=customer", Tables.orders(s, dir),
+          col("o_custkey"), Tables.customer(s, dir), col("c_custkey")),
+        ("events.user_id<=customer", Tables.events(s, dir),
+          col("user_id"), Tables.customer(s, dir), col("c_custkey"))))),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -2962,6 +3005,100 @@ object SparkEntry {
          SELECT qid, doc_id, n_runs, round(s12 / 1e12, 6) AS rrf_score,
                 CAST(rank AS BIGINT) AS rank
          FROM fr WHERE rank <= 10 ORDER BY qid, rank""",
+    "q263_dirichlet_ql" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+         tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM post GROUP BY 1, 2, 3),
+         tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t
+                 FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+         q AS (SELECT doc_id AS qid, unnest(list_distinct(toks[1:8])) AS tok
+               FROM docs WHERE doc_id % 97 = 0),
+         cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+         qc AS (SELECT q.qid, count(*) AS nq,
+                       CAST(sum(CAST(round(ln(2000.0 * (CAST(cf.cf AS DOUBLE) / CAST(t AS DOUBLE))) * 1e12) AS BIGINT)) AS BIGINT) AS aq12
+                FROM q JOIN cf ON q.tok = cf.tok CROSS JOIN tot GROUP BY 1),
+         sparse AS (SELECT q.qid, tf.doc_id, max(tf.dl) AS dl,
+                       CAST(sum(CAST(round(ln(1.0 + CAST(tf.tf AS DOUBLE) /
+                           (2000.0 * (CAST(cf.cf AS DOUBLE) / CAST(t AS DOUBLE)))) * 1e12) AS BIGINT)) AS BIGINT) AS s12
+                    FROM tf JOIN q ON tf.tok = q.tok
+                    JOIN cf ON tf.tok = cf.tok CROSS JOIN tot
+                    GROUP BY 1, 2),
+         scored AS (SELECT s.qid, s.doc_id,
+                       qc.aq12 - qc.nq * CAST(round(ln(CAST(s.dl AS DOUBLE) + 2000.0) * 1e12) AS BIGINT) + s.s12 AS score12
+                    FROM sparse s JOIN qc ON s.qid = qc.qid),
+         r AS (SELECT qid, doc_id, score12,
+                 row_number() OVER (PARTITION BY qid ORDER BY score12 DESC, doc_id) AS rank
+               FROM scored)
+         SELECT qid, doc_id, CAST(rank AS BIGINT) AS rank,
+                round(CAST(score12 AS DOUBLE) / 1e12, 4) AS score
+         FROM r WHERE rank <= 10 ORDER BY qid, rank""",
+    "q264_confusion" ->
+      """WITH c AS (
+           SELECT CAST(sum(CASE WHEN value > 75 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(sum(CASE WHEN value > 75 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                  CAST(sum(CASE WHEN NOT value > 75 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                  CAST(sum(CASE WHEN NOT value > 75 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM events)
+         SELECT tp, fp, fn, tn,
+                round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+                round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+                round(CASE WHEN tp * 2 + fp + fn > 0 THEN 2.0 * tp / (tp * 2 + fp + fn) END, 6) AS f1,
+                round(CASE WHEN (tp + fn) > 0 AND (tn + fp) > 0
+                      THEN (CAST(tp AS DOUBLE) / (tp + fn) + CAST(tn AS DOUBLE) / (tn + fp)) / 2 END, 6) AS balanced_acc,
+                round(CASE WHEN sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) > 0
+                      THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) /
+                           sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) END, 6) AS mcc
+         FROM c""",
+    "q265_fd_audit" ->
+      """WITH f1 AS (
+           SELECT 'o_orderkey->o_orderdate' AS fd, count(*) AS n_lhs,
+                  CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+                  max(nr) AS max_rhs_per_lhs
+           FROM (SELECT l, count(*) AS nr FROM
+                 (SELECT DISTINCT o_orderkey AS l, o_orderdate AS r FROM orders) GROUP BY 1)),
+         f2 AS (
+           SELECT 'o_custkey->o_orderstatus' AS fd, count(*) AS n_lhs,
+                  CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+                  max(nr) AS max_rhs_per_lhs
+           FROM (SELECT l, count(*) AS nr FROM
+                 (SELECT DISTINCT o_custkey AS l, o_orderstatus AS r FROM orders) GROUP BY 1)),
+         f3 AS (
+           SELECT 'l_orderkey->l_shipdate' AS fd, count(*) AS n_lhs,
+                  CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+                  max(nr) AS max_rhs_per_lhs
+           FROM (SELECT l, count(*) AS nr FROM
+                 (SELECT DISTINCT l_orderkey AS l, l_shipdate AS r FROM lineitem) GROUP BY 1)),
+         u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+         SELECT fd, n_lhs, violating_lhs, max_rhs_per_lhs,
+                violating_lhs = 0 AS holds
+         FROM u ORDER BY fd""",
+    "q266_fk_audit" ->
+      """WITH c1 AS (SELECT DISTINCT l_orderkey AS v FROM lineitem WHERE l_orderkey IS NOT NULL),
+         p1 AS (SELECT DISTINCT o_orderkey AS v FROM orders WHERE o_orderkey IS NOT NULL),
+         r1 AS (SELECT 'lineitem.l_orderkey<=orders' AS ind, (SELECT count(*) FROM c1) AS n_child_values,
+                       (SELECT count(*) FROM c1 WHERE v NOT IN (SELECT v FROM p1)) AS missing_in_parent),
+         c2 AS (SELECT DISTINCT l_partkey AS v FROM lineitem WHERE l_partkey IS NOT NULL),
+         p2 AS (SELECT DISTINCT p_partkey AS v FROM part WHERE p_partkey IS NOT NULL),
+         r2 AS (SELECT 'lineitem.l_partkey<=part' AS ind, (SELECT count(*) FROM c2) AS n_child_values,
+                       (SELECT count(*) FROM c2 WHERE v NOT IN (SELECT v FROM p2)) AS missing_in_parent),
+         c3 AS (SELECT DISTINCT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL),
+         p3 AS (SELECT DISTINCT c_custkey AS v FROM customer WHERE c_custkey IS NOT NULL),
+         r3 AS (SELECT 'orders.o_custkey<=customer' AS ind, (SELECT count(*) FROM c3) AS n_child_values,
+                       (SELECT count(*) FROM c3 WHERE v NOT IN (SELECT v FROM p3)) AS missing_in_parent),
+         c4 AS (SELECT DISTINCT user_id AS v FROM events WHERE user_id IS NOT NULL),
+         p4 AS (SELECT DISTINCT c_custkey AS v FROM customer WHERE c_custkey IS NOT NULL),
+         r4 AS (SELECT 'events.user_id<=customer' AS ind, (SELECT count(*) FROM c4) AS n_child_values,
+                       (SELECT count(*) FROM c4 WHERE v NOT IN (SELECT v FROM p4)) AS missing_in_parent),
+         u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+         SELECT ind, CAST(n_child_values AS BIGINT) AS n_child_values,
+                CAST(missing_in_parent AS BIGINT) AS missing_in_parent,
+                round(CASE WHEN n_child_values > 0
+                      THEN CAST(n_child_values - missing_in_parent AS DOUBLE) / n_child_values
+                      ELSE 1.0 END, 6) AS coverage,
+                missing_in_parent = 0 AS holds
+         FROM u ORDER BY ind""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -246,4 +246,41 @@ object Contingency {
         col("s.h_cluster").as("h_cluster"), col("s.homogeneity").as("homogeneity"),
         col("s.completeness").as("completeness"), col("s.v_measure").as("v_measure"))
   }
+
+  /** Binary confusion report for a rule/model decision against truth:
+    * one row `(tp, fp, fn, tn, precision, recall, f1, balanced_acc,
+    * mcc)` — the full 2×2 readout including Matthews correlation, the
+    * single-number summary that stays honest under class imbalance
+    * (accuracy and even F1 inflate when one class dominates; MCC is the
+    * 2×2 Pearson φ). All four counts are one exact aggregate; every
+    * metric is a closed form over them (MCC's product terms in double —
+    * n² magnitudes overflow nothing at double range and the expression
+    * is pinned). NULL MCC/F1 when a margin is empty. */
+  def confusionReport(df: DataFrame, predicted: Column, actual: Column): DataFrame =
+    df.agg(
+        sum(when(predicted && actual, 1L).otherwise(0L)).as("tp"),
+        sum(when(predicted && !actual, 1L).otherwise(0L)).as("fp"),
+        sum(when(!predicted && actual, 1L).otherwise(0L)).as("fn"),
+        sum(when(!predicted && !actual, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))), 6).as("precision"),
+        round(when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("recall"),
+        round(when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          lit(2.0) * col("tp") / (col("tp") * 2 + col("fp") + col("fn"))), 6)
+          .as("f1"),
+        round(when((col("tp") + col("fn")) > 0 && (col("tn") + col("fp")) > 0,
+          (col("tp").cast("double") / (col("tp") + col("fn")) +
+            col("tn").cast("double") / (col("tn") + col("fp"))) / 2), 6)
+          .as("balanced_acc"),
+        round({
+          val den = sqrt((col("tp") + col("fp")).cast("double") *
+            (col("tp") + col("fn")).cast("double") *
+            (col("tn") + col("fp")).cast("double") *
+            (col("tn") + col("fn")).cast("double"))
+          when(den > 0,
+            (col("tp").cast("double") * col("tn").cast("double") -
+              col("fp").cast("double") * col("fn").cast("double")) / den)
+        }, 6).as("mcc"))
 }

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2004)
+  * — the language-modeling alternative to [[Bm25]]'s probabilistic
+  * ranking (same plumbing, different math; the pair gives the RRF
+  * ensemble ([[RetrievalFusion]]) genuinely diverse runs):
+  *
+  * `score(q, d) = Σ_{t∈q} ln( (tf_d(t) + μ·p(t|C)) / (|d| + μ) )`
+  *
+  * computed in the sparse decomposition
+  * `score = A_q − |q|·ln(|d|+μ) + Σ_{t∈q∩d} ln(1 + tf/(μ·p(t|C)))`
+  * with `A_q = Σ_{t∈q} ln(μ·p(t|C))` — so only MATCHED postings are
+  * touched; candidates are documents sharing ≥ 1 query term (the same
+  * sparse-candidate contract as BM25's; a zero-match document's rank is
+  * pure length prior and is excluded by both engines identically).
+  *
+  * Scale shape: identical to [[Bm25.topK]] — ONE corpus scan cut to the
+  * query vocabulary by [[graft.functions.VocabTf]], collection
+  * frequencies of the ≤|vocab| query terms from the matched postings,
+  * corpus totals as a driver scalar over the persisted per-doc frame.
+  *
+  * Determinism: `p(t|C) = cf_t/T` is one IEEE division of exact
+  * integers; every log term (the per-query constant's per-term pieces,
+  * the length prior, the per-posting sparse gain) quantizes to a 12-dp
+  * long, so each document's score is an exact integer sum with doc-id
+  * ties. */
+object QueryLikelihood {
+
+  /** Top-`k` corpus documents per query under Dirichlet smoothing.
+    * Queries `(qidCol, qtextCol)` must be broadcast-small. Output
+    * `(qid, doc_id, rank, score)`, score at 4 dp (natural-log units,
+    * negative — higher is better). */
+  def topK(corpus: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, qidCol: String, qtextCol: String,
+           k: Int, mu: Double = 2000.0): DataFrame = {
+    require(k > 0 && mu > 0, s"need k > 0, mu > 0: $k, $mu")
+    val spark = corpus.sparkSession
+    graft.functions.VocabTf.register(spark)
+    val qterms = queries
+      .select(col(qidCol).as("qid"), TextAnalysis.tokens(col(qtextCol)).as("__qt"))
+      .select(col("qid"), explode(array_distinct(col("__qt"))).as("tok"))
+    val vocab: Array[String] =
+      qterms.select(col("tok")).distinct().collect().map(_.getString(0))
+    val perDoc = corpus
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("long").as("dl"),
+        call_function(graft.functions.VocabTf.Name,
+          col("__toks"), lit(vocab)).as("__tfm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalTokens = perDoc.agg(sum(col("dl"))).head().getLong(0)
+    require(totalTokens > 0, "empty corpus")
+    val matched = perDoc
+      .select(col("id"), col("dl"), explode(col("__tfm")).as(Seq("tok", "tf")))
+    // collection frequency of each query term (cf = Σ tf over docs) —
+    // |vocab| rows, broadcast back; cf = 0 terms never reach the join
+    val cfDf = matched.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
+    // per-query constant A_q and term count, from the broadcast-joined
+    // (qid, tok, cf) frame: per-term ln pinned at 12 dp, exactly summed
+    val qconst = qterms.join(broadcast(cfDf), "tok")
+      .select(col("qid"),
+        round(log(lit(mu) * (col("cf").cast("double") / lit(totalTokens.toDouble)))
+          * lit(1e12)).cast("long").as("a12"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("nq"), sum(col("a12")).as("aq12"))
+    val sparse = matched
+      .join(broadcast(cfDf), "tok")
+      .join(broadcast(qterms), "tok")
+      .withColumn("g12", round(log(lit(1.0) + col("tf").cast("double") /
+        (lit(mu) * (col("cf").cast("double") / lit(totalTokens.toDouble))))
+        * lit(1e12)).cast("long"))
+      .groupBy(col("qid"), col("id"))
+      .agg(max(col("dl")).as("dl"), sum(col("g12")).as("s12"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score12").desc, col("id"))
+    sparse.join(broadcast(qconst), "qid")
+      .withColumn("score12",
+        col("aq12") - col("nq") *
+          round(log(col("dl").cast("double") + lit(mu)) * lit(1e12)).cast("long") +
+          col("s12"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("score12").cast("double") / 1e12, 4).as("score"))
+  }
+}
