@@ -181,6 +181,22 @@ object SparkEntry {
           col("o_custkey"), Tables.customer(s, dir), col("c_custkey")),
         ("events.user_id<=customer", Tables.events(s, dir),
           col("user_id"), Tables.customer(s, dir), col("c_custkey"))))),
+    // ---- RAKE corpus keywords: stopword-split candidate phrases,
+    //      deg/freq word scores (9-dp-pinned), exact phrase-score sums
+    "q267_rake" -> ((s, dir) =>
+      graft.text.Rake.topPhrases(Tables.documents(s, dir), "doc_id", "text",
+        graft.text.TextAnalysis.Stopwords, 3, 25)),
+    // ---- Simpson's-paradox detector: do the per-event-type A/B mean
+    //      diffs contradict the pooled diff? exact 6-dp cell moments
+    "q268_simpsons" -> ((s, dir) =>
+      graft.analyze.Experiment.simpsonsCheck(Tables.events(s, dir),
+        "user_id", "value", col("event_type"))),
+    // ---- Local Outlier Factor over the embedding table (brute N²
+    //      reference; bucketed variant is the scale path): 12-dp cosine
+    //      distances, exact integer reach/lrd sums, k=10 pinned by id
+    "q269_lof" -> ((s, dir) =>
+      graft.sim.Lof.bruteTop(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 10, 20)),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3099,6 +3115,77 @@ object SparkEntry {
                       ELSE 1.0 END, 6) AS coverage,
                 missing_in_parent = 0 AS holds
          FROM u ORDER BY ind""",
+    "q267_rake" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+         tok AS (SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+                 FROM docs, unnest(range(1, len(ts) + 1)) r(i)),
+         st AS (SELECT doc_id, pos, tok,
+                       (tok IN ('the', 'a', 'of', 'and', 'to', 'in', 'is') OR tok = '') AS stop
+                FROM tok),
+         run AS (SELECT doc_id, pos, tok, stop,
+                        sum(CASE WHEN stop THEN 0 ELSE 1 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS nsrank
+                 FROM st),
+         isl AS (SELECT doc_id, pos - nsrank AS isl, pos, tok FROM run WHERE NOT stop),
+         ph AS (SELECT list(tok ORDER BY pos) AS ws FROM isl GROUP BY doc_id, isl),
+         ph2 AS (SELECT ws, array_to_string(ws, ' ') AS phrase FROM ph WHERE len(ws) <= 3),
+         wstat AS (SELECT w, CAST(round(CAST(sum(len) AS DOUBLE) / count(*) * 1e9) AS BIGINT) AS ws9
+                   FROM (SELECT unnest(ws) AS w, len(ws) AS len FROM ph2) GROUP BY 1),
+         sc AS (SELECT phrase,
+                       CAST(CAST(count(*) AS DOUBLE) / len(string_split(phrase, ' ')) AS BIGINT) AS n_occur,
+                       CAST(sum(ws9) AS BIGINT) AS s9
+                FROM (SELECT phrase, unnest(ws) AS w FROM ph2) p
+                JOIN wstat USING (w) GROUP BY 1)
+         SELECT phrase, n_occur, round(CAST(s9 AS DOUBLE) / n_occur / 1e9, 6) AS score
+         FROM sc ORDER BY score DESC, phrase LIMIT 25""",
+    "q268_simpsons" ->
+      """WITH e AS (SELECT event_type AS st, value,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS arm
+              FROM events),
+         cells AS (SELECT st,
+                       CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                       CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                       sum(CASE WHEN arm THEN CAST(CAST(round(value * 1000000) AS BIGINT) AS HUGEINT) ELSE 0 END) AS sa,
+                       sum(CASE WHEN NOT arm THEN CAST(CAST(round(value * 1000000) AS BIGINT) AS HUGEINT) ELSE 0 END) AS sb
+                   FROM e GROUP BY 1),
+         per AS (SELECT st, CASE WHEN na > 0 AND nb > 0
+                       THEN CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb END AS diff
+                 FROM cells),
+         pooled AS (SELECT CASE WHEN sum(na) > 0 AND sum(nb) > 0
+                       THEN CAST(sum(sa) AS DOUBLE) / sum(na) - CAST(sum(sb) AS DOUBLE) / sum(nb) END AS pd
+                    FROM cells)
+         SELECT count(*) AS n_strata,
+                round(max(pd) / 1e6, 6) AS pooled_diff,
+                CAST(sum(CASE WHEN diff IS NOT NULL AND diff <> 0 AND pd <> 0
+                    AND sign(diff) = sign(pd) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+                CAST(sum(CASE WHEN diff IS NOT NULL AND diff <> 0 AND pd <> 0
+                    AND sign(diff) <> sign(pd) THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
+                CAST(sum(CASE WHEN diff IS NOT NULL AND diff <> 0 AND pd <> 0
+                    AND sign(diff) <> sign(pd) THEN 1 ELSE 0 END) AS BIGINT) >
+                CAST(sum(CASE WHEN diff IS NOT NULL AND diff <> 0 AND pd <> 0
+                    AND sign(diff) = sign(pd) THEN 1 ELSE 0 END) AS BIGINT) AS paradox
+         FROM per CROSS JOIN pooled""",
+    "q269_lof" ->
+      """WITH p AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         pr AS (SELECT a.id, b.id AS nb,
+                       CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d
+                FROM p a JOIN p b ON a.id <> b.id),
+         knn AS (SELECT id, nb, d FROM (
+                   SELECT id, nb, d, row_number() OVER (PARTITION BY id ORDER BY d, nb) AS rn
+                   FROM pr) WHERE rn <= 10),
+         kd AS (SELECT id, max(d) AS kd FROM knn GROUP BY 1),
+         lrd AS (SELECT k.id,
+                       CAST(round(10 * 1e12 /
+                         (CAST(greatest(sum(greatest(k.d, kb.kd)), 10000000) AS DOUBLE) / 1e12)) AS BIGINT) AS lrd12
+                 FROM knn k JOIN kd kb ON k.nb = kb.id GROUP BY 1),
+         nl AS (SELECT k.id, CAST(sum(lr.lrd12) AS BIGINT) AS nlsum
+                FROM knn k JOIN lrd lr ON k.nb = lr.id GROUP BY 1)
+         SELECT nl.id AS id,
+                round(CAST(kd.kd AS DOUBLE) / 1e12, 6) AS kdist,
+                round(CAST(lrd.lrd12 AS DOUBLE) / 1e12, 4) AS lrd,
+                round(CAST(nl.nlsum AS DOUBLE) / 10 / lrd.lrd12, 4) AS lof
+         FROM nl JOIN lrd USING (id) JOIN kd USING (id)
+         ORDER BY lof DESC, id LIMIT 20""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -354,4 +354,48 @@ object Experiment {
         round(coalesce(col("stop_llr"), col("last_llr")).cast("double") / 1e12, 6)
           .as("llr_final"))
   }
+
+  /** Simpson's-paradox detector for the hash-arm mean comparison: does
+    * the POOLED direction of the A−B metric difference contradict the
+    * per-stratum directions? (The aggregation trap every dashboard
+    * comparison is one confounder away from — a reversal means the arm
+    * mix differs across strata and the pooled number is telling you
+    * about the MIX, not the treatment.) One row:
+    * `(n_strata, pooled_diff, n_agree, n_reversed, paradox)` — paradox
+    * when a majority of (nonzero) strata point against the pooled sign.
+    *
+    * Exactness: per-(stratum, arm) sums are exact 6-dp longs in DECIMAL;
+    * each diff is a pinned double of exact inputs; sign comparisons are
+    * exact. Scale: one stratum×arm aggregate (category-bounded), then
+    * arithmetic on that tiny frame. */
+  def simpsonsCheck(events: DataFrame, userCol: String, valueCol: String,
+                    stratum: Column): DataFrame = {
+    val v6 = round(col(valueCol) * lit(1000000)).cast("long")
+    val arm1 = Sharding.hash32(col(userCol)) % 2 === 0
+    val cells = events.groupBy(stratum.as("st"))
+      .agg(
+        sum(when(arm1, 1L).otherwise(0L)).as("na"),
+        sum(when(!arm1, 1L).otherwise(0L)).as("nb"),
+        sum(when(arm1, d19(v6)).otherwise(lit(0).cast("decimal(19,0)"))).as("sa"),
+        sum(when(!arm1, d19(v6)).otherwise(lit(0).cast("decimal(19,0)"))).as("sb"))
+    val perStratum = cells
+      .withColumn("diff", when(col("na") > 0 && col("nb") > 0,
+        col("sa").cast("double") / col("na") - col("sb").cast("double") / col("nb")))
+    val pooled = cells.agg(
+        sum(col("na")).as("pna"), sum(col("nb")).as("pnb"),
+        sum(col("sa").cast("decimal(38,0)")).as("psa"),
+        sum(col("sb").cast("decimal(38,0)")).as("psb"))
+      .select(when(col("pna") > 0 && col("pnb") > 0,
+        col("psa").cast("double") / col("pna") -
+          col("psb").cast("double") / col("pnb")).as("pd"))
+    perStratum.crossJoin(broadcast(pooled))
+      .agg(
+        count(lit(1)).as("n_strata"),
+        round(max(col("pd")) / 1e6, 6).as("pooled_diff"),
+        sum(when(col("diff").isNotNull && col("diff") =!= 0 && col("pd") =!= 0 &&
+          signum(col("diff")) === signum(col("pd")), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("diff").isNotNull && col("diff") =!= 0 && col("pd") =!= 0 &&
+          signum(col("diff")) =!= signum(col("pd")), 1L).otherwise(0L)).as("n_reversed"))
+      .withColumn("paradox", col("n_reversed") > col("n_agree"))
+  }
 }
