@@ -197,6 +197,24 @@ object SparkEntry {
     "q269_lof" -> ((s, dir) =>
       graft.sim.Lof.bruteTop(Tables.embeddings(s, dir), "vec_id",
         "embedding", 10, 20)),
+    // ---- Poisson bootstrap 95% CI for the mean per-user purchase value
+    //      (Chamandy et al.): hash-deterministic Poisson(1) weights, 100
+    //      resamples, exact integer resample sums, lower-rank CI bounds
+    "q270_bootstrap_ci" -> ((s, dir) =>
+      graft.analyze.Bootstrap.meanCi(Tables.events(s, dir), "user_id",
+        "value", col("event_type") === "purchase", 100)),
+    // ---- precision-recall sweep of the value-threshold purchase rule
+    //      over a literal grid: the operating-point curve behind q264's
+    //      frozen confusion point — one category-bounded aggregate
+    "q271_pr_curve" -> ((s, dir) =>
+      graft.analyze.Contingency.prCurve(Tables.events(s, dir),
+        col("value"), col("event_type") === "purchase",
+        Seq(10.0, 25.0, 50.0, 75.0, 90.0))),
+    // ---- Lorenz curve at decile resolution over per-user event value
+    //      (q172 gini, drawn): distributed rank, exact decile sums
+    "q272_lorenz" -> ((s, dir) =>
+      graft.analyze.Concentration.lorenzDeciles(Tables.events(s, dir),
+        "user_id", "value")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3186,6 +3204,74 @@ object SparkEntry {
                 round(CAST(nl.nlsum AS DOUBLE) / 10 / lrd.lrd12, 4) AS lof
          FROM nl JOIN lrd USING (id) JOIN kd USING (id)
          ORDER BY lof DESC, id LIMIT 20""",
+    "q270_bootstrap_ci" ->
+      """WITH units AS (
+           SELECT user_id AS unit,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS vq
+           FROM events GROUP BY 1),
+         bs AS (SELECT CAST(i AS INT) AS b FROM unnest(range(1, 101)) r(i)),
+         fan AS (SELECT b, vq,
+                        ('0x' || substr(md5(CAST(unit AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+                          / 4294967296.0 AS u
+                 FROM units CROSS JOIN bs),
+         wts AS (SELECT b, vq,
+                        CASE WHEN u < 0.367879441 THEN 0
+                             WHEN u < 0.735758882 THEN 1
+                             WHEN u < 0.919698603 THEN 2
+                             WHEN u < 0.981011843 THEN 3
+                             WHEN u < 0.996340153 THEN 4
+                             WHEN u < 0.999405815 THEN 5
+                             WHEN u < 0.999916758 THEN 6
+                             ELSE 7 END AS w
+                 FROM fan),
+         res AS (SELECT b, CAST(sum(w) AS BIGINT) AS nw,
+                        sum(CAST(w * vq AS HUGEINT)) AS sw
+                 FROM wts GROUP BY 1),
+         m AS (SELECT b, CAST(round(CASE WHEN nw > 0
+                       THEN CAST(sw AS DOUBLE) / nw / 1e6 END * 1e9) AS BIGINT) AS m9
+               FROM res),
+         mr AS (SELECT m9, row_number() OVER (ORDER BY m9, b) AS r
+                FROM m WHERE m9 IS NOT NULL),
+         bounds AS (SELECT count(*) AS n_resamples,
+                           max(CASE WHEN r = 3 THEN m9 END) AS lo9,
+                           max(CASE WHEN r = 98 THEN m9 END) AS hi9
+                    FROM mr),
+         obs AS (SELECT count(*) AS n_units, sum(CAST(vq AS HUGEINT)) AS s FROM units)
+         SELECT n_units, n_resamples,
+                round(CAST(s AS DOUBLE) / n_units / 1e6, 6) AS mean_obs,
+                round(CAST(lo9 AS DOUBLE) / 1e9, 6) AS ci_lo,
+                round(CAST(hi9 AS DOUBLE) / 1e9, 6) AS ci_hi
+         FROM obs CROSS JOIN bounds""",
+    "q271_pr_curve" ->
+      """WITH grid AS (SELECT unnest([10.0, 25.0, 50.0, 75.0, 90.0]) AS threshold),
+         c AS (SELECT threshold,
+                      CAST(sum(CASE WHEN value >= threshold AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                      CAST(sum(CASE WHEN value >= threshold AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                      CAST(sum(CASE WHEN value < threshold AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fn
+               FROM events CROSS JOIN grid GROUP BY 1)
+         SELECT threshold, tp, fp, fn,
+                round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+                round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+                round(CASE WHEN tp * 2 + fp + fn > 0 THEN 2.0 * tp / (tp * 2 + fp + fn) END, 6) AS f1
+         FROM c ORDER BY threshold""",
+    "q272_lorenz" ->
+      """WITH units AS (
+           SELECT user_id AS unit,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS vq
+           FROM events GROUP BY 1),
+         ranked AS (SELECT vq, row_number() OVER (ORDER BY vq, unit) AS r FROM units),
+         tot AS (SELECT count(*) AS n, sum(CAST(vq AS HUGEINT)) AS s FROM ranked),
+         dec AS (SELECT (r * 10 + n - 1) // n AS decile, vq
+                 FROM ranked CROSS JOIN tot),
+         byd AS (SELECT decile, count(*) AS n_units, sum(CAST(vq AS HUGEINT)) AS ds
+                 FROM dec GROUP BY 1),
+         cum AS (SELECT decile, n_units,
+                        sum(ds) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM byd)
+         SELECT CAST(decile AS BIGINT) AS decile, n_units,
+                round(CASE WHEN s > 0 THEN CAST(cum AS DOUBLE) / CAST(s AS DOUBLE) END, 6) AS cum_share
+         FROM cum CROSS JOIN tot ORDER BY decile""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -103,4 +103,40 @@ object Concentration {
           max(col("n")).cast("double"), 6).as("theil"))
       .orderBy(col(groupCol))
   }
+
+  /** Lorenz curve at decile resolution — [[gini]]'s one number, drawn:
+    * per decile `d`, the cumulative share of total value held by the
+    * bottom `d/10` of units. One row per decile
+    * `(decile, n_units, cum_share)`; `cum_share(10) = 1`.
+    *
+    * Determinism & scale: units rank DISTRIBUTED by `(value, unit)`
+    * ([[graft.operators.Positional.withRowIndex]] — range shuffle, no
+    * one-task global window); decile assignment `⌈10·r/n⌉` is exact
+    * integer arithmetic; per-decile sums are exact DECIMAL and the
+    * cumulative runs over the 10-row decile frame. */
+  def lorenzDeciles(df: DataFrame, unitCol: String, valueCol: String): DataFrame = {
+    val vq = round(col(valueCol) * lit(1000000)).cast("long")
+    val units = df.groupBy(col(unitCol).as("unit")).agg(sum(vq).as("vq"))
+    val ranked = graft.operators.Positional.withRowIndex(
+      units, Seq(col("vq"), col("unit")), "__r")
+      .select(col("vq"), (col("__r") + 1).as("r"))
+    val tot = ranked.agg(count(lit(1)).as("n"),
+      sum(col("vq").cast("decimal(19,0)")).as("s"))
+    val byDecile = ranked.crossJoin(broadcast(tot))
+      // ⌈10r/n⌉ in exact integers: (10r + n − 1) div n
+      .select((floor(((col("r") * 10) + col("n") - 1) / col("n")))
+        .cast("long").as("decile"), col("vq"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("vq").cast("decimal(19,0)")).as("ds"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum", sum(col("ds")).over(w))
+      .crossJoin(broadcast(tot.select(col("s"))))
+      .select(col("decile"), col("n_units"),
+        round(when(col("s") > 0,
+          col("cum").cast("double") / col("s").cast("double")), 6).as("cum_share"))
+      .orderBy(col("decile"))
+  }
 }

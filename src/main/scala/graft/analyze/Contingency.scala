@@ -283,4 +283,37 @@ object Contingency {
             (col("tp").cast("double") * col("tn").cast("double") -
               col("fp").cast("double") * col("fn").cast("double")) / den)
         }, 6).as("mcc"))
+
+  /** Precision-recall curve over a literal threshold grid for a scored
+    * binary decision (`score >= t` predicts positive): one row per
+    * threshold `(threshold, tp, fp, fn, precision, recall, f1)` — the
+    * operating-point sweep [[confusionReport]] freezes at one point
+    * (threshold CHOICE is the actual product decision; the curve is
+    * what chooses it). ONE corpus aggregate: each row contributes to
+    * every threshold via conditional sums over the
+    * thresholds×{tp,fp,fn} cells — the grid is literal and tiny, so the
+    * fan-out is a broadcast cross join, category-bounded. */
+  def prCurve(df: DataFrame, score: Column, actual: Column,
+              thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold required")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = broadcast(thresholds.toDF("threshold"))
+    df.select(score.as("s"), actual.as("a"))
+      .crossJoin(grid)
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("s") >= col("threshold") && col("a"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("s") >= col("threshold") && !col("a"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("s") < col("threshold") && col("a"), 1L).otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        round(when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))), 6).as("precision"),
+        round(when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("recall"),
+        round(when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          lit(2.0) * col("tp") / (col("tp") * 2 + col("fp") + col("fn"))), 6)
+          .as("f1"))
+      .orderBy(col("threshold"))
+  }
 }
