@@ -215,6 +215,21 @@ object SparkEntry {
     "q272_lorenz" -> ((s, dir) =>
       graft.analyze.Concentration.lorenzDeciles(Tables.events(s, dir),
         "user_id", "value")),
+    // ---- fill-in-the-middle PSM split with hash-deterministic cuts:
+    //      the infilling data-prep step; psm_md5 proves lossless spans
+    "q273_fim_split" -> ((s, dir) =>
+      graft.operators.FimSplit.psm(Tables.documents(s, dir), "doc_id", "text")),
+    // ---- embedding anisotropy: mean pairwise cosine via the |Σv̂|²−n
+    //      identity — one pass where naive needs N²; 9-dp-pinned
+    //      normalized components, exact per-dimension sums
+    "q274_anisotropy" -> ((s, dir) =>
+      graft.sim.Anisotropy.meanCosine(Tables.embeddings(s, dir), "embedding")),
+    // ---- seeded-Laplace noisy count release (ε=1): the DP mechanism's
+    //      plumbing with hash-drawn inverse-CDF noise, reproducible per
+    //      release tag; true counts never leave the operator
+    "q275_dp_counts" -> ((s, dir) =>
+      graft.analyze.Privacy.laplaceCounts(Tables.events(s, dir),
+        col("event_type"), 1.0, "r7")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3272,6 +3287,48 @@ object SparkEntry {
          SELECT CAST(decile AS BIGINT) AS decile, n_units,
                 round(CASE WHEN s > 0 THEN CAST(cum AS DOUBLE) / CAST(s AS DOUBLE) END, 6) AS cum_share
          FROM cum CROSS JOIN tot ORDER BY decile""",
+    "q273_fim_split" ->
+      """WITH a AS (
+           SELECT doc_id AS id, text AS t, length(text) AS n_chars
+           FROM documents WHERE regexp_matches(text, '^[ -~]*$')),
+         c AS (SELECT id, t, n_chars,
+                      ('0x' || substr(md5(CAST(id AS VARCHAR) || ':a'), 1, 8))::BIGINT % (n_chars + 1) AS c1,
+                      ('0x' || substr(md5(CAST(id AS VARCHAR) || ':b'), 1, 8))::BIGINT % (n_chars + 1) AS c2
+               FROM a),
+         s AS (SELECT id, t, n_chars, least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c)
+         SELECT id, n_chars, lo AS pre_len, hi - lo AS mid_len,
+                n_chars - hi AS suf_len,
+                md5(substr(t, 1, CAST(lo AS INT)) || '<FIM>' ||
+                    substr(t, CAST(hi AS INT) + 1, CAST(n_chars - hi AS INT)) || '<MID>' ||
+                    substr(t, CAST(lo AS INT) + 1, CAST(hi - lo AS INT))) AS psm_md5
+         FROM s ORDER BY id""",
+    "q274_anisotropy" ->
+      """WITH v AS (
+           SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nn AS (SELECT v,
+                       sqrt(CAST(list_sum(list_transform(v, x -> CAST(round(x * x * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) AS nrm
+                FROM v),
+         f AS (SELECT v, nrm FROM nn WHERE nrm > 0),
+         comp AS (SELECT i - 1 AS d,
+                         CAST(round(v[i] / nrm * 1e9) AS BIGINT) AS c9
+                  FROM f, unnest(range(1, len(v) + 1)) r(i)),
+         dims AS (SELECT d, sum(CAST(c9 AS HUGEINT)) AS s9 FROM comp GROUP BY 1),
+         agg AS (SELECT count(*) AS dim, sum(s9 * s9) AS ss FROM dims),
+         n AS (SELECT count(*) AS n FROM f)
+         SELECT n, dim,
+                round(CASE WHEN n >= 2
+                      THEN (CAST(ss AS DOUBLE) / 1e18 - n) / (CAST(n AS DOUBLE) * (n - 1)) END, 6) AS mean_cos
+         FROM n CROSS JOIN agg""",
+    "q275_dp_counts" ->
+      """WITH c AS (SELECT event_type AS category, count(*) AS c FROM events GROUP BY 1),
+         u AS (SELECT category, c,
+                      ((('0x' || substr(md5(category || ':r7'), 1, 8))::BIGINT) + 0.5) / 4294967296.0 AS u
+               FROM c)
+         SELECT category,
+                round(c + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) / 1.0), 3) AS noisy_count,
+                1.0 AS epsilon
+         FROM u ORDER BY category""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

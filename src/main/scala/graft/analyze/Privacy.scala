@@ -63,4 +63,35 @@ object Privacy {
       sum(when(col("__l") < l, 1L).otherwise(0L)).as("classes_below_l"),
       sum(when(col("__l") < l, col("__rows")).otherwise(0L)).as("rows_below_l"))
   }
+
+  /** Seeded-Laplace noisy count release — the Laplace mechanism's
+    * PLUMBING (sensitivity-1 count + Lap(1/ε) noise) with the noise
+    * drawn by inverse CDF from the portable md5 hash of the category
+    * and a release tag. A true DP deployment needs fresh randomness per
+    * release (a hash-seeded draw is deterministic BY DESIGN here — that
+    * is what makes the operator testable and the release reproducible;
+    * rotate `releaseTag` per release to re-draw). Output one row per
+    * category: `(category, noisy_count, epsilon)` — the TRUE count never
+    * leaves the operator.
+    *
+    * Inverse CDF: `u ∈ (0,1)` from the hash;
+    * `noise = −sign(u−½)·ln(1−2|u−½|)/ε`, one pinned double per
+    * category over exact integer counts, reported at 3 dp. Scale: one
+    * category-bounded count aggregate. */
+  def laplaceCounts(df: DataFrame, category: Column, epsilon: Double,
+                    releaseTag: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val counts = df.groupBy(category.as("category"))
+      .agg(count(lit(1)).as("__c"))
+    val u = (graft.operators.Sharding.hash32(
+      concat(col("category").cast("string"), lit(":" + releaseTag)))
+      .cast("double") + 0.5) / lit(4294967296.0)
+    counts
+      .withColumn("__n",
+        -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5)) / lit(epsilon))
+      .select(col("category"),
+        round(col("__c") + col("__n"), 3).as("noisy_count"),
+        lit(epsilon).as("epsilon"))
+      .orderBy(col("category"))
+  }
 }
