@@ -230,6 +230,13 @@ object SparkEntry {
     "q275_dp_counts" -> ((s, dir) =>
       graft.analyze.Privacy.laplaceCounts(Tables.events(s, dir),
         col("event_type"), 1.0, "r7")),
+    // ---- exact 3-channel Shapley attribution (view/click/signup →
+    //      purchase): literal 2^3 coalition enumeration over one exact
+    //      8-cell rollup — the axiom-fair split behind q150's heuristics
+    "q276_shapley" -> ((s, dir) =>
+      graft.analyze.Attribution.shapley3(Tables.events(s, dir), "user_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "signup", col("event_type") === "purchase")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3329,6 +3336,41 @@ object SparkEntry {
                 round(c + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) / 1.0), 3) AS noisy_count,
                 1.0 AS epsilon
          FROM u ORDER BY category""",
+    "q276_shapley" ->
+      """WITH users AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b,
+                  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+         conv AS (SELECT * FROM users WHERE conv = 1),
+         cells AS (
+           SELECT
+             CAST(sum(CASE WHEN a=0 AND b=0 AND c=0 THEN 1 ELSE 0 END) AS BIGINT) AS n000,
+             CAST(sum(CASE WHEN a=1 AND b=0 AND c=0 THEN 1 ELSE 0 END) AS BIGINT) AS n100,
+             CAST(sum(CASE WHEN a=0 AND b=1 AND c=0 THEN 1 ELSE 0 END) AS BIGINT) AS n010,
+             CAST(sum(CASE WHEN a=0 AND b=0 AND c=1 THEN 1 ELSE 0 END) AS BIGINT) AS n001,
+             CAST(sum(CASE WHEN a=1 AND b=1 AND c=0 THEN 1 ELSE 0 END) AS BIGINT) AS n110,
+             CAST(sum(CASE WHEN a=1 AND b=0 AND c=1 THEN 1 ELSE 0 END) AS BIGINT) AS n101,
+             CAST(sum(CASE WHEN a=0 AND b=1 AND c=1 THEN 1 ELSE 0 END) AS BIGINT) AS n011,
+             CAST(sum(CASE WHEN a=1 AND b=1 AND c=1 THEN 1 ELSE 0 END) AS BIGINT) AS n111
+           FROM conv),
+         v AS (SELECT n000 AS v0, n000 + n100 AS va, n000 + n010 AS vb, n000 + n001 AS vc,
+                      n000 + n100 + n010 + n110 AS vab,
+                      n000 + n100 + n001 + n101 AS vac,
+                      n000 + n010 + n001 + n011 AS vbc,
+                      n000 + n100 + n010 + n001 + n110 + n101 + n011 + n111 AS vabc
+               FROM cells),
+         ch AS (SELECT unnest(['A', 'B', 'C']) AS channel)
+         SELECT channel,
+                round(CASE channel
+                  WHEN 'A' THEN CAST(va - v0 AS DOUBLE) / 3 + CAST(vab - vb AS DOUBLE) / 6 + CAST(vac - vc AS DOUBLE) / 6 + CAST(vabc - vbc AS DOUBLE) / 3
+                  WHEN 'B' THEN CAST(vb - v0 AS DOUBLE) / 3 + CAST(vab - va AS DOUBLE) / 6 + CAST(vbc - vc AS DOUBLE) / 6 + CAST(vabc - vac AS DOUBLE) / 3
+                  ELSE CAST(vc - v0 AS DOUBLE) / 3 + CAST(vac - va AS DOUBLE) / 6 + CAST(vbc - vb AS DOUBLE) / 6 + CAST(vabc - vab AS DOUBLE) / 3
+                END, 6) AS shapley,
+                vabc AS n_converted
+         FROM ch CROSS JOIN v ORDER BY channel""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -46,4 +46,72 @@ object Attribution {
         sum(when(col("rn_d") === 1, 1L).otherwise(0L)).as("last_touch"))
       .orderBy(col("channel"))
   }
+
+  /** EXACT Shapley-value attribution over three channels (Shapley 1953
+    * applied to conversion credit — the fairness-axiomatic split that
+    * first/last/linear touch ([[touchReport]]) approximate): credit for
+    * channel i is the average marginal contribution
+    * `Σ_T |T|!(2−|T|)!/3! · (v(T∪i) − v(T))` over coalitions T of the
+    * other channels, with the characteristic function
+    * `v(T)` = converted users whose touched channel set ⊆ T.
+    *
+    * Three channels keep the 2³ coalition enumeration LITERAL — exact,
+    * no sampling (the >10-channel regime needs permutation sampling and
+    * belongs to a different operator). Efficiency axiom holds by
+    * construction: Σ shapley = v(all) − v(∅), pinned in the spec.
+    *
+    * Scale shape: one user-keyed aggregate (touched flags + converted),
+    * one 8-cell conditional rollup, then literal arithmetic on a single
+    * row. Exactness: v values are exact integer counts; each Shapley
+    * value is one pinned rational-over-integer double, 6 dp. */
+  def shapley3(events: DataFrame, userCol: String,
+               chA: Column, chB: Column, chC: Column,
+               converted: Column): DataFrame = {
+    val users = events.groupBy(col(userCol).as("u"))
+      .agg(max(when(chA, 1L).otherwise(0L)).as("a"),
+        max(when(chB, 1L).otherwise(0L)).as("b"),
+        max(when(chC, 1L).otherwise(0L)).as("c"),
+        max(when(converted, 1L).otherwise(0L)).as("conv"))
+      .filter(col("conv") === 1)
+    // exact-set cells: count converted users whose touched set is
+    // EXACTLY (a, b, c) — v(T) = Σ over cells ⊆ T
+    def cell(a: Int, bb: Int, cc: Int) =
+      sum(when(col("a") === a && col("b") === bb && col("c") === cc, 1L)
+        .otherwise(0L)).as(s"n$a$bb$cc")
+    val cells = users.agg(cell(0, 0, 0), cell(1, 0, 0), cell(0, 1, 0),
+      cell(0, 0, 1), cell(1, 1, 0), cell(1, 0, 1), cell(0, 1, 1),
+      cell(1, 1, 1))
+    val v = cells.select(
+      col("n000").as("v0"),
+      (col("n000") + col("n100")).as("va"),
+      (col("n000") + col("n010")).as("vb"),
+      (col("n000") + col("n001")).as("vc"),
+      (col("n000") + col("n100") + col("n010") + col("n110")).as("vab"),
+      (col("n000") + col("n100") + col("n001") + col("n101")).as("vac"),
+      (col("n000") + col("n010") + col("n001") + col("n011")).as("vbc"),
+      (col("n000") + col("n100") + col("n010") + col("n001") +
+        col("n110") + col("n101") + col("n011") + col("n111")).as("vabc"))
+    // weights for |T| = 0/1/2 of the OTHER two channels: 1/3, 1/6, 1/3
+    def sh(vI: Column, v0: Column, vIJ: Column, vJ: Column,
+           vIK: Column, vK: Column, vAll: Column, vJK: Column) =
+      (vI - v0).cast("double") / 3 + (vIJ - vJ).cast("double") / 6 +
+        (vIK - vK).cast("double") / 6 + (vAll - vJK).cast("double") / 3
+    val spark = events.sparkSession
+    import spark.implicits._
+    val chans = Seq("A", "B", "C").toDF("channel")
+    chans.crossJoin(broadcast(v))
+      .select(col("channel"),
+        round(when(col("channel") === "A",
+            sh(col("va"), col("v0"), col("vab"), col("vb"),
+              col("vac"), col("vc"), col("vabc"), col("vbc")))
+          .when(col("channel") === "B",
+            sh(col("vb"), col("v0"), col("vab"), col("va"),
+              col("vbc"), col("vc"), col("vabc"), col("vac")))
+          .otherwise(
+            sh(col("vc"), col("v0"), col("vac"), col("va"),
+              col("vbc"), col("vb"), col("vabc"), col("vab"))), 6)
+          .as("shapley"),
+        col("vabc").as("n_converted"))
+      .orderBy(col("channel"))
+  }
 }
