@@ -237,6 +237,19 @@ object SparkEntry {
       graft.analyze.Attribution.shapley3(Tables.events(s, dir), "user_id",
         col("event_type") === "view", col("event_type") === "click",
         col("event_type") === "signup", col("event_type") === "purchase")),
+    // ---- OLS-trend holdout backtest over the daily value series: MAE/
+    //      MAPE/sMAPE on the last 20% of days — the honesty check before
+    //      anyone extrapolates q167/q204's in-sample fits
+    "q277_forecast_eval" -> ((s, dir) =>
+      graft.analyze.Trend.forecastBacktest(Tables.events(s, dir),
+        "ts", "value", 0.8)),
+    // ---- power-law degree exponent MLE (Clauset-Shalizi-Newman) on the
+    //      co-purchase graph: is it scale-free? — 9-dp-pinned log terms
+    "q278_powerlaw" -> ((s, dir) =>
+      graft.graph.RichClub.powerLawAlpha(
+        graft.graph.LinkPrediction.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2L),
+        "a", "b", 2L)),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3371,6 +3384,55 @@ object SparkEntry {
                 END, 6) AS shapley,
                 vabc AS n_converted
          FROM ch CROSS JOIN v ORDER BY channel""",
+    "q277_forecast_eval" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         idx AS (SELECT yq, row_number() OVER (ORDER BY day) AS t FROM daily),
+         na AS (SELECT count(*) AS na FROM idx),
+         cutf AS (SELECT t, yq, CAST(floor(na * 0.8) AS BIGINT) AS cut FROM idx CROSS JOIN na),
+         mom AS (SELECT count(*) AS n,
+                        CAST(sum(CAST(t AS HUGEINT)) AS DOUBLE) AS st,
+                        CAST(sum(CAST(yq AS HUGEINT)) AS DOUBLE) AS sy,
+                        CAST(sum(CAST(t AS HUGEINT) * CAST(yq AS HUGEINT)) AS DOUBLE) AS sty,
+                        CAST(sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS DOUBLE) AS stt
+                 FROM cutf WHERE t <= cut),
+         test AS (SELECT yq,
+                         CAST(round((sy - ((n * sty - st * sy) / (n * stt - st * st)) * st) / n
+                           + ((n * sty - st * sy) / (n * stt - st * st)) * CAST(t AS DOUBLE)) AS BIGINT) AS fq
+                  FROM cutf CROSS JOIN mom WHERE t > cut),
+         s AS (SELECT count(*) AS n_test,
+                      sum(CAST(abs(yq - fq) AS HUGEINT)) AS sae,
+                      CAST(sum(CASE WHEN yq <> 0
+                          THEN CAST(round(CAST(abs(yq - fq) AS DOUBLE) / CAST(abs(yq) AS DOUBLE) * 1e9) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS mape9,
+                      CAST(sum(CASE WHEN yq <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+                      CAST(sum(CASE WHEN abs(yq) + abs(fq) > 0
+                          THEN CAST(round(2.0 * CAST(abs(yq - fq) AS DOUBLE) / CAST(abs(yq) + abs(fq) AS DOUBLE) * 1e9) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS smape9,
+                      CAST(sum(CASE WHEN abs(yq) + abs(fq) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+               FROM test)
+         SELECT mom.n AS n_train, n_test,
+                round(CAST(sae AS DOUBLE) / n_test / 1e6, 6) AS mae,
+                round(CASE WHEN nz > 0 THEN CAST(mape9 AS DOUBLE) / nz / 1e9 END, 6) AS mape,
+                round(CASE WHEN ns > 0 THEN CAST(smape9 AS DOUBLE) / ns / 1e9 END, 6) AS smape
+         FROM s CROSS JOIN mom""",
+    "q278_powerlaw" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         e AS (SELECT x.i AS a, y.i AS b FROM it x JOIN it y ON x.g = y.g AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         ends AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+         deg AS (SELECT v, count(*) AS d FROM ends GROUP BY 1),
+         alln AS (SELECT count(*) AS n_nodes FROM deg),
+         tail AS (SELECT count(*) AS n_tail,
+                         CAST(sum(CAST(round(ln(CAST(d AS DOUBLE) / 1.5) * 1e9) AS BIGINT)) AS BIGINT) AS l9
+                  FROM deg WHERE d >= 2)
+         SELECT n_nodes, n_tail,
+                round(CASE WHEN l9 > 0
+                      THEN 1.0 + CAST(n_tail AS DOUBLE) / (CAST(l9 AS DOUBLE) / 1e9) END, 6) AS alpha,
+                round(CASE WHEN l9 > 0 AND n_tail > 0
+                      THEN (CAST(n_tail AS DOUBLE) / (CAST(l9 AS DOUBLE) / 1e9)) / sqrt(CAST(n_tail AS DOUBLE)) END, 6) AS alpha_se
+         FROM alln CROSS JOIN tail""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -229,12 +229,14 @@ object RobustStats {
     ranked
       .withColumn("i", col("__i0") + 1)
       .groupBy()
+      // per-term longs but DECIMAL sums: the rank-weighted terms total
+      // O(n²·1e9) — past a long's range before n reaches one million
       .agg(count(lit(1)).as("n"),
         sum(round((lit(2) * col("i") - 1).cast("double") *
-          log(col("u")) * lit(1e9)).cast("long")).as("a9"),
+          log(col("u")) * lit(1e9)).cast("long").cast("decimal(19,0)")).as("a9"),
         sum(round((lit(2) * col("i") - 1).cast("double") *
-          log(lit(1.0) - col("u")) * lit(1e9)).cast("long")).as("b9"),
-        sum(round(log(lit(1.0) - col("u")) * lit(1e9)).cast("long")).as("c9"))
+          log(lit(1.0) - col("u")) * lit(1e9)).cast("long").cast("decimal(19,0)")).as("b9"),
+        sum(round(log(lit(1.0) - col("u")) * lit(1e9)).cast("long").cast("decimal(19,0)")).as("c9"))
       .select(col("n"),
         // 2n·C exceeds a long at corpus n (n ~ 1e6 × C ~ n·1e9) — the
         // recombination runs in DECIMAL(38,0)

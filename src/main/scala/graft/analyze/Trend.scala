@@ -310,6 +310,65 @@ object Trend {
     * (rank, 6-dp-long) day series; each residual is ONE pinned double
     * expression quantized to a 6-dp long, so both DW sums are exact
     * integers. */
+  /** Holdout backtest of the OLS daily-trend forecaster: fit on the
+    * first ⌊trainFrac·n⌋ days, score the rest — one row
+    * `(n_train, n_test, mae, mape, smape)`. The honesty check the trend
+    * family (q167/q204/q255) needs before anyone extrapolates it:
+    * in-sample fit says nothing about forward error.
+    *
+    * Exactness: slope/intercept from exact DECIMAL train moments; each
+    * test residual is ONE pinned double quantized to a 6-dp long; MAPE
+    * terms guard y = 0 (excluded, reported through n_test vs the mape
+    * count is NOT split — zero-actual days simply don't contribute, the
+    * standard MAPE convention); the three means are exact integer sums
+    * divided once. */
+  def forecastBacktest(df: DataFrame, tsCol: String, valueCol: String,
+                       trainFrac: Double = 0.8): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, s"trainFrac in (0,1): $trainFrac")
+    val daily = df.groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val idx = daily.withColumn("t", row_number().over(Window.orderBy(col("day"))))
+    val nAll = idx.agg(count(lit(1)).as("na"))
+    val cut = idx.crossJoin(broadcast(nAll))
+      .withColumn("cut", floor(col("na") * lit(trainFrac)).cast("long"))
+    val mom = cut.filter(col("t") <= col("cut"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("t"))).as("st"), sum(dec(col("yq"))).as("sy"),
+        sum(xprod(col("t"), col("yq"))).as("sty"),
+        sum(xprod(col("t"), col("t"))).as("stt"))
+    val test = cut.filter(col("t") > col("cut"))
+      .crossJoin(broadcast(mom))
+      .select(col("yq"), round({
+          val n = col("n").cast("double")
+          val st = col("st").cast("double"); val sy = col("sy").cast("double")
+          val b = (n * col("sty").cast("double") - st * sy) /
+            (n * col("stt").cast("double") - st * st)
+          val a = (sy - b * st) / n
+          a + b * col("t").cast("double")
+        }).cast("long").as("fq"))
+    test.agg(
+        count(lit(1)).as("n_test"),
+        sum(abs(col("yq") - col("fq")).cast("decimal(19,0)")).as("sae"),
+        // MAPE term pinned per day at 9 dp; zero-actual days excluded
+        sum(when(col("yq") =!= 0,
+          round(abs(col("yq") - col("fq")).cast("double") /
+            abs(col("yq")).cast("double") * lit(1e9)).cast("long"))
+          .otherwise(0L)).as("mape9"),
+        sum(when(col("yq") =!= 0, 1L).otherwise(0L)).as("nz"),
+        sum(when(abs(col("yq")) + abs(col("fq")) > 0,
+          round(lit(2.0) * abs(col("yq") - col("fq")).cast("double") /
+            (abs(col("yq")) + abs(col("fq"))).cast("double") * lit(1e9))
+            .cast("long")).otherwise(0L)).as("smape9"),
+        sum(when(abs(col("yq")) + abs(col("fq")) > 0, 1L).otherwise(0L)).as("ns"))
+      .crossJoin(broadcast(mom.select(col("n").as("n_train"))))
+      .select(col("n_train"), col("n_test"),
+        round(col("sae").cast("double") / col("n_test") / 1e6, 6).as("mae"),
+        round(when(col("nz") > 0,
+          col("mape9").cast("double") / col("nz") / 1e9), 6).as("mape"),
+        round(when(col("ns") > 0,
+          col("smape9").cast("double") / col("ns") / 1e9), 6).as("smape"))
+  }
+
   def durbinWatson(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
     val daily = df.groupBy(date_trunc("day", col(tsCol)).as("day"))
       .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))

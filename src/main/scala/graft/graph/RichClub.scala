@@ -58,4 +58,35 @@ object RichClub {
         6))
       .orderBy(col("k"))
   }
+
+  /** Discrete power-law exponent MLE for the degree distribution
+    * (Clauset, Shalizi & Newman 2009's continuous approximation):
+    * `α̂ = 1 + n / Σ ln(dᵢ/(dmin − ½))` over degrees ≥ `dmin`, with the
+    * standard error `(α̂−1)/√n`. One row
+    * `(n_nodes, n_tail, alpha, alpha_se)` — the "is this graph/corpus
+    * scale-free" readout next to the token-side Zipf fit (q221).
+    *
+    * Determinism: degrees are exact integer counts; each tail node's
+    * log term is one pinned double quantized to a 9-dp long and summed
+    * exactly. Scale: degree aggregate + a degree-histogram-sized sum. */
+  def powerLawAlpha(edges: DataFrame, aCol: String, bCol: String,
+                    dMin: Long): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1: $dMin")
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val all = deg.agg(count(lit(1)).as("n_nodes"))
+    val tail = deg.filter(col("d") >= dMin)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(round(log(col("d").cast("double") / (lit(dMin) - 0.5)) * lit(1e9))
+          .cast("long")).as("l9"))
+    all.crossJoin(broadcast(tail))
+      .select(col("n_nodes"), col("n_tail"),
+        round(when(col("l9") > 0,
+          lit(1.0) + col("n_tail").cast("double") / (col("l9").cast("double") / 1e9)),
+          6).as("alpha"),
+        round(when(col("l9") > 0 && col("n_tail") > 0,
+          (col("n_tail").cast("double") / (col("l9").cast("double") / 1e9)) /
+            sqrt(col("n_tail").cast("double"))), 6).as("alpha_se"))
+  }
 }

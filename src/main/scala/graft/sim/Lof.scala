@@ -35,8 +35,11 @@ object Lof {
   def bruteTop(df: DataFrame, idCol: String, vecCol: String,
                k: Int, topN: Int): DataFrame = {
     require(k >= 1 && topN >= 1, s"need k, topN >= 1: $k, $topN")
-    val pts = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("v"))
+    // widen a narrow single-row-group scan: the N² pair stage otherwise
+    // runs on the scan's 2-3 partitions while the rest of the cores idle
+    val pts = graft.operators.Spread.widen(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+      col("id"))
     val d12 = round((lit(1.0) - Similarity.cosine(col("a.v"), col("b.v")))
       * lit(1e12)).cast("long")
     val pairs = pts.alias("a").join(pts.alias("b"),
