@@ -1478,7 +1478,12 @@ object SparkEntry {
     //      shuffles: quality window (source), chunk-digest rollup, the
     //      packing prefix sum — every stage mirrored in the oracle SQL
     "q77_curate_pack" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // widen the narrow scan BEFORE the per-doc scoring: the heavy
+      // projection (quality + rep-stats + chunk hashing) otherwise runs
+      // on the single-row-group scan's 3 partitions — and the packer's
+      // repartitionByRange boundary sampling executes it an extra time
+      val docs = graft.operators.Spread.widen(
+        Tables.documents(s, dir), col("doc_id"))
       graft.functions.RepStats.register(s)
       val perDoc = docs.select(col("doc_id"), col("source"),
           TextAnalysis.qualityScore(col("text")).as("quality"),

@@ -63,7 +63,11 @@ object SubstringDedup {
                       anchorMod: Int = 4): DataFrame = {
     require(window >= 2 && anchorMod >= 1,
       s"bad window/anchorMod: $window/$anchorMod")
-    val w = windowFrame(df, idCol, Some(sourceCol), textCol, window, anchorMod)
+    // widen a narrow scan first: the anchor-fingerprint projection is
+    // re-executed by all three consumers below, each otherwise pinned to
+    // the single-row-group scan's 2-3 partitions
+    val wide = graft.operators.Spread.widen(df, col(idCol))
+    val w = windowFrame(wide, idCol, Some(sourceCol), textCol, window, anchorMod)
     val dupFp = w.groupBy(col("fp"))
       .agg(countDistinct(col("doc")).as("nd"))
       .where(col("nd") >= 2)
