@@ -250,6 +250,21 @@ object SparkEntry {
         graft.graph.LinkPrediction.coOccurrenceEdges(
           Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2L),
         "a", "b", 2L)),
+    // ---- kNN hubness report (k-occurrence skew): the curse-of-
+    //      dimensionality dashboard for every kNN consumer upstream
+    "q279_hubness" -> ((s, dir) =>
+      graft.sim.Lof.hubnessReport(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 10)),
+    // ---- Calinski-Harabasz variance-ratio of the labeled embeddings:
+    //      vector-space ANOVA — the global companion to q243 silhouette
+    "q280_calinski" -> ((s, dir) =>
+      graft.sim.Anisotropy.calinskiHarabasz(Tables.embeddings(s, dir),
+        "label", "embedding")),
+    // ---- re-randomization (permutation) test of the A/B mean diff:
+    //      hash-deterministic permutations, exact integer compares
+    "q281_permutation_test" -> ((s, dir) =>
+      graft.analyze.Experiment.permutationTest(Tables.events(s, dir),
+        "user_id", "value", col("event_type") === "purchase", 200)),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3438,6 +3453,90 @@ object SparkEntry {
                 round(CASE WHEN l9 > 0 AND n_tail > 0
                       THEN (CAST(n_tail AS DOUBLE) / (CAST(l9 AS DOUBLE) / 1e9)) / sqrt(CAST(n_tail AS DOUBLE)) END, 6) AS alpha_se
          FROM alln CROSS JOIN tail""",
+    "q279_hubness" ->
+      """WITH p AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         pr AS (SELECT a.id, b.id AS nb,
+                       CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d
+                FROM p a JOIN p b ON a.id <> b.id),
+         knn AS (SELECT id, nb FROM (
+                   SELECT id, nb, row_number() OVER (PARTITION BY id ORDER BY d, nb) AS rn
+                   FROM pr) WHERE rn <= 10),
+         nk AS (SELECT nb AS id, count(*) AS cnt FROM knn GROUP BY 1),
+         fl AS (SELECT coalesce(nk.cnt, 0) AS c FROM p LEFT JOIN nk ON p.id = nk.id),
+         t AS (SELECT count(*) AS n,
+                      CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+                      CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS s2,
+                      CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS s3,
+                      max(c) AS max_nk,
+                      CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz
+               FROM fl)
+         SELECT n, CAST(10 AS BIGINT) AS k, CAST(max_nk AS BIGINT) AS max_nk,
+                round(CAST(nz AS DOUBLE) / n, 6) AS pct_antihubs,
+                round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                      THEN (s3 / n - (s1 / n) * s2 / n * 3 + (s1 / n) * (s1 / n) * (s1 / n) * 2)
+                           / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) END, 6) AS skewness
+         FROM t""",
+    "q280_calinski" ->
+      """WITH comps AS (
+           SELECT label AS c, i - 1 AS d,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS x6
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
+         percd AS (SELECT c, d, count(*) AS nc,
+                          sum(CAST(x6 AS HUGEINT)) AS s,
+                          sum(CAST(x6 AS HUGEINT) * CAST(x6 AS HUGEINT)) AS q
+                   FROM comps GROUP BY 1, 2),
+         perd AS (SELECT d, CAST(sum(nc) AS BIGINT) AS n, count(*) AS k,
+                         sum(s) AS sd, sum(q) AS qd,
+                         CAST(sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nc) AS BIGINT)) AS HUGEINT) AS bd
+                  FROM percd GROUP BY 1),
+         t AS (SELECT max(n) AS n, max(k) AS k, count(*) AS dim,
+                      sum(bd - CAST(round(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n) AS BIGINT)) AS ssb,
+                      sum(qd - bd) AS ssw
+               FROM perd)
+         SELECT n, k, dim,
+                round(CASE WHEN k >= 2 AND n > k AND ssw > 0
+                      THEN (CAST(greatest(ssb, 0) AS DOUBLE) / (k - 1)) /
+                           (CAST(ssw AS DOUBLE) / (n - k)) END, 4) AS ch
+         FROM t""",
+    "q281_permutation_test" ->
+      """WITH units AS (
+           SELECT user_id AS unit,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS vq
+           FROM events GROUP BY 1),
+         obs AS (
+           SELECT CAST(round(CASE WHEN n1 > 0 AND n0 > 0
+                  THEN (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / 1e6 END * 1e9) AS BIGINT) AS obs9
+           FROM (SELECT
+                   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                   sum(CASE WHEN arm = 0 THEN CAST(vq AS HUGEINT) ELSE 0 END) AS s1,
+                   sum(CASE WHEN arm <> 0 THEN CAST(vq AS HUGEINT) ELSE 0 END) AS s0
+                 FROM (SELECT vq, ('0x' || substr(md5(CAST(unit AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+                       FROM units))),
+         bs AS (SELECT CAST(i AS INT) AS b FROM unnest(range(1, 201)) r(i)),
+         perms AS (
+           SELECT b,
+                  CAST(round(CASE WHEN n1 > 0 AND n0 > 0
+                  THEN (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / 1e6 END * 1e9) AS BIGINT) AS d9
+           FROM (SELECT b,
+                   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                   sum(CASE WHEN arm = 0 THEN CAST(vq AS HUGEINT) ELSE 0 END) AS s1,
+                   sum(CASE WHEN arm <> 0 THEN CAST(vq AS HUGEINT) ELSE 0 END) AS s0
+                 FROM (SELECT vq, b,
+                         ('0x' || substr(md5(CAST(unit AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+                       FROM units CROSS JOIN bs)
+                 GROUP BY 1)),
+         s AS (SELECT count(*) AS n_perms,
+                      CAST(sum(CASE WHEN abs(d9) >= abs(obs9) THEN 1 ELSE 0 END) AS BIGINT) AS ge,
+                      max(obs9) AS o9
+               FROM perms CROSS JOIN obs),
+         nu AS (SELECT count(*) AS n_units FROM units)
+         SELECT n_units, n_perms,
+                round(CAST(o9 AS DOUBLE) / 1e9, 6) AS diff_obs,
+                round(CAST(ge + 1 AS DOUBLE) / (n_perms + 1), 6) AS p_value
+         FROM nu CROSS JOIN s""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

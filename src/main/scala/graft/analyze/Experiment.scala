@@ -355,6 +355,66 @@ object Experiment {
           .as("llr_final"))
   }
 
+  /** Re-randomization (permutation) test for the hash-arm mean
+    * difference — the distribution-free p-value that needs no variance
+    * formula at all: re-assign every unit's arm by an independent hash
+    * of `(unit, b)` for `b = 1..B`, recompute the mean difference each
+    * time, and count how many re-randomized |diffs| reach the observed
+    * one; `p = (1 + #{|d_b| ≥ |d_obs|}) / (B + 1)` (the standard
+    * add-one so p is never 0). One row
+    * `(n_units, n_perms, diff_obs, p_value)`.
+    *
+    * Fully deterministic like [[Bootstrap.meanCi]]: permutation b is a
+    * pure md5 function of (unit, b) — resumable, partition-invariant,
+    * engine-portable. Each permuted diff is one pinned double of exact
+    * DECIMAL sums, 9-dp-quantized before the ≥ compare (as is the
+    * observed diff, so the comparison is exact integer vs integer).
+    * Scale: one unit aggregate, a units×B fan-out into one
+    * map-side-combined (b)-keyed aggregate, then a B-row count. */
+  def permutationTest(events: DataFrame, userCol: String, valueCol: String,
+                      metricFilter: Column, b: Int = 200): DataFrame = {
+    require(b >= 19, s"need >= 19 permutations for any p below 0.05: $b")
+    val v6 = round(col(valueCol) * lit(1000000)).cast("long")
+    val units = events.groupBy(col(userCol).as("unit"))
+      .agg(sum(when(metricFilter, v6).otherwise(0L)).as("vq"))
+    def diff9(grouped: DataFrame): DataFrame = grouped
+      .select(round(when(col("n1") > 0 && col("n0") > 0,
+        (col("s1").cast("double") / col("n1") -
+          col("s0").cast("double") / col("n0")) / 1e6) * lit(1e9))
+        .cast("long").as("d9"))
+    val obs = diff9(units
+      .withColumn("arm", Sharding.hash32(col("unit")) % 2)
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") =!= 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, d19(col("vq")))
+          .otherwise(lit(0).cast("decimal(19,0)"))).as("s1"),
+        sum(when(col("arm") =!= 0, d19(col("vq")))
+          .otherwise(lit(0).cast("decimal(19,0)"))).as("s0")))
+      .select(col("d9").as("obs9"))
+    val spark = events.sparkSession
+    val bs = spark.range(1, b + 1).select(col("id").cast("int").as("b"))
+    val perms = diff9(units.crossJoin(broadcast(bs))
+      .withColumn("arm", Sharding.hash32(concat(col("unit").cast("string"),
+        lit(":"), col("b").cast("string"))) % 2)
+      .groupBy(col("b"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") =!= 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, d19(col("vq")))
+          .otherwise(lit(0).cast("decimal(19,0)"))).as("s1"),
+        sum(when(col("arm") =!= 0, d19(col("vq")))
+          .otherwise(lit(0).cast("decimal(19,0)"))).as("s0")))
+    val nUnits = units.agg(count(lit(1)).as("n_units"))
+    nUnits.crossJoin(broadcast(perms.crossJoin(broadcast(obs))
+        .agg(count(lit(1)).as("n_perms"),
+          sum(when(abs(col("d9")) >= abs(col("obs9")), 1L).otherwise(0L))
+            .as("ge"),
+          max(col("obs9")).as("o9"))))
+      .select(col("n_units"), col("n_perms"),
+        round(col("o9").cast("double") / 1e9, 6).as("diff_obs"),
+        round((col("ge") + 1).cast("double") / (col("n_perms") + 1), 6)
+          .as("p_value"))
+  }
+
   /** Simpson's-paradox detector for the hash-arm mean comparison: does
     * the POOLED direction of the A−B metric difference contradict the
     * per-stratum directions? (The aggregation trap every dashboard

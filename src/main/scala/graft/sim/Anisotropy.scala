@@ -52,4 +52,47 @@ object Anisotropy {
           (col("ss").cast("double") / 1e18 - col("n")) /
             (col("n").cast("double") * (col("n") - 1))), 6).as("mean_cos"))
   }
+
+  /** Calinski-Harabasz variance-ratio index of a labeled embedding set
+    * (the vector-space one-way ANOVA: between-cluster dispersion over
+    * within-cluster dispersion, both summed across dimensions) — the
+    * fast global companion to the per-point silhouette (q243):
+    * `CH = (SSB/(k−1)) / (SSW/(n−k))`. One row `(n, k, dim, ch)`.
+    *
+    * Exactness: components quantize to 6-dp longs; per-(cluster, dim)
+    * sums and squares are exact DECIMAL; the per-cluster ratio terms
+    * `s_cd²/n_c` are pinned doubles rounded to the unit of the squared
+    * scale and summed exactly (the q251 ANOVA discipline, per
+    * dimension); CH is one double expression at the end. Scale: one
+    * (cluster × dim)-keyed aggregate — category-bounded. */
+  def calinskiHarabasz(df: DataFrame, labelCol: String,
+                       vecCol: String): DataFrame = {
+    val comps = df
+      .select(col(labelCol).as("c"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .select(col("c"), col("d"), round(col("x") * lit(1e6)).cast("long").as("x6"))
+    def d19(cc: org.apache.spark.sql.Column) = cc.cast("decimal(19,0)")
+    val perCD = comps.groupBy(col("c"), col("d"))
+      .agg(count(lit(1)).as("nc"), sum(d19(col("x6"))).as("s"),
+        sum(d19(col("x6")) * d19(col("x6"))).as("q"))
+    val perD = perCD.groupBy(col("d"))
+      .agg(sum(col("nc")).as("n"), count(lit(1)).as("k"),
+        sum(col("s").cast("decimal(38,0)")).as("sd"),
+        sum(col("q")).as("qd"),
+        sum(round(col("s").cast("double") * col("s").cast("double") /
+          col("nc")).cast("long")).as("bd"))
+    perD.agg(
+        max(col("n")).as("n"), max(col("k")).as("k"),
+        count(lit(1)).as("dim"),
+        sum(col("bd").cast("decimal(38,0)")
+          - round(col("sd").cast("double") * col("sd").cast("double") /
+            col("n")).cast("long").cast("decimal(38,0)")).as("ssb"),
+        sum(col("qd").cast("decimal(38,0)")
+          - col("bd").cast("decimal(38,0)")).as("ssw"))
+      .select(col("n"), col("k"), col("dim"),
+        round(when(col("k") >= 2 && col("n") > col("k") && col("ssw") > 0,
+          (greatest(col("ssb"), lit(0).cast("decimal(38,0)")).cast("double") /
+            (col("k") - 1)) /
+            (col("ssw").cast("double") / (col("n") - col("k")))), 4).as("ch"))
+  }
 }

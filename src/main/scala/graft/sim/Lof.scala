@@ -76,4 +76,53 @@ object Lof {
         round(col("nlsum").cast("double") / lit(k) / col("lrd12"), 4).as("lof"))
     lof.orderBy(col("lof").desc, col("id")).limit(topN)
   }
+
+  /** Hubness report (Radovanović et al. 2010) — the k-occurrence
+    * distribution: how often each point appears in OTHER points'
+    * k-nearest-neighbor lists. In high dimensions the distribution
+    * right-skews violently (a few "hub" points appear in everyone's
+    * neighborhood, many "anti-hubs" in nobody's) and every kNN-based
+    * stage upstream (ANN retrieval, SemDeDup, [[bruteTop]] LOF) quietly
+    * degrades — this is the one-row dashboard for that failure mode.
+    * One row: `(n, k, max_nk, pct_antihubs, skewness)` — skewness of
+    * N_k from exact integer moments (zeros included via the base join).
+    *
+    * Same brute N² neighborhood build as [[bruteTop]] (and the same
+    * bucketed path at corpus scale); the N_k frame is node-sized. */
+  def hubnessReport(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val pts = graft.operators.Spread.widen(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+      col("id"))
+    val d12 = round((lit(1.0) - Similarity.cosine(col("a.v"), col("b.v")))
+      * lit(1e12)).cast("long")
+    val pairs = pts.alias("a").join(pts.alias("b"),
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nb"), d12.as("d"))
+    val w = Window.partitionBy(col("id")).orderBy(col("d"), col("nb"))
+    val nk = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("nb").as("id")).agg(count(lit(1)).as("cnt"))
+    val full = pts.select(col("id")).join(nk, Seq("id"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c"))
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    full.agg(count(lit(1)).as("n"),
+        sum(d19(col("c"))).as("s1"),
+        sum(d19(col("c")) * d19(col("c"))).as("s2"),
+        sum((d19(col("c")) * d19(col("c"))).cast("decimal(19,0)") * d19(col("c")))
+          .as("s3"),
+        max(col("c")).as("max_nk"),
+        sum(when(col("c") === 0, 1L).otherwise(0L)).as("nz"))
+      .select(col("n"), lit(k.toLong).as("k"), col("max_nk"),
+        round(col("nz").cast("double") / col("n"), 6).as("pct_antihubs"),
+        round({
+          val n = col("n").cast("double")
+          val m = col("s1").cast("double") / n
+          val m2 = col("s2").cast("double") / n - m * m
+          val m3 = col("s3").cast("double") / n -
+            m * col("s2").cast("double") / n * 3 + m * m * m * 2
+          when(m2 > 0, m3 / pow(m2, 1.5))
+        }, 6).as("skewness"))
+  }
 }
