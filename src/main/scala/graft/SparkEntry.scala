@@ -265,6 +265,11 @@ object SparkEntry {
     "q281_permutation_test" -> ((s, dir) =>
       graft.analyze.Experiment.permutationTest(Tables.events(s, dir),
         "user_id", "value", col("event_type") === "purchase", 200)),
+    // ---- Goodman-Kruskal gamma + Somers' D between daily volume and
+    //      per-event value: the tie-aware ordinal-association pair next
+    //      to q240's tau-b — exact pair-class counts over the day frame
+    "q282_gamma_somers" -> ((s, dir) =>
+      graft.analyze.RankStats.gammaSomers(Tables.events(s, dir), "ts", "value")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3537,6 +3542,27 @@ object SparkEntry {
                 round(CAST(o9 AS DOUBLE) / 1e9, 6) AS diff_obs,
                 round(CAST(ge + 1 AS DOUBLE) / (n_perms + 1), 6) AS p_value
          FROM nu CROSS JOIN s""",
+    "q282_gamma_somers" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS x,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS vq
+           FROM events GROUP BY 1),
+         dm AS (SELECT day, x,
+                       CAST(round(CAST(vq AS DOUBLE) / x * 1000) AS BIGINT) AS y
+                FROM daily),
+         pr AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+                FROM dm a JOIN dm b ON a.day < b.day),
+         agg AS (SELECT count(*) AS n0,
+                   CAST(sum(CASE WHEN x1 <> x2 AND y1 <> y2 AND (x2 > x1) = (y2 > y1) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN x1 <> x2 AND y1 <> y2 AND (x2 > x1) <> (y2 > y1) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                   CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                   CAST(sum(CASE WHEN x1 <> x2 AND y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+                 FROM pr),
+         nd AS (SELECT count(*) AS n_days FROM dm)
+         SELECT n_days, c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
+                round(CASE WHEN c + d > 0 THEN CAST(c - d AS DOUBLE) / (c + d) END, 6) AS gamma,
+                round(CASE WHEN c + d + ty > 0 THEN CAST(c - d AS DOUBLE) / (c + d + ty) END, 6) AS somers_d_yx
+         FROM nd CROSS JOIN agg""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

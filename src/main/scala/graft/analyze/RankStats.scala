@@ -131,4 +131,52 @@ object RankStats {
         }, 6).as("tau_b"))
       .orderBy(col(groupCol))
   }
+
+  /** Goodman-Kruskal gamma + Somers' D between two DAILY metrics of the
+    * same stream (default framing: does volume move with value-per-
+    * event?): γ = (C−D)/(C+D) ignores ties entirely (the ordinal
+    * association among the pairs that actually order), while Somers'
+    * `D_yx = (C−D)/(C+D+T_y)` penalizes ties on the DEPENDENT side —
+    * the asymmetric "y follows x" version. Complements [[kendallTau]]
+    * (whose τ-b penalizes both tie directions symmetrically). One row:
+    * `(n_days, concordant, discordant, ties_x, ties_y, gamma,
+    * somers_d_yx)`.
+    *
+    * Exactness: both daily metrics are exact integers (count; 6-dp-long
+    * value sum scaled by the count into a 9-dp mean pinned once), every
+    * pair class is an exact integer count off one day×day self-join
+    * (days² pairs — the corpus folds to days first), and the two
+    * statistics are single divisions at the end. */
+  def gammaSomers(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col(valueCol) * lit(1000000)).cast("long")).as("vq"))
+      // y = per-event mean value at 9 dp — one pinned double per day
+      .select(col("day"), col("x"),
+        round(col("vq").cast("double") / col("x") * lit(1000)).cast("long").as("y"))
+    val a = daily.select(col("day").as("d1"), col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("day").as("d2"), col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, col("d1") < col("d2"))
+    pairs.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("x1") =!= col("x2") && col("y1") =!= col("y2") &&
+          (col("x2") > col("x1")) === (col("y2") > col("y1")), 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("x1") =!= col("x2") && col("y1") =!= col("y2") &&
+          (col("x2") > col("x1")) =!= (col("y2") > col("y1")), 1L)
+          .otherwise(0L)).as("d"),
+        sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("x1") =!= col("x2") && col("y1") === col("y2"), 1L)
+          .otherwise(0L)).as("ty"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("c").as("concordant"), col("d").as("discordant"),
+        col("tx").as("ties_x"), col("ty").as("ties_y"),
+        round(when(col("c") + col("d") > 0,
+          (col("c") - col("d")).cast("double") / (col("c") + col("d"))), 6)
+          .as("gamma"),
+        round(when(col("c") + col("d") + col("ty") > 0,
+          (col("c") - col("d")).cast("double") /
+            (col("c") + col("d") + col("ty"))), 6).as("somers_d_yx"))
+  }
 }
