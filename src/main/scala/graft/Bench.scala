@@ -52,20 +52,38 @@ object Bench {
     }
   }
 
-  /** Fork one JVM per query; returns (name, seconds, ok) per query. The
-    * child inherits this JVM's flags (add-opens, -Xmx, -D) and classpath —
-    * `run / fork := true` in build.sbt makes both real. */
+  /** Fork child JVMs over small GROUPS of queries; returns (name, seconds,
+    * ok) per query. The child inherits this JVM's flags (add-opens, -Xmx,
+    * -D) and classpath — `run / fork := true` in build.sbt makes both real.
+    *
+    * Group size trades isolation against wall-clock: one-query-per-JVM is
+    * the purest isolation but costs ~10 s of JVM+session+warmup per fork —
+    * at 280 queries that is ~45 min of pure overhead, which blew the
+    * driver's bench time budget in round 7 (rc 124, no artifact at all).
+    * A small group (default 8) amortizes the fork cost ~8× while the
+    * child's per-boundary hygiene (cache clear + GC, outside the timed
+    * window) keeps cross-query interference negligible at this group size
+    * (validated against single-query forks on the heaviest queries).
+    * Groups are formed by STRIDE interleaving (group i takes indices
+    * i, i+G, i+2G, …) so alphabetically-clustered heavy families (graph,
+    * dedup) spread across forks instead of stacking in one child. Set
+    * SPARK_GRAFT_BENCH_GROUP=1 for the old one-per-JVM behavior. */
   private def orchestrate(sfDir: String, selected: Seq[String]): Seq[(String, Double, Boolean)] = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
     val cp = sys.props("java.class.path")
-    selected.map { name =>
+    val groupSize = sys.env.get("SPARK_GRAFT_BENCH_GROUP").map(_.toInt).getOrElse(8)
+    val nGroups = math.max(1, (selected.size + groupSize - 1) / groupSize)
+    val groups = (0 until nGroups).map(i => selected.indices.collect {
+      case j if j % nGroups == i => selected(j)
+    }).filter(_.nonEmpty)
+    groups.flatMap { names =>
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
-      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -75,27 +93,33 @@ object Bench {
         // stdout is a handful of lines (Spark logs go to the inherited
         // stderr), far below the pipe buffer — safe to waitFor first and
         // drain afterwards, which keeps the timeout effective on a hang
-        val exited = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+        val exited = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
         if (!exited) { p.destroyForcibly(); p.waitFor() }
         val out = new String(p.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         val line = out.linesIterator.find(_.startsWith("{\"metric\""))
-        // the child ran exactly one query: its time is the single entry in
-        // `queries`, its failure the single entry in `failures`
-        val time = line.flatMap { l =>
-          val m = java.util.regex.Pattern
-            .compile("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.eE+-]+)")
-            .matcher(l)
-          if (m.find()) Some(m.group(1).toDouble) else None
-        }
-        val childFailed = line.exists(_.contains("\"failures\":[\"" + name + "\"]"))
-        val ok = exited && p.exitValue() == 0 && time.isDefined && !childFailed
         val wall = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name: query=${time.getOrElse(-1.0)}%.3f s wall=$wall%.1f s ok=$ok")
-        (name, time.getOrElse(0.0), ok)
+        names.map { name =>
+          val time = line.flatMap { l =>
+            val m = java.util.regex.Pattern
+              .compile("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.eE+-]+)")
+              .matcher(l)
+            if (m.find()) Some(m.group(1).toDouble) else None
+          }
+          val childFailed = line.exists { l =>
+            val i = l.indexOf("\"failures\":[")
+            i >= 0 && {
+              val f = l.substring(i)
+              f.substring(0, f.indexOf(']')).contains("\"" + name + "\"")
+            }
+          }
+          val ok = exited && p.exitValue() == 0 && time.isDefined && !childFailed
+          System.err.println(f"[bench] $name: query=${time.getOrElse(-1.0)}%.3f s group-wall=$wall%.1f s ok=$ok")
+          (name, time.getOrElse(0.0), ok)
+        }
       } catch { case e: Exception =>
-        System.err.println(s"[bench] $name fork FAILED: ${e.getMessage}")
-        (name, 0.0, false)
+        System.err.println(s"[bench] group(${names.head}…) fork FAILED: ${e.getMessage}")
+        names.map(n => (n, 0.0, false))
       }
     }
   }
