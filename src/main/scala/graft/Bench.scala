@@ -43,7 +43,10 @@ object Bench {
     // ALSO archive the complete JSON to a file (orchestrator only): the
     // driver's BENCH_r{N} artifact stores only a bounded tail of stdout,
     // which truncated the per-query map in past rounds.
-    if (!isChild) {
+    // subset runs (SPARK_GRAFT_BENCH_ONLY) never touch the default full
+    // artifact — an ad-hoc 5-query iteration must not clobber the
+    // committed 280-query BENCH_FULL.json
+    if (!isChild && (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))) {
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -270,6 +270,62 @@ object SparkEntry {
     //      to q240's tau-b — exact pair-class counts over the day frame
     "q282_gamma_somers" -> ((s, dir) =>
       graft.analyze.RankStats.gammaSomers(Tables.events(s, dir), "ts", "value")),
+    // ---- Kruskal-Wallis H across return flags: the k-sample rank test
+    //      (q213's extension / q251's distribution-free sibling) — per-
+    //      class doubled rank sums exact off the distinct-value frame
+    "q283_kruskal_wallis" -> ((s, dir) =>
+      graft.analyze.RankStats.kruskalWallis(Tables.lineitem(s, dir),
+        col("l_returnflag"), col("l_quantity"))),
+    // ---- Friedman test of event types across day blocks: within-day
+    //      ranks kill the shared day trend; exact doubled-rank integers,
+    //      one division at the end
+    "q284_friedman" -> ((s, dir) =>
+      graft.analyze.RankStats.friedman(Tables.events(s, dir),
+        to_date(col("ts")), col("event_type"))),
+    // ---- t-closeness audit on the order release: does any (segment,
+    //      status) class's priority mix diverge from the global — the
+    //      skewness-attack gate above q176/q258
+    "q285_t_closeness" -> ((s, dir) => {
+      val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
+      graft.analyze.Privacy.tClosenessReport(
+        o.join(c, o("o_custkey") === c("c_custkey")),
+        Seq(col("c_mktsegment"), col("o_orderstatus")),
+        col("o_orderpriority"), 0.2)
+    }),
+    // ---- Fellegi-Sunter linkage weights for the customer fields:
+    //      u-probabilities straight from the value histograms, agreement
+    //      weights log2(m/u) — the scorer over q89/q134's candidates
+    "q286_fs_weights" -> ((s, dir) =>
+      graft.dedup.Linkage.fsWeights(Tables.customer(s, dir), Seq(
+        "name" -> col("c_name"),
+        "nation" -> col("c_nationkey"),
+        "segment" -> col("c_mktsegment"),
+        "bal_band" -> floor(col("c_acctbal") / 1000)))),
+    // ---- BFS hop histogram from the smallest part in the co-purchase
+    //      graph: frontier-join BFS, layer sizes out to 10 hops
+    "q287_bfs_hops" -> ((s, dir) =>
+      graft.graph.Bfs.hopHistogram(
+        graft.graph.LinkPrediction.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2L), 10)),
+    // ---- 4-truss of the co-purchase graph: iterative support peel to
+    //      the subgraph where every edge sits in >= 2 triangles — the
+    //      edge-level cohesion core between q139's k-core and cliques
+    "q288_ktruss" -> ((s, dir) =>
+      graft.graph.KTruss.truss(
+        graft.graph.LinkPrediction.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2L),
+        "a", "b", 4)),
+    // ---- DBSCAN over the embeddings: density modes + explicit noise,
+    //      grid-pruned candidate pairs, CC-labeled cores, deterministic
+    //      min-label border adoption
+    "q289_dbscan" -> ((s, dir) =>
+      graft.sim.Dbscan.cluster(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 1.15, 4)),
+    // ---- item-item CF cosine over baskets: co-occurrence normalized by
+    //      item popularity — q220's recsys-scoring sibling, 12-dp pinned
+    "q290_item_cf" -> ((s, dir) =>
+      graft.sim.ItemSimilarity.topPairs(Tables.lineitem(s, dir),
+        "l_orderkey", "l_partkey", 2L, 20)),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3563,6 +3619,185 @@ object SparkEntry {
                 round(CASE WHEN c + d > 0 THEN CAST(c - d AS DOUBLE) / (c + d) END, 6) AS gamma,
                 round(CASE WHEN c + d + ty > 0 THEN CAST(c - d AS DOUBLE) / (c + d + ty) END, 6) AS somers_d_yx
          FROM nd CROSS JOIN agg""",
+    "q283_kruskal_wallis" ->
+      """WITH q AS (SELECT l_returnflag AS g,
+                  CAST(round(l_quantity * 1000000) AS BIGINT) AS v FROM lineitem),
+         cells AS (SELECT v, g, count(*) AS cnt FROM q GROUP BY 1, 2),
+         byv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         r AS (SELECT v, ct,
+                 2 * COALESCE(sum(ct) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + ct + 1 AS r2
+               FROM byv),
+         cls AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_i,
+                        sum(CAST(cnt AS HUGEINT) * r2) AS s2
+                 FROM cells JOIN r USING (v) GROUP BY 1),
+         pin AS (SELECT n_i,
+                   CAST(round(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) /
+                     (4.0 * n_i)) AS HUGEINT) AS u
+                 FROM cls),
+         tie AS (SELECT sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tie3 FROM r),
+         agg AS (SELECT count(*) AS k, CAST(sum(n_i) AS BIGINT) AS n,
+                        sum(u) AS su FROM pin)
+         SELECT k, n,
+                round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(su AS DOUBLE)
+                  - 3.0 * (n + 1), 4) AS h,
+                round(CASE WHEN 1.0 - CAST(tie3 AS DOUBLE) /
+                        (CAST(n AS DOUBLE) * n * n - n) > 0
+                  THEN (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(su AS DOUBLE)
+                        - 3.0 * (n + 1)) /
+                       (1.0 - CAST(tie3 AS DOUBLE) /
+                        (CAST(n AS DOUBLE) * n * n - n)) END, 4) AS h_adj
+         FROM agg CROSS JOIN tie""",
+    "q284_friedman" ->
+      """WITH cr AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,
+                  count(*) AS v FROM events GROUP BY 1, 2),
+         grid AS (SELECT b, t FROM (SELECT DISTINCT b FROM cr)
+                  CROSS JOIN (SELECT DISTINCT t FROM cr)),
+         cells AS (SELECT grid.b, grid.t, COALESCE(cr.v, 0) AS v
+                   FROM grid LEFT JOIN cr ON grid.b = cr.b AND grid.t = cr.t),
+         bybv AS (SELECT b, v, count(*) AS ct FROM cells GROUP BY 1, 2),
+         r AS (SELECT b, v,
+                 2 * COALESCE(sum(ct) OVER (PARTITION BY b ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + ct + 1 AS r2
+               FROM bybv),
+         rc AS (SELECT cells.b, cells.t, r.r2
+                FROM cells JOIN r ON cells.b = r.b AND cells.v = r.v),
+         nk AS (SELECT count(DISTINCT b) AS n, count(DISTINCT t) AS k,
+                       sum(CAST(r2 AS HUGEINT) * r2) AS sr2sq FROM rc),
+         sj AS (SELECT t, CAST(sum(r2) AS HUGEINT) AS s2 FROM rc GROUP BY 1),
+         num AS (SELECT sum((s2 - CAST(n AS HUGEINT) * (k + 1)) *
+                            (s2 - CAST(n AS HUGEINT) * (k + 1))) AS sdev
+                 FROM sj CROSS JOIN nk)
+         SELECT n AS n_blocks, k,
+                round(CASE WHEN CAST(sr2sq AS DOUBLE) -
+                    CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) > 0
+                  THEN (k - 1) * CAST(sdev AS DOUBLE) /
+                       (CAST(sr2sq AS DOUBLE) -
+                        CAST(n AS DOUBLE) * k * (k + 1) * (k + 1)) END, 4) AS q
+         FROM nk CROSS JOIN num""",
+    "q285_t_closeness" ->
+      """WITH base AS (SELECT c.c_mktsegment AS q0, o.o_orderstatus AS q1,
+                  o.o_orderpriority AS s
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         cells AS (SELECT q0, q1, s, count(*) AS c FROM base GROUP BY 1, 2, 3),
+         gl AS (SELECT s, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY 1),
+         nall AS (SELECT CAST(sum(c) AS BIGINT) AS ntot FROM cells),
+         ctot AS (SELECT q0, q1, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+         per AS (SELECT cells.q0, cells.q1, max(ctot.n) AS n, max(nall.ntot) AS ntot,
+                   sum(abs(CAST(cells.c AS HUGEINT) * nall.ntot -
+                           CAST(gl.g AS HUGEINT) * ctot.n)) AS sum_abs,
+                   CAST(sum(gl.g) AS BIGINT) AS g_present
+                 FROM cells
+                 JOIN ctot ON cells.q0 = ctot.q0 AND cells.q1 = ctot.q1
+                 JOIN gl ON cells.s = gl.s
+                 CROSS JOIN nall
+                 GROUP BY 1, 2),
+         t AS (SELECT n,
+                 (CAST(sum_abs AS DOUBLE) +
+                  CAST(ntot - g_present AS DOUBLE) * n) /
+                 (2.0 * CAST(n AS DOUBLE) * ntot) AS t
+               FROM per)
+         SELECT count(*) AS n_classes, CAST(sum(n) AS BIGINT) AS n_rows,
+                round(max(t), 6) AS t_max,
+                CAST(sum(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS classes_above_t,
+                CAST(sum(CASE WHEN t > 0.2 THEN n ELSE 0 END) AS BIGINT) AS rows_above_t
+         FROM t""",
+    "q286_fs_weights" ->
+      """WITH m AS (
+           SELECT 'name' AS field, CAST(c_name AS VARCHAR) AS v FROM customer
+           UNION ALL
+           SELECT 'nation', CAST(c_nationkey AS VARCHAR) FROM customer
+           UNION ALL
+           SELECT 'segment', CAST(c_mktsegment AS VARCHAR) FROM customer
+           UNION ALL
+           SELECT 'bal_band', CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR) FROM customer),
+         hist AS (SELECT field, v, count(*) AS c FROM m
+                  WHERE v IS NOT NULL GROUP BY 1, 2),
+         agg AS (SELECT field, CAST(sum(c) AS BIGINT) AS n,
+                        count(*) AS n_distinct,
+                        sum(CAST(c AS HUGEINT) * (c - 1)) AS agree2
+                 FROM hist GROUP BY 1)
+         SELECT field, n, n_distinct,
+                round(CAST(agree2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 8) AS u_prob,
+                round(CASE WHEN agree2 > 0 THEN log2(0.95 /
+                  (CAST(agree2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))) END, 4) AS w_agree,
+                round(CASE WHEN CAST(agree2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) < 1
+                  THEN log2(0.05 / (1.0 - CAST(agree2 AS DOUBLE) /
+                       (CAST(n AS DOUBLE) * (n - 1)))) END, 4) AS w_disagree
+         FROM agg ORDER BY field""",
+    "q287_bfs_hops" ->
+      """WITH inst AS (SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS ea, b.l_partkey AS eb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         e AS (SELECT ea, eb FROM inst GROUP BY ea, eb HAVING count(*) >= 2),
+         ends AS (SELECT ea AS x, eb AS y FROM e UNION SELECT eb, ea FROM e),
+         src AS (SELECT min(x) AS s FROM ends),
+         rec AS (
+           WITH RECURSIVE reach(id, hop) AS (
+             SELECT s, 0 FROM src
+             UNION
+             SELECT ends.y, reach.hop + 1
+             FROM reach JOIN ends ON ends.x = reach.id
+             WHERE reach.hop < 10)
+           SELECT id, min(hop) AS hop FROM reach GROUP BY 1),
+         hist AS (SELECT hop, count(*) AS n_nodes FROM rec GROUP BY 1),
+         unreached AS (SELECT -1 AS hop, count(*) AS n_nodes
+                       FROM (SELECT DISTINCT x FROM ends) nodes
+                       LEFT JOIN rec ON nodes.x = rec.id
+                       WHERE rec.id IS NULL
+                       HAVING count(*) > 0)
+         SELECT hop, n_nodes FROM hist
+         UNION ALL SELECT hop, n_nodes FROM unreached
+         ORDER BY hop""",
+    "q289_dbscan" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+         p AS (SELECT a.id AS ia, b.id AS ib
+               FROM e a JOIN e b ON a.id < b.id
+               WHERE list_distance(a.v, b.v) <= 1.15),
+         degs AS (SELECT id, count(*) AS d
+                  FROM (SELECT ia AS id FROM p UNION ALL SELECT ib FROM p)
+                  GROUP BY 1),
+         cores AS (SELECT e.id FROM e LEFT JOIN degs ON e.id = degs.id
+                   WHERE COALESCE(degs.d, 0) + 1 >= 4),
+         ce AS (SELECT p.ia AS a, p.ib AS b FROM p
+                JOIN cores x ON p.ia = x.id JOIN cores y ON p.ib = y.id),
+         sym AS (SELECT a AS x, b AS y FROM ce UNION SELECT b, a FROM ce),
+         comp AS (
+           WITH RECURSIVE reach(id, lbl) AS (
+             SELECT id, id FROM cores
+             UNION
+             SELECT sym.y, reach.lbl FROM reach JOIN sym ON sym.x = reach.id)
+           SELECT id, min(lbl) AS cluster FROM reach GROUP BY 1),
+         borders AS (
+           SELECT nb.id, min(comp.cluster) AS cluster
+           FROM (SELECT ia AS id, ib AS nb FROM p
+                 UNION ALL SELECT ib, ia FROM p) nb
+           JOIN cores ON nb.nb = cores.id
+           JOIN comp ON nb.nb = comp.id
+           WHERE nb.id NOT IN (SELECT id FROM cores)
+           GROUP BY 1),
+         lab AS (SELECT id, 'core' AS role, cluster FROM comp
+                 UNION ALL SELECT id, 'border', cluster FROM borders)
+         SELECT e.id, COALESCE(lab.role, 'noise') AS role,
+                COALESCE(lab.cluster, -1) AS cluster
+         FROM e LEFT JOIN lab ON e.id = lab.id
+         ORDER BY e.id""",
+    "q290_item_cf" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         supp AS (SELECT a.i AS a, b.i AS b, count(*) AS support
+                  FROM it a JOIN it b ON a.g = b.g AND a.i < b.i
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT i, count(*) AS c FROM it GROUP BY 1),
+         pinned AS (SELECT supp.a, supp.b, supp.support,
+                      CAST(round(CAST(supp.support AS DOUBLE) * 1e12 /
+                        sqrt(CAST(da.c AS DOUBLE) * db.c)) AS BIGINT) AS s12
+                    FROM supp JOIN deg da ON supp.a = da.i
+                    JOIN deg db ON supp.b = db.i)
+         SELECT a, b, support, round(CAST(s12 AS DOUBLE) / 1e12, 6) AS cosine
+         FROM pinned ORDER BY s12 DESC, a, b LIMIT 20""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -64,6 +64,74 @@ object Privacy {
       sum(when(col("__l") < l, col("__rows")).otherwise(0L)).as("rows_below_l"))
   }
 
+  /** T-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the release-audit ladder after [[kAnonymityReport]] and
+    * [[lDiversityReport]]: a class can be large (k-anonymous) and carry
+    * several sensitive values (l-diverse) yet still leak if its sensitive
+    * DISTRIBUTION differs sharply from the global one (skewness attack —
+    * "90% of this class has condition X" when the base rate is 1%).
+    * Per quasi-identifier class, t = total-variation distance between the
+    * class's categorical sensitive distribution and the global:
+    * `t_c = ½ Σ_v |c_cv/n_c − g_v/N|`.
+    *
+    * Exactness: scaling by `n_c·N` makes every |·| term the exact integer
+    * `|c_cv·N − g_v·n_c|`; absent-in-class categories contribute
+    * `g_v·n_c`, folded in closed form as `(N − Σ_{v present} g_v)·n_c` —
+    * no class×category grid is ever built. One row:
+    * `(n_classes, n_rows, t_max, classes_above_t, rows_above_t)` with
+    * t_max at 6 dp.
+    *
+    * Scale shape: one hash aggregate on (quasi-ids, sensitive), a
+    * category-bounded broadcast of the global distribution, a class
+    * rollup, and a 1-row summary — the corpus is touched once. */
+  def tClosenessReport(df: DataFrame, quasiIds: Seq[Column],
+                       sensitive: Column, t: Double): DataFrame = {
+    require(quasiIds.nonEmpty, "at least one quasi-identifier required")
+    require(t > 0 && t < 1, s"t must be in (0,1): $t")
+    val qNames = quasiIds.indices.map(i => s"__q$i")
+    val base = df.select(
+      quasiIds.zip(qNames).map { case (c, n) => c.as(n) } :+
+        sensitive.as("__s"): _*)
+    val cells = base.groupBy(qNames.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = cells.groupBy(col("__s")).agg(sum(col("__c")).as("__g"))
+    val nAll = cells.agg(sum(col("__c")).as("__tot"))
+    // class totals n_c join back to the cells (both sides hash on the
+    // quasi-id key — the aggregate's own partitioning is reused, no
+    // extra corpus shuffle); the category-bounded global frame and the
+    // 1-row N broadcast
+    // toDF forces fresh attribute ids: the grouping columns otherwise
+    // keep the SAME exprIds as `cells`, and the cells ⋈ classTotals
+    // self-join would be ambiguous
+    val classTotals = cells.groupBy(qNames.map(col): _*)
+      .agg(sum(col("__c")).as("__n"))
+      .toDF(qNames :+ "__n": _*)
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val perClass = cells
+      .join(classTotals, qNames)
+      .join(broadcast(global), "__s")
+      .crossJoin(broadcast(nAll))
+      .groupBy(qNames.map(col): _*)
+      .agg(max(col("__n")).as("__n"), max(col("__tot")).as("__tot"),
+        sum(abs(d(col("__c")) * d(col("__tot")) -
+          d(col("__g")) * d(col("__n")))).as("__sum_abs"),
+        sum(col("__g")).as("__g_present"))
+      // absent-in-class categories enter in closed form as
+      // (N − Σ_present g_v)·n_c; t_c is ONE double division of exact
+      // integers
+      .withColumn("__t",
+        (col("__sum_abs").cast("double") +
+          (col("__tot") - col("__g_present")).cast("double") *
+            col("__n").cast("double")) /
+          (lit(2.0) * col("__n").cast("double") * col("__tot").cast("double")))
+    perClass.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("__n")).as("n_rows"),
+      round(max(col("__t")).cast("double"), 6).as("t_max"),
+      sum(when(col("__t") > t, 1L).otherwise(0L)).as("classes_above_t"),
+      sum(when(col("__t") > t, col("__n")).otherwise(0L)).as("rows_above_t"))
+  }
+
   /** Seeded-Laplace noisy count release — the Laplace mechanism's
     * PLUMBING (sensitivity-1 count + Lap(1/ε) noise) with the noise
     * drawn by inverse CDF from the portable md5 hash of the category

@@ -132,6 +132,112 @@ object RankStats {
       .orderBy(col(groupCol))
   }
 
+  /** Kruskal-Wallis H across the classes of `classCol` — the k-sample
+    * extension of [[mannWhitney]] (and the rank-based sibling of
+    * [[VarianceTests.anovaF]]): does ANY class's value distribution sit
+    * higher or lower than the others, with no normality assumption.
+    *
+    * Engine: the shared distinct-value doubled-rank trick — per (value,
+    * class) cell counts join the |distinct values|-row rank frame, so the
+    * per-class doubled rank sums `S_i = Σ cnt·r₂` are EXACT integers and
+    * no row-level rank window ever runs (the corpus pays one hash
+    * aggregate; every window is distinct-value-bounded). The per-class
+    * term `S_i²/n_i` is pinned once to an integer (`round` of one double
+    * expression over exact inputs — deterministic IEEE ops), so the
+    * class sum is order-invariant; H and the tie-corrected H/C are one
+    * double expression at the end. One row:
+    * `(k, n, h, h_adj)` at 4 dp. */
+  def kruskalWallis(df: DataFrame, classCol: Column,
+                    valueCol: Column): DataFrame = {
+    val q = df.select(classCol.as("g"),
+      round(valueCol * lit(1000000)).cast("long").as("v"))
+    val cells = q.groupBy(col("v"), col("g")).agg(count(lit(1)).as("cnt"))
+    val byV = cells.groupBy(col("v")).agg(sum(col("cnt")).as("ct"))
+    val w = Window.orderBy(col("v")).rowsBetween(Long.MinValue, -1)
+    val ranked = byV.withColumn("r2",
+      lit(2) * coalesce(sum(col("ct")).over(w), lit(0L)) + col("ct") + 1)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val cls = cells.join(ranked.select(col("v"), col("r2")), "v")
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_i"),
+        sum(d19(col("cnt")) * d19(col("r2"))).as("s2"))
+      // pin S_i²/(4·n_i) to an integer ONCE (exact-int inputs → one
+      // deterministic double expression) so the cross-class sum below is
+      // an exact long sum, independent of class iteration order
+      .select(col("n_i"),
+        round(col("s2").cast("double") * col("s2").cast("double") /
+          (lit(4.0) * col("n_i").cast("double"))).cast("decimal(28,0)").as("u"))
+    val tie = ranked.agg(
+      sum(d19(col("ct")) * d19(col("ct")) * d19(col("ct")) - d19(col("ct")))
+        .as("tie3"))
+    cls.agg(count(lit(1)).as("k"), sum(col("n_i")).as("n"),
+        sum(col("u")).as("su"))
+      .crossJoin(broadcast(tie))
+      .select(Seq(col("k"), col("n")) ++ {
+        val n = col("n").cast("double")
+        val h = lit(12.0) / (n * (n + 1)) * col("su").cast("double") -
+          lit(3.0) * (n + 1)
+        val c = lit(1.0) - col("tie3").cast("double") / (n * n * n - n)
+        Seq(round(h, 4).as("h"),
+          round(when(c > 0, h / c), 4).as("h_adj"))
+      }: _*)
+  }
+
+  /** Friedman test over a (block × treatment) metric grid — the
+    * repeated-measures cousin of [[kruskalWallis]]: blocks (days) remove
+    * the shared day-level shift, treatments (categories) are ranked
+    * WITHIN each block, so "is any treatment consistently higher" is
+    * answered free of day effects. The metric is the exact per-(block,
+    * treatment) row count; absent cells enter as genuine zero counts via
+    * the (bounded) block×treatment grid, ties get average ranks.
+    *
+    * Exactness: with doubled ranks every quantity is an integer —
+    * numerator `Σ_j (S_j − n(k+1))²` and denominator
+    * `Σ_ij r₂² − 4·n·k·(k+1)²/4` arithmetic stays in DECIMAL; the
+    * tie-corrected statistic
+    * `Q = (k−1)·Σ_j(S_j − n(k+1))² / (Σ_ij r₂²/... )` reduces to ONE
+    * division of two exact integers (both already ×4-scaled identically,
+    * so the scale cancels). One row: `(n_blocks, k, q)` at 4 dp.
+    *
+    * Scale shape: one corpus hash-aggregate to the cell frame; the grid,
+    * rank windows (per block over k treatments) and moments are all
+    * (blocks × treatments)-bounded. */
+  def friedman(df: DataFrame, blockCol: Column,
+               treatmentCol: Column): DataFrame = {
+    val cellsRaw = df.groupBy(blockCol.as("b"), treatmentCol.as("t"))
+      .agg(count(lit(1)).as("v"))
+    val blocks = cellsRaw.select(col("b")).distinct()
+    val treatments = cellsRaw.select(col("t")).distinct()
+    val grid = blocks.crossJoin(broadcast(treatments))
+    val cells = grid.join(cellsRaw, Seq("b", "t"), "left")
+      .select(col("b"), col("t"), coalesce(col("v"), lit(0L)).as("v"))
+    // doubled average ranks within each block over the k-bounded cells
+    val byBV = cells.groupBy(col("b"), col("v")).agg(count(lit(1)).as("ct"))
+    val w = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, -1)
+    val ranked = byBV.withColumn("r2",
+      lit(2) * coalesce(sum(col("ct")).over(w), lit(0L)) + col("ct") + 1)
+    val rcells = cells.join(ranked.select(col("b"), col("v"), col("r2")),
+      Seq("b", "v"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val nk = rcells.agg(countDistinct(col("b")).as("n"),
+      countDistinct(col("t")).as("k"),
+      sum(d19(col("r2")) * d19(col("r2"))).as("sr2sq"))
+    val sj = rcells.groupBy(col("t")).agg(sum(d19(col("r2"))).as("s2"))
+    val num = sj.crossJoin(broadcast(nk.select(col("n"), col("k"))))
+      .select((col("s2") - d19(col("n")) * (d19(col("k")) + 1)).as("dev"))
+      .agg(sum(col("dev") * col("dev")).as("sdev"))
+    num.crossJoin(broadcast(nk))
+      .select(col("n").as("n_blocks"), col("k"), round({
+        // Q = (k−1)·Σ(S_j − n(k+1))² / (Σ r₂² − n·k·(k+1)²): both sides
+        // carry the same ×4 rank scaling, which cancels in the ratio
+        val k = col("k").cast("double"); val n = col("n").cast("double")
+        val den = col("sr2sq").cast("double") - n * k * (k + 1) * (k + 1)
+        when(den > 0,
+          (k - 1) * col("sdev").cast("double") / den)
+      }, 4).as("q"))
+  }
+
   /** Goodman-Kruskal gamma + Somers' D between two DAILY metrics of the
     * same stream (default framing: does volume move with value-per-
     * event?): γ = (C−D)/(C+D) ignores ties entirely (the ordinal

@@ -406,4 +406,106 @@ object Trend {
         round(when(col("see") > 0,
           col("sdd").cast("double") / col("see").cast("double")), 6).as("dw"))
   }
+
+  /** STL-lite additive decomposition of the daily total series into
+    * trend + seasonal + residual — the structural readout the seasonal
+    * INDEX (q198) and strength scan (q246) summarize: trend is the
+    * centered `period`-day moving average (full windows only — edge
+    * days are excluded rather than padded), the seasonal component is
+    * the day-of-period mean of the detrended series, the residual is
+    * what neither explains.
+    *
+    * Exactness discipline: daily totals are exact 6-dp longs; the
+    * detrended value `d_t = p·y_t − Σwindow` is an exact integer (no
+    * float mean), and each reported component is pinned ONCE —
+    * `trend6 = round(Σ/p)`, `seasonal6 = round(Σd/(p·m))` — so the
+    * residual `y6 − trend6 − seasonal6` is again exact integer
+    * arithmetic. Output per full-window day:
+    * `(day, y, trend, seasonal, resid)` at 6 dp, ordered by day.
+    *
+    * Scale shape: corpus folds once to days; every window runs on the
+    * days-bounded frame (the [[ljungBox]] bound). */
+  def stlDecompose(df: DataFrame, tsCol: String, valueCol: String,
+                   period: Int = 7): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      s"period must be odd >= 3 for a centered window: $period")
+    val half = period / 2
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val w = Window.orderBy(col("day")).rowsBetween(-half, half)
+    val withTrend = daily
+      .withColumn("__wsum", sum(col("yq")).over(w))
+      .withColumn("__wn", count(lit(1)).over(w))
+      .where(col("__wn") === period)
+      .withColumn("__trend6",
+        round(col("__wsum").cast("double") / period).cast("long"))
+      // d_t = p·y_t − Σwindow: exact integer detrending at 6-dp scale ×p
+      .withColumn("__d", lit(period) * col("yq") - col("__wsum"))
+    val seasonal = withTrend
+      .groupBy(dayofweek(col("day")).as("__dow"))
+      .agg(count(lit(1)).as("__m"), sum(col("__d")).as("__sd"))
+      .select(col("__dow"),
+        round(col("__sd").cast("double") / (lit(period.toDouble) * col("__m")))
+          .cast("long").as("__season6"))
+    withTrend
+      .join(broadcast(seasonal), dayofweek(col("day")) === col("__dow"))
+      .select(col("day"),
+        round(col("yq").cast("double") / 1e6, 6).as("y"),
+        round(col("__trend6").cast("double") / 1e6, 6).as("trend"),
+        round(col("__season6").cast("double") / 1e6, 6).as("seasonal"),
+        round((col("yq") - col("__trend6") - col("__season6")).cast("double")
+          / 1e6, 6).as("resid"))
+      .orderBy(col("day"))
+  }
+
+  /** Holt double-exponential smoothing (level + trend) of the daily
+    * total series — the adaptive-forecast sibling of the global OLS
+    * family (q167/q277): `l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}`, initialized `l_1 = y_1`,
+    * `b_1 = y_2 − y_1`. Both states are pinned to 6 dp at every step,
+    * so the recursion is exact integer-in/integer-out arithmetic around
+    * one IEEE expression per step — engine-reproducible by
+    * construction.
+    *
+    * The recursion is inherently sequential, so it runs on the DRIVER
+    * over the collected daily frame — a documented-bounded finisher
+    * (days of the study window, the same bound every operator in this
+    * family folds to; the corpus-scale work is the one daily
+    * aggregate). Output per day `t ≥ 2`:
+    * `(day, y, level, trend, fitted)` at 6 dp — `fitted` is the
+    * one-step-ahead forecast `l_{t−1} + b_{t−1}`. */
+  def holtLinear(df: DataFrame, tsCol: String, valueCol: String,
+                 alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha, beta must be in (0,1): $alpha, $beta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+      .orderBy(col("day"))
+      .collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    if (daily.length < 2)
+      return Seq.empty[(java.sql.Date, Double, Double, Double, Double)]
+        .toDF("day", "y", "level", "trend", "fitted")
+    // half-away-from-zero, matching SQL round() in BOTH engines
+    // (Scala's math.round is half-toward-+∞ and diverges on negative .5)
+    def pin6(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    var l = daily(0)._2
+    var b = daily(1)._2 - daily(0)._2
+    val out = daily.drop(1).map { case (day, yq) =>
+      val fitted6 = l + b
+      val lNew = pin6(alpha * yq + (1 - alpha) * (l + b))
+      val bNew = pin6(beta * (lNew - l) + (1 - beta) * b)
+      l = lNew; b = bNew
+      (day, yq / 1e6, lNew / 1e6, bNew / 1e6, fitted6 / 1e6)
+    }
+    out.toSeq.toDF("day", "y", "level", "trend", "fitted")
+      .select(col("day"), round(col("y"), 6).as("y"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("fitted"), 6).as("fitted"))
+      .orderBy(col("day"))
+  }
 }

@@ -1,0 +1,54 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Item-item collaborative-filtering similarity (Sarwar et al. 2001 /
+  * Linden et al. 2003) over (basket, item) incidence — "items bought
+  * together" as COSINE over binary basket vectors:
+  * `sim(i,j) = c_ij / √(c_i · c_j)` with `c_i` = baskets containing i
+  * and `c_ij` = baskets containing both. The normalized sibling of the
+  * raw-support co-occurrence edge builder
+  * ([[graft.graph.LinkPrediction.coOccurrenceEdges]]): support favors
+  * popular items, cosine surfaces items whose co-occurrence is high
+  * RELATIVE to their popularity.
+  *
+  * Scale shape: identical to the edge builder — one basket-keyed corpus
+  * shuffle, in-basket pair expansion via the codegen'd self-join, a
+  * pair-keyed support count — plus one item-bounded degree aggregate
+  * broadcast onto the pair frame. The cosine is pinned ONCE to a 12-dp
+  * long over exact integer counts (deterministic IEEE expression), so
+  * the top-k cut and its (a, b) tie-break are engine-stable.
+  *
+  * Output: top `k` pairs `(a, b, support, cosine)` ordered by pinned
+  * cosine desc, then (a, b); cosine rendered at 6 dp.
+  */
+object ItemSimilarity {
+
+  def topPairs(df: DataFrame, groupCol: String, itemCol: String,
+               minSupport: Long, k: Int): DataFrame = {
+    require(minSupport >= 1 && k >= 1,
+      s"need minSupport, k >= 1: $minSupport, $k")
+    val it = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .repartition(col("g"))
+      .dropDuplicates("g", "i")
+    val support = it.alias("x").join(it.alias("y"),
+        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    val deg = it.groupBy(col("i")).agg(count(lit(1)).as("c"))
+    val pinned = support
+      .join(broadcast(deg.select(col("i").as("a"), col("c").as("ca"))), Seq("a"))
+      .join(broadcast(deg.select(col("i").as("b"), col("c").as("cb"))), Seq("b"))
+      .withColumn("__s12",
+        round(col("support").cast("double") * lit(1e12) /
+          sqrt(col("ca").cast("double") * col("cb").cast("double")))
+          .cast("long"))
+    pinned
+      .orderBy(col("__s12").desc, col("a"), col("b"))
+      .limit(k)
+      .select(col("a"), col("b"), col("support"),
+        round(col("__s12").cast("double") / 1e12, 6).as("cosine"))
+  }
+}
