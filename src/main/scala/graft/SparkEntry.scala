@@ -326,6 +326,29 @@ object SparkEntry {
     "q290_item_cf" -> ((s, dir) =>
       graft.sim.ItemSimilarity.topPairs(Tables.lineitem(s, dir),
         "l_orderkey", "l_partkey", 2L, 20)),
+    // ---- STL-lite decomposition of the daily totals: centered 7-day MA
+    //      trend, day-of-week seasonal means of the EXACT-integer
+    //      detrended series, residual — q198/q246's structural readout
+    "q291_stl_decompose" -> ((s, dir) =>
+      graft.analyze.Trend.stlDecompose(Tables.events(s, dir), "ts", "value", 7)),
+    // ---- Mantel-Haenszel common odds ratio + CMH chi-square of arm vs
+    //      purchase across day strata: the confounding-robust 2x2, the
+    //      formal number behind the q268 Simpson audit
+    "q292_mantel_haenszel" -> ((s, dir) =>
+      graft.analyze.Experiment.mantelHaenszel(Tables.events(s, dir),
+        "user_id", col("event_type") === "purchase", "ts")),
+    // ---- unigram-LM (SentencePiece-family) tokenizer trainer: EM over
+    //      Viterbi segmentations of the distinct-word frame — the
+    //      probabilistic tokenizer next to q76's BPE merges
+    "q293_unigram_lm" -> ((s, dir) =>
+      graft.text.UnigramLm.train(Tables.documents(s, dir), "text",
+        512, 4, 3, 50)),
+    // ---- Holt double-exponential smoothing of the daily series, 6-dp
+    //      pinned state recursion — the adaptive forecaster beside the
+    //      OLS family, backtested by q277
+    "q294_holt" -> ((s, dir) =>
+      graft.analyze.Trend.holtLinear(Tables.events(s, dir), "ts", "value",
+        0.3, 0.2)),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3798,6 +3821,87 @@ object SparkEntry {
                     JOIN deg db ON supp.b = db.i)
          SELECT a, b, support, round(CAST(s12 AS DOUBLE) / 1e12, 6) AS cosine
          FROM pinned ORDER BY s12 DESC, a, b LIMIT 20""",
+    "q291_stl_decompose" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+                FROM events GROUP BY 1),
+         wt AS (SELECT day, yq,
+                  CAST(sum(yq) OVER (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS wsum,
+                  count(*) OVER (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+                FROM daily),
+         ft AS (SELECT day, yq, wsum,
+                  CAST(round(CAST(wsum AS DOUBLE) / 7) AS BIGINT) AS trend6,
+                  7 * yq - wsum AS d
+                FROM wt WHERE wn = 7),
+         seas AS (SELECT dayofweek(day) AS dow,
+                    CAST(round(CAST(sum(d) AS DOUBLE) / (7.0 * count(*))) AS BIGINT) AS season6
+                  FROM ft GROUP BY 1)
+         SELECT ft.day, round(yq / 1e6, 6) AS y,
+                round(trend6 / 1e6, 6) AS trend,
+                round(season6 / 1e6, 6) AS seasonal,
+                round((yq - trend6 - season6) / 1e6, 6) AS resid
+         FROM ft JOIN seas ON dayofweek(ft.day) = seas.dow
+         ORDER BY ft.day""",
+    "q292_mantel_haenszel" ->
+      """WITH base AS (SELECT CAST(ts AS DATE) AS day,
+                  event_type = 'purchase' AS o,
+                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+                FROM events),
+         cells AS (SELECT day,
+                  CAST(sum(CASE WHEN arm = 0 AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN arm = 0 AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN arm <> 0 AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN arm <> 0 AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+                FROM base GROUP BY 1),
+         terms AS (SELECT
+                  CASE WHEN n > 1 THEN a ELSE 0 END AS a_eff,
+                  CASE WHEN n > 1 THEN CAST(round(CAST(a AS DOUBLE) * d / n * 1e8) AS BIGINT) ELSE 0 END AS ad8,
+                  CASE WHEN n > 1 THEN CAST(round(CAST(b AS DOUBLE) * c / n * 1e8) AS BIGINT) ELSE 0 END AS bc8,
+                  CASE WHEN n > 1 THEN CAST(round(CAST(a + b AS DOUBLE) * (a + c) / n * 1e8) AS BIGINT) ELSE 0 END AS e8,
+                  CASE WHEN n > 1 THEN CAST(round(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)) * 1e8) AS BIGINT) ELSE 0 END AS v8
+                FROM (SELECT a, b, c, d,
+                        CAST(a + b + c + d AS DOUBLE) AS n FROM cells)),
+         agg AS (SELECT count(*) AS n_strata,
+                  CAST(sum(a_eff) AS BIGINT) AS sum_a,
+                  CAST(sum(ad8) AS BIGINT) AS sad, CAST(sum(bc8) AS BIGINT) AS sbc,
+                  CAST(sum(e8) AS BIGINT) AS se, CAST(sum(v8) AS BIGINT) AS sv
+                 FROM terms)
+         SELECT n_strata, sum_a,
+                round(CASE WHEN sbc > 0
+                  THEN CAST(sad AS DOUBLE) / sbc END, 6) AS or_mh,
+                round(CASE WHEN sv > 0
+                  THEN (CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE) / 1e8) *
+                       (CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE) / 1e8) /
+                       (CAST(sv AS DOUBLE) / 1e8) END, 4) AS cmh
+         FROM agg""",
+    "q294_holt" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+                FROM events GROUP BY 1),
+         idx AS (SELECT day, yq,
+                  CAST(row_number() OVER (ORDER BY day) AS INT) AS t FROM daily),
+         rec AS (
+           WITH RECURSIVE r(t, l, b) AS (
+             SELECT 1,
+                    (SELECT yq FROM idx WHERE t = 1),
+                    (SELECT yq FROM idx WHERE t = 2) -
+                    (SELECT yq FROM idx WHERE t = 1)
+             UNION ALL
+             SELECT i.t,
+                    CAST(round(0.3 * i.yq + (1.0 - 0.3) * (r.l + r.b)) AS BIGINT),
+                    CAST(round(0.2 * (CAST(round(0.3 * i.yq + (1.0 - 0.3) * (r.l + r.b)) AS BIGINT) - r.l)
+                         + (1.0 - 0.2) * r.b) AS BIGINT)
+             FROM r JOIN idx i ON i.t = r.t + 1)
+           SELECT * FROM r)
+         SELECT i.day, round(i.yq / 1e6, 6) AS y,
+                round(cur.l / 1e6, 6) AS level,
+                round(cur.b / 1e6, 6) AS trend,
+                round((prev.l + prev.b) / 1e6, 6) AS fitted
+         FROM rec cur JOIN rec prev ON prev.t = cur.t - 1
+         JOIN idx i ON i.t = cur.t
+         WHERE cur.t >= 2 ORDER BY i.day""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

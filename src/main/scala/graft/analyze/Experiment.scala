@@ -458,4 +458,58 @@ object Experiment {
           signum(col("diff")) =!= signum(col("pd")), 1L).otherwise(0L)).as("n_reversed"))
       .withColumn("paradox", col("n_reversed") > col("n_agree"))
   }
+
+  /** Mantel-Haenszel stratified 2×2 association (Mantel & Haenszel
+    * 1959): the common odds ratio of exposure (md5 arm) vs outcome
+    * ACROSS day strata, plus the Cochran-Mantel-Haenszel chi-square —
+    * the confounding-robust upgrade of the pooled 2×2 (and the formal
+    * companion of the Simpson's-paradox audit above: when the strata
+    * disagree with the pool, THIS is the number to report).
+    *
+    * `OR_MH = Σ(a_k·d_k/n_k) / Σ(b_k·c_k/n_k)`;
+    * `CMH = (Σa_k − ΣE_k)² / ΣV_k` with `E = r1·c1/n`,
+    * `V = r1·r2·c1·c2/(n²(n−1))` (no continuity correction,
+    * documented). Every per-stratum rational is pinned ONCE to an
+    * 8-dp long over exact integer cells, so the stratum sums are
+    * order-invariant and engine-stable.
+    *
+    * Scale shape: one corpus aggregate to the (stratum × 2×2) frame
+    * (strata-bounded), then strata-bounded arithmetic. Degenerate
+    * strata (n ≤ 1) contribute zero to every sum. */
+  def mantelHaenszel(events: DataFrame, userCol: String,
+                     outcome: Column, tsCol: String): DataFrame = {
+    val exposed = Sharding.hash32(col(userCol)) % 2 === 0
+    val cells = events.groupBy(to_date(col(tsCol)).as("__day"))
+      .agg(
+        sum(when(exposed && outcome, 1L).otherwise(0L)).as("a"),
+        sum(when(exposed && !outcome, 1L).otherwise(0L)).as("b"),
+        sum(when(!exposed && outcome, 1L).otherwise(0L)).as("c"),
+        sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    def pin8(x: Column): Column = round(x * lit(1e8)).cast("long")
+    val terms = cells.select(
+      col("a"),
+      when(n > 1, pin8(col("a").cast("double") * col("d") / n))
+        .otherwise(0L).as("ad8"),
+      when(n > 1, pin8(col("b").cast("double") * col("c") / n))
+        .otherwise(0L).as("bc8"),
+      when(n > 1, pin8((col("a") + col("b")).cast("double") *
+        (col("a") + col("c")) / n)).otherwise(0L).as("e8"),
+      when(n > 1, pin8((col("a") + col("b")).cast("double") *
+        (col("c") + col("d")) * (col("a") + col("c")) * (col("b") + col("d"))
+        / (n * n * (n - 1)))).otherwise(0L).as("v8"),
+      when(n > 1, col("a")).otherwise(0L).as("a_eff"))
+    terms.agg(
+        count(lit(1)).as("n_strata"),
+        sum(col("a_eff")).as("sum_a"),
+        sum(col("ad8")).as("sad"), sum(col("bc8")).as("sbc"),
+        sum(col("e8")).as("se"), sum(col("v8")).as("sv"))
+      .select(col("n_strata"), col("sum_a"),
+        round(when(col("sbc") > 0,
+          col("sad").cast("double") / col("sbc")), 6).as("or_mh"),
+        round(when(col("sv") > 0, {
+          val diff = col("sum_a").cast("double") - col("se").cast("double") / 1e8
+          diff * diff / (col("sv").cast("double") / 1e8)
+        }), 4).as("cmh"))
+  }
 }
