@@ -349,6 +349,38 @@ object SparkEntry {
     "q294_holt" -> ((s, dir) =>
       graft.analyze.Trend.holtLinear(Tables.events(s, dir), "ts", "value",
         0.3, 0.2)),
+    // ---- entity-resolution capstone: q134's sorted-neighborhood + JW
+    //      candidate pairs fed through connected components into linked
+    //      clusters with clean/dirty composition — blocking, comparison,
+    //      clustering in one pipeline
+    "q295_er_clusters" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val rec = substring(lower(trim(col("text"))), 1, 40)
+      val clean = d.select(col("doc_id").cast("long").as("rid"), rec.as("name"))
+      val dirty = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select((col("doc_id") + 10000000L).as("rid"),
+          concat(substring(rec, 1, 24), substring(rec, 26, 1),
+            substring(rec, 25, 1), substring(rec, 27, 40)).as("name"))
+      val pairs = graft.dedup.SortedNeighborhood.jaroWinklerPairs(
+        clean.unionAll(dirty), "rid", col("name"), col("name"),
+        window = 4, minSim = 0.92)
+      graft.dedup.ConnectedComponents.components(pairs, "id_a", "id_b")
+        .groupBy(col("component").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("id") < 10000000L, 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("id") >= 10000000L, 1L).otherwise(0L)).as("n_dirty"))
+        .orderBy(col("cluster"))
+    }),
+    // ---- Page's trend test across day blocks: does per-type volume rise
+    //      in the pinned treatment order — the directional Friedman
+    "q296_page_trend" -> ((s, dir) =>
+      graft.analyze.RankStats.pageTrend(Tables.events(s, dir),
+        to_date(col("ts")), col("event_type"))),
+    // ---- Nelson-Aalen cumulative hazard with Breslow survival: the
+    //      additive life table next to q160's KM product
+    "q297_nelson_aalen" -> ((s, dir) =>
+      graft.analyze.Survival.nelsonAalen(Tables.events(s, dir), "user_id",
+        "ts", col("event_type") === "purchase")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3902,6 +3934,87 @@ object SparkEntry {
          FROM rec cur JOIN rec prev ON prev.t = cur.t - 1
          JOIN idx i ON i.t = cur.t
          WHERE cur.t >= 2 ORDER BY i.day""",
+    "q295_er_clusters" ->
+      """WITH base AS (
+           SELECT doc_id, substr(lower(trim(text)), 1, 40) AS rec
+           FROM documents),
+         roster AS (
+           SELECT doc_id::BIGINT AS rid, rec AS name FROM base
+           UNION ALL
+           SELECT doc_id + 10000000,
+             substr(rec, 1, 24) || substr(rec, 26, 1) || substr(rec, 25, 1)
+               || substr(rec, 27, 40)
+           FROM base WHERE doc_id % 2 = 0),
+         keyed AS (
+           SELECT rid, name,
+             row_number() OVER (ORDER BY name, rid) AS rn
+           FROM roster),
+         pairs AS (
+           SELECT a.rid AS ra, b.rid AS rb,
+             jaro_winkler_similarity(a.name, b.name) AS sim
+           FROM keyed a JOIN keyed b
+             ON b.rn > a.rn AND b.rn <= a.rn + 4),
+         p AS (SELECT DISTINCT least(ra, rb) AS a, greatest(ra, rb) AS b
+               FROM pairs WHERE sim >= 0.92),
+         sym AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+         nodes AS (SELECT DISTINCT x AS id FROM sym),
+         comp AS (
+           WITH RECURSIVE reach(id, lbl) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT sym.y, reach.lbl FROM reach JOIN sym ON sym.x = reach.id)
+           SELECT id, min(lbl) AS cluster FROM reach GROUP BY 1)
+         SELECT cluster, count(*) AS n_members,
+                CAST(sum(CASE WHEN id < 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+                CAST(sum(CASE WHEN id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty
+         FROM comp GROUP BY 1 ORDER BY 1""",
+    "q296_page_trend" ->
+      """WITH cr AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,
+                  count(*) AS v FROM events GROUP BY 1, 2),
+         tr AS (SELECT t, CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS j
+                FROM (SELECT DISTINCT t FROM cr)),
+         grid AS (SELECT b, j, t FROM (SELECT DISTINCT b FROM cr) CROSS JOIN tr),
+         cells AS (SELECT grid.b, grid.j, COALESCE(cr.v, 0) AS v
+                   FROM grid LEFT JOIN cr ON grid.b = cr.b AND grid.t = cr.t),
+         bybv AS (SELECT b, v, count(*) AS ct FROM cells GROUP BY 1, 2),
+         r AS (SELECT b, v,
+                 2 * COALESCE(sum(ct) OVER (PARTITION BY b ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + ct + 1 AS r2
+               FROM bybv),
+         rc AS (SELECT cells.b, cells.j, r.r2
+                FROM cells JOIN r ON cells.b = r.b AND cells.v = r.v),
+         agg AS (SELECT count(DISTINCT b) AS n, count(DISTINCT j) AS k,
+                        sum(CAST(j AS HUGEINT) * r2) AS l2 FROM rc)
+         SELECT n AS n_blocks, k,
+                round(CAST(l2 AS DOUBLE) / 2, 1) AS l,
+                round(CASE WHEN CAST(n AS DOUBLE) * k * k * (k + 1) * (k + 1) * (k - 1) / 144 > 0
+                  THEN (CAST(l2 AS DOUBLE) / 2 -
+                        CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4) /
+                       sqrt(CAST(n AS DOUBLE) * k * k * (k + 1) * (k + 1) * (k - 1) / 144)
+                  END, 4) AS z
+         FROM agg""",
+    "q297_nelson_aalen" ->
+      """WITH u AS (SELECT user_id, min(ts) AS t0,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+                max(ts) AS tl
+              FROM events GROUP BY 1),
+         dd AS (SELECT CASE WHEN tp IS NOT NULL THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                            ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE)) END AS dur,
+                       CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS death
+                FROM u),
+         g AS (SELECT dur AS t, count(*) AS m, CAST(sum(death) AS BIGINT) AS d FROM dd GROUP BY 1),
+         r AS (SELECT t, d, CAST(sum(m) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM g),
+         dl AS (SELECT t, d, n_risk,
+                  CAST(round(CAST(d AS DOUBLE) / n_risk * 1e9) AS BIGINT) AS h9
+                FROM r WHERE d > 0),
+         c AS (SELECT t, d, n_risk,
+                 CAST(sum(h9) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ch9
+               FROM dl)
+         SELECT t, d, n_risk, round(ch9 / 1e9, 6) AS cum_haz,
+                round(exp(-(ch9 / 1e9)), 6) AS na_surv
+         FROM c ORDER BY t""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

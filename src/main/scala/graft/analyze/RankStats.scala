@@ -238,6 +238,51 @@ object RankStats {
       }, 4).as("q"))
   }
 
+  /** Page's trend test for ORDERED alternatives across blocks — the
+    * directional upgrade of [[friedman]]: where Friedman asks "does any
+    * treatment differ", Page's L asks "do the treatments trend in the
+    * PREDICTED order" (here the pinned lexicographic treatment order —
+    * callers with a substantive ordering relabel accordingly), with far
+    * more power against monotone alternatives.
+    *
+    * `L = Σ_j j·R_j` over within-block average ranks (same exact
+    * doubled-rank grid as Friedman — absent cells are true zeros, ties
+    * averaged); `z = (L − nk(k+1)²/4) / √(nk²(k+1)²(k−1)/144)`, the
+    * no-tie normal approximation (documented — ties only shrink the
+    * true variance). One row: `(n_blocks, k, l, z)` with L at 1 dp
+    * (exact half-integers) and z at 4 dp. */
+  def pageTrend(df: DataFrame, blockCol: Column,
+                treatmentCol: Column): DataFrame = {
+    val cellsRaw = df.groupBy(blockCol.as("b"), treatmentCol.as("t"))
+      .agg(count(lit(1)).as("v"))
+    val blocks = cellsRaw.select(col("b")).distinct()
+    val treatments = cellsRaw.select(col("t")).distinct()
+      .withColumn("j", row_number().over(Window.orderBy(col("t"))))
+    val grid = blocks.crossJoin(broadcast(treatments))
+    val cells = grid.join(cellsRaw, Seq("b", "t"), "left")
+      .select(col("b"), col("j"), coalesce(col("v"), lit(0L)).as("v"))
+    val byBV = cells.groupBy(col("b"), col("v")).agg(count(lit(1)).as("ct"))
+    val w = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, -1)
+    val ranked = byBV.withColumn("r2",
+      lit(2) * coalesce(sum(col("ct")).over(w), lit(0L)) + col("ct") + 1)
+    val rcells = cells.join(ranked.select(col("b"), col("v"), col("r2")),
+      Seq("b", "v"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    rcells.agg(
+        countDistinct(col("b")).as("n"),
+        countDistinct(col("j")).as("k"),
+        sum(d19(col("j")) * d19(col("r2"))).as("l2"))
+      .select(col("n").as("n_blocks"), col("k"),
+        round(col("l2").cast("double") / 2, 1).as("l"),
+        round({
+          val n = col("n").cast("double"); val k = col("k").cast("double")
+          val e = n * k * (k + 1) * (k + 1) / 4
+          val v = n * k * k * (k + 1) * (k + 1) * (k - 1) / 144
+          when(v > 0, (col("l2").cast("double") / 2 - e) / sqrt(v))
+        }, 4).as("z"))
+  }
+
   /** Goodman-Kruskal gamma + Somers' D between two DAILY metrics of the
     * same stream (default framing: does volume move with value-per-
     * event?): γ = (C−D)/(C+D) ignores ties entirely (the ordinal

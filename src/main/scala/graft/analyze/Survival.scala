@@ -112,4 +112,40 @@ object Survival {
         round(aggregate(col("__fs"), lit(1.0), (a, x) => a * x), 6).as("surv"))
       .orderBy(col("t"))
   }
+
+  /** Nelson-Aalen cumulative-hazard life table — [[kaplanMeier]]'s
+    * additive sibling (`Ĥ(t) = Σ_{t'≤t} d/n_risk`, with the Breslow
+    * survival `exp(−Ĥ)`): better small-sample behavior for the hazard
+    * itself, and the quantity hazard-ratio models calibrate against.
+    * Same per-user time-to-first-event fold and censoring convention as
+    * [[kaplanMeier]]; each per-time increment `d/n_risk` is pinned once
+    * to a 9-dp long, so the cumulative sum is exact integer arithmetic.
+    * Per death time: `(t, d, n_risk, cum_haz, na_surv)` (6 dp),
+    * ordered by t. Scale: one user-keyed corpus aggregate; the life
+    * table is study-span-bounded. */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String,
+                  deathFilter: Column): DataFrame = {
+    val u = events.groupBy(col(userCol))
+      .agg(
+        min(col(tsCol)).as("t0"),
+        min(when(deathFilter, col(tsCol))).as("tp"),
+        max(col(tsCol)).as("tl"))
+    val durs = u.select(
+      when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+        .otherwise(datediff(col("tl"), col("t0"))).cast("long").as("dur"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("death"))
+    val g = durs.groupBy(col("dur").as("t"))
+      .agg(count(lit(1)).as("m"), sum(col("death")).as("d"))
+    val wDesc = Window.orderBy(col("t").desc).rowsBetween(Long.MinValue, 0)
+    val r = g.withColumn("n_risk", sum(col("m")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("__h9",
+        round(col("d").cast("double") / col("n_risk") * lit(1e9)).cast("long"))
+    val wAsc = Window.orderBy(col("t")).rowsBetween(Long.MinValue, 0)
+    r.withColumn("__ch9", sum(col("__h9")).over(wAsc))
+      .select(col("t"), col("d"), col("n_risk"),
+        round(col("__ch9").cast("double") / 1e9, 6).as("cum_haz"),
+        round(exp(-col("__ch9").cast("double") / 1e9), 6).as("na_surv"))
+      .orderBy(col("t"))
+  }
 }

@@ -1,7 +1,6 @@
 package graft.analyze
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal train/test split — the leakage-safe counterpart of the hash
@@ -18,16 +17,21 @@ import org.apache.spark.sql.functions._
 object TemporalSplit {
 
   /** The input plus a `split` column (`train`/`test`): first
-    * `trainFraction` of rows by `(tsCol, tieCol)` rank train. */
+    * `trainFraction` of rows by `(tsCol, tieCol)` rank train.
+    *
+    * The rank comes from [[graft.operators.Positional.withRowIndex]] —
+    * range-partitioned sort + per-partition offsets — NOT a global
+    * `row_number` window, which would collapse the corpus onto one task
+    * (the W1 hazard Positional exists to avoid). */
   def byTime(df: DataFrame, tsCol: String, tieCol: String,
              trainFraction: Double): DataFrame = {
     require(trainFraction > 0 && trainFraction < 1,
       s"trainFraction out of (0,1): $trainFraction")
-    val w = Window.orderBy(col(tsCol), col(tieCol))
-    val n = df.count()
+    val (indexed, n) = graft.operators.Positional
+      .withRowIndexCounted(df, Seq(col(tsCol), col(tieCol)), "__rn")
     val cut = math.floor(n * trainFraction).toLong
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("split", when(col("__rn") <= cut, "train").otherwise("test"))
+    indexed
+      .withColumn("split", when(col("__rn") < cut, "train").otherwise("test"))
       .drop("__rn")
   }
 

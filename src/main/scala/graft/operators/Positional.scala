@@ -38,7 +38,14 @@ object Positional {
     * Position-in-partition derives from `monotonically_increasing_id`'s
     * documented layout (partition id << 33 | consecutive in-partition
     * counter), pinned by EntrySpec's contiguity property. */
-  def withRowIndex(df: DataFrame, order: Seq[Column], idxName: String = "row_idx"): DataFrame = {
+  def withRowIndex(df: DataFrame, order: Seq[Column], idxName: String = "row_idx"): DataFrame =
+    withRowIndexCounted(df, order, idxName)._1
+
+  /** [[withRowIndex]] plus the TOTAL row count — free from the same
+    * per-partition counts job, so callers needing both (rank cuts,
+    * fraction boundaries) never pay a separate `count()` pass. */
+  def withRowIndexCounted(df: DataFrame, order: Seq[Column],
+                          idxName: String = "row_idx"): (DataFrame, Long) = {
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.groupBy(spark_partition_id().as("__pid"))
@@ -51,11 +58,11 @@ object Positional {
     // empty input: no partitions produced rows — element_at never
     // evaluates, but typedLit of an empty map still needs a type
     if (offsets.isEmpty)
-      return sorted.withColumn(idxName, lit(0L)).limit(0)
-    sorted.withColumn(idxName,
+      return (sorted.withColumn(idxName, lit(0L)).limit(0), 0L)
+    (sorted.withColumn(idxName,
       element_at(typedLit(offsets), spark_partition_id()) +
         (monotonically_increasing_id() -
-          (spark_partition_id().cast(LongType) * lit(1L << 33))))
+          (spark_partition_id().cast(LongType) * lit(1L << 33)))), acc)
   }
 
   /** W2: count-based tumbling window id — `windowId = rowIdx / size`
