@@ -381,6 +381,29 @@ object SparkEntry {
     "q297_nelson_aalen" -> ((s, dir) =>
       graft.analyze.Survival.nelsonAalen(Tables.events(s, dir), "user_id",
         "ts", col("event_type") === "purchase")),
+    // ---- Cochran's Q across event types over user blocks: the binary
+    //      repeated-measures omnibus (q284's 0/1 specialization)
+    "q298_cochran_q" -> ((s, dir) =>
+      graft.analyze.Contingency.cochranQ(Tables.events(s, dir),
+        col("user_id"), col("event_type"))),
+    // ---- McNemar marginal-change test: per-user purchase yes/no in the
+    //      first vs second half of the window, discordant-pair chi-square
+    "q299_mcnemar" -> ((s, dir) =>
+      graft.analyze.Contingency.mcnemar(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type") === "purchase")),
+    // ---- Wald-Wolfowitz runs test on daily up/down signs: direction
+    //      randomness, the streak/alternation alarm beside q169's ACF
+    "q300_runs_test" -> ((s, dir) =>
+      graft.analyze.Trend.runsTest(Tables.events(s, dir), "ts", "value")),
+    // ---- Grubbs extreme-studentized-deviate on event values: is THE
+    //      most extreme value an outlier (q104 flags many, this tests one)
+    "q301_grubbs" -> ((s, dir) =>
+      graft.analyze.Outliers.grubbs(Tables.events(s, dir), "value")),
+    // ---- Cronbach's alpha of the k event-type counts as a per-user
+    //      scale: internal-consistency reliability, gridless variances
+    "q302_cronbach" -> ((s, dir) =>
+      graft.analyze.Experiment.cronbachAlpha(Tables.events(s, dir),
+        col("user_id"), col("event_type"))),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4015,6 +4038,101 @@ object SparkEntry {
          SELECT t, d, n_risk, round(ch9 / 1e9, 6) AS cum_haz,
                 round(exp(-(ch9 / 1e9)), 6) AS na_surv
          FROM c ORDER BY t""",
+    "q298_cochran_q" ->
+      """WITH inc AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+         ct AS (SELECT CAST(sum(cj) AS HUGEINT) AS n,
+                       sum(CAST(cj AS HUGEINT) * cj) AS scj2
+                FROM (SELECT t, count(*) AS cj FROM inc GROUP BY 1)),
+         rt AS (SELECT count(*) AS n_users,
+                       sum(CAST(ri AS HUGEINT) * ri) AS sri2
+                FROM (SELECT u, count(*) AS ri FROM inc GROUP BY 1)),
+         kk AS (SELECT count(DISTINCT t) AS k FROM inc)
+         SELECT n_users, k,
+                round(CASE WHEN k * CAST(n AS DOUBLE) - CAST(sri2 AS DOUBLE) > 0
+                  THEN (k - 1) * (k * CAST(scj2 AS DOUBLE) -
+                         CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+                       (k * CAST(n AS DOUBLE) - CAST(sri2 AS DOUBLE)) END, 4) AS q
+         FROM rt CROSS JOIN ct CROSS JOIN kk""",
+    "q299_mcnemar" ->
+      """WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0,
+                  max(CAST(ts AS DATE)) AS d1 FROM events),
+         per AS (SELECT user_id AS u,
+                  max(CASE WHEN CAST(ts AS DATE) <= d0 +
+                        CAST(floor(date_diff('day', d0, d1) / 2) AS INT)
+                        AND event_type = 'purchase' THEN 1 ELSE 0 END) AS p1,
+                  max(CASE WHEN CAST(ts AS DATE) > d0 +
+                        CAST(floor(date_diff('day', d0, d1) / 2) AS INT)
+                        AND event_type = 'purchase' THEN 1 ELSE 0 END) AS p2
+                FROM events CROSS JOIN span GROUP BY 1)
+         SELECT count(*) AS n_units,
+                CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                round(CASE WHEN sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) > 0
+                  THEN CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) -
+                            sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) *
+                       CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) -
+                            sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                       CAST(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) AS DOUBLE) END, 4) AS chi2
+         FROM per""",
+    "q300_runs_test" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+                FROM events GROUP BY 1),
+         ds AS (SELECT day, yq - lag(yq) OVER (ORDER BY day) AS d FROM daily),
+         f AS (SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+               FROM ds WHERE d IS NOT NULL AND d <> 0),
+         r AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                     OR lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS chg
+               FROM f),
+         agg AS (SELECT
+                  CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                  CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+                  CAST(sum(chg) AS BIGINT) AS runs
+                 FROM r)
+         SELECT n_pos, n_neg, runs,
+                round(CASE WHEN (2.0 * n_pos * n_neg / (CAST(n_pos AS DOUBLE) + n_neg) + 1 - 1) *
+                        (2.0 * n_pos * n_neg / (CAST(n_pos AS DOUBLE) + n_neg) + 1 - 2) /
+                        (CAST(n_pos AS DOUBLE) + n_neg - 1) > 0
+                  THEN (CAST(runs AS DOUBLE) -
+                        (2.0 * n_pos * n_neg / (CAST(n_pos AS DOUBLE) + n_neg) + 1)) /
+                       sqrt((2.0 * n_pos * n_neg / (CAST(n_pos AS DOUBLE) + n_neg) + 1 - 1) *
+                            (2.0 * n_pos * n_neg / (CAST(n_pos AS DOUBLE) + n_neg) + 1 - 2) /
+                            (CAST(n_pos AS DOUBLE) + n_neg - 1)) END, 4) AS z
+         FROM agg""",
+    "q301_grubbs" ->
+      """WITH a AS (SELECT count(*) AS n,
+                  CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mn,
+                  CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mx,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(value AS DECIMAL(18,6)) *
+                           CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+                FROM events)
+         SELECT n, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+                round(CASE WHEN n > 1 AND
+                    (sxx - sx * sx / n) / (n - 1) > 0
+                  THEN greatest(mx - sx / n, sx / n - mn) /
+                       sqrt((sxx - sx * sx / n) / (n - 1)) END, 4) AS g
+         FROM a""",
+    "q302_cronbach" ->
+      """WITH cells AS (SELECT user_id AS u, event_type AS t, count(*) AS x
+                FROM events GROUP BY 1, 2),
+         nu AS (SELECT count(DISTINCT u) AS n FROM cells),
+         kk AS (SELECT count(DISTINCT t) AS k FROM cells),
+         items AS (SELECT CAST((SELECT n FROM nu) AS HUGEINT) *
+                     sum(CAST(x AS HUGEINT) * x) -
+                     sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)) AS vj
+                   FROM cells GROUP BY t),
+         si AS (SELECT sum(vj) AS svj FROM items),
+         tot AS (SELECT CAST((SELECT n FROM nu) AS HUGEINT) *
+                   sum(CAST(ti AS HUGEINT) * ti) -
+                   sum(CAST(ti AS HUGEINT)) * sum(CAST(ti AS HUGEINT)) AS vt
+                 FROM (SELECT u, CAST(sum(x) AS BIGINT) AS ti
+                       FROM cells GROUP BY 1))
+         SELECT n AS n_users, k,
+                round(CASE WHEN vt > 0 AND k > 1
+                  THEN k / (k - 1.0) *
+                       (1.0 - CAST(svj AS DOUBLE) / CAST(vt AS DOUBLE)) END, 4) AS alpha
+         FROM nu CROSS JOIN kk CROSS JOIN si CROSS JOIN tot""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -316,4 +316,73 @@ object Contingency {
           .as("f1"))
       .orderBy(col("threshold"))
   }
+
+  /** Cochran's Q — the k-treatment binary repeated-measures test (the
+    * binary specialization of [[RankStats.friedman]], and McNemar's
+    * k-arm generalization): across user blocks, does the probability of
+    * "did treatment j at least once" differ by treatment?
+    * `Q = (k−1)(k·ΣC_j² − N²) / (k·N − ΣR_i²)` over the 0/1 incidence
+    * matrix — EVERY term an exact integer off two bounded aggregates
+    * (column totals per treatment, row totals per user), one division
+    * at the end. One row: `(n_users, k, q)` at 4 dp.
+    *
+    * Scale shape: one (user, treatment)-keyed dedup aggregate folds the
+    * corpus; column totals are treatment-bounded, the row-total moment
+    * is a user-keyed aggregate — no grid is ever built (absent cells
+    * are zeros that no Q term needs materialized). */
+  def cochranQ(df: DataFrame, unitCol: Column, treatmentCol: Column): DataFrame = {
+    val inc = df.select(unitCol.as("u"), treatmentCol.as("t")).distinct()
+    val k = inc.select(col("t")).distinct().count()
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val colTot = inc.groupBy(col("t")).agg(count(lit(1)).as("cj"))
+      .agg(sum(d(col("cj"))).as("n"), sum(d(col("cj")) * d(col("cj"))).as("scj2"))
+    val rowTot = inc.groupBy(col("u")).agg(count(lit(1)).as("ri"))
+      .agg(count(lit(1)).as("n_users"), sum(d(col("ri")) * d(col("ri")))
+        .as("sri2"))
+    rowTot.crossJoin(broadcast(colTot))
+      .select(col("n_users"), lit(k).as("k"),
+        round({
+          val kk = lit(k.toDouble)
+          val num = (kk - 1) * (kk * col("scj2").cast("double") -
+            col("n").cast("double") * col("n").cast("double"))
+          val den = kk * col("n").cast("double") - col("sri2").cast("double")
+          when(den > 0, num / den)
+        }, 4).as("q"))
+  }
+
+  /** McNemar's test of marginal change on paired binaries — did the
+    * per-user outcome rate CHANGE between the first and second half of
+    * the study window (the before/after question a two-sample test gets
+    * wrong by ignoring the pairing): discordant counts
+    * `b` (yes→no), `c` (no→yes), `χ² = (b−c)²/(b+c)` (no continuity
+    * correction, documented). The midpoint day is the integer-exact
+    * `min_day + (max_day − min_day) div 2` — engine-identical. One row:
+    * `(n_units, b, c, chi2)` at 4 dp.
+    *
+    * Scale shape: one 2-row min/max broadcast, one user-keyed corpus
+    * aggregate, a 1-row rollup. */
+  def mcnemar(df: DataFrame, unitCol: Column, tsCol: Column,
+              outcome: Column): DataFrame = {
+    val span = df.agg(min(to_date(tsCol)).as("d0"), max(to_date(tsCol)).as("d1"))
+    val mid = df.crossJoin(broadcast(span))
+      .select(unitCol.as("u"),
+        (to_date(tsCol) <= date_add(col("d0"),
+          // floor first: an int CAST of the double quotient truncates in
+          // Spark but ROUNDS in DuckDB — floor() is the engine-identical
+          // form
+          floor(datediff(col("d1"), col("d0")) / 2).cast("int"))).as("h1"),
+        outcome.as("o"))
+    val per = mid.groupBy(col("u"))
+      .agg(max(when(col("h1") && col("o"), 1L).otherwise(0L)).as("p1"),
+        max(when(!col("h1") && col("o"), 1L).otherwise(0L)).as("p2"))
+    per.agg(
+        count(lit(1)).as("n_units"),
+        sum(when(col("p1") === 1 && col("p2") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("p1") === 0 && col("p2") === 1, 1L).otherwise(0L)).as("c"))
+      .select(col("n_units"), col("b"), col("c"),
+        round(when(col("b") + col("c") > 0,
+          (col("b") - col("c")).cast("double") *
+            (col("b") - col("c")).cast("double") /
+            (col("b") + col("c")).cast("double")), 4).as("chi2"))
+  }
 }

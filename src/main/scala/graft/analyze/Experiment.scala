@@ -459,6 +459,45 @@ object Experiment {
       .withColumn("paradox", col("n_reversed") > col("n_agree"))
   }
 
+  /** Cronbach's alpha — internal-consistency reliability of the k-item
+    * "scale" formed by per-user per-treatment counts (do the items move
+    * together across users?): `α = k/(k−1)·(1 − Σσ_j²/σ_T²)` with
+    * POPULATION variances (divide-by-n, documented — the convention
+    * cancels in the ratio anyway). Per-item variances fold absent cells
+    * as exact zeros WITHOUT a grid (`Σx²` over present cells, mean over
+    * all users); the row-total variance comes from the same per-user
+    * fold. One row: `(n_users, k, alpha)` at 4 dp.
+    *
+    * Scale shape: one (user, item)-keyed corpus aggregate, an item-
+    * bounded moment aggregate, a user-keyed total fold. */
+  def cronbachAlpha(df: DataFrame, unitCol: Column,
+                    itemCol: Column): DataFrame = {
+    val cells = df.groupBy(unitCol.as("u"), itemCol.as("t"))
+      .agg(count(lit(1)).as("x"))
+    val nUsers = cells.select(col("u")).distinct().count()
+    val k = cells.select(col("t")).distinct().count()
+    def d(c: Column) = c.cast("decimal(38,0)")
+    // per-item population variance ×n²: n·Σx² − (Σx)² — exact integers
+    val items = cells.groupBy(col("t"))
+      .agg(sum(d(col("x"))).as("sx"), sum(d(col("x")) * d(col("x"))).as("sxx"))
+      .select((lit(nUsers).cast("decimal(38,0)") * col("sxx") -
+        col("sx") * col("sx")).as("vj_n2"))
+      .agg(sum(col("vj_n2")).as("svj_n2"))
+    val totals = cells.groupBy(col("u")).agg(sum(col("x")).as("ti"))
+      .agg(sum(d(col("ti"))).as("st"), sum(d(col("ti")) * d(col("ti")))
+        .as("stt"))
+      .select((lit(nUsers).cast("decimal(38,0)") * col("stt") -
+        col("st") * col("st")).as("vt_n2"))
+    totals.crossJoin(broadcast(items))
+      .select(lit(nUsers).as("n_users"), lit(k).as("k"),
+        round({
+          val kk = lit(k.toDouble)
+          when(col("vt_n2") > 0 && lit(k) > 1,
+            kk / (kk - 1) * (lit(1.0) -
+              col("svj_n2").cast("double") / col("vt_n2").cast("double")))
+        }, 4).as("alpha"))
+  }
+
   /** Mantel-Haenszel stratified 2×2 association (Mantel & Haenszel
     * 1959): the common odds ratio of exposure (md5 arm) vs outcome
     * ACROSS day strata, plus the Cochran-Mantel-Haenszel chi-square —

@@ -47,4 +47,31 @@ object Outliers {
         coalesce((abs(col("__z")) > flagAt).cast("long"), lit(0L)))
       .drop("__n", "__sx", "__sxx", "__var", "__z", "__g")
   }
+
+  /** Grubbs' extreme-studentized-deviate statistic — the formal "is the
+    * single most extreme value an outlier" test ([[zscores]] flags many,
+    * Grubbs tests THE max): `G = max(x̄ − min, max − x̄)/s` with the same
+    * exact-DECIMAL moments and the two-pass sample variance. One row:
+    * `(n, vmin, vmax, g)` — g at 4 dp, extremes at 6 dp. One aggregate,
+    * no shuffle beyond it. */
+  def grubbs(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(18,6)")
+    df.agg(
+        count(lit(1)).as("n"),
+        min(x).cast("double").as("__mn"),
+        max(x).cast("double").as("__mx"),
+        sum(x).cast("double").as("__sx"),
+        sum(x * x).cast("double").as("__sxx"))
+      .select(col("n"),
+        round(col("__mn"), 6).as("vmin"),
+        round(col("__mx"), 6).as("vmax"),
+        round({
+          val n = col("n").cast("double")
+          val mean = col("__sx") / n
+          val v = when(col("n") > 1,
+            (col("__sxx") - col("__sx") * col("__sx") / n) / (n - 1))
+          when(v > 0,
+            greatest(col("__mx") - mean, mean - col("__mn")) / sqrt(v))
+        }, 4).as("g"))
+  }
 }

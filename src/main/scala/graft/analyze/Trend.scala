@@ -458,6 +458,42 @@ object Trend {
       .orderBy(col("day"))
   }
 
+  /** Wald-Wolfowitz runs test on the SIGNS of day-over-day changes of
+    * the daily total — "is the series' direction random, or does it
+    * streak/alternate": too few runs = momentum, too many = mean
+    * reversion; the distribution-free cousin of [[lagAutocorr]] (which
+    * measures magnitude, not direction). Zero diffs drop (standard).
+    * `z = (R − E)/√V` with `E = 2·n₊·n₋/n + 1`,
+    * `V = (E−1)(E−2)/(n−1)`. One row: `(n_pos, n_neg, runs, z)` at 4 dp.
+    *
+    * Scale shape: corpus folds to days; sign/lag/run windows all run on
+    * the days-bounded frame (the [[ljungBox]] bound). */
+  def runsTest(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val w = Window.orderBy(col("day"))
+    val signs = daily
+      .withColumn("__d", col("yq") - lag(col("yq"), 1).over(w))
+      .where(col("__d").isNotNull && col("__d") =!= 0)
+      .select(col("day"), signum(col("__d")).cast("int").as("s"))
+    val runs = signs
+      .withColumn("__chg",
+        when(lag(col("s"), 1).over(w).isNull ||
+          lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+    runs.agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).as("n_neg"),
+        sum(col("__chg")).as("runs"))
+      .select(col("n_pos"), col("n_neg"), col("runs"),
+        round({
+          val np = col("n_pos").cast("double"); val nn = col("n_neg").cast("double")
+          val n = np + nn
+          val e = lit(2.0) * np * nn / n + 1
+          val v = (e - 1) * (e - 2) / (n - 1)
+          when(v > 0, (col("runs").cast("double") - e) / sqrt(v))
+        }, 4).as("z"))
+  }
+
   /** Holt double-exponential smoothing (level + trend) of the daily
     * total series — the adaptive-forecast sibling of the global OLS
     * family (q167/q277): `l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1})`,
