@@ -404,6 +404,18 @@ object SparkEntry {
     "q302_cronbach" -> ((s, dir) =>
       graft.analyze.Experiment.cronbachAlpha(Tables.events(s, dir),
         col("user_id"), col("event_type"))),
+    // ---- duplicate-mass threshold sweep: pair/doc survival per Jaccard
+    //      τ from ONE pair join at the loosest point — the dedup-
+    //      aggressiveness curve read before committing a threshold
+    "q303_dup_threshold_sweep" -> ((s, dir) =>
+      graft.dedup.Dedup.jaccardThresholdSweep(Tables.documents(s, dir),
+        "doc_id", "text", 3, Seq(0.6, 0.7, 0.8, 0.9))),
+    // ---- unigram-LM fertility: pieces/word + chars/piece of the q293
+    //      inventory over the corpus — the efficiency readout that picks
+    //      between the two tokenizer families (BPE side: q84)
+    "q304_unigram_fertility" -> ((s, dir) =>
+      graft.text.UnigramLm.fertility(Tables.documents(s, dir), "text",
+        512, 4, 3)),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4133,6 +4145,40 @@ object SparkEntry {
                   THEN k / (k - 1.0) *
                        (1.0 - CAST(svj AS DOUBLE) / CAST(vt AS DOUBLE)) END, 4) AS alpha
          FROM nu CROSS JOIN kk CROSS JOIN si CROSS JOIN tot""",
+    "q303_dup_threshold_sweep" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS j
+           FROM shared
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6),
+         grid AS (SELECT CAST(unnest([0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS tau),
+         hit AS (SELECT tau, id_a, id_b FROM pairs CROSS JOIN grid
+                 WHERE j >= tau),
+         np AS (SELECT tau, count(*) AS n_pairs FROM hit GROUP BY 1),
+         nd AS (SELECT tau, count(*) AS n_docs FROM (
+                  SELECT DISTINCT tau, id FROM (
+                    SELECT tau, id_a AS id FROM hit
+                    UNION ALL SELECT tau, id_b FROM hit))
+                GROUP BY 1)
+         SELECT grid.tau, COALESCE(np.n_pairs, 0) AS n_pairs,
+                COALESCE(nd.n_docs, 0) AS n_docs
+         FROM grid LEFT JOIN np ON grid.tau = np.tau
+         LEFT JOIN nd ON grid.tau = nd.tau
+         ORDER BY grid.tau""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

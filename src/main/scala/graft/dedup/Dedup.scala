@@ -390,6 +390,41 @@ object Dedup {
         coalesce(col("component"), col("rep")).as("component"))
   }
 
+  /** Duplicate-mass THRESHOLD SWEEP — the tuning readout over
+    * [[ngramJaccardPairs]]: how many near-dup pairs (and how many
+    * distinct documents) survive each candidate threshold, from ONE
+    * pair computation at the loosest τ (the LSH-parameter / dedup-
+    * aggressiveness curve an operator reads before committing a τ —
+    * fixing τ first and re-running per value would pay the pair join
+    * once per point). Thresholds compare against the 4-dp ROUNDED
+    * similarity (the pair output's own contract, mirrored by the
+    * oracle). Output per τ: `(tau, n_pairs, n_docs)` ascending.
+    *
+    * Scale shape: the pair machinery's prefix-filtered join at
+    * `taus.min` (keep it ≥ ~0.6 — the prefix filter's selectivity IS
+    * the τ; a very loose floor re-opens the candidate space), then a
+    * |pairs|×|grid| broadcast fan-out and two grid-bounded aggregates. */
+  def jaccardThresholdSweep(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty && taus == taus.sorted, "taus must be ascending")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, taus.min)
+    val grid = broadcast(taus.toDF("tau"))
+    val hit = pairs.crossJoin(grid).where(col("jaccard") >= col("tau"))
+    val nPairs = hit.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hit.select(col("tau"), explode(array(col("id_a"), col("id_b")))
+        .as("id")).distinct()
+      .groupBy(col("tau")).agg(count(lit(1)).as("n_docs"))
+    // grid-anchored left joins: a τ that kills every pair still reports
+    // its zero row (the sweep's whole point is seeing where the curve
+    // dies)
+    grid.join(nPairs, Seq("tau"), "left").join(nDocs, Seq("tau"), "left")
+      .select(col("tau"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("tau"))
+  }
+
   /** [[jaccardComponentsOfSets]] over word n-gram shingle sets — the
     * clustering companion of [[ngramJaccardPairs]]. */
   def ngramJaccardComponents(df: DataFrame, idCol: String, textCol: String,

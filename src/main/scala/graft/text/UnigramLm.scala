@@ -37,8 +37,57 @@ object UnigramLm {
 
   def train(df: DataFrame, textCol: String, vocabSize: Int = 512,
             maxPieceLen: Int = 4, rounds: Int = 3, topK: Int = 50): DataFrame = {
-    require(vocabSize >= 16 && maxPieceLen >= 2 && rounds >= 1 && topK >= 1,
-      s"bad params: $vocabSize, $maxPieceLen, $rounds, $topK")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (words, inv, counts) = fit(df, textCol, vocabSize, maxPieceLen, rounds)
+    words.unpersist(blocking = false)
+    val rows = inv.toSeq
+      .map { case (p, pr) => (p, counts.getOrElse(p, 0L), pr) }
+      .sortBy { case (p, c, _) => (-c, p) }
+      .take(topK)
+    rows.toDF("piece", "count", "prob")
+      .select(col("piece"), col("count"), round(col("prob"), 6).as("prob"))
+  }
+
+  /** Corpus tokenization-efficiency report under the trained inventory —
+    * the unigram-side sibling of the BPE fertility readout (q84): each
+    * DISTINCT word Viterbi-encodes once, stats weight by word count.
+    * One row: `(n_words, total_words, total_pieces, pieces_per_word,
+    * chars_per_piece)` at 4 dp. */
+  def fertility(df: DataFrame, textCol: String, vocabSize: Int = 512,
+                maxPieceLen: Int = 4, rounds: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val (words, inv, _) = fit(df, textCol, vocabSize, maxPieceLen, rounds)
+    val lp = inv.map { case (p, pr) => p -> math.log(pr) }
+    val bc = spark.sparkContext.broadcast(lp)
+    val nPieces = udf((w: String) => viterbiPieces(w, bc.value, maxPieceLen).length)
+    val out = words
+      .select(col("wc"), length(col("w")).cast("long").as("chars"),
+        nPieces(col("w")).cast("long").as("np"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("wc")).as("total_words"),
+        sum(col("wc") * col("np")).as("total_pieces"),
+        sum(col("wc") * col("chars")).as("__chars"))
+      .select(col("n_words"), col("total_words"), col("total_pieces"),
+        round(col("total_pieces").cast("double") /
+          col("total_words"), 4).as("pieces_per_word"),
+        round(when(col("total_pieces") > 0,
+          col("__chars").cast("double") / col("total_pieces")), 4)
+          .as("chars_per_piece"))
+    // lazy unpersist: the frame recomputes cleanly if a later action
+    // re-reads it, and the broadcast stays valid for the UDF
+    words.unpersist(blocking = false)
+    out
+  }
+
+  /** Shared EM core: returns the persisted distinct-word frame, the
+    * final inventory probabilities, and the last E-step counts. */
+  private def fit(df: DataFrame, textCol: String, vocabSize: Int,
+                  maxPieceLen: Int, rounds: Int)
+      : (DataFrame, Map[String, Double], Map[String, Long]) = {
+    require(vocabSize >= 16 && maxPieceLen >= 2 && rounds >= 1,
+      s"bad params: $vocabSize, $maxPieceLen, $rounds")
     val spark = df.sparkSession
     import spark.implicits._
     val words = df
@@ -74,34 +123,8 @@ object UnigramLm {
     for (_ <- 1 to rounds) {
       val logp = inv.map { case (p, pr) => p -> math.log(pr) }
       val bc = spark.sparkContext.broadcast(logp)
-      val viterbi: UserDefinedFunction = udf((w: String) => {
-        val lp = bc.value
-        val n = w.length
-        val best = Array.fill(n + 1)(Double.NegativeInfinity)
-        val back = Array.fill(n + 1)(-1)
-        best(0) = 0.0
-        var i = 1
-        while (i <= n) {
-          var j = math.max(0, i - maxPieceLen)
-          // ties resolve toward the SMALLEST j (longest final piece):
-          // iterate ascending and require strict improvement to replace
-          while (j < i) {
-            val piece = w.substring(j, i)
-            lp.get(piece).foreach { p =>
-              if (best(j) + p > best(i)) { best(i) = best(j) + p; back(i) = j }
-            }
-            j += 1
-          }
-          i += 1
-        }
-        if (back(n) < 0 && n > 0) Seq.empty[String]
-        else {
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var k = n
-          while (k > 0) { out += w.substring(back(k), k); k = back(k) }
-          out.reverse.toSeq
-        }
-      })
+      val viterbi: UserDefinedFunction =
+        udf((w: String) => viterbiPieces(w, bc.value, maxPieceLen))
       val newCounts = words
         .select(explode(viterbi(col("w"))).as("piece"), col("wc"))
         .groupBy(col("piece")).agg(sum(col("wc")).as("c"))
@@ -118,12 +141,38 @@ object UnigramLm {
       inv = mass.map { case (p, m) => p -> m / total }.toMap
       bc.destroy()
     }
-    words.unpersist(blocking = false)
-    val rows = inv.toSeq
-      .map { case (p, pr) => (p, counts.getOrElse(p, 0L), pr) }
-      .sortBy { case (p, c, _) => (-c, p) }
-      .take(topK)
-    rows.toDF("piece", "count", "prob")
-      .select(col("piece"), col("count"), round(col("prob"), 6).as("prob"))
+    (words, inv, counts)
+  }
+
+  /** The Viterbi-best segmentation of one word under piece log-probs:
+    * dp over end positions, ties resolve toward the SMALLEST split
+    * point (longest final piece) via strict-improvement ascending scan.
+    * Returns empty when the word is unsegmentable under the inventory
+    * (cannot happen after [[fit]]'s single-char ε floor). */
+  private def viterbiPieces(w: String, lp: Map[String, Double],
+                            maxPieceLen: Int): Seq[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val piece = w.substring(j, i)
+        lp.get(piece).foreach { p =>
+          if (best(j) + p > best(i)) { best(i) = best(j) + p; back(i) = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (back(n) < 0 && n > 0) Seq.empty[String]
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = n
+      while (k > 0) { out += w.substring(back(k), k); k = back(k) }
+      out.reverse.toSeq
+    }
   }
 }
