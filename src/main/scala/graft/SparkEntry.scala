@@ -416,6 +416,25 @@ object SparkEntry {
     "q304_unigram_fertility" -> ((s, dir) =>
       graft.text.UnigramLm.fertility(Tables.documents(s, dir), "text",
         512, 4, 3)),
+    // ---- diameter double-sweep on the co-purchase graph: BFS from the
+    //      min id, re-BFS from the farthest node — the standard lower
+    //      bound, exact on trees; composes q287's layer engine
+    "q305_diameter_sweep" -> ((s, dir) =>
+      graft.graph.Bfs.doubleSweep(
+        graft.graph.LinkPrediction.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2L), 16)),
+    // ---- ALS implicit-feedback factorization (spark.ml blocked ALS):
+    //      latent item neighbors of the anchor item — the factor-model
+    //      rung above q290's co-occurrence cosine; no_oracle by design
+    //      (seeded, environment-stable; spec pins reproducibility)
+    "q306_als_neighbors" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val ratings = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_custkey").cast("int").as("user"),
+          li("l_partkey").cast("int").as("item"))
+        .agg(count(lit(1)).cast("float").as("rating"))
+      graft.ml.Recommend.alsItemNeighbors(ratings, 8, 5, 0.1, 15)
+    }),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4179,6 +4198,32 @@ object SparkEntry {
          FROM grid LEFT JOIN np ON grid.tau = np.tau
          LEFT JOIN nd ON grid.tau = nd.tau
          ORDER BY grid.tau""",
+    "q305_diameter_sweep" ->
+      """WITH inst AS (SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS ea, b.l_partkey AS eb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         e AS (SELECT ea, eb FROM inst GROUP BY ea, eb HAVING count(*) >= 2),
+         ends AS (SELECT ea AS x, eb AS y FROM e UNION SELECT eb, ea FROM e),
+         src AS (SELECT min(x) AS s FROM ends),
+         d1 AS (
+           WITH RECURSIVE r(id, hop) AS (
+             SELECT s, 0 FROM src
+             UNION
+             SELECT ends.y, r.hop + 1 FROM r JOIN ends ON ends.x = r.id
+             WHERE r.hop < 16)
+           SELECT id, min(hop) AS hop FROM r GROUP BY 1),
+         far AS (SELECT id, hop FROM d1 ORDER BY hop DESC, id LIMIT 1),
+         d2 AS (
+           WITH RECURSIVE r2(id, hop) AS (
+             SELECT id, 0 FROM far
+             UNION
+             SELECT ends.y, r2.hop + 1 FROM r2 JOIN ends ON ends.x = r2.id
+             WHERE r2.hop < 16)
+           SELECT id, min(hop) AS hop FROM r2 GROUP BY 1)
+         SELECT (SELECT s FROM src) AS source,
+                (SELECT hop FROM far) AS ecc_source,
+                (SELECT id FROM far) AS far_node,
+                (SELECT max(hop) FROM d2) AS ecc_far""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

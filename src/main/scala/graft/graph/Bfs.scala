@@ -33,18 +33,67 @@ object Bfs {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b"))
-    val ends = e.select(col("a").as("x"), col("b").as("y"))
-      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ends = symmetricEnds(edges)
     val srcRow = ends.agg(min(col("x"))).collect()(0)
     if (srcRow.isNullAt(0)) {
       ends.unpersist(blocking = false)
       return Seq.empty[(Int, Long)].toDF("hop", "n_nodes")
     }
+    val dist = bfsDist(ends, srcRow.getLong(0), maxHops)
+    val reachedHist = dist.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+    val unreached = ends.select(col("x").as("id")).distinct()
+      .join(dist, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1).as("hop"), col("n_nodes"))
+      .where(col("n_nodes") > 0)
+    reachedHist.unionAll(unreached).orderBy(col("hop"))
+  }
+
+  /** Double-sweep diameter LOWER BOUND (Magnien et al.'s standard
+    * heuristic, exact on trees): BFS from the min-id seed, re-BFS from
+    * the farthest node found (ties to the smallest id — deterministic),
+    * report both eccentricities; the second is the bound. One row:
+    * `(source, ecc_source, far_node, ecc_far)` — each eccentricity
+    * capped at `maxHops` and measured within the seed's component. */
+  def doubleSweep(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ends = symmetricEnds(edges)
+    val srcRow = ends.agg(min(col("x"))).collect()(0)
+    if (srcRow.isNullAt(0)) {
+      ends.unpersist(blocking = false)
+      return Seq.empty[(Long, Int, Long, Int)]
+        .toDF("source", "ecc_source", "far_node", "ecc_far")
+    }
     val source = srcRow.getLong(0)
+    val d1 = bfsDist(ends, source, maxHops)
+    val far1 = d1.orderBy(col("hop").desc, col("id")).limit(1)
+      .collect()(0)
+    val (farNode, ecc1) = (far1.getLong(0), far1.getInt(1))
+    val d2 = bfsDist(ends, farNode, maxHops)
+    val ecc2 = d2.agg(max(col("hop"))).collect()(0).getInt(0)
+    ends.unpersist(blocking = false)
+    Seq((source, ecc1, farNode, ecc2))
+      .toDF("source", "ecc_source", "far_node", "ecc_far")
+  }
+
+  /** Symmetric distinct directed ends of an undirected `(a, b)` edge
+    * list, persisted for the per-round frontier joins. */
+  private def symmetricEnds(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    e.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Frontier-expanding BFS distances `(id, hop)` from `source` over the
+    * persisted symmetric ends. */
+  private def bfsDist(ends: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    val spark = ends.sparkSession
+    import spark.implicits._
     var dist = truncate(Seq((source, 0)).toDF("id", "hop"))
     var frontier = dist
     var hop = 0
@@ -60,13 +109,7 @@ object Bfs {
       dist = truncate(dist.unionAll(fresh))
       frontier = fresh
     }
-    val reachedHist = dist.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
-    val unreached = ends.select(col("x").as("id")).distinct()
-      .join(dist, Seq("id"), "left_anti")
-      .agg(count(lit(1)).as("n_nodes"))
-      .select(lit(-1).as("hop"), col("n_nodes"))
-      .where(col("n_nodes") > 0)
-    reachedHist.unionAll(unreached).orderBy(col("hop"))
+    dist
   }
 
   private def truncate(df: DataFrame): DataFrame =

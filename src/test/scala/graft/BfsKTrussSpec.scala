@@ -33,6 +33,24 @@ class BfsKTrussSpec extends AnyFunSuite {
     assert(r == Seq((0, 1L), (1, 2L), (2, 1L)))
   }
 
+  test("double sweep finds the true diameter of a path graph") {
+    // 1-2-3-4: sweep1 from 1 reaches 4 at ecc 3; sweep2 from 4 → ecc 3
+    val r = Bfs.doubleSweep(edges((1L, 2L), (2L, 3L), (3L, 4L)), 10)
+      .collect().head
+    assert(r.getLong(0) == 1 && r.getInt(1) == 3)
+    assert(r.getLong(2) == 4 && r.getInt(3) == 3)
+  }
+
+  test("double sweep improves on a bad first seed") {
+    // star-with-tail: center 1, leaves 2..4, tail 4-5-6. From 1: far is
+    // 6 at hop 3; from 6 the true eccentricity is 4 (6-5-4-1-2)
+    val r = Bfs.doubleSweep(
+      edges((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L)), 10)
+      .collect().head
+    assert(r.getLong(0) == 1 && r.getInt(1) == 3)
+    assert(r.getLong(2) == 6 && r.getInt(3) == 4)
+  }
+
   test("4-truss keeps K4, peels the pendant edge") {
     // K4 on 1..4 (every edge in 2 triangles) + pendant 4-5
     val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
