@@ -435,6 +435,18 @@ object SparkEntry {
         .agg(count(lit(1)).cast("float").as("rating"))
       graft.ml.Recommend.alsItemNeighbors(ratings, 8, 5, 0.1, 15)
     }),
+    // ---- Weibull shape/scale by median-rank regression over uncensored
+    //      conversion durations: closed-form probability-plot fit, the
+    //      parametric reading of the q160/q297 life tables
+    "q307_weibull_fit" -> ((s, dir) =>
+      graft.analyze.Survival.weibullFit(Tables.events(s, dir), "user_id",
+        "ts", col("event_type") === "purchase")),
+    // ---- Hodges-Lehmann estimator of the daily total: exact median of
+    //      pairwise Walsh averages — the robust location point estimate
+    //      the rank-test family inverts into intervals
+    "q308_hodges_lehmann" -> ((s, dir) =>
+      graft.analyze.RobustStats.hodgesLehmann(Tables.events(s, dir),
+        "ts", "value")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4224,6 +4236,66 @@ object SparkEntry {
                 (SELECT hop FROM far) AS ecc_source,
                 (SELECT id FROM far) AS far_node,
                 (SELECT max(hop) FROM d2) AS ecc_far""",
+    "q307_weibull_fit" ->
+      """WITH u AS (SELECT user_id, min(ts) AS t0,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+              FROM events GROUP BY 1),
+         dd AS (SELECT date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE)) AS dur
+                FROM u WHERE tp IS NOT NULL),
+         dd2 AS (SELECT dur FROM dd WHERE dur > 0),
+         nn AS (SELECT count(*) AS n FROM dd2),
+         g AS (SELECT dur AS t, count(*) AS c FROM dd2 GROUP BY 1),
+         rk AS (SELECT t, c,
+                  COALESCE(sum(c) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                FROM g),
+         obs AS (SELECT
+                  CAST(round(ln(CAST(t AS DOUBLE)) * 1e9) AS BIGINT) AS x9,
+                  CAST(round(ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3) / (n + 0.4)))
+                    * 1e9) AS BIGINT) AS y9
+                 FROM rk CROSS JOIN nn, unnest(range(CAST(cb + 1 AS BIGINT), CAST(cb + c + 1 AS BIGINT))) r(i)),
+         agg AS (SELECT count(*) AS ne,
+                  sum(CAST(x9 AS HUGEINT)) AS sx, sum(CAST(y9 AS HUGEINT)) AS sy,
+                  sum(CAST(x9 AS HUGEINT) * x9) AS sxx,
+                  sum(CAST(x9 AS HUGEINT) * y9) AS sxy
+                 FROM obs)
+         SELECT ne AS n_events,
+                round(CASE WHEN CAST(ne AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18) -
+                        (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) > 0
+                  THEN (CAST(ne AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e18) -
+                        (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9)) /
+                       (CAST(ne AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18) -
+                        (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+                  END, 4) AS shape,
+                round(CASE WHEN CAST(ne AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18) -
+                        (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) > 0
+                  THEN exp(-(((CAST(sy AS DOUBLE) / 1e9) -
+                        ((CAST(ne AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e18) -
+                          (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9)) /
+                         (CAST(ne AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18) -
+                          (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))) *
+                         (CAST(sx AS DOUBLE) / 1e9)) / ne) /
+                       ((CAST(ne AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e18) -
+                         (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9)) /
+                        (CAST(ne AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e18) -
+                         (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))))
+                  END, 4) AS scale
+         FROM agg""",
+    "q308_hodges_lehmann" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+                FROM events GROUP BY 1),
+         w AS (SELECT a.yq + b.yq AS w2 FROM daily a JOIN daily b
+               ON a.day <= b.day),
+         r AS (SELECT w2, row_number() OVER (ORDER BY w2) AS rn FROM w),
+         nd AS (SELECT count(*) AS n FROM daily),
+         mm AS (SELECT n, n * (n + 1) // 2 AS m FROM nd),
+         mid AS (SELECT r.w2 FROM r CROSS JOIN mm
+                 WHERE (m % 2 = 1 AND rn = m // 2 + 1)
+                    OR (m % 2 = 0 AND (rn = m // 2 OR rn = m // 2 + 1)))
+         SELECT (SELECT n FROM nd) AS n_days, (SELECT m FROM mm) AS n_pairs,
+                round(avg(CAST(w2 AS DOUBLE)) / 2e6, 6) AS hl
+         FROM mid""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

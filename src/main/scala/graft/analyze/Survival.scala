@@ -148,4 +148,57 @@ object Survival {
         round(exp(-col("__ch9").cast("double") / 1e9), 6).as("na_surv"))
       .orderBy(col("t"))
   }
+
+  /** Weibull shape/scale fit by MEDIAN-RANK REGRESSION (the probability-
+    * plot method — closed form, no MLE iteration): over UNCENSORED
+    * time-to-event durations only (documented; censoring-aware fits are
+    * MLE territory), OLS of `y = ln(−ln(1−F̂))` on `x = ln(t)` with
+    * Bénard's median ranks `F̂ᵢ = (i−0.3)/(n+0.4)` — slope = shape k,
+    * `scale = exp(−intercept/k)`. Zero-duration deaths are excluded
+    * (ln 0; same-day conversion carries no duration information).
+    *
+    * Exactness: per-observation ranks come from the distinct-duration
+    * life table (cumulative counts + an in-row `sequence` explode —
+    * the frame returns to observation size, never a row-scale window);
+    * x and y are pinned to 9-dp longs per observation, moments are
+    * exact DECIMAL sums, the OLS closed form is one double expression.
+    * One row: `(n_events, shape, scale)` at 4 dp. */
+  def weibullFit(events: DataFrame, userCol: String, tsCol: String,
+                 deathFilter: Column): DataFrame = {
+    val durs = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t0"),
+        min(when(deathFilter, col(tsCol))).as("tp"))
+      .where(col("tp").isNotNull)
+      .select(datediff(col("tp"), col("t0")).cast("long").as("dur"))
+      .where(col("dur") > 0)
+    val g = durs.groupBy(col("dur").as("t")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("t")).rowsBetween(Long.MinValue, -1)
+    val ranked = g.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+    val n = durs.count()
+    val obs = ranked
+      .select(col("t"), explode(sequence(col("cb") + 1, col("cb") + col("c")))
+        .as("i"))
+      .select(
+        round(log(col("t").cast("double")) * lit(1e9)).cast("long").as("x9"),
+        round(log(-log(lit(1.0) -
+          (col("i").cast("double") - 0.3) / (n + 0.4))) * lit(1e9))
+          .cast("long").as("y9"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    obs.agg(count(lit(1)).as("n_events"),
+        sum(d(col("x9"))).as("sx"), sum(d(col("y9"))).as("sy"),
+        sum(d(col("x9")) * d(col("x9"))).as("sxx"),
+        sum(d(col("x9")) * d(col("y9"))).as("sxy"))
+      .select(Seq(col("n_events")) ++ {
+        val nn = col("n_events").cast("double")
+        val sx = col("sx").cast("double") / 1e9
+        val sy = col("sy").cast("double") / 1e9
+        val sxx = col("sxx").cast("double") / 1e18
+        val sxy = col("sxy").cast("double") / 1e18
+        val den = nn * sxx - sx * sx
+        val k = (nn * sxy - sx * sy) / den
+        val b = (sy - k * sx) / nn
+        Seq(round(when(den > 0, k), 4).as("shape"),
+          round(when(den > 0, exp(-b / k)), 4).as("scale"))
+      }: _*)
+  }
 }
