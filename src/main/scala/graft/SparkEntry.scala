@@ -447,6 +447,17 @@ object SparkEntry {
     "q308_hodges_lehmann" -> ((s, dir) =>
       graft.analyze.RobustStats.hodgesLehmann(Tables.events(s, dir),
         "ts", "value")),
+    // ---- Wilson + Newcombe score intervals on the A/B conversion: the
+    //      coverage-correct alternative to Wald bars for q140's readout
+    "q309_wilson_ci" -> ((s, dir) =>
+      graft.analyze.Experiment.wilsonAbReport(Tables.events(s, dir),
+        "user_id", col("event_type") === "signup")),
+    // ---- empirical-Bayes beta-binomial shrinkage of per-user purchase
+    //      rates: moment-matched prior, evidence-weighted smoothing —
+    //      the CTR-smoothing standard over raw small-n rates
+    "q310_eb_shrinkage" -> ((s, dir) =>
+      graft.analyze.Smoothing.ebShrinkRates(Tables.events(s, dir),
+        col("user_id"), col("event_type") === "purchase")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4296,6 +4307,63 @@ object SparkEntry {
          SELECT (SELECT n FROM nd) AS n_days, (SELECT m FROM mm) AS n_pairs,
                 round(avg(CAST(w2 AS DOUBLE)) / 2e6, 6) AS hl
          FROM mid""",
+    "q309_wilson_ci" ->
+      """WITH v AS (SELECT user_id,
+                  CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                       THEN 'A' ELSE 'B' END AS arm,
+                  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c
+                FROM events GROUP BY 1, 2),
+         s AS (SELECT arm, count(*) AS n, CAST(sum(c) AS BIGINT) AS conv
+               FROM v GROUP BY 1),
+         ab AS (SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+                FROM s a, s b WHERE a.arm = 'A' AND b.arm = 'B'),
+         c1 AS (SELECT *, CAST(conv_a AS DOUBLE) / n_a AS pa,
+                          CAST(conv_b AS DOUBLE) / n_b AS pb FROM ab),
+         c2 AS (SELECT *,
+                  (pa + (1.96 * 1.96) / (2 * CAST(n_a AS DOUBLE))) /
+                    (1.0 + (1.96 * 1.96) / CAST(n_a AS DOUBLE)) AS ctr_a,
+                  1.96 * sqrt(pa * (1.0 - pa) / CAST(n_a AS DOUBLE) +
+                    (1.96 * 1.96) / (4 * CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))) /
+                    (1.0 + (1.96 * 1.96) / CAST(n_a AS DOUBLE)) AS hf_a,
+                  (pb + (1.96 * 1.96) / (2 * CAST(n_b AS DOUBLE))) /
+                    (1.0 + (1.96 * 1.96) / CAST(n_b AS DOUBLE)) AS ctr_b,
+                  1.96 * sqrt(pb * (1.0 - pb) / CAST(n_b AS DOUBLE) +
+                    (1.96 * 1.96) / (4 * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))) /
+                    (1.0 + (1.96 * 1.96) / CAST(n_b AS DOUBLE)) AS hf_b
+                FROM c1),
+         c3 AS (SELECT *, ctr_a - hf_a AS lo_a, ctr_a + hf_a AS hi_a,
+                          ctr_b - hf_b AS lo_b, ctr_b + hf_b AS hi_b,
+                          pa - pb AS diff FROM c2)
+         SELECT n_a, conv_a, round(lo_a, 6) AS lo_a, round(hi_a, 6) AS hi_a,
+                n_b, conv_b, round(lo_b, 6) AS lo_b, round(hi_b, 6) AS hi_b,
+                round(diff, 6) AS diff,
+                round(diff - sqrt((pa - lo_a) * (pa - lo_a) +
+                  (hi_b - pb) * (hi_b - pb)), 6) AS diff_lo,
+                round(diff + sqrt((hi_a - pa) * (hi_a - pa) +
+                  (pb - lo_b) * (pb - lo_b)), 6) AS diff_hi
+         FROM c3""",
+    "q310_eb_shrinkage" ->
+      """WITH per AS (SELECT user_id AS unit, count(*) AS n,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+                FROM events GROUP BY 1),
+         p9 AS (SELECT unit, n, x,
+                  CAST(round(CAST(x AS DOUBLE) / n * 1e9) AS BIGINT) AS p9
+                FROM per),
+         mom AS (SELECT count(*) AS m, sum(CAST(p9 AS HUGEINT)) AS sp,
+                        sum(CAST(p9 AS HUGEINT) * p9) AS spp FROM p9),
+         calc AS (SELECT CAST(m AS DOUBLE) AS m,
+                    CAST(sp AS DOUBLE) / 1e9 / CAST(m AS DOUBLE) AS mu,
+                    CAST(spp AS DOUBLE) / 1e18 / CAST(m AS DOUBLE) -
+                      (CAST(sp AS DOUBLE) / 1e9 / CAST(m AS DOUBLE)) *
+                      (CAST(sp AS DOUBLE) / 1e9 / CAST(m AS DOUBLE)) AS vr
+                  FROM mom),
+         pri AS (SELECT mu, vr, mu * (1.0 - mu) / vr - 1 AS s FROM calc)
+         SELECT unit, n, x, round(p9 / 1e9, 6) AS raw_rate,
+                round(CASE WHEN vr > 0 AND s > 0
+                  THEN (x + mu * s) / (n + mu * s + (1.0 - mu) * s)
+                  ELSE p9 / 1e9 END, 6) AS shrunk_rate
+         FROM p9 CROSS JOIN pri
+         ORDER BY unit""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

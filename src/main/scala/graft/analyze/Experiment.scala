@@ -459,6 +459,57 @@ object Experiment {
       .withColumn("paradox", col("n_reversed") > col("n_agree"))
   }
 
+  /** Wilson score intervals for the two arms' conversion rates plus the
+    * Newcombe (1998) score-based interval for their DIFFERENCE — the
+    * interval the A/B readout should quote instead of the Wald ±1.96·SE
+    * (which collapses at extreme rates and small arms; Wilson stays
+    * inside [0,1] and keeps coverage):
+    * `center = (p̂ + z²/2n)/(1 + z²/n)`,
+    * `half = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n)`; Newcombe composes the
+    * per-arm score bounds into the difference bounds. z = 1.96 (95%,
+    * documented literal). Per-unit conversion folds first (a user
+    * converts once, however many events fire). One row:
+    * `(n_a, conv_a, lo_a, hi_a, n_b, conv_b, lo_b, hi_b, diff,
+    * diff_lo, diff_hi)` at 6 dp. Scale: one user-keyed corpus
+    * aggregate, then 2-row arithmetic. */
+  def wilsonAbReport(events: DataFrame, userCol: String,
+                     convFilter: Column): DataFrame = {
+    val z = 1.96
+    val units = events.groupBy(col(userCol).as("unit"))
+      .agg(max(when(convFilter, 1L).otherwise(0L)).as("c"))
+      .withColumn("arm",
+        when(Sharding.hash32(col("unit")) % 2 === 0, "A").otherwise("B"))
+    val stats = units.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("conv"))
+    def wilson(n: Column, c: Column): (Column, Column, Column) = {
+      val nn = n.cast("double")
+      val p = c.cast("double") / nn
+      val denom = lit(1.0) + lit(z * z) / nn
+      val center = (p + lit(z * z) / (lit(2.0) * nn)) / denom
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / nn +
+        lit(z * z) / (lit(4.0) * nn * nn)) / denom
+      (p, center - half, center + half)
+    }
+    val a = stats.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = stats.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(b).select({
+      val (pa, loA, hiA) = wilson(col("n_a"), col("conv_a"))
+      val (pb, loB, hiB) = wilson(col("n_b"), col("conv_b"))
+      val diff = pa - pb
+      Seq(col("n_a"), col("conv_a"),
+        round(loA, 6).as("lo_a"), round(hiA, 6).as("hi_a"),
+        col("n_b"), col("conv_b"),
+        round(loB, 6).as("lo_b"), round(hiB, 6).as("hi_b"),
+        round(diff, 6).as("diff"),
+        round(diff - sqrt((pa - loA) * (pa - loA) +
+          (hiB - pb) * (hiB - pb)), 6).as("diff_lo"),
+        round(diff + sqrt((hiA - pa) * (hiA - pa) +
+          (pb - loB) * (pb - loB)), 6).as("diff_hi"))
+    }: _*)
+  }
+
   /** Cronbach's alpha — internal-consistency reliability of the k-item
     * "scale" formed by per-user per-treatment counts (do the items move
     * together across users?): `α = k/(k−1)·(1 − Σσ_j²/σ_T²)` with

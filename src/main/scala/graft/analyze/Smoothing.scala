@@ -53,4 +53,45 @@ object Smoothing {
     df.withColumn("ewma",
       round(wsum.cast("double") / wtot.cast("double") / lit(1000000.0), 4))
   }
+
+  /** Empirical-Bayes (beta-binomial, moment-matched) shrinkage of
+    * per-unit conversion rates — the CTR-smoothing standard: a 1/1 user
+    * must not outrank a 90/100 user, so every raw rate shrinks toward
+    * the population prior by its own evidence. Prior strength comes
+    * from the method of moments on the PINNED raw rates
+    * (`α+β = μ(1−μ)/σ² − 1`, population variance; degenerate corpora —
+    * zero rate variance — fall back to the raw rate, documented):
+    * `shrunk = (x + α)/(n + α + β)`.
+    *
+    * Exactness: each unit's raw rate is pinned once to a 9-dp long;
+    * μ/σ² come from exact integer sums of those pins; α/β and the
+    * shrunken rate are single double expressions per row, 6 dp.
+    * Output one row per unit: `(unit, n, x, raw_rate, shrunk_rate)`
+    * ordered by unit. Scale: one unit-keyed corpus aggregate + a 1-row
+    * moment broadcast; the shrink itself is scan-speed. */
+  def ebShrinkRates(df: DataFrame, unitCol: Column,
+                    successFilter: Column): DataFrame = {
+    val per = df.groupBy(unitCol.as("unit"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successFilter, 1L).otherwise(0L)).as("x"))
+      .withColumn("p9",
+        round(col("x").cast("double") / col("n") * lit(1e9)).cast("long"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val mom = per.agg(count(lit(1)).as("m"),
+      sum(d(col("p9"))).as("sp"), sum(d(col("p9")) * d(col("p9"))).as("spp"))
+    per.crossJoin(broadcast(mom))
+      .select(Seq(col("unit"), col("n"), col("x"),
+        round(col("p9").cast("double") / 1e9, 6).as("raw_rate")) ++ {
+        val m = col("m").cast("double")
+        val mu = col("sp").cast("double") / 1e9 / m
+        val vr = col("spp").cast("double") / 1e18 / m - mu * mu
+        val s = mu * (lit(1.0) - mu) / vr - 1
+        val alpha = mu * s
+        val beta = (lit(1.0) - mu) * s
+        Seq(round(when(vr > 0 && s > 0,
+            (col("x") + alpha) / (col("n") + alpha + beta))
+          .otherwise(col("p9").cast("double") / 1e9), 6).as("shrunk_rate"))
+      }: _*)
+      .orderBy(col("unit"))
+  }
 }
