@@ -458,6 +458,22 @@ object SparkEntry {
     "q310_eb_shrinkage" -> ((s, dir) =>
       graft.analyze.Smoothing.ebShrinkRates(Tables.events(s, dir),
         col("user_id"), col("event_type") === "purchase")),
+    // ---- Dickey-Fuller stationarity regression on the daily totals:
+    //      mean-reversion vs unit root — the differencing decision for
+    //      the q167/q294 forecast family
+    "q311_dickey_fuller" -> ((s, dir) =>
+      graft.analyze.Trend.dickeyFuller(Tables.events(s, dir), "ts", "value")),
+    // ---- lead-lag cross-correlation: corr(count_t, value_{t+k}) for
+    //      k in [-7,7] — does volume lead value; per-lag exact moments
+    "q312_ccf" -> ((s, dir) =>
+      graft.analyze.Trend.crossCorrelation(Tables.events(s, dir), "ts",
+        "value", 7)),
+    // ---- feature-hashing collision audit at 1024 buckets: how much
+    //      vocabulary (and occurrence mass) the hashing trick merges —
+    //      portable md5 bucketing, oracle-reproducible
+    "q313_hash_collisions" -> ((s, dir) =>
+      graft.text.FeatureHashing.collisionReport(Tables.documents(s, dir),
+        "text", 1024)),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4364,6 +4380,82 @@ object SparkEntry {
                   ELSE p9 / 1e9 END, 6) AS shrunk_rate
          FROM p9 CROSS JOIN pri
          ORDER BY unit""",
+    "q311_dickey_fuller" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+                FROM events GROUP BY 1),
+         obs AS (SELECT lag(yq) OVER (ORDER BY day) AS x,
+                        yq - lag(yq) OVER (ORDER BY day) AS dy
+                 FROM daily QUALIFY x IS NOT NULL),
+         mom AS (SELECT count(*) AS n,
+                  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+                  sum(CAST(x AS HUGEINT) * dy) AS sxy,
+                  sum(CAST(x AS HUGEINT) * x) AS sxx,
+                  sum(CAST(dy AS HUGEINT) * dy) AS syy
+                 FROM obs),
+         c AS (SELECT n,
+                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS sxyc,
+                 CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syyc
+               FROM mom)
+         SELECT n AS n_obs,
+                round(CASE WHEN den > 0 THEN sxyc / den END, 6) AS beta,
+                round(CASE WHEN den > 0 AND n > 2
+                        AND syyc - (sxyc / den) * sxyc > 0
+                  THEN (sxyc / den) /
+                       sqrt((syyc - (sxyc / den) * sxyc) /
+                            (CAST(n AS DOUBLE) - 2) / den) END, 4) AS t_stat
+         FROM c""",
+    "q312_ccf" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+                FROM events GROUP BY 1),
+         idx AS (SELECT x, y, row_number() OVER (ORDER BY day) AS t FROM daily),
+         lags AS (SELECT CAST(i AS INT) AS lag
+                  FROM unnest(range(-7, 8)) r(i)),
+         j AS (SELECT lags.lag, a.x, b.y AS y2
+               FROM idx a CROSS JOIN lags
+               JOIN idx b ON a.t + lags.lag = b.t),
+         m AS (SELECT lag, count(*) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y2 AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y2) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y2 AS HUGEINT) * y2) AS syy
+               FROM j GROUP BY 1)
+         SELECT lag, n,
+                round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                       sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                         CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) AS r
+         FROM m ORDER BY lag""",
+    "q313_hash_collisions" ->
+      """WITH toks AS (
+           SELECT tok, count(*) AS occ FROM (
+             SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+             FROM documents)
+           WHERE length(tok) > 0 GROUP BY 1),
+         tb AS (SELECT tok, occ,
+                  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+                FROM toks),
+         pb AS (SELECT b, count(*) AS nt FROM tb GROUP BY 1),
+         jn AS (SELECT tb.occ, pb.nt FROM tb JOIN pb ON tb.b = pb.b)
+         SELECT (SELECT count(*) FROM tb) AS n_tokens,
+                CAST(sum(occ) AS BIGINT) AS n_occurrences,
+                (SELECT count(*) FROM pb) AS n_buckets_used,
+                (SELECT max(nt) FROM pb) AS max_bucket_load,
+                CAST(sum(CASE WHEN nt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS colliding_tokens,
+                round(CAST(sum(CASE WHEN nt > 1 THEN occ ELSE 0 END) AS DOUBLE) /
+                      sum(occ), 6) AS colliding_occ_frac
+         FROM jn""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -458,6 +458,99 @@ object Trend {
       .orderBy(col("day"))
   }
 
+  /** Dickey-Fuller stationarity regression on the daily total series —
+    * "does the level mean-revert or wander": OLS of `Δy_t` on `y_{t−1}`
+    * (with intercept); a coefficient near 0 (t-stat above the DF
+    * critical values) reads as a unit root, strongly negative as
+    * mean-reversion. The lag-0 (non-augmented) form, documented — the
+    * decision input for differencing before the q167/q294 forecast
+    * family.
+    *
+    * Exactness: both regressor (`y_{t−1}`) and response (`Δy`) are
+    * exact 6-dp longs off the daily fold; all five OLS moments are
+    * exact DECIMAL sums; β, the regression variance and the t-stat are
+    * one double expression at the end. One row:
+    * `(n_obs, beta, t_stat)` — β per unit level at 6 dp, t at 4 dp. */
+  def dickeyFuller(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val w = Window.orderBy(col("day"))
+    val obs = daily
+      .withColumn("__prev", lag(col("yq"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select(col("__prev").as("x"), (col("yq") - col("__prev")).as("dy"))
+    val mom = obs.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("dy"))).as("sy"),
+      sum(xprod(col("x"), col("dy"))).as("sxy"),
+      sum(xprod(col("x"), col("x"))).as("sxx"),
+      sum(xprod(col("dy"), col("dy"))).as("syy"))
+    mom.select(col("n").as("n_obs"), round({
+        val n = col("n").cast("double")
+        val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+        val sxx = col("sxx").cast("double")
+        val sxy = col("sxy").cast("double")
+        when(n * sxx - sx * sx > 0,
+          (n * sxy - sx * sy) / (n * sxx - sx * sx))
+      }, 6).as("beta"),
+      round({
+        val n = col("n").cast("double")
+        val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+        val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+        val syy = col("syy").cast("double")
+        val den = n * sxx - sx * sx
+        val b = (n * sxy - sx * sy) / den
+        // RSS = Syy_c − b·Sxy_c over the centered sums (×n scaling
+        // cancels in the t ratio); s² = RSS/(n−2), se² = s²·n/den
+        val sxyC = n * sxy - sx * sy
+        val syyC = n * syy - sy * sy
+        val rss = syyC - b * sxyC
+        when(den > 0 && col("n") > 2 && rss > 0,
+          b / sqrt(rss / (n - 2) / den))
+      }, 4).as("t_stat"))
+  }
+
+  /** Lead-lag cross-correlation function between the DAILY event count
+    * and the daily value total: `r_k = corr(count_t, value_{t+k})` for
+    * `k ∈ [−maxLag, maxLag]` — does volume LEAD value (positive-lag
+    * peak) or follow it; the bivariate companion of [[lagAutocorr]].
+    * Each lag's Pearson runs over its own overlap window with full
+    * per-lag exact moments (no shared-mean approximation). One row per
+    * lag: `(lag, n, r)` at 6 dp, ordered by lag.
+    *
+    * Scale shape: corpus folds to days once; the lag fan-out is a
+    * days×(2·maxLag+1) self-join on the dense day index. */
+  def crossCorrelation(df: DataFrame, tsCol: String, valueCol: String,
+                       maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col(valueCol) * lit(1000000)).cast("long")).as("y"))
+    val idx = daily.withColumn("t",
+      row_number().over(Window.orderBy(col("day"))))
+    val lags = df.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val joined = idx.select(col("t"), col("x"))
+      .crossJoin(broadcast(lags))
+      .join(idx.select((col("t")).as("t2"), col("y").as("y2")),
+        col("t") + col("lag") === col("t2"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    joined.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).as("sx"), sum(d(col("y2"))).as("sy"),
+        sum(d(col("x")) * d(col("y2"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"),
+        sum(d(col("y2")) * d(col("y2"))).as("syy"))
+      .select(col("lag"), col("n"), round({
+        val n = col("n").cast("double")
+        val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+        val cov = n * col("sxy").cast("double") - sx * sy
+        val vx = n * col("sxx").cast("double") - sx * sx
+        val vy = n * col("syy").cast("double") - sy * sy
+        when(vx > 0 && vy > 0, cov / sqrt(vx * vy))
+      }, 6).as("r"))
+      .orderBy(col("lag"))
+  }
+
   /** Wald-Wolfowitz runs test on the SIGNS of day-over-day changes of
     * the daily total — "is the series' direction random, or does it
     * streak/alternate": too few runs = momentum, too many = mean
