@@ -474,6 +474,12 @@ object SparkEntry {
     "q313_hash_collisions" -> ((s, dir) =>
       graft.text.FeatureHashing.collisionReport(Tables.documents(s, dir),
         "text", 1024)),
+    // ---- Burrows' Delta between sources: z-scored head-vocabulary
+    //      profiles, mean |z| distance — the stylometric attribution
+    //      lens next to the TV/cosine divergences (q87/q223)
+    "q314_burrows_delta" -> ((s, dir) =>
+      graft.text.Stylometry.burrowsDelta(Tables.documents(s, dir),
+        "source", "text", 30)),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4456,6 +4462,38 @@ object SparkEntry {
                 round(CAST(sum(CASE WHEN nt > 1 THEN occ ELSE 0 END) AS DOUBLE) /
                       sum(occ), 6) AS colliding_occ_frac
          FROM jn""",
+    "q314_burrows_delta" ->
+      """WITH toks AS (
+           SELECT source AS src, tok, count(*) AS c FROM (
+             SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+             FROM documents)
+           WHERE length(tok) > 0 GROUP BY 1, 2),
+         totals AS (SELECT src, CAST(sum(c) AS BIGINT) AS tot FROM toks GROUP BY 1),
+         top AS (SELECT tok FROM (SELECT tok, CAST(sum(c) AS BIGINT) AS f
+                                  FROM toks GROUP BY 1)
+                 ORDER BY f DESC, tok LIMIT 30),
+         ns AS (SELECT count(*) AS n FROM totals),
+         rf AS (SELECT totals.src, top.tok,
+                  CAST(round(CAST(COALESCE(toks.c, 0) AS DOUBLE) /
+                    totals.tot * 1e9) AS BIGINT) AS rf9
+                FROM totals CROSS JOIN top
+                LEFT JOIN toks ON toks.src = totals.src AND toks.tok = top.tok),
+         stats AS (SELECT tok,
+                     CAST(s1 AS DOUBLE) / n AS mu,
+                     sqrt(CAST(s2 AS DOUBLE) / n -
+                       (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sigma
+                   FROM (SELECT tok, sum(CAST(rf9 AS HUGEINT)) AS s1,
+                           sum(CAST(rf9 AS HUGEINT) * rf9) AS s2
+                         FROM rf GROUP BY 1) CROSS JOIN ns),
+         z AS (SELECT rf.src, rf.tok,
+                 CAST(round((CAST(rf9 AS DOUBLE) - mu) / sigma * 1e6) AS BIGINT) AS z6
+               FROM rf JOIN stats ON rf.tok = stats.tok
+               WHERE sigma > 0)
+         SELECT a.src AS source_a, b.src AS source_b,
+                count(*) AS k_eff,
+                round(CAST(sum(abs(a.z6 - b.z6)) AS DOUBLE) / count(*) / 1e6, 4) AS delta
+         FROM z a JOIN z b ON a.tok = b.tok AND a.src < b.src
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b
