@@ -480,6 +480,11 @@ object SparkEntry {
     "q314_burrows_delta" -> ((s, dir) =>
       graft.text.Stylometry.burrowsDelta(Tables.documents(s, dir),
         "source", "text", 30)),
+    // ---- covariate-balance SMD table between the hash arms: the
+    //      randomization pre-check an effect estimate should print first
+    "q315_smd_balance" -> ((s, dir) =>
+      graft.analyze.Experiment.covariateBalance(Tables.events(s, dir),
+        "user_id", "ts", "value")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4494,6 +4499,39 @@ object SparkEntry {
                 round(CAST(sum(abs(a.z6 - b.z6)) AS DOUBLE) / count(*) / 1e6, 4) AS delta
          FROM z a JOIN z b ON a.tok = b.tok AND a.src < b.src
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q315_smd_balance" ->
+      """WITH per AS (SELECT user_id AS unit, count(*) AS n_events,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value6,
+                  count(DISTINCT CAST(ts AS DATE)) AS active_days,
+                  CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                       THEN 1 ELSE 0 END AS arm1
+                FROM events GROUP BY 1),
+         melted AS (
+           SELECT arm1, 'n_events' AS covariate, n_events AS x FROM per
+           UNION ALL SELECT arm1, 'value6', value6 FROM per
+           UNION ALL SELECT arm1, 'active_days', active_days FROM per),
+         cells AS (SELECT covariate, arm1, count(*) AS n,
+                     sum(CAST(x AS HUGEINT)) AS sx,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx
+                   FROM melted GROUP BY 1, 2),
+         j AS (SELECT a.covariate, a.n AS n1, a.sx AS sx1, a.sxx AS sxx1,
+                      b.n AS n0, b.sx AS sx0, b.sxx AS sxx0
+               FROM cells a JOIN cells b
+                 ON a.covariate = b.covariate AND a.arm1 = 1 AND b.arm1 = 0),
+         c AS (SELECT covariate, n1, n0,
+                 CAST(sx1 AS DOUBLE) / n1 AS m1, CAST(sx0 AS DOUBLE) / n0 AS m0,
+                 CASE WHEN n1 > 1 THEN (CAST(sxx1 AS DOUBLE) -
+                   CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n1) / (n1 - 1) END AS v1,
+                 CASE WHEN n0 > 1 THEN (CAST(sxx0 AS DOUBLE) -
+                   CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE) / n0) / (n0 - 1) END AS v0
+               FROM j)
+         SELECT covariate, n1, n0, round(m1, 4) AS mean1, round(m0, 4) AS mean0,
+                round(CASE WHEN sqrt((v1 + v0) / 2) > 0
+                  THEN (m1 - m0) / sqrt((v1 + v0) / 2) END, 4) AS smd,
+                CAST(CASE WHEN abs(CASE WHEN sqrt((v1 + v0) / 2) > 0
+                  THEN (m1 - m0) / sqrt((v1 + v0) / 2) END) > 0.1
+                  THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         FROM c ORDER BY covariate""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

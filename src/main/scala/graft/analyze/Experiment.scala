@@ -459,6 +459,65 @@ object Experiment {
       .withColumn("paradox", col("n_reversed") > col("n_agree"))
   }
 
+  /** Covariate-balance table (standardized mean differences) between
+    * the two hash arms — the pre-test an A/B readout should print
+    * before any effect estimate: if the arms differ on pre-treatment
+    * covariates (activity, spend, tenure), the randomization (or the
+    * observational comparison) is suspect. Per covariate:
+    * `SMD = (μ₁ − μ₀) / √((s₁² + s₀²)/2)` (the standard pooled form);
+    * |SMD| > 0.1 is the conventional imbalance flag, reported as a
+    * count.
+    *
+    * Exactness: per-user covariates are exact integers/6-dp longs; the
+    * per-arm moments are exact DECIMAL sums; each SMD is one double
+    * expression, 4 dp. Output one row per covariate:
+    * `(covariate, n1, n0, mean1, mean0, smd)` ordered by name, plus
+    * the flag count embedded per row as `flagged`.
+    *
+    * Scale shape: one user-keyed corpus aggregate, one melt to
+    * (covariate, arm) cells, covariate-bounded moments. */
+  def covariateBalance(events: DataFrame, userCol: String,
+                       tsCol: String, valueCol: String): DataFrame = {
+    val per = events.groupBy(col(userCol).as("unit"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col(valueCol) * lit(1000000)).cast("long")).as("value6"),
+        countDistinct(to_date(col(tsCol))).as("active_days"))
+      .withColumn("arm1",
+        when(Sharding.hash32(col("unit")) % 2 === 0, 1L).otherwise(0L))
+    val melted = per.select(col("arm1"), explode(map(
+      lit("n_events"), col("n_events"),
+      lit("value6"), col("value6"),
+      lit("active_days"), col("active_days"))).as(Seq("covariate", "x")))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val cells = melted.groupBy(col("covariate"), col("arm1"))
+      .agg(count(lit(1)).as("n"), sum(d(col("x"))).as("sx"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"))
+    val a1 = cells.where(col("arm1") === 1)
+      .select(col("covariate"), col("n").as("n1"), col("sx").as("sx1"),
+        col("sxx").as("sxx1"))
+    val a0 = cells.where(col("arm1") === 0)
+      .select(col("covariate"), col("n").as("n0"), col("sx").as("sx0"),
+        col("sxx").as("sxx0"))
+    a1.join(a0, "covariate")
+      .select(Seq(col("covariate"), col("n1"), col("n0")) ++ {
+        def mean(sx: Column, n: Column) = sx.cast("double") / n
+        def svar(sxx: Column, sx: Column, n: Column) =
+          when(n > 1, (sxx.cast("double") -
+            sx.cast("double") * sx.cast("double") / n) / (n - 1))
+        val m1 = mean(col("sx1"), col("n1")); val m0 = mean(col("sx0"), col("n0"))
+        val v1 = svar(col("sxx1"), col("sx1"), col("n1"))
+        val v0 = svar(col("sxx0"), col("sx0"), col("n0"))
+        val pooled = sqrt((v1 + v0) / 2)
+        val smd = when(pooled > 0, (m1 - m0) / pooled)
+        Seq(round(m1, 4).as("mean1"), round(m0, 4).as("mean0"),
+          round(smd, 4).as("smd"),
+          // null-safe flag (an undefined SMD is NOT imbalance) —
+          // mirrors the oracle's CASE WHEN NULL → 0 semantics
+          coalesce((abs(smd) > 0.1).cast("long"), lit(0L)).as("flagged"))
+      }: _*)
+      .orderBy(col("covariate"))
+  }
+
   /** Wilson score intervals for the two arms' conversion rates plus the
     * Newcombe (1998) score-based interval for their DIFFERENCE — the
     * interval the A/B readout should quote instead of the Wald ±1.96·SE

@@ -64,4 +64,23 @@ class WilsonEbSpec extends AnyFunSuite {
       col("event_type") === "purchase").collect()
     assert(r.forall(x => x.getDouble(4) == x.getDouble(3)))
   }
+
+  test("smd balance: a planted covariate shift is flagged, a balanced one is not") {
+    import spark.implicits._
+    // discover arms, then give arm-1 users 3x the events
+    val ids = (1L to 60L).toDF("id")
+      .select(org.apache.spark.sql.functions.col("id"),
+        (graft.operators.Sharding.hash32(
+          org.apache.spark.sql.functions.col("id")) % 2 === 0).as("e"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val rows = ids.flatMap { case (u, exposed) =>
+      val k = (if (exposed) 9 else 3) + (u % 3).toInt
+      (1 to k).map(i => (day(1 + i % 5), u, 10.0 + (u % 2)))
+    }
+    val r = graft.analyze.Experiment.covariateBalance(
+      rows.toSeq.toDF("ts", "user_id", "value"), "user_id", "ts", "value")
+      .collect().map(x => x.getString(0) -> (x.getDouble(5), x.getLong(6))).toMap
+    assert(r("n_events")._2 == 1 && r("n_events")._1 > 1.0)
+    assert(r("value6")._2 == 1)  // value scales with events here
+  }
 }
