@@ -485,6 +485,11 @@ object SparkEntry {
     "q315_smd_balance" -> ((s, dir) =>
       graft.analyze.Experiment.covariateBalance(Tables.events(s, dir),
         "user_id", "ts", "value")),
+    // ---- L-moments of the event values: order-statistics moments via
+    //      closed-form hockey-stick rank weights on the distinct-value
+    //      histogram — outlier-resistant shape next to q253's classical
+    "q316_l_moments" -> ((s, dir) =>
+      graft.analyze.RobustStats.lMoments(Tables.events(s, dir), "value")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4532,6 +4537,45 @@ object SparkEntry {
                   THEN (m1 - m0) / sqrt((v1 + v0) / 2) END) > 0.1
                   THEN 1 ELSE 0 END AS BIGINT) AS flagged
          FROM c ORDER BY covariate""",
+    "q316_l_moments" ->
+      """WITH g AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+                  count(*) AS c
+                FROM events GROUP BY 1),
+         r AS (SELECT v, c,
+                 COALESCE(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+               FROM g),
+         ws AS (SELECT v, c, cb,
+                 CAST(c AS HUGEINT) AS w0,
+                 (CAST(cb + c AS HUGEINT) * (cb + c - 1) // 2 -
+                  CAST(cb AS HUGEINT) * (cb - 1) // 2) AS w1,
+                 (CAST(cb + c AS HUGEINT) * (cb + c - 1) * (cb + c - 2) // 6 -
+                  CAST(cb AS HUGEINT) * (cb - 1) * (cb - 2) // 6) AS w2,
+                 (CAST(cb + c AS HUGEINT) * (cb + c - 1) * (cb + c - 2) * (cb + c - 3) // 24 -
+                  CAST(cb AS HUGEINT) * (cb - 1) * (cb - 2) * (cb - 3) // 24) AS w3
+               FROM r),
+         agg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                  sum(CAST(v AS HUGEINT) * w0) AS s0,
+                  sum(CAST(v AS HUGEINT) * w1) AS s1,
+                  sum(CAST(v AS HUGEINT) * w2) AS s2,
+                  sum(CAST(v AS HUGEINT) * w3) AS s3
+                 FROM ws),
+         b AS (SELECT n,
+                 CAST(s0 AS DOUBLE) / n AS b0,
+                 CASE WHEN n > 1 THEN CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) END AS b1,
+                 CASE WHEN n > 2 THEN CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1) * (n - 2) / 2) END AS b2,
+                 CASE WHEN n > 3 THEN CAST(s3 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1) * (n - 2) * (n - 3) / 6) END AS b3
+               FROM agg),
+         l AS (SELECT n, b0 / 1e6 AS l1,
+                 (2.0 * b1 - b0) / 1e6 AS l2,
+                 (6.0 * b2 - 6.0 * b1 + b0) / 1e6 AS l3,
+                 (20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0) / 1e6 AS l4
+               FROM b)
+         SELECT n, round(l1, 6) AS l1, round(l2, 6) AS l2,
+                round(CASE WHEN abs(l1) > 0 THEN l2 / l1 END, 6) AS l_cv,
+                round(CASE WHEN abs(l2) > 0 THEN l3 / l2 END, 6) AS tau3,
+                round(CASE WHEN abs(l2) > 0 THEN l4 / l2 END, 6) AS tau4
+         FROM l""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -61,4 +61,21 @@ class WeibullHlSpec extends AnyFunSuite {
       .collect().head
     assert(r.getDouble(2) == 5.0) // the Walsh-median ignores the spike
   }
+
+  test("l-moments of 1..5: l1 = 3, l2 = 1, symmetric taus = 0") {
+    import spark.implicits._
+    val r = RobustStats.lMoments(
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("value"), "value").collect().head
+    assert(r.getLong(0) == 5)
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 1.0)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+  }
+
+  test("l-moments handle ties via the hockey-stick group weights") {
+    import spark.implicits._
+    // sorted (1,1,3): b0 = 5/3, b1 = 7/6 → l2 = 2/3
+    val r = RobustStats.lMoments(
+      Seq(1.0, 1.0, 3.0).toDF("value"), "value").collect().head
+    assert(math.abs(r.getDouble(2) - 2.0 / 3) < 1e-6)
+  }
 }
