@@ -490,6 +490,10 @@ object SparkEntry {
     //      histogram — outlier-resistant shape next to q253's classical
     "q316_l_moments" -> ((s, dir) =>
       graft.analyze.RobustStats.lMoments(Tables.events(s, dir), "value")),
+    // ---- Shewhart X-bar control chart over daily value subgroups: the
+    //      single-day out-of-control alarm beside q232's CUSUM drift
+    "q317_control_chart" -> ((s, dir) =>
+      graft.analyze.Trend.controlChart(Tables.events(s, dir), "ts", "value")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4576,6 +4580,37 @@ object SparkEntry {
                 round(CASE WHEN abs(l2) > 0 THEN l3 / l2 END, 6) AS tau3,
                 round(CASE WHEN abs(l2) > 0 THEN l4 / l2 END, 6) AS tau4
          FROM l""",
+    "q317_control_chart" ->
+      """WITH q AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+         days AS (SELECT day, count(*) AS n,
+                    sum(CAST(vq AS HUGEINT)) AS s FROM q GROUP BY 1),
+         tot AS (SELECT count(*) AS nn, sum(CAST(vq AS HUGEINT)) AS ss,
+                        sum(CAST(vq AS HUGEINT) * vq) AS sqq FROM q),
+         scored AS (SELECT day, n,
+                      CASE WHEN (CAST(sqq AS DOUBLE) -
+                          CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) /
+                          (CAST(nn AS DOUBLE) - 1) > 0
+                        THEN (CAST(s AS DOUBLE) / n -
+                              CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) /
+                             (sqrt((CAST(sqq AS DOUBLE) -
+                                CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) /
+                                (CAST(nn AS DOUBLE) - 1)) / sqrt(CAST(n AS DOUBLE)))
+                      END AS z
+                    FROM days CROSS JOIN tot),
+         summary AS (SELECT count(*) AS n_days,
+                       CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+                     FROM scored),
+         worst AS (SELECT day AS worst_day FROM scored
+                   WHERE abs(z) > 3 ORDER BY abs(z) DESC, day LIMIT 1)
+         SELECT n_days, nn AS n_events,
+                round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) / 1e6, 6) AS grand_mean,
+                round(sqrt((CAST(sqq AS DOUBLE) -
+                  CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) /
+                  (CAST(nn AS DOUBLE) - 1)) / 1e6, 6) AS sigma,
+                n_violations,
+                (SELECT worst_day FROM worst) AS worst_day
+         FROM summary CROSS JOIN tot""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -458,6 +458,55 @@ object Trend {
       .orderBy(col("day"))
   }
 
+  /** X-bar control chart summary (Shewhart) over daily subgroups of the
+    * per-event value — the SPC alarm that complements the SEQUENTIAL
+    * detectors (q232 CUSUM reacts to small persistent shifts, q149 EWMA
+    * smooths; the Shewhart chart catches single out-of-control days):
+    * each day's mean is tested against
+    * `grand_mean ± 3·σ/√n_day` with σ the global per-event sample
+    * standard deviation (the varying-subgroup-size form).
+    *
+    * Exactness: per-day and global moments are exact 6-dp-long /
+    * DECIMAL sums; each day's test is one double comparison of the
+    * UNROUNDED statistic (the report's rounded columns are
+    * presentation). One row:
+    * `(n_days, n_events, grand_mean, sigma, n_violations, worst_day)`
+    * — worst_day = the violating day with the largest |z| (ties to the
+    * earliest day), null when in control. */
+  def controlChart(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val q = df.select(to_date(col(tsCol)).as("day"),
+      round(col(valueCol) * lit(1000000)).cast("long").as("vq"))
+    val days = q.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("vq"))).as("s"))
+    val tot = q.agg(count(lit(1)).as("nn"), sum(dec(col("vq"))).as("ss"),
+      sum(dec(col("vq")) * dec(col("vq"))).as("sqq"))
+    val scored = days.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"), {
+        val nn = col("nn").cast("double")
+        val mu = col("ss").cast("double") / nn
+        val v = (col("sqq").cast("double") -
+          col("ss").cast("double") * col("ss").cast("double") / nn) / (nn - 1)
+        val dayMean = col("s").cast("double") / col("n")
+        when(v > 0,
+          (dayMean - mu) / (sqrt(v) / sqrt(col("n").cast("double"))))
+          .as("z")
+      })
+    val summary = scored.agg(
+      count(lit(1)).as("n_days"),
+      sum(when(abs(col("z")) > 3, 1L).otherwise(0L)).as("n_violations"))
+    val worst = scored.where(abs(col("z")) > 3)
+      .orderBy(abs(col("z")).desc, col("day")).limit(1)
+      .select(col("day").as("worst_day"))
+    summary.crossJoin(broadcast(tot))
+      .join(worst, lit(true), "left")
+      .select(col("n_days"), col("nn").as("n_events"),
+        round(col("ss").cast("double") / col("nn") / 1e6, 6).as("grand_mean"),
+        round(sqrt((col("sqq").cast("double") -
+          col("ss").cast("double") * col("ss").cast("double") / col("nn")) /
+          (col("nn") - 1)) / 1e6, 6).as("sigma"),
+        col("n_violations"), col("worst_day"))
+  }
+
   /** Dickey-Fuller stationarity regression on the daily total series —
     * "does the level mean-revert or wander": OLS of `Δy_t` on `y_{t−1}`
     * (with intercept); a coefficient near 0 (t-stat above the DF

@@ -53,4 +53,27 @@ class DfCcfHashSpec extends AnyFunSuite {
     // colliding occurrence fraction consistent with colliding tokens
     assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
   }
+
+  test("control chart flags the planted spike day") {
+    import spark.implicits._
+    // 20 calm days of values around 10, one day at 50: that day's
+    // subgroup mean blows past grand_mean + 3·sigma/sqrt(n)
+    val rows = (1 to 20).flatMap(d =>
+      (1 to 10).map(i => (day(d), 10.0 + (i % 3)))) ++
+      (1 to 10).map(i => (day(21), 50.0 + (i % 3)))
+    val r = graft.analyze.Trend.controlChart(
+      rows.toSeq.toDF("ts", "value"), "ts", "value").collect().head
+    assert(r.getLong(0) == 21)
+    assert(r.getLong(4) >= 1)
+    assert(r.getDate(5).toString == "2024-01-21")
+  }
+
+  test("control chart reports zero violations on a calm series") {
+    import spark.implicits._
+    val rows = (1 to 15).flatMap(d =>
+      (1 to 8).map(i => (day(d), 10.0 + ((d + i) % 4))))
+    val r = graft.analyze.Trend.controlChart(
+      rows.toSeq.toDF("ts", "value"), "ts", "value").collect().head
+    assert(r.getLong(4) == 0 && r.isNullAt(5))
+  }
 }
