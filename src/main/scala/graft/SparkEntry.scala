@@ -494,6 +494,12 @@ object SparkEntry {
     //      single-day out-of-control alarm beside q232's CUSUM drift
     "q317_control_chart" -> ((s, dir) =>
       graft.analyze.Trend.controlChart(Tables.events(s, dir), "ts", "value")),
+    // ---- prefix-cache savings: shared first-k-token mass across the
+    //      corpus at k in {8,16,32} — the KV-cache sharing question a
+    //      serving stack asks of its prompt corpus
+    "q318_prefix_cache" -> ((s, dir) =>
+      graft.text.FeatureHashing.prefixCacheReport(Tables.documents(s, dir),
+        "text", Seq(8, 16, 32))),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4611,6 +4617,26 @@ object SparkEntry {
                 n_violations,
                 (SELECT worst_day FROM worst) AS worst_day
          FROM summary CROSS JOIN tot""",
+    "q318_prefix_cache" ->
+      """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+         tl AS (SELECT toks, len(toks) AS lenn FROM t),
+         tot AS (SELECT CAST(sum(lenn) AS BIGINT) AS total_tokens,
+                        count(*) AS n_docs FROM tl),
+         ks AS (SELECT unnest([8, 16, 32]) AS k),
+         pre AS (SELECT ks.k,
+                   array_to_string(toks[1:ks.k], ' ') AS p,
+                   least(lenn, ks.k) AS plen
+                 FROM tl CROSS JOIN ks),
+         grp AS (SELECT k, p, plen, count(*) AS sz FROM pre GROUP BY 1, 2, 3),
+         agg AS (SELECT k,
+                   CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_groups,
+                   CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT) AS docs_in_shared,
+                   CAST(sum((sz - 1) * plen) AS BIGINT) AS saved_tokens
+                 FROM grp GROUP BY 1)
+         SELECT k, n_docs, shared_groups, docs_in_shared, saved_tokens,
+                round(CAST(saved_tokens AS DOUBLE) / total_tokens, 6) AS saved_frac
+         FROM agg CROSS JOIN tot ORDER BY k""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -36,4 +36,24 @@ class SweepFertilitySpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0)
     assert(r.getDouble(4) == 4.0) // "abab" is the piece
   }
+
+  test("prefix cache savings count duplicate prefixes only") {
+    import spark.implicits._
+    import graft.text.FeatureHashing
+    // docs 1,2 share an 8+-token prefix; doc 3 is unrelated; doc 4 is a
+    // short exact dup of doc 5 (prefix = whole 3-token doc)
+    val docs = Seq(
+      "a b c d e f g h tail one more",
+      "a b c d e f g h different ending here",
+      "z y x w v u t s r q",
+      "tiny doc here",
+      "tiny doc here").toDF("text")
+    val r = FeatureHashing.prefixCacheReport(docs, "text", Seq(8))
+      .collect().head
+    assert(r.getInt(0) == 8 && r.getLong(1) == 5)
+    // two shared groups: the long-prefix pair and the tiny-doc pair
+    assert(r.getLong(2) == 2 && r.getLong(3) == 4)
+    // saved = 8 (long pair) + 3 (tiny pair, short doc prefix = len)
+    assert(r.getLong(4) == 11)
+  }
 }
