@@ -500,6 +500,11 @@ object SparkEntry {
     "q318_prefix_cache" -> ((s, dir) =>
       graft.text.FeatureHashing.prefixCacheReport(Tables.documents(s, dir),
         "text", Seq(8, 16, 32))),
+    // ---- negative-binomial MoM fit of per-user event counts: the
+    //      parametric HOW behind q231's overdispersion alarm
+    "q319_negbin_fit" -> ((s, dir) =>
+      graft.analyze.RobustStats.negBinFit(Tables.events(s, dir),
+        col("user_id"))),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -4637,6 +4642,19 @@ object SparkEntry {
          SELECT k, n_docs, shared_groups, docs_in_shared, saved_tokens,
                 round(CAST(saved_tokens AS DOUBLE) / total_tokens, 6) AS saved_frac
          FROM agg CROSS JOIN tot ORDER BY k""",
+    "q319_negbin_fit" ->
+      """WITH per AS (SELECT user_id AS u, count(*) AS x FROM events GROUP BY 1),
+         a AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+                      sum(CAST(x AS HUGEINT) * x) AS sxx FROM per),
+         c AS (SELECT n, CAST(sx AS DOUBLE) / n AS m,
+                 CASE WHEN n > 1 THEN (CAST(sxx AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (CAST(n AS DOUBLE) - 1) END AS v
+               FROM a)
+         SELECT n AS n_units, round(m, 4) AS mean,
+                round(CASE WHEN m > 0 THEN v / m END, 4) AS dispersion,
+                round(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS r,
+                round(CASE WHEN v > m THEN m / v END, 6) AS p
+         FROM c""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

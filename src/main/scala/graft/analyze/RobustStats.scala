@@ -314,6 +314,33 @@ object RobustStats {
     }: _*)
   }
 
+  /** Negative-binomial method-of-moments fit of per-unit counts — the
+    * parametric reading of overdispersion (q231's dispersion index says
+    * "burstier than Poisson"; this says HOW, as the NB's `r` and `p`):
+    * `p̂ = m/s²`, `r̂ = m²/(s² − m)`, defined only when `s² > m`
+    * (under-dispersed corpora report a null fit with the dispersion
+    * ratio still printed). Exact integer count moments; the fit is one
+    * double expression. One row:
+    * `(n_units, mean, dispersion, r, p)` at 4/6 dp. */
+  def negBinFit(df: DataFrame, unitCol: Column): DataFrame = {
+    val per = df.groupBy(unitCol.as("u")).agg(count(lit(1)).as("x"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    per.agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"))
+      .select(Seq(col("n").as("n_units")) ++ {
+        val n = col("n").cast("double")
+        val m = col("sx").cast("double") / n
+        val v = when(col("n") > 1,
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / n) / (n - 1))
+        Seq(round(m, 4).as("mean"),
+          round(when(m > 0, v / m), 4).as("dispersion"),
+          round(when(v > m, m * m / (v - m)), 6).as("r"),
+          round(when(v > m, m / v), 6).as("p"))
+      }: _*)
+  }
+
   /** Hodges-Lehmann one-sample location estimator over the daily total
     * series — the median of all pairwise Walsh averages
     * `(y_i + y_j)/2, i ≤ j`: ~√n-efficient like the mean, 29%-breakdown

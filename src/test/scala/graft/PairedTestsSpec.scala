@@ -83,4 +83,27 @@ class PairedTestsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getDouble(2) == 0.0)
   }
+
+  test("negative-binomial moment fit on overdispersed counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // per-user counts {1,1,1,9}: m = 3, s² = 16 → dispersion 16/3,
+    // r = 9/13, p = 3/16
+    val df = (Seq((1L, 0), (2L, 0), (3L, 0)) ++ (1 to 9).map(_ => (4L, 0)))
+      .toDF("u", "z")
+    val r = graft.analyze.RobustStats.negBinFit(df, col("u")).collect().head
+    assert(r.getLong(0) == 4 && r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 16.0 / 3) < 1e-4)
+    assert(math.abs(r.getDouble(3) - 9.0 / 13) < 1e-6)
+    assert(r.getDouble(4) == 0.1875)
+  }
+
+  test("negative-binomial fit is null for under-dispersed counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // all users identical (v = 0 < m): no NB fit, dispersion 0
+    val df = (1L to 4L).flatMap(u => Seq((u, 0), (u, 0))).toDF("u", "z")
+    val r = graft.analyze.RobustStats.negBinFit(df, col("u")).collect().head
+    assert(r.getDouble(2) == 0.0 && r.isNullAt(3) && r.isNullAt(4))
+  }
 }
