@@ -505,6 +505,73 @@ object SparkEntry {
     "q319_negbin_fit" -> ((s, dir) =>
       graft.analyze.RobustStats.negBinFit(Tables.events(s, dir),
         col("user_id"))),
+    // ---- Dunn's post-hoc pairwise z after q283's Kruskal-Wallis: WHICH
+    //      return-flag pairs differ — same exact doubled-rank machinery,
+    //      k²-bounded pair frame
+    "q320_dunns_test" -> ((s, dir) =>
+      graft.analyze.RankStats.dunn(Tables.lineitem(s, dir),
+        col("l_returnflag"), col("l_quantity"))),
+    // ---- Jonckheere-Terpstra ordered-alternative test: does order value
+    //      trend across the priority ladder — full Hollander-Wolfe tie
+    //      correction, distinct-value-bounded windows only
+    "q321_jonckheere" -> ((s, dir) =>
+      graft.analyze.RankStats.jonckheere(Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_totalprice"))),
+    // ---- Fleiss' kappa across three heuristic quality raters (length /
+    //      punctuation / stopword rules): do the labeling functions agree
+    //      beyond chance — the multi-rater extension of q215
+    "q322_fleiss_kappa" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.analyze.Agreement.fleissKappa(d, col("doc_id"), Seq(
+        when(col("n_chars") >= 200, "good").otherwise("bad"),
+        when(length(col("text")) -
+          length(replace(col("text"), lit("."), lit(""))) >= 3, "good")
+          .otherwise("bad"),
+        when(col("text").contains(" the "), "good").otherwise("bad")))
+    }),
+    // ---- one-way ICC(1,1) of event value within users: what share of
+    //      value variance is user-level — unequal-n effective group size,
+    //      pinned per-group square terms
+    "q323_icc" -> ((s, dir) =>
+      graft.analyze.Agreement.icc(Tables.events(s, dir),
+        col("user_id"), col("value"))),
+    // ---- Lin's concordance of the order-header total against the
+    //      recomputed lineitem net total: agreement with the 45° line,
+    //      not just linearity (pairs with q327's error-in-both fit)
+    "q324_lin_ccc" -> ((s, dir) =>
+      graft.analyze.Agreement.linCcc(orderNetPairs(s, dir),
+        col("x"), col("y"))),
+    // ---- Murphy decomposition of the Brier score for the q209 LOO
+    //      target-encoded score: reliability / resolution / uncertainty
+    //      — WHY the headline Brier is what it is
+    "q325_brier_decomp" -> ((s, dir) =>
+      graft.ml.Evaluation.brierDecomposition(
+        looScored(s, dir), col("target_enc"), col("value") > 50)),
+    // ---- Hosmer-Lemeshow goodness-of-fit table for the same score:
+    //      observed vs expected positives per score bin, χ² contribs —
+    //      fixed-width bins keep it one hash aggregate at any scale
+    "q326_hosmer_lemeshow" -> ((s, dir) =>
+      graft.ml.Evaluation.hosmerLemeshow(
+        looScored(s, dir), col("target_enc"), col("value") > 50)),
+    // ---- Deming errors-in-both regression of header total on lineitem
+    //      net: the ML line when both sides carry noise (OLS attenuates);
+    //      closed-form λ=1 slope from exact moments
+    "q327_deming" -> ((s, dir) =>
+      graft.analyze.Regression.deming(orderNetPairs(s, dir),
+        col("x"), col("y"))),
+    // ---- Breusch-Pagan (Koenker) heteroscedasticity LM test of total
+    //      price on order date: are the q167-style trend SEs honest —
+    //      two exact-moment passes, squared residuals re-pinned
+    "q328_breusch_pagan" -> ((s, dir) =>
+      graft.analyze.Regression.breuschPagan(Tables.orders(s, dir),
+        unix_date(to_date(col("o_orderdate"))), col("o_totalprice"))),
+    // ---- Chow test for a structural break of the price~date line at
+    //      1998-01-01: did the RELATION change, not just the level —
+    //      per-segment closed-form SSRs, one grouped aggregate
+    "q329_chow" -> ((s, dir) =>
+      graft.analyze.Regression.chow(Tables.orders(s, dir),
+        unix_date(to_date(col("o_orderdate"))), col("o_totalprice"),
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3058,6 +3125,30 @@ object SparkEntry {
     root.getAbsolutePath
   }
 
+  /** Paired (header total, recomputed lineitem net) frame shared by the
+    * agreement/measurement-error queries (q324/q327): `x` =
+    * `o_totalprice`, `y` = `Σ l_extendedprice·(1−l_discount)` with the
+    * per-row term 6-dp-quantized BEFORE the sum (exact long sums — no
+    * order-dependent double addition). */
+  private def orderNetPairs(s: SparkSession, dir: String): DataFrame = {
+    val net = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * lit(1000000)).cast("long")).cast("double") / 1e6).as("y"))
+    Tables.orders(s, dir)
+      .join(net, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_totalprice").as("x"), col("y"))
+  }
+
+  /** The q209/q210 LOO target-encoded score frame, shared by the
+    * calibration-decomposition queries (q325/q326). */
+  private def looScored(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Encoding.targetEncodeLoo(
+      Tables.events(s, dir)
+        .withColumn("cat", concat_ws("_", col("event_type"),
+          (dayofweek(col("ts")) - 1).cast("string"))),
+      "cat", col("value") > 50)
+
   /** E1-stage-9 feature prep shared by the ML queries: count-based
     * tumbling windows (size 5, event_id order) over the event stream,
     * per-type counts as features, max-pooled binary label
@@ -4655,6 +4746,301 @@ object SparkEntry {
                 round(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS r,
                 round(CASE WHEN v > m THEN m / v END, 6) AS p
          FROM c""",
+    "q320_dunns_test" ->
+      """WITH q AS (SELECT l_returnflag AS g,
+                  CAST(round(l_quantity * 1000000) AS BIGINT) AS v FROM lineitem),
+         cells AS (SELECT v, g, count(*) AS cnt FROM q GROUP BY 1, 2),
+         byv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         r AS (SELECT v, ct,
+                 2 * COALESCE(sum(ct) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + ct + 1 AS r2
+               FROM byv),
+         cls AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_i,
+                        sum(CAST(cnt AS HUGEINT) * r2) AS s2
+                 FROM cells JOIN r USING (v) GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n,
+                        sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tie3 FROM r)
+         SELECT a.g AS g1, b.g AS g2, a.n_i AS n1, b.n_i AS n2,
+                round(CAST(a.s2 AS DOUBLE) / (2.0 * a.n_i), 4) AS mean_rank_1,
+                round(CAST(b.s2 AS DOUBLE) / (2.0 * b.n_i), 4) AS mean_rank_2,
+                round(CASE WHEN sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                        - CAST(tie3 AS DOUBLE) / (12.0 * (n - 1)))
+                        * (1.0 / a.n_i + 1.0 / b.n_i)) > 0
+                  THEN (CAST(a.s2 AS DOUBLE) / (2.0 * a.n_i)
+                        - CAST(b.s2 AS DOUBLE) / (2.0 * b.n_i))
+                     / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                        - CAST(tie3 AS DOUBLE) / (12.0 * (n - 1)))
+                        * (1.0 / a.n_i + 1.0 / b.n_i)) END, 4) + 0.0 AS z
+         FROM cls a JOIN cls b ON a.g < b.g CROSS JOIN tot
+         ORDER BY 1, 2""",
+    "q321_jonckheere" ->
+      """WITH q AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+                  CAST(round(o_totalprice * 1000000) AS BIGINT) AS v FROM orders),
+         cells AS (SELECT g, v, count(*) AS cnt FROM q GROUP BY 1, 2),
+         byv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         grps AS (SELECT DISTINCT g FROM cells),
+         grid AS (SELECT b.v, gr.g, COALESCE(c.cnt, 0) AS cnt
+                  FROM byv b CROSS JOIN grps gr
+                  LEFT JOIN cells c ON c.g = gr.g AND c.v = b.v),
+         pre AS (SELECT v, g, cnt,
+                   COALESCE(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+                 FROM grid),
+         pre2 AS (SELECT v, g, cnt, below,
+                   COALESCE(sum(below) OVER (PARTITION BY v ORDER BY g
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lsum,
+                   COALESCE(sum(cnt) OVER (PARTITION BY v ORDER BY g
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tsum
+                 FROM pre),
+         jt AS (SELECT sum(CAST(cnt AS HUGEINT) *
+                  (2 * CAST(lsum AS HUGEINT) + tsum)) AS jt2 FROM pre2),
+         ns AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_i FROM cells GROUP BY 1),
+         gt AS (SELECT count(*) AS k, sum(CAST(n_i AS HUGEINT)) AS s1,
+                  sum(CAST(n_i AS HUGEINT) * n_i) AS s2,
+                  sum(CAST(n_i AS HUGEINT) * (n_i - 1) * (2 * n_i + 5)) AS t25,
+                  sum(CAST(n_i AS HUGEINT) * (n_i - 1) * (n_i - 2)) AS t3,
+                  sum(CAST(n_i AS HUGEINT) * (n_i - 1)) AS t2 FROM ns),
+         vt AS (SELECT sum(CAST(ct AS HUGEINT) * (ct - 1) * (2 * ct + 5)) AS vt25,
+                  sum(CAST(ct AS HUGEINT) * (ct - 1) * (ct - 2)) AS vt3,
+                  sum(CAST(ct AS HUGEINT) * (ct - 1)) AS vt2 FROM byv)
+         SELECT k, CAST(s1 AS BIGINT) AS n,
+                round(CAST(jt2 AS DOUBLE) / 2.0, 1) AS jt,
+                round(CAST(s1 * s1 - s2 AS DOUBLE) / 2.0 / 2.0, 1) AS e_jt,
+                round(CASE WHEN (CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) - 1) * (2 * CAST(s1 AS DOUBLE) + 5)
+                        - CAST(vt25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72.0
+                      + CAST(vt3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                        / (36.0 * CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) - 1) * (CAST(s1 AS DOUBLE) - 2))
+                      + CAST(vt2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                        / (8.0 * CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) - 1)) > 0
+                  THEN (CAST(jt2 AS DOUBLE) - CAST(s1 * s1 - s2 AS DOUBLE) / 2.0)
+                     / (2.0 * sqrt((CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) - 1) * (2 * CAST(s1 AS DOUBLE) + 5)
+                        - CAST(vt25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72.0
+                      + CAST(vt3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                        / (36.0 * CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) - 1) * (CAST(s1 AS DOUBLE) - 2))
+                      + CAST(vt2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                        / (8.0 * CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) - 1)))) END, 4) + 0.0 AS z
+         FROM jt CROSS JOIN gt CROSS JOIN vt""",
+    "q322_fleiss_kappa" ->
+      """WITH st AS (
+           SELECT doc_id, CASE WHEN n_chars >= 200 THEN 'good' ELSE 'bad' END AS cat FROM documents
+           UNION ALL
+           SELECT doc_id, CASE WHEN length(text) - length(replace(text, '.', '')) >= 3
+             THEN 'good' ELSE 'bad' END FROM documents
+           UNION ALL
+           SELECT doc_id, CASE WHEN text LIKE '% the %' THEN 'good' ELSE 'bad' END FROM documents),
+         cells AS (SELECT doc_id, cat, count(*) AS cnt FROM st GROUP BY 1, 2),
+         subj AS (SELECT doc_id, sum(CAST(cnt AS HUGEINT) * cnt) AS sq FROM cells GROUP BY 1),
+         sa AS (SELECT count(*) AS n, sum(sq) AS ssq FROM subj),
+         ct AS (SELECT cat, CAST(sum(cnt) AS BIGINT) AS c_j FROM cells GROUP BY 1),
+         ca AS (SELECT count(*) AS k, sum(CAST(c_j AS HUGEINT) * c_j) AS csq FROM ct)
+         SELECT n AS n_subjects, CAST(3 AS BIGINT) AS n_raters, k AS n_categories,
+                round((CAST(ssq AS DOUBLE) - CAST(n AS DOUBLE) * 3)
+                  / (CAST(n AS DOUBLE) * 3 * 2), 6) AS p_bar,
+                round(CAST(csq AS DOUBLE) / (CAST(n AS DOUBLE) * 3) / (CAST(n AS DOUBLE) * 3), 6) AS p_e,
+                round(CASE WHEN CAST(csq AS DOUBLE) / (CAST(n AS DOUBLE) * 3) / (CAST(n AS DOUBLE) * 3) < 1
+                  THEN ((CAST(ssq AS DOUBLE) - CAST(n AS DOUBLE) * 3) / (CAST(n AS DOUBLE) * 3 * 2)
+                        - CAST(csq AS DOUBLE) / (CAST(n AS DOUBLE) * 3) / (CAST(n AS DOUBLE) * 3))
+                     / (1.0 - CAST(csq AS DOUBLE) / (CAST(n AS DOUBLE) * 3) / (CAST(n AS DOUBLE) * 3)) END, 6) AS kappa
+         FROM sa CROSS JOIN ca""",
+    "q323_icc" ->
+      """WITH q AS (SELECT user_id AS g, CAST(round(value * 1000000) AS BIGINT) AS yq FROM events),
+         rows_ AS (SELECT count(*) AS n_r, sum(CAST(yq AS HUGEINT) * yq) AS ssq FROM q),
+         cls AS (SELECT g, count(*) AS n_i, CAST(sum(yq) AS BIGINT) AS s_i FROM q GROUP BY 1),
+         pin AS (SELECT n_i,
+                   CAST(round(CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)) AS HUGEINT) AS u,
+                   CAST(n_i AS HUGEINT) * n_i AS n2, CAST(s_i AS HUGEINT) AS s_i
+                 FROM cls),
+         ga AS (SELECT count(*) AS g_n, CAST(sum(n_i) AS BIGINT) AS n,
+                       sum(u) AS su, sum(n2) AS sn2, sum(s_i) AS s FROM pin)
+         SELECT n, g_n AS n_groups,
+                round((CAST(su AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(g_n AS DOUBLE) - 1) / 1e12, 6) AS msb,
+                round((CAST(ssq AS DOUBLE) - CAST(su AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - CAST(g_n AS DOUBLE)) / 1e12, 6) AS msw,
+                round(CASE WHEN (CAST(su AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(g_n AS DOUBLE) - 1)
+                        + ((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(g_n AS DOUBLE) - 1) - 1)
+                          * (CAST(ssq AS DOUBLE) - CAST(su AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(g_n AS DOUBLE)) <> 0
+                  THEN ((CAST(su AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(g_n AS DOUBLE) - 1)
+                        - (CAST(ssq AS DOUBLE) - CAST(su AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(g_n AS DOUBLE)))
+                     / ((CAST(su AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(g_n AS DOUBLE) - 1)
+                        + ((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(g_n AS DOUBLE) - 1) - 1)
+                          * (CAST(ssq AS DOUBLE) - CAST(su AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(g_n AS DOUBLE))) END, 6) AS icc1
+         FROM ga CROSS JOIN rows_""",
+    "q324_lin_ccc" ->
+      """WITH net AS (SELECT l_orderkey,
+                  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1e6 AS y
+                FROM lineitem GROUP BY 1),
+         p AS (SELECT o_totalprice AS x, y FROM orders JOIN net ON o_orderkey = l_orderkey),
+         q AS (SELECT CAST(round(x * 1000000) AS BIGINT) AS x,
+                      CAST(round(y * 1000000) AS BIGINT) AS y FROM p),
+         m AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+                      sum(CAST(x AS HUGEINT) * y) AS sxy FROM q),
+         c AS (SELECT n,
+                 CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS vx,
+                 CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS vy,
+                 CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy,
+                 (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE) AS dm
+               FROM m)
+         SELECT n,
+                round(CASE WHEN vx > 0 AND vy > 0 THEN cxy / sqrt(vx * vy) END, 6) AS pearson_r,
+                round(CASE WHEN cxy / sqrt(vx * vy) <> 0
+                  THEN (2.0 * cxy / (vx + vy + n * dm * dm)) / (cxy / sqrt(vx * vy)) END, 6) AS c_b,
+                round(CASE WHEN vx + vy + n * dm * dm > 0
+                  THEN 2.0 * cxy / (vx + vy + n * dm * dm) END, 6) AS ccc
+         FROM c""",
+    "q325_brier_decomp" ->
+      """WITH yy AS (SELECT event_id, concat(event_type, '_', CAST(dayofweek(ts) AS VARCHAR)) AS cat,
+                   CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+             FROM events),
+         s AS (SELECT cat, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy FROM yy GROUP BY 1),
+         g AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM yy),
+         scored AS (SELECT yy.event_id, yy.y,
+               round((s.sy - yy.y + 10.0 * g.prior) / (s.n - 1 + 10.0), 6) AS enc
+             FROM yy JOIN s ON yy.cat = s.cat, g),
+         base AS (SELECT CAST(round(enc * 1000000) AS BIGINT) AS sq, y FROM scored),
+         b AS (SELECT least(sq // 100000, 9) AS bin, sq, y FROM base),
+         bins AS (SELECT bin, count(*) AS n_k, sum(CAST(sq AS HUGEINT)) AS sp,
+                    CAST(sum(y) AS BIGINT) AS sy,
+                    sum((CAST(sq AS HUGEINT) - CAST(y AS HUGEINT) * 1000000)
+                      * (CAST(sq AS HUGEINT) - CAST(y AS HUGEINT) * 1000000)) AS e2
+                  FROM b GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_k) AS BIGINT) AS n, CAST(sum(sy) AS BIGINT) AS syt,
+                        sum(e2) AS e2t FROM bins),
+         pinned AS (SELECT
+                 CAST(round(n_k * (CAST(sp AS DOUBLE) / n_k / 1e6 - CAST(sy AS DOUBLE) / n_k)
+                   * (CAST(sp AS DOUBLE) / n_k / 1e6 - CAST(sy AS DOUBLE) / n_k) * 1e12) AS HUGEINT) AS rel12,
+                 CAST(round(n_k * (CAST(sy AS DOUBLE) / n_k - CAST(t.syt AS DOUBLE) / t.n)
+                   * (CAST(sy AS DOUBLE) / n_k - CAST(t.syt AS DOUBLE) / t.n) * 1e12) AS HUGEINT) AS res12
+               FROM bins, tot t),
+         agg AS (SELECT sum(rel12) AS rel, sum(res12) AS res FROM pinned)
+         SELECT t.n, round(CAST(t.e2t AS DOUBLE) / t.n / 1e12, 6) AS brier,
+                round(CAST(rel AS DOUBLE) / t.n / 1e12, 6) AS reliability,
+                round(CAST(res AS DOUBLE) / t.n / 1e12, 6) AS resolution,
+                round((CAST(t.syt AS DOUBLE) / t.n) * (1.0 - CAST(t.syt AS DOUBLE) / t.n), 6) AS uncertainty
+         FROM agg CROSS JOIN tot t""",
+    "q326_hosmer_lemeshow" ->
+      """WITH yy AS (SELECT event_id, concat(event_type, '_', CAST(dayofweek(ts) AS VARCHAR)) AS cat,
+                   CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+             FROM events),
+         s AS (SELECT cat, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy FROM yy GROUP BY 1),
+         g AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM yy),
+         scored AS (SELECT yy.event_id, yy.y,
+               round((s.sy - yy.y + 10.0 * g.prior) / (s.n - 1 + 10.0), 6) AS enc
+             FROM yy JOIN s ON yy.cat = s.cat, g),
+         base AS (SELECT CAST(round(enc * 1000000) AS BIGINT) AS sq, y FROM scored),
+         bins AS (SELECT least(sq // 100000, 9) AS bin, count(*) AS n,
+                    CAST(sum(y) AS BIGINT) AS obs_pos, sum(CAST(sq AS HUGEINT)) AS ep6
+                  FROM base GROUP BY 1)
+         SELECT CAST(bin AS BIGINT) AS bin, n, obs_pos,
+                round(CAST(ep6 AS DOUBLE) / 1e6, 4) AS exp_pos,
+                n - obs_pos AS obs_neg,
+                round(CAST(n AS DOUBLE) - CAST(ep6 AS DOUBLE) / 1e6, 4) AS exp_neg,
+                round(CASE WHEN CAST(ep6 AS DOUBLE) / 1e6 > 0 AND CAST(n AS DOUBLE) - CAST(ep6 AS DOUBLE) / 1e6 > 0
+                  THEN (CAST(obs_pos AS DOUBLE) - CAST(ep6 AS DOUBLE) / 1e6)
+                       * (CAST(obs_pos AS DOUBLE) - CAST(ep6 AS DOUBLE) / 1e6)
+                       / (CAST(ep6 AS DOUBLE) / 1e6)
+                     + (CAST(n AS DOUBLE) - CAST(obs_pos AS DOUBLE) - (CAST(n AS DOUBLE) - CAST(ep6 AS DOUBLE) / 1e6))
+                       * (CAST(n AS DOUBLE) - CAST(obs_pos AS DOUBLE) - (CAST(n AS DOUBLE) - CAST(ep6 AS DOUBLE) / 1e6))
+                       / (CAST(n AS DOUBLE) - CAST(ep6 AS DOUBLE) / 1e6) END, 4) AS contrib
+         FROM bins ORDER BY bin""",
+    "q327_deming" ->
+      """WITH net AS (SELECT l_orderkey,
+                  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1e6 AS y
+                FROM lineitem GROUP BY 1),
+         p AS (SELECT o_totalprice AS x, y FROM orders JOIN net ON o_orderkey = l_orderkey),
+         q AS (SELECT CAST(round(x * 1000000) AS BIGINT) AS x,
+                      CAST(round(y * 1000000) AS BIGINT) AS y FROM p),
+         m AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+                      sum(CAST(x AS HUGEINT) * y) AS sxy FROM q),
+         c AS (SELECT n, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS vx,
+                 CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS vy,
+                 CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy
+               FROM m),
+         f AS (SELECT n, sxd, syd, vx, vy, cxy,
+                 CASE WHEN cxy <> 0
+                   THEN (vy - 1.0 * vx + sqrt((vy - 1.0 * vx) * (vy - 1.0 * vx) + 4.0 * cxy * cxy))
+                        / (2.0 * cxy) END AS b
+               FROM c)
+         SELECT n, round(b, 6) AS slope,
+                round((syd - b * sxd) / CAST(n AS DOUBLE) / 1e6, 6) AS intercept,
+                round(CASE WHEN vx > 0 AND vy > 0 THEN cxy / sqrt(vx * vy) END, 6) AS pearson_r
+         FROM f""",
+    "q328_breusch_pagan" ->
+      """WITH q AS (SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+                  CAST(round(o_totalprice * 1000000) AS BIGINT) AS y FROM orders),
+         m AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy FROM q),
+         f AS (SELECT n, sx,
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+                 (CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+               FROM m),
+         r AS (SELECT q.x,
+                 CAST(round(((CAST(q.y AS DOUBLE) - f.a - f.b * CAST(q.x AS DOUBLE)) / 1e6)
+                   * ((CAST(q.y AS DOUBLE) - f.a - f.b * CAST(q.x AS DOUBLE)) / 1e6) * 1e4) AS BIGINT) AS u
+               FROM q, f),
+         aux AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(u AS HUGEINT)) AS su,
+                        sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(u AS HUGEINT) * u) AS suu,
+                        sum(CAST(x AS HUGEINT) * u) AS sxu FROM r),
+         c AS (SELECT n,
+                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                 CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS vu,
+                 CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE) AS cxu
+               FROM aux)
+         SELECT c.n, round(f.b / 1000000.0, 6) AS slope,
+                round(CAST(c.n AS DOUBLE) * (CASE WHEN vx > 0 AND vu > 0 THEN cxu * cxu / (vx * vu) END), 4) AS lm_stat,
+                round(CASE WHEN vx > 0 AND vu > 0 THEN cxu * cxu / (vx * vu) END, 6) AS r2_aux
+         FROM c, f""",
+    "q329_chow" ->
+      """WITH q AS (SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+                  CAST(round(o_totalprice * 1000000) AS BIGINT) AS y,
+                  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS seg
+             FROM orders),
+         segs AS (SELECT seg, count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+                      sum(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM q GROUP BY 1),
+         wide AS (SELECT
+                 CAST(sum(CASE WHEN seg = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN seg = 0 THEN n ELSE 0 END) AS BIGINT) AS n2,
+                 max(CASE WHEN seg = 1 THEN sx END) AS sx1, max(CASE WHEN seg = 1 THEN sy END) AS sy1,
+                 max(CASE WHEN seg = 1 THEN sxx END) AS sxx1, max(CASE WHEN seg = 1 THEN syy END) AS syy1,
+                 max(CASE WHEN seg = 1 THEN sxy END) AS sxy1,
+                 max(CASE WHEN seg = 0 THEN sx END) AS sx2, max(CASE WHEN seg = 0 THEN sy END) AS sy2,
+                 max(CASE WHEN seg = 0 THEN sxx END) AS sxx2, max(CASE WHEN seg = 0 THEN syy END) AS syy2,
+                 max(CASE WHEN seg = 0 THEN sxy END) AS sxy2
+               FROM segs),
+         e AS (SELECT n1, n2,
+                 CASE WHEN CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) > 0
+                   THEN (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                     - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   ELSE CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS s1,
+                 CASE WHEN CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) > 0
+                   THEN (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     - (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       * (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       / (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   ELSE CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS s2,
+                 CASE WHEN CAST(sxx1 + sxx2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE) * CAST(sx1 + sx2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) > 0
+                   THEN (CAST(syy1 + syy2 AS DOUBLE) - CAST(sy1 + sy2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                     - (CAST(sxy1 + sxy2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                       * (CAST(sxy1 + sxy2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                       / (CAST(sxx1 + sxx2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE) * CAST(sx1 + sx2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                   ELSE CAST(syy1 + syy2 AS DOUBLE) - CAST(sy1 + sy2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) END AS sp
+               FROM wide)
+         SELECT n1, n2, round(sp / 1e12, 4) AS ssr_pooled,
+                round((s1 + s2) / 1e12, 4) AS ssr_within,
+                round(CASE WHEN s1 + s2 > 0
+                  THEN ((sp - s1 - s2) / 2.0) / ((s1 + s2) / (CAST(n1 + n2 AS DOUBLE) - 4)) END, 4) AS f_stat
+         FROM e""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -147,6 +147,121 @@ object RankStats {
     * class sum is order-invariant; H and the tie-corrected H/C are one
     * double expression at the end. One row:
     * `(k, n, h, h_adj)` at 4 dp. */
+  /** Dunn's post-hoc test — WHICH class pairs differ once
+    * [[kruskalWallis]] says "some pair does": for every unordered class
+    * pair the mean-rank gap standardized by the tie-corrected rank
+    * variance, `z = (R̄_i − R̄_j) / √(σ²·(1/n_i + 1/n_j))` with
+    * `σ² = N(N+1)/12 − Σ(t³−t)/(12(N−1))` (Dunn 1964).
+    *
+    * Engine: the SAME distinct-value doubled-rank frame as
+    * [[kruskalWallis]] — per-class doubled rank sums are exact integers;
+    * mean ranks and z are one double expression over them. The pair
+    * frame is the k-class aggregate crossed with itself (k² rows, k =
+    * #classes — bounded), never the corpus. Output per pair (g1 < g2):
+    * `(g1, g2, n1, n2, mean_rank_1, mean_rank_2, z)` at 4 dp. */
+  def dunn(df: DataFrame, classCol: Column, valueCol: Column): DataFrame = {
+    val q = df.select(classCol.as("g"),
+      round(valueCol * lit(1000000)).cast("long").as("v"))
+    val cells = q.groupBy(col("v"), col("g")).agg(count(lit(1)).as("cnt"))
+    val byV = cells.groupBy(col("v")).agg(sum(col("cnt")).as("ct"))
+    val w = Window.orderBy(col("v")).rowsBetween(Long.MinValue, -1)
+    val ranked = byV.withColumn("r2",
+      lit(2) * coalesce(sum(col("ct")).over(w), lit(0L)) + col("ct") + 1)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val cls = cells.join(ranked.select(col("v"), col("r2")), "v")
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_i"),
+        sum(d19(col("cnt")) * d19(col("r2"))).as("s2"))
+    val tot = ranked.agg(sum(col("ct")).as("n"),
+      sum(d19(col("ct")) * d19(col("ct")) * d19(col("ct")) - d19(col("ct")))
+        .as("tie3"))
+    val a = cls.select(col("g").as("g1"), col("n_i").as("n1"),
+      col("s2").as("s21"))
+    val b = cls.select(col("g").as("g2"), col("n_i").as("n2"),
+      col("s2").as("s22"))
+    a.crossJoin(b).filter(col("g1") < col("g2"))
+      .crossJoin(broadcast(tot))
+      .select(Seq(col("g1"), col("g2"), col("n1"), col("n2")) ++ {
+        val mr1 = col("s21").cast("double") / (lit(2.0) * col("n1"))
+        val mr2 = col("s22").cast("double") / (lit(2.0) * col("n2"))
+        val n = col("n").cast("double")
+        val sig2 = n * (n + 1) / 12.0 -
+          col("tie3").cast("double") / (lit(12.0) * (n - 1))
+        val se = sqrt(sig2 * (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+        Seq(round(mr1, 4).as("mean_rank_1"), round(mr2, 4).as("mean_rank_2"),
+          round(when(se > 0, (mr1 - mr2) / se), 4).as("z"))
+      }: _*)
+      .orderBy(col("g1"), col("g2"))
+  }
+
+  /** Jonckheere-Terpstra test for an ORDERED alternative across k
+    * groups (ordered by the group key's natural sort): are values
+    * trending up as the group ordinal rises — strictly sharper than
+    * [[kruskalWallis]] when the alternative is monotone (Jonckheere
+    * 1954; the group-ordinal cousin of [[Trend]]'s Mann-Kendall).
+    * `JT = Σ_{i<j} U_ij`; expectation `(N² − Σn_i²)/4`; variance with
+    * the full Hollander-Wolfe tie correction (three terms over value-tie
+    * and group-size tallies — every tally an exact integer).
+    *
+    * Engine: a (distinct values × k groups) grid — per-group cumulative
+    * counts below each value (window per group over the value frame),
+    * then a prefix over GROUP ORDER within each value row gives
+    * `Σ_{i<j}` in one pass; `JT₂ = Σ cnt_j·(2·below_{<j} + ties_{<j})`
+    * is an exact integer. All windows are distinct-value-bounded
+    * (documented: never corpus-row-scaled). One row:
+    * `(k, n, jt, e_jt, z)` — jt/e_jt at 1 dp (exact halves), z at 4. */
+  def jonckheere(df: DataFrame, groupCol: Column,
+                 valueCol: Column): DataFrame = {
+    val q = df.select(groupCol.cast("string").as("g"),
+      round(valueCol * lit(1000000)).cast("long").as("v"))
+    val cells = q.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val byV = cells.groupBy(col("v")).agg(sum(col("cnt")).as("ct"))
+    val groups = cells.select(col("g")).distinct()
+    val grid = byV.select(col("v")).crossJoin(broadcast(groups))
+      .join(cells, Seq("g", "v"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, -1)
+    val wv = Window.partitionBy(col("v")).orderBy(col("g"))
+      .rowsBetween(Long.MinValue, -1)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val pre = grid
+      .withColumn("below", coalesce(sum(col("cnt")).over(wg), lit(0L)))
+      .withColumn("lsum", coalesce(sum(col("below")).over(wv), lit(0L)))
+      .withColumn("tsum", coalesce(sum(col("cnt")).over(wv), lit(0L)))
+    val jt = pre.agg(sum(d19(col("cnt")) *
+      (lit(2) * d19(col("lsum")) + d19(col("tsum")))).as("jt2"))
+    // group-size tallies u· and value-tie tallies t· — all exact
+    val ns = cells.groupBy(col("g")).agg(sum(col("cnt")).as("n_i"))
+    def tall(c: Column) = Seq(
+      sum(d19(c)).as("s1"), sum(d19(c) * d19(c)).as("s2"),
+      sum(d19(c) * (d19(c) - 1) * (lit(2) * d19(c) + 5)).as("t25"),
+      sum(d19(c) * (d19(c) - 1) * (d19(c) - 2)).as("t3"),
+      sum(d19(c) * (d19(c) - 1)).as("t2"))
+    val gt = ns.agg(count(lit(1)).as("k"), tall(col("n_i")): _*)
+    val vt = byV.agg(tall(col("ct")).head, tall(col("ct")).tail: _*)
+      .select(col("s1").as("vs1"), col("s2").as("vs2"),
+        col("t25").as("vt25"), col("t3").as("vt3"), col("t2").as("vt2"))
+    jt.crossJoin(broadcast(gt)).crossJoin(broadcast(vt))
+      .select(Seq(col("k"), col("s1").cast("long").as("n")) ++ {
+        val n = col("s1").cast("double")
+        val e2 = (col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)")
+          - col("s2")).cast("double") / 2.0
+        val v1 = (n * (n - 1) * (n * 2 + 5) - col("vt25").cast("double") -
+          col("t25").cast("double")) / 72.0
+        val v2 = col("vt3").cast("double") * col("t3").cast("double") /
+          (lit(36.0) * n * (n - 1) * (n - 2))
+        val v3 = col("vt2").cast("double") * col("t2").cast("double") /
+          (lit(8.0) * n * (n - 1))
+        val vr = v1 + v2 + v3
+        Seq(round(col("jt2").cast("double") / 2.0, 1).as("jt"),
+          round(e2 / 2.0, 1).as("e_jt"),
+          round(when(vr > 0,
+            (col("jt2").cast("double") - e2) / (lit(2.0) * sqrt(vr))),
+            4).as("z"))
+      }: _*)
+  }
+
   def kruskalWallis(df: DataFrame, classCol: Column,
                     valueCol: Column): DataFrame = {
     val q = df.select(classCol.as("g"),

@@ -126,4 +126,90 @@ object Evaluation {
         round(when(col("p_total") > 0,
           col("ap_pico").cast("double") / 1e12), 6).as("avg_precision"))
   }
+
+  /** Murphy decomposition of the Brier score over 10 equal-width score
+    * bins — [[calibrationReport]] shows the reliability CURVE; this
+    * splits the headline number into its three causes:
+    * `REL = Σ n_k(p̄_k−ō_k)²/N` (calibration error — bad),
+    * `RES = Σ n_k(ō_k−ō)²/N` (discrimination — good),
+    * `UNC = ō(1−ō)` (task difficulty — fixed). One row:
+    * `(n, brier, reliability, resolution, uncertainty)` at 6 dp.
+    * With binned forecasts the identity `brier = REL − RES + UNC` holds
+    * up to the within-bin forecast variance (reported implicitly by the
+    * residual); all inputs are exact 6-dp-quantized integer sums. */
+  def brierDecomposition(df: DataFrame, score: Column,
+                         target: Column): DataFrame = {
+    val sq = round(score * lit(1000000)).cast("long")
+    val y = when(target, 1L).otherwise(0L)
+    val base = df.select(sq.as("sq"), y.as("y"))
+      .withColumn("bin", least(floor(col("sq") / 100000L), lit(9L)))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val bins = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_k"), sum(d19(col("sq"))).as("sp"),
+        sum(col("y")).as("sy"),
+        sum((d19(col("sq")) - d19(col("y")) * 1000000) *
+          (d19(col("sq")) - d19(col("y")) * 1000000)).as("e2"))
+    // per-bin (p̄−ō)² and ō contributions pinned to 12-dp longs once so
+    // the cross-bin sums are exact (≤10 bins, but the contract is free)
+    val tot = bins.agg(sum(col("n_k")).as("n"), sum(col("sy")).as("sy"),
+      sum(col("e2")).as("e2t"))
+    bins.crossJoin(broadcast(tot.select(col("n").as("nt"),
+        col("sy").as("syt"))))
+      .select(col("n_k"),
+        round({
+          val pk = col("sp").cast("double") / col("n_k") / 1e6
+          val ok = col("sy").cast("double") / col("n_k")
+          col("n_k") * (pk - ok) * (pk - ok) * 1e12
+        }).cast("decimal(38,0)").as("rel12"),
+        round({
+          val ok = col("sy").cast("double") / col("n_k")
+          val ob = col("syt").cast("double") / col("nt")
+          col("n_k") * (ok - ob) * (ok - ob) * 1e12
+        }).cast("decimal(38,0)").as("res12"))
+      .agg(sum(col("rel12")).as("rel"), sum(col("res12")).as("res"))
+      .crossJoin(broadcast(tot))
+      .select({
+        val n = col("n").cast("double")
+        val ob = col("sy").cast("double") / n
+        Seq(col("n"),
+          round(col("e2t").cast("double") / n / 1e12, 6).as("brier"),
+          round(col("rel").cast("double") / n / 1e12, 6).as("reliability"),
+          round(col("res").cast("double") / n / 1e12, 6).as("resolution"),
+          round(ob * (lit(1.0) - ob), 6).as("uncertainty"))
+      }: _*)
+  }
+
+  /** Hosmer-Lemeshow goodness-of-fit table over 10 equal-width score
+    * bins: per bin the observed vs expected positives/negatives and the
+    * χ² contribution `(O₁−E₁)²/E₁ + (O₀−E₀)²/E₀` — the sum across rows
+    * is the HL statistic (~χ²(bins−2) under a well-calibrated model).
+    * Output per non-empty bin: `(bin, n, obs_pos, exp_pos, obs_neg,
+    * exp_neg, contrib)` at 4 dp, ordered by bin. Fixed-width bins (not
+    * risk deciles) keep the statistic scale-portable: no global rank
+    * pass, one hash aggregate. */
+  def hosmerLemeshow(df: DataFrame, score: Column,
+                     target: Column): DataFrame = {
+    val sq = round(score * lit(1000000)).cast("long")
+    val y = when(target, 1L).otherwise(0L)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    df.select(sq.as("sq"), y.as("y"))
+      .withColumn("bin", least(floor(col("sq") / 100000L), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("obs_pos"),
+        sum(d19(col("sq"))).as("ep6"))
+      .select(Seq(col("bin"), col("n"), col("obs_pos")) ++ {
+        val e1 = col("ep6").cast("double") / 1e6
+        val e0 = col("n").cast("double") - e1
+        val o1 = col("obs_pos").cast("double")
+        val o0 = col("n").cast("double") - o1
+        val contrib = when(e1 > 0 && e0 > 0,
+          (o1 - e1) * (o1 - e1) / e1 + (o0 - e0) * (o0 - e0) / e0)
+        Seq(round(e1, 4).as("exp_pos"),
+          (col("n") - col("obs_pos")).as("obs_neg"),
+          round(e0, 4).as("exp_neg"), round(contrib, 4).as("contrib"))
+      }: _*)
+      .select(col("bin"), col("n"), col("obs_pos"), col("exp_pos"),
+        col("obs_neg"), col("exp_neg"), col("contrib"))
+      .orderBy(col("bin"))
+  }
 }
