@@ -572,6 +572,30 @@ object SparkEntry {
       graft.analyze.Regression.chow(Tables.orders(s, dir),
         unix_date(to_date(col("o_orderdate"))), col("o_totalprice"),
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))),
+    // ---- restricted mean survival time at 60 days: the area under
+    //      q160's KM curve — "average purchase-free days in the first
+    //      60", censoring-honest where the naive mean lies
+    "q330_rmst" -> ((s, dir) =>
+      graft.analyze.Survival.rmst(Tables.events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase", 60)),
+    // ---- Bayesian A/B on signup conversion: Beta(1,1) posteriors,
+    //      P(B>A) through the shared A&S-erf Φ — bit-identical in the
+    //      DuckDB twin, the stakeholder-facing readout next to q140
+    "q331_bayes_ab" -> ((s, dir) =>
+      graft.analyze.Experiment.bayesAb(Tables.events(s, dir), "user_id",
+        col("event_type") === "signup")),
+    // ---- sharp regression discontinuity at value=50 (bandwidth 25):
+    //      local-linear intercept gap for the purchase outcome — did
+    //      crossing the threshold itself move the rate
+    "q332_rdd" -> ((s, dir) =>
+      graft.analyze.Experiment.rdd(Tables.events(s, dir), col("value"),
+        col("event_type") === "purchase", 50.0, 25.0)),
+    // ---- Nelson's mean cumulative function of repeat purchases: the
+    //      recurrent-event generalization of q297's Nelson-Aalen, risk
+    //      sets from staggered per-user follow-up
+    "q333_mcf" -> ((s, dir) =>
+      graft.analyze.Survival.mcf(Tables.events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -5041,6 +5065,107 @@ object SparkEntry {
                 round(CASE WHEN s1 + s2 > 0
                   THEN ((sp - s1 - s2) / 2.0) / ((s1 + s2) / (CAST(n1 + n2 AS DOUBLE) - 4)) END, 4) AS f_stat
          FROM e""",
+    "q330_rmst" ->
+      """WITH u AS (SELECT user_id, min(ts) AS t0,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+                max(ts) AS tl
+              FROM events GROUP BY 1),
+         dd AS (SELECT CASE WHEN tp IS NOT NULL THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                            ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE)) END AS dur,
+                       CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS death
+                FROM u),
+         g AS (SELECT dur AS t, count(*) AS m, CAST(sum(death) AS BIGINT) AS d FROM dd GROUP BY 1),
+         r AS (SELECT t, d, CAST(sum(m) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM g),
+         dl AS (SELECT t, d, n_risk FROM r WHERE d > 0),
+         s AS (SELECT list(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / n_risk ORDER BY t) AS fs,
+                      list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds FROM dl),
+         e AS (SELECT ts[i] AS t, ds[i] AS d,
+                      round(list_reduce(list_prepend(CAST(1 AS DOUBLE), fs[1:i]), (a, b) -> a * b), 6) AS surv
+               FROM s, unnest(range(1, len(ts) + 1)) r(i)),
+         st AS (SELECT t, surv,
+                  least(coalesce(lead(t) OVER (ORDER BY t), 60), 60) AS tn
+                FROM e WHERE t < 60),
+         c AS (SELECT sum(CAST(round(surv * (tn - t) * 1e9) AS BIGINT)) AS s9 FROM st),
+         h AS (SELECT COALESCE(least(min(t), 60), 60) AS t1,
+                      COALESCE(CAST(sum(d) AS BIGINT), 0) AS nd FROM e)
+         SELECT CAST(60 AS BIGINT) AS tau, nd AS n_deaths,
+                round((CAST(t1 AS DOUBLE) * 1e9 + COALESCE(s9, 0)) / 1e9, 4) AS rmst_days
+         FROM h CROSS JOIN c""",
+    "q331_bayes_ab" ->
+      s"""WITH un AS (SELECT user_id,
+                max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS converted
+              FROM events GROUP BY 1),
+         v AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                      THEN 'A' ELSE 'B' END AS variant, converted
+               FROM un),
+         st AS (SELECT variant, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+                FROM v GROUP BY 1),
+         ab AS (SELECT
+                  (SELECT n FROM st WHERE variant = 'A') AS n_a,
+                  (SELECT conv FROM st WHERE variant = 'A') AS conv_a,
+                  (SELECT n FROM st WHERE variant = 'B') AS n_b,
+                  (SELECT conv FROM st WHERE variant = 'B') AS conv_b),
+         p AS (SELECT n_a, n_b, conv_a, conv_b,
+                 CAST(conv_a AS DOUBLE) + 1.0 AS ala,
+                 CAST(n_a - conv_a AS DOUBLE) + 1.0 AS bea,
+                 CAST(conv_b AS DOUBLE) + 1.0 AS alb,
+                 CAST(n_b - conv_b AS DOUBLE) + 1.0 AS beb
+               FROM ab),
+         f AS (SELECT n_a, n_b, conv_a, conv_b,
+                 alb / (alb + beb) - ala / (ala + bea) AS lift,
+                 sqrt(ala * bea / ((ala + bea) * (ala + bea) * ((ala + bea) + 1))
+                    + alb * beb / ((alb + beb) * (alb + beb) * ((alb + beb) + 1))) AS sd
+               FROM p)
+         SELECT n_a, n_b, conv_a, conv_b,
+                round(lift, 6) AS lift_mean,
+                round(lift - 1.959963984540054 * sd, 6) AS ci_lo,
+                round(lift + 1.959963984540054 * sd, 6) AS ci_hi,
+                round(${graft.functions.Phi.sql("(lift / sd)")}, 4) AS p_b_beats_a
+         FROM f""",
+    "q332_rdd" ->
+      """WITH q AS (SELECT CAST(round((value - 50.0) * 1000000) AS BIGINT) AS x,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                  CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS side
+             FROM events WHERE value >= 25.0 AND value < 75.0),
+         sides AS (SELECT side, count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy
+                   FROM q GROUP BY 1),
+         wide AS (SELECT
+                 CAST(sum(CASE WHEN side = 0 THEN n ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN side = 1 THEN n ELSE 0 END) AS BIGINT) AS n2,
+                 max(CASE WHEN side = 0 THEN sx END) AS sx1, max(CASE WHEN side = 0 THEN sy END) AS sy1,
+                 max(CASE WHEN side = 0 THEN sxx END) AS sxx1, max(CASE WHEN side = 0 THEN sxy END) AS sxy1,
+                 max(CASE WHEN side = 1 THEN sx END) AS sx2, max(CASE WHEN side = 1 THEN sy END) AS sy2,
+                 max(CASE WHEN side = 1 THEN sxx END) AS sxx2, max(CASE WHEN side = 1 THEN sxy END) AS sxy2
+               FROM sides),
+         e AS (SELECT n1, n2,
+                 (CAST(sy1 AS DOUBLE) - (CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+                   * CAST(sx1 AS DOUBLE)) / CAST(n1 AS DOUBLE) AS il,
+                 (CAST(sy2 AS DOUBLE) - (CAST(n2 AS DOUBLE) * CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                   / (CAST(n2 AS DOUBLE) * CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                   * CAST(sx2 AS DOUBLE)) / CAST(n2 AS DOUBLE) AS ir
+               FROM wide)
+         SELECT n1 AS n_left, n2 AS n_right,
+                round(il, 6) AS int_left, round(ir, 6) AS int_right,
+                round(ir - il, 6) AS effect
+         FROM e""",
+    "q333_mcf" ->
+      """WITH u AS (SELECT user_id AS u, min(ts) AS t0, max(ts) AS tl FROM events GROUP BY 1),
+         fu AS (SELECT date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE)) AS fu, count(*) AS m FROM u GROUP BY 1),
+         ev AS (SELECT date_diff('day', CAST(u.t0 AS DATE), CAST(e.ts AS DATE)) AS t, count(*) AS d
+                FROM events e JOIN u ON e.user_id = u.u
+                WHERE e.event_type = 'purchase' GROUP BY 1),
+         days AS (SELECT t FROM ev UNION SELECT fu AS t FROM fu),
+         ra AS (SELECT d.t, COALESCE(f.m, 0) AS m FROM days d LEFT JOIN fu f ON f.fu = d.t),
+         rk AS (SELECT t, CAST(sum(m) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM ra),
+         tb AS (SELECT ev.t, ev.d, rk.n_risk,
+                  CAST(round(CAST(ev.d AS DOUBLE) / rk.n_risk * 1e9) AS BIGINT) AS h9
+                FROM ev JOIN rk ON ev.t = rk.t)
+         SELECT t, d, n_risk,
+                round(CAST(sum(h9) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e9, 6) AS mcf
+         FROM tb ORDER BY t""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

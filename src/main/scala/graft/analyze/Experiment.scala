@@ -661,4 +661,105 @@ object Experiment {
           diff * diff / (col("sv").cast("double") / 1e8)
         }), 4).as("cmh"))
   }
+
+  /** Bayesian A/B readout on the conversion rate: Beta(1,1)-prior
+    * posteriors per arm, `P(B > A)` and a 95% credible interval for the
+    * lift under the normal approximation of the posterior difference —
+    * the decision-facing companion to [[abReport]]'s frequentist t/χ²
+    * (a stakeholder asks "what's the chance B is better", not "is
+    * p < .05"). Φ comes from [[graft.functions.Phi]] — the SAME
+    * elementary-op erf approximation runs in the DuckDB twin, so the
+    * probability is bit-reproducible. One row: `(n_a, n_b, conv_a,
+    * conv_b, lift_mean, ci_lo, ci_hi, p_b_beats_a)` — lift at 6 dp,
+    * probability at 4. Scale: one unit-keyed aggregate, then arm rows. */
+  def bayesAb(events: DataFrame, userCol: String,
+              convFilter: Column): DataFrame = {
+    val units = events.groupBy(col(userCol).as("unit"))
+      .agg(max(when(convFilter, 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        when(Sharding.hash32(col("unit")) % 2 === 0, "A").otherwise("B"))
+    val stats = units.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = stats.filter(col("variant") === "A")
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = stats.filter(col("variant") === "B")
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(b).select({
+      def post(n: Column, c: Column): (Column, Column) = {
+        val al = c.cast("double") + 1.0
+        val be = (n - c).cast("double") + 1.0
+        val s = al + be
+        (al / s, al * be / (s * s * (s + 1)))
+      }
+      val (ma, va) = post(col("n_a"), col("conv_a"))
+      val (mb, vb) = post(col("n_b"), col("conv_b"))
+      val lift = mb - ma
+      val sd = sqrt(va + vb)
+      Seq(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(lift, 6).as("lift_mean"),
+        round(lift - lit(1.959963984540054) * sd, 6).as("ci_lo"),
+        round(lift + lit(1.959963984540054) * sd, 6).as("ci_hi"),
+        round(graft.functions.Phi.phi(lift / sd), 4).as("p_b_beats_a"))
+    }: _*)
+  }
+
+  /** Sharp regression-discontinuity estimate at a known cutoff of the
+    * running variable: local-linear fits of the outcome on `(x − c)`
+    * within bandwidth `h` on each side; the effect is the difference of
+    * the two fitted intercepts AT the cutoff (Imbens & Lemieux 2008) —
+    * the design for "did crossing the threshold itself change the
+    * outcome" when assignment is deterministic in x. One row:
+    * `(n_left, n_right, int_left, int_right, effect)` at 6 dp.
+    *
+    * Exactness: centered x quantizes to a 6-dp long, the 0/1 outcome is
+    * exact; per-side OLS moments are exact DECIMAL sums pivoted into one
+    * row (the [[graft.analyze.Regression.chow]] shape), intercepts one
+    * double expression. Scale: one filtered corpus aggregate. */
+  def rdd(df: DataFrame, runningCol: Column, outcome: Column,
+          cutoff: Double, bandwidth: Double): DataFrame = {
+    require(bandwidth > 0, s"need bandwidth > 0: $bandwidth")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val q = df
+      .filter(runningCol >= cutoff - bandwidth &&
+        runningCol < cutoff + bandwidth)
+      .select(round((runningCol - lit(cutoff)) * lit(1000000)).cast("long")
+          .as("x"),
+        when(outcome, 1L).otherwise(0L).as("y"),
+        when(runningCol >= cutoff, 1L).otherwise(0L).as("side"))
+    val sides = q.groupBy(col("side"))
+      .agg(count(lit(1)).as("n"), sum(d19(col("x"))).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"))
+    val wide = sides.agg(
+      sum(when(col("side") === 0, col("n")).otherwise(0L)).as("n1"),
+      sum(when(col("side") === 1, col("n")).otherwise(0L)).as("n2"),
+      max(when(col("side") === 0, col("sx"))).as("sx1"),
+      max(when(col("side") === 0, col("sy"))).as("sy1"),
+      max(when(col("side") === 0, col("sxx"))).as("sxx1"),
+      max(when(col("side") === 0, col("sxy"))).as("sxy1"),
+      max(when(col("side") === 1, col("sx"))).as("sx2"),
+      max(when(col("side") === 1, col("sy"))).as("sy2"),
+      max(when(col("side") === 1, col("sxx"))).as("sxx2"),
+      max(when(col("side") === 1, col("sxy"))).as("sxy2"))
+    def intercept(n: Column, sx: Column, sy: Column, sxx: Column,
+                  sxy: Column): Column = {
+      val nd = n.cast("double")
+      val den = nd * sxx.cast("double") -
+        sx.cast("double") * sx.cast("double")
+      val b = (nd * sxy.cast("double") -
+        sx.cast("double") * sy.cast("double")) / den
+      (sy.cast("double") - b * sx.cast("double")) / nd
+    }
+    wide.select({
+      val il = intercept(col("n1"), col("sx1"), col("sy1"), col("sxx1"),
+        col("sxy1"))
+      val ir = intercept(col("n2"), col("sx2"), col("sy2"), col("sxx2"),
+        col("sxy2"))
+      Seq(col("n1").as("n_left"), col("n2").as("n_right"),
+        round(il, 6).as("int_left"), round(ir, 6).as("int_right"),
+        round(ir - il, 6).as("effect"))
+    }: _*)
+  }
 }

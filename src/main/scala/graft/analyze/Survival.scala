@@ -149,6 +149,82 @@ object Survival {
       .orderBy(col("t"))
   }
 
+  /** Restricted mean survival time at horizon `tau` (days): the area
+    * under the [[kaplanMeier]] step curve on [0, τ] — the
+    * censoring-honest "average days survived in the first τ" that a
+    * naive mean of durations cannot give (Royston & Parmar 2013). The
+    * KM curve is integrated exactly as a step function: the [0, t₁)
+    * interval at S = 1 plus `Σ S(t_i)·(min(t_{i+1},τ) − t_i)`; each
+    * interval term is pinned to a 9-dp long off the 6-dp-pinned KM
+    * survival, so the sum is exact integer arithmetic. One row:
+    * `(tau, n_deaths, rmst_days)` at 4 dp. Scale: the integral runs on
+    * the life table (study-span-bounded), inheriting [[kaplanMeier]]'s
+    * one corpus aggregate. */
+  def rmst(events: DataFrame, userCol: String, tsCol: String,
+           deathFilter: Column, tau: Int): DataFrame = {
+    require(tau > 0, s"need tau > 0: $tau")
+    val km = kaplanMeier(events, userCol, tsCol, deathFilter)
+    val w = Window.orderBy(col("t"))
+    val stepped = km.filter(col("t") < tau)
+      .withColumn("tn",
+        least(coalesce(lead(col("t"), 1).over(w), lit(tau.toLong)),
+          lit(tau.toLong)))
+      .withColumn("c9",
+        round(col("surv") * (col("tn") - col("t")) * lit(1e9)).cast("long"))
+    val head = km.agg(
+      coalesce(least(min(col("t")), lit(tau.toLong)), lit(tau.toLong))
+        .as("t1"),
+      coalesce(sum(col("d")), lit(0L)).as("nd"))
+    head.crossJoin(stepped.agg(coalesce(sum(col("c9")), lit(0L)).as("s9")))
+      .select(lit(tau.toLong).as("tau"), col("nd").as("n_deaths"),
+        round((col("t1").cast("double") * 1e9 + col("s9")) / 1e9, 4)
+          .as("rmst_days"))
+  }
+
+  /** Mean cumulative function for RECURRENT events (Nelson's MCF): the
+    * expected cumulative number of events per unit by day t, with
+    * staggered follow-up handled exactly like [[nelsonAalen]]'s risk
+    * sets — but counting EVERY qualifying event, not just the first
+    * (repeat purchases, repeat incidents). Per user, events land at
+    * `datediff(event, first_seen)` and follow-up ends at the last
+    * observed day; `MCF(t) = Σ_{s≤t} d(s)/n_risk(s)` with
+    * `n_risk(s)` = users whose follow-up covers day s. Each increment
+    * is pinned to a 9-dp long. Per event day:
+    * `(t, d, n_risk, mcf)` (6 dp), ordered by t. Scale: two user-keyed
+    * corpus aggregates; windows run on the study-span-bounded day
+    * frame. */
+  def mcf(events: DataFrame, userCol: String, tsCol: String,
+          eventFilter: Column): DataFrame = {
+    val u = events.groupBy(col(userCol).as("u"))
+      .agg(min(col(tsCol)).as("t0"), max(col(tsCol)).as("tl"))
+    val fu = u.select(datediff(col("tl"), col("t0")).cast("long").as("fu"))
+      .groupBy(col("fu")).agg(count(lit(1)).as("m"))
+    val ev = events.filter(eventFilter)
+      .select(col(userCol).as("u"), col(tsCol).as("te"))
+      .join(u, "u")
+      .select(datediff(col("te"), col("t0")).cast("long").as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("d"))
+    // n_risk(t) = users with follow-up ≥ t: suffix-sum the follow-up
+    // histogram over the UNION of follow-up and event days, so every
+    // event day reads its exact risk count — all frames day-bounded
+    val days = ev.select(col("t"))
+      .union(fu.select(col("fu").as("t"))).distinct()
+    val wSuf = Window.orderBy(col("t").desc).rowsBetween(Long.MinValue, 0)
+    val riskAt = days
+      .join(fu.select(col("fu").as("t"), col("m")), Seq("t"), "left")
+      .na.fill(0L, Seq("m"))
+      .withColumn("n_risk", sum(col("m")).over(wSuf))
+    val table = ev.join(riskAt.select(col("t"), col("n_risk")), "t")
+      .withColumn("__h9",
+        round(col("d").cast("double") / col("n_risk") * lit(1e9))
+          .cast("long"))
+    val wAsc = Window.orderBy(col("t")).rowsBetween(Long.MinValue, 0)
+    table.withColumn("__c9", sum(col("__h9")).over(wAsc))
+      .select(col("t"), col("d"), col("n_risk"),
+        round(col("__c9").cast("double") / 1e9, 6).as("mcf"))
+      .orderBy(col("t"))
+  }
+
   /** Weibull shape/scale fit by MEDIAN-RANK REGRESSION (the probability-
     * plot method — closed form, no MLE iteration): over UNCENSORED
     * time-to-event durations only (documented; censoring-aware fits are
