@@ -596,6 +596,44 @@ object SparkEntry {
     "q333_mcf" -> ((s, dir) =>
       graft.analyze.Survival.mcf(Tables.events(s, dir), "user_id", "ts",
         col("event_type") === "purchase")),
+    // ---- Good-Turing smoothing table: unseen-mass p0 = N1/N and the
+    //      r* = (r+1)N_{r+1}/N_r small-count corrections — the LM answer
+    //      to "how much vocabulary have we NOT seen", off one token scan
+    "q334_good_turing" -> ((s, dir) =>
+      graft.text.GoodTuring.goodTuring(Tables.documents(s, dir),
+        col("text"), 5, 3)),
+    // ---- Unicode-script composition per language slice: latin / digit /
+    //      space / other char shares from regex-delta counts, non-ASCII
+    //      bleed-through doc counts — the extraction-quality audit
+    "q335_script_mix" -> ((s, dir) =>
+      graft.text.ScriptMix.scriptMix(Tables.documents(s, dir),
+        col("lang"), col("text"))),
+    // ---- Chapman capture-recapture over head/tail fingerprint dup
+    //      flags: how many duplicated docs do the cheap passes MISS —
+    //      the dedup-coverage estimator
+    "q336_capture_recapture" -> ((s, dir) =>
+      graft.dedup.CaptureRecapture.chapman(Tables.documents(s, dir),
+        col("doc_id"), col("text"), 64)),
+    // ---- MinHash band-config planner: expected TP catch / FP candidate
+    //      load per (b, r) from the S-curve against the measured blocked
+    //      pair-similarity histogram — Scala-pinned probability literals
+    "q337_lsh_curve" -> ((s, dir) =>
+      graft.dedup.LshCurve.curve(Tables.documents(s, dir),
+        col("doc_id"), col("text"), LshConfigs)),
+    // ---- weight-of-evidence / information value of event_type against
+    //      the value>50 target: the credit-scoring power readout next to
+    //      q225's info gain — exact margins, pinned IV terms
+    "q338_woe_iv" -> ((s, dir) =>
+      graft.analyze.Contingency.woeIv(Tables.events(s, dir),
+        col("event_type"), col("value") > 50)),
+    // ---- group-fairness audit of the value>75 decision vs the purchase
+    //      outcome across hash arms: selection rate, TPR/FPR, 80%-rule
+    //      ratio — one group-keyed aggregate
+    "q339_fairness" -> ((s, dir) =>
+      graft.analyze.Fairness.report(Tables.events(s, dir),
+        when(graft.operators.Sharding.hash32(col("user_id")) % 2 === 0,
+          "A").otherwise("B"),
+        col("value") > 75, col("event_type") === "purchase")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -3149,6 +3187,12 @@ object SparkEntry {
     root.getAbsolutePath
   }
 
+  /** The (bands, rows-per-band) candidates q337's LSH planner costs —
+    * shared with its generated oracle so the embedded probability
+    * literals match. */
+  private val LshConfigs: Seq[(Int, Int)] =
+    Seq((8, 4), (16, 2), (32, 4), (64, 3))
+
   /** Paired (header total, recomputed lineitem net) frame shared by the
     * agreement/measurement-error queries (q324/q327): `x` =
     * `o_totalprice`, `y` = `Σ l_extendedprice·(1−l_discount)` with the
@@ -5166,6 +5210,88 @@ object SparkEntry {
          SELECT t, d, n_risk,
                 round(CAST(sum(h9) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e9, 6) AS mcf
          FROM tb ORDER BY t""",
+    "q334_good_turing" ->
+      """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         toks AS (SELECT array_to_string(toks[i:i+2], ' ') AS tok
+                  FROM t, unnest(range(1, len(toks) - 1)) r(i)),
+         cnts AS (SELECT tok, count(*) AS r FROM toks GROUP BY 1),
+         nr AS (SELECT r, count(*) AS n_r FROM cnts GROUP BY 1),
+         tot AS (SELECT sum(CAST(r AS HUGEINT) * n_r) AS n,
+                        CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1 FROM nr),
+         nxt AS (SELECT r - 1 AS r, n_r AS n_next FROM nr)
+         SELECT nr.r, nr.n_r,
+                round(CAST(nr.r + 1 AS DOUBLE) * n_next / nr.n_r, 6) AS r_star,
+                CAST(n AS BIGINT) AS total_tokens,
+                round(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_unseen
+         FROM nr LEFT JOIN nxt ON nxt.r = nr.r CROSS JOIN tot
+         WHERE nr.r <= 5 ORDER BY nr.r""",
+    "q335_script_mix" ->
+      """WITH per AS (SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+                  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS latin,
+                  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit,
+                  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS space,
+                  CASE WHEN length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) < length(text) THEN 1 ELSE 0 END AS na
+             FROM documents)
+         SELECT lang, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS n_chars,
+                round(CAST(sum(latin) AS DOUBLE) / CAST(sum(nc) AS BIGINT), 6) AS latin_frac,
+                round(CAST(sum(digit) AS DOUBLE) / CAST(sum(nc) AS BIGINT), 6) AS digit_frac,
+                round(CAST(sum(space) AS DOUBLE) / CAST(sum(nc) AS BIGINT), 6) AS space_frac,
+                round(CAST(sum(nc) - sum(latin) - sum(digit) - sum(space) AS DOUBLE) / CAST(sum(nc) AS BIGINT), 6) AS other_frac,
+                CAST(sum(na) AS BIGINT) AS nonascii_docs
+         FROM per GROUP BY 1 ORDER BY 1""",
+    "q336_capture_recapture" ->
+      """WITH hflag AS (SELECT doc_id FROM (
+             SELECT doc_id, count(*) OVER (PARTITION BY md5(substr(text, 1, 64))) AS n
+             FROM documents) WHERE n > 1),
+         tflag AS (SELECT doc_id FROM (
+             SELECT doc_id, count(*) OVER (PARTITION BY md5(substr(reverse(text), 1, 64))) AS n
+             FROM documents) WHERE n > 1),
+         a AS (SELECT count(*) AS n_a FROM hflag),
+         b AS (SELECT count(*) AS n_b FROM tflag),
+         m AS (SELECT count(*) AS m FROM hflag JOIN tflag USING (doc_id)),
+         u AS (SELECT count(*) AS u FROM (SELECT doc_id FROM hflag UNION SELECT doc_id FROM tflag))
+         SELECT n_a, n_b, m AS overlap, u AS union_flagged,
+                round(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0, 1) AS chapman_total,
+                round(greatest(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0 - CAST(u AS DOUBLE), 0.0), 1) AS missed_est
+         FROM a, b, m, u""",
+    "q337_lsh_curve" -> graft.dedup.LshCurve.oracleSql(LshConfigs),
+    "q338_woe_iv" ->
+      """WITH cells AS (SELECT event_type AS cat, count(*) AS n,
+                  CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+             FROM events GROUP BY 1),
+         c2 AS (SELECT cat, n, pos, n - pos AS neg FROM cells),
+         tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tp, CAST(sum(neg) AS BIGINT) AS tn FROM c2),
+         terms AS (SELECT cat, n, pos, neg,
+                  CASE WHEN pos > 0 AND neg > 0 AND tp > 0 AND tn > 0
+                    THEN ln((CAST(pos AS DOUBLE) / tp) / (CAST(neg AS DOUBLE) / tn)) END AS woe_raw,
+                  CAST(pos AS DOUBLE) / tp - CAST(neg AS DOUBLE) / tn AS dpr
+                FROM c2, tot),
+         p AS (SELECT cat, n, pos, neg, round(woe_raw, 6) AS woe,
+                 round(dpr * woe_raw, 6) AS iv_term,
+                 CAST(round(dpr * woe_raw * 1e12) AS BIGINT) AS iv12
+               FROM terms),
+         tt AS (SELECT CAST(sum(iv12) AS BIGINT) AS s12 FROM p)
+         SELECT cat, n, pos, neg, woe, iv_term,
+                round(CAST(s12 AS DOUBLE) / 1e12, 6) AS iv_total
+         FROM p, tt ORDER BY cat""",
+    "q339_fairness" ->
+      """WITH g AS (SELECT
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+             CASE WHEN value > 75 THEN 1 ELSE 0 END AS d,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+         cells AS (SELECT grp, count(*) AS n, CAST(sum(d) AS BIGINT) AS selected,
+                  CAST(sum(d * y) AS BIGINT) AS tp, CAST(sum(d * (1 - y)) AS BIGINT) AS fp,
+                  CAST(sum(y) AS BIGINT) AS pos
+                FROM g GROUP BY 1),
+         c2 AS (SELECT grp, n, selected, tp, fp, pos,
+                  round(CAST(selected AS DOUBLE) / n, 6) AS sel_rate FROM cells),
+         ref AS (SELECT max(sel_rate) AS ref_rate FROM c2)
+         SELECT grp, n, selected, sel_rate,
+                round(CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / pos END, 6) AS tpr,
+                round(CASE WHEN n - pos > 0 THEN CAST(fp AS DOUBLE) / (n - pos) END, 6) AS fpr,
+                round(CASE WHEN ref_rate > 0 THEN sel_rate / ref_rate END, 4) AS dp_ratio
+         FROM c2, ref ORDER BY grp""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b
