@@ -634,6 +634,31 @@ object SparkEntry {
         when(graft.operators.Sharding.hash32(col("user_id")) % 2 === 0,
           "A").otherwise("B"),
         col("value") > 75, col("event_type") === "purchase")),
+    // ---- matrix-profile discord per event type: the 7-day window whose
+    //      NEAREST neighbor is farthest — shape anomalies pointwise
+    //      z-scores can't see; exact all-pairs z-distance, span²-bounded
+    "q340_matrix_profile" -> ((s, dir) =>
+      graft.analyze.MatrixProfile.discord(Tables.events(s, dir),
+        "event_type", "ts", "value", 7)),
+    // ---- DFT periodogram per event type (periods 2..14): spectral
+    //      power shares of the daily series — the frequency-domain
+    //      sibling of q246's phase-ANOVA; coarse-pinned trig terms
+    "q341_periodogram" -> ((s, dir) =>
+      graft.analyze.Trend.periodogram(Tables.events(s, dir),
+        "event_type", "ts", "value", 14)),
+    // ---- Croston intermittent-demand forecast per part: split SES of
+    //      demand sizes and gaps, α=1/2 → exact binary weights, fully
+    //      distributed closed form (no recursion, no collect)
+    "q342_croston" -> ((s, dir) =>
+      graft.analyze.Intermittent.croston(Tables.lineitem(s, dir),
+        col("l_partkey"), col("l_shipdate"), col("l_quantity"), 5)),
+    // ---- Allen interval-relation histogram: how each user's view span
+    //      relates to their purchase span (13 exhaustive relations) —
+    //      the interval-ALGEBRA audit next to q163's overlap join
+    "q343_allen" -> ((s, dir) =>
+      graft.analyze.AllenRelations.histogram(Tables.events(s, dir),
+        col("user_id"), col("ts"),
+        col("event_type") === "view", col("event_type") === "purchase")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -5292,6 +5317,113 @@ object SparkEntry {
                 round(CASE WHEN n - pos > 0 THEN CAST(fp AS DOUBLE) / (n - pos) END, 6) AS fpr,
                 round(CASE WHEN ref_rate > 0 THEN sel_rate / ref_rate END, 4) AS dp_ratio
          FROM c2, ref ORDER BY grp""",
+    "q340_matrix_profile" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS vq
+                FROM events GROUP BY 1, 2),
+         idx AS (SELECT g, date_diff('day', min(day) OVER (PARTITION BY g), day) AS di, vq FROM daily),
+         memb AS (SELECT g, di - k.k AS i, k.k AS k, vq
+                  FROM idx CROSS JOIN (SELECT unnest(range(0, 7)) AS k) k
+                  WHERE di - k.k >= 0),
+         stats AS (SELECT g, i, count(*) AS m, sum(CAST(vq AS HUGEINT)) AS sw,
+                          sum(CAST(vq AS HUGEINT) * vq) AS sww
+                   FROM memb GROUP BY 1, 2),
+         sts AS (SELECT * FROM stats WHERE m = 7),
+         fl AS (SELECT memb.g, memb.i, memb.k, memb.vq
+                FROM memb JOIN sts ON sts.g = memb.g AND sts.i = memb.i),
+         dots AS (SELECT a.g, a.i AS ia, b.i AS ib, sum(CAST(a.vq AS HUGEINT) * b.vq) AS sab
+                  FROM fl a JOIN fl b ON a.g = b.g AND a.k = b.k AND abs(a.i - b.i) >= 7
+                  GROUP BY 1, 2, 3),
+         d2 AS (SELECT d.g, d.ia,
+                 CASE WHEN CAST(sa.sww AS DOUBLE) / 7.0 - (CAST(sa.sw AS DOUBLE) / 7.0) * (CAST(sa.sw AS DOUBLE) / 7.0) > 0
+                       AND CAST(sb.sww AS DOUBLE) / 7.0 - (CAST(sb.sw AS DOUBLE) / 7.0) * (CAST(sb.sw AS DOUBLE) / 7.0) > 0
+                   THEN 2.0 * 7.0 * (1.0 -
+                     (CAST(d.sab AS DOUBLE) / 7.0 - (CAST(sa.sw AS DOUBLE) / 7.0) * (CAST(sb.sw AS DOUBLE) / 7.0))
+                     / sqrt((CAST(sa.sww AS DOUBLE) / 7.0 - (CAST(sa.sw AS DOUBLE) / 7.0) * (CAST(sa.sw AS DOUBLE) / 7.0))
+                          * (CAST(sb.sww AS DOUBLE) / 7.0 - (CAST(sb.sw AS DOUBLE) / 7.0) * (CAST(sb.sw AS DOUBLE) / 7.0)))) END AS dd
+                FROM dots d
+                JOIN sts sa ON sa.g = d.g AND sa.i = d.ia
+                JOIN sts sb ON sb.g = d.g AND sb.i = d.ib),
+         nn AS (SELECT g, ia, min(dd) AS nnd FROM d2 GROUP BY 1, 2),
+         pick AS (SELECT g, ia, nnd,
+                    row_number() OVER (PARTITION BY g ORDER BY nnd DESC NULLS LAST, ia) AS rk
+                  FROM nn),
+         cnt AS (SELECT g, count(*) AS n_windows FROM sts GROUP BY 1)
+         SELECT p.g AS event_type, c.n_windows,
+                CAST(p.ia AS BIGINT) AS discord_start,
+                round(p.nnd, 4) AS discord_d2
+         FROM pick p JOIN cnt c ON c.g = p.g WHERE p.rk = 1 ORDER BY 1""",
+    "q341_periodogram" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS vq
+                FROM events GROUP BY 1, 2),
+         cen AS (SELECT g, date_diff('day', min(day) OVER (PARTITION BY g), day) AS di,
+                        count(*) OVER (PARTITION BY g) AS n,
+                        sum(vq) OVER (PARTITION BY g) AS s, vq
+                 FROM daily),
+         yp AS (SELECT g, di, n * vq - s AS yp FROM cen),
+         terms AS (SELECT g, pp.p,
+                  CAST(round(CAST(yp AS DOUBLE) * cos(6.283185307179586 * di / pp.p) / 1e6) AS BIGINT) AS c6,
+                  CAST(round(CAST(yp AS DOUBLE) * sin(6.283185307179586 * di / pp.p) / 1e6) AS BIGINT) AS s6
+                FROM yp CROSS JOIN (SELECT unnest(range(2, 15)) AS p) pp),
+         pw AS (SELECT g, p, CAST(sum(c6) AS BIGINT) AS cp, CAST(sum(s6) AS BIGINT) AS sp
+                FROM terms GROUP BY 1, 2),
+         pw2 AS (SELECT g, p, CAST(cp AS HUGEINT) * cp + CAST(sp AS HUGEINT) * sp AS pow FROM pw),
+         tot AS (SELECT g, p, pow, sum(pow) OVER (PARTITION BY g) AS tt FROM pw2)
+         SELECT g AS event_type, CAST(p AS BIGINT) AS period,
+                round(CASE WHEN tt > 0 THEN CAST(pow AS DOUBLE) / CAST(tt AS DOUBLE) END, 6) AS power_share
+         FROM tot ORDER BY 1, 2""",
+    "q342_croston" ->
+      """WITH daily AS (SELECT l_partkey AS k, CAST(l_shipdate AS DATE) AS day,
+                  CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS BIGINT) AS xq
+                FROM lineitem GROUP BY 1, 2),
+         nz AS (SELECT * FROM daily WHERE xq > 0),
+         sq AS (SELECT k, day, xq,
+                  CAST(row_number() OVER (PARTITION BY k ORDER BY day) AS BIGINT) AS t,
+                  CAST(date_diff('day', lag(day) OVER (PARTITION BY k ORDER BY day), day) AS BIGINT) AS gap,
+                  count(*) OVER (PARTITION BY k) AS n
+                FROM nz),
+         f AS (SELECT * FROM sq WHERE n >= 5),
+         terms AS (SELECT k, n,
+                  CAST(round((CAST(xq AS DOUBLE) / 1e6) *
+                    (CASE WHEN (CASE WHEN t = 1 THEN n - 1 ELSE n - t + 1 END) > 50 THEN 0.0
+                          ELSE 1.0 / CAST((CAST(1 AS BIGINT) << CAST((CASE WHEN t = 1 THEN n - 1 ELSE n - t + 1 END) AS INT)) AS DOUBLE) END)
+                    * 1e12) AS BIGINT) AS z12,
+                  CASE WHEN t >= 2 THEN CAST(round(CAST(gap AS DOUBLE) *
+                    (CASE WHEN (CASE WHEN t = 2 THEN n - 2 ELSE n - t + 1 END) > 50 THEN 0.0
+                          ELSE 1.0 / CAST((CAST(1 AS BIGINT) << CAST((CASE WHEN t = 2 THEN n - 2 ELSE n - t + 1 END) AS INT)) AS DOUBLE) END)
+                    * 1e12) AS BIGINT) END AS p12
+                FROM f)
+         SELECT k, CAST(max(n) AS BIGINT) AS n_demands,
+                round(CAST(sum(z12) AS DOUBLE) / 1e12, 6) AS z_hat,
+                round(CAST(sum(p12) AS DOUBLE) / 1e12, 6) AS p_hat,
+                round(CASE WHEN sum(p12) > 0
+                  THEN CAST(sum(z12) AS DOUBLE) / CAST(sum(p12) AS DOUBLE) END, 6) AS forecast
+         FROM terms GROUP BY 1 ORDER BY 1""",
+    "q343_allen" ->
+      """WITH per AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS as_,
+                  max(CASE WHEN event_type = 'view' THEN ts END) AS ae,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS bs,
+                  max(CASE WHEN event_type = 'purchase' THEN ts END) AS be
+             FROM events GROUP BY 1),
+         f AS (SELECT * FROM per WHERE as_ IS NOT NULL AND bs IS NOT NULL),
+         r AS (SELECT CASE
+                 WHEN as_ = bs AND ae = be THEN 'equals'
+                 WHEN ae < bs THEN 'before'
+                 WHEN be < as_ THEN 'after'
+                 WHEN ae = bs THEN 'meets'
+                 WHEN be = as_ THEN 'met_by'
+                 WHEN as_ = bs AND ae < be THEN 'starts'
+                 WHEN as_ = bs THEN 'started_by'
+                 WHEN ae = be AND as_ > bs THEN 'finishes'
+                 WHEN ae = be THEN 'finished_by'
+                 WHEN as_ > bs AND ae < be THEN 'during'
+                 WHEN as_ < bs AND ae > be THEN 'contains'
+                 WHEN as_ < bs THEN 'overlaps'
+                 ELSE 'overlapped_by' END AS relation
+               FROM f)
+         SELECT relation, count(*) AS n_units FROM r GROUP BY 1 ORDER BY 1""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -652,6 +652,58 @@ object Trend {
     * aggregate). Output per day `t ≥ 2`:
     * `(day, y, level, trend, fitted)` at 6 dp — `fitted` is the
     * one-step-ahead forecast `l_{t−1} + b_{t−1}`. */
+  /** Discrete-Fourier periodogram over the per-group daily series: for
+    * each candidate period p, the spectral power share — the
+    * FREQUENCY-domain seasonality readout next to [[seasonalityScan]]'s
+    * phase-ANOVA (that one asks "do phase-class means differ"; this one
+    * measures how much of the series' spectral mass sits at each
+    * period, and resolves non-integer-phase structure the class means
+    * smear). Mean removal is exact (`y' = n·y_d − Σy` — the n-scaled
+    * centered series, no double subtraction); each `y'·cos/sin` term is
+    * pinned to a COARSE 1e6-granular long (the trig values are libm,
+    * engine-equal to ~1 ulp; the coarse quantum makes the pinned term
+    * identical with overwhelming margin), so `C_p`/`S_p` are exact sums
+    * and `share = (C²+S²)/Σ_p(C²+S²)` is one exact-integer division.
+    *
+    * Output per (group, period 2..maxP): `(group, period, power_share)`
+    * at 6 dp, ordered. Scale: one corpus fold to (group, day); the
+    * period explode lives on the days×periods frame. */
+  def periodogram(df: DataFrame, groupCol: String, tsCol: String,
+                  valueCol: String, maxP: Int = 14): DataFrame = {
+    require(maxP >= 2, s"need maxP >= 2: $maxP")
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("vq"))
+    val wg = Window.partitionBy(col("g"))
+    val centered = daily
+      .withColumn("di", datediff(col("day"), min(col("day")).over(wg)))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("s", sum(col("vq")).over(wg))
+      .withColumn("yp", col("n") * col("vq") - col("s"))
+    val terms = centered
+      .withColumn("p", explode(sequence(lit(2), lit(maxP))))
+      .select(col("g"), col("p"),
+        round(col("yp").cast("double") *
+          cos(lit(2.0 * math.Pi) * col("di") / col("p")) / 1e6)
+          .cast("long").as("c6"),
+        round(col("yp").cast("double") *
+          sin(lit(2.0 * math.Pi) * col("di") / col("p")) / 1e6)
+          .cast("long").as("s6"))
+    val pw = terms.groupBy(col("g"), col("p"))
+      .agg(sum(col("c6")).as("cp"), sum(col("s6")).as("sp"))
+      .select(col("g"), col("p"),
+        (col("cp").cast("decimal(38,0)") * col("cp").cast("decimal(38,0)") +
+          col("sp").cast("decimal(38,0)") * col("sp").cast("decimal(38,0)"))
+          .as("pow"))
+    val wTot = Window.partitionBy(col("g"))
+    pw.withColumn("tot", sum(col("pow")).over(wTot))
+      .select(col("g").as(groupCol), col("p").cast("long").as("period"),
+        round(when(col("tot") > 0,
+          col("pow").cast("double") / col("tot").cast("double")), 6)
+          .as("power_share"))
+      .orderBy(col(groupCol), col("period"))
+  }
+
   def holtLinear(df: DataFrame, tsCol: String, valueCol: String,
                  alpha: Double, beta: Double): DataFrame = {
     require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
