@@ -659,6 +659,59 @@ object SparkEntry {
       graft.analyze.AllenRelations.histogram(Tables.events(s, dir),
         col("user_id"), col("ts"),
         col("event_type") === "view", col("event_type") === "purchase")),
+    // ---- Welch's heteroscedastic ANOVA of value across event types:
+    //      the unequal-variance k-group mean test (use when q252/q345
+    //      reject equal spreads) — Satterthwaite df2, exact moments
+    "q344_welch_anova" -> ((s, dir) =>
+      graft.analyze.VarianceTests.welchAnova(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+    // ---- Bartlett's equal-variance LR test across event types: the
+    //      powerful-under-normality sibling of q252's Brown-Forsythe,
+    //      ln only in the k-bounded fold
+    "q345_bartlett" -> ((s, dir) =>
+      graft.analyze.VarianceTests.bartlett(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+    // ---- Cochran-Armitage trend: does the purchase rate move
+    //      MONOTONICALLY with the value-dose bucket (0..4) — 1-df
+    //      ordered alternative vs q201's omnibus chi-square
+    "q346_cochran_armitage" -> ((s, dir) =>
+      graft.analyze.Contingency.cochranArmitage(Tables.events(s, dir),
+        least(floor(col("value") / 100), lit(4)),
+        col("event_type") === "purchase")),
+    // ---- spectral entropy per event type: how CONCENTRATED is the
+    //      daily series' power spectrum (0 = pure tone, 1 = white
+    //      noise) + peak period — the seasonal-router over q341
+    "q347_spectral_entropy" -> ((s, dir) =>
+      graft.analyze.Trend.spectralEntropy(Tables.events(s, dir),
+        "event_type", "ts", "value", 14)),
+    // ---- Fligner-Killeen rank/normal-scores spread test: the
+    //      outlier-proof third member of the variance triad
+    //      (q252 robust-moment / q345 normal-LR / this) — first use of
+    //      the shared Probit expression
+    "q348_fligner_killeen" -> ((s, dir) =>
+      graft.analyze.VarianceTests.flignerKilleen(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+    // ---- Mood's median test: dichotomize at the pooled lower median,
+    //      chi-square the 2×k table — the bluntest k-group location
+    //      screen beside q283's Kruskal-Wallis
+    "q349_mood_median" -> ((s, dir) =>
+      graft.analyze.RankStats.moodMedian(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+    // ---- Lilliefors composite normality: one-sample KS distance
+    //      against the FITTED normal — the whole-CDF complement to
+    //      q253's moment-based Jarque-Bera
+    "q350_lilliefors" -> ((s, dir) =>
+      graft.analyze.RobustStats.lilliefors(Tables.events(s, dir), "value")),
+    // ---- standardized Pearson residuals per contingency cell: WHICH
+    //      cells drive q201's omnibus chi-square (|r| > 2 flags)
+    "q351_cell_residuals" -> ((s, dir) =>
+      graft.analyze.Contingency.cellResiduals(Tables.events(s, dir),
+        col("event_type"), least(floor(col("value") / 100), lit(4)))),
+    // ---- OLS influence audit of the daily series: leverage, residual,
+    //      Cook's distance + the 4/n flag per day — which days BEND the
+    //      q54 trend line, not just which days are extreme
+    "q352_ols_influence" -> ((s, dir) =>
+      graft.analyze.Trend.olsInfluence(Tables.events(s, dir), "ts", "value")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -5424,6 +5477,225 @@ object SparkEntry {
                  ELSE 'overlapped_by' END AS relation
                FROM f)
          SELECT relation, count(*) AS n_units FROM r GROUP BY 1 ORDER BY 1""",
+    "q344_welch_anova" ->
+      """WITH q AS (SELECT event_type AS cls, CAST(round(value * 100) AS BIGINT) AS vq FROM events),
+         per0 AS (SELECT cls, count(*) AS nc, sum(CAST(vq AS HUGEINT)) AS sc,
+                        sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS qc
+                  FROM q GROUP BY 1),
+         pc AS (SELECT nc, CAST(sc AS DOUBLE) / nc AS m,
+                       (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / nc) / (nc - 1) AS v
+                FROM per0),
+         pw AS (SELECT nc, m, CAST(round((nc / v) * 1e12) AS BIGINT) AS w12
+                FROM pc WHERE nc >= 2 AND v > 0),
+         tot AS (SELECT count(*) AS k, CAST(sum(nc) AS BIGINT) AS n,
+                       CAST(sum(w12) AS BIGINT) AS sw12,
+                       CAST(sum(CAST(round((w12 / 1e12) * m * 1e6) AS BIGINT)) AS BIGINT) AS swm6
+                 FROM pw),
+         terms AS (SELECT t.k, t.n, t.sw12, t.swm6,
+                  CAST(round((w12 / 1e12) * (m - (swm6 / 1e6) / (sw12 / 1e12)) * (m - (swm6 / 1e6) / (sw12 / 1e12)) * 1e9) AS BIGINT) AS t9,
+                  CAST(round((1.0 - CAST(w12 AS DOUBLE) / sw12) * (1.0 - CAST(w12 AS DOUBLE) / sw12) / (nc - 1) * 1e15) AS BIGINT) AS l15
+                FROM pw, tot t),
+         ag AS (SELECT k, n, CAST(sum(t9) AS BIGINT) AS num9, CAST(sum(l15) AS BIGINT) AS lam15
+                FROM terms GROUP BY 1, 2)
+         SELECT k, n,
+                round(CASE WHEN k >= 2 THEN
+                  ((num9 / 1e9) / (k - 1)) /
+                  (1.0 + 2.0 * (k - 2) * ((lam15 / 1e15) / CAST(k * k - 1 AS DOUBLE))) END, 6) AS f_stat,
+                CAST(k - 1 AS BIGINT) AS df1,
+                round(CASE WHEN k >= 2 AND lam15 > 0 THEN
+                  CAST(k * k - 1 AS DOUBLE) * 1e15 / (3.0 * lam15) END, 4) AS df2
+         FROM ag""",
+    "q345_bartlett" ->
+      """WITH q AS (SELECT event_type AS cls, CAST(round(value * 100) AS BIGINT) AS vq FROM events),
+         per0 AS (SELECT cls, count(*) AS nc, sum(CAST(vq AS HUGEINT)) AS sc,
+                        sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS qc
+                  FROM q GROUP BY 1),
+         pc AS (SELECT nc,
+                       (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / nc) / (nc - 1) AS v
+                FROM per0),
+         f AS (SELECT * FROM pc WHERE nc >= 2 AND v > 0),
+         t AS (SELECT count(*) AS k, CAST(sum(nc) AS BIGINT) AS n,
+                      CAST(sum(CAST(round((nc - 1) * v) AS BIGINT)) AS BIGINT) AS ssw0,
+                      CAST(sum(CAST(round((nc - 1) * ln(v) * 1e6) AS BIGINT)) AS BIGINT) AS slnv6,
+                      CAST(sum(CAST(round(1e15 / (nc - 1)) AS BIGINT)) AS BIGINT) AS sinv15
+               FROM f)
+         SELECT k, n,
+                round(CASE WHEN k >= 2 AND n > k THEN
+                  (CAST(n - k AS DOUBLE) * ln(CAST(ssw0 AS DOUBLE) / CAST(n - k AS DOUBLE)) - slnv6 / 1e6)
+                  / (1.0 + (sinv15 / 1e15 - 1.0 / CAST(n - k AS DOUBLE)) / (3.0 * (k - 1))) END, 6) AS bartlett_t,
+                CAST(k - 1 AS BIGINT) AS df
+         FROM t""",
+    "q346_cochran_armitage" ->
+      s"""WITH q AS (SELECT CAST(least(floor(value / 100), 4) AS BIGINT) AS t,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             FROM events),
+         cells AS (SELECT t, count(*) AS nj, CAST(sum(y) AS BIGINT) AS rj FROM q GROUP BY 1),
+         a AS (SELECT count(*) AS k, CAST(sum(nj) AS BIGINT) AS n, CAST(sum(rj) AS BIGINT) AS r,
+                      sum(CAST(t AS HUGEINT) * nj) AS stn,
+                      sum(CAST(t AS HUGEINT) * t * nj) AS st2n,
+                      sum(CAST(t AS HUGEINT) * rj) AS str_ FROM cells),
+         a2 AS (SELECT k, n, r, CAST(n AS DOUBLE) AS nd, CAST(r AS DOUBLE) AS rd,
+                       CAST(stn AS DOUBLE) AS stnd, CAST(st2n AS DOUBLE) AS st2nd,
+                       CAST(str_ AS DOUBLE) AS strd FROM a),
+         z AS (SELECT k, n, r AS cases,
+                 CASE WHEN k >= 2 AND rd * (nd - rd) / (nd * nd * (nd - 1)) * (nd * st2nd - stnd * stnd) > 0
+                   THEN (strd - rd * stnd / nd) /
+                        sqrt(rd * (nd - rd) / (nd * nd * (nd - 1)) * (nd * st2nd - stnd * stnd)) END AS z0
+               FROM a2)
+         SELECT k, n, cases, round(z0, 6) AS z,
+                round(2.0 * (1.0 - ${graft.functions.Phi.sql("abs(z0)")}), 4) AS p_two
+         FROM z""",
+    "q347_spectral_entropy" ->
+      s"""WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS vq
+                FROM events GROUP BY 1, 2),
+         cen AS (SELECT g, date_diff('day', min(day) OVER (PARTITION BY g), day) AS di,
+                        count(*) OVER (PARTITION BY g) AS n,
+                        sum(vq) OVER (PARTITION BY g) AS s, vq
+                 FROM daily),
+         yp AS (SELECT g, di, n * vq - s AS yp FROM cen),
+         terms AS (SELECT g, pp.p,
+                  CAST(round(CAST(yp AS DOUBLE) * cos(6.283185307179586 * di / pp.p) / 1e6) AS BIGINT) AS c6,
+                  CAST(round(CAST(yp AS DOUBLE) * sin(6.283185307179586 * di / pp.p) / 1e6) AS BIGINT) AS s6
+                FROM yp CROSS JOIN (SELECT unnest(range(2, 15)) AS p) pp),
+         pw AS (SELECT g, p, CAST(sum(c6) AS BIGINT) AS cp, CAST(sum(s6) AS BIGINT) AS sp
+                FROM terms GROUP BY 1, 2),
+         pw2 AS (SELECT g, p, CAST(cp AS HUGEINT) * cp + CAST(sp AS HUGEINT) * sp AS pow FROM pw),
+         tt AS (SELECT g, p, pow, sum(pow) OVER (PARTITION BY g) AS tot FROM pw2),
+         sh AS (SELECT g, p, CASE WHEN tot > 0 THEN round(CAST(pow AS DOUBLE) / CAST(tot AS DOUBLE), 6) ELSE 0.0 END AS sh FROM tt),
+         e AS (SELECT g,
+                 CAST(sum(CAST(round((CASE WHEN sh > 0 THEN -sh * ln(sh) ELSE 0.0 END) * 1e12) AS BIGINT)) AS BIGINT) AS e12
+               FROM sh GROUP BY 1),
+         pk AS (SELECT g, p, sh,
+                  row_number() OVER (PARTITION BY g ORDER BY sh DESC, p ASC) AS rn
+                FROM sh)
+         SELECT e.g AS event_type,
+                round(e12 / 1e12 / ${math.log(13.0)}, 6) AS spec_entropy,
+                CAST(pk.p AS BIGINT) AS peak_period, pk.sh AS peak_share
+         FROM e JOIN pk ON pk.g = e.g AND pk.rn = 1
+         ORDER BY 1""",
+    "q348_fligner_killeen" ->
+      s"""WITH q AS (SELECT event_type AS cls, CAST(round(value * 100) AS BIGINT) AS xq FROM events),
+         m AS (SELECT cls, xq AS medq FROM (
+                 SELECT cls, xq, row_number() OVER (PARTITION BY cls ORDER BY xq) AS rn,
+                        count(*) OVER (PARTITION BY cls) AS nc FROM q)
+               WHERE rn = (nc + 1) // 2),
+         z AS (SELECT q.cls, abs(q.xq - m.medq) AS dv FROM q JOIN m ON q.cls = m.cls),
+         cells AS (SELECT dv, cls, count(*) AS cnt FROM z GROUP BY 1, 2),
+         byv AS (SELECT dv, CAST(sum(cnt) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM byv),
+         rk AS (SELECT dv, ct,
+                  2 * coalesce(sum(ct) OVER (ORDER BY dv ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ct + 1 AS r2
+                FROM byv),
+         pc AS (SELECT dv, ct, 0.5 + r2 / (4.0 * (nn + 1)) AS p FROM rk, tot),
+         sc AS (SELECT dv, ct, CAST(round(${graft.functions.Probit.sql("p")} * 1e9) AS BIGINT) AS a9 FROM pc),
+         g AS (SELECT CAST(sum(ct) AS BIGINT) AS n,
+                      sum(CAST(ct AS HUGEINT) * CAST(a9 AS HUGEINT)) AS s9,
+                      sum(CAST(ct AS HUGEINT) * CAST(a9 AS HUGEINT) * CAST(a9 AS HUGEINT)) AS q18
+               FROM sc),
+         per AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS nj,
+                        sum(CAST(cnt AS HUGEINT) * CAST(a9 AS HUGEINT)) AS sj9
+                 FROM cells JOIN sc USING (dv) GROUP BY 1),
+         ag AS (SELECT n, s9, q18, count(*) AS k,
+                  CAST(sum(CAST(round(nj * (CAST(sj9 AS DOUBLE) / nj - CAST(s9 AS DOUBLE) / n) * (CAST(sj9 AS DOUBLE) / nj - CAST(s9 AS DOUBLE) / n) / 1e12) AS BIGINT)) AS BIGINT) AS num6
+                FROM per, g GROUP BY 1, 2, 3)
+         SELECT k, n,
+                round(CASE WHEN k >= 2 AND n > 1
+                        AND (CAST(q18 AS DOUBLE) - CAST(s9 AS DOUBLE) * CAST(s9 AS DOUBLE) / n) / (n - 1) > 0
+                      THEN CAST(num6 AS DOUBLE) * 1e12 /
+                           ((CAST(q18 AS DOUBLE) - CAST(s9 AS DOUBLE) * CAST(s9 AS DOUBLE) / n) / (n - 1)) END, 4) AS fk_stat,
+                CAST(k - 1 AS BIGINT) AS df
+         FROM ag""",
+    "q349_mood_median" ->
+      """WITH q AS (SELECT event_type AS cls, CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         byv AS (SELECT v, count(*) AS ct FROM q GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM byv),
+         cum AS (SELECT v, ct, sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM byv),
+         med AS (SELECT v AS medv FROM cum, tot
+                 WHERE cum >= (nn + 1) // 2 AND cum - ct < (nn + 1) // 2),
+         per AS (SELECT cls, count(*) AS nj,
+                        CAST(sum(CASE WHEN v > medv THEN 1 ELSE 0 END) AS BIGINT) AS gj
+                 FROM q, med GROUP BY 1),
+         marg AS (SELECT CAST(sum(nj) AS BIGINT) AS n, CAST(sum(gj) AS BIGINT) AS g, count(*) AS k FROM per),
+         ag AS (SELECT k, n, g, medv,
+                  CAST(sum(CAST(round(CASE WHEN g > 0 AND g < n THEN
+                    ((gj - CAST(nj AS DOUBLE) * g / n) * (gj - CAST(nj AS DOUBLE) * g / n) / (CAST(nj AS DOUBLE) * g / n)
+                     + (nj - gj - CAST(nj AS DOUBLE) * (n - g) / n) * (nj - gj - CAST(nj AS DOUBLE) * (n - g) / n) / (CAST(nj AS DOUBLE) * (n - g) / n)) * 1e9 END) AS BIGINT)) AS BIGINT) AS t9
+                FROM per, marg, med GROUP BY 1, 2, 3, 4)
+         SELECT k, n, round(CAST(medv AS DOUBLE) / 1e6, 6) AS median,
+                round(CASE WHEN k >= 2 AND g > 0 AND g < n THEN CAST(t9 AS DOUBLE) / 1e9 END, 4) AS chi2,
+                CAST(k - 1 AS BIGINT) AS df
+         FROM ag""",
+    "q350_lilliefors" ->
+      s"""WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+         byv AS (SELECT vq, count(*) AS ct FROM q GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n,
+                        sum(CAST(vq AS HUGEINT) * ct) AS s,
+                        sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT) * ct) AS qq
+                 FROM byv),
+         cum AS (SELECT vq, ct, sum(ct) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM byv),
+         zz AS (SELECT n, s, qq, ct, cum,
+                  (vq - CAST(s AS DOUBLE) / n) /
+                    sqrt((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS z
+                FROM cum, tot),
+         gaps AS (SELECT n, s, qq,
+                    round(CASE WHEN n >= 2 AND CAST(qq AS DOUBLE) * n > CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      THEN greatest(abs(CAST(cum AS DOUBLE) / n - ${graft.functions.Phi.sql("z")}),
+                                    abs(${graft.functions.Phi.sql("z")} - CAST(cum - ct AS DOUBLE) / n)) END, 9) AS gap
+                  FROM zz),
+         ag AS (SELECT n, s, qq, max(gap) AS d0 FROM gaps GROUP BY 1, 2, 3)
+         SELECT n,
+                round(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean,
+                round(CASE WHEN n >= 2 THEN sqrt((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) / 1e6 END, 6) AS sd,
+                round(CASE WHEN n >= 2 AND CAST(qq AS DOUBLE) * n > CAST(s AS DOUBLE) * CAST(s AS DOUBLE) THEN d0 END, 6) AS d_stat,
+                round(CASE WHEN n >= 2 AND CAST(qq AS DOUBLE) * n > CAST(s AS DOUBLE) * CAST(s AS DOUBLE) THEN d0 * sqrt(CAST(n AS DOUBLE)) END, 4) AS sqrt_n_d
+         FROM ag""",
+    "q351_cell_residuals" ->
+      """WITH q AS (SELECT event_type AS a, CAST(least(floor(value / 100), 4) AS BIGINT) AS b FROM events),
+         cells AS (SELECT a, b, count(*) AS o FROM q GROUP BY 1, 2),
+         rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+         cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         grid AS (SELECT a, b, CAST(coalesce(o, 0) AS BIGINT) AS o, r, c, n
+                  FROM rm CROSS JOIN cm CROSS JOIN tot LEFT JOIN cells USING (a, b))
+         SELECT a, b, o,
+                round(CAST(r AS DOUBLE) * c / n, 4) AS e,
+                round(CASE WHEN CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n) > 0
+                      THEN (o - CAST(r AS DOUBLE) * c / n) /
+                           sqrt(CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) END, 4) AS std_resid
+         FROM grid ORDER BY 1, 2""",
+    "q352_ols_influence" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+                FROM events GROUP BY 1),
+         d0 AS (SELECT min(day) AS day0 FROM daily),
+         xd AS (SELECT day, date_diff('day', day0, day) AS x, yq FROM daily, d0),
+         mom AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                        sum(CAST(yq AS HUGEINT)) AS sy,
+                        sum(CAST(x AS HUGEINT) * yq) AS sxy,
+                        sum(CAST(x AS HUGEINT) * x) AS sxx,
+                        sum(CAST(yq AS HUGEINT) * yq) AS syy
+                 FROM xd),
+         b AS (SELECT day, x, yq, n, sx, sy, sxy, sxx, syy,
+                 CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS sxc,
+                 (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+                   (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS beta
+               FROM xd, mom),
+         c AS (SELECT day, x, yq, n, sx, sy, sxy, sxx, syy, sxc, beta,
+                 1.0 / n + (x - CAST(sx AS DOUBLE) / n) * (x - CAST(sx AS DOUBLE) / n) / sxc AS h,
+                 yq - ((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / n + beta * x) AS e,
+                 ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) -
+                  beta * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)) / (n - 2) AS s2
+               FROM b),
+         d AS (SELECT day, yq, n, sxc, h, e, s2,
+                 e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) AS dcook
+               FROM c)
+         SELECT day, round(CAST(yq AS DOUBLE) / 1e6, 6) AS daily_value,
+                round(CASE WHEN n >= 2 AND sxc > 0 THEN h END, 6) AS leverage,
+                round(CASE WHEN n >= 2 AND sxc > 0 THEN e / 1e6 END, 4) AS resid,
+                round(CASE WHEN n >= 3 AND sxc > 0 AND s2 > 0 THEN dcook END, 6) AS cooks_d,
+                CASE WHEN n >= 3 AND sxc > 0 AND s2 > 0 THEN dcook > 4.0 / n END AS influential
+         FROM d ORDER BY day""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

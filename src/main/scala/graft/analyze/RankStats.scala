@@ -445,4 +445,55 @@ object RankStats {
           (col("c") - col("d")).cast("double") /
             (col("c") + col("d") + col("ty"))), 6).as("somers_d_yx"))
   }
+
+  /** Mood's median test across k classes (Brown & Mood 1951): dichotomize
+    * every value at the POOLED lower median, then Pearson chi-square on
+    * the 2×k above/not-above table — the bluntest, most assumption-free
+    * k-group location test (only medians matter; heavy tails and wild
+    * outliers are invisible to it), the screening sibling of
+    * [[kruskalWallis]].
+    *
+    * Exactness: the pooled lower median is found on the distinct-value
+    * fold (first value whose inclusive cumulative count reaches
+    * ⌈N/2⌉ — an actual data value, no interpolation); all cell counts
+    * and margins are exact integers, per-class χ² terms pinned to 9-dp
+    * longs before the k-bounded sum. Scale: one value-keyed fold + one
+    * class-keyed aggregate; the cumulative window runs on distinct
+    * values only. Output `(k, n, median, chi2, df)`; chi2 NULL when the
+    * above-margin is degenerate (all or nothing above). */
+  def moodMedian(df: DataFrame, classCol: Column, valueCol: Column): DataFrame = {
+    val q = df.select(classCol.as("cls"),
+      round(valueCol * lit(1000000)).cast("long").as("v"))
+    val byV = q.groupBy(col("v")).agg(count(lit(1)).as("ct"))
+    val tot = byV.agg(sum(col("ct")).as("nn"))
+    val wc = Window.orderBy(col("v")).rowsBetween(Long.MinValue, 0)
+    val med = byV
+      .withColumn("cum", sum(col("ct")).over(wc))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= floor((col("nn") + 1) / 2) &&
+        col("cum") - col("ct") < floor((col("nn") + 1) / 2))
+      .select(col("v").as("medv"))
+    val per = q.crossJoin(broadcast(med))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("nj"),
+        sum(when(col("v") > col("medv"), 1L).otherwise(0L)).as("gj"))
+    val marg = per.agg(sum(col("nj")).as("n"), sum(col("gj")).as("g"),
+      count(lit(1)).as("k"))
+    per.crossJoin(broadcast(marg)).crossJoin(broadcast(med))
+      .groupBy(col("k"), col("n"), col("g"), col("medv"))
+      // per-class [(g_j−e_a)²/e_a + ((n_j−g_j)−e_b)²/e_b] at 9 dp —
+      // exact-integer inputs, one pinned long per class, order-free sum
+      .agg(sum(round(when(col("g") > 0 && col("g") < col("n"), {
+        val ea = col("nj").cast("double") * col("g") / col("n")
+        val eb = col("nj").cast("double") * (col("n") - col("g")) / col("n")
+        ((col("gj") - ea) * (col("gj") - ea) / ea +
+          (col("nj") - col("gj") - eb) * (col("nj") - col("gj") - eb) / eb) *
+          lit(1e9)
+      })).cast("long")).as("t9"))
+      .select(col("k"), col("n"),
+        round(col("medv").cast("double") / 1e6, 6).as("median"),
+        round(when(col("k") >= 2 && col("g") > 0 && col("g") < col("n"),
+          col("t9").cast("double") / 1e9), 4).as("chi2"),
+        (col("k") - 1).cast("long").as("df"))
+  }
 }

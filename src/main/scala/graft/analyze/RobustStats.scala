@@ -373,4 +373,60 @@ object RobustStats {
       .select(lit(nd).as("n_days"), lit(m).as("n_pairs"),
         round(col("__w2") / 2e6, 6).as("hl"))
   }
+
+  /** Lilliefors normality test (Lilliefors 1967): the one-sample KS
+    * distance against a normal with ESTIMATED mean and sd — the
+    * composite-null upgrade of a plain KS-vs-N(μ,σ) (estimating the
+    * parameters shrinks D; Lilliefors' tables, not KS's, apply) and the
+    * whole-CDF complement to [[jarqueBera]]'s two-moment readout.
+    * `D = max_v max(|F̂⁺(v) − Φ(z_v)|, |Φ(z_v) − F̂⁻(v)|)` over distinct
+    * values, with F̂⁻/F̂⁺ the exclusive/inclusive empirical CDF steps.
+    *
+    * Determinism: m and s are doubles off exact DECIMAL moments
+    * (identical expressions on both engines), Φ is the shared
+    * [[graft.functions.Phi]] A&S sequence, and each per-value gap is
+    * pinned to 9 dp before the max — so the max is over bit-identical
+    * doubles. Scale: one value-keyed fold; the cumulative window runs on
+    * distinct values only (the [[ksTest]] shape). Output one row
+    * `(n, mean, sd, d_stat, sqrt_n_d)` at 6/4 dp; NULL D when n < 2 or
+    * zero variance. */
+  def lilliefors(df: DataFrame, valueCol: String): DataFrame = {
+    val q = df.select(round(col(valueCol) * lit(1000000)).cast("long").as("vq"))
+    val byV = q.groupBy(col("vq")).agg(count(lit(1)).as("ct"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val tot = byV.agg(sum(col("ct")).as("n"),
+      sum(d19(col("vq")) * d19(col("ct"))).as("s"),
+      sum(d38(col("vq")) * d38(col("vq")) * d38(col("ct"))).as("qq"))
+    val w = Window.orderBy(col("vq")).rowsBetween(Long.MinValue, 0)
+    byV.withColumn("cum", sum(col("ct")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("s"), col("qq"),
+        round(when(col("n") >= 2 && col("qq").cast("double") * col("n") >
+          col("s").cast("double") * col("s").cast("double"), {
+          val m = col("s").cast("double") / col("n")
+          val sd = sqrt((col("qq").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            (col("n") - 1))
+          val ph = graft.functions.Phi.phi((col("vq") - m) / sd)
+          val hi = col("cum").cast("double") / col("n")
+          val lo = (col("cum") - col("ct")).cast("double") / col("n")
+          greatest(abs(hi - ph), abs(ph - lo))
+        }), 9).as("gap"))
+      .groupBy(col("n"), col("s"), col("qq"))
+      .agg(max(col("gap")).as("d0"))
+      .select(col("n"),
+        round(col("s").cast("double") / col("n") / 1e6, 6).as("mean"), {
+          val v = (col("qq").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            (col("n") - 1)
+          round(when(col("n") >= 2, sqrt(v) / 1e6), 6).as("sd")
+        },
+        round(when(col("n") >= 2 && col("qq").cast("double") * col("n") >
+          col("s").cast("double") * col("s").cast("double"), col("d0")), 6)
+          .as("d_stat"),
+        round(when(col("n") >= 2 && col("qq").cast("double") * col("n") >
+          col("s").cast("double") * col("s").cast("double"),
+          col("d0") * sqrt(col("n").cast("double"))), 4).as("sqrt_n_d"))
+  }
 }

@@ -704,6 +704,126 @@ object Trend {
       .orderBy(col(groupCol), col("period"))
   }
 
+  /** Spectral entropy of the daily series per group — the one-number
+    * "how concentrated is the rhythm" readout over [[periodogram]]'s
+    * power spectrum: H = −Σ p_i·ln(p_i) / ln(m) over the m = maxP−1
+    * period shares (0 = a pure tone, 1 = white noise), plus the peak
+    * period and its share. The regularity score a forecasting pipeline
+    * uses to route series between seasonal and non-seasonal models.
+    *
+    * Determinism: shares are the 6-dp-pinned `pow/tot` ratios (exact
+    * DECIMAL power sums, identical division on both engines) BEFORE ln
+    * touches them, so both engines take ln of bit-identical doubles;
+    * zero shares contribute zero. Same scale shape as [[periodogram]]:
+    * day-fold, ≤(maxP−1)×groups bounded frames. Peak ties break toward
+    * the smaller period. Output per group:
+    * `(group, spec_entropy, peak_period, peak_share)`. */
+  def spectralEntropy(df: DataFrame, groupCol: String, tsCol: String,
+                      valueCol: String, maxP: Int = 14): DataFrame = {
+    require(maxP >= 3, s"need maxP >= 3: $maxP")
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("vq"))
+    val wg = Window.partitionBy(col("g"))
+    val centered = daily
+      .withColumn("di", datediff(col("day"), min(col("day")).over(wg)))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("s", sum(col("vq")).over(wg))
+      .withColumn("yp", col("n") * col("vq") - col("s"))
+    val terms = centered
+      .withColumn("p", explode(sequence(lit(2), lit(maxP))))
+      .select(col("g"), col("p"),
+        round(col("yp").cast("double") *
+          cos(lit(2.0 * math.Pi) * col("di") / col("p")) / 1e6)
+          .cast("long").as("c6"),
+        round(col("yp").cast("double") *
+          sin(lit(2.0 * math.Pi) * col("di") / col("p")) / 1e6)
+          .cast("long").as("s6"))
+    val pw = terms.groupBy(col("g"), col("p"))
+      .agg(sum(col("c6")).as("cp"), sum(col("s6")).as("sp"))
+      .select(col("g"), col("p"),
+        (col("cp").cast("decimal(38,0)") * col("cp").cast("decimal(38,0)") +
+          col("sp").cast("decimal(38,0)") * col("sp").cast("decimal(38,0)"))
+          .as("pow"))
+    val wTot = Window.partitionBy(col("g"))
+    val shares = pw.withColumn("tot", sum(col("pow")).over(wTot))
+      .select(col("g"), col("p"),
+        when(col("tot") > 0,
+          round(col("pow").cast("double") / col("tot").cast("double"), 6))
+          .otherwise(lit(0.0)).as("sh"))
+    // per-period −p·ln p pinned to 12-dp longs (order-free sum); the
+    // ln(m) normalizer is a Scala-side literal so both engines divide
+    // by the same double
+    val lnM = math.log((maxP - 1).toDouble)
+    shares.groupBy(col("g"))
+      .agg(
+        round(sum(round(when(col("sh") > 0, -col("sh") * log(col("sh")))
+            .otherwise(lit(0.0)) * lit(1e12)).cast("long")) / lit(1e12) /
+          lit(lnM), 6).as("spec_entropy"),
+        max(struct(col("sh"), (-col("p")).as("np"))).as("pk"))
+      .select(col("g").as(groupCol), col("spec_entropy"),
+        (-col("pk.np")).cast("long").as("peak_period"),
+        col("pk.sh").as("peak_share"))
+      .orderBy(col(groupCol))
+  }
+
+  /** OLS influence diagnostics over the daily series — which DAYS bend
+    * the [[trendLines]] fit: leverage `h_i = 1/n + (x_i−x̄)²/Sxx`,
+    * residual, and Cook's distance
+    * `D_i = e_i²·h_i / (p·s²·(1−h_i)²)` (p = 2) per day, with the
+    * conventional `D > 4/n` influence flag. The regression-audit sibling
+    * of the outlier detectors: an extreme VALUE is not influential
+    * unless it also sits at extreme leverage.
+    *
+    * Exactness: daily totals and day indexes are exact integers; all
+    * moments (Σx, Σy, Σxy, Σx², Σy²) are exact DECIMAL sums, so α, β,
+    * s² = (Syy_c − β·Sxy_c)/(n−2) and every per-day h/e/D are single
+    * double expressions over exact inputs — no cross-row float
+    * accumulation. Scale: one corpus day-fold; everything downstream is
+    * days-bounded. Output per day
+    * `(day, daily_value, leverage, resid, cooks_d, influential)`,
+    * 6/4 dp, NULLs when n < 3 or zero x-variance. */
+  def olsInfluence(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val d0 = daily.agg(min(col("day")).as("day0"))
+    val xd = daily.crossJoin(broadcast(d0))
+      .select(col("day"), datediff(col("day"), col("day0")).as("x"), col("yq"))
+    val mom = xd.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"),
+      sum(dec(col("yq"))).as("sy"),
+      sum(xprod(col("x"), col("yq"))).as("sxy"),
+      sum(xprod(col("x"), col("x"))).as("sxx"),
+      sum(dec(col("yq")) * dec(col("yq"))).as("syy"))
+    xd.crossJoin(broadcast(mom))
+      .select(Seq(col("day"),
+        round(col("yq").cast("double") / 1e6, 6).as("daily_value")) ++ {
+          val n = col("n").cast("double")
+          val sxc = col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / n
+          val xb = col("sx").cast("double") / n
+          val h = lit(1.0) / n + (col("x") - xb) * (col("x") - xb) / sxc
+          val beta = (col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / n) / sxc
+          val alpha = (col("sy").cast("double") -
+            beta * col("sx").cast("double")) / n
+          val e = col("yq").cast("double") - (alpha + beta * col("x"))
+          val syc = col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double") / n
+          val sxyc = col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / n
+          val s2 = (syc - beta * sxyc) / (n - 2)
+          val dcook = e * e * h / (lit(2.0) * s2 * (lit(1.0) - h) *
+            (lit(1.0) - h))
+          val ok = col("n") >= 3 && sxc > 0 && s2 > 0
+          Seq(round(when(col("n") >= 2 && sxc > 0, h), 6).as("leverage"),
+            round(when(col("n") >= 2 && sxc > 0, e / 1e6), 4).as("resid"),
+            round(when(ok, dcook), 6).as("cooks_d"),
+            when(ok, dcook > lit(4.0) / n).as("influential"))
+        }: _*)
+      .orderBy(col("day"))
+  }
+
   def holtLinear(df: DataFrame, tsCol: String, valueCol: String,
                  alpha: Double, beta: Double): DataFrame = {
     require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,

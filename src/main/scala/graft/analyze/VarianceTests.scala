@@ -57,6 +57,187 @@ object VarianceTests {
       .select(col("cls"), abs(col("xq") - col("medq")).as("vq")))
   }
 
+  /** Welch's heteroscedastic one-way ANOVA (Welch 1951): the k-group
+    * mean comparison that does NOT assume equal variances — the k-arm
+    * generalization of the Welch t in [[Experiment]], and the test to
+    * reach for when [[leveneBF]]/[[bartlett]] reject. Per-class weights
+    * w_j = n_j/s²_j; F* = Σw_j(m_j−m̄_w)²/(k−1) over the Welch
+    * correction term, with Satterthwaite df₂ = (k²−1)/(3Λ).
+    *
+    * Same determinism/scale contract as [[anovaF]]: one class-keyed
+    * exact-moment aggregate (2-dp longs, DECIMAL sums), doubles only in
+    * the k-bounded final fold. Classes with n_j < 2 or zero variance
+    * are excluded (their w_j is undefined); output
+    * `(k, n, f_stat, df1, df2)` with f_stat/df2 at 6/4 dp, NULL when fewer
+    * than 2 usable classes remain. */
+  def welchAnova(df: DataFrame, classCol: Column, valueCol: Column): DataFrame = {
+    val q = df.select(classCol.as("cls"),
+      round(valueCol * lit(100)).cast("long").as("vq"))
+    val per = q.groupBy(col("cls"))
+      .agg(count(lit(1)).as("nc"),
+        sum(d19(col("vq"))).as("sc"),
+        sum(d19(col("vq")) * d19(col("vq"))).as("qc"))
+      // per-class doubles off exact ints — identical on every engine —
+      // then PINNED to longs so the cross-class double sums are
+      // order-free (the anovaOf `b` discipline): w at 12 dp, w·m at 6 dp
+      .select(col("nc"),
+        (col("sc").cast("double") / col("nc")).as("m"),
+        ((col("qc").cast("double") -
+          col("sc").cast("double") * col("sc").cast("double") /
+            col("nc")) / (col("nc") - 1)).as("v"))
+      .filter(col("nc") >= 2 && col("v") > 0)
+      .select(col("nc"), col("m"),
+        round((col("nc") / col("v")) * lit(1e12)).cast("long").as("w12"))
+    // two k-bounded folds: totals first (W, weighted grand mean), then
+    // the Welch numerator / Λ against them — a broadcast of 1 row
+    val tot = per.agg(count(lit(1)).as("k"), sum(col("nc")).as("n"),
+      sum(col("w12")).as("sw12"),
+      sum(round((col("w12") / lit(1e12)) * col("m") * lit(1e6))
+        .cast("long")).as("swm6"))
+    per.crossJoin(broadcast(tot))
+      .groupBy(col("k"), col("n"), col("sw12"), col("swm6"))
+      .agg(
+        // per-class terms off pinned w and the pinned-sum-derived m̄_w,
+        // themselves pinned (9 / 15 dp) before the exact sum
+        sum(round({
+          val w = col("w12") / lit(1e12)
+          val mw = (col("swm6") / lit(1e6)) / (col("sw12") / lit(1e12))
+          w * (col("m") - mw) * (col("m") - mw) * lit(1e9)
+        }).cast("long")).as("num9"),
+        sum(round({
+          val frac = col("w12").cast("double") / col("sw12")
+          (lit(1.0) - frac) * (lit(1.0) - frac) / (col("nc") - 1) * lit(1e15)
+        }).cast("long")).as("lam15"))
+      .select(col("k"), col("n"),
+        round(when(col("k") >= 2, {
+          val lam = (col("lam15") / lit(1e15)) /
+            ((col("k") * col("k") - 1).cast("double"))
+          ((col("num9") / lit(1e9)) / (col("k") - 1)) /
+            (lit(1.0) + lit(2.0) * (col("k") - 2) * lam)
+        }), 6).as("f_stat"),
+        (col("k") - 1).cast("long").as("df1"),
+        round(when(col("k") >= 2 && col("lam15") > 0,
+          ((col("k") * col("k") - 1).cast("double")) * lit(1e15) /
+            (lit(3.0) * col("lam15"))), 4).as("df2"))
+  }
+
+  /** Bartlett's test of equal variances (Bartlett 1937): the
+    * likelihood-ratio sibling of [[leveneBF]] — more powerful under
+    * normality, famously fragile off it (which is WHY both live here).
+    * T = [(N−k)·ln S²_p − Σ(n_j−1)·ln s²_j] / C with the standard
+    * small-sample correction C; T ~ χ²(k−1).
+    *
+    * One exact-moment class aggregate; ln enters only the k-bounded
+    * fold (per-class s²_j are doubles derived from exact DECIMAL
+    * moments, so both engines take ln of bit-identical inputs).
+    * Classes with n_j < 2 or zero variance are excluded. Output one row
+    * `(k, n, bartlett_t, df)`, T at 6 dp, NULL when k < 2. */
+  def bartlett(df: DataFrame, classCol: Column, valueCol: Column): DataFrame = {
+    val q = df.select(classCol.as("cls"),
+      round(valueCol * lit(100)).cast("long").as("vq"))
+    val per = q.groupBy(col("cls"))
+      .agg(count(lit(1)).as("nc"),
+        sum(d19(col("vq"))).as("sc"),
+        sum(d19(col("vq")) * d19(col("vq"))).as("qc"))
+      .select(col("nc"),
+        ((col("qc").cast("double") -
+          col("sc").cast("double") * col("sc").cast("double") /
+            col("nc")) / (col("nc") - 1)).as("v"))
+      .filter(col("nc") >= 2 && col("v") > 0)
+    // per-class term pins keep the cross-class double sums order-free —
+    // the anovaOf discipline; factors sized to survive corpus-scale
+    // counts in the long (unit pin for the Σ(n−1)s² term, which carries
+    // n·s² magnitudes, like anovaOf's b; 1e6 for the ln sums)
+    per.agg(count(lit(1)).as("k"), sum(col("nc")).as("n"),
+        sum(round((col("nc") - 1).cast("double") * col("v"))
+          .cast("long")).as("ssw0"),
+        sum(round((col("nc") - 1).cast("double") * log(col("v")) * lit(1e6))
+          .cast("long")).as("slnv6"),
+        sum(round(lit(1e15) / (col("nc") - 1)).cast("long")).as("sinv15"))
+      .select(col("k"), col("n"),
+        round(when(col("k") >= 2 && col("n") > col("k"), {
+          val nmk = (col("n") - col("k")).cast("double")
+          val sp2 = col("ssw0").cast("double") / nmk
+          val t0 = nmk * log(sp2) - col("slnv6") / lit(1e6)
+          val c = lit(1.0) + (col("sinv15") / lit(1e15) - lit(1.0) / nmk) /
+            (lit(3.0) * (col("k") - 1))
+          t0 / c
+        }), 6).as("bartlett_t"),
+        (col("k") - 1).cast("long").as("df"))
+  }
+
+  /** Fligner-Killeen test of equal variances (Fligner & Killeen 1976,
+    * Conover-Johnson-Johnson form): the RANK-based member of the spread
+    * triad — [[leveneBF]] (robust moments) / [[bartlett]] (normal LR) /
+    * this (normal scores of ranked |x − med_j|, the most outlier-proof).
+    * Scores a_i = Φ⁻¹(1/2 + r_i/(2(N+1))) over pooled average ranks of
+    * the absolute deviations from each class's lower median;
+    * X² = Σ_j n_j(Ā_j − ā)² / V² ~ χ²(k−1) with V² the sample variance
+    * of all scores.
+    *
+    * Determinism: ranks come from the distinct-deviation fold (doubled
+    * average ranks, exact longs — the [[RankStats.kruskalWallis]]
+    * machinery); each distinct deviation's score runs through the shared
+    * [[graft.functions.Probit]] on exact-integer-derived doubles and is
+    * pinned to a 9-dp long, so every cross-row sum is exact DECIMAL.
+    * Scale shape: per-class median sort window (spills, no arrays) + one
+    * deviation-keyed fold; rank window and score math run on the
+    * distinct-deviation frame (value-range-bounded, like all house rank
+    * tests). Output one row `(k, n, fk_stat, df)`, 4 dp. */
+  def flignerKilleen(df: DataFrame, classCol: Column,
+                     valueCol: Column): DataFrame = {
+    val q = df.select(classCol.as("cls"),
+      round(valueCol * lit(100)).cast("long").as("xq"))
+    val w = Window.partitionBy(col("cls")).orderBy(col("xq"))
+    val med = q
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy(col("cls"))))
+      .filter(col("rn") === floor((col("nc") + 1) / 2))
+      .select(col("cls"), col("xq").as("medq"))
+    val dev = q.join(med, "cls")
+      .select(col("cls"), abs(col("xq") - col("medq")).as("dv"))
+    val cells = dev.groupBy(col("dv"), col("cls")).agg(count(lit(1)).as("cnt"))
+    val byV = cells.groupBy(col("dv")).agg(sum(col("cnt")).as("ct"))
+    val tot = byV.agg(sum(col("ct")).as("nn"))
+    val wc = Window.orderBy(col("dv")).rowsBetween(Long.MinValue, -1)
+    // doubled average rank r2 = 2r; score argument 1/2 + r/(2(N+1))
+    // = 1/2 + r2/(4(N+1)) is strictly in (1/2, 1) — probit's domain
+    val scored = byV
+      .withColumn("r2",
+        lit(2) * coalesce(sum(col("ct")).over(wc), lit(0L)) + col("ct") + 1)
+      .crossJoin(broadcast(tot))
+      .select(col("dv"), col("ct"),
+        round(graft.functions.Probit.probit(
+          lit(0.5) + col("r2").cast("double") /
+            (lit(4.0) * (col("nn") + 1))) * lit(1e9))
+          .cast("long").as("a9"))
+    val glob = scored.agg(sum(col("ct")).as("n"),
+      sum(d19(col("ct")) * d19(col("a9"))).as("s9"),
+      sum(d38(col("ct")) * d38(col("a9")) * d38(col("a9"))).as("q18"))
+    val perCls = cells.join(scored.select(col("dv"), col("a9")), "dv")
+      .groupBy(col("cls"))
+      .agg(sum(col("cnt")).as("nj"),
+        sum(d19(col("cnt")) * d19(col("a9"))).as("sj9"))
+    perCls.crossJoin(broadcast(glob))
+      // per-class n_j(Ā_j − ā)² in a9² units, scaled down 1e12 and
+      // pinned so the k-class sum is order-free and fits a long
+      .groupBy(col("n"), col("s9"), col("q18"))
+      .agg(count(lit(1)).as("k"),
+        sum(round({
+          val mj = col("sj9").cast("double") / col("nj")
+          val ab = col("s9").cast("double") / col("n")
+          col("nj") * (mj - ab) * (mj - ab) / lit(1e12)
+        }).cast("long")).as("num6"))
+      .select(col("k"), col("n"),
+        round(when(col("k") >= 2 && col("n") > 1, {
+          val vsq = (col("q18").cast("double") -
+            col("s9").cast("double") * col("s9").cast("double") /
+              col("n")) / (col("n") - 1)
+          when(vsq > 0, col("num6").cast("double") * lit(1e12) / vsq)
+        }), 4).as("fk_stat"),
+        (col("k") - 1).cast("long").as("df"))
+  }
+
   /** Shared core over a pre-quantized `(cls, vq: long)` frame. */
   private def anovaOf(q: DataFrame): DataFrame = {
     val per = q.groupBy(col("cls"))
