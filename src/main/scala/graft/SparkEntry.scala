@@ -712,6 +712,32 @@ object SparkEntry {
     //      q54 trend line, not just which days are extreme
     "q352_ols_influence" -> ((s, dir) =>
       graft.analyze.Trend.olsInfluence(Tables.events(s, dir), "ts", "value")),
+    // ---- van der Waerden normal-scores location test: Kruskal-Wallis
+    //      ranks through Φ⁻¹ — full ARE vs the F-test under normality
+    //      while staying rank-based (location twin of q348)
+    "q353_vdw" -> ((s, dir) =>
+      graft.analyze.RankStats.vanDerWaerden(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+    // ---- k-sample Anderson-Darling (Scholz-Stephens tie-adjusted
+    //      A²akN): ONE tail-weighted whole-CDF test across all event
+    //      types vs k(k−1)/2 pairwise KS runs
+    "q354_ad_ksample" -> ((s, dir) =>
+      graft.analyze.RobustStats.adKSample(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+    // ---- Pettitt rank changepoint: nonparametric single level-shift
+    //      day + approximate p — the outlier-proof sibling of q202/q209
+    "q355_pettitt" -> ((s, dir) =>
+      graft.analyze.Changepoint.pettitt(Tables.events(s, dir), "ts", "value")),
+    // ---- normal QQ decile table: WHERE the value distribution leaves
+    //      normality (localizes q350's single-number verdict)
+    "q356_qq_normal" -> ((s, dir) =>
+      graft.analyze.RobustStats.qqNormal(Tables.events(s, dir), "value", 10)),
+    // ---- Blom inverse-normal transform of per-user totals: the
+    //      genomics-standard INT that gaussianizes ANY metric before
+    //      parametric tooling touches it
+    "q357_int_transform" -> ((s, dir) =>
+      graft.analyze.QuantileCut.intTransform(Tables.events(s, dir),
+        "user_id", "value")),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -5696,6 +5722,106 @@ object SparkEntry {
                 round(CASE WHEN n >= 3 AND sxc > 0 AND s2 > 0 THEN dcook END, 6) AS cooks_d,
                 CASE WHEN n >= 3 AND sxc > 0 AND s2 > 0 THEN dcook > 4.0 / n END AS influential
          FROM d ORDER BY day""",
+    "q353_vdw" ->
+      s"""WITH q AS (SELECT event_type AS cls, CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         cells AS (SELECT v, cls, count(*) AS cnt FROM q GROUP BY 1, 2),
+         byv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM byv),
+         rk AS (SELECT v, ct,
+                  2 * coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ct + 1 AS r2
+                FROM byv),
+         pc AS (SELECT v, ct, r2 / (2.0 * (nn + 1)) AS p FROM rk, tot),
+         sc AS (SELECT v, ct, CAST(round(${graft.functions.Probit.sql("p")} * 1e9) AS BIGINT) AS a9 FROM pc),
+         g AS (SELECT CAST(sum(ct) AS BIGINT) AS n,
+                      sum(CAST(ct AS HUGEINT) * CAST(a9 AS HUGEINT) * CAST(a9 AS HUGEINT)) AS q18
+               FROM sc),
+         per AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS nj,
+                        sum(CAST(cnt AS HUGEINT) * CAST(a9 AS HUGEINT)) AS sj9
+                 FROM cells JOIN sc USING (v) GROUP BY 1),
+         ag AS (SELECT n, q18, count(*) AS k,
+                  CAST(sum(CAST(round(CAST(sj9 AS DOUBLE) * CAST(sj9 AS DOUBLE) / nj / 1e12) AS BIGINT)) AS BIGINT) AS num6
+                FROM per, g GROUP BY 1, 2)
+         SELECT k, n,
+                round(CASE WHEN k >= 2 AND n > 1 AND q18 > 0
+                      THEN CAST(num6 AS DOUBLE) * 1e12 / (CAST(q18 AS DOUBLE) / (n - 1)) END, 4) AS vdw_stat,
+                CAST(k - 1 AS BIGINT) AS df
+         FROM ag""",
+    "q354_ad_ksample" ->
+      """WITH q AS (SELECT event_type AS cls, CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         cells AS (SELECT v, cls, count(*) AS cnt FROM q GROUP BY 1, 2),
+         byv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM byv),
+         ctot AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS ni FROM cells GROUP BY 1),
+         bb AS (SELECT v, ct,
+                  2 * sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct AS b2
+                FROM byv),
+         grid AS (SELECT byv.v, ctot.cls, ctot.ni, coalesce(cells.cnt, 0) AS li
+                  FROM byv CROSS JOIN ctot
+                  LEFT JOIN cells ON cells.v = byv.v AND cells.cls = ctot.cls),
+         g2 AS (SELECT v, cls, ni, li,
+                  2 * sum(li) OVER (PARTITION BY cls ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - li AS m2
+                FROM grid),
+         tm AS (SELECT nn, cls,
+                  CAST(round(CASE WHEN CAST(b2 AS DOUBLE) * (2.0 * nn - b2) - CAST(nn AS DOUBLE) * ct > 0 THEN
+                    ct * ((CAST(nn AS DOUBLE) * m2 - CAST(ni AS DOUBLE) * b2) * (CAST(nn AS DOUBLE) * m2 - CAST(ni AS DOUBLE) * b2) /
+                          (CAST(b2 AS DOUBLE) * (2.0 * nn - b2) - CAST(nn AS DOUBLE) * ct)) / ni * 1e6 END) AS BIGINT) AS t6
+                FROM g2 JOIN bb USING (v), tot),
+         ag AS (SELECT nn, count(DISTINCT cls) AS k, CAST(sum(t6) AS BIGINT) AS s6 FROM tm GROUP BY 1)
+         SELECT k, nn AS n,
+                round(CASE WHEN k >= 2 AND s6 IS NOT NULL
+                      THEN CAST(nn - 1 AS DOUBLE) / (CAST(nn AS DOUBLE) * nn) * (CAST(s6 AS DOUBLE) / 1e6) END, 4) AS a2_akn,
+                CAST(k - 1 AS BIGINT) AS mean_h0
+         FROM ag""",
+    "q355_pettitt" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+                FROM events GROUP BY 1),
+         byv AS (SELECT yq, count(*) AS ct FROM daily GROUP BY 1),
+         rk AS (SELECT yq,
+                  2 * coalesce(sum(ct) OVER (ORDER BY yq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ct + 1 AS r2
+                FROM byv),
+         nd AS (SELECT count(*) AS nd FROM daily),
+         u AS (SELECT day, nd,
+                 sum(r2) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) -
+                 row_number() OVER (ORDER BY day) * (nd + 1) AS ut
+               FROM daily JOIN rk USING (yq), nd),
+         mx AS (SELECT max(abs(ut)) AS k2 FROM u),
+         ag AS (SELECT nd, k2, min(day) AS break_day FROM u, mx WHERE abs(ut) = k2 GROUP BY 1, 2)
+         SELECT nd AS n_days, CAST(k2 AS BIGINT) AS k_stat, break_day,
+                round(least(1.0, 2.0 * exp(-6.0 * CAST(k2 AS DOUBLE) * k2 /
+                  (CAST(nd AS DOUBLE) * nd * nd + CAST(nd AS DOUBLE) * nd))), 6) AS p_approx
+         FROM ag""",
+    "q356_qq_normal" ->
+      s"""WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+         byv AS (SELECT vq, count(*) AS ct FROM q GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n,
+                        sum(CAST(vq AS HUGEINT) * ct) AS s,
+                        sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT) * ct) AS qq
+                 FROM byv),
+         cum AS (SELECT vq, ct, sum(ct) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM byv),
+         probs AS (SELECT n, s, qq, CAST(pp.i AS BIGINT) AS i,
+                          (CAST(pp.i AS BIGINT) * n + 9) // 10 AS pos
+                   FROM tot CROSS JOIN (SELECT unnest(range(1, 10)) AS i) pp),
+         j AS (SELECT n, s, qq, i, vq, CAST(i AS DOUBLE) / 10 AS pd
+               FROM probs JOIN cum ON cum.cum >= probs.pos AND cum.cum - cum.ct < probs.pos)
+         SELECT round(CAST(i AS DOUBLE) / 10, 4) AS p,
+                round(CAST(vq AS DOUBLE) / 1e6, 6) AS sample_q,
+                round(CASE WHEN n >= 2 THEN
+                  (CAST(s AS DOUBLE) / n + sqrt((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) * ${graft.functions.Probit.sql("pd")}) / 1e6 END, 6) AS theoretical_q,
+                round(CASE WHEN n >= 2 THEN
+                  (vq - (CAST(s AS DOUBLE) / n + sqrt((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) * ${graft.functions.Probit.sql("pd")})) / 1e6 END, 6) AS gap
+         FROM j ORDER BY 1""",
+    "q357_int_transform" ->
+      s"""WITH per AS (SELECT user_id, CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS tq FROM events GROUP BY 1),
+         byv AS (SELECT tq, count(*) AS ct FROM per GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM byv),
+         rk AS (SELECT tq,
+                  2 * coalesce(sum(ct) OVER (ORDER BY tq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ct + 1 AS r2
+                FROM byv),
+         pc AS (SELECT tq, (r2 - 0.75) / (2.0 * nn + 0.5) AS p FROM rk, tot),
+         sc AS (SELECT tq, round(${graft.functions.Probit.sql("p")}, 6) AS int_score FROM pc)
+         SELECT user_id, round(CAST(tq AS DOUBLE) / 1e6, 6) AS total, int_score
+         FROM per JOIN sc USING (tq) ORDER BY user_id""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -141,6 +141,51 @@ object Changepoint {
       .orderBy(col(groupCol))
   }
 
+  /** Pettitt changepoint test (Pettitt 1979): the RANK-based single
+    * break detector — `U_t = 2·S_t − t(N+1)` over average ranks of the
+    * daily totals, `K = max|U_t|`, break at the earliest argmax, with
+    * the standard approximation `p ≈ min(1, 2·exp(−6K²/(N³+N²)))`. The
+    * nonparametric sibling of [[singleBreak]]/[[cusum]]: a level shift
+    * is found without assuming normal residuals, and one wild day can't
+    * fake one.
+    *
+    * Exactness: doubled average ranks off the distinct-daily-value fold
+    * make S₂ₜ = Σr₂ and U_t = S₂ₜ/1 − t(N+1) pure integers (the r₂
+    * doubling cancels against 2·S_t); K, the argmax day and the tie
+    * rule (earliest) are integer comparisons. Scale: one corpus
+    * day-fold; ranks/cumulatives run on days-bounded frames. One row:
+    * `(n_days, k_stat, break_day, p_approx)`. */
+  def pettitt(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val byV = daily.groupBy(col("yq")).agg(count(lit(1)).as("ct"))
+    val wv = Window.orderBy(col("yq")).rowsBetween(Long.MinValue, -1)
+    val rk = byV.withColumn("r2",
+      lit(2) * coalesce(sum(col("ct")).over(wv), lit(0L)) + col("ct") + 1)
+    val wd = Window.orderBy(col("day"))
+    val u = daily.join(rk.select(col("yq"), col("r2")), "yq")
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("s2", sum(col("r2")).over(
+        wd.rowsBetween(Long.MinValue, 0)))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+      .select(col("day"), col("nd"),
+        (col("s2") - col("t") * (col("nd") + 1)).as("ut"))
+    val mx = u.agg(max(abs(col("ut"))).as("k2"))
+    u.crossJoin(broadcast(mx))
+      .filter(abs(col("ut")) === col("k2"))
+      .groupBy(col("nd"), col("k2"))
+      .agg(min(col("day")).as("break_day"))
+      .select(col("nd").as("n_days"),
+        // Σr₂ = 2S_t, so s2 − t(N+1) IS the textbook U_t = 2S_t − t(N+1)
+        col("k2").as("k_stat"),
+        col("break_day"),
+        round(least(lit(1.0), lit(2.0) * exp({
+          val n = col("nd").cast("double")
+          val kk = col("k2").cast("double")
+          lit(-6.0) * kk * kk / (n * n * n + n * n)
+        })), 6).as("p_approx"))
+  }
+
   def singleBreak(df: DataFrame, keyCol: String, tsCol: String,
                   valueCol: String): DataFrame = {
     val daily = df.groupBy(col(keyCol).as("k"),

@@ -92,6 +92,42 @@ object QuantileCut {
     * ([[graft.operators.Positional.withRowIndex]] — never a single-task
     * global window); the mapping is an equi-join on `idx` against the
     * (idx, value) frame, hash-partitioned on a dense long key. */
+  /** Rank-based inverse normal transform (Blom 1958 scores) of each
+    * key's total — `Φ⁻¹((r − 3/8)/(N + 1/4))` over average ranks of the
+    * per-key sums: the genomics-standard "INT" that forces ANY metric
+    * onto a standard normal before parametric machinery (z tests,
+    * Pearson correlation) touches it. The per-key companion of
+    * [[quantileNormalize]]: that maps groups onto the pooled empirical
+    * distribution; this maps keys onto the GAUSSIAN one.
+    *
+    * Exactness: per-key totals are exact longs; doubled average ranks
+    * come off the distinct-total fold, so the Blom argument
+    * `(r₂ − 3/4)/(2N + 1/2)` feeds the shared
+    * [[graft.functions.Probit]] with exact-integer-derived doubles;
+    * equal totals get equal scores by construction. Scale: one key
+    * aggregate + a distinct-value fold; the join back is key-scale,
+    * shuffle-free on the broadcast rank frame when totals are few.
+    * Output `(key, total, int_score)` at 6 dp, ordered by key. */
+  def intTransform(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val per = df.groupBy(col(keyCol))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("tq"))
+    val byV = per.groupBy(col("tq")).agg(count(lit(1)).as("ct"))
+    val tot = byV.agg(sum(col("ct")).as("nn"))
+    val w = Window.orderBy(col("tq")).rowsBetween(Long.MinValue, -1)
+    val scored = byV
+      .withColumn("r2",
+        lit(2) * coalesce(sum(col("ct")).over(w), lit(0L)) + col("ct") + 1)
+      .crossJoin(broadcast(tot))
+      .select(col("tq"),
+        round(graft.functions.Probit.probit(
+          (col("r2") - lit(0.75)) / (lit(2.0) * col("nn") + lit(0.5))), 6)
+          .as("int_score"))
+    per.join(scored, "tq")
+      .select(col(keyCol), round(col("tq").cast("double") / 1e6, 6).as("total"),
+        col("int_score"))
+      .orderBy(col(keyCol))
+  }
+
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String,
                         outCol: String = "value_norm"): DataFrame = {

@@ -446,6 +446,56 @@ object RankStats {
             (col("c") + col("d") + col("ty"))), 6).as("somers_d_yx"))
   }
 
+  /** Van der Waerden normal-scores test (1952/1953): Kruskal-Wallis with
+    * the pooled average ranks pushed through Φ⁻¹(r/(N+1)) — asymptotic
+    * efficiency 1 against the F-test under normality while staying fully
+    * rank-based (the location counterpart of
+    * [[VarianceTests.flignerKilleen]]'s spread test).
+    * `X² = Σ_j n_j·Ā_j² / s²` with `s² = Σ a_i²/(N−1)` ~ χ²(k−1).
+    *
+    * Determinism: the distinct-value doubled-rank fold feeds the shared
+    * [[graft.functions.Probit]] on exact-integer-derived doubles; scores
+    * pin to 9-dp longs, every cross-row sum is exact DECIMAL, per-class
+    * X² terms pin before the k-bounded fold. Output
+    * `(k, n, vdw_stat, df)` at 4 dp; NULL when degenerate. */
+  def vanDerWaerden(df: DataFrame, classCol: Column,
+                    valueCol: Column): DataFrame = {
+    val q = df.select(classCol.as("cls"),
+      round(valueCol * lit(1000000)).cast("long").as("v"))
+    val cells = q.groupBy(col("v"), col("cls")).agg(count(lit(1)).as("cnt"))
+    val byV = cells.groupBy(col("v")).agg(sum(col("cnt")).as("ct"))
+    val tot = byV.agg(sum(col("ct")).as("nn"))
+    val wc = Window.orderBy(col("v")).rowsBetween(Long.MinValue, -1)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val scored = byV
+      .withColumn("r2",
+        lit(2) * coalesce(sum(col("ct")).over(wc), lit(0L)) + col("ct") + 1)
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("ct"),
+        round(graft.functions.Probit.probit(
+          col("r2").cast("double") / (lit(2.0) * (col("nn") + 1))) *
+          lit(1e9)).cast("long").as("a9"))
+    val glob = scored.agg(sum(col("ct")).as("n"),
+      sum(d38(col("ct")) * d38(col("a9")) * d38(col("a9"))).as("q18"))
+    val perCls = cells.join(scored.select(col("v"), col("a9")), "v")
+      .groupBy(col("cls"))
+      .agg(sum(col("cnt")).as("nj"),
+        sum(d19(col("cnt")) * d19(col("a9"))).as("sj9"))
+    perCls.crossJoin(broadcast(glob))
+      .groupBy(col("n"), col("q18"))
+      // per-class n_j·Ā_j² = S_j²/n_j in a9² units, 1e12-downscaled and
+      // pinned so the k-class sum is order-free and fits a long
+      .agg(count(lit(1)).as("k"),
+        sum(round(col("sj9").cast("double") * col("sj9").cast("double") /
+          col("nj") / lit(1e12)).cast("long")).as("num6"))
+      .select(col("k"), col("n"),
+        round(when(col("k") >= 2 && col("n") > 1 && col("q18") > 0,
+          col("num6").cast("double") * lit(1e12) /
+            (col("q18").cast("double") / (col("n") - 1))), 4).as("vdw_stat"),
+        (col("k") - 1).cast("long").as("df"))
+  }
+
   /** Mood's median test across k classes (Brown & Mood 1951): dichotomize
     * every value at the POOLED lower median, then Pearson chi-square on
     * the 2×k above/not-above table — the bluntest, most assumption-free

@@ -374,6 +374,119 @@ object RobustStats {
         round(col("__w2") / 2e6, 6).as("hl"))
   }
 
+  /** K-sample Anderson-Darling (Scholz & Stephens 1987, the
+    * tie-adjusted A²akN with midranks): do k samples share ONE
+    * distribution — the tail-weighted, whole-CDF upgrade of pairwise
+    * [[ksTest]]/[[cvmTest]] runs (AD's 1/(F(1−F)) weight sees tail
+    * drift those miss, and one statistic replaces k(k−1)/2 pairs).
+    * `A² = (N−1)/N · Σ_i (1/n_i) Σ_j (l_j/N)·(N·M_aij − n_i·B_aj)² /
+    * (B_aj(N−B_aj) − N·l_j/4)` over distinct-value blocks j, with
+    * midrank counts M_a/B_a.
+    *
+    * Determinism: doubled midrank counts (2M_a, 2B_a) are exact longs
+    * off the distinct-value fold (the ×2 cancels between numerator and
+    * denominator); each (class, block) term is one double expression
+    * over exact integers, pinned to a 6-dp long before the exact sum.
+    * Scale: one corpus aggregate to the (value, class) cell frame;
+    * windows run on the distinct-value (× k) frame only. Output
+    * `(k, n, a2_akn, mean_h0)` at 4 dp — under H₀ E[A²] = k−1; NULL
+    * when every value ties (single block). */
+  def adKSample(df: DataFrame, classCol: Column, valueCol: Column): DataFrame = {
+    val q = df.select(classCol.as("cls"),
+      round(valueCol * lit(1000000)).cast("long").as("v"))
+    val cells = q.groupBy(col("v"), col("cls")).agg(count(lit(1)).as("cnt"))
+    val byV = cells.groupBy(col("v")).agg(sum(col("cnt")).as("ct"))
+    val tot = byV.agg(sum(col("ct")).as("nn"))
+    val clsTot = cells.groupBy(col("cls")).agg(sum(col("cnt")).as("ni"))
+    val wAll = Window.orderBy(col("v")).rowsBetween(Long.MinValue, 0)
+    val bb = byV.withColumn("cum", sum(col("ct")).over(wAll))
+      .select(col("v"), col("ct"),
+        (lit(2) * col("cum") - col("ct")).as("b2"))
+    val grid = byV.select(col("v")).crossJoin(broadcast(clsTot))
+      .join(cells, Seq("v", "cls"), "left")
+      .select(col("v"), col("cls"), col("ni"),
+        coalesce(col("cnt"), lit(0L)).as("li"))
+    val wci = Window.partitionBy(col("cls")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, 0)
+    val g2 = grid.withColumn("cumi", sum(col("li")).over(wci))
+      .withColumn("m2", lit(2) * col("cumi") - col("li"))
+      .join(bb, "v")
+      .crossJoin(broadcast(tot))
+    g2.select(col("nn"), col("cls"),
+        // (l_j/n_i)·ratio per (class, block), 6-dp-pinned; doubles from
+        // the first operand on so the shape survives 100 TB counts
+        round(when(col("b2").cast("double") *
+          (lit(2.0) * col("nn") - col("b2")) - col("nn").cast("double") *
+          col("ct") > 0, {
+          val num = col("nn").cast("double") * col("m2") -
+            col("ni").cast("double") * col("b2")
+          val den = col("b2").cast("double") *
+            (lit(2.0) * col("nn") - col("b2")) -
+            col("nn").cast("double") * col("ct")
+          col("ct") * (num * num / den) / col("ni") * lit(1e6)
+        })).cast("long").as("t6"))
+      .groupBy(col("nn"))
+      .agg(countDistinct(col("cls")).as("k"), sum(col("t6")).as("s6"))
+      .select(col("k"), col("nn").as("n"),
+        round(when(col("k") >= 2 && col("s6").isNotNull,
+          (col("nn") - 1).cast("double") /
+            (col("nn").cast("double") * col("nn")) *
+            (col("s6").cast("double") / lit(1e6))), 4).as("a2_akn"),
+        (col("k") - 1).cast("long").as("mean_h0"))
+  }
+
+  /** Normal QQ table at the 1/nq..(nq−1)/nq quantiles: sample lower
+    * quantile (element ⌈p·N⌉ — an actual data value) against the
+    * FITTED-normal theoretical quantile `m + s·Φ⁻¹(p)` via the shared
+    * [[graft.functions.Probit]] — the localization companion to
+    * [[lilliefors]]' single-number verdict (WHERE does the sample leave
+    * normality: heavy right tail shows as positive gaps at high p).
+    *
+    * Exactness: quantile positions are integer ceilings, picked off the
+    * distinct-value fold's inclusive cumulative (the block containing
+    * the position); m and s are doubles off exact DECIMAL moments.
+    * Scale: one value fold; everything downstream is (nq−1)-bounded.
+    * Output `(p, sample_q, theoretical_q, gap)` at 4/6 dp, ordered. */
+  def qqNormal(df: DataFrame, valueCol: String, nq: Int = 10): DataFrame = {
+    require(nq >= 2, s"need nq >= 2: $nq")
+    val q = df.select(round(col(valueCol) * lit(1000000)).cast("long").as("vq"))
+    val byV = q.groupBy(col("vq")).agg(count(lit(1)).as("ct"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val tot = byV.agg(sum(col("ct")).as("n"),
+      sum(d19(col("vq")) * d19(col("ct"))).as("s"),
+      sum(d38(col("vq")) * d38(col("vq")) * d38(col("ct"))).as("qq"))
+    val w = Window.orderBy(col("vq")).rowsBetween(Long.MinValue, 0)
+    val cum = byV.withColumn("cum", sum(col("ct")).over(w))
+    val probs = tot.select(col("n"), col("s"), col("qq"),
+      explode(sequence(lit(1), lit(nq - 1))).as("i"))
+      .withColumn("pos",
+        call_function("div", col("i") * col("n") + lit(nq - 1).cast("long"),
+          lit(nq.toLong)))
+    probs.join(cum,
+        col("cum") >= col("pos") && col("cum") - col("ct") < col("pos"))
+      .select(
+        round(col("i").cast("double") / nq, 4).as("p"),
+        round(col("vq").cast("double") / 1e6, 6).as("sample_q"),
+        round(when(col("n") >= 2, {
+          val m = col("s").cast("double") / col("n")
+          val sd = sqrt((col("qq").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            (col("n") - 1))
+          (m + sd * graft.functions.Probit.probit(
+            col("i").cast("double") / nq)) / 1e6
+        }), 6).as("theoretical_q"),
+        round(when(col("n") >= 2, {
+          val m = col("s").cast("double") / col("n")
+          val sd = sqrt((col("qq").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            (col("n") - 1))
+          (col("vq") - (m + sd * graft.functions.Probit.probit(
+            col("i").cast("double") / nq))) / 1e6
+        }), 6).as("gap"))
+      .orderBy(col("p"))
+  }
+
   /** Lilliefors normality test (Lilliefors 1967): the one-sample KS
     * distance against a normal with ESTIMATED mean and sd — the
     * composite-null upgrade of a plain KS-vs-N(μ,σ) (estimating the
