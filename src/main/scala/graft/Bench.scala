@@ -26,33 +26,46 @@ object Bench {
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
-    val results =
-      if (isChild || sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0"))
-        runInProcess(sfDir, selected)
-      else orchestrate(sfDir, selected)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    // `value`/`queries` cover SUCCEEDED queries only — a crashed query's
-    // near-zero analysis-time duration must never masquerade as a fast run
-    // or make totals incomparable across rounds; `failures` carries them.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"isolated":${!isChild},"sf":"$sfDir"}"""
-    println(line)
     // ALSO archive the complete JSON to a file (orchestrator only): the
     // driver's BENCH_r{N} artifact stores only a bounded tail of stdout,
     // which truncated the per-query map in past rounds.
     // subset runs (SPARK_GRAFT_BENCH_ONLY) never touch the default full
     // artifact — an ad-hoc 5-query iteration must not clobber the
-    // committed 280-query BENCH_FULL.json
-    if (!isChild && (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))) {
-      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
-      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case e: Exception =>
-        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    }
+    // committed full-suite BENCH_FULL.json
+    val archive = !isChild && (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+    val results =
+      if (isChild || sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0"))
+        runInProcess(sfDir, selected)
+      else orchestrate(sfDir, selected, archive)
+    val line = renderLine(results, selected, isChild, sfDir)
+    println(line)
+    if (archive) writeArtifact(line)
+  }
+
+  /** Assemble the one-line JSON. `value`/`queries` cover SUCCEEDED queries
+    * only — a crashed query's near-zero analysis-time duration must never
+    * masquerade as a fast run or make totals incomparable across rounds;
+    * `failures` carries crashes, `skipped` carries queries the wall-clock
+    * budget never reached (distinct from failures: they did not run at all,
+    * and a truncated total must be recognizable as truncated). */
+  private def renderLine(results: Seq[(String, Double, Boolean)],
+                         selected: Seq[String], isChild: Boolean, sfDir: String): String = {
+    val ran = results.map(_._1).toSet
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val skipped = selected.filterNot(ran).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"skipped":$skipped,"isolated":${!isChild},"sf":"$sfDir"}"""
+  }
+
+  private def writeArtifact(line: String): Unit = {
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
   }
 
   /** Fork child JVMs over small GROUPS of queries; returns (name, seconds,
@@ -63,26 +76,103 @@ object Bench {
     * the purest isolation but costs ~10 s of JVM+session+warmup per fork —
     * at 280 queries that is ~45 min of pure overhead, which blew the
     * driver's bench time budget in round 7 (rc 124, no artifact at all).
-    * A small group (default 8) amortizes the fork cost ~8× while the
-    * child's per-boundary hygiene (cache clear + GC, outside the timed
-    * window) keeps cross-query interference negligible at this group size
-    * (validated against single-query forks on the heaviest queries).
-    * Groups are formed by STRIDE interleaving (group i takes indices
-    * i, i+G, i+2G, …) so alphabetically-clustered heavy families (graph,
-    * dedup) spread across forks instead of stacking in one child. Set
-    * SPARK_GRAFT_BENCH_GROUP=1 for the old one-per-JVM behavior. */
-  private def orchestrate(sfDir: String, selected: Seq[String]): Seq[(String, Double, Boolean)] = {
+    * Grouping amortizes the fork cost while the child's per-boundary
+    * hygiene (cache clear + GC, outside the timed window) bounds
+    * cross-query interference; [[planGroups]] picks per-query group sizes
+    * from the previous round's cost profile.
+    *
+    * SPARK_GRAFT_BENCH_BUDGET_SEC (default 1320) bounds total orchestrator
+    * wall: groups that would start past the budget are skipped and reported
+    * in the JSON's `skipped` list — a truncated artifact beats the rc-124
+    * nothing the round-7 driver run left behind. */
+  private def orchestrate(sfDir: String, selected: Seq[String],
+                          archive: Boolean): Seq[(String, Double, Boolean)] = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
     val cp = sys.props("java.class.path")
-    val groupSize = sys.env.get("SPARK_GRAFT_BENCH_GROUP").map(_.toInt).getOrElse(8)
-    val nGroups = math.max(1, (selected.size + groupSize - 1) / groupSize)
-    val groups = (0 until nGroups).map(i => selected.indices.collect {
-      case j if j % nGroups == i => selected(j)
-    }).filter(_.nonEmpty)
-    groups.flatMap { names =>
+    val groups = planGroups(selected)
+    // Wall-clock budget: the round-7 driver bench was SIGKILLED mid-run
+    // (rc 124) and left NO artifact at all — a truncated-but-parseable
+    // artifact is strictly better than none. When the elapsed wall reaches
+    // the budget, stop forking further groups; renderLine marks the
+    // never-run queries as `skipped`. Each completed group also refreshes
+    // the on-disk artifact, so even a hard kill leaves the latest
+    // complete-so-far JSON in BENCH_FULL.json.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").map(_.toDouble).getOrElse(1320.0)
+    val wall0 = System.nanoTime()
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+    groups.foreach { names =>
+      val elapsed = (System.nanoTime() - wall0) / 1e9
+      if (elapsed > budgetSec) {
+        System.err.println(f"[bench] budget ${budgetSec}%.0f s exhausted at $elapsed%.0f s — skipping group(${names.head}…)")
+      } else {
+        acc ++= runGroup(javaBin, jvmArgs, cp, sfDir, names)
+        if (archive)
+          writeArtifact(renderLine(acc.toSeq, selected, isChild = false, sfDir))
+      }
+    }
+    acc.toSeq
+  }
+
+  /** Split the query list into fork groups, COST-TIERED off the previous
+    * round's committed artifact (SPARK_GRAFT_BENCH_COSTS, default
+    * BENCH_FULL.json):
+    *
+    *  - heavy (known ≥ 2.0 s): groups of 3 — near-isolation where the
+    *    group-16 experiment measured real heap-debt inflation (q303 ran
+    *    4× its isolated time behind 15 other queries), scheduled FIRST
+    *    so a budget truncation can only ever cut floor queries;
+    *  - medium / UNKNOWN cost (new queries land here): groups of 8, the
+    *    size validated within ~15% of one-per-JVM on the heaviest
+    *    queries in round 7;
+    *  - cheap (known < 1.0 s): groups of 24 — floor-bound sub-second
+    *    queries carry no heap debt, and 24-way amortization of the
+    *    ~12 s fork+session startup is what keeps the whole suite inside
+    *    the driver's bench window.
+    *
+    * Within each tier, groups are formed by STRIDE interleaving (group i
+    * takes tier indices i, i+G, …) so alphabetically-clustered heavy
+    * families (graph, dedup) spread across forks instead of stacking.
+    * SPARK_GRAFT_BENCH_GROUP=n overrides everything: single-tier stride
+    * groups of n (n=1 is the old one-per-JVM behavior). */
+  private def planGroups(selected: Seq[String]): Seq[Seq[String]] = {
+    def stride(names: Seq[String], size: Int): Seq[Seq[String]] = {
+      val n = math.max(1, (names.size + size - 1) / size)
+      (0 until n).map(i => names.indices.collect {
+        case j if j % n == i => names(j)
+      }).filter(_.nonEmpty)
+    }
+    sys.env.get("SPARK_GRAFT_BENCH_GROUP").map(_.toInt) match {
+      case Some(size) => stride(selected, size)
+      case None =>
+        val costs = loadCosts(sys.env.getOrElse("SPARK_GRAFT_BENCH_COSTS",
+          "/root/repo/BENCH_FULL.json"))
+        val (heavy, rest) = selected.partition(n => costs.get(n).exists(_ >= 2.0))
+        val (cheap, medium) = rest.partition(n => costs.get(n).exists(_ < 1.0))
+        stride(heavy, 3) ++ stride(medium, 8) ++ stride(cheap, 24)
+    }
+  }
+
+  /** Per-query seconds from a previous bench artifact's one-line JSON
+    * (`"queries":{"name":sec,…}`). Missing/unreadable file → empty map →
+    * everything lands in the medium tier. */
+  private def loadCosts(path: String): Map[String, Double] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val m = java.util.regex.Pattern
+        .compile("\"(q[0-9][A-Za-z0-9_]*)\":([0-9.eE+-]+)").matcher(text)
+      val b = Map.newBuilder[String, Double]
+      while (m.find()) b += m.group(1) -> m.group(2).toDouble
+      b.result()
+    } catch { case _: Exception => Map.empty }
+
+  private def runGroup(javaBin: String, jvmArgs: Seq[String], cp: String,
+                       sfDir: String, names: Seq[String]): Seq[(String, Double, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    {
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
@@ -96,7 +186,7 @@ object Bench {
         // stdout is a handful of lines (Spark logs go to the inherited
         // stderr), far below the pipe buffer — safe to waitFor first and
         // drain afterwards, which keeps the timeout effective on a hang
-        val exited = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        val exited = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
         if (!exited) { p.destroyForcibly(); p.waitFor() }
         val out = new String(p.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)

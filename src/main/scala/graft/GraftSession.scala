@@ -24,6 +24,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // TypedImperativeAggregate (graft_topk, drain-mine, sketches) runs
+      // through ObjectHashAggregateExec, whose hash map falls back to
+      // SORT-based aggregation after only 128 distinct groups per task by
+      // default — a per-group bounded-heap aggregate over thousands of
+      // groups would degrade to the very sort it exists to avoid. The
+      // buffers are small (k-element heaps / fixed sketches), so a large
+      // map is safe: fall back only at 4M groups per task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (4 * 1024 * 1024).toString)
       // Parallelism floors for SMALL inputs; inert at scale. The default
       // 4 MB file-open cost makes a 20 MB parquet scan at most ~5 splits
       // (and AQE's 1 MB min partition size coalesces CPU-heavy shuffle

@@ -738,6 +738,45 @@ object SparkEntry {
     "q357_int_transform" -> ((s, dir) =>
       graft.analyze.QuantileCut.intTransform(Tables.events(s, dir),
         "user_id", "value")),
+    // ---- Rayleigh test of hour-of-day uniformity: is there a daily
+    //      activity rhythm at all? — 24-hour histogram fold, the unit-
+    //      circle cos/sin pinned as the SAME 12-dp integer literals in
+    //      both engines
+    "q358_rayleigh" -> ((s, dir) =>
+      graft.analyze.Circular.rayleighHourly(Tables.events(s, dir), col("ts"))),
+    // ---- per-event-type circular summary: peak hour (circular mean
+    //      direction), concentration R̄, circular variance/SD — the
+    //      when-does-it-happen dashboard linear means get WRONG at the
+    //      midnight seam
+    "q359_circ_hours" -> ((s, dir) =>
+      graft.analyze.Circular.hourlySummary(Tables.events(s, dir),
+        col("event_type"), col("ts"))),
+    // ---- Kuiper test of day-of-week uniformity: the rotation-invariant
+    //      KS (equal power at every point of the weekly cycle) over the
+    //      7-point lattice CDF
+    "q360_kuiper" -> ((s, dir) =>
+      graft.analyze.Circular.kuiperWeekday(Tables.events(s, dir), col("ts"))),
+    // ---- Mardia circular-linear correlation between the clock phase
+    //      and the value metric: does the metric FOLLOW the clock, with
+    //      the phase estimated rather than assumed — ten exact DECIMAL
+    //      co-moments, doubles only in the final correlations
+    "q361_circ_linear" -> ((s, dir) =>
+      graft.analyze.Circular.circularLinearCorr(Tables.events(s, dir),
+        col("ts"), col("value"))),
+    // ---- Cliff's delta + Vargha-Delaney A between the md5 user halves:
+    //      the tie-robust "how BIG is the shift" companion to q213's
+    //      significance — exact doubled dominance count, Romano bands
+    "q362_cliffs_delta" -> ((s, dir) =>
+      graft.analyze.RankEffects.cliffsDelta(Tables.events(s, dir), "value",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(2)) === 0)),
+    // ---- Brunner-Munzel between the same arms: Mann-Whitney without
+    //      the equal-variance-under-H0 assumption (per-arm rank
+    //      variances, Satterthwaite df) — exact doubled-placement folds
+    "q363_brunner_munzel" -> ((s, dir) =>
+      graft.analyze.RankEffects.brunnerMunzel(Tables.events(s, dir), "value",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(2)) === 0)),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -5822,6 +5861,67 @@ object SparkEntry {
          sc AS (SELECT tq, round(${graft.functions.Probit.sql("p")}, 6) AS int_score FROM pc)
          SELECT user_id, round(CAST(tq AS DOUBLE) / 1e6, 6) AS total, int_score
          FROM per JOIN sc USING (tq) ORDER BY user_id""",
+    "q358_rayleigh" ->
+      graft.analyze.Circular.rayleighOracleSql("events", "ts"),
+    "q359_circ_hours" ->
+      graft.analyze.Circular.hourlySummaryOracleSql("events", "event_type", "ts"),
+    "q360_kuiper" ->
+      graft.analyze.Circular.kuiperOracleSql("events", "ts"),
+    "q361_circ_linear" ->
+      graft.analyze.Circular.circularLinearOracleSql("events", "ts", "value"),
+    "q362_cliffs_delta" ->
+      """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS s1
+              FROM events),
+         byv AS (SELECT v, CAST(sum(s1) AS BIGINT) AS c1, count(*) AS ct FROM q GROUP BY 1),
+         c AS (SELECT v, c1, ct - c1 AS c2,
+                 CAST(coalesce(sum(ct - c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c2lt
+               FROM byv),
+         agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+                        sum(CAST(c1 AS HUGEINT) * c2lt * 2 + CAST(c1 AS HUGEINT) * c2) AS u1x2
+                 FROM c)
+         SELECT n1, n2,
+           round(CAST(u1x2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2 * 2), 6) + 0.0 AS a_vd,
+           round((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / (CAST(n1 AS DOUBLE) * n2), 6) + 0.0 AS cliffs_delta,
+           CASE WHEN abs((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / (CAST(n1 AS DOUBLE) * n2)) < 0.147 THEN 'negligible'
+                WHEN abs((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / (CAST(n1 AS DOUBLE) * n2)) < 0.33 THEN 'small'
+                WHEN abs((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / (CAST(n1 AS DOUBLE) * n2)) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+         FROM agg""",
+    "q363_brunner_munzel" ->
+      """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS s1
+              FROM events),
+         byv AS (SELECT v, CAST(sum(s1) AS BIGINT) AS c1, count(*) AS ct FROM q GROUP BY 1),
+         c AS (SELECT v, c1, ct, ct - c1 AS c2 FROM byv),
+         ranked AS (SELECT v, c1, c2,
+                 2 * CAST(coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + ct + 1 AS r2,
+                 2 * CAST(coalesce(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + c1 + 1 AS r21,
+                 2 * CAST(coalesce(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + c2 + 1 AS r22
+               FROM c),
+         agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+                        sum(CAST(c1 AS HUGEINT) * r2) AS sr1x2,
+                        sum(CAST(c2 AS HUGEINT) * r2) AS sr2x2,
+                        sum(CAST(c1 AS HUGEINT) * (r2 - r21)) AS sd1x2,
+                        sum(CAST(c2 AS HUGEINT) * (r2 - r22)) AS sd2x2,
+                        sum(CAST(c1 AS HUGEINT) * (r2 - r21) * (r2 - r21)) AS sdd1x4,
+                        sum(CAST(c2 AS HUGEINT) * (r2 - r22) * (r2 - r22)) AS sdd2x4
+                 FROM ranked),
+         t AS (SELECT n1, n2,
+                 CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+                 CAST(sr1x2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 2) AS rbar1,
+                 CAST(sr2x2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * 2) AS rbar2,
+                 (CAST(sdd1x4 AS DOUBLE) - CAST(sd1x2 AS DOUBLE) * CAST(sd1x2 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * 4 - 4) AS v1,
+                 (CAST(sdd2x4 AS DOUBLE) - CAST(sd2x2 AS DOUBLE) * CAST(sd2x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) * 4 - 4) AS v2
+               FROM agg)
+         SELECT n1, n2,
+           round((rbar2 - (n2d + 1) / 2) / n1d, 6) AS p_hat,
+           round(CASE WHEN n1 >= 2 AND n2 >= 2 AND n1d * v1 + n2d * v2 > 0
+             THEN n1d * n2d * (rbar2 - rbar1) / ((n1d + n2d) * sqrt(n1d * v1 + n2d * v2)) END, 4) + 0.0 AS w,
+           round(CASE WHEN n1 >= 2 AND n2 >= 2 AND n1d * v1 + n2d * v2 > 0
+             THEN (n1d * v1 + n2d * v2) * (n1d * v1 + n2d * v2)
+                / ((n1d * v1) * (n1d * v1) / (n1d - 1) + (n2d * v2) * (n2d * v2) / (n2d - 1)) END, 2) + 0.0 AS df
+         FROM t""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -1,0 +1,116 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tie-robust two-sample rank EFFECT SIZES and the test that goes with
+  * them — the answer to "the A/B delta is significant, but how BIG is
+  * it, and does significance survive unequal variances?":
+  *
+  *  - Cliff's δ = P(X>Y) − P(X<Y) and the Vargha-Delaney
+  *    A = P(X>Y) + ½P(X=Y): distribution-free effect sizes that survive
+  *    heavy ties and outliers where Cohen's d (q216) assumes normal
+  *    spread; banded by the Romano et al. (2006) thresholds.
+  *  - Brunner-Munzel: the Behrens-Fisher-robust replacement for
+  *    Mann-Whitney (q213) — MW's variance assumes the two arms share a
+  *    distribution under H₀; BM estimates each arm's rank variance
+  *    separately (the lawstat/R formulation), with Satterthwaite df.
+  *
+  * Both ride the SAME distinct-value doubled-rank fold as the rest of
+  * the rank family ([[RankStats]]): ONE map-side-combinable aggregate
+  * over the corpus to `(value, c1, ct)`, a distinct-value-bounded
+  * cumulative window, and exact integer/DECIMAL folds — doubles only
+  * in the terminal statistics. Scale: nothing after the first
+  * aggregate touches corpus-sized data. */
+object RankEffects {
+
+  /** Cliff's δ and Vargha-Delaney A between `sampleFilter` rows
+    * (sample 1 = X) and the rest (Y). One row
+    * `(n1, n2, a_vd, cliffs_delta, magnitude)`; the doubled dominance
+    * count `2·#{X>Y} + #{X=Y}` is exact, so A and δ are single exact
+    * divisions. */
+  def cliffsDelta(df: DataFrame, valueCol: String,
+                  sampleFilter: Column): DataFrame = {
+    val q = df.select(round(col(valueCol) * lit(1000000)).cast("long").as("v"),
+      when(sampleFilter, 1L).otherwise(0L).as("s1"))
+    val byV = q.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), count(lit(1)).as("ct"))
+      .withColumn("c2", col("ct") - col("c1"))
+    val w = Window.orderBy(col("v")).rowsBetween(Long.MinValue, -1)
+    val cum = byV.withColumn("c2lt", coalesce(sum(col("c2")).over(w), lit(0L)))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val agg = cum.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      // doubled U₁: 2·Σ c1(v)·(#Y below v) + Σ c1(v)·c2(v)
+      sum(d38(col("c1")) * d38(col("c2lt")) * 2 + d38(col("c1")) * d38(col("c2")))
+        .as("u1x2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val a = col("u1x2").cast("double") / (n1 * n2 * 2)
+    val delta = (col("u1x2").cast("double") - n1 * n2) / (n1 * n2)
+    val absd = abs(delta)
+    agg.select(col("n1"), col("n2"),
+      round(a, 6).as("a_vd"), round(delta, 6).as("cliffs_delta"),
+      when(absd < 0.147, "negligible").when(absd < 0.33, "small")
+        .when(absd < 0.474, "medium").otherwise("large").as("magnitude"))
+  }
+
+  /** Brunner-Munzel test between `sampleFilter` rows (sample 1) and the
+    * rest: one row `(n1, n2, p_hat, w, df)` with
+    * `p̂ = (R̄₂ − (n₂+1)/2)/n₁` (the relative effect P(X<Y) + ½P(X=Y)),
+    * `W = n₁·n₂·(R̄₂ − R̄₁) / (N·√(n₁·v₁ + n₂·v₂))` and Satterthwaite
+    * `df = (n₁v₁ + n₂v₂)² / ((n₁v₁)²/(n₁−1) + (n₂v₂)²/(n₂−1))`, where
+    * `v_k` is arm k's sample variance of (overall midrank − within-arm
+    * midrank). Doubled-rank differences keep every moment an exact
+    * DECIMAL until the final doubles. NULL W/df when an arm is empty or
+    * a variance denominator degenerates. */
+  def brunnerMunzel(df: DataFrame, valueCol: String,
+                    sampleFilter: Column): DataFrame = {
+    val q = df.select(round(col(valueCol) * lit(1000000)).cast("long").as("v"),
+      when(sampleFilter, 1L).otherwise(0L).as("s1"))
+    val byV = q.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), count(lit(1)).as("ct"))
+      .withColumn("c2", col("ct") - col("c1"))
+    val w = Window.orderBy(col("v")).rowsBetween(Long.MinValue, -1)
+    // doubled midranks: overall (r2) and within each arm (r2k): every
+    // element at value v in arm k has overall midrank r2/2 and within-
+    // arm midrank r2k/2, so the doubled placement D2_k = r2 − r2k is an
+    // exact integer shared by all c_k(v) copies
+    val ranked = byV
+      .withColumn("r2",
+        lit(2) * coalesce(sum(col("ct")).over(w), lit(0L)) + col("ct") + 1)
+      .withColumn("r21",
+        lit(2) * coalesce(sum(col("c1")).over(w), lit(0L)) + col("c1") + 1)
+      .withColumn("r22",
+        lit(2) * coalesce(sum(col("c2")).over(w), lit(0L)) + col("c2") + 1)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val agg = ranked.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum(d38(col("c1")) * d38(col("r2"))).as("sr1x2"),
+      sum(d38(col("c2")) * d38(col("r2"))).as("sr2x2"),
+      sum(d38(col("c1")) * d38(col("r2") - col("r21"))).as("sd1x2"),
+      sum(d38(col("c2")) * d38(col("r2") - col("r22"))).as("sd2x2"),
+      sum(d38(col("c1")) * d38(col("r2") - col("r21")) *
+        d38(col("r2") - col("r21"))).as("sdd1x4"),
+      sum(d38(col("c2")) * d38(col("r2") - col("r22")) *
+        d38(col("r2") - col("r22"))).as("sdd2x4"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nn = n1 + n2
+    val rbar1 = col("sr1x2").cast("double") / (n1 * 2)
+    val rbar2 = col("sr2x2").cast("double") / (n2 * 2)
+    // v_k = (Σc·D2² − (Σc·D2)²/n_k) / (4·(n_k − 1)), D = D2/2
+    def vk(sdd: Column, sd: Column, nk: Column) =
+      (sdd.cast("double") - sd.cast("double") * sd.cast("double") / nk) /
+        (nk * 4 - 4)
+    val v1 = vk(col("sdd1x4"), col("sd1x2"), n1)
+    val v2 = vk(col("sdd2x4"), col("sd2x2"), n2)
+    val pooled = n1 * v1 + n2 * v2
+    agg.select(col("n1"), col("n2"),
+      round((rbar2 - (n2 + 1) / 2) / n1, 6).as("p_hat"),
+      round(when(col("n1") >= 2 && col("n2") >= 2 && pooled > 0,
+        n1 * n2 * (rbar2 - rbar1) / (nn * sqrt(pooled))), 4).as("w"),
+      round(when(col("n1") >= 2 && col("n2") >= 2 && pooled > 0,
+        pooled * pooled / ((n1 * v1) * (n1 * v1) / (n1 - 1) +
+          (n2 * v2) * (n2 * v2) / (n2 - 1))), 2).as("df"))
+  }
+}

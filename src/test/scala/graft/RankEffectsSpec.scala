@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.analyze.RankEffects
+
+/** Cliff's delta / Vargha-Delaney A and Brunner-Munzel vs brute-force
+  * computation on the raw sample. */
+class RankEffectsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private val rnd = new scala.util.Random(11)
+  // heavily tied two-arm sample with a planted shift
+  private val xs = (0 until 60).map(_ => (rnd.nextInt(8) + 2).toDouble)
+  private val ys = (0 until 45).map(_ => (rnd.nextInt(8)).toDouble)
+
+  private def df = {
+    import spark.implicits._
+    (xs.map(v => (1, v)) ++ ys.map(v => (0, v))).toDF("arm", "v")
+  }
+
+  test("cliff's delta matches the brute dominance count") {
+    val gt = (for (x <- xs; y <- ys) yield if (x > y) 1 else 0).sum
+    val eq = (for (x <- xs; y <- ys) yield if (x == y) 1 else 0).sum
+    val n1 = xs.size.toDouble; val n2 = ys.size.toDouble
+    val a = (gt + eq / 2.0) / (n1 * n2)
+    val delta = (2 * gt + eq - n1 * n2) / (n1 * n2)
+    val r = RankEffects.cliffsDelta(df, "v", col("arm") === 1).head
+    assert(r.getAs[Long]("n1") == 60L && r.getAs[Long]("n2") == 45L)
+    assert(math.abs(r.getAs[Double]("a_vd") - a) < 5e-7)
+    assert(math.abs(r.getAs[Double]("cliffs_delta") - delta) < 5e-7)
+  }
+
+  test("cliff's delta bands: identical arms are negligible, disjoint arms large") {
+    import spark.implicits._
+    val same = (1 to 40).map(i => (i % 2, (i % 5).toDouble)).toDF("arm", "v")
+    val r0 = RankEffects.cliffsDelta(same, "v", col("arm") === 1).head
+    assert(r0.getAs[String]("magnitude") == "negligible")
+    val split = ((1 to 20).map(_ => (1, 9.0)) ++ (1 to 20).map(_ => (0, 1.0)))
+      .toDF("arm", "v")
+    val r1 = RankEffects.cliffsDelta(split, "v", col("arm") === 1).head
+    assert(r1.getAs[Double]("cliffs_delta") == 1.0)
+    assert(r1.getAs[String]("magnitude") == "large")
+  }
+
+  test("brunner-munzel matches the brute midrank formulation") {
+    // brute: midranks over the pooled sample and within each arm
+    val all = xs ++ ys
+    def midranks(vs: Seq[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.size) }
+    }
+    val rAll = midranks(all); val rX = midranks(xs); val rY = midranks(ys)
+    val n1 = xs.size.toDouble; val n2 = ys.size.toDouble; val n = n1 + n2
+    val rbar1 = xs.map(rAll).sum / n1
+    val rbar2 = ys.map(rAll).sum / n2
+    def svar(vs: Seq[Double], rIn: Map[Double, Double], rbar: Double, nk: Double) = {
+      val ds = vs.map(v => rAll(v) - rIn(v))
+      val m = ds.sum / nk
+      ds.map(d => (d - m) * (d - m)).sum / (nk - 1)
+    }
+    val v1 = svar(xs, rX, rbar1, n1); val v2 = svar(ys, rY, rbar2, n2)
+    val wBrute = n1 * n2 * (rbar2 - rbar1) / (n * math.sqrt(n1 * v1 + n2 * v2))
+    val dfBrute = math.pow(n1 * v1 + n2 * v2, 2) /
+      (math.pow(n1 * v1, 2) / (n1 - 1) + math.pow(n2 * v2, 2) / (n2 - 1))
+    val pBrute = (rbar2 - (n2 + 1) / 2) / n1
+    val r = RankEffects.brunnerMunzel(df, "v", col("arm") === 1).head
+    assert(math.abs(r.getAs[Double]("p_hat") - pBrute) < 5e-7)
+    assert(math.abs(r.getAs[Double]("w") - wBrute) < 5e-5)
+    assert(math.abs(r.getAs[Double]("df") - dfBrute) < 5e-3)
+  }
+
+  test("brunner-munzel on identical arms: p_hat = 1/2, w = 0") {
+    import spark.implicits._
+    val same = ((1 to 30).map(i => (1, (i % 6).toDouble)) ++
+      (1 to 30).map(i => (0, (i % 6).toDouble))).toDF("arm", "v")
+    val r = RankEffects.brunnerMunzel(same, "v", col("arm") === 1).head
+    assert(r.getAs[Double]("p_hat") == 0.5)
+    assert(r.getAs[Double]("w") == 0.0)
+  }
+}
