@@ -777,6 +777,27 @@ object SparkEntry {
       graft.analyze.RankEffects.brunnerMunzel(Tables.events(s, dir), "value",
         pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
           16, 10).cast("long"), lit(2)) === 0)),
+    // ---- Yuen trimmed-means test between the md5 arms: the outlier-
+    //      proof Welch t (20% trim each tail, winsorized variances) —
+    //      closed-form kept-mass clamps over the distinct-value fold,
+    //      no per-row ranking
+    "q364_yuen" -> ((s, dir) =>
+      graft.analyze.RobustStats.yuenTest(Tables.events(s, dir), "value",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(2)) === 0)),
+    // ---- Alexander-Govern k-group mean test over event types: Welch-
+    //      ANOVA's normal-scores sibling (per-class t through Hill's
+    //      transformation, A = Σz² ~ χ²) — welchAnova's pinned-weight
+    //      discipline end to end
+    "q365_alexander_govern" -> ((s, dir) =>
+      graft.analyze.VarianceTests.alexanderGovern(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+    // ---- Quade test over day-blocks × event-type treatments: the
+    //      block-weighted Friedman (wide-spread days count more) —
+    //      one double division over exact doubled-rank folds
+    "q366_quade" -> ((s, dir) =>
+      graft.analyze.RankStats.quade(Tables.events(s, dir),
+        to_date(col("ts")), col("event_type"), col("value"))),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -5922,6 +5943,95 @@ object SparkEntry {
              THEN (n1d * v1 + n2d * v2) * (n1d * v1 + n2d * v2)
                 / ((n1d * v1) * (n1d * v1) / (n1d - 1) + (n2d * v2) * (n2d * v2) / (n2d - 1)) END, 2) + 0.0 AS df
          FROM t""",
+    "q364_yuen" ->
+      """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS arm
+              FROM events),
+         byv AS (SELECT arm, v, count(*) AS ct FROM q GROUP BY 1, 2),
+         cum AS (SELECT arm, v, ct,
+                 CAST(coalesce(sum(ct) OVER (PARTITION BY arm ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumlt,
+                 CAST(sum(ct) OVER (PARTITION BY arm) AS BIGINT) AS n
+               FROM byv),
+         c2 AS (SELECT arm, v, ct, cumlt, cumlt + ct AS cum, n, (n * 1) // 5 AS g FROM cum),
+         per AS (SELECT arm, max(n) AS n, max(g) AS g,
+                  sum(CAST(v AS HUGEINT) * greatest(0, least(cum, n - g) - greatest(cumlt, g))) AS tsum,
+                  sum(CAST(v AS HUGEINT) * v * greatest(0, least(cum, n - g) - greatest(cumlt, g))) AS tss,
+                  min(CASE WHEN cum >= g + 1 THEN v END) AS vlo,
+                  min(CASE WHEN cum >= n - g THEN v END) AS vhi
+                FROM c2 GROUP BY arm),
+         w AS (SELECT arm, n, g, n - g * 2 AS h, tsum,
+                 tsum + CAST(g AS HUGEINT) * vlo + CAST(g AS HUGEINT) * vhi AS wsum,
+                 tss + CAST(g AS HUGEINT) * vlo * vlo + CAST(g AS HUGEINT) * vhi * vhi AS wss
+               FROM per),
+         piv AS (SELECT
+                  max(CASE WHEN arm = 1 THEN n END) AS n1, max(CASE WHEN arm = 0 THEN n END) AS n2,
+                  max(CASE WHEN arm = 1 THEN h END) AS h1, max(CASE WHEN arm = 0 THEN h END) AS h2,
+                  max(CASE WHEN arm = 1 THEN tsum END) AS ts1, max(CASE WHEN arm = 0 THEN tsum END) AS ts2,
+                  max(CASE WHEN arm = 1 THEN wsum END) AS ws1, max(CASE WHEN arm = 0 THEN wsum END) AS ws2,
+                  max(CASE WHEN arm = 1 THEN wss END) AS wq1, max(CASE WHEN arm = 0 THEN wss END) AS wq2
+                FROM w),
+         t AS (SELECT n1, n2, h1, h2,
+                 CAST(ts1 AS DOUBLE) / h1 / 1e6 AS tm1, CAST(ts2 AS DOUBLE) / h2 / 1e6 AS tm2,
+                 (CAST(wq1 AS DOUBLE) - CAST(ws1 AS DOUBLE) * CAST(ws1 AS DOUBLE) / n1) / (CAST(h1 AS DOUBLE) * (h1 - 1)) / 1e12 AS d1,
+                 (CAST(wq2 AS DOUBLE) - CAST(ws2 AS DOUBLE) * CAST(ws2 AS DOUBLE) / n2) / (CAST(h2 AS DOUBLE) * (h2 - 1)) / 1e12 AS d2
+               FROM piv)
+         SELECT n1, n2, h1, h2, round(tm1, 6) AS tm1, round(tm2, 6) AS tm2,
+           round(CASE WHEN h1 >= 2 AND h2 >= 2 AND d1 + d2 > 0 THEN (tm1 - tm2) / sqrt(d1 + d2) END, 4) + 0.0 AS t,
+           round(CASE WHEN h1 >= 2 AND h2 >= 2 AND d1 + d2 > 0 THEN (d1 + d2) * (d1 + d2) / (d1 * d1 / (h1 - 1) + d2 * d2 / (h2 - 1)) END, 2) + 0.0 AS df
+         FROM t""",
+    "q365_alexander_govern" ->
+      """WITH q AS (SELECT event_type AS cls, CAST(round(value * 100) AS BIGINT) AS vq FROM events),
+         per0 AS (SELECT cls, count(*) AS nc, sum(CAST(vq AS HUGEINT)) AS sc, sum(CAST(vq AS HUGEINT) * vq) AS qc FROM q GROUP BY 1),
+         per1 AS (SELECT nc, CAST(sc AS DOUBLE) / nc AS m,
+                   (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / nc) / (nc - 1) AS v
+                 FROM per0 WHERE nc >= 2),
+         per2 AS (SELECT nc, m, v / nc AS se2 FROM per1 WHERE v > 0),
+         per AS (SELECT nc, m, se2, CAST(round((1.0 / se2) * 1e12) AS BIGINT) AS w12 FROM per2),
+         tot AS (SELECT count(*) AS k, CAST(sum(w12) AS BIGINT) AS sw12,
+                        CAST(sum(CAST(round((w12 / 1e12) * m * 1e6) AS BIGINT)) AS BIGINT) AS swm6
+                 FROM per),
+         zs AS (SELECT k, c + (c*c*c + c*3) / b - (c*c*c*c*c*c*c*4 + c*c*c*c*c*33 + c*c*c*240 + c*855) / (b*b*10 + b*(c*c*c*c)*8 + b*1000) AS z
+                FROM (SELECT k,
+                        (CAST(nc - 1 AS DOUBLE) - 0.5) * (CAST(nc - 1 AS DOUBLE) - 0.5) * 48 AS b,
+                        sign((m - (swm6 / 1e6) / (sw12 / 1e12)) / sqrt(se2))
+                          * sqrt((CAST(nc - 1 AS DOUBLE) - 0.5)
+                              * ln(1.0 + ((m - (swm6 / 1e6) / (sw12 / 1e12)) / sqrt(se2)) * ((m - (swm6 / 1e6) / (sw12 / 1e12)) / sqrt(se2)) / CAST(nc - 1 AS DOUBLE))) AS c
+                      FROM per, tot)),
+         zp AS (SELECT k, CAST(round((round(z * 1e9) / 1e9) * (round(z * 1e9) / 1e9) * 1e9) AS BIGINT) AS zsq9 FROM zs)
+         SELECT k, CAST(k - 1 AS BIGINT) AS df,
+                round(CASE WHEN k >= 2 THEN CAST(sum(zsq9) AS DOUBLE) / 1e9 END, 6) AS a_stat
+         FROM zp GROUP BY k""",
+    "q366_quade" ->
+      """WITH cell AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+         kk AS (SELECT count(DISTINCT t) AS k FROM cell),
+         complete AS (SELECT b, t, x FROM
+                        (SELECT b, t, x, count(*) OVER (PARTITION BY b) AS bc FROM cell), kk
+                      WHERE bc = kk.k),
+         ranked AS (SELECT b, t, x,
+                 2 * (count(*) OVER (PARTITION BY b ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                   + (count(*) OVER (PARTITION BY b ORDER BY x RANGE BETWEEN CURRENT ROW AND CURRENT ROW)) + 1 AS r2
+               FROM complete),
+         spread AS (SELECT b, max(x) - min(x) AS d FROM ranked GROUP BY 1),
+         q2 AS (SELECT b,
+                 2 * (count(*) OVER (ORDER BY d RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                   + (count(*) OVER (ORDER BY d RANGE BETWEEN CURRENT ROW AND CURRENT ROW)) + 1 AS q2
+               FROM spread),
+         s4 AS (SELECT r.t, kk.k, q2.q2 * (r.r2 - kk.k - 1) AS s4
+                FROM ranked r JOIN q2 USING (b), kk),
+         pert AS (SELECT t, k, sum(CAST(s4 AS HUGEINT)) AS sj4,
+                         sum(CAST(s4 AS HUGEINT) * s4) AS aj4, count(*) AS nb
+                  FROM s4 GROUP BY 1, 2),
+         agg AS (SELECT k, max(nb) AS n, sum(aj4) AS a4,
+                        sum(CAST(sj4 AS HUGEINT) * sj4) AS b4
+                 FROM pert GROUP BY k)
+         SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+           round(CASE WHEN CAST(n AS DOUBLE) * CAST(a4 AS DOUBLE) - CAST(b4 AS DOUBLE) > 0
+             THEN (CAST(n AS DOUBLE) - 1) * CAST(b4 AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(a4 AS DOUBLE) - CAST(b4 AS DOUBLE)) END, 6) + 0.0 AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df1, CAST((n - 1) * (k - 1) AS BIGINT) AS df2
+         FROM agg""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -546,4 +546,65 @@ object RankStats {
           col("t9").cast("double") / 1e9), 4).as("chi2"),
         (col("k") - 1).cast("long").as("df"))
   }
+
+  /** Quade test (Quade 1979): the complete-block rank ANOVA that, unlike
+    * [[friedman]], WEIGHTS blocks by how much signal they carry (blocks
+    * with a wide treatment spread get large block-rank Q_i) — more
+    * powerful for small k. Blocks = `blockCol` groups with one cell per
+    * treatment (incomplete blocks are dropped — Quade assumes complete
+    * blocks); cell value = exact 1e6-quantized SUM of `valueCol`.
+    *
+    * With doubled midranks R2_ij (within block) and Q2_i (of the block
+    * ranges D_i across blocks), `S4_ij = Q2_i·(R2_ij − k − 1) = 4·S_ij`;
+    * the 4s cancel in `F = (n−1)·ΣS_j² / (n·ΣS_ij² − ΣS_j²)` so the
+    * whole statistic is ONE double division of exact DECIMAL integers.
+    * Output `(n_blocks, k, f_stat, df1, df2)`; F is NULL when the
+    * denominator degenerates (all blocks tie).
+    *
+    * Scale: cells are a (block × treatment)-bounded aggregate; both
+    * doubled-midrank passes are k-bounded windows inside a block and a
+    * blocks-bounded window over the D_i frame. */
+  def quade(df: DataFrame, blockCol: Column, treatCol: Column,
+            valueCol: Column): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val cell = df.select(blockCol.as("b"), treatCol.as("t"),
+        round(valueCol * lit(1000000)).cast("long").as("xq"))
+      .groupBy(col("b"), col("t")).agg(sum(col("xq")).as("x"))
+    val kTot = cell.agg(countDistinct(col("t")).as("k"))
+    val complete = cell
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("b"))))
+      .crossJoin(broadcast(kTot))
+      .filter(col("bc") === col("k"))
+    // doubled within-block midrank via range frames: 2·#{< x} + #{= x} + 1
+    val wLt = Window.partitionBy(col("b")).orderBy(col("x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("b")).orderBy(col("x")).rangeBetween(0, 0)
+    val ranked = complete
+      .withColumn("r2", count(lit(1)).over(wLt) * 2 + count(lit(1)).over(wEq) + 1)
+    // block spread D_i and its doubled midrank across blocks
+    val spread = ranked.groupBy(col("b"))
+      .agg((max(col("x")) - min(col("x"))).as("d"))
+    val dLt = Window.orderBy(col("d")).rangeBetween(Window.unboundedPreceding, -1)
+    val dEq = Window.orderBy(col("d")).rangeBetween(0, 0)
+    val q2 = spread
+      .withColumn("q2", count(lit(1)).over(dLt) * 2 + count(lit(1)).over(dEq) + 1)
+      .select(col("b"), col("q2"))
+    val s4 = ranked.join(broadcast(q2), "b")
+      .select(col("t"), col("k"),
+        (col("q2") * (col("r2") - col("k") - 1)).as("s4"))
+    val perT = s4.groupBy(col("t"), col("k"))
+      .agg(sum(d38(col("s4"))).as("sj4"), sum(d38(col("s4")) * d38(col("s4"))).as("aj4"),
+        count(lit(1)).as("nb"))
+    perT.groupBy(col("k"))
+      .agg(max(col("nb")).as("n"), sum(col("aj4")).as("a4"),
+        sum(col("sj4") * col("sj4")).as("b4"))
+      .select(col("n").as("n_blocks"), col("k"), {
+          val n = col("n").cast("double")
+          val num = (n - 1) * col("b4").cast("double")
+          val den = n * col("a4").cast("double") - col("b4").cast("double")
+          round(when(den > 0, num / den), 6).as("f_stat")
+        },
+        (col("k") - 1).cast("long").as("df1"),
+        ((col("n") - 1) * (col("k") - 1)).cast("long").as("df2"))
+  }
 }

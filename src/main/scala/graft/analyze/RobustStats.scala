@@ -542,4 +542,78 @@ object RobustStats {
           col("s").cast("double") * col("s").cast("double"),
           col("d0") * sqrt(col("n").cast("double"))), 4).as("sqrt_n_d"))
   }
+
+  /** Yuen's trimmed-means test (Yuen 1974) between `sampleFilter` rows
+    * (arm 1) and the rest: the outlier-proof Welch t — compare
+    * `trimNum/trimDen`-trimmed means with winsorized variances and
+    * Welch-style df. One row
+    * `(n1, n2, h1, h2, tm1, tm2, t, df)` with `g_k = ⌊n_k·p⌋` trimmed
+    * from EACH tail, `h_k = n_k − 2g_k` kept,
+    * `d_k = SSD_wk / (h_k·(h_k − 1))` (SSD of the winsorized sample),
+    * `t = (tm1 − tm2)/√(d1 + d2)`,
+    * `df = (d1+d2)² / (d1²/(h1−1) + d2²/(h2−1))`.
+    *
+    * Scale shape: NO per-row ranking — the per-arm distinct-value fold
+    * carries (value, count, cumulative-below); the kept mass of each
+    * distinct value is a closed-form clamp `min(cum, n−g) − max(cum<,
+    * g)`, the winsor bounds are conditional MINs over the fold, and
+    * every sum is an exact DECIMAL of 1e6-quantized values. The trim
+    * fraction is the exact rational `trimNum/trimDen` (integer ⌊n·p⌋ in
+    * both engines — no float-floor seam). */
+  def yuenTest(df: DataFrame, valueCol: String, sampleFilter: Column,
+               trimNum: Int = 1, trimDen: Int = 5): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && trimNum * 2 < trimDen,
+      s"trim must be in [0, 0.5): $trimNum/$trimDen")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val q = df.select(round(col(valueCol) * lit(1000000)).cast("long").as("v"),
+      when(sampleFilter, 1).otherwise(0).as("arm"))
+    val byV = q.groupBy(col("arm"), col("v")).agg(count(lit(1)).as("ct"))
+    val w = Window.partitionBy(col("arm")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, -1)
+    val cum = byV
+      .withColumn("cumlt", coalesce(sum(col("ct")).over(w), lit(0L)))
+      .withColumn("cum", col("cumlt") + col("ct"))
+      .withColumn("n", sum(col("ct")).over(Window.partitionBy(col("arm"))))
+      // integral ⌊n·p⌋ — Column./ would be DOUBLE division, so use the
+      // SQL `div` operator (mirrors DuckDB's `//`)
+      .withColumn("g", expr(s"(n * $trimNum) div $trimDen"))
+    val perArm = cum
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum"), col("n") - col("g")) -
+          greatest(col("cumlt"), col("g"))))
+      .groupBy(col("arm"))
+      .agg(max(col("n")).as("n"), max(col("g")).as("g"),
+        sum(d38(col("v")) * d38(col("kept"))).as("tsum"),
+        sum(d38(col("v")) * d38(col("v")) * d38(col("kept"))).as("tss"),
+        min(when(col("cum") >= col("g") + 1, col("v"))).as("vlo"),
+        min(when(col("cum") >= col("n") - col("g"), col("v"))).as("vhi"))
+      .withColumn("h", col("n") - col("g") * 2)
+      // winsorized sample = kept band + g copies of each clamp bound
+      .withColumn("wsum", col("tsum") +
+        d38(col("g")) * d38(col("vlo")) + d38(col("g")) * d38(col("vhi")))
+      .withColumn("wss", col("tss") +
+        d38(col("g")) * d38(col("vlo")) * d38(col("vlo")) +
+        d38(col("g")) * d38(col("vhi")) * d38(col("vhi")))
+    // pivot the two arm rows into one result row
+    def arm(a: Int, c: Column) = max(when(col("arm") === a, c))
+    val piv = perArm.agg(
+      arm(1, col("n")).as("n1"), arm(0, col("n")).as("n2"),
+      arm(1, col("h")).as("h1"), arm(0, col("h")).as("h2"),
+      arm(1, col("tsum")).as("ts1"), arm(0, col("tsum")).as("ts2"),
+      arm(1, col("wsum")).as("ws1"), arm(0, col("wsum")).as("ws2"),
+      arm(1, col("wss")).as("wq1"), arm(0, col("wss")).as("wq2"))
+    val tm1 = col("ts1").cast("double") / col("h1") / 1e6
+    val tm2 = col("ts2").cast("double") / col("h2") / 1e6
+    def dk(wq: Column, ws: Column, n: Column, h: Column) =
+      (wq.cast("double") - ws.cast("double") * ws.cast("double") / n) /
+        (h.cast("double") * (h - 1)) / 1e12
+    val d1 = dk(col("wq1"), col("ws1"), col("n1"), col("h1"))
+    val d2 = dk(col("wq2"), col("ws2"), col("n2"), col("h2"))
+    val ok = col("h1") >= 2 && col("h2") >= 2
+    piv.select(col("n1"), col("n2"), col("h1"), col("h2"),
+      round(tm1, 6).as("tm1"), round(tm2, 6).as("tm2"),
+      round(when(ok && d1 + d2 > 0, (tm1 - tm2) / sqrt(d1 + d2)), 4).as("t"),
+      round(when(ok && d1 + d2 > 0, (d1 + d2) * (d1 + d2) /
+        (d1 * d1 / (col("h1") - 1) + d2 * d2 / (col("h2") - 1))), 2).as("df"))
+  }
 }

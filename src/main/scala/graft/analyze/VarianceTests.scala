@@ -274,4 +274,61 @@ object VarianceTests {
           when(sst > 0, ssb / sst)
         }, 6).as("eta_sq"))
   }
+
+  /** Alexander-Govern k-group mean test (Alexander & Govern 1994): the
+    * normal-scores alternative to [[welchAnova]] for unequal variances —
+    * each class's `t_k = (m_k − x̄₊)/se_k` (x̄₊ the inverse-se²-weighted
+    * grand mean) is normalized by Hill's (1970) transformation
+    * `z = c + (c³+3c)/b − (4c⁷+33c⁵+240c³+855c)/(10b²+8bc⁴+1000b)` with
+    * `ν = n_k−1, a = ν−½, b = 48a², c = sign(t)·√(a·ln(1+t²/ν))`, and
+    * `A = Σz² ~ χ²(k−1)`. Output one row `(k, df, a_stat)`.
+    *
+    * Determinism discipline = [[welchAnova]]'s: exact DECIMAL class
+    * moments → per-class doubles (bit-identical on both engines) →
+    * weights pinned to 12-dp longs so the cross-class folds are
+    * order-free → per-class z² pinned to 9-dp longs before the exact
+    * final sum. Classes with n < 2 or zero variance are excluded. */
+  def alexanderGovern(df: DataFrame, classCol: Column,
+                      valueCol: Column): DataFrame = {
+    // 2-dp quanta (the welchAnova choice): the w = 1/se² weights live at
+    // ~1e-3 in these units, so the 12-dp pin keeps ~10 significant
+    // digits — 1e-6 quanta would crush them to two
+    val q = df.select(classCol.as("cls"),
+      round(valueCol * lit(100)).cast("long").as("vq"))
+    val per = q.groupBy(col("cls"))
+      .agg(count(lit(1)).as("nc"),
+        sum(d19(col("vq"))).as("sc"),
+        sum(d19(col("vq")) * d19(col("vq"))).as("qc"))
+      .select(col("nc"),
+        (col("sc").cast("double") / col("nc")).as("m"),
+        ((col("qc").cast("double") -
+          col("sc").cast("double") * col("sc").cast("double") /
+            col("nc")) / (col("nc") - 1)).as("v"))
+      .filter(col("nc") >= 2 && col("v") > 0)
+      // se² = v/n; weight w = 1/se² pinned at 12 dp (quanta² units)
+      .select(col("nc"), col("m"), (col("v") / col("nc")).as("se2"))
+      .withColumn("w12", round((lit(1.0) / col("se2")) * lit(1e12)).cast("long"))
+    val tot = per.agg(count(lit(1)).as("k"), sum(col("w12")).as("sw12"),
+      sum(round((col("w12") / lit(1e12)) * col("m") * lit(1e6))
+        .cast("long")).as("swm6"))
+    per.crossJoin(broadcast(tot))
+      .groupBy(col("k"))
+      .agg(sum(round({
+        val mw = (col("swm6") / lit(1e6)) / (col("sw12") / lit(1e12))
+        val t = (col("m") - mw) / sqrt(col("se2"))
+        val nu = (col("nc") - 1).cast("double")
+        val a = nu - 0.5
+        val b = a * a * 48
+        val c = signum(t) * sqrt(a * log(lit(1.0) + t * t / nu))
+        val z = c + (c * c * c + c * 3) / b -
+          (c * c * c * c * c * c * c * 4 + c * c * c * c * c * 33 +
+            c * c * c * 240 + c * 855) /
+          (b * b * 10 + b * (c * c * c * c) * 8 + b * 1000)
+        val z9 = round(z * lit(1e9)) / lit(1e9)
+        round(z9 * z9 * lit(1e9))
+      }).cast("long")).as("asum9"))
+      .select(col("k"), (col("k") - 1).cast("long").as("df"),
+        round(when(col("k") >= 2, col("asum9").cast("double") / 1e9), 6)
+          .as("a_stat"))
+  }
 }
