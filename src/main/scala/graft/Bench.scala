@@ -162,8 +162,10 @@ object Bench {
     try {
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      // tolerate both the orchestrator's compact rendering and the
+      // pretty-printed (": 1.03") form earlier merge scripts wrote
       val m = java.util.regex.Pattern
-        .compile("\"(q[0-9][A-Za-z0-9_]*)\":([0-9.eE+-]+)").matcher(text)
+        .compile("\"(q[0-9][A-Za-z0-9_]*)\"\\s*:\\s*([0-9.eE+-]+)").matcher(text)
       val b = Map.newBuilder[String, Double]
       while (m.find()) b += m.group(1) -> m.group(2).toDouble
       b.result()

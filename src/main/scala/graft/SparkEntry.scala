@@ -798,6 +798,40 @@ object SparkEntry {
     "q366_quade" -> ((s, dir) =>
       graft.analyze.RankStats.quade(Tables.events(s, dir),
         to_date(col("ts")), col("event_type"), col("value"))),
+    // ---- Ansari-Bradley scale test between the md5 arms: equal SPREAD
+    //      check (rank scores walking in from both ends, tie blocks
+    //      averaged via closed triangular sums) — the nonparametric
+    //      third leg beside q252/q345's moment-based variance tests
+    "q367_ansari_bradley" -> ((s, dir) =>
+      graft.analyze.RankEffects.ansariBradley(Tables.events(s, dir), "value",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(2)) === 0)),
+    // ---- Krippendorff's alpha over users' event-type "ratings": the
+    //      missing-data-tolerant agreement coefficient (Fleiss needs a
+    //      constant rater count; this doesn't) — coincidence-matrix
+    //      disagreements from exact per-unit folds
+    "q368_krippendorff" -> ((s, dir) =>
+      graft.analyze.Agreement.krippendorffAlpha(Tables.events(s, dir),
+        col("user_id"), col("event_type"))),
+    // ---- Kendall's W concordance across day-blocks: do the days agree
+    //      on the event-type ranking? tie-corrected Legendre form, one
+    //      double division of exact doubled-rank dispersions
+    "q369_kendall_w" -> ((s, dir) =>
+      graft.analyze.Agreement.kendallW(Tables.events(s, dir),
+        to_date(col("ts")), col("event_type"), col("value"))),
+    // ---- Bland-Altman agreement between each user's early-January and
+    //      late-January mean values: bias + limits of agreement, the
+    //      test-retest readout a single correlation hides
+    "q370_bland_altman" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-16").cast("timestamp")
+      def half(f: Column) = ev.filter(f)
+        .groupBy(col("user_id"))
+        .agg((sum(round(col("value") * 1e6).cast("long")).cast("double") /
+          count(lit(1)) / 1e6).as("m"))
+      graft.analyze.Agreement.blandAltman(
+        half(col("ts") < cut), half(col("ts") >= cut), "user_id", "m")
+    }),
     // ---- Jensen-Shannon divergence between the event-type mixes of the
     //      two md5 user halves: the symmetric, finite categorical-drift
     //      monitor (PSI's ε-floor sibling) — two category-bounded
@@ -6032,6 +6066,114 @@ object SparkEntry {
                 / (CAST(n AS DOUBLE) * CAST(a4 AS DOUBLE) - CAST(b4 AS DOUBLE)) END, 6) + 0.0 AS f_stat,
            CAST(k - 1 AS BIGINT) AS df1, CAST((n - 1) * (k - 1) AS BIGINT) AS df2
          FROM agg""",
+    "q367_ansari_bradley" ->
+      """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS s1
+              FROM events),
+         byv AS (SELECT v, CAST(sum(s1) AS BIGINT) AS c1, count(*) AS ct FROM q GROUP BY 1),
+         pos AS (SELECT v, c1, ct,
+                 CAST(coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + 1 AS l,
+                 CAST(coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + ct AS r,
+                 CAST(sum(ct) OVER () AS BIGINT) AS nn
+               FROM byv),
+         sc AS (SELECT c1, ct,
+                 CAST(round(CAST(
+                   (CASE WHEN least(r, (nn + 1) // 2) >= l
+                      THEN (l + least(r, (nn + 1) // 2)) * (least(r, (nn + 1) // 2) - l + 1) ELSE 0 END
+                  + CASE WHEN r >= greatest(l, (nn + 1) // 2 + 1)
+                      THEN ((nn + 1) * 2 - greatest(l, (nn + 1) // 2 + 1) - r) * (r - greatest(l, (nn + 1) // 2 + 1) + 1) ELSE 0 END)
+                 AS DOUBLE) * 1e6 / ct) AS BIGINT) AS a6
+               FROM pos),
+         agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                        CAST(sum(ct) - sum(c1) AS BIGINT) AS n2,
+                        CAST(sum(ct) AS BIGINT) AS n,
+                        sum(CAST(c1 AS HUGEINT) * a6) AS sa1,
+                        sum(CAST(ct AS HUGEINT) * a6) AS sa,
+                        sum(CAST(ct AS HUGEINT) * a6 * a6) AS saa
+                 FROM sc),
+         x AS (SELECT n1, n2, n,
+                 CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d, CAST(n AS DOUBLE) AS nd,
+                 CAST(sa1 AS DOUBLE) / 2e6 AS astat,
+                 CAST(sa AS DOUBLE) / 2e6 AS sbar2,
+                 CAST(saa AS DOUBLE) / 4e12 AS saad
+               FROM agg)
+         SELECT n1, n2,
+           round(astat, 1) AS ab_stat,
+           round(CASE WHEN n1 >= 1 AND n2 >= 1
+                       AND n1d * n2d / (nd * (nd - 1)) * (saad - sbar2 * sbar2 / nd) > 0
+             THEN (astat - n1d * sbar2 / nd)
+                / sqrt(n1d * n2d / (nd * (nd - 1)) * (saad - sbar2 * sbar2 / nd)) END, 4) + 0.0 AS z
+         FROM x""",
+    "q368_krippendorff" ->
+      """WITH uc AS (SELECT user_id AS u, event_type AS c, count(*) AS nuc FROM events GROUP BY 1, 2),
+         peru AS (SELECT u, CAST(sum(nuc) AS BIGINT) AS nu,
+                         sum(CAST(nuc AS HUGEINT) * nuc) AS squc
+                  FROM uc GROUP BY 1 HAVING sum(nuc) >= 2),
+         marg AS (SELECT CAST(sum(nc) AS BIGINT) AS nn, sum(CAST(nc AS HUGEINT) * nc) AS sqc
+                  FROM (SELECT c, CAST(sum(nuc) AS BIGINT) AS nc
+                        FROM uc JOIN peru USING (u) GROUP BY 1)),
+         dosum AS (SELECT count(*) AS n_units,
+                          CAST(sum(CAST(round(CAST(CAST(nu AS HUGEINT) * nu - squc AS DOUBLE) * 1e9 / (nu - 1)) AS BIGINT)) AS BIGINT) AS do9
+                   FROM peru)
+         SELECT CAST(n_units AS BIGINT) AS n_units, nn AS n_ratings,
+           round(CASE WHEN (CAST(nn AS DOUBLE) * nn - CAST(sqc AS DOUBLE)) / (nn - 1) > 0
+             THEN 1.0 - (CAST(do9 AS DOUBLE) / 1e9) * (CAST(nn AS DOUBLE) - 1)
+                      / (CAST(nn AS DOUBLE) * nn - CAST(sqc AS DOUBLE)) END, 6) + 0.0 AS alpha
+         FROM dosum, marg""",
+    "q369_kendall_w" ->
+      """WITH cell AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+         kk AS (SELECT count(DISTINCT t) AS k FROM cell),
+         complete AS (SELECT b, t, x FROM
+                        (SELECT b, t, x, count(*) OVER (PARTITION BY b) AS bc FROM cell), kk
+                      WHERE bc = kk.k),
+         ranked AS (SELECT b, t, x,
+                 2 * (count(*) OVER (PARTITION BY b ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                   + (count(*) OVER (PARTITION BY b ORDER BY x RANGE BETWEEN CURRENT ROW AND CURRENT ROW)) + 1 AS r2,
+                 (count(*) OVER (PARTITION BY b ORDER BY x RANGE BETWEEN CURRENT ROW AND CURRENT ROW)) AS teq
+               FROM complete),
+         ties AS (SELECT sum(CAST(teq AS HUGEINT) * teq - 1) AS tsum,
+                         count(DISTINCT b) AS n FROM ranked),
+         pert AS (SELECT t, CAST(sum(r2) AS BIGINT) AS r2j FROM ranked GROUP BY 1),
+         disp AS (SELECT n, kk.k AS k, tsum,
+                    sum((CAST(r2j AS HUGEINT) - CAST(n AS HUGEINT) * (kk.k + 1))
+                      * (CAST(r2j AS HUGEINT) - CAST(n AS HUGEINT) * (kk.k + 1))) AS s4
+                  FROM pert, ties, kk GROUP BY 1, 2, 3)
+         SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+           round(CASE WHEN CAST(n AS DOUBLE) * n * k * (CAST(k AS DOUBLE) * k - 1) - CAST(n AS DOUBLE) * CAST(tsum AS DOUBLE) > 0
+             THEN CAST(s4 AS DOUBLE) * 3
+                / (CAST(n AS DOUBLE) * n * k * (CAST(k AS DOUBLE) * k - 1) - CAST(n AS DOUBLE) * CAST(tsum AS DOUBLE)) END, 6) AS w,
+           round(CAST(n AS DOUBLE) * (k - 1) * (CASE WHEN CAST(n AS DOUBLE) * n * k * (CAST(k AS DOUBLE) * k - 1) - CAST(n AS DOUBLE) * CAST(tsum AS DOUBLE) > 0
+             THEN CAST(s4 AS DOUBLE) * 3
+                / (CAST(n AS DOUBLE) * n * k * (CAST(k AS DOUBLE) * k - 1) - CAST(n AS DOUBLE) * CAST(tsum AS DOUBLE)) END), 4) AS chi2,
+           CAST(k - 1 AS BIGINT) AS df
+         FROM disp""",
+    "q370_bland_altman" ->
+      """WITH a AS (SELECT user_id AS u,
+                 CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS m
+               FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+         b AS (SELECT user_id AS u,
+                 CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS m
+               FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+         d AS (SELECT CAST(round(a.m * 1e6) AS BIGINT) - CAST(round(b.m * 1e6) AS BIGINT) AS dq
+               FROM a JOIN b USING (u)),
+         m AS (SELECT count(*) AS n, sum(CAST(dq AS HUGEINT)) AS sd1,
+                      sum(CAST(dq AS HUGEINT) * dq) AS sdd FROM d),
+         t AS (SELECT CAST(n AS BIGINT) AS n,
+                 CAST(sd1 AS DOUBLE) / n / 1e6 AS mean,
+                 sqrt((CAST(sdd AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / n) / (n - 1)) / 1e6 AS sd
+               FROM m),
+         within AS (SELECT round(CAST(sum(CASE WHEN CAST(dq AS DOUBLE) / 1e6 >= t.mean - t.sd * 1.96
+                                   AND CAST(dq AS DOUBLE) / 1e6 <= t.mean + t.sd * 1.96 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS pct_within
+                    FROM d, t)
+         SELECT t.n, round(t.mean, 6) + 0.0 AS mean_diff,
+                round(CASE WHEN t.n >= 2 THEN t.sd END, 6) AS sd_diff,
+                round(CASE WHEN t.n >= 2 THEN t.mean - t.sd * 1.96 END, 6) + 0.0 AS loa_lower,
+                round(CASE WHEN t.n >= 2 THEN t.mean + t.sd * 1.96 END, 6) + 0.0 AS loa_upper,
+                within.pct_within
+         FROM t, within""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

@@ -134,4 +134,130 @@ object Agreement {
           round(ccc, 6).as("ccc"))
       }: _*)
   }
+
+  /** Krippendorff's α, nominal metric (Krippendorff 2004) — the
+    * agreement coefficient that handles MISSING data and any number of
+    * raters per unit, where [[fleissKappa]] needs a constant rater
+    * count. Units = `unitCol` groups; every row is one categorical
+    * rating `catCol` of its unit; units with < 2 ratings carry no
+    * pairable information and are dropped (the standard treatment).
+    *
+    * From the coincidence matrix: `D_o = Σ_u (n_u² − Σ_c n_uc²)/(n_u−1)`
+    * (pairable disagreements), `D_e = (N² − Σ_c n_c²)/(N−1)`, and
+    * `α = 1 − D_o/D_e`. One row `(n_units, n_ratings, alpha)`.
+    *
+    * Exactness: the only per-unit division is pinned to a 9-dp long
+    * (exact integers in, identical double out on both engines), so the
+    * cross-unit sum is order-free; the closing α is one double ratio.
+    * Scale: a (unit × category) aggregate, a unit-level fold, two
+    * category-bounded margins — nothing downstream scales with rows. */
+  def krippendorffAlpha(df: DataFrame, unitCol: Column,
+                        catCol: Column): DataFrame = {
+    val uc = df.select(unitCol.as("u"), catCol.as("c"))
+      .groupBy(col("u"), col("c")).agg(count(lit(1)).as("nuc"))
+    val perU = uc.groupBy(col("u"))
+      .agg(sum(col("nuc")).as("nu"),
+        sum(d38(col("nuc")) * d38(col("nuc"))).as("squc"))
+      .filter(col("nu") >= 2)
+    // margins restricted to pairable units
+    val kept = uc.join(perU.select(col("u")), "u")
+    val marg = kept.groupBy(col("c")).agg(sum(col("nuc")).as("nc"))
+      .agg(sum(col("nc")).as("nn"),
+        sum(d38(col("nc")) * d38(col("nc"))).as("sqc"))
+    val doSum = perU.agg(
+      count(lit(1)).as("n_units"),
+      sum(round((d38(col("nu")) * d38(col("nu")) - col("squc"))
+          .cast("double") * lit(1e9) / (col("nu") - 1)).cast("long"))
+        .as("do9"))
+    doSum.crossJoin(broadcast(marg))
+      .select(col("n_units"), col("nn").as("n_ratings"), {
+        val nD = col("nn").cast("double")
+        val dObs = col("do9").cast("double") / 1e9
+        val dExp = (nD * nD - col("sqc").cast("double")) / (nD - 1)
+        round(when(dExp > 0, lit(1.0) - dObs * (nD - 1) /
+          (nD * nD - col("sqc").cast("double"))), 6).as("alpha")
+      })
+  }
+
+  /** Kendall's coefficient of concordance W (tie-corrected, Legendre
+    * form) over complete blocks: how consistently do the blocks rank
+    * the k treatments? `W = 3·S4 / (n²·k·(k²−1) − n·ΣT_b)` where S4 is
+    * the doubled-midrank column-sum dispersion `Σ_j (R2_j − n(k+1))²`
+    * and `T_b = Σ(t³−t)` over each block's tie groups — ONE double
+    * division of exact DECIMAL integers. Blocks missing a treatment are
+    * dropped. Output `(n_blocks, k, w, chi2, df)`; χ² = n(k−1)W. */
+  def kendallW(df: DataFrame, blockCol: Column, treatCol: Column,
+               valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cell = df.select(blockCol.as("b"), treatCol.as("t"),
+        round(valueCol * lit(1000000)).cast("long").as("xq"))
+      .groupBy(col("b"), col("t")).agg(sum(col("xq")).as("x"))
+    val kTot = cell.agg(countDistinct(col("t")).as("k"))
+    val complete = cell
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("b"))))
+      .crossJoin(broadcast(kTot))
+      .filter(col("bc") === col("k"))
+    val wLt = Window.partitionBy(col("b")).orderBy(col("x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("b")).orderBy(col("x")).rangeBetween(0, 0)
+    val ranked = complete
+      .withColumn("r2", count(lit(1)).over(wLt) * 2 + count(lit(1)).over(wEq) + 1)
+      .withColumn("teq", count(lit(1)).over(wEq))
+    // per-block tie term ΣT_b: each tied group of size t contributes
+    // t³−t; summing (t²−1) per MEMBER gives the same total
+    val ties = ranked.agg(sum(d38(col("teq")) * d38(col("teq")) - 1).as("tsum"),
+      countDistinct(col("b")).as("n"))
+    val perT = ranked.groupBy(col("t")).agg(sum(col("r2")).as("r2j"))
+    val disp = perT.crossJoin(broadcast(ties))
+      .crossJoin(broadcast(kTot))
+      .groupBy(col("n"), col("k"), col("tsum"))
+      .agg(sum((d38(col("r2j")) - d38(col("n")) * (d38(col("k")) + 1)) *
+        (d38(col("r2j")) - d38(col("n")) * (d38(col("k")) + 1))).as("s4"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val den = nD * nD * kD * (kD * kD - 1) - nD * col("tsum").cast("double")
+    val wCoef = when(den > 0, col("s4").cast("double") * 3 / den)
+    disp.select(col("n").as("n_blocks"), col("k"),
+      round(wCoef, 6).as("w"),
+      round(nD * (kD - 1) * wCoef, 4).as("chi2"),
+      (col("k") - 1).cast("long").as("df"))
+  }
+
+  /** Bland-Altman agreement between two paired measurements per unit
+    * (Bland & Altman 1986) — the limits-of-agreement readout [[linCcc]]
+    * summarizes to one number: mean difference (bias), SD of
+    * differences, LoA = bias ± 1.96·SD, and the share of units inside
+    * the limits. Inputs are per-unit 6-dp-pinned means (exact-integer
+    * ratios rounded identically on both engines); moments of the
+    * pinned differences are exact DECIMALs. */
+  def blandAltman(a: DataFrame, b: DataFrame, unitCol: String,
+                  vCol: String): DataFrame = {
+    val pa = a.select(col(unitCol).as("u"), col(vCol).as("va"))
+    val pb = b.select(col(unitCol).as("u"), col(vCol).as("vb"))
+    val d = pa.join(pb, "u")
+      .select((round(col("va") * 1e6).cast("long") -
+        round(col("vb") * 1e6).cast("long")).as("dq"))
+    val m = d.agg(count(lit(1)).as("n"),
+      sum(d38(col("dq"))).as("sd1"),
+      sum(d38(col("dq")) * d38(col("dq"))).as("sdd"))
+    val n = col("n").cast("double")
+    val mean = col("sd1").cast("double") / n / 1e6
+    val sd = sqrt((col("sdd").cast("double") -
+      col("sd1").cast("double") * col("sd1").cast("double") / n) /
+      (n - 1)) / 1e6
+    val lo = mean - sd * 1.96
+    val hi = mean + sd * 1.96
+    val stats = m.select(col("n"), round(mean, 6).as("mean_diff"),
+      round(when(col("n") >= 2, sd), 6).as("sd_diff"),
+      round(when(col("n") >= 2, lo), 6).as("loa_lower"),
+      round(when(col("n") >= 2, hi), 6).as("loa_upper"))
+    // pct inside the limits: one more pass over the pinned differences
+    // against the UNROUNDED limits (broadcast scalar row)
+    val within = d.crossJoin(broadcast(m))
+      .agg((sum(when(col("dq").cast("double") / 1e6 >= lo &&
+        col("dq").cast("double") / 1e6 <= hi, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("raw"))
+      .select(round(col("raw"), 6).as("pct_within"))
+    stats.crossJoin(within)
+  }
 }

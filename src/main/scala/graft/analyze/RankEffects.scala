@@ -113,4 +113,67 @@ object RankEffects {
         pooled * pooled / ((n1 * v1) * (n1 * v1) / (n1 - 1) +
           (n2 * v2) * (n2 * v2) / (n2 - 1))), 2).as("df"))
   }
+
+  /** Ansari-Bradley scale test between `sampleFilter` rows (sample 1)
+    * and the rest: do the two arms share a SPREAD (same median assumed)?
+    * Scores walk in from both ends — `a(p) = min(p, N+1−p)` over pooled
+    * rank positions p, tie blocks receiving their average score — so a
+    * tightly-bunched sample collects LARGE scores. One row
+    * `(n1, n2, ab_stat, z)` with `A = Σ_{arm1} a_i`,
+    * `E = n1·ā`, `Var = n1·n2/(N(N−1))·(Σa² − N·ā²)`,
+    * `z = (A − E)/√Var` — the general tie-averaged linear-rank moments.
+    *
+    * The fold: each distinct value is a position block `[l, r]`; its
+    * score SUM has a closed triangular form on each side of the fold
+    * point `K = ⌊(N+1)/2⌋` (doubled to stay integral), and the block
+    * average is ONE pinned division — both engines round the identical
+    * double. Everything else is exact DECIMAL. */
+  def ansariBradley(df: DataFrame, valueCol: String,
+                    sampleFilter: Column): DataFrame = {
+    val q = df.select(round(col(valueCol) * lit(1000000)).cast("long").as("v"),
+      when(sampleFilter, 1L).otherwise(0L).as("s1"))
+    val byV = q.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), count(lit(1)).as("ct"))
+    val w = Window.orderBy(col("v")).rowsBetween(Long.MinValue, -1)
+    val tot = Window.orderBy(col("v"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val pos = byV
+      .withColumn("l", coalesce(sum(col("ct")).over(w), lit(0L)) + 1)
+      .withColumn("r", coalesce(sum(col("ct")).over(w), lit(0L)) + col("ct"))
+      .withColumn("nn", sum(col("ct")).over(tot))
+    // doubled block score sum T2 = 2·Σ_{p=l}^{r} min(p, N+1−p):
+    // ascending part on [l, min(r,K)], descending on [max(l,K+1), r]
+    val kSplit = expr("(nn + 1) div 2")
+    val aHi = least(col("r"), kSplit)
+    val bLo = greatest(col("l"), kSplit + 1)
+    val t2 = when(aHi >= col("l"),
+        (col("l") + aHi) * (aHi - col("l") + 1)).otherwise(lit(0L)) +
+      when(col("r") >= bLo,
+        ((col("nn") + 1) * lit(2) - bLo - col("r")) * (col("r") - bLo + 1))
+        .otherwise(lit(0L))
+    // block-average score doubled ×1e6, pinned: one double division of
+    // identical inputs on both engines
+    val scored = pos.withColumn("a6",
+      round(t2.cast("double") * lit(1e6) / col("ct")).cast("long"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val agg = scored.agg(
+      sum(col("c1")).as("n1"), (sum(col("ct")) - sum(col("c1"))).as("n2"),
+      sum(col("ct")).as("n"),
+      sum(d38(col("c1")) * d38(col("a6"))).as("sa1"),
+      sum(d38(col("ct")) * d38(col("a6"))).as("sa"),
+      sum(d38(col("ct")) * d38(col("a6")) * d38(col("a6")))
+        .as("saa"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nD = col("n").cast("double")
+    // back to single-score units: a6 = 2e6·a
+    val aStat = col("sa1").cast("double") / 2e6
+    val e = n1 * (col("sa").cast("double") / 2e6) / nD
+    val varA = n1 * n2 / (nD * (nD - 1)) *
+      (col("saa").cast("double") / 4e12 -
+        (col("sa").cast("double") / 2e6) * (col("sa").cast("double") / 2e6) / nD)
+    agg.select(col("n1"), col("n2"),
+      round(aStat, 1).as("ab_stat"),
+      round(when(col("n1") >= 1 && col("n2") >= 1 && varA > 0,
+        (aStat - e) / sqrt(varA)), 4).as("z"))
+  }
 }

@@ -72,6 +72,50 @@ class RankEffectsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("df") - dfBrute) < 5e-3)
   }
 
+  test("ansari-bradley matches the brute tie-averaged score computation") {
+    // brute: per tie block [l, r] over the pooled order, the doubled
+    // score sum has the same triangular closed form; a6 pins the block
+    // average exactly as the engine does
+    val q1 = xs.map(v => (math.rint(v * 1e6).toLong, 1L))
+    val q2 = ys.map(v => (math.rint(v * 1e6).toLong, 0L))
+    val byV = (q1 ++ q2).groupBy(_._1).map { case (v, g) =>
+      (v, g.count(_._2 == 1L).toLong, g.size.toLong) }.toSeq.sortBy(_._1)
+    val nTot = byV.map(_._3).sum
+    val k = (nTot + 1) / 2
+    var cum = 0L
+    var sa1 = BigInt(0); var sa = BigInt(0); var saa = BigInt(0)
+    for ((v, c1, ct) <- byV) {
+      val l = cum + 1; val r = cum + ct; cum += ct
+      val hi = math.min(r, k); val lo = math.max(l, k + 1)
+      val t2 = (if (hi >= l) (l + hi) * (hi - l + 1) else 0L) +
+        (if (r >= lo) ((nTot + 1) * 2 - lo - r) * (r - lo + 1) else 0L)
+      val a6 = math.rint(t2.toDouble * 1e6 / ct).toLong
+      sa1 += BigInt(c1) * a6; sa += BigInt(ct) * a6
+      saa += BigInt(ct) * a6 * a6
+    }
+    val n1 = xs.size.toDouble; val n2 = ys.size.toDouble; val nD = nTot.toDouble
+    val aStat = sa1.toDouble / 2e6
+    val e = n1 * (sa.toDouble / 2e6) / nD
+    val varA = n1 * n2 / (nD * (nD - 1)) *
+      (saa.toDouble / 4e12 - (sa.toDouble / 2e6) * (sa.toDouble / 2e6) / nD)
+    val z = (aStat - e) / math.sqrt(varA)
+    val r = RankEffects.ansariBradley(df, "v", col("arm") === 1).head
+    assert(r.getAs[Long]("n1") == 60L && r.getAs[Long]("n2") == 45L)
+    assert(math.abs(r.getAs[Double]("ab_stat") - aStat) < 0.06)
+    assert(math.abs(r.getAs[Double]("z") - z) < 5e-4)
+  }
+
+  test("ansari-bradley: the tighter arm collects the larger scores") {
+    import spark.implicits._
+    // same median 50; arm 1 tight (±1), arm 0 wide (±20)
+    val tight = (0 until 40).map(i => (1, 50.0 + (i % 3) - 1))
+    val wide = (0 until 40).map(i => (0, 50.0 + (i % 41) - 20))
+    val r = RankEffects.ansariBradley((tight ++ wide).toDF("arm", "v"),
+      "v", col("arm") === 1).head
+    // E[A] under H0 = n1·ā; the tight arm must exceed it → z > 0
+    assert(r.getAs[Double]("z") > 2.0)
+  }
+
   test("brunner-munzel on identical arms: p_hat = 1/2, w = 0") {
     import spark.implicits._
     val same = ((1 to 30).map(i => (1, (i % 6).toDouble)) ++
