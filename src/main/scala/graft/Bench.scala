@@ -120,17 +120,20 @@ object Bench {
     * round's committed artifact (SPARK_GRAFT_BENCH_COSTS, default
     * BENCH_FULL.json):
     *
-    *  - heavy (known ≥ 2.0 s): groups of 3 — near-isolation where the
+    *  - heavy (known ≥ 2.0 s): groups of 4 — near-isolation where the
     *    group-16 experiment measured real heap-debt inflation (q303 ran
     *    4× its isolated time behind 15 other queries), scheduled FIRST
     *    so a budget truncation can only ever cut floor queries;
     *  - medium / UNKNOWN cost (new queries land here): groups of 8, the
     *    size validated within ~15% of one-per-JVM on the heaviest
     *    queries in round 7;
-    *  - cheap (known < 1.0 s): groups of 24 — floor-bound sub-second
+    *  - cheap (known < 1.0 s): groups of 32 — floor-bound sub-second
     *    queries carry no heap debt, and 24-way amortization of the
     *    ~12 s fork+session startup is what keeps the whole suite inside
-    *    the driver's bench window.
+    *    the driver's bench window (the group-of-3/24 pilot measured 36
+    *    forks = 432 s of pure startup and ran 44 queries past the
+    *    budget; 4/32 buys the margin back, and its per-query numbers
+    *    reproduced the committed artifact at median ratio 0.98).
     *
     * Within each tier, groups are formed by STRIDE interleaving (group i
     * takes tier indices i, i+G, …) so alphabetically-clustered heavy
@@ -151,7 +154,7 @@ object Bench {
           "/root/repo/BENCH_FULL.json"))
         val (heavy, rest) = selected.partition(n => costs.get(n).exists(_ >= 2.0))
         val (cheap, medium) = rest.partition(n => costs.get(n).exists(_ < 1.0))
-        stride(heavy, 3) ++ stride(medium, 8) ++ stride(cheap, 24)
+        stride(heavy, 4) ++ stride(medium, 8) ++ stride(cheap, 32)
     }
   }
 

@@ -819,6 +819,38 @@ object SparkEntry {
     "q369_kendall_w" -> ((s, dir) =>
       graft.analyze.Agreement.kendallW(Tables.events(s, dir),
         to_date(col("ts")), col("event_type"), col("value"))),
+    // ---- Cucconi joint location-scale test between the md5 arms: one
+    //      statistic that catches a shift OR a spread change (MW sees
+    //      only location, Ansari-Bradley only scale) — squared doubled-
+    //      midrank folds, exact to the closing algebra
+    "q374_cucconi" -> ((s, dir) =>
+      graft.analyze.RankEffects.cucconi(Tables.events(s, dir), "value",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(2)) === 0)),
+    // ---- delta-method CI for the revenue-per-event RATIO metric: the
+    //      unit-correlation-aware SE the naive per-row t-test gets
+    //      wrong — five exact co-moments, doubles only at the close
+    "q371_ratio_delta" -> ((s, dir) =>
+      graft.analyze.Experiment.ratioDelta(Tables.events(s, dir),
+        col("user_id"),
+        when(col("event_type") === "purchase", col("value")).otherwise(0.0),
+        lit(1.0))),
+    // ---- leave-one-user-out jackknife for the same ratio: the
+    //      assumption-free cross-check of q371 (no Taylor step) —
+    //      broadcast totals, one pinned division per unit
+    "q372_ratio_jackknife" -> ((s, dir) =>
+      graft.analyze.Experiment.ratioJackknife(Tables.events(s, dir),
+        col("user_id"),
+        when(col("event_type") === "purchase", col("value")).otherwise(0.0),
+        lit(1.0))),
+    // ---- post-stratified A/B difference over event-type strata: the
+    //      design-based CUPED cousin — reweight arm means by pooled
+    //      stratum shares to cancel hash-split imbalance
+    "q373_post_strat" -> ((s, dir) =>
+      graft.analyze.Experiment.postStratified(Tables.events(s, dir),
+        col("user_id"), col("value"), col("event_type"),
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(2)) === 0)),
     // ---- Bland-Altman agreement between each user's early-January and
     //      late-January mean values: bias + limits of agreement, the
     //      test-retest readout a single correlation hides
@@ -6174,6 +6206,119 @@ object SparkEntry {
                 round(CASE WHEN t.n >= 2 THEN t.mean + t.sd * 1.96 END, 6) + 0.0 AS loa_upper,
                 within.pct_within
          FROM t, within""",
+    "q374_cucconi" ->
+      """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS s1
+              FROM events),
+         byv AS (SELECT v, CAST(sum(s1) AS BIGINT) AS c1, count(*) AS ct FROM q GROUP BY 1),
+         ranked AS (SELECT v, c1, ct,
+                 2 * CAST(coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + ct + 1 AS r2,
+                 CAST(sum(ct) OVER () AS BIGINT) AS nn
+               FROM byv),
+         agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                        CAST(sum(ct) - sum(c1) AS BIGINT) AS n2,
+                        max(nn) AS n,
+                        sum(CAST(c1 AS HUGEINT) * r2 * r2) AS sr4,
+                        sum(CAST(c1 AS HUGEINT) * ((nn + 1) * 2 - r2) * ((nn + 1) * 2 - r2)) AS sc4
+                 FROM ranked),
+         t AS (SELECT n1, n2,
+                 CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d, CAST(n AS DOUBLE) AS nd,
+                 CAST(sr4 AS DOUBLE) AS sr4d, CAST(sc4 AS DOUBLE) AS sc4d
+               FROM agg),
+         g AS (SELECT n1, n2,
+                 (sr4d * 1.5 - n1d * (nd + 1) * (nd * 2 + 1))
+                   / sqrt(n1d * n2d * (nd + 1) * (nd * 2 + 1) * (nd * 8 + 11) / 5) AS u,
+                 (sc4d * 1.5 - n1d * (nd + 1) * (nd * 2 + 1))
+                   / sqrt(n1d * n2d * (nd + 1) * (nd * 2 + 1) * (nd * 8 + 11) / 5) AS v,
+                 (nd * nd - 4) * 2 / ((nd * 2 + 1) * (nd * 8 + 11)) - 1 AS rho
+               FROM t)
+         SELECT n1, n2,
+           round(CASE WHEN n1 >= 1 AND n2 >= 1 THEN u END, 4) + 0.0 AS u,
+           round(CASE WHEN n1 >= 1 AND n2 >= 1 THEN v END, 4) + 0.0 AS v,
+           round(CASE WHEN n1 >= 1 AND n2 >= 1 AND rho * rho < 1.0
+             THEN (u * u + v * v - u * v * rho * 2) / ((1.0 - rho * rho) * 2) END, 4) AS c_stat
+         FROM g""",
+    "q371_ratio_delta" ->
+      """WITH per AS (SELECT user_id AS u,
+                 CAST(sum(CAST(round((CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) * 1000000) AS BIGINT)) AS BIGINT) AS xq,
+                 CAST(sum(CAST(round(1.0 * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         m AS (SELECT count(*) AS n,
+                 sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+                 sum(CAST(xq AS HUGEINT) * xq) AS sxx, sum(CAST(yq AS HUGEINT) * yq) AS syy,
+                 sum(CAST(xq AS HUGEINT) * yq) AS sxy
+               FROM per),
+         t AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+                 CAST(sxy AS DOUBLE) AS sxyd, sy AS syr
+               FROM m),
+         g AS (SELECT n, nd, syr, sxd / syd AS r, syd / nd AS ybar,
+                 (sxxd - sxd * sxd / nd) / (nd - 1) AS vx,
+                 (syyd - syd * syd / nd) / (nd - 1) AS vy,
+                 (sxyd - sxd * syd / nd) / (nd - 1) AS cxy
+               FROM t),
+         f AS (SELECT n, syr, r, sqrt((vx - cxy * r * 2 + vy * r * r) / (nd * ybar * ybar)) AS se FROM g)
+         SELECT n AS n_units, round(r, 6) AS ratio,
+           round(CASE WHEN n >= 2 AND syr > 0 THEN se END, 6) AS se,
+           round(CASE WHEN n >= 2 AND syr > 0 THEN r - se * 1.959964 END, 6) + 0.0 AS ci_lo,
+           round(CASE WHEN n >= 2 AND syr > 0 THEN r + se * 1.959964 END, 6) + 0.0 AS ci_hi
+         FROM f""",
+    "q372_ratio_jackknife" ->
+      """WITH per AS (SELECT user_id AS u,
+                 CAST(sum(CAST(round((CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) * 1000000) AS BIGINT)) AS BIGINT) AS xq,
+                 CAST(sum(CAST(round(1.0 * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         tot AS (SELECT count(*) AS n, sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy FROM per),
+         reps AS (SELECT n, sx, sy,
+                   sum(CAST(r12 AS HUGEINT)) AS sr, sum(CAST(r12 AS HUGEINT) * r12) AS srr
+                  FROM (SELECT n, sx, sy,
+                          CAST(round((CAST(sx AS DOUBLE) - xq) / (CAST(sy AS DOUBLE) - yq) * 1e12) AS BIGINT) AS r12
+                        FROM per, tot)
+                  GROUP BY 1, 2, 3),
+         f AS (SELECT CAST(n AS BIGINT) AS n,
+                 CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+                 sqrt((CAST(n AS DOUBLE) - 1) / CAST(n AS DOUBLE)
+                   * (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12 AS se
+               FROM reps)
+         SELECT n AS n_units, round(r, 6) AS ratio,
+           round(CASE WHEN n >= 2 THEN se END, 6) AS se_jack,
+           round(CASE WHEN n >= 2 THEN r - se * 1.959964 END, 6) + 0.0 AS ci_lo,
+           round(CASE WHEN n >= 2 THEN r + se * 1.959964 END, 6) + 0.0 AS ci_hi
+         FROM f""",
+    "q373_post_strat" ->
+      """WITH per AS (SELECT event_type AS s,
+                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS arm,
+                 count(*) AS nc,
+                 sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT) AS sc,
+                 sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT * CAST(round(value * 1000000) AS BIGINT)) AS qc
+               FROM events GROUP BY 1, 2),
+         wide AS (SELECT s,
+                   max(CASE WHEN arm = 1 THEN nc END) AS n1, max(CASE WHEN arm = 1 THEN sc END) AS s1,
+                   max(CASE WHEN arm = 1 THEN qc END) AS q1,
+                   max(CASE WHEN arm = 0 THEN nc END) AS n0, max(CASE WHEN arm = 0 THEN sc END) AS s0,
+                   max(CASE WHEN arm = 0 THEN qc END) AS q0
+                  FROM per GROUP BY 1
+                  HAVING max(CASE WHEN arm = 1 THEN nc END) IS NOT NULL
+                     AND max(CASE WHEN arm = 0 THEN nc END) IS NOT NULL),
+         tot AS (SELECT CAST(sum(n1 + n0) AS BIGINT) AS nn,
+                        CAST(sum(n1) AS BIGINT) AS nt1, CAST(sum(n0) AS BIGINT) AS nt0,
+                        sum(s1) AS st1, sum(s0) AS st0, count(*) AS n_strata
+                 FROM wide),
+         terms AS (SELECT n_strata, nn, nt1, nt0, st1, st0,
+                    CAST(sum(CAST(round(
+                      ((n1 + n0) / CAST(nn AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / n1 / 1e6 - CAST(s0 AS DOUBLE) / n0 / 1e6) * 1e12) AS BIGINT)) AS BIGINT) AS dps12,
+                    CAST(sum(CAST(round(
+                      ((n1 + n0) / CAST(nn AS DOUBLE)) * ((n1 + n0) / CAST(nn AS DOUBLE))
+                      * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) / 1e12 / n1
+                       + (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0) / (n0 - 1) / 1e12 / n0) * 1e12) AS BIGINT)) AS BIGINT) AS vps12
+                   FROM wide, tot GROUP BY 1, 2, 3, 4, 5, 6)
+         SELECT n_strata, nt1 AS n_1, nt0 AS n_0,
+           round(CAST(st1 AS DOUBLE) / nt1 / 1e6 - CAST(st0 AS DOUBLE) / nt0 / 1e6, 6) + 0.0 AS delta_raw,
+           round(CAST(dps12 AS DOUBLE) / 1e12, 6) + 0.0 AS delta_ps,
+           round(CASE WHEN vps12 >= 0 THEN sqrt(CAST(vps12 AS DOUBLE) / 1e12) END, 6) AS se_ps
+         FROM terms""",
     "q218_jsd" ->
       """WITH s AS (SELECT event_type AS cat,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS b

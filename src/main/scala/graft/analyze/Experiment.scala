@@ -762,4 +762,136 @@ object Experiment {
         round(ir - il, 6).as("effect"))
     }: _*)
   }
+
+  /** Delta-method inference for a RATIO metric (revenue per event,
+    * CTR, tokens per document): `R̂ = ΣX/ΣY` over i.i.d. units, with
+    * `Var(R̂) ≈ (σ²_x − 2R̂σ_xy + R̂²σ²_y) / (n·ȳ²)` (Deng et al. 2013's
+    * formulation) — the correct SE the naive per-row t-test gets wrong
+    * because rows within a unit are correlated. One row
+    * `(n_units, ratio, se, ci_lo, ci_hi)` at 95%.
+    *
+    * Per-unit numerators/denominators are exact 6-dp longs; the five
+    * co-moments are exact DECIMALs; doubles only in the closing algebra
+    * (identical single IEEE ops on both engines). */
+  def ratioDelta(df: DataFrame, unitCol: Column, numCol: Column,
+                 denCol: Column): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val per = df.groupBy(unitCol.as("u"))
+      .agg(sum(round(numCol * lit(1000000)).cast("long")).as("xq"),
+        sum(round(denCol * lit(1000000)).cast("long")).as("yq"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(d38(col("xq"))).as("sx"), sum(d38(col("yq"))).as("sy"),
+      sum(d38(col("xq")) * d38(col("xq"))).as("sxx"),
+      sum(d38(col("yq")) * d38(col("yq"))).as("syy"),
+      sum(d38(col("xq")) * d38(col("yq"))).as("sxy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val r = sx / sy
+    val ybar = sy / n
+    val vx = (col("sxx").cast("double") - sx * sx / n) / (n - 1)
+    val vy = (col("syy").cast("double") - sy * sy / n) / (n - 1)
+    val cxy = (col("sxy").cast("double") - sx * sy / n) / (n - 1)
+    val se = sqrt((vx - cxy * r * 2 + vy * r * r) / (n * ybar * ybar))
+    m.select(col("n").as("n_units"), round(r, 6).as("ratio"),
+      round(when(col("n") >= 2 && col("sy") > 0, se), 6).as("se"),
+      round(when(col("n") >= 2 && col("sy") > 0, r - se * 1.959964), 6)
+        .as("ci_lo"),
+      round(when(col("n") >= 2 && col("sy") > 0, r + se * 1.959964), 6)
+        .as("ci_hi"))
+  }
+
+  /** Leave-one-unit-out JACKKNIFE for the same ratio — the
+    * assumption-free cross-check of [[ratioDelta]] (no Taylor
+    * expansion): `R_(−i) = (ΣX − x_i)/(ΣY − y_i)`,
+    * `SE² = (n−1)/n · Σ(R_(−i) − R̄_J)²`. One row
+    * `(n_units, ratio, se_jack, ci_lo, ci_hi)`.
+    *
+    * Scale shape: the totals are a broadcast scalar row; every unit's
+    * leave-one-out replicate is one division, pinned to a 12-dp long so
+    * the replicate moments are exact order-free sums — the classic
+    * "resampling without resampling" trick for linearizable statistics. */
+  def ratioJackknife(df: DataFrame, unitCol: Column, numCol: Column,
+                     denCol: Column): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val per = df.groupBy(unitCol.as("u"))
+      .agg(sum(round(numCol * lit(1000000)).cast("long")).as("xq"),
+        sum(round(denCol * lit(1000000)).cast("long")).as("yq"))
+    val tot = per.agg(count(lit(1)).as("n"),
+      sum(d38(col("xq"))).as("sx"), sum(d38(col("yq"))).as("sy"))
+    val reps = per.crossJoin(broadcast(tot))
+      .select(col("n"), col("sx"), col("sy"),
+        round((col("sx").cast("double") - col("xq")) /
+          (col("sy").cast("double") - col("yq")) * lit(1e12)).cast("long")
+          .as("r12"))
+      .groupBy(col("n"), col("sx"), col("sy"))
+      .agg(sum(d38(col("r12"))).as("sr"),
+        sum(d38(col("r12")) * d38(col("r12"))).as("srr"))
+    val n = col("n").cast("double")
+    val r = col("sx").cast("double") / col("sy").cast("double")
+    val ssd = col("srr").cast("double") -
+      col("sr").cast("double") * col("sr").cast("double") / n
+    val se = sqrt((n - 1) / n * ssd) / 1e12
+    reps.select(col("n").as("n_units"), round(r, 6).as("ratio"),
+      round(when(col("n") >= 2, se), 6).as("se_jack"),
+      round(when(col("n") >= 2, r - se * 1.959964), 6).as("ci_lo"),
+      round(when(col("n") >= 2, r + se * 1.959964), 6).as("ci_hi"))
+  }
+
+  /** Post-stratified A/B difference (the design-based cousin of
+    * [[cuped]]): reweight each stratum's arm means by the POOLED
+    * stratum share `w_s = n_s/N`, removing the imbalance a lucky hash
+    * split leaves in the raw difference;
+    * `Var = Σ w_s²·(v_1s/n_1s + v_0s/n_0s)`. One row
+    * `(n_strata, n_1, n_0, delta_raw, delta_ps, se_ps)` — strata with
+    * an empty arm contribute their share to neither estimator (dropped,
+    * documented). */
+  def postStratified(df: DataFrame, unitCol: Column, valueCol: Column,
+                     strataCol: Column, armFilter: Column): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val per = df.select(strataCol.as("s"),
+        when(armFilter, 1).otherwise(0).as("arm"),
+        round(valueCol * lit(1000000)).cast("long").as("vq"))
+      .groupBy(col("s"), col("arm"))
+      .agg(count(lit(1)).as("nc"), sum(d38(col("vq"))).as("sc"),
+        sum(d38(col("vq")) * d38(col("vq"))).as("qc"))
+    val wide = per.groupBy(col("s")).agg(
+      max(when(col("arm") === 1, col("nc"))).as("n1"),
+      max(when(col("arm") === 1, col("sc"))).as("s1"),
+      max(when(col("arm") === 1, col("qc"))).as("q1"),
+      max(when(col("arm") === 0, col("nc"))).as("n0"),
+      max(when(col("arm") === 0, col("sc"))).as("s0"),
+      max(when(col("arm") === 0, col("qc"))).as("q0"))
+      .filter(col("n1").isNotNull && col("n0").isNotNull)
+    def mean(s: Column, nc: Column) = s.cast("double") / nc / 1e6
+    def va(q: Column, s: Column, nc: Column) =
+      (q.cast("double") - s.cast("double") * s.cast("double") / nc) /
+        (nc - 1) / 1e12
+    // stratum shares from the POOLED kept population; per-stratum
+    // pieces pinned to 12-dp longs so the cross-strata sums are
+    // order-free (strata counts are usually small, but free is free)
+    val tot = wide.agg(sum(col("n1") + col("n0")).as("nn"),
+      sum(col("n1")).as("nt1"), sum(col("n0")).as("nt0"),
+      sum(col("s1")).as("st1"), sum(col("s0")).as("st0"),
+      count(lit(1)).as("n_strata"))
+    wide.crossJoin(broadcast(tot))
+      .groupBy(col("n_strata"), col("nn"), col("nt1"), col("nt0"),
+        col("st1"), col("st0"))
+      .agg(
+        sum(round({
+          val w = (col("n1") + col("n0")).cast("double") / col("nn")
+          w * (mean(col("s1"), col("n1")) - mean(col("s0"), col("n0"))) *
+            lit(1e12)
+        }).cast("long")).as("dps12"),
+        sum(round({
+          val w = (col("n1") + col("n0")).cast("double") / col("nn")
+          w * w * (va(col("q1"), col("s1"), col("n1")) / col("n1") +
+            va(col("q0"), col("s0"), col("n0")) / col("n0")) * lit(1e12)
+        }).cast("long")).as("vps12"))
+      .select(col("n_strata"), col("nt1").as("n_1"), col("nt0").as("n_0"),
+        round(col("st1").cast("double") / col("nt1") / 1e6 -
+          col("st0").cast("double") / col("nt0") / 1e6, 6).as("delta_raw"),
+        round(col("dps12").cast("double") / 1e12, 6).as("delta_ps"),
+        round(when(col("vps12") >= 0, sqrt(col("vps12").cast("double") / 1e12)),
+          6).as("se_ps"))
+  }
 }

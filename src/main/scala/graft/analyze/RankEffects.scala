@@ -176,4 +176,54 @@ object RankEffects {
       round(when(col("n1") >= 1 && col("n2") >= 1 && varA > 0,
         (aStat - e) / sqrt(varA)), 4).as("z"))
   }
+
+  /** Cucconi test (Cucconi 1968; Marozzi 2009's modern treatment) —
+    * the JOINT location-scale two-sample test: detects a shift, a
+    * spread change, or both, where Mann-Whitney sees only location and
+    * Ansari-Bradley only scale. Midranks for ties (the practical
+    * convention; documented).
+    *
+    * With `S_R = Σ_{arm1} R_i²` and `S_C = Σ_{arm1} (N+1−R_i)²`:
+    * `U = (6S_R − n₁(N+1)(2N+1)) / √(n₁n₂(N+1)(2N+1)(8N+11)/5)`,
+    * `V` the same off S_C, `ρ = 2(N²−4)/((2N+1)(8N+11)) − 1`,
+    * `C = (U² + V² − 2ρUV) / (2(1−ρ²))` — large C rejects. One row
+    * `(n1, n2, u, v, c_stat)`.
+    *
+    * Exactness: doubled midranks make 4·S_R and 4·S_C exact DECIMAL
+    * sums (`Σ c₁·r2²` and `Σ c₁·(2(N+1)−r2)²`); every moment in U, V,
+    * ρ is integer-derived; doubles only in the closing algebra. */
+  def cucconi(df: DataFrame, valueCol: String,
+              sampleFilter: Column): DataFrame = {
+    val q = df.select(round(col(valueCol) * lit(1000000)).cast("long").as("v"),
+      when(sampleFilter, 1L).otherwise(0L).as("s1"))
+    val byV = q.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), count(lit(1)).as("ct"))
+    val w = Window.orderBy(col("v")).rowsBetween(Long.MinValue, -1)
+    val tot = Window.orderBy(col("v"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val ranked = byV
+      .withColumn("r2",
+        lit(2) * coalesce(sum(col("ct")).over(w), lit(0L)) + col("ct") + 1)
+      .withColumn("nn", sum(col("ct")).over(tot))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val agg = ranked.agg(
+      sum(col("c1")).as("n1"), (sum(col("ct")) - sum(col("c1"))).as("n2"),
+      max(col("nn")).as("n"),
+      sum(d38(col("c1")) * d38(col("r2")) * d38(col("r2"))).as("sr4"),
+      sum(d38(col("c1")) * (d38((col("nn") + 1) * 2) - d38(col("r2"))) *
+        (d38((col("nn") + 1) * 2) - d38(col("r2")))).as("sc4"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nD = col("n").cast("double")
+    val den = sqrt(n1 * n2 * (nD + 1) * (nD * 2 + 1) * (nD * 8 + 11) / 5)
+    // 4·S_R = sr4 → 6·S_R = sr4·1.5
+    val u = (col("sr4").cast("double") * 1.5 - n1 * (nD + 1) * (nD * 2 + 1)) / den
+    val v = (col("sc4").cast("double") * 1.5 - n1 * (nD + 1) * (nD * 2 + 1)) / den
+    val rho = (nD * nD - 4) * 2 / ((nD * 2 + 1) * (nD * 8 + 11)) - 1
+    val cStat = (u * u + v * v - u * v * rho * 2) / ((lit(1.0) - rho * rho) * 2)
+    agg.select(col("n1"), col("n2"),
+      round(when(col("n1") >= 1 && col("n2") >= 1, u), 4).as("u"),
+      round(when(col("n1") >= 1 && col("n2") >= 1, v), 4).as("v"),
+      round(when(col("n1") >= 1 && col("n2") >= 1 && rho * rho < 1.0, cStat),
+        4).as("c_stat"))
+  }
 }

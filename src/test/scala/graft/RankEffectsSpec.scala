@@ -116,6 +116,38 @@ class RankEffectsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("z") > 2.0)
   }
 
+  test("cucconi matches the brute squared-midrank computation") {
+    val all = xs ++ ys
+    def midrank(v: Double): Double = {
+      val sorted = all.sorted
+      val lt = sorted.count(_ < v); val eq = sorted.count(_ == v)
+      lt + (eq + 1) / 2.0
+    }
+    val nTot = all.size.toDouble
+    val sR = xs.map(v => { val r = midrank(v); r * r }).sum
+    val sC = xs.map(v => { val c = nTot + 1 - midrank(v); c * c }).sum
+    val n1 = xs.size.toDouble; val n2 = ys.size.toDouble
+    val den = math.sqrt(n1 * n2 * (nTot + 1) * (nTot * 2 + 1) * (nTot * 8 + 11) / 5)
+    val u = (6 * sR - n1 * (nTot + 1) * (nTot * 2 + 1)) / den
+    val v = (6 * sC - n1 * (nTot + 1) * (nTot * 2 + 1)) / den
+    val rho = (nTot * nTot - 4) * 2 / ((nTot * 2 + 1) * (nTot * 8 + 11)) - 1
+    val c = (u * u + v * v - u * v * rho * 2) / ((1.0 - rho * rho) * 2)
+    val r = RankEffects.cucconi(df, "v", col("arm") === 1).head
+    assert(math.abs(r.getAs[Double]("u") - u) < 5e-4)
+    assert(math.abs(r.getAs[Double]("v") - v) < 5e-4)
+    assert(math.abs(r.getAs[Double]("c_stat") - c) < 5e-3)
+  }
+
+  test("cucconi flags a pure scale change that mann-whitney misses") {
+    import spark.implicits._
+    // same median, very different spread, symmetric — U ≈ −V, C large
+    val tight = (0 until 60).map(i => (1, 100.0 + (i % 3) - 1))
+    val wide = (0 until 60).map(i => (0, 100.0 + ((i % 21) - 10) * 4))
+    val r = RankEffects.cucconi((tight ++ wide).toDF("arm", "v"), "v",
+      col("arm") === 1).head
+    assert(r.getAs[Double]("c_stat") > 5.0)
+  }
+
   test("brunner-munzel on identical arms: p_hat = 1/2, w = 0") {
     import spark.implicits._
     val same = ((1 to 30).map(i => (1, (i % 6).toDouble)) ++
