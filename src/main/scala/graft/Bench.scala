@@ -127,7 +127,7 @@ object Bench {
     *  - medium / UNKNOWN cost (new queries land here): groups of 8, the
     *    size validated within ~15% of one-per-JVM on the heaviest
     *    queries in round 7;
-    *  - cheap (known < 1.0 s): groups of 32 — floor-bound sub-second
+    *  - cheap (known < 1.2 s): groups of 32 — floor-bound sub-second
     *    queries carry no heap debt, and 24-way amortization of the
     *    ~12 s fork+session startup is what keeps the whole suite inside
     *    the driver's bench window (the group-of-3/24 pilot measured 36
@@ -153,7 +153,7 @@ object Bench {
         val costs = loadCosts(sys.env.getOrElse("SPARK_GRAFT_BENCH_COSTS",
           "/root/repo/BENCH_FULL.json"))
         val (heavy, rest) = selected.partition(n => costs.get(n).exists(_ >= 2.0))
-        val (cheap, medium) = rest.partition(n => costs.get(n).exists(_ < 1.0))
+        val (cheap, medium) = rest.partition(n => costs.get(n).exists(_ < 1.2))
         stride(heavy, 4) ++ stride(medium, 8) ++ stride(cheap, 32)
     }
   }

@@ -819,6 +819,12 @@ object SparkEntry {
     "q369_kendall_w" -> ((s, dir) =>
       graft.analyze.Agreement.kendallW(Tables.events(s, dir),
         to_date(col("ts")), col("event_type"), col("value"))),
+    // ---- lexical-concentration panel (Yule's K, token Simpson's D,
+    //      Herdan's C): the length-invariant repeat-rate constants that
+    //      flag formulaic/boilerplate corpora — one token-count scan
+    "q375_lexical_conc" -> ((s, dir) =>
+      graft.text.CorpusStats.lexicalConcentration(
+        Tables.documents(s, dir), "text")),
     // ---- Cucconi joint location-scale test between the md5 arms: one
     //      statistic that catches a shift OR a spread change (MW sees
     //      only location, Ansari-Bradley only scale) — squared doubled-
@@ -6206,6 +6212,18 @@ object SparkEntry {
                 round(CASE WHEN t.n >= 2 THEN t.mean + t.sd * 1.96 END, 6) + 0.0 AS loa_upper,
                 within.pct_within
          FROM t, within""",
+    "q375_lexical_conc" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+         c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         agg AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS vocab,
+                        sum(CAST(cnt AS HUGEINT) * cnt) AS m2,
+                        sum(CAST(cnt AS HUGEINT) * (CAST(cnt AS HUGEINT) - 1)) AS coinc
+                 FROM c)
+         SELECT n_tokens, CAST(vocab AS BIGINT) AS vocab,
+           round((CAST(m2 AS DOUBLE) - CAST(n_tokens AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) * 1e4, 4) AS yule_k,
+           round(CASE WHEN n_tokens >= 2 THEN CAST(coinc AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1)) END, 9) AS simpson_d,
+           round(CASE WHEN n_tokens >= 2 AND vocab >= 1 THEN ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)) END, 6) AS herdan_c
+         FROM agg""",
     "q374_cucconi" ->
       """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS s1

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level distribution diagnostics for a training-data pipeline:
@@ -200,6 +200,38 @@ object CorpusStats {
             ((col("f2").cast("double") + 1) * 2.0), 2).as("chao1"),
         round(col("f1").cast("double") / col("n_tokens").cast("double"), 6)
           .as("gt_unseen_mass"))
+  }
+
+  /** Lexical-concentration panel: Yule's K (`10⁴·(Σm²V_m − N)/N²` off
+    * the frequency-of-frequencies — the repeat-rate constant that is
+    * nearly text-length invariant where raw TTR collapses), token
+    * Simpson's D (`Σc(c−1)/(N(N−1))`, the probability two random tokens
+    * coincide), and Herdan's C (`ln V / ln N`). High K/D = formulaic,
+    * template-heavy text — boilerplate and SEO spam stand out from one
+    * corpus-level scan. Complements [[vocabRichness]]'s COVERAGE
+    * estimators (Chao1, unseen mass) with CONCENTRATION.
+    *
+    * Exactness: every moment is an exact integer/DECIMAL fold of token
+    * counts; the three statistics are single double expressions. One
+    * token-count aggregate — nothing else scales with the corpus. */
+  def lexicalConcentration(df: DataFrame, textCol: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val agg = counts.agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(d38(col("cnt")) * d38(col("cnt"))).as("m2"),
+      sum(d38(col("cnt")) * (d38(col("cnt")) - 1)).as("coinc"))
+    val n = col("n_tokens").cast("double")
+    val v = col("vocab").cast("double")
+    agg.select(col("n_tokens"), col("vocab"),
+      round((col("m2").cast("double") - n) / (n * n) * 1e4, 4).as("yule_k"),
+      round(when(col("n_tokens") >= 2,
+        col("coinc").cast("double") / (n * (n - 1))), 9).as("simpson_d"),
+      round(when(col("n_tokens") >= 2 && col("vocab") >= 1,
+        log(v) / log(n)), 6).as("herdan_c"))
   }
 
   /** Pairwise cosine similarity between the TOKEN-COUNT profiles of the

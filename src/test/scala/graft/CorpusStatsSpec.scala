@@ -207,4 +207,31 @@ class CorpusStatsSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, Long, Double)].collect()
     assert(got(0)._3 == 0.0 && got(1)._3 > 3.0)
   }
+
+  // ------------------------------------------------- lexical concentration
+
+  test("lexical concentration: hand-computed Yule's K / Simpson's D / Herdan's C") {
+    // tokens: a×4, b×2, c×1, d×1 → N=8, V=4, Σm²Vm = 16+4+1+1 = 22,
+    // coincidences Σc(c−1) = 12+2 = 14
+    val df = Seq((1L, "a a b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val r = CorpusStats.lexicalConcentration(df, "text").head
+    assert(r.getAs[Long]("n_tokens") == 8L && r.getAs[Long]("vocab") == 4L)
+    assert(r.getAs[Double]("yule_k") ==
+      math.rint((22.0 - 8) / 64 * 1e4 * 1e4) / 1e4)
+    assert(r.getAs[Double]("simpson_d") == 0.25)  // 14/56
+    assert(math.abs(r.getAs[Double]("herdan_c") -
+      math.log(4) / math.log(8)) < 5e-7)
+  }
+
+  test("lexical concentration: repetitive text scores far above diverse text") {
+    val boiler = Seq((1L, Seq.fill(50)("buy now cheap deal").mkString(" ")))
+      .toDF("doc_id", "text")
+    val diverse = Seq((1L, (1 to 200).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kb = CorpusStats.lexicalConcentration(boiler, "text")
+      .head.getAs[Double]("yule_k")
+    val kd = CorpusStats.lexicalConcentration(diverse, "text")
+      .head.getAs[Double]("yule_k")
+    assert(kb > 1000 && kd == 0.0)
+  }
 }
