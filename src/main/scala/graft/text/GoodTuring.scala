@@ -21,7 +21,15 @@ object GoodTuring {
   def goodTuring(df: DataFrame, textCol: Column, maxR: Int = 5,
                  n: Int = 1): DataFrame = {
     require(maxR >= 1 && n >= 1, s"need maxR, n >= 1: $maxR, $n")
-    val tk = TextAnalysis.tokens(textCol)
+    // widen a narrow single-row-group scan BEFORE the shingling
+    // projection: the n-gram transform is the whole cost of this
+    // operator and otherwise runs on the scan's 1-3 tasks while the
+    // rest of the cores idle (measured 3.0 s of the 3.8 s total on 3
+    // tasks at sf0.1; Spread.widen is a no-op once the input is big
+    // enough to split naturally)
+    val wide = graft.operators.Spread.widen(
+      df.select(textCol.as("__text")), col("__text"))
+    val tk = TextAnalysis.tokens(col("__text"))
     // n-gram shingles WITH multiplicity (counts, not the distinct-set
     // frame dedup uses); short docs contribute no shingles
     val grams =
@@ -30,7 +38,7 @@ object GoodTuring {
         when(size(tk) >= n, sequence(lit(1), size(tk) - (n - 1)))
           .otherwise(array().cast("array<int>")),
         i => concat_ws(" ", slice(tk, i, lit(n))))
-    val toks = df.select(explode(grams).as("tok"))
+    val toks = wide.select(explode(grams).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("r"))
     val nr = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
     def d19(c: Column) = c.cast("decimal(19,0)")
