@@ -819,6 +819,27 @@ object SparkEntry {
     "q369_kendall_w" -> ((s, dir) =>
       graft.analyze.Agreement.kendallW(Tables.events(s, dir),
         to_date(col("ts")), col("event_type"), col("value"))),
+    // ---- seasonal Mann-Kendall: the trend test a weekly cycle can't
+    //      fool — S and tie-corrected variance summed WITHIN weekday
+    //      strata, exact integers to the closing z
+    "q376_seasonal_mk" -> ((s, dir) =>
+      graft.analyze.Trend.seasonalMannKendall(Tables.events(s, dir),
+        "ts", "value")),
+    // ---- Bartels rank von Neumann randomness test over daily totals:
+    //      ≈2 random, ≪2 trending/sticky, ≫2 alternating — doubled
+    //      midranks, days-bounded lag window
+    "q377_bartels_rvn" -> ((s, dir) =>
+      graft.analyze.Trend.bartelsRvn(Tables.events(s, dir), "ts", "value")),
+    // ---- Cox-Stuart trend sign test: first half vs second half, the
+    //      bluntest monotone screen (a sanity anchor for q204/q376)
+    "q378_cox_stuart" -> ((s, dir) =>
+      graft.analyze.Trend.coxStuart(Tables.events(s, dir), "ts", "value")),
+    // ---- per-token burstiness of the head vocabulary (Church-Gale):
+    //      VMR of per-doc tf (zeros in) + within-doc rate cf/df —
+    //      topical terms clump, glue words spread
+    "q379_token_burstiness" -> ((s, dir) =>
+      graft.text.CorpusStats.tokenBurstiness(Tables.documents(s, dir),
+        "doc_id", "text", 20)),
     // ---- lexical-concentration panel (Yule's K, token Simpson's D,
     //      Herdan's C): the length-invariant repeat-rate constants that
     //      flag formulaic/boilerplate corpora — one token-count scan
@@ -6216,6 +6237,79 @@ object SparkEntry {
                 round(CASE WHEN t.n >= 2 THEN t.mean + t.sd * 1.96 END, 6) + 0.0 AS loa_upper,
                 within.pct_within
          FROM t, within""",
+    "q376_seasonal_mk" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         d2 AS (SELECT day, yq, dayofweek(day) AS wd FROM daily),
+         s AS (SELECT CAST(sum(CASE WHEN b.yq > a.yq THEN 1 WHEN b.yq < a.yq THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+               FROM d2 a JOIN d2 b ON a.wd = b.wd AND a.day < b.day),
+         strat AS (SELECT CAST(sum(ns) AS BIGINT) AS n_days,
+                          CAST(sum(ns * (ns - 1) * (ns * 2 + 5)) AS BIGINT) AS vraw
+                   FROM (SELECT wd, count(*) AS ns FROM d2 GROUP BY 1)),
+         ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (t * 2 + 5)), 0) AS BIGINT) AS tsum
+                  FROM (SELECT wd, yq, count(*) AS t FROM d2 GROUP BY 1, 2) WHERE t >= 2)
+         SELECT n_days, s_stat,
+           round(CAST(vraw - tsum AS DOUBLE) / 18.0, 4) AS var_s,
+           round(CASE WHEN CAST(vraw - tsum AS DOUBLE) / 18.0 > 0
+             THEN CAST(s_stat AS DOUBLE) - sign(s_stat) END
+             / sqrt(CAST(vraw - tsum AS DOUBLE) / 18.0), 4) + 0.0 AS z
+         FROM s, strat, ties""",
+    "q377_bartels_rvn" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         ranked AS (SELECT day,
+                 2 * (count(*) OVER (ORDER BY yq RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                   + (count(*) OVER (ORDER BY yq RANGE BETWEEN CURRENT ROW AND CURRENT ROW)) + 1 AS r2
+               FROM daily),
+         lagged AS (SELECT r2, lead(r2) OVER (ORDER BY day) AS r2next FROM ranked),
+         agg AS (SELECT count(*) AS n, sum(CAST(r2 AS HUGEINT)) AS sr,
+                        sum(CAST(r2 AS HUGEINT) * r2) AS srr,
+                        sum(CASE WHEN r2next IS NOT NULL
+                          THEN CAST(r2 - r2next AS HUGEINT) * (r2 - r2next) ELSE 0 END) AS sd4
+                 FROM lagged),
+         t AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+                 CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) AS ssd,
+                 CAST(sd4 AS DOUBLE) AS sd4d
+               FROM agg),
+         g AS (SELECT n, nd, ssd, sd4d / ssd AS rvn,
+                 (nd - 2) * 4 * (nd * nd * 5 - nd * 2 - 9)
+                   / ((nd * (nd + 1) * ((nd - 1) * (nd - 1))) * 5) AS varr
+               FROM t)
+         SELECT n AS n_days,
+           round(CASE WHEN ssd > 0 THEN rvn END, 6) AS rvn,
+           round(CASE WHEN ssd > 0 AND varr > 0 THEN (rvn - 2) / sqrt(varr) END, 4) + 0.0 AS z
+         FROM g""",
+    "q378_cox_stuart" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         idx AS (SELECT yq, row_number() OVER (ORDER BY day) AS i,
+                        CAST(count(*) OVER () AS BIGINT) AS n
+                 FROM daily),
+         pairs AS (SELECT x.n AS n, y.yq - x.yq AS d
+                   FROM idx x JOIN idx y ON y.i = x.i + (x.n + 1) // 2)
+         SELECT CAST(max(n) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rises,
+           round(CASE WHEN sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) > 0
+             THEN CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) * 2 - sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                / sqrt(CAST(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS DOUBLE)) END, 4) + 0.0 AS z
+         FROM pairs""",
+    "q379_token_burstiness" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+         perdoc AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         nd AS (SELECT count(DISTINCT doc_id) AS d FROM documents),
+         pertok AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf, count(*) AS df,
+                           sum(CAST(tf AS HUGEINT) * tf) AS tf2
+                    FROM perdoc GROUP BY 1)
+         SELECT tok AS token, cf, CAST(df AS BIGINT) AS df,
+           round(CASE WHEN cf > 0 THEN
+             (CAST(tf2 AS DOUBLE) / nd.d - (CAST(cf AS DOUBLE) / nd.d) * (CAST(cf AS DOUBLE) / nd.d))
+               / (CAST(cf AS DOUBLE) / nd.d) END, 6) AS vmr,
+           round(CAST(cf AS DOUBLE) / df, 6) AS eb
+         FROM pertok, nd ORDER BY cf DESC, token LIMIT 20""",
     "q375_lexical_conc" ->
       """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
          c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),

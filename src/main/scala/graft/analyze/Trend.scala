@@ -858,4 +858,106 @@ object Trend {
         round(col("fitted"), 6).as("fitted"))
       .orderBy(col("day"))
   }
+
+  /** Seasonal Mann-Kendall (Hirsch & Slack 1984): the MK trend test
+    * that a weekly cycle does NOT fool — S and its variance are
+    * computed WITHIN each weekday stratum and summed, so Monday is only
+    * ever compared to Monday. One row
+    * `(n_days, s_stat, var_s, z)` with per-stratum tie-corrected
+    * `Var_s = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18` — everything an exact
+    * integer until the closing z. Pairs are weekday-stratum-bounded
+    * (≤ C(n_s,2)·7 over DAILY totals — days-bounded, never row-bound). */
+  def seasonalMannKendall(df: DataFrame, tsCol: String,
+                          valueCol: String): DataFrame = {
+    val daily = df.groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+      .withColumn("wd", dayofweek(col("day")))
+    val a = daily.select(col("wd"), col("day").as("d1"), col("yq").as("y1"))
+    val b = daily.select(col("wd"), col("day").as("d2"), col("yq").as("y2"))
+    val s = a.join(b, Seq("wd")).filter(col("d1") < col("d2"))
+      .agg(sum(signum((col("y2") - col("y1")).cast("double")).cast("long"))
+        .as("s_stat"))
+    // per-stratum sizes and tie groups (ties = equal daily totals
+    // within a weekday stratum)
+    val strat = daily.groupBy(col("wd")).agg(count(lit(1)).as("ns"))
+      .agg(sum(col("ns")).as("n_days"),
+        sum(col("ns") * (col("ns") - 1) * (col("ns") * 2 + 5)).as("vraw"))
+    val ties = daily.groupBy(col("wd"), col("yq")).agg(count(lit(1)).as("t"))
+      .filter(col("t") >= 2)
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L)).as("tsum"))
+    s.crossJoin(strat).crossJoin(ties)
+      .select(col("n_days"), col("s_stat"),
+        round((col("vraw") - col("tsum")).cast("double") / 18.0, 4)
+          .as("var_s"),
+        round({
+          val v = (col("vraw") - col("tsum")).cast("double") / 18.0
+          when(v > 0,
+            (col("s_stat") - signum(col("s_stat"))).cast("double") / sqrt(v))
+        }, 4).as("z"))
+  }
+
+  /** Bartels rank von Neumann ratio (Bartels 1982) — the rank-based
+    * randomness test over the daily series: `RVN = Σ(R_i − R_{i+1})² /
+    * Σ(R_i − R̄)²`; ≈2 under randomness, ≪2 for trending/sticky series,
+    * ≫2 for alternating ones. `z = (RVN − 2)/√(4(n−2)(5n²−2n−9) /
+    * (5n(n+1)(n−1)²))`. Midranks (doubled) for tied daily totals; the
+    * lag pairs ride a days-bounded window. One row `(n_days, rvn, z)`. */
+  def bartelsRvn(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    // doubled midranks over the days frame via range-frame counts
+    val wLt = Window.orderBy(col("yq"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.orderBy(col("yq")).rangeBetween(0, 0)
+    val ranked = daily
+      .withColumn("r2", count(lit(1)).over(wLt) * 2 + count(lit(1)).over(wEq) + 1)
+    val lagged = ranked
+      .withColumn("r2next", lead(col("r2"), 1).over(Window.orderBy(col("day"))))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val agg = lagged.agg(count(lit(1)).as("n"),
+      sum(d38(col("r2"))).as("sr"),
+      sum(d38(col("r2")) * d38(col("r2"))).as("srr"),
+      sum(when(col("r2next").isNotNull,
+        d38(col("r2") - col("r2next")) * d38(col("r2") - col("r2next")))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("sd4"))
+    val n = col("n").cast("double")
+    // denominators in doubled units cancel: RVN = Σd2²/Σ(r2 − r̄2)²
+    val ssd = col("srr").cast("double") -
+      col("sr").cast("double") * col("sr").cast("double") / n
+    val rvn = col("sd4").cast("double") / ssd
+    val varR = (n - 2) * 4 * (n * n * 5 - n * 2 - 9) /
+      ((n * (n + 1) * ((n - 1) * (n - 1))) * 5)
+    agg.select(col("n").as("n_days"),
+      round(when(ssd > 0, rvn), 6).as("rvn"),
+      round(when(ssd > 0 && varR > 0, (rvn - 2) / sqrt(varR)), 4).as("z"))
+  }
+
+  /** Cox-Stuart trend sign test — the bluntest possible monotone-trend
+    * screen: pair day i with day i+⌈n/2⌉ (the middle day of an odd
+    * series is unpaired), count rises among the non-tied pairs, and
+    * z-test the count against Binomial(m, ½). One row
+    * `(n_days, n_pairs, n_rises, z)`. Days-bounded self-join on the
+    * daily frame. */
+  def coxStuart(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val idx = daily
+      .withColumn("i", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.orderBy(col("day")).rowsBetween(Long.MinValue, Long.MaxValue)))
+    val half = idx.select(expr("(n + 1) div 2").as("m"), col("n")).limit(1)
+    val pairs = idx.alias("x").crossJoin(broadcast(half.alias("h")))
+      .join(idx.alias("y"),
+        col("y.i") === col("x.i") + col("h.m"))
+      .select(col("x.n").as("n"),
+        (col("y.yq") - col("x.yq")).as("d"))
+    pairs.agg(max(col("n")).as("n_days"),
+        sum(when(col("d") =!= 0, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_rises"))
+      .select(col("n_days"), col("n_pairs"), col("n_rises"),
+        round(when(col("n_pairs") > 0,
+          (col("n_rises") * 2 - col("n_pairs")).cast("double") /
+            sqrt(col("n_pairs").cast("double"))), 4).as("z"))
+  }
 }

@@ -234,6 +234,37 @@ object CorpusStats {
         log(v) / log(n)), 6).as("herdan_c"))
   }
 
+  /** Per-token burstiness of the head vocabulary (Church & Gale 1995):
+    * content words CLUMP (one mention begets more in the same
+    * document), function words spread evenly — so the variance-to-mean
+    * ratio of per-document tf (zeros included) and the within-document
+    * rate `E_b = cf/df` separate topical terms from glue even when raw
+    * frequencies tie. Top-`topK` tokens by collection frequency:
+    * `(token, cf, df, vmr, eb)` ordered (cf desc, token).
+    *
+    * Scale: explode → (doc, token) count → token-level aggregate —
+    * vocabulary-bounded after the first combine; the doc total is a
+    * broadcast scalar. Exact integer moments, two closing divisions. */
+  def tokenBurstiness(df: DataFrame, idCol: String, textCol: String,
+                      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val perDoc = df
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val perTok = perDoc.groupBy(col("tok")).agg(
+      sum(col("tf")).as("cf"), count(lit(1)).as("df"),
+      sum(d38(col("tf")) * d38(col("tf"))).as("tf2"))
+    val mean = col("cf").cast("double") / nDocs
+    val e2 = col("tf2").cast("double") / nDocs
+    perTok.select(col("tok").as("token"), col("cf"), col("df"),
+        round(when(col("cf") > 0, (e2 - mean * mean) / mean), 6).as("vmr"),
+        round(col("cf").cast("double") / col("df"), 6).as("eb"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(topK)
+  }
+
   /** Pairwise cosine similarity between the TOKEN-COUNT profiles of the
     * corpus sources — the angular sibling of [[sourceTvDivergence]]'s
     * total-variation distance (TV weighs mass moved; cosine weighs

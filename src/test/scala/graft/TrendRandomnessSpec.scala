@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.analyze.Trend
+import graft.text.CorpusStats
+
+/** Seasonal Mann-Kendall, Bartels RVN, Cox-Stuart, token burstiness. */
+class TrendRandomnessSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def day(d: Int) = Timestamp.valueOf(
+    java.time.LocalDateTime.of(2024, 1, 1, 10, 0).plusDays(d - 1))
+
+  test("seasonal MK: a weekly sawtooth with no cross-week trend scores S = 0") {
+    import spark.implicits._
+    // value depends ONLY on weekday — within each stratum all days tie
+    val rows = (1 to 28).map(d => (day(d), ((d - 1) % 7 + 1) * 10.0))
+    val r = Trend.seasonalMannKendall(rows.toDF("ts", "v"), "ts", "v").head
+    assert(r.getAs[Long]("n_days") == 28L)
+    assert(r.getAs[Long]("s_stat") == 0L)
+    // all within-stratum comparisons are ties → variance fully corrected
+    assert(r.getAs[Double]("var_s") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("seasonal MK: sawtooth PLUS a cross-week rise is detected") {
+    import spark.implicits._
+    val rows = (1 to 28).map(d =>
+      (day(d), ((d - 1) % 7 + 1) * 10.0 + d * 0.5))
+    val r = Trend.seasonalMannKendall(rows.toDF("ts", "v"), "ts", "v").head
+    // each stratum has 4 strictly increasing values: S = 7 * C(4,2) = 42
+    assert(r.getAs[Long]("s_stat") == 42L)
+    assert(r.getAs[Double]("z") > 3.0)
+  }
+
+  test("bartels RVN: alternating series scores far above 2, trend far below") {
+    import spark.implicits._
+    val alt = (1 to 30).map(d => (day(d), if (d % 2 == 0) 100.0 else 10.0))
+    val ra = Trend.bartelsRvn(alt.toDF("ts", "v"), "ts", "v").head
+    assert(ra.getAs[Double]("rvn") > 3.0)
+    assert(ra.getAs[Double]("z") > 3.0)
+    val tr = (1 to 30).map(d => (day(d), d * 5.0))
+    val rt = Trend.bartelsRvn(tr.toDF("ts", "v"), "ts", "v").head
+    // perfect trend: successive rank diffs are all 1 → RVN tiny
+    assert(rt.getAs[Double]("rvn") < 0.1)
+    assert(rt.getAs[Double]("z") < -3.0)
+  }
+
+  test("bartels RVN matches the brute rank formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val xs = (1 to 25).map(d => (d, math.rint(rnd.nextDouble() * 5000) / 100))
+    val r = Trend.bartelsRvn(xs.map { case (d, v) => (day(d), v) }
+      .toDF("ts", "v"), "ts", "v").head
+    val qs = xs.map(_._2).map(v => math.rint(v * 1e6).toLong)
+    def midrank(v: Long) =
+      qs.count(_ < v) + (qs.count(_ == v) + 1) / 2.0
+    val rs = qs.map(midrank)
+    val n = rs.size
+    val rbar = rs.sum / n
+    val num = rs.sliding(2).map { case Seq(a, b) => (a - b) * (a - b) }.sum
+    val den = rs.map(v => (v - rbar) * (v - rbar)).sum
+    assert(math.abs(r.getAs[Double]("rvn") - num / den) < 5e-7)
+  }
+
+  test("cox-stuart: clean rise is all rises; flat series has no untied pairs") {
+    import spark.implicits._
+    val rise = (1 to 20).map(d => (day(d), d * 2.0))
+    val r = Trend.coxStuart(rise.toDF("ts", "v"), "ts", "v").head
+    assert(r.getAs[Long]("n_days") == 20L)
+    assert(r.getAs[Long]("n_pairs") == 10L && r.getAs[Long]("n_rises") == 10L)
+    assert(math.abs(r.getAs[Double]("z") - 10.0 / math.sqrt(10.0)) < 5e-4)
+    // odd length: middle day unpaired → (n-1)/2 pairs
+    val flat = (1 to 21).map(d => (day(d), 7.0))
+    val f = Trend.coxStuart(flat.toDF("ts", "v"), "ts", "v").head
+    assert(f.getAs[Long]("n_pairs") == 0L)
+    assert(f.isNullAt(f.fieldIndex("z")))
+  }
+
+  test("token burstiness: a clumping token out-scores an evenly spread one") {
+    import spark.implicits._
+    // 'spread' once in each of 8 docs; 'clump' 8 times in one doc
+    val docs = (1 to 8).map(i =>
+      (i.toLong, "spread " + (if (i == 1) Seq.fill(8)("clump").mkString(" ") else "filler")))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.tokenBurstiness(docs, "doc_id", "text", 10)
+      .collect().map(r => r.getAs[String]("token") -> r).toMap
+    val clump = out("clump"); val spread = out("spread")
+    assert(clump.getAs[Long]("cf") == 8L && clump.getAs[Long]("df") == 1L)
+    assert(spread.getAs[Long]("cf") == 8L && spread.getAs[Long]("df") == 8L)
+    // same cf — burstiness separates them
+    assert(clump.getAs[Double]("vmr") > 5.0)
+    assert(spread.getAs[Double]("vmr") == 0.0)
+    assert(clump.getAs[Double]("eb") == 8.0 && spread.getAs[Double]("eb") == 1.0)
+  }
+}
