@@ -819,6 +819,19 @@ object SparkEntry {
     "q369_kendall_w" -> ((s, dir) =>
       graft.analyze.Agreement.kendallW(Tables.events(s, dir),
         to_date(col("ts")), col("event_type"), col("value"))),
+    // ---- Lilliefors exponentiality of per-user inter-arrival gaps:
+    //      are arrivals memoryless (Poisson), asked of the GAPS — the
+    //      estimated-mean correction over the distinct-gap fold
+    "q380_exp_gaps" -> ((s, dir) =>
+      graft.analyze.RobustStats.lillieforsExponential(Tables.events(s, dir),
+        col("user_id"), col("ts"))),
+    // ---- TwoNN intrinsic dimension of the embedding table: how many
+    //      degrees of freedom the vectors REALLY use (collapse monitor
+    //      beside q274's anisotropy) — two neighbors per point, MLE
+    //      closed form, no binning
+    "q381_twonn" -> ((s, dir) =>
+      graft.sim.IntrinsicDim.twoNn(Tables.embeddings(s, dir),
+        "vec_id", "embedding")),
     // ---- seasonal Mann-Kendall: the trend test a weekly cycle can't
     //      fool — S and tie-corrected variance summed WITHIN weekday
     //      strata, exact integers to the closing z
@@ -6237,6 +6250,47 @@ object SparkEntry {
                 round(CASE WHEN t.n >= 2 THEN t.mean + t.sd * 1.96 END, 6) + 0.0 AS loa_upper,
                 within.pct_within
          FROM t, within""",
+    "q380_exp_gaps" ->
+      """WITH g0 AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS g
+               FROM events),
+         gaps AS (SELECT g FROM g0 WHERE g IS NOT NULL),
+         byv AS (SELECT g, count(*) AS ct FROM gaps GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n, sum(CAST(g AS HUGEINT) * ct) AS s FROM byv),
+         cumt AS (SELECT g, ct,
+                 CAST(sum(ct) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM byv),
+         t AS (SELECT n, s,
+                 round(CASE WHEN n >= 2 AND s > 0 THEN greatest(
+                   abs(CAST(cum AS DOUBLE) / n - (1.0 - exp(-CAST(g AS DOUBLE) / (CAST(s AS DOUBLE) / n)))),
+                   abs((1.0 - exp(-CAST(g AS DOUBLE) / (CAST(s AS DOUBLE) / n))) - CAST(cum - ct AS DOUBLE) / n)) END, 9) AS gap
+               FROM cumt, tot),
+         m AS (SELECT n, s, max(gap) AS d0 FROM t GROUP BY 1, 2)
+         SELECT n AS n_gaps,
+           round(CAST(s AS DOUBLE) / n / 1e6, 4) AS mean_gap_sec,
+           round(CASE WHEN n >= 2 AND s > 0 THEN d0 END, 6) AS d_stat,
+           round(CASE WHEN n >= 2 AND s > 0 THEN d0 * sqrt(CAST(n AS DOUBLE)) END, 4) AS sqrt_n_d
+         FROM m""",
+    "q381_twonn" ->
+      """WITH p AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         pr AS (SELECT a.id, b.id AS nb,
+                       CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d
+                FROM p a JOIN p b ON a.id <> b.id),
+         top2 AS (SELECT id,
+                    min(CASE WHEN rn = 1 THEN d END) AS r1,
+                    min(CASE WHEN rn = 2 THEN d END) AS r2
+                  FROM (SELECT id, d, row_number() OVER (PARTITION BY id ORDER BY d, nb) AS rn FROM pr)
+                  WHERE rn <= 2 GROUP BY 1),
+         mu AS (SELECT CASE WHEN r1 > 0 AND r2 IS NOT NULL
+                  THEN CAST(round(ln(CAST(r2 AS DOUBLE) / r1) * 1e9) AS BIGINT) END AS l9
+                FROM top2),
+         agg AS (SELECT CAST(sum(CASE WHEN l9 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+                        CAST(sum(CASE WHEN l9 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                        sum(CAST(coalesce(l9, 0) AS HUGEINT)) AS sl9
+                 FROM mu)
+         SELECT n_used, n_dropped,
+           round(CASE WHEN n_used >= 1 AND sl9 > 0
+             THEN CAST(n_used AS DOUBLE) / (CAST(sl9 AS DOUBLE) / 1e9) END, 4) AS id_mle
+         FROM agg""",
     "q376_seasonal_mk" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS day,
                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq

@@ -616,4 +616,49 @@ object RobustStats {
       round(when(ok && d1 + d2 > 0, (d1 + d2) * (d1 + d2) /
         (d1 * d1 / (col("h1") - 1) + d2 * d2 / (col("h2") - 1))), 2).as("df"))
   }
+
+  /** Lilliefors-type exponentiality test of per-unit INTER-ARRIVAL gaps
+    * — "are arrivals memoryless (Poisson)?" asked of the GAPS, where
+    * [[graft.analyze.Trend.dispersionIndex]] asks it of the counts.
+    * Gaps are microsecond differences between consecutive events of the
+    * SAME unit (cross-unit boundaries contribute nothing); the test is
+    * `D = sup|F_n(x) − (1 − e^{−x/x̄})|` with the mean ESTIMATED from
+    * the sample (the Lilliefors correction — plain KS overstates fit).
+    * One row `(n_gaps, mean_gap_sec, d_stat, sqrt_n_d)`.
+    *
+    * Same fold discipline as [[lilliefors]]: distinct gap values, both
+    * CDF one-sided limits, per-value gaps pinned at 9 dp before the
+    * max; the only transcendental is one exp of bit-identical doubles
+    * per DISTINCT value. */
+  def lillieforsExponential(df: DataFrame, unitCol: Column,
+                            tsCol: Column): DataFrame = {
+    val wu = Window.partitionBy(col("__u")).orderBy(col("__ts"))
+    val gaps = df.select(unitCol.as("__u"), tsCol.as("__ts"))
+      .withColumn("__prev", lag(col("__ts"), 1).over(wu))
+      .filter(col("__prev").isNotNull)
+      .select((unix_micros(col("__ts")) - unix_micros(col("__prev")))
+        .as("g"))
+    val byV = gaps.groupBy(col("g")).agg(count(lit(1)).as("ct"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val tot = byV.agg(sum(col("ct")).as("n"),
+      sum(d19(col("g")) * d19(col("ct"))).as("s"))
+    val w = Window.orderBy(col("g")).rowsBetween(Long.MinValue, 0)
+    byV.withColumn("cum", sum(col("ct")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("s"),
+        round(when(col("n") >= 2 && col("s") > 0, {
+          val xbar = col("s").cast("double") / col("n")
+          val ft = lit(1.0) - exp(-col("g").cast("double") / xbar)
+          val hi = col("cum").cast("double") / col("n")
+          val lo = (col("cum") - col("ct")).cast("double") / col("n")
+          greatest(abs(hi - ft), abs(ft - lo))
+        }), 9).as("gap"))
+      .groupBy(col("n"), col("s"))
+      .agg(max(col("gap")).as("d0"))
+      .select(col("n").as("n_gaps"),
+        round(col("s").cast("double") / col("n") / 1e6, 4).as("mean_gap_sec"),
+        round(when(col("n") >= 2 && col("s") > 0, col("d0")), 6).as("d_stat"),
+        round(when(col("n") >= 2 && col("s") > 0,
+          col("d0") * sqrt(col("n").cast("double"))), 4).as("sqrt_n_d"))
+  }
 }
