@@ -819,6 +819,26 @@ object SparkEntry {
     "q369_kendall_w" -> ((s, dir) =>
       graft.analyze.Agreement.kendallW(Tables.events(s, dir),
         to_date(col("ts")), col("event_type"), col("value"))),
+    // ---- Hoeffding's D between daily revenue and daily event count:
+    //      the dependence test that lights up on NON-monotone relations
+    //      Pearson/Spearman score zero — day-bounded dominance counts
+    "q382_hoeffding_d" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(round(col("value") * 1e6).cast("long")).cast("double") / 1e6)
+          .as("rev"), count(lit(1)).cast("double").as("cnt"))
+      graft.analyze.Dependence.hoeffdingD(daily, col("rev"), col("cnt"))
+    }),
+    // ---- distance correlation on the same daily pair: dCor = 0 IFF
+    //      independent (Székely 2007) — double-centered distance
+    //      moments, exact means, pinned products
+    "q383_distance_corr" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(round(col("value") * 1e6).cast("long")).cast("double") / 1e6)
+          .as("rev"), count(lit(1)).cast("double").as("cnt"))
+      graft.analyze.Dependence.distanceCorr(daily, col("rev"), col("cnt"))
+    }),
     // ---- Lilliefors exponentiality of per-user inter-arrival gaps:
     //      are arrivals memoryless (Poisson), asked of the GAPS — the
     //      estimated-mean correction over the distinct-gap fold
@@ -6250,6 +6270,80 @@ object SparkEntry {
                 round(CASE WHEN t.n >= 2 THEN t.mean + t.sd * 1.96 END, 6) + 0.0 AS loa_upper,
                 within.pct_within
          FROM t, within""",
+    "q382_hoeffding_d" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS rev,
+                 CAST(count(*) AS DOUBLE) AS cnt
+               FROM events GROUP BY 1),
+         base AS (SELECT CAST(round(rev * 1000000) AS BIGINT) AS x,
+                         CAST(round(cnt * 1000000) AS BIGINT) AS y FROM daily),
+         ranked AS (SELECT x, y, row_number() OVER (ORDER BY x, y) AS rid,
+                 CAST(count(*) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                   + (CAST(count(*) OVER (ORDER BY x RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS DOUBLE) + 1) / 2 AS r,
+                 CAST(count(*) OVER (ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                   + (CAST(count(*) OVER (ORDER BY y RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS DOUBLE) + 1) / 2 AS s
+               FROM base),
+         qcnt AS (SELECT a.rid, a.r, a.s,
+                   CAST(sum(CASE WHEN b.x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS q
+                  FROM ranked a LEFT JOIN base b ON b.x < a.x AND b.y < a.y
+                  GROUP BY 1, 2, 3),
+         terms AS (SELECT count(*) AS n,
+                 sum(CAST(q AS HUGEINT) * (q - 1)) AS d1,
+                 sum(CAST(CAST(r * 2 - 2 AS BIGINT) AS HUGEINT) * CAST(r * 2 - 4 AS BIGINT)
+                   * CAST(s * 2 - 2 AS BIGINT) * CAST(s * 2 - 4 AS BIGINT)) AS d2x16,
+                 sum(CAST(CAST(r * 2 - 4 AS BIGINT) AS HUGEINT) * CAST(s * 2 - 4 AS BIGINT) * q) AS d3x4
+               FROM qcnt)
+         SELECT CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n >= 5 THEN
+             ((CAST(n AS DOUBLE) - 2) * (CAST(n AS DOUBLE) - 3) * CAST(d1 AS DOUBLE)
+              + CAST(d2x16 AS DOUBLE) / 16
+              - (CAST(n AS DOUBLE) - 2) * (CAST(d3x4 AS DOUBLE) / 4) * 2) * 30
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (CAST(n AS DOUBLE) - 2)
+              * (CAST(n AS DOUBLE) - 3) * (CAST(n AS DOUBLE) - 4)) END, 6) + 0.0 AS d_stat
+         FROM terms""",
+    "q383_distance_corr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS rev,
+                 CAST(count(*) AS DOUBLE) AS cnt
+               FROM events GROUP BY 1),
+         ids AS (SELECT CAST(round(rev * 1000000) AS BIGINT) AS x,
+                        CAST(round(cnt * 1000000) AS BIGINT) AS y,
+                        row_number() OVER (ORDER BY CAST(round(rev * 1000000) AS BIGINT), CAST(round(cnt * 1000000) AS BIGINT)) AS i
+                 FROM daily),
+         pairs AS (SELECT a.i AS i, b.i AS j,
+                          abs(a.x - b.x) AS dxq, abs(a.y - b.y) AS dyq
+                   FROM ids a CROSS JOIN ids b),
+         rm AS (SELECT i, CAST(sum(CAST(dxq AS HUGEINT)) AS DOUBLE) / count(*) AS mxi,
+                       CAST(sum(CAST(dyq AS HUGEINT)) AS DOUBLE) / count(*) AS myi
+                FROM pairs GROUP BY 1),
+         cm AS (SELECT j, CAST(sum(CAST(dxq AS HUGEINT)) AS DOUBLE) / count(*) AS mxj,
+                       CAST(sum(CAST(dyq AS HUGEINT)) AS DOUBLE) / count(*) AS myj
+                FROM pairs GROUP BY 1),
+         gm AS (SELECT CAST(sum(CAST(dxq AS HUGEINT)) AS DOUBLE) / count(*) AS mx,
+                       CAST(sum(CAST(dyq AS HUGEINT)) AS DOUBLE) / count(*) AS my,
+                       count(*) AS nsq
+                FROM pairs),
+         centered AS (SELECT nsq,
+                 CAST(dxq AS DOUBLE) - mxi - mxj + mx AS ac,
+                 CAST(dyq AS DOUBLE) - myi - myj + my AS bc
+               FROM pairs JOIN rm USING (i) JOIN cm USING (j), gm),
+         agg AS (SELECT max(nsq) AS nsq,
+                 sum(CAST(CAST(round(ac * bc / 1e6) AS BIGINT) AS HUGEINT)) AS sab6,
+                 sum(CAST(CAST(round(ac * ac / 1e6) AS BIGINT) AS HUGEINT)) AS saa6,
+                 sum(CAST(CAST(round(bc * bc / 1e6) AS BIGINT) AS HUGEINT)) AS sbb6
+               FROM centered),
+         t AS (SELECT CAST(nsq AS DOUBLE) AS nsq,
+                 CAST(sab6 AS DOUBLE) / CAST(nsq AS DOUBLE) AS dcov2,
+                 CAST(saa6 AS DOUBLE) / CAST(nsq AS DOUBLE) AS dvx,
+                 CAST(sbb6 AS DOUBLE) / CAST(nsq AS DOUBLE) AS dvy
+               FROM agg)
+         SELECT CAST(sqrt(nsq) AS BIGINT) AS n,
+           round(sign(dcov2) * sqrt(abs(dcov2)) / 1e3, 6) + 0.0 AS dcov,
+           round(sqrt(dvx) / 1e3, 6) AS dvar_x,
+           round(sqrt(dvy) / 1e3, 6) AS dvar_y,
+           round(CASE WHEN dvx > 0 AND dvy > 0
+             THEN sign(dcov2) * sqrt(abs(dcov2)) / sqrt(sqrt(dvx * dvy)) END, 6) + 0.0 AS dcor
+         FROM t""",
     "q380_exp_gaps" ->
       """WITH g0 AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS g
                FROM events),
