@@ -819,6 +819,23 @@ object SparkEntry {
     "q369_kendall_w" -> ((s, dir) =>
       graft.analyze.Agreement.kendallW(Tables.events(s, dir),
         to_date(col("ts")), col("event_type"), col("value"))),
+    // ---- label-noise audit: the declared `lang` column vs the marker
+    //      lang-id's prediction — confusion counts + per-declared share,
+    //      the "can I trust the metadata" check run before any
+    //      language-conditional filtering (q187's rebalance, q335's
+    //      script mix) leans on the label
+    "q384_label_noise" -> ((s, dir) => {
+      val pred = Tables.documents(s, dir).select(col("lang").as("declared"),
+        graft.text.LangId.markerLangId(col("text")).as("predicted"))
+      val cells = pred.groupBy(col("declared"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("declared"))
+        .agg(sum(col("n")).as("tot"))
+      cells.join(totals, "declared")
+        .select(col("declared"), col("predicted"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("share"))
+        .orderBy(col("declared"), col("predicted"))
+    }),
     // ---- Hoeffding's D between daily revenue and daily event count:
     //      the dependence test that lights up on NON-monotone relations
     //      Pearson/Spearman score zero — day-bounded dominance counts
@@ -6270,6 +6287,35 @@ object SparkEntry {
                 round(CASE WHEN t.n >= 2 THEN t.mean + t.sd * 1.96 END, 6) + 0.0 AS loa_upper,
                 within.pct_within
          FROM t, within""",
+    "q384_label_noise" ->
+      """WITH t AS (
+           SELECT doc_id, lang AS declared,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, declared,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['el','los','las','es','una','y'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['的','是','了','在','和','有'], x))) AS s_zh
+           FROM t),
+         p AS (SELECT declared,
+           CASE
+             WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_en > 0 THEN 'en'
+             WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+             WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_es > 0 THEN 'es'
+             WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_de > 0 THEN 'de'
+             WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_zh > 0 THEN 'zh'
+             ELSE 'und'
+           END AS predicted
+           FROM s),
+         cells AS (SELECT declared, predicted, count(*) AS n FROM p GROUP BY 1, 2),
+         totals AS (SELECT declared, CAST(sum(n) AS BIGINT) AS tot FROM cells GROUP BY 1)
+         SELECT cells.declared, cells.predicted, CAST(cells.n AS BIGINT) AS n,
+                round(CAST(cells.n AS DOUBLE) / tot, 6) AS share
+         FROM cells JOIN totals USING (declared)
+         ORDER BY declared, predicted""",
     "q382_hoeffding_d" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
                  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS rev,
