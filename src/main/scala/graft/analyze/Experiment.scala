@@ -813,28 +813,36 @@ object Experiment {
   def ratioJackknife(df: DataFrame, unitCol: Column, numCol: Column,
                      denCol: Column): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
+    // persist the unit fold and take the totals as DRIVER SCALARS (the
+    // Bm25 constants pattern): a crossJoin(broadcast(tot)) variant was
+    // measured to (a) recompute the whole fold for the totals branch
+    // and (b) shuffle the unit frame on the CONSTANT scalar columns in
+    // its closing aggregate — a single-reducer wall at scale
     val per = df.groupBy(unitCol.as("u"))
       .agg(sum(round(numCol * lit(1000000)).cast("long")).as("xq"),
         sum(round(denCol * lit(1000000)).cast("long")).as("yq"))
-    val tot = per.agg(count(lit(1)).as("n"),
-      sum(d38(col("xq"))).as("sx"), sum(d38(col("yq"))).as("sy"))
-    val reps = per.crossJoin(broadcast(tot))
-      .select(col("n"), col("sx"), col("sy"),
-        round((col("sx").cast("double") - col("xq")) /
-          (col("sy").cast("double") - col("yq")) * lit(1e12)).cast("long")
-          .as("r12"))
-      .groupBy(col("n"), col("sx"), col("sy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totRow = per.agg(count(lit(1)).as("n"),
+      sum(d38(col("xq"))).as("sx"), sum(d38(col("yq"))).as("sy")).head()
+    val nL = totRow.getLong(0)
+    // exact decimal totals → the same double CAST(sx AS DOUBLE) the
+    // oracle takes, so every replicate division sees identical inputs
+    val sxd = totRow.getDecimal(1).doubleValue()
+    val syd = totRow.getDecimal(2).doubleValue()
+    val reps = per
+      .select(round((lit(sxd) - col("xq")) / (lit(syd) - col("yq")) *
+        lit(1e12)).cast("long").as("r12"))
       .agg(sum(d38(col("r12"))).as("sr"),
         sum(d38(col("r12")) * d38(col("r12"))).as("srr"))
-    val n = col("n").cast("double")
-    val r = col("sx").cast("double") / col("sy").cast("double")
+    val n = lit(nL).cast("double")
+    val r = lit(sxd) / lit(syd)
     val ssd = col("srr").cast("double") -
       col("sr").cast("double") * col("sr").cast("double") / n
     val se = sqrt((n - 1) / n * ssd) / 1e12
-    reps.select(col("n").as("n_units"), round(r, 6).as("ratio"),
-      round(when(col("n") >= 2, se), 6).as("se_jack"),
-      round(when(col("n") >= 2, r - se * 1.959964), 6).as("ci_lo"),
-      round(when(col("n") >= 2, r + se * 1.959964), 6).as("ci_hi"))
+    reps.select(lit(nL).as("n_units"), round(r, 6).as("ratio"),
+      round(when(lit(nL) >= 2, se), 6).as("se_jack"),
+      round(when(lit(nL) >= 2, r - se * 1.959964), 6).as("ci_lo"),
+      round(when(lit(nL) >= 2, r + se * 1.959964), 6).as("ci_hi"))
   }
 
   /** Post-stratified A/B difference (the design-based cousin of

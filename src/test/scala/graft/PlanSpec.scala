@@ -149,4 +149,46 @@ class PlanSpec extends AnyFunSuite {
     val hash = p.split("\n").count(_.contains("Exchange hashpartitioning"))
     assert(hash == 1, s"one window shuffle promised, got $hash:\n$p")
   }
+
+  test("round-8 rank folds: one corpus-scale shuffle, no sort-merge join") {
+    // the distinct-value doubled-rank family: the ONLY row-scale
+    // exchange is the value-fold groupBy; everything after runs on the
+    // distinct-value frame (its single-partition window is bounded by
+    // value cardinality, documented at each operator)
+    Seq("q362_cliffs_delta", "q363_brunner_munzel", "q374_cucconi",
+      "q367_ansari_bradley").foreach { q =>
+      val p = plan(q)
+      val hash = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+      assert(hash <= 2, s"$q: value fold promises ≤2 hash exchanges, got $hash:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q must not sort-merge join:\n$p")
+    }
+  }
+
+  test("circular stats: two-phase aggregate, literal-bounded after the hour fold") {
+    Seq("q358_rayleigh", "q359_circ_hours").foreach { q =>
+      val p = plan(q)
+      assert(p.split("HashAggregate").length >= 3,
+        s"$q: partial+final aggregation expected:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q must stay join-free at row scale:\n$p")
+    }
+  }
+
+  test("ratio inference: one unit-fold shuffle; totals are driver scalars") {
+    val pd = plan("q371_ratio_delta")
+    assert(pd.split("\n").count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"q371: only the per-unit groupBy may shuffle:\n$pd")
+    assert(!pd.contains("SortMergeJoin"))
+    // jackknife: the persisted unit fold appears once live and once
+    // inside the InMemoryRelation's recipe — two hash-exchange STRINGS,
+    // one physical shuffle; the replicate aggregate itself must stay a
+    // global two-phase agg (SinglePartition of 1-row partials), never a
+    // hashpartitioning on the scalar totals
+    val pj = plan("q372_ratio_jackknife")
+    assert(pj.split("\n").count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"q372: only the (cached) unit fold may hash-shuffle:\n$pj")
+    assert(pj.contains("InMemoryTableScan"),
+      s"q372 must reuse the persisted unit fold:\n$pj")
+    assert(!pj.contains("SortMergeJoin"))
+  }
 }
