@@ -896,6 +896,14 @@ object SparkEntry {
     "q375_lexical_conc" -> ((s, dir) =>
       graft.text.CorpusStats.lexicalConcentration(
         Tables.documents(s, dir), "text")),
+    // ---- Lepage omnibus between the md5 arms: squared standardized
+    //      Wilcoxon + Ansari-Bradley off ONE distinct-value fold — the
+    //      classical sibling of q374, with the two z's reported so a
+    //      rejection is attributable to location or scale
+    "q385_lepage" -> ((s, dir) =>
+      graft.analyze.RankEffects.lepage(Tables.events(s, dir), "value",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(2)) === 0)),
     // ---- Cucconi joint location-scale test between the md5 arms: one
     //      statistic that catches a shift OR a spread change (MW sees
     //      only location, Ansari-Bradley only scale) — squared doubled-
@@ -6516,6 +6524,54 @@ object SparkEntry {
            round(CASE WHEN n_tokens >= 2 THEN CAST(coinc AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1)) END, 9) AS simpson_d,
            round(CASE WHEN n_tokens >= 2 AND vocab >= 1 THEN ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)) END, 6) AS herdan_c
          FROM agg""",
+    "q385_lepage" ->
+      """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+                CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS s1
+              FROM events),
+         byv AS (SELECT v, CAST(sum(s1) AS BIGINT) AS c1, count(*) AS ct FROM q GROUP BY 1),
+         pos AS (SELECT v, c1, ct,
+                 2 * CAST(coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + ct + 1 AS r2,
+                 CAST(coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + 1 AS l,
+                 CAST(coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + ct AS r,
+                 CAST(sum(ct) OVER () AS BIGINT) AS nn
+               FROM byv),
+         sc AS (SELECT c1, ct, r2,
+                 CAST(round(CAST(
+                   (CASE WHEN least(r, (nn + 1) // 2) >= l
+                      THEN (l + least(r, (nn + 1) // 2)) * (least(r, (nn + 1) // 2) - l + 1) ELSE 0 END
+                  + CASE WHEN r >= greatest(l, (nn + 1) // 2 + 1)
+                      THEN ((nn + 1) * 2 - greatest(l, (nn + 1) // 2 + 1) - r) * (r - greatest(l, (nn + 1) // 2 + 1) + 1) ELSE 0 END)
+                 AS DOUBLE) * 1e6 / ct) AS BIGINT) AS a6
+               FROM pos),
+         agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                        CAST(sum(ct) - sum(c1) AS BIGINT) AS n2,
+                        CAST(sum(ct) AS BIGINT) AS n,
+                        sum(CAST(c1 AS HUGEINT) * r2) AS r1x2,
+                        sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tie3,
+                        sum(CAST(c1 AS HUGEINT) * a6) AS sa1,
+                        sum(CAST(ct AS HUGEINT) * a6) AS sa,
+                        sum(CAST(ct AS HUGEINT) * a6 * a6) AS saa
+                 FROM sc),
+         t AS (SELECT n1, n2,
+                 CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d, CAST(n AS DOUBLE) AS nd,
+                 CAST(r1x2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 AS u1,
+                 CAST(tie3 AS DOUBLE) AS tie3d,
+                 CAST(sa1 AS DOUBLE) / 2e6 AS astat,
+                 CAST(sa AS DOUBLE) / 2e6 AS sbar2,
+                 CAST(saa AS DOUBLE) / 4e12 AS saad
+               FROM agg),
+         g AS (SELECT n1, n2,
+                 n1d * n2d / 12.0 * ((nd + 1) - tie3d / (nd * (nd - 1))) AS vw,
+                 (u1 - n1d * n2d / 2.0) AS numw,
+                 n1d * n2d / (nd * (nd - 1)) * (saad - sbar2 * sbar2 / nd) AS va,
+                 (astat - n1d * sbar2 / nd) AS numa
+               FROM t)
+         SELECT n1, n2,
+           round(CASE WHEN n1 >= 1 AND n2 >= 1 AND vw > 0 THEN numw / sqrt(vw) END, 4) + 0.0 AS z_w,
+           round(CASE WHEN n1 >= 1 AND n2 >= 1 AND va > 0 THEN numa / sqrt(va) END, 4) + 0.0 AS z_ab,
+           round(CASE WHEN n1 >= 1 AND n2 >= 1 AND vw > 0 AND va > 0
+             THEN (numw / sqrt(vw)) * (numw / sqrt(vw)) + (numa / sqrt(va)) * (numa / sqrt(va)) END, 4) AS lepage
+         FROM g""",
     "q374_cucconi" ->
       """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS s1

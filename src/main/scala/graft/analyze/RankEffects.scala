@@ -177,6 +177,72 @@ object RankEffects {
         (aStat - e) / sqrt(varA)), 4).as("z"))
   }
 
+  /** Lepage test (Lepage 1971): the classical location-scale omnibus —
+    * the sum of the squared standardized Wilcoxon (location) and
+    * Ansari-Bradley (scale) statistics, `L = z_W² + z_AB² ~ χ²(2)`.
+    * [[cucconi]] is the modern squared-rank alternative; shipping both
+    * lets either side of a regression be attributed (L's two z's are
+    * reported separately). ONE distinct-value fold feeds both
+    * statistics: doubled midranks for W (tie-corrected variance, as
+    * q213), triangular tie-averaged scores for AB (as q367). One row
+    * `(n1, n2, z_w, z_ab, lepage)`. */
+  def lepage(df: DataFrame, valueCol: String,
+             sampleFilter: Column): DataFrame = {
+    val q = df.select(round(col(valueCol) * lit(1000000)).cast("long").as("v"),
+      when(sampleFilter, 1L).otherwise(0L).as("s1"))
+    val byV = q.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), count(lit(1)).as("ct"))
+    val w = Window.orderBy(col("v")).rowsBetween(Long.MinValue, -1)
+    val tot = Window.orderBy(col("v"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val pos = byV
+      .withColumn("r2",
+        lit(2) * coalesce(sum(col("ct")).over(w), lit(0L)) + col("ct") + 1)
+      .withColumn("l", coalesce(sum(col("ct")).over(w), lit(0L)) + 1)
+      .withColumn("r", coalesce(sum(col("ct")).over(w), lit(0L)) + col("ct"))
+      .withColumn("nn", sum(col("ct")).over(tot))
+    val kSplit = expr("(nn + 1) div 2")
+    val aHi = least(col("r"), kSplit)
+    val bLo = greatest(col("l"), kSplit + 1)
+    val t2 = when(aHi >= col("l"),
+        (col("l") + aHi) * (aHi - col("l") + 1)).otherwise(lit(0L)) +
+      when(col("r") >= bLo,
+        ((col("nn") + 1) * lit(2) - bLo - col("r")) * (col("r") - bLo + 1))
+        .otherwise(lit(0L))
+    val scored = pos.withColumn("a6",
+      round(t2.cast("double") * lit(1e6) / col("ct")).cast("long"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val agg = scored.agg(
+      sum(col("c1")).as("n1"), (sum(col("ct")) - sum(col("c1"))).as("n2"),
+      sum(col("ct")).as("n"),
+      sum(d38(col("c1")) * d38(col("r2"))).as("r1x2"),
+      sum(d38(col("ct")) * d38(col("ct")) * d38(col("ct")) -
+        d38(col("ct"))).as("tie3"),
+      sum(d38(col("c1")) * d38(col("a6"))).as("sa1"),
+      sum(d38(col("ct")) * d38(col("a6"))).as("sa"),
+      sum(d38(col("ct")) * d38(col("a6")) * d38(col("a6"))).as("saa"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nD = col("n").cast("double")
+    // Wilcoxon z, tie-corrected (the q213 formulation)
+    val u1 = col("r1x2").cast("double") / 2.0 - n1 * (n1 + 1) / 2.0
+    val vW = n1 * n2 / 12.0 *
+      ((nD + 1) - col("tie3").cast("double") / (nD * (nD - 1)))
+    val zW = (u1 - n1 * n2 / 2.0) / sqrt(vW)
+    // Ansari-Bradley z (the q367 formulation)
+    val aStat = col("sa1").cast("double") / 2e6
+    val e = n1 * (col("sa").cast("double") / 2e6) / nD
+    val vA = n1 * n2 / (nD * (nD - 1)) *
+      (col("saa").cast("double") / 4e12 -
+        (col("sa").cast("double") / 2e6) * (col("sa").cast("double") / 2e6) / nD)
+    val ok = col("n1") >= 1 && col("n2") >= 1
+    agg.select(col("n1"), col("n2"),
+      round(when(ok && vW > 0, zW), 4).as("z_w"),
+      round(when(ok && vA > 0, (aStat - e) / sqrt(vA)), 4).as("z_ab"),
+      round(when(ok && vW > 0 && vA > 0,
+        zW * zW + ((aStat - e) / sqrt(vA)) * ((aStat - e) / sqrt(vA))), 4)
+        .as("lepage"))
+  }
+
   /** Cucconi test (Cucconi 1968; Marozzi 2009's modern treatment) —
     * the JOINT location-scale two-sample test: detects a shift, a
     * spread change, or both, where Mann-Whitney sees only location and

@@ -138,6 +138,17 @@ class RankEffectsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("c_stat") - c) < 5e-3)
   }
 
+  test("lepage reproduces its two component z's and their square sum") {
+    import graft.analyze.{RankStats, RankEffects => RE}
+    val lep = RE.lepage(df, "v", col("arm") === 1).head
+    val mw = RankStats.mannWhitney(df, "v", col("arm") === 1).head
+    val ab = RE.ansariBradley(df, "v", col("arm") === 1).head
+    assert(math.abs(lep.getAs[Double]("z_w") - mw.getAs[Double]("z")) < 5e-4)
+    assert(math.abs(lep.getAs[Double]("z_ab") - ab.getAs[Double]("z")) < 5e-4)
+    val zw = lep.getAs[Double]("z_w"); val za = lep.getAs[Double]("z_ab")
+    assert(math.abs(lep.getAs[Double]("lepage") - (zw * zw + za * za)) < 5e-3)
+  }
+
   test("cucconi flags a pure scale change that mann-whitney misses") {
     import spark.implicits._
     // same median, very different spread, symmetric — U ≈ −V, C large
