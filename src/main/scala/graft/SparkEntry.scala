@@ -896,6 +896,16 @@ object SparkEntry {
     "q375_lexical_conc" -> ((s, dir) =>
       graft.text.CorpusStats.lexicalConcentration(
         Tables.documents(s, dir), "text")),
+    // ---- Siegel repeated-medians slope of daily revenue: the
+    //      50%-breakdown robust trend (Theil-Sen q204 breaks at ~29%) —
+    //      median-of-medians over the day-bounded pair frame
+    "q386_siegel_slope" -> ((s, dir) =>
+      graft.analyze.Trend.siegelSlope(Tables.events(s, dir), "ts", "value")),
+    // ---- trend/seasonal strength (Hyndman FPP3) under the q291
+    //      decomposition: the one-row forecastability readout — exact
+    //      6-dp-scale components into the variance moments
+    "q387_stl_strength" -> ((s, dir) =>
+      graft.analyze.Trend.stlStrength(Tables.events(s, dir), "ts", "value", 7)),
     // ---- Lepage omnibus between the md5 arms: squared standardized
     //      Wilcoxon + Ansari-Bradley off ONE distinct-value fold — the
     //      classical sibling of q374, with the two z's reported so a
@@ -6524,6 +6534,53 @@ object SparkEntry {
            round(CASE WHEN n_tokens >= 2 THEN CAST(coinc AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1)) END, 9) AS simpson_d,
            round(CASE WHEN n_tokens >= 2 AND vocab >= 1 THEN ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)) END, 6) AS herdan_c
          FROM agg""",
+    "q386_siegel_slope" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         slopes AS (SELECT a.day AS d1, b.day AS d2,
+                 CAST(b.yq - a.yq AS DOUBLE) / date_diff('day', a.day, b.day) / 1e6 AS sl
+               FROM daily a JOIN daily b ON a.day <> b.day),
+         perday AS (SELECT d1, sl AS med FROM (
+                 SELECT d1, sl,
+                   row_number() OVER (PARTITION BY d1 ORDER BY sl, d2) AS rn,
+                   count(*) OVER (PARTITION BY d1) AS np
+                 FROM slopes) WHERE rn = (np + 1) // 2),
+         final AS (SELECT med, row_number() OVER (ORDER BY med, d1) AS rn,
+                          count(*) OVER () AS n
+                   FROM perday)
+         SELECT CAST(n AS BIGINT) AS n_days, round(med, 6) + 0.0 AS slope
+         FROM final WHERE rn = (n + 1) // 2""",
+    "q387_stl_strength" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         wt AS (SELECT day, yq,
+                 CAST(sum(yq) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS wsum,
+                 count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+               FROM daily),
+         ft AS (SELECT day, yq, CAST(round(CAST(wsum AS DOUBLE) / 7) AS BIGINT) AS trend6,
+                 7 * yq - wsum AS d
+               FROM wt WHERE wn = 7),
+         seas AS (SELECT dayofweek(day) AS dow,
+                   CAST(round(CAST(sum(d) AS DOUBLE) / (7.0 * count(*))) AS BIGINT) AS season6
+                 FROM ft GROUP BY 1),
+         comp AS (SELECT yq - trend6 - season6 AS r, yq - season6 AS tr, yq - trend6 AS sr
+                  FROM ft JOIN seas ON dayofweek(ft.day) = seas.dow),
+         m AS (SELECT count(*) AS n,
+                 sum(CAST(r AS HUGEINT)) AS s_r, sum(CAST(r AS HUGEINT) * r) AS q_r,
+                 sum(CAST(tr AS HUGEINT)) AS s_tr, sum(CAST(tr AS HUGEINT) * tr) AS q_tr,
+                 sum(CAST(sr AS HUGEINT)) AS s_sr, sum(CAST(sr AS HUGEINT) * sr) AS q_sr
+               FROM comp),
+         v AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+                 (CAST(q_r AS DOUBLE) - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vr,
+                 (CAST(q_tr AS DOUBLE) - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vtr,
+                 (CAST(q_sr AS DOUBLE) - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vsr
+               FROM m)
+         SELECT n AS n_days,
+           round(CASE WHEN n >= 2 AND vtr > 0 THEN greatest(0.0, 1.0 - vr / vtr) END, 6) AS f_trend,
+           round(CASE WHEN n >= 2 AND vsr > 0 THEN greatest(0.0, 1.0 - vr / vsr) END, 6) AS f_seasonal
+         FROM v""",
     "q385_lepage" ->
       """WITH q AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
                 CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS s1

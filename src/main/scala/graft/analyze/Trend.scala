@@ -458,6 +458,85 @@ object Trend {
       .orderBy(col("day"))
   }
 
+  /** Siegel repeated-medians slope (Siegel 1982) over the daily series —
+    * the 50%-breakdown robust trend (Theil-Sen, q204, breaks at ~29%):
+    * for each day i take the MEDIAN of its pairwise slopes to every
+    * other day, then the median of those medians. Lower-median
+    * convention with (slope, day) tie orders — deterministic and
+    * SQL-mirrorable. One row `(n_days, slope)` (slope in value units
+    * per day, 6 dp). Day-bounded pair frame, two bounded median folds. */
+  def siegelSlope(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val a = daily.select(col("day").as("d1"), col("yq").as("y1"))
+    val b = daily.select(col("day").as("d2"), col("yq").as("y2"))
+    val slopes = a.join(b, col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2"),
+        ((col("y2") - col("y1")).cast("double") /
+          datediff(col("d2"), col("d1")) / 1e6).as("sl"))
+    val wi = Window.partitionBy(col("d1")).orderBy(col("sl"), col("d2"))
+    val perDay = slopes
+      .withColumn("rn", row_number().over(wi))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("d1"))))
+      .filter(col("rn") === floor((col("np") + 1) / 2))
+      .select(col("d1"), col("sl").as("med"))
+    val wg = Window.orderBy(col("med"), col("d1"))
+    perDay
+      .withColumn("rn", row_number().over(wg))
+      .withColumn("n", count(lit(1)).over(
+        Window.orderBy(col("med"), col("d1"))
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .filter(col("rn") === floor((col("n") + 1) / 2))
+      .select(col("n").as("n_days"), round(col("med"), 6).as("slope"))
+  }
+
+  /** Trend / seasonal STRENGTH (Hyndman & Athanasopoulos, FPP3 §4.3) of
+    * the daily series under the same moving-average decomposition as
+    * [[stlDecompose]]: `F_T = max(0, 1 − Var(R)/Var(T+R))`,
+    * `F_S = max(0, 1 − Var(R)/Var(S+R))` — the forecastability readout
+    * (≈1 strongly trended/seasonal, ≈0 noise). Components stay EXACT
+    * 6-dp-scale longs all the way to the variance moments. One row
+    * `(n_days, f_trend, f_seasonal)`. */
+  def stlStrength(df: DataFrame, tsCol: String, valueCol: String,
+                  period: Int = 7): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      s"period must be odd >= 3 for a centered window: $period")
+    val half = period / 2
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val w = Window.orderBy(col("day")).rowsBetween(-half, half)
+    val withTrend = daily
+      .withColumn("__wsum", sum(col("yq")).over(w))
+      .withColumn("__wn", count(lit(1)).over(w))
+      .where(col("__wn") === period)
+      .withColumn("__trend6",
+        round(col("__wsum").cast("double") / period).cast("long"))
+      .withColumn("__d", lit(period) * col("yq") - col("__wsum"))
+    val seasonal = withTrend
+      .groupBy(dayofweek(col("day")).as("__dow"))
+      .agg(count(lit(1)).as("__m"), sum(col("__d")).as("__sd"))
+      .select(col("__dow"),
+        round(col("__sd").cast("double") / (lit(period.toDouble) * col("__m")))
+          .cast("long").as("__season6"))
+    val comp = withTrend
+      .join(broadcast(seasonal), dayofweek(col("day")) === col("__dow"))
+      .select((col("yq") - col("__trend6") - col("__season6")).as("r"),
+        (col("yq") - col("__season6")).as("tr"),
+        (col("yq") - col("__trend6")).as("sr"))
+    def mom(c: Column, p: String) = Seq(
+      sum(dec(c)).as(s"s_$p"), sum(dec(c) * dec(c)).as(s"q_$p"))
+    val aggs = mom(col("r"), "r") ++ mom(col("tr"), "tr") ++ mom(col("sr"), "sr")
+    val m = comp.agg(count(lit(1)).as("n"), aggs: _*)
+    val n = col("n").cast("double")
+    def va(p: String) = (col(s"q_$p").cast("double") -
+      col(s"s_$p").cast("double") * col(s"s_$p").cast("double") / n) / (n - 1)
+    m.select(col("n").as("n_days"),
+      round(when(col("n") >= 2 && va("tr") > 0,
+        greatest(lit(0.0), lit(1.0) - va("r") / va("tr"))), 6).as("f_trend"),
+      round(when(col("n") >= 2 && va("sr") > 0,
+        greatest(lit(0.0), lit(1.0) - va("r") / va("sr"))), 6).as("f_seasonal"))
+  }
+
   /** X-bar control chart summary (Shewhart) over daily subgroups of the
     * per-event value — the SPC alarm that complements the SEQUENTIAL
     * detectors (q232 CUSUM reacts to small persistent shifts, q149 EWMA

@@ -80,6 +80,45 @@ class TrendRandomnessSpec extends AnyFunSuite {
     assert(f.isNullAt(f.fieldIndex("z")))
   }
 
+  test("siegel slope survives 40% outlier days where the mean slope dies") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    // true slope 2.0/day; 40% of days corrupted by huge spikes
+    val rows = (1 to 30).map { d =>
+      val clean = 100.0 + 2.0 * d
+      (day(d), if (d % 5 < 2) clean + 5000.0 else clean)
+    }
+    val r = Trend.siegelSlope(rows.toDF("ts", "v"), "ts", "v").head
+    assert(r.getAs[Long]("n_days") == 30L)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 0.5,
+      s"repeated medians must hold the clean slope, got ${r.getAs[Double]("slope")}")
+  }
+
+  test("siegel slope on a clean line is exact") {
+    import spark.implicits._
+    val rows = (1 to 10).map(d => (day(d), 50.0 + 3.25 * d))
+    val r = Trend.siegelSlope(rows.toDF("ts", "v"), "ts", "v").head
+    assert(r.getAs[Double]("slope") == 3.25)
+  }
+
+  test("stl strength: strong weekly cycle reads high f_seasonal, noise reads low") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val seasonal = (1 to 56).map(d =>
+      (day(d), 100.0 + Seq(0, 30, 5, -20, 10, -15, -10)((d - 1) % 7)))
+    val rs = Trend.stlStrength(seasonal.toDF("ts", "v"), "ts", "v", 7).head
+    assert(rs.getAs[Double]("f_seasonal") > 0.95)
+    val noise = (1 to 56).map(d =>
+      (day(d), 100.0 + math.rint(rnd.nextGaussian() * 1000) / 100))
+    val rn2 = Trend.stlStrength(noise.toDF("ts", "v"), "ts", "v", 7).head
+    assert(rn2.getAs[Double]("f_seasonal") < 0.5)
+    // strong linear trend reads high f_trend
+    val trend = (1 to 56).map(d =>
+      (day(d), 100.0 + 10.0 * d + math.rint(rnd.nextGaussian() * 100) / 100))
+    val rt = Trend.stlStrength(trend.toDF("ts", "v"), "ts", "v", 7).head
+    assert(rt.getAs[Double]("f_trend") > 0.95)
+  }
+
   test("token burstiness: a clumping token out-scores an evenly spread one") {
     import spark.implicits._
     // 'spread' once in each of 8 docs; 'clump' 8 times in one doc
