@@ -896,6 +896,15 @@ object SparkEntry {
     "q375_lexical_conc" -> ((s, dir) =>
       graft.text.CorpusStats.lexicalConcentration(
         Tables.documents(s, dir), "text")),
+    // ---- turning-points randomness test over daily totals: too few
+    //      extrema = trending, too many = alternating — the third
+    //      randomness lens beside q300 runs and q377 RVN
+    "q388_turning_points" -> ((s, dir) =>
+      graft.analyze.Trend.turningPoints(Tables.events(s, dir), "ts", "value")),
+    // ---- difference-sign test: rises among consecutive daily totals
+    //      vs the i.i.d. (n−1)/2 — the bluntest drift alarm
+    "q389_diff_sign" -> ((s, dir) =>
+      graft.analyze.Trend.differenceSign(Tables.events(s, dir), "ts", "value")),
     // ---- Siegel repeated-medians slope of daily revenue: the
     //      50%-breakdown robust trend (Theil-Sen q204 breaks at ~29%) —
     //      median-of-medians over the day-bounded pair frame
@@ -6534,6 +6543,38 @@ object SparkEntry {
            round(CASE WHEN n_tokens >= 2 THEN CAST(coinc AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1)) END, 9) AS simpson_d,
            round(CASE WHEN n_tokens >= 2 AND vocab >= 1 THEN ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)) END, 6) AS herdan_c
          FROM agg""",
+    "q388_turning_points" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         lagd AS (SELECT yq, lag(yq) OVER (ORDER BY day) AS p,
+                         lead(yq) OVER (ORDER BY day) AS f
+                  FROM daily),
+         t AS (SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN p IS NOT NULL AND f IS NOT NULL
+                   AND ((yq > p AND yq > f) OR (yq < p AND yq < f))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS t_points
+               FROM lagd)
+         SELECT CAST(n AS BIGINT) AS n_days, t_points,
+           round((CAST(n AS DOUBLE) - 2) * 2 / 3, 4) AS expected,
+           round(CASE WHEN n >= 3 AND (CAST(n AS DOUBLE) * 16 - 29) / 90 > 0
+             THEN (t_points - (CAST(n AS DOUBLE) - 2) * 2 / 3)
+                / sqrt((CAST(n AS DOUBLE) * 16 - 29) / 90) END, 4) + 0.0 AS z
+         FROM t""",
+    "q389_diff_sign" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         lagd AS (SELECT yq, lag(yq) OVER (ORDER BY day) AS p FROM daily),
+         t AS (SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN p IS NOT NULL AND yq > p THEN 1 ELSE 0 END) AS BIGINT) AS n_rises
+               FROM lagd)
+         SELECT CAST(n AS BIGINT) AS n_days, n_rises,
+           round((CAST(n AS DOUBLE) - 1) / 2, 4) AS expected,
+           round(CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) + 1) / 12 > 0
+             THEN (n_rises - (CAST(n AS DOUBLE) - 1) / 2)
+                / sqrt((CAST(n AS DOUBLE) + 1) / 12) END, 4) + 0.0 AS z
+         FROM t""",
     "q386_siegel_slope" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq

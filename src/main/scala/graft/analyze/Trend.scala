@@ -537,6 +537,56 @@ object Trend {
         greatest(lit(0.0), lit(1.0) - va("r") / va("sr"))), 6).as("f_seasonal"))
   }
 
+  /** Turning-points randomness test (Kendall): count strict local
+    * extrema among the daily totals — an i.i.d. series has
+    * `E[T] = 2(n−2)/3`, `Var[T] = (16n−29)/90`; too FEW turning points
+    * reads trending/sticky, too many reads alternating. Tied
+    * neighbors make a point non-strict and it simply doesn't count
+    * (documented; both engines share the convention). One row
+    * `(n_days, t_points, expected, z)` — days-bounded lead/lag frame. */
+  def turningPoints(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val wd = Window.orderBy(col("day"))
+    val t = daily
+      .withColumn("p", lag(col("yq"), 1).over(wd))
+      .withColumn("f", lead(col("yq"), 1).over(wd))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p").isNotNull && col("f").isNotNull &&
+          ((col("yq") > col("p") && col("yq") > col("f")) ||
+            (col("yq") < col("p") && col("yq") < col("f"))), 1L)
+          .otherwise(0L)).as("t_points"))
+    val n = col("n").cast("double")
+    val e = (n - 2) * 2 / 3
+    val v = (n * 16 - 29) / 90
+    t.select(col("n").as("n_days"), col("t_points"),
+      round(e, 4).as("expected"),
+      round(when(col("n") >= 3 && v > 0,
+        (col("t_points") - e) / sqrt(v)), 4).as("z"))
+  }
+
+  /** Difference-sign randomness test: count rises among consecutive
+    * daily totals — i.i.d. gives `E[S] = (n−1)/2`, `Var[S] = (n+1)/12`;
+    * a monotone drift shows immediately. Ties count as non-rises
+    * (documented). One row `(n_days, n_rises, expected, z)`. */
+  def differenceSign(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val wd = Window.orderBy(col("day"))
+    val t = daily
+      .withColumn("p", lag(col("yq"), 1).over(wd))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p").isNotNull && col("yq") > col("p"), 1L)
+          .otherwise(0L)).as("n_rises"))
+    val n = col("n").cast("double")
+    val e = (n - 1) / 2
+    val v = (n + 1) / 12
+    t.select(col("n").as("n_days"), col("n_rises"),
+      round(e, 4).as("expected"),
+      round(when(col("n") >= 2 && v > 0,
+        (col("n_rises") - e) / sqrt(v)), 4).as("z"))
+  }
+
   /** X-bar control chart summary (Shewhart) over daily subgroups of the
     * per-event value — the SPC alarm that complements the SEQUENTIAL
     * detectors (q232 CUSUM reacts to small persistent shifts, q149 EWMA

@@ -119,6 +119,30 @@ class TrendRandomnessSpec extends AnyFunSuite {
     assert(rt.getAs[Double]("f_trend") > 0.95)
   }
 
+  test("turning points: alternating maximizes, monotone zeroes") {
+    import spark.implicits._
+    val alt = (1 to 20).map(d => (day(d), if (d % 2 == 0) 100.0 else 10.0))
+    val ra = Trend.turningPoints(alt.toDF("ts", "v"), "ts", "v").head
+    assert(ra.getAs[Long]("t_points") == 18L)  // every interior point
+    assert(ra.getAs[Double]("z") > 3.0)
+    val mono = (1 to 20).map(d => (day(d), d * 1.0))
+    val rm = Trend.turningPoints(mono.toDF("ts", "v"), "ts", "v").head
+    assert(rm.getAs[Long]("t_points") == 0L)
+    assert(rm.getAs[Double]("z") < -3.0)
+  }
+
+  test("difference sign: monotone rise saturates, monotone fall zeroes") {
+    import spark.implicits._
+    val up = (1 to 25).map(d => (day(d), d * 1.0))
+    val ru = Trend.differenceSign(up.toDF("ts", "v"), "ts", "v").head
+    assert(ru.getAs[Long]("n_rises") == 24L)
+    assert(math.abs(ru.getAs[Double]("expected") - 12.0) < 1e-9)
+    assert(ru.getAs[Double]("z") > 3.0)
+    val down = (1 to 25).map(d => (day(d), -d * 1.0))
+    val rd = Trend.differenceSign(down.toDF("ts", "v"), "ts", "v").head
+    assert(rd.getAs[Long]("n_rises") == 0L)
+  }
+
   test("token burstiness: a clumping token out-scores an evenly spread one") {
     import spark.implicits._
     // 'spread' once in each of 8 docs; 'clump' 8 times in one doc
