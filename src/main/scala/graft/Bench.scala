@@ -33,13 +33,17 @@ object Bench {
     // artifact — an ad-hoc 5-query iteration must not clobber the
     // committed full-suite BENCH_FULL.json
     val archive = !isChild && (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
-    val results =
-      if (isChild || sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0"))
-        runInProcess(sfDir, selected)
-      else orchestrate(sfDir, selected, archive)
-    val line = renderLine(results, selected, isChild, sfDir)
-    println(line)
-    if (archive) writeArtifact(line)
+    if (isChild || sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0")) {
+      val (results, sentinel) = runInProcess(sfDir, selected)
+      val line = renderLine(results, selected, isChild, sfDir,
+        sentinel.map(s => Seq("child" -> s)).getOrElse(Nil))
+      println(line)
+    } else {
+      val (results, sentinels) = orchestrate(sfDir, selected, archive)
+      val line = renderLine(results, selected, isChild, sfDir, sentinels)
+      println(line)
+      if (archive) writeArtifact(line)
+    }
   }
 
   /** Assemble the one-line JSON. `value`/`queries` cover SUCCEEDED queries
@@ -49,7 +53,8 @@ object Bench {
     * budget never reached (distinct from failures: they did not run at all,
     * and a truncated total must be recognizable as truncated). */
   private def renderLine(results: Seq[(String, Double, Boolean)],
-                         selected: Seq[String], isChild: Boolean, sfDir: String): String = {
+                         selected: Seq[String], isChild: Boolean, sfDir: String,
+                         sentinels: Seq[(String, Double)] = Nil): String = {
     val ran = results.map(_._1).toSet
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -57,7 +62,12 @@ object Bench {
       .mkString("[", ",", "]")
     val skipped = selected.filterNot(ran).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"skipped":$skipped,"isolated":${!isChild},"sf":"$sfDir"}"""
+    // per-group contention sentinel (one pinned floor query re-timed by
+    // every child): a host-contended window shows as sentinel drift in
+    // the committed artifact instead of needing forensic inference
+    val sent = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"skipped":$skipped,"sentinels":$sent,"isolated":${!isChild},"sf":"$sfDir"}"""
   }
 
   private def writeArtifact(line: String): Unit = {
@@ -86,7 +96,7 @@ object Bench {
     * in the JSON's `skipped` list — a truncated artifact beats the rc-124
     * nothing the round-7 driver run left behind. */
   private def orchestrate(sfDir: String, selected: Seq[String],
-                          archive: Boolean): Seq[(String, Double, Boolean)] = {
+      archive: Boolean): (Seq[(String, Double, Boolean)], Seq[(String, Double)]) = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -103,17 +113,27 @@ object Bench {
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").map(_.toDouble).getOrElse(1320.0)
     val wall0 = System.nanoTime()
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
-    groups.foreach { names =>
+    val sents = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    groups.zipWithIndex.foreach { case ((names, timeoutMin), gi) =>
       val elapsed = (System.nanoTime() - wall0) / 1e9
       if (elapsed > budgetSec) {
         System.err.println(f"[bench] budget ${budgetSec}%.0f s exhausted at $elapsed%.0f s — skipping group(${names.head}…)")
       } else {
-        acc ++= runGroup(javaBin, jvmArgs, cp, sfDir, names)
+        val (rs, sent) = runGroup(javaBin, jvmArgs, cp, sfDir, names, timeoutMin)
+        acc ++= rs
+        sent.foreach { s =>
+          sents += (f"g$gi%03d_${names.head}" -> s)
+          // drift flag against the first group's sentinel: >1.5× means a
+          // contended window poisoned (at least) this group's numbers
+          sents.headOption.filter(h => h._2 > 0 && s / h._2 > 1.5).foreach { h =>
+            System.err.println(f"[bench] SENTINEL DRIFT group $gi: $s%.2f s vs first ${h._2}%.2f s (${s / h._2}%.1f×) — contended window")
+          }
+        }
         if (archive)
-          writeArtifact(renderLine(acc.toSeq, selected, isChild = false, sfDir))
+          writeArtifact(renderLine(acc.toSeq, selected, isChild = false, sfDir, sents.toSeq))
       }
     }
-    acc.toSeq
+    (acc.toSeq, sents.toSeq)
   }
 
   /** Split the query list into fork groups, COST-TIERED off the previous
@@ -140,7 +160,7 @@ object Bench {
     * families (graph, dedup) spread across forks instead of stacking.
     * SPARK_GRAFT_BENCH_GROUP=n overrides everything: single-tier stride
     * groups of n (n=1 is the old one-per-JVM behavior). */
-  private def planGroups(selected: Seq[String]): Seq[Seq[String]] = {
+  private def planGroups(selected: Seq[String]): Seq[(Seq[String], Int)] = {
     def stride(names: Seq[String], size: Int): Seq[Seq[String]] = {
       val n = math.max(1, (names.size + size - 1) / size)
       (0 until n).map(i => names.indices.collect {
@@ -148,13 +168,17 @@ object Bench {
       }).filter(_.nonEmpty)
     }
     sys.env.get("SPARK_GRAFT_BENCH_GROUP").map(_.toInt) match {
-      case Some(size) => stride(selected, size)
+      case Some(size) => stride(selected, size).map((_, 20))
       case None =>
         val costs = loadCosts(sys.env.getOrElse("SPARK_GRAFT_BENCH_COSTS",
           "/root/repo/BENCH_FULL.json"))
         val (heavy, rest) = selected.partition(n => costs.get(n).exists(_ >= 2.0))
         val (cheap, medium) = rest.partition(n => costs.get(n).exists(_ < 1.2))
-        stride(heavy, 4) ++ stride(medium, 8) ++ stride(cheap, 32)
+        // per-tier fork timeout: a heavy group of 4 on this documented-noisy
+        // VM can legitimately overrun 10 min; killing it records all four
+        // heaviest queries as failures, so the heavy tier keeps 20 min
+        stride(heavy, 4).map((_, 20)) ++ stride(medium, 8).map((_, 12)) ++
+          stride(cheap, 32).map((_, 10))
     }
   }
 
@@ -175,7 +199,8 @@ object Bench {
     } catch { case _: Exception => Map.empty }
 
   private def runGroup(javaBin: String, jvmArgs: Seq[String], cp: String,
-                       sfDir: String, names: Seq[String]): Seq[(String, Double, Boolean)] = {
+                       sfDir: String, names: Seq[String], timeoutMin: Int)
+      : (Seq[(String, Double, Boolean)], Option[Double]) = {
     import scala.jdk.CollectionConverters._
     {
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
@@ -191,13 +216,18 @@ object Bench {
         // stdout is a handful of lines (Spark logs go to the inherited
         // stderr), far below the pipe buffer — safe to waitFor first and
         // drain afterwards, which keeps the timeout effective on a hang
-        val exited = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+        val exited = p.waitFor(timeoutMin.toLong, java.util.concurrent.TimeUnit.MINUTES)
         if (!exited) { p.destroyForcibly(); p.waitFor() }
         val out = new String(p.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         val line = out.linesIterator.find(_.startsWith("{\"metric\""))
         val wall = (System.nanoTime() - t0) / 1e9
-        names.map { name =>
+        val sentinel = line.flatMap { l =>
+          val m = java.util.regex.Pattern
+            .compile("\"sentinels\":\\{\"child\":([0-9.eE+-]+)").matcher(l)
+          if (m.find()) Some(m.group(1).toDouble) else None
+        }
+        val rs = names.map { name =>
           val time = line.flatMap { l =>
             val m = java.util.regex.Pattern
               .compile("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.eE+-]+)")
@@ -215,15 +245,19 @@ object Bench {
           System.err.println(f"[bench] $name: query=${time.getOrElse(-1.0)}%.3f s group-wall=$wall%.1f s ok=$ok")
           (name, time.getOrElse(0.0), ok)
         }
+        (rs, sentinel)
       } catch { case e: Exception =>
         System.err.println(s"[bench] group(${names.head}…) fork FAILED: ${e.getMessage}")
-        names.map(n => (n, 0.0, false))
+        (names.map(n => (n, 0.0, false)), None)
       }
     }
   }
 
-  /** The in-JVM loop (child mode / SPARK_GRAFT_BENCH_FORK=0 escape hatch). */
-  private def runInProcess(sfDir: String, selected: Seq[String]): Seq[(String, Double, Boolean)] = {
+  /** The in-JVM loop (child mode / SPARK_GRAFT_BENCH_FORK=0 escape hatch).
+    * Also times one pinned floor query (the contention sentinel) after
+    * warmup, returned separately — never mixed into the measured set. */
+  private def runInProcess(sfDir: String, selected: Seq[String])
+      : (Seq[(String, Double, Boolean)], Option[Double]) = {
     // the library session: GraftExtensions (custom strategies + native
     // expressions) and the scale-tuned defaults, same as Verify
     val spark = GraftSession.builder("graft-bench").getOrCreate()
@@ -256,6 +290,18 @@ object Bench {
     // target SF measures data-proportional engine work, not first-run JVM
     // costs (cold-vs-warm measured ~1 s of fixed overhead per query).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DIR", "/root/testdata/sf0.001")
+    // contention sentinel: one pinned floor query (scan+filter+project),
+    // warmed then timed at the target SF. Its absolute value is the
+    // session floor; cross-group DRIFT is the host-contention signal.
+    val sentinel = SparkEntry.queries.get("q02_filter_project").map { fn =>
+      if (new java.io.File(warmDir).isDirectory)
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      val s0 = System.nanoTime()
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - s0) / 1e9
+    }
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       if (new java.io.File(warmDir).isDirectory)
@@ -278,6 +324,6 @@ object Bench {
       (name, dt, ok)
     }
     spark.stop()
-    results
+    (results, sentinel)
   }
 }

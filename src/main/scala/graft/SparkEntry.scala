@@ -6440,7 +6440,7 @@ object SparkEntry {
     "q381_twonn" ->
       """WITH p AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
          pr AS (SELECT a.id, b.id AS nb,
-                       CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d
+                       CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e9) AS BIGINT) AS d
                 FROM p a JOIN p b ON a.id <> b.id),
          top2 AS (SELECT id,
                     min(CASE WHEN rn = 1 THEN d END) AS r1,

@@ -253,11 +253,13 @@ object Agreement {
       round(when(col("n") >= 2, hi), 6).as("loa_upper"))
     // pct inside the limits: one more pass over the pinned differences
     // against the UNROUNDED limits (broadcast scalar row)
+    // n < 2 → sd/limits are undefined: gate like sd_diff/loa_* so the
+    // degenerate case reads null rather than counting every row outside
     val within = d.crossJoin(broadcast(m))
       .agg((sum(when(col("dq").cast("double") / 1e6 >= lo &&
         col("dq").cast("double") / 1e6 <= hi, 1L).otherwise(0L)).cast("double") /
-        count(lit(1))).as("raw"))
-      .select(round(col("raw"), 6).as("pct_within"))
+        count(lit(1))).as("raw"), first(col("n")).as("__n"))
+      .select(round(when(col("__n") >= 2, col("raw")), 6).as("pct_within"))
     stats.crossJoin(within)
   }
 }

@@ -792,7 +792,10 @@ object Experiment {
     val vy = (col("syy").cast("double") - sy * sy / n) / (n - 1)
     val cxy = (col("sxy").cast("double") - sx * sy / n) / (n - 1)
     val se = sqrt((vx - cxy * r * 2 + vy * r * r) / (n * ybar * ybar))
-    m.select(col("n").as("n_units"), round(r, 6).as("ratio"),
+    m.select(col("n").as("n_units"),
+      // sy = 0 → the ratio itself is undefined; same guard as the
+      // siblings so the degenerate row reads null, not NaN/Infinity
+      round(when(col("sy") > 0, r), 6).as("ratio"),
       round(when(col("n") >= 2 && col("sy") > 0, se), 6).as("se"),
       round(when(col("n") >= 2 && col("sy") > 0, r - se * 1.959964), 6)
         .as("ci_lo"),
@@ -829,20 +832,28 @@ object Experiment {
     // oracle takes, so every replicate division sees identical inputs
     val sxd = totRow.getDecimal(1).doubleValue()
     val syd = totRow.getDecimal(2).doubleValue()
+    // a unit holding the ENTIRE denominator makes its replicate division
+    // by zero → Inf/NaN; such replicates are undefined — drop them from
+    // the moment sums (both engines would otherwise emit garbage moments)
     val reps = per
+      .filter(lit(syd) - col("yq") =!= 0.0)
       .select(round((lit(sxd) - col("xq")) / (lit(syd) - col("yq")) *
         lit(1e12)).cast("long").as("r12"))
-      .agg(sum(d38(col("r12"))).as("sr"),
+      .agg(count(lit(1)).as("nrep"), sum(d38(col("r12"))).as("sr"),
         sum(d38(col("r12")) * d38(col("r12"))).as("srr"))
     val n = lit(nL).cast("double")
     val r = lit(sxd) / lit(syd)
     val ssd = col("srr").cast("double") -
       col("sr").cast("double") * col("sr").cast("double") / n
     val se = sqrt((n - 1) / n * ssd) / 1e12
-    reps.select(lit(nL).as("n_units"), round(r, 6).as("ratio"),
-      round(when(lit(nL) >= 2, se), 6).as("se_jack"),
-      round(when(lit(nL) >= 2, r - se * 1.959964), 6).as("ci_lo"),
-      round(when(lit(nL) >= 2, r + se * 1.959964), 6).as("ci_hi"))
+    // SE is defined only when every replicate was (nrep == n); a
+    // dropped replicate means the jackknife itself is degenerate → null
+    val ok = lit(nL) >= 2 && col("nrep") === lit(nL)
+    reps.select(lit(nL).as("n_units"),
+      round(when(lit(syd) =!= 0.0, r), 6).as("ratio"),
+      round(when(ok, se), 6).as("se_jack"),
+      round(when(ok, r - se * 1.959964), 6).as("ci_lo"),
+      round(when(ok, r + se * 1.959964), 6).as("ci_hi"))
   }
 
   /** Post-stratified A/B difference (the design-based cousin of

@@ -512,14 +512,19 @@ object Trend {
       .withColumn("__trend6",
         round(col("__wsum").cast("double") / period).cast("long"))
       .withColumn("__d", lit(period) * col("yq") - col("__wsum"))
+    // seasonal class = day index mod period (NOT dayofweek: for
+    // period != 7 weekday classes would mix distinct phases; for the
+    // default 7 the partition is identical, so oracles are unaffected)
+    val sClass = pmod(datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-05"))),
+      lit(period))
     val seasonal = withTrend
-      .groupBy(dayofweek(col("day")).as("__dow"))
+      .groupBy(sClass.as("__ph"))
       .agg(count(lit(1)).as("__m"), sum(col("__d")).as("__sd"))
-      .select(col("__dow"),
+      .select(col("__ph"),
         round(col("__sd").cast("double") / (lit(period.toDouble) * col("__m")))
           .cast("long").as("__season6"))
     val comp = withTrend
-      .join(broadcast(seasonal), dayofweek(col("day")) === col("__dow"))
+      .join(broadcast(seasonal), sClass === col("__ph"))
       .select((col("yq") - col("__trend6") - col("__season6")).as("r"),
         (col("yq") - col("__season6")).as("tr"),
         (col("yq") - col("__trend6")).as("sr"))

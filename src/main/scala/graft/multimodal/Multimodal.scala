@@ -11,16 +11,103 @@ import org.apache.spark.sql.functions._
   * iterator-to-iterator `mapPartitions` (no per-partition materialization,
   * spill-safe), and never collect payloads to the driver.
   *
-  * ==STUB NOTICE==
-  * This container has no image/audio codec libraries, so the DECODE step
-  * is a deterministic fake ([[decodeStub]]): it derives plausible
-  * metadata (width/height/channels or sample rate) from a hash of the
-  * payload instead of parsing a real container format. Everything AROUND
-  * the decode — schema, batching, partitioning, UDF signature, byte-level
-  * feature extraction, frame sampling — is real and tested; swapping in a
-  * real codec only replaces the body of `decodeStub`.
+  * ==DECODE CONTRACT==
+  * Image payloads that are REAL PNG/JPEG/GIF/BMP containers are decoded
+  * with the JDK's built-in `javax.imageio` ([[decodeImage]]) — true
+  * width/height/channels and a true 8×8 luminance-grid aHash, no
+  * external dependency. Payloads ImageIO cannot parse (including this
+  * repo's UTF-8 text fixtures) fall back to the deterministic
+  * byte-derived path ([[decodeStub]], byte-resampled [[aHash64]]), so
+  * every pipeline stays runnable in a codec-less test environment and
+  * fixture outputs are unchanged. Audio/video remain stubbed (no JDK
+  * codec); their schema/batching/partitioning plumbing is real.
   */
 object Multimodal {
+
+  // ImageIO's default file-backed stream cache would touch disk per
+  // decode inside executor tasks — keep decodes purely in-memory
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Real image decode via the JDK's ImageIO: `Some((width, height,
+    * channels, gray))` where `gray` is the row-major 8-bit luminance
+    * plane (ITU-R BT.601 integer weights, exact: `(299r+587g+114b)/1000`
+    * truncated), or `None` when the payload is not a parseable image.
+    * Deterministic: pixel access is through `getRGB` (sRGB ints), no
+    * float filtering. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 8) return None
+    // magic-byte fast path: skip ImageIO's reader probing entirely for
+    // payloads that cannot be PNG/JPEG/GIF/BMP (e.g. text fixtures) —
+    // keeps the fallback path free of per-row codec machinery
+    val isImg = (payload(0) == 0x89.toByte && payload(1) == 'P') || // PNG
+      (payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte) ||   // JPEG
+      (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') ||
+      (payload(0) == 'B' && payload(1) == 'M')
+    if (!isImg) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val channels = if (img.getColorModel.hasAlpha) 4
+          else if (img.getColorModel.getNumComponents == 1) 1 else 3
+        val gray = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+            gray(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, channels, gray))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** True 64-bit average hash of a DECODED image: partition the
+    * luminance plane into an 8×8 grid of blocks, exact integer mean per
+    * block (`Σlum·64 ≥ blockPixels·total/64`-free form: cell sums are
+    * compared as `cellMean·64 > Σ cellMeans` like the byte path), bit i
+    * set when cell i is brighter than the grid mean. */
+  def aHash64Gray(w: Int, h: Int, gray: Array[Byte]): Long = {
+    if (w <= 0 || h <= 0) return 0L
+    val cells = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min((y.toLong * 8 / h).toInt, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min((x.toLong * 8 / w).toInt, 7)
+        val i = cy * 8 + cx
+        cells(i) += (gray(y * w + x) & 0xFF)
+        counts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // exact integer threshold: cellMean_i > mean of cell means, scaled
+    // through the common denominator Π counts is overkill — compare at
+    // 20-bit fixed point (counts ≤ 2^31, sums ≤ 2^39; 2^20 scale keeps
+    // everything inside a long)
+    val means = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      means(i) = if (counts(i) > 0) (cells(i) << 20) / counts(i) else 0L
+      i += 1
+    }
+    var total = 0L
+    i = 0
+    while (i < 64) { total += means(i); i += 1 }
+    var hsh = 0L
+    i = 0
+    while (i < 64) { if (means(i) * 64L > total) hsh |= (1L << i); i += 1 }
+    hsh
+  }
 
   /** Decoded-media metadata (the typed half of the binary+metadata pair). */
   case class MediaMeta(kind: String, width: Int, height: Int, channels: Int,
@@ -41,9 +128,20 @@ object Multimodal {
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** ??? real decode — requires a codec library absent from this
-    * environment. The stub derives deterministic fake dimensions from the
-    * payload hash so downstream plumbing is testable. */
+  /** Metadata decode: real [[decodeImage]] first for image payloads;
+    * anything unparseable falls through to the deterministic
+    * byte-derived stub (audio/video have no JDK codec — stub only). */
+  private def decodeMeta(kind: String, payload: Array[Byte]): MediaMeta =
+    if (kind == "image")
+      decodeImage(payload) match {
+        case Some((w, h, c, _)) => MediaMeta(kind, w, h, c, 0, payload.length.toLong)
+        case None => decodeStub(kind, payload)
+      }
+    else decodeStub(kind, payload)
+
+  /** Byte-derived fallback metadata — deterministic fake dimensions from
+    * the payload hash, for payloads no JDK codec can parse (and for the
+    * audio/video kinds, which have none). */
   private def decodeStub(kind: String, payload: Array[Byte]): MediaMeta = {
     var h = 1469598103934665603L // FNV offset
     var i = 0
@@ -81,7 +179,7 @@ object Multimodal {
             if (hist(j) > 0) { val q = hist(j).toDouble / n; entropy -= q * math.log(q) / math.log(2) }
             j += 1
           }
-          val meta = decodeStub(rec.kind, p)
+          val meta = decodeMeta(rec.kind, p)
           MediaFeatures(rec.media_id, rec.kind, p.length.toLong, sum / n, entropy,
             meta.width, meta.height, meta.channels, meta.sampleRate)
         }
@@ -137,10 +235,21 @@ object Multimodal {
     h
   }
 
+  /** Perceptual hash with real decode when possible: a payload ImageIO
+    * parses gets the true luminance-grid [[aHash64Gray]]; anything else
+    * (text fixtures, audio, video) gets the byte-resampled [[aHash64]].
+    * Deterministic either way. */
+  def aHash64Auto(payload: Array[Byte]): Long =
+    decodeImage(payload) match {
+      case Some((w, h, _, gray)) => aHash64Gray(w, h, gray)
+      case None => aHash64(payload)
+    }
+
   /** The input plus an `ahash` column (iterator-to-iterator, payloads
-    * never leave their partition). */
+    * never leave their partition). Real-image payloads hash through the
+    * decoded luminance plane; others through the byte fallback. */
   def withAHash(media: DataFrame): DataFrame = {
-    val hasher = udf((p: Array[Byte]) => aHash64(p))
+    val hasher = udf((p: Array[Byte]) => aHash64Auto(p))
     media.withColumn("ahash", hasher(col("payload")))
   }
 

@@ -128,4 +128,69 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got.contains((2L, 1L)) && got.contains((2L, 2L)))
     }
   }
+
+  // ---- real-image decode (javax.imageio) ----
+
+  /** Render a w×h image with a pixel function and encode it as PNG. */
+  private def png(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("decodeImage: real PNG dimensions/channels; text payloads refuse") {
+    val p = png(40, 25)((x, y) => (x * 6) << 16 | (y * 9) << 8 | 40)
+    val Some((w, h, c, gray)) = Multimodal.decodeImage(p)
+    assert(w == 40 && h == 25 && c == 3 && gray.length == 40 * 25)
+    // luminance of pixel (0,0): r=0,g=0,b=40 → (114*40)/1000 = 4
+    assert((gray(0) & 0xFF) == 4)
+    assert(Multimodal.decodeImage("just some text".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+  }
+
+  test("real aHash: half-bright image hashes by luminance, not bytes") {
+    // left half dark, right half bright → exactly the 4 right-hand cell
+    // columns set (32 bits), at ANY resolution — a structural property
+    // the byte-resampled fallback cannot reproduce from PNG bytes
+    val p = png(160, 96)((x, _) => if (x < 80) 0x101010 else 0xE0E0E0)
+    val h = Multimodal.aHash64Auto(p)
+    assert(java.lang.Long.bitCount(h) == 32, f"got ${java.lang.Long.bitCount(h)} bits in $h%016x")
+    // one-pixel perturbation: perceptual hash unchanged (tiny blocks mean)
+    val p2 = png(160, 96)((x, y) =>
+      if (x == 3 && y == 3) 0x202020 else if (x < 80) 0x101010 else 0xE0E0E0)
+    assert(java.lang.Long.bitCount(h ^ Multimodal.aHash64Auto(p2)) <= 1,
+      "near-identical images must be near-dup under the real aHash")
+    // the raw PNG BYTES of p and p2 differ substantially (deflate
+    // cascade), so the decoded-hash agreement is evidence of real decode
+    val byteHash1 = Multimodal.aHash64(p)
+    val byteHash2 = Multimodal.aHash64(p2)
+    assert(h != byteHash1 || byteHash1 != byteHash2,
+      "decoded hash should not be the byte-fallback hash")
+    // a structurally different image is far away
+    val p3 = png(160, 96)((_, y) => if (y % 12 < 6) 0x000000 else 0xFFFFFF)
+    assert(java.lang.Long.bitCount(h ^ Multimodal.aHash64Auto(p3)) > 10)
+  }
+
+  test("withAHash + nearDupPairs find the perturbed PNG pair; extractFeatures reads real dims") {
+    import spark.implicits._
+    val p = png(64, 64)((x, y) => if ((x / 8 + y / 8) % 2 == 0) 0x202020 else 0xD0D0D0)
+    val pNear = png(64, 64)((x, y) =>
+      if (x == 0 && y == 0) 0x303030
+      else if ((x / 8 + y / 8) % 2 == 0) 0x202020 else 0xD0D0D0)
+    val pFar = png(64, 64)((x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    val media = Seq((1L, "image", p), (2L, "image", pNear), (3L, "image", pFar),
+        (4L, "image", "not an image at all, just text".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.nearDupPairs(media, "media_id", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"perturbed PNG pair not found: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 64 && feats(1L).height == 64 && feats(1L).channels == 3)
+    // the text payload falls back to byte-derived stub dims — deterministic
+    assert(feats(4L).width >= 64)
+  }
 }
