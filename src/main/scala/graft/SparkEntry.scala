@@ -905,6 +905,12 @@ object SparkEntry {
     //      vs the i.i.d. (n−1)/2 — the bluntest drift alarm
     "q389_diff_sign" -> ((s, dir) =>
       graft.analyze.Trend.differenceSign(Tables.events(s, dir), "ts", "value")),
+    // ---- bucketed LOF (the 100 TB shape of q269): nearest-of-16-seeds
+    //      bucketing bounds pair work to Σ|bucket|² ≈ N²/16; identical
+    //      reach/lrd/lof algebra within buckets
+    "q390_lof_bucketed" -> ((s, dir) =>
+      graft.sim.Lof.bucketedTop(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 10, 20, 16)),
     // ---- Siegel repeated-medians slope of daily revenue: the
     //      50%-breakdown robust trend (Theil-Sen q204 breaks at ~29%) —
     //      median-of-medians over the day-bounded pair frame
@@ -6575,6 +6581,35 @@ object SparkEntry {
              THEN (n_rises - (CAST(n AS DOUBLE) - 1) / 2)
                 / sqrt((CAST(n AS DOUBLE) + 1) / 12) END, 4) + 0.0 AS z
          FROM t""",
+    "q390_lof_bucketed" ->
+      """WITH p AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         seeds AS (SELECT id AS sid, v AS sv FROM p ORDER BY id LIMIT 16),
+         asg AS (SELECT id, sid AS cluster FROM (
+             SELECT p.id, s.sid,
+               row_number() OVER (PARTITION BY p.id ORDER BY
+                 CAST(round((1.0 - list_cosine_similarity(p.v, s.sv)) * 1e12) AS BIGINT), s.sid) AS rn
+             FROM p CROSS JOIN seeds s) WHERE rn = 1),
+         pr AS (SELECT a.id, b.id AS nb,
+                  CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d
+                FROM p a JOIN asg ca ON a.id = ca.id
+                JOIN asg cb ON ca.cluster = cb.cluster AND cb.id <> a.id
+                JOIN p b ON b.id = cb.id),
+         knn AS (SELECT id, nb, d FROM (
+                   SELECT id, nb, d, row_number() OVER (PARTITION BY id ORDER BY d, nb) AS rn
+                   FROM pr) WHERE rn <= 10),
+         kd AS (SELECT id, max(d) AS kd FROM knn GROUP BY 1),
+         lrd AS (SELECT k.id, count(*) AS nk,
+                       CAST(round(count(*) * 1e12 /
+                         (CAST(greatest(sum(greatest(k.d, kb.kd)), 10000000) AS DOUBLE) / 1e12)) AS BIGINT) AS lrd12
+                 FROM knn k JOIN kd kb ON k.nb = kb.id GROUP BY 1),
+         nl AS (SELECT k.id, CAST(sum(lr.lrd12) AS BIGINT) AS nlsum
+                FROM knn k JOIN lrd lr ON k.nb = lr.id GROUP BY 1)
+         SELECT nl.id AS id,
+                round(CAST(kd.kd AS DOUBLE) / 1e12, 6) AS kdist,
+                round(CAST(lrd.lrd12 AS DOUBLE) / 1e12, 4) AS lrd,
+                round(CAST(nl.nlsum AS DOUBLE) / lrd.nk / lrd.lrd12, 4) AS lof
+         FROM nl JOIN lrd USING (id) JOIN kd USING (id)
+         ORDER BY lof DESC, id LIMIT 20""",
     "q386_siegel_slope" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq

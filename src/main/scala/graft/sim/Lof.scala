@@ -22,12 +22,11 @@ import org.apache.spark.sql.functions._
   * (12-dp-pinned); `LOF(a) = (Σ_b lrd(b))/k / lrd(a)` — exact integer
   * sums with single double divisions at the pin points.
   *
-  * Scale: this is the BRUTE N² formulation — correct reference for
-  * corpus-sample audits (N bounded by the caller); at corpus scale the
-  * candidate pairs come from the IVF/LSH bucketing of
-  * [[Similarity.kmeansAssign]]/[[graft.dedup.Dedup.embeddingNearDupPairs]]
-  * and LOF runs within buckets (the SemDeDup trade: cross-bucket
-  * neighbors sacrificed by design). */
+  * Scale: [[bruteTop]] is the BRUTE N² reference formulation (corpus
+  * samples, N bounded by the caller); [[bucketedTop]] is the 100 TB
+  * path — nearest-seed bucketing bounds pairwise work to Σ|bucket|² ≈
+  * N²/S (the SemDeDup trade: cross-bucket neighbors sacrificed by
+  * design), with identical reach/lrd/lof algebra downstream. */
 object Lof {
 
   /** Top-`topN` outliers: `(id, kdist, lrd, lof)` ordered by
@@ -45,23 +44,76 @@ object Lof {
     val pairs = pts.alias("a").join(pts.alias("b"),
         col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id"), col("b.id").as("nb"), d12.as("d"))
+    lofFromPairs(pairs, k, topN)
+  }
+
+  /** Scale-shape LOF: assign every point to its nearest of the `nSeeds`
+    * lowest-id vectors (pinned 12-dp cosine distance, ties by seed id —
+    * fully deterministic and SQL-expressible, unlike iterated float
+    * k-means), build neighborhoods WITHIN buckets only, then run the
+    * identical reach/lrd/lof algebra. Neighbors across a bucket border
+    * are sacrificed by design (scores near borders are approximate; the
+    * spec pins brute ≡ bucketed on separated clusters).
+    *
+    * Scale shape: seeds are a bounded broadcast; assignment is S
+    * codegen'd cosines per row folded map-side by a `min(struct)`
+    * aggregation (one N-row shuffle, no window); the pair join is
+    * bucket-keyed — Σ|bucket|² ≈ N²/S work and never an all-pairs
+    * exchange. S grows with the corpus to hold bucket sizes bounded. */
+  def bucketedTop(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, topN: Int, nSeeds: Int): DataFrame = {
+    require(k >= 1 && topN >= 1 && nSeeds >= 1,
+      s"need k, topN, nSeeds >= 1: $k, $topN, $nSeeds")
+    val pts = graft.operators.Spread.widen(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+      col("id"))
+    val seeds = pts.orderBy(col("id")).limit(nSeeds)
+      .select(col("id").as("sid"), col("v").as("sv"))
+    val dSeed = round((lit(1.0) - Similarity.cosine(col("v"), col("sv")))
+      * lit(1e12)).cast("long")
+    // argmin by (distance, seed id): lexicographic struct-min — partial
+    // aggregation folds the S candidate rows map-side before the shuffle
+    val asg = pts.join(broadcast(seeds))
+      .select(col("id"), col("v"), struct(dSeed.as("d"), col("sid")).as("ds"))
+      .groupBy(col("id"))
+      .agg(min(col("ds")).as("m"), first(col("v")).as("v"))
+      .select(col("id"), col("m.sid").as("cluster"), col("v"))
+    val d12 = round((lit(1.0) - Similarity.cosine(col("a.v"), col("b.v")))
+      * lit(1e12)).cast("long")
+    val pairs = asg.alias("a").join(asg.alias("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nb"), d12.as("d"))
+    lofFromPairs(pairs, k, topN)
+  }
+
+  /** Shared LOF algebra over a candidate pair frame `(id, nb, d)`:
+    * exact-k neighborhoods under the `(d, nb)` total order, k-distance,
+    * reachability, lrd (12-dp pinned inverse), LOF. A point with fewer
+    * than `k` candidates (possible only in a small bucket on the
+    * bucketed path) uses its ACTUAL neighbor count in the lrd/lof
+    * normalization — on the brute frame that count is exactly `k` for
+    * every point, so the q269 oracle algebra is unchanged. */
+  private def lofFromPairs(pairs: DataFrame, k: Int, topN: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("d"), col("nb"))
     val knn = pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-    // k-distance of every point = its k-th neighbor distance
-    val kdist = knn.groupBy(col("id")).agg(max(col("d")).as("kd"))
-    // reachability wrt each NEIGHBOR's k-distance; Σ over the k
+    // k-distance of every point = its k-th neighbor distance; nk = the
+    // point's true neighborhood size (= k except in undersized buckets)
+    val kdist = knn.groupBy(col("id"))
+      .agg(max(col("d")).as("kd"), count(lit(1)).as("nk"))
+    // reachability wrt each NEIGHBOR's k-distance; Σ over the nk
     // neighbors → lrd, pinned at 12 dp of the inverse
     val lrd = knn
       .join(kdist.select(col("id").as("nb"), col("kd").as("kd_nb")), "nb")
       .groupBy(col("id"))
-      .agg(sum(greatest(col("d"), col("kd_nb"))).as("rsum"))
-      .select(col("id"),
-        // duplicate-point degenerate (all k neighbors at distance 0):
+      .agg(sum(greatest(col("d"), col("kd_nb"))).as("rsum"),
+        count(lit(1)).as("nk"))
+      .select(col("id"), col("nk"),
+        // duplicate-point degenerate (all neighbors at distance 0):
         // rsum = 0 would send lrd to ∞ — clamp the denominator to 1e-5
         // distance units, capping lrd12 at k·1e17 (inside a long even at
         // k ~ 50; mirrored in the SQL oracle)
-        round(lit(k) * lit(1e12) /
+        round(col("nk").cast("double") * lit(1e12) /
           (greatest(col("rsum"), lit(10000000L)).cast("double") / 1e12))
           .cast("long").as("lrd12"))
     val lof = knn
@@ -69,11 +121,11 @@ object Lof {
       .groupBy(col("id"))
       .agg(sum(col("lrd_nb")).as("nlsum"))
       .join(lrd, "id")
-      .join(kdist, "id")
+      .join(kdist.drop("nk"), "id")
       .select(col("id"),
         round(col("kd").cast("double") / 1e12, 6).as("kdist"),
         round(col("lrd12").cast("double") / 1e12, 4).as("lrd"),
-        round(col("nlsum").cast("double") / lit(k) / col("lrd12"), 4).as("lof"))
+        round(col("nlsum").cast("double") / col("nk") / col("lrd12"), 4).as("lof"))
     lof.orderBy(col("lof").desc, col("id")).limit(topN)
   }
 

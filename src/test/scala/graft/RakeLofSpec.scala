@@ -86,4 +86,43 @@ class RakeLofSpec extends AnyFunSuite {
     val out = Lof.bruteTop(df, "vec_id", "embedding", 2, 4).collect()
     assert(out.length == 4 && out.forall(!_.isNullAt(3)))
   }
+
+  test("bucketed lof ≡ brute lof on separated clusters (seeds cover every cluster)") {
+    import spark.implicits._
+    // 4 well-separated direction clusters on orthogonal axes; ids 1..4
+    // are one member per cluster, so the 4 lowest-id seeds are exactly
+    // one seed per cluster and nearest-seed assignment recovers the true
+    // partition. Every point's 3 nearest neighbors live in its own
+    // cluster → the bucketed candidate frame contains the full brute
+    // kNN and the two rankings must agree EXACTLY, row for row.
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 48).map { i =>
+      val c = i % 4                       // ids 1..4 = clusters 0..3
+      val v = new Array[Float](8)
+      v(c * 2) = 1.0f
+      v(c * 2 + 1) = (rnd.nextDouble() * 0.05).toFloat  // in-cluster spread
+      (i + 1L, v)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val brute = Lof.bruteTop(df, "vec_id", "embedding", 3, 48)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val bucketed = Lof.bucketedTop(df, "vec_id", "embedding", 3, 48, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(brute.toSeq == bucketed.toSeq,
+      s"bucketed must equal brute on separated clusters:\n brute   : ${brute.take(5).toSeq}\n bucketed: ${bucketed.take(5).toSeq}")
+  }
+
+  test("bucketed lof: undersized buckets normalize by their true neighbor count") {
+    import spark.implicits._
+    // 2 seeds; cluster B has only 3 points → k=5 exceeds the bucket, so
+    // its points carry nk=2 neighborhoods; everything must stay non-null
+    val pts =
+      Seq((1L, Array(1.0f, 0f, 0f)), (2L, Array(0f, 1.0f, 0f))) ++
+      (3 to 12).map(i => (i.toLong, Array(1.0f, (i * 0.01).toFloat, 0f))) ++
+      Seq((20L, Array(0f, 1.0f, 0.05f)), (21L, Array(0f, 1.0f, -0.04f)))
+    val out = Lof.bucketedTop(pts.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 5, 20, 2).collect()
+    assert(out.length == pts.size)
+    assert(out.forall(r => !r.isNullAt(3) && r.getDouble(3) > 0))
+  }
 }
