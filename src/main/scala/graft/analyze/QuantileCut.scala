@@ -131,16 +131,24 @@ object QuantileCut {
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String,
                         outCol: String = "value_norm"): DataFrame = {
+    // three consumers read the input (per-group ranks, the global index,
+    // the count) — materialize it ONCE so an expensive upstream
+    // projection (q144 feeds a regex quality score) never re-runs per
+    // consumer (measured 2.0 s → 1.4 s at sf0.1). Callers should project
+    // to the needed columns first; the materialized frame is then
+    // id+group+value-narrow even at corpus scale, cheaper than three
+    // scan+project passes.
+    val src = df.localCheckpoint(true)
     val wg = Window.partitionBy(col(groupCol))
       .orderBy(col(valueCol), col(idCol))
-    val ranked = df
+    val ranked = src
       .withColumn("__r", row_number().over(wg).cast("long"))
       .withColumn("__ng", count(lit(1)).over(Window.partitionBy(col(groupCol))))
     val globalIdx = graft.operators.Positional.withRowIndex(
-        df.select(col(valueCol).as("__gv"), col(idCol).as("__gid")),
+        src.select(col(valueCol).as("__gv"), col(idCol).as("__gid")),
         Seq(col("__gv"), col("__gid")), "__gi")
       .select((col("__gi") + 1L).as("__idx"), col("__gv"))
-    val n = df.select(count(lit(1)).as("__N"))
+    val n = src.select(count(lit(1)).as("__N"))
     val idx = when(col("__ng") > 1,
       lit(1L) + call_function("div",
         (col("__r") - 1L) * (col("__N") - 1L) * 2L + (col("__ng") - 1L),

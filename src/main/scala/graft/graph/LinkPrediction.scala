@@ -80,7 +80,14 @@ object LinkPrediction {
     * closed form runs in double over those exact integers. NULL when the
     * graph is degree-regular (zero variance). */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val ends = directedEnds(edges)
+    // the 2|E|-row end list feeds the degree aggregate AND the
+    // decoration join — materialize it once (edge-bounded, tiny) so the
+    // co-occurrence candidate pipeline upstream runs exactly once
+    // (measured 3.6 s → 2.2 s at sf0.1; contrast adamicAdar's NOTE
+    // below, where the same trick measured slower because its duplicate
+    // consumers overlap on idle cores — here the second consumer is the
+    // moment aggregate that cannot start until the joins finish)
+    val ends = directedEnds(edges).localCheckpoint(true)
     val deg = ends.groupBy(col("x").as("v")).agg(count(lit(1)).as("d"))
     // the degree table is ITEM-bounded (one row per node), never
     // corpus-bounded — broadcast both sides of the decoration join
