@@ -911,6 +911,18 @@ object SparkEntry {
     "q390_lof_bucketed" -> ((s, dir) =>
       graft.sim.Lof.bucketedTop(Tables.embeddings(s, dir), "vec_id",
         "embedding", 10, 20, 16)),
+    // ---- multinomial Naive Bayes language-ID trained and evaluated
+    //      in-engine (add-one smoothing, pinned log-weights): per-class
+    //      held-out accuracy — the fastText-class quality/lang filter
+    "q391_nb_langid" -> ((s, dir) =>
+      graft.text.Classify.naiveBayesEval(Tables.documents(s, dir),
+        "doc_id", "text", "lang", 5)),
+    // ---- DSIR importance weights (Xie et al. 2023): hashed-unigram
+    //      target-vs-raw log-ratio — rank the corpus by how
+    //      target-domain-like each document reads
+    "q392_dsir" -> ((s, dir) =>
+      graft.text.Classify.dsirWeights(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en", 512, 25)),
     // ---- Siegel repeated-medians slope of daily revenue: the
     //      50%-breakdown robust trend (Theil-Sen q204 breaks at ~29%) —
     //      median-of-medians over the day-bounded pair frame
@@ -6586,6 +6598,59 @@ object SparkEntry {
              THEN (n_rises - (CAST(n AS DOUBLE) - 1) / 2)
                 / sqrt((CAST(n AS DOUBLE) + 1) / 12) END, 4) + 0.0 AS z
          FROM t""",
+    "q391_nb_langid" ->
+      """WITH base AS (SELECT doc_id AS id, lang AS label,
+                string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+         train AS (SELECT * FROM base WHERE id % 5 < 4),
+         test AS (SELECT * FROM base WHERE id % 5 >= 4),
+         tokcnt AS (SELECT label, t, count(*) AS c FROM (
+                      SELECT label, unnest(ts) AS t FROM train) GROUP BY 1, 2),
+         classtot AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot FROM tokcnt GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT t) AS v FROM tokcnt),
+         priors AS (SELECT label, count(*) AS nd FROM train GROUP BY 1),
+         ntrain AS (SELECT count(*) AS n FROM train),
+         classes AS (SELECT ct.label AS cls,
+                       CAST(round(ln(CAST(pr.nd AS DOUBLE) / nt.n) * 1e6) AS BIGINT) AS prior6,
+                       CAST(round(ln(1.0 / (ct.tot + vo.v)) * 1e6) AS BIGINT) AS dflt6,
+                       ct.tot + vo.v AS denom
+                     FROM classtot ct CROSS JOIN vocab vo
+                     JOIN priors pr ON pr.label = ct.label CROSS JOIN ntrain nt),
+         weights AS (SELECT tc.label AS cls, tc.t,
+                       CAST(round(ln(CAST(tc.c + 1 AS DOUBLE) / cl.denom) * 1e6) AS BIGINT) AS w6
+                     FROM tokcnt tc JOIN classes cl ON cl.cls = tc.label),
+         occ AS (SELECT id, label, unnest(ts) AS t FROM test),
+         scored AS (SELECT o.id, o.label, c.cls,
+                      CAST(any_value(c.prior6) + sum(coalesce(w.w6, c.dflt6)) AS BIGINT) AS score6
+                    FROM occ o CROSS JOIN classes c
+                    LEFT JOIN weights w ON w.cls = c.cls AND w.t = o.t
+                    GROUP BY 1, 2, 3),
+         best AS (SELECT label, CASE WHEN cls = label THEN 1 ELSE 0 END AS ok FROM (
+                    SELECT id, label, cls,
+                      row_number() OVER (PARTITION BY id ORDER BY score6 DESC, cls) AS rn
+                    FROM scored) WHERE rn = 1)
+         SELECT label, count(*) AS n_docs, CAST(sum(ok) AS BIGINT) AS n_correct,
+           round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS accuracy
+         FROM best GROUP BY 1 ORDER BY label""",
+    "q392_dsir" ->
+      """WITH occ AS (SELECT doc_id AS id, lang = 'en' AS is_t,
+                ('0x' || substr(md5(t), 1, 8))::BIGINT % 512 AS b
+              FROM (SELECT doc_id, lang, unnest(
+                      string_split_regex(lower(trim(text)), '\s+')) AS t
+                    FROM documents)),
+         db AS (SELECT id, is_t, b, count(*) AS n FROM occ GROUP BY 1, 2, 3),
+         tgt AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM db WHERE is_t GROUP BY 1),
+         raw AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM db GROUP BY 1),
+         tots AS (SELECT CAST(sum(CASE WHEN is_t THEN n ELSE 0 END) AS BIGINT) AS tt,
+                         CAST(sum(n) AS BIGINT) AS tr FROM db),
+         w AS (SELECT raw.b,
+                 CAST(round(ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / (tots.tt + 512)) * 1e6) AS BIGINT)
+                 - CAST(round(ln(CAST(raw.cr + 1 AS DOUBLE) / (tots.tr + 512)) * 1e6) AS BIGINT) AS w6
+               FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots)
+         SELECT db.id AS id, CAST(sum(db.n) AS BIGINT) AS n_tokens,
+           round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6, 4) AS log_w,
+           round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
+         FROM db JOIN w ON db.b = w.b
+         GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
     "q390_lof_bucketed" ->
       """WITH p AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
          seeds AS (SELECT id AS sid, v AS sv FROM p ORDER BY id LIMIT 16),
