@@ -923,6 +923,18 @@ object SparkEntry {
     "q392_dsir" -> ((s, dir) =>
       graft.text.Classify.dsirWeights(Tables.documents(s, dir),
         "doc_id", "text", col("lang") === "en", 512, 25)),
+    // ---- MOSS shared-fingerprint pairs over the q52 winnowed
+    //      fingerprints: shared-SPAN plagiarism/mirror detection with a
+    //      boilerplate df-cap bounding join fan-out at maxDf² per key
+    "q393_winnow_pairs" -> ((s, dir) =>
+      graft.dedup.Winnowing.sharedFingerprintPairs(
+        Tables.documents(s, dir), "doc_id", "text", 3L, 50L, 30)),
+    // ---- MATTR lexical diversity (Covington & McFall): window-50
+    //      moving-average type-token ratio via the O(n) last-occurrence
+    //      interval identity — no per-window expansion
+    "q394_mattr" -> ((s, dir) =>
+      graft.text.CorpusStats.mattr(Tables.documents(s, dir),
+        "doc_id", "text", 50)),
     // ---- Siegel repeated-medians slope of daily revenue: the
     //      50%-breakdown robust trend (Theil-Sen q204 breaks at ~29%) —
     //      median-of-medians over the day-bounded pair frame
@@ -6651,6 +6663,64 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // winnow pairs: the q52 fingerprint chain, df-capped inverted-index
+    // self-join, exact integer pair counts
+    "q393_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         g AS (SELECT doc_id, lt, greatest(len(lt) - 4, 0) AS n FROM t),
+         h AS (
+           SELECT doc_id, n,
+             list_transform(range(1, n + 1), i ->
+               (((((((unicode(lt[i])::BIGINT * 1000003 + unicode(lt[i+1])) % 2147483647)
+                  * 1000003 + unicode(lt[i+2])) % 2147483647)
+                  * 1000003 + unicode(lt[i+3])) % 2147483647)
+                  * 1000003 + unicode(lt[i+4])) % 2147483647) AS hs
+           FROM g),
+         m AS (
+           SELECT doc_id,
+             CASE WHEN n = 0 THEN []::BIGINT[]
+                  WHEN n >= 4 THEN list_distinct(list_transform(
+                    range(1, n - 4 + 2), s -> list_min(hs[s:s+3])))
+                  ELSE [list_min(hs)] END AS fps
+           FROM h),
+         fpx AS (SELECT doc_id, len(fps) AS nf, unnest(fps) AS fp FROM m),
+         keepfp AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fpx GROUP BY 1)
+                    WHERE c <= 50),
+         rare AS (SELECT f.doc_id, f.nf, f.fp FROM fpx f JOIN keepfp USING (fp)),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(count(*) AS BIGINT) AS n_shared,
+                  any_value(a.nf) AS nfa, any_value(b.nf) AS nfb
+                FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT id_a, id_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / least(nfa, nfb), 4) AS containment
+         FROM pr WHERE n_shared >= 3
+         ORDER BY n_shared DESC, id_a, id_b LIMIT 30""",
+    "q394_mattr" ->
+      """WITH ts AS (SELECT doc_id AS id,
+                string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+         pos AS (SELECT id, u.p AS j, u.t AS tok FROM (
+                   SELECT id, unnest(list_transform(range(1, len(ts) + 1),
+                     i -> struct_pack(p := i, t := ts[i]))) AS u
+                   FROM ts)),
+         lagged AS (SELECT id, j,
+                      coalesce(lag(j) OVER (PARTITION BY id, tok ORDER BY j), 0) AS prev,
+                      count(*) OVER (PARTITION BY id) AS n
+                    FROM pos),
+         contrib AS (SELECT id, n, prev,
+                       greatest(0, least(j, n - 50 + 1) -
+                         greatest(j - 50 + 1, prev + 1, 1) + 1) AS wins
+                     FROM lagged),
+         agg AS (SELECT id, CAST(max(n) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN prev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+                   CAST(sum(wins) AS BIGINT) AS dsum
+                 FROM contrib GROUP BY 1)
+         SELECT id, n_tokens, n_types,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           round(CASE WHEN n_tokens >= 50
+             THEN CAST(dsum AS DOUBLE) / (50 * (n_tokens - 50 + 1))
+             ELSE CAST(n_types AS DOUBLE) / n_tokens END, 6) AS mattr
+         FROM agg ORDER BY id""",
     "q390_lof_bucketed" ->
       """WITH p AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
          seeds AS (SELECT id AS sid, v AS sv FROM p ORDER BY id LIMIT 16),

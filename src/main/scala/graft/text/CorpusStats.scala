@@ -265,6 +265,59 @@ object CorpusStats {
       .limit(topK)
   }
 
+  /** MATTR — moving-average type-token ratio (Covington & McFall 2010):
+    * the window-W sliding distinct-token fraction, the standard
+    * length-robust lexical-diversity score (the plain TTR collapses as
+    * documents grow; MATTR of repetitive/templated text stays low at any
+    * length). Per document: `(id, n_tokens, n_types, ttr, mattr)`,
+    * ascending id; docs shorter than `window` report their plain TTR as
+    * mattr (the defined degenerate, both engines).
+    *
+    * O(n) per doc, NO per-window expansion: token occurrence j counts in
+    * window [s, s+W−1] iff it is the first occurrence of its type there,
+    * i.e. `s > prev_occ(j) ∧ s ≥ j−W+1 ∧ s ≤ j`, so its contribution to
+    * Σ over windows of (distinct in window) is a closed-form interval
+    * length — one lag over `(doc, token)` order, one doc-keyed exact
+    * integer aggregate. Scale: two corpus-keyed shuffles (the per-type
+    * lag and the doc rollup), everything codegen, nothing driver-side. */
+  def mattr(df: DataFrame, idCol: String, textCol: String,
+            window: Int = 50): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val w = lit(window.toLong)
+    val pos = df
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("j"), col("tok"))
+    val lagW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("tok")).orderBy(col("j"))
+    // occurrence j (prev = previous position of the same type, 0 if
+    // none) is the first of its type in windows s ∈ [lo_j, hi_j] with
+    // lo_j = max(j−W+1, prev+1, 1) and hi_j = min(j, n−W+1); its exact
+    // contribution to Σ_windows(distinct) is max(0, hi_j − lo_j + 1).
+    // n rides a doc-partition window (same doc-keyed shuffle the rollup
+    // needs), so the whole thing is two shuffles and integer arithmetic.
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val rows = pos
+      .withColumn("prev", coalesce(lag(col("j"), 1).over(lagW), lit(0L)))
+      .withColumn("n", count(lit(1)).over(wd))
+      .withColumn("wins",
+        greatest(lit(0L),
+          least(col("j"), col("n") - w + 1L) -
+            greatest(col("j") - w + 1L, col("prev") + 1L, lit(1L)) + 1L))
+    rows.groupBy(col("id"))
+      .agg(max(col("n")).as("n_tokens"),
+        sum(when(col("prev") === 0, 1L).otherwise(0L)).as("n_types"),
+        sum(col("wins")).as("dsum"))
+      .select(col("id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(when(col("n_tokens") >= window,
+            col("dsum").cast("double") /
+              (w * (col("n_tokens") - w + 1L)))
+          .otherwise(col("n_types").cast("double") / col("n_tokens")), 6)
+          .as("mattr"))
+      .orderBy(col("id"))
+  }
+
   /** Pairwise cosine similarity between the TOKEN-COUNT profiles of the
     * corpus sources — the angular sibling of [[sourceTvDivergence]]'s
     * total-variation distance (TV weighs mass moved; cosine weighs

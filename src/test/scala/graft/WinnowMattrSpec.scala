@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Winnowing
+import graft.text.CorpusStats
+
+/** Winnowing shared-fingerprint pairs (q393) and MATTR (q394). */
+class WinnowMattrSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("winnow pairs: shared long span is found, disjoint texts are not") {
+    import spark.implicits._
+    val span = "zqvxkw hjplmt rdfgyb ncswau eiotzq"  // rare 35-char span
+    val docs = Seq(
+      (1L, s"first document carries $span inside the middle of it"),
+      (2L, s"completely different framing but $span appears here too"),
+      (3L, "nothing in common with anything else written above"),
+      (4L, "another unrelated piece of text with its own words")
+    ).toDF("doc_id", "text")
+    val pairs = Winnowing.sharedFingerprintPairs(docs, "doc_id", "text",
+      3L, 50L, 10).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 2L)), s"span pair missing: ${keys.mkString(",")}")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    val row = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(row.getLong(2) >= 3L && row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
+  }
+
+  test("winnow pairs: boilerplate above the df cap creates no pairs") {
+    import spark.implicits._
+    // every doc shares the same header; pairwise texts otherwise disjoint
+    val header = "standard license header appears everywhere identically"
+    val docs = (1 to 8).map(i =>
+      (i.toLong, s"$header unique${i}a unique${i}b unique${i}c")).toDF("doc_id", "text")
+    // cap below the 8-doc df of every header fingerprint → nothing pairs
+    val pairs = Winnowing.sharedFingerprintPairs(docs, "doc_id", "text",
+      1L, 4L, 50).collect()
+    assert(pairs.isEmpty, s"boilerplate must be df-capped, got ${pairs.length} pairs")
+  }
+
+  test("mattr: hand-built periodic and constant docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b"),  // every 3-window has 3 distinct → 1.0
+      (2L, "x x x x x x"),      // every 3-window has 1 distinct → 1/3
+      (3L, "p q")               // shorter than window → plain TTR = 1.0
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.mattr(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((8L, 3L, 0.375, 1.0)))
+    assert(out(2L)._4 == 0.333333)
+    assert(out(3L) == ((2L, 2L, 1.0, 1.0)))
+  }
+
+  test("mattr matches the brute per-window distinct count on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("red", "blue", "green", "ochre", "teal")
+    val docs = (1 to 12).map { i =>
+      val n = 5 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val w = 7
+    val got = CorpusStats.mattr(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    docs.foreach { case (id, text) =>
+      val ts = text.split(" ")
+      val expect =
+        if (ts.length < w) ts.distinct.length.toDouble / ts.length
+        else {
+          val per = (0 to ts.length - w).map(s => ts.slice(s, s + w).distinct.length)
+          per.sum.toDouble / (w.toLong * per.size)
+        }
+      assert(math.abs(got(id) - expect) < 1e-6,
+        s"doc $id: got ${got(id)}, brute $expect")
+    }
+  }
+}
