@@ -935,6 +935,18 @@ object SparkEntry {
     "q394_mattr" -> ((s, dir) =>
       graft.text.CorpusStats.mattr(Tables.documents(s, dir),
         "doc_id", "text", 50)),
+    // ---- BCa bootstrap 95% CI (Efron): q270's percentile interval with
+    //      the bias (z0) and acceleration (jackknife-skew closed form)
+    //      corrections — adjusted ranks through the shared Φ/Φ⁻¹ pair
+    "q395_bootstrap_bca" -> ((s, dir) =>
+      graft.analyze.Bootstrap.meanCiBca(Tables.events(s, dir), "user_id",
+        "value", col("event_type") === "purchase", 100)),
+    // ---- DP median via the exponential mechanism (Gumbel-max over
+    //      inter-order-statistic gaps, seeded like q276's Laplace
+    //      release): the true order statistics never leave the operator
+    "q396_dp_quantile" -> ((s, dir) =>
+      graft.analyze.Privacy.dpQuantile(Tables.events(s, dir),
+        col("user_id"), col("value"), 0.5, 0.5, "r9")),
     // ---- Siegel repeated-medians slope of daily revenue: the
     //      50%-breakdown robust trend (Theil-Sen q204 breaks at ~29%) —
     //      median-of-medians over the day-bounded pair frame
@@ -6663,6 +6675,99 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // DP quantile: rank/length integers exact, each transcendental pinned
+    // to a 1e6 long before the integer score sum, argmax tie by rank
+    "q396_dp_quantile" ->
+      """WITH per AS (SELECT user_id AS unit,
+                CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS vq
+              FROM events GROUP BY 1),
+         ranked AS (SELECT vq, row_number() OVER (ORDER BY vq, unit) AS i FROM per),
+         nn AS (SELECT count(*) AS n FROM per),
+         lagged AS (SELECT a.i, a.vq, b.vq AS nxt
+                    FROM ranked a JOIN ranked b ON b.i = a.i + 1
+                    WHERE b.vq > a.vq),
+         scored AS (SELECT i, vq, nxt,
+             CAST(round(0.5 * -abs(CAST(i AS DOUBLE) - 0.5 * n) / 2.0 * 1e6) AS BIGINT)
+           + CAST(round(ln(CAST(nxt - vq AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+           + CAST(round(-ln(-ln((('0x' || substr(md5(CAST(i AS VARCHAR) || ':r9'), 1, 8))::BIGINT + 0.5)
+                / 4294967296.0)) * 1e6) AS BIGINT) AS score6
+           FROM lagged CROSS JOIN nn),
+         win AS (SELECT vq, nxt FROM scored ORDER BY score6 DESC, i LIMIT 1),
+         fb AS (SELECT min(vq) AS lo, max(vq) AS hi FROM per)
+         SELECT nn.n AS n_units, CAST(0.5 AS DOUBLE) AS epsilon,
+                CAST(0.5 AS DOUBLE) AS q,
+                round(coalesce(CAST(win.vq + win.nxt AS DOUBLE) / 2.0,
+                  CAST(fb.lo AS DOUBLE)) / 1e6, 6) AS dp_value
+         FROM fb LEFT JOIN win ON TRUE CROSS JOIN nn""",
+    // BCa bootstrap: q270's resample machinery + exact power sums for
+    // the acceleration; Φ/Φ⁻¹ via the shared A&S fragments
+    "q395_bootstrap_bca" ->
+      s"""WITH units AS (
+           SELECT user_id AS unit,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS vq
+           FROM events GROUP BY 1),
+         bs AS (SELECT CAST(i AS INT) AS b FROM unnest(range(1, 101)) r(i)),
+         fan AS (SELECT b, vq,
+                        ('0x' || substr(md5(CAST(unit AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+                          / 4294967296.0 AS u
+                 FROM units CROSS JOIN bs),
+         wts AS (SELECT b, vq, CASE WHEN u < 0.367879441 THEN 0
+                             WHEN u < 0.735758882 THEN 1
+                             WHEN u < 0.919698603 THEN 2
+                             WHEN u < 0.981011843 THEN 3
+                             WHEN u < 0.996340153 THEN 4
+                             WHEN u < 0.999405815 THEN 5
+                             WHEN u < 0.999916758 THEN 6
+                             ELSE 7 END AS w
+                 FROM fan),
+         res AS (SELECT b, CAST(sum(w) AS BIGINT) AS nw,
+                        sum(CAST(w * vq AS HUGEINT)) AS sw
+                 FROM wts GROUP BY 1),
+         mv AS (SELECT b, m9 FROM (
+                  SELECT b, CAST(round(CASE WHEN nw > 0
+                        THEN CAST(sw AS DOUBLE) / nw / 1e6 END * 1e9) AS BIGINT) AS m9
+                  FROM res) WHERE m9 IS NOT NULL),
+         obs AS (SELECT count(*) AS n_units,
+                        sum(CAST(vq AS HUGEINT)) AS s1,
+                        sum(CAST(vq AS HUGEINT) * vq) AS s2,
+                        sum(CAST(vq AS HUGEINT) * vq * vq) AS s3
+                 FROM units),
+         o9 AS (SELECT CAST(round(CAST(s1 AS DOUBLE) / n_units / 1e6 * 1e9) AS BIGINT) AS o9
+                FROM obs),
+         z0p AS (SELECT count(*) AS nb,
+                        CAST(sum(CASE WHEN m9 < o9 THEN 1 ELSE 0 END) AS BIGINT) AS below
+                 FROM mv CROSS JOIN o9),
+         cst AS (SELECT n_units, s1, nb, below,
+                   CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n_units AS DOUBLE) AS c2,
+                   CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n_units AS DOUBLE) * 3
+                     + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / (CAST(n_units AS DOUBLE) * CAST(n_units AS DOUBLE)) * 2 AS c3,
+                   CAST(below AS DOUBLE) / nb AS pb
+                 FROM obs CROSS JOIN z0p),
+         cz AS (SELECT n_units, s1, nb,
+                  CASE WHEN c2 > 0 THEN c3 / (pow(c2, 1.5) * 6.0) ELSE 0.0 END AS a,
+                  CASE WHEN below > 0 AND below < nb
+                    THEN ${graft.functions.Probit.sql("pb")} END AS z0
+                FROM cst),
+         ad AS (SELECT n_units, s1, nb, a, z0,
+                  z0 + (z0 + -1.959964) / (1.0 - a * (z0 + -1.959964)) AS xlo,
+                  z0 + (z0 + 1.959964) / (1.0 - a * (z0 + 1.959964)) AS xhi
+                FROM cz),
+         rk AS (SELECT n_units, s1, nb, a, z0,
+                  least(greatest(CAST(ceil(${graft.functions.Phi.sql("xlo")} * nb) AS BIGINT), 1), nb) AS rlo,
+                  least(greatest(CAST(ceil(${graft.functions.Phi.sql("xhi")} * nb) AS BIGINT), 1), nb) AS rhi
+                FROM ad),
+         mr AS (SELECT m9, row_number() OVER (ORDER BY m9, b) AS r FROM mv)
+         SELECT max(n_units) AS n_units, max(nb) AS n_resamples,
+                round(CAST(max(s1) AS DOUBLE) / max(n_units) / 1e6, 6) AS mean_obs,
+                round(max(z0), 4) AS z0,
+                round(max(a), 6) AS accel,
+                round(CAST(max(CASE WHEN r = rlo THEN m9 END) AS DOUBLE) / 1e9, 6) AS ci_lo,
+                round(CAST(max(CASE WHEN r = rhi THEN m9 END) AS DOUBLE) / 1e9, 6) AS ci_hi
+         FROM mr CROSS JOIN rk""",
     // winnow pairs: the q52 fingerprint chain, df-capped inverted-index
     // self-join, exact integer pair counts
     "q393_winnow_pairs" ->

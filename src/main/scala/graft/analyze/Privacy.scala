@@ -162,4 +162,68 @@ object Privacy {
         lit(epsilon).as("epsilon"))
       .orderBy(col("category"))
   }
+
+  /** DP quantile release via the EXPONENTIAL MECHANISM (McSherry &
+    * Talwar 2007; the interval form of Smith 2011): candidates are the
+    * inter-order-statistic gaps of the per-unit metric, utility
+    * `u_i = −|i − q·n|` (how far gap i's rank sits from the target),
+    * selection by the Gumbel-max trick —
+    * `argmax_i [ε·u_i/2 + ln(len_i) + G_i]` with `G_i = −ln(−ln U_i)`
+    * — released value = the winning gap's midpoint. The TRUE order
+    * statistics never leave the operator; only n (treated as public,
+    * as in [[laplaceCounts]]) and the noisy value do. Like
+    * [[laplaceCounts]], randomness is the portable md5 hash of
+    * `(rank, releaseTag)` — deterministic BY DESIGN for testability;
+    * rotate the tag per release.
+    *
+    * Cross-engine determinism: ranks/lengths are exact integers; each
+    * transcendental output (ln len, the Gumbel) is pinned to a 1e6-scale
+    * long before the integer score sum, ties broken by rank. Zero-length
+    * gaps (tied order statistics) carry zero probability mass in the
+    *  mechanism and are dropped; if ALL gaps are zero (constant metric)
+    * the release is the constant itself with zero privacy cost.
+    *
+    * Scale shape: one unit fold, one range-partitioned global rank
+    * ([[graft.operators.Positional.withRowIndex]]), a lag, and a
+    * TakeOrdered(1) argmax — no global single-task window. One row:
+    * `(n_units, epsilon, q, dp_value)`. */
+  def dpQuantile(df: DataFrame, unitCol: Column, valueCol: Column,
+                 q: Double, epsilon: Double, releaseTag: String): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0,1): $q")
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val per = df.groupBy(unitCol.as("unit"))
+      .agg(sum(round(valueCol * lit(1000000)).cast("long")).as("vq"))
+    val ranked = graft.operators.Positional.withRowIndex(
+        per.select(col("vq"), col("unit")), Seq(col("vq"), col("unit")), "__r0")
+      .select(col("vq"), (col("__r0") + 1L).as("i"))
+    val n = per.agg(count(lit(1)).as("n"))
+    def pin6(c: Column) = round(c * lit(1e6)).cast("long")
+    // successor order statistic via the dense rank (i, i+1) equi-join —
+    // NOT a global lead() window, whose SinglePartition sort dies at
+    // unit scale; the join shuffles on the rank key only
+    val lagged = ranked
+      .join(ranked.select((col("i") - 1L).as("i"), col("vq").as("nxt")), "i")
+      .filter(col("nxt") > col("vq"))
+    val uHash = (graft.operators.Sharding.hash32(
+      concat(col("i").cast("string"), lit(":" + releaseTag)))
+      .cast("double") + 0.5) / lit(4294967296.0)
+    val scored = lagged.crossJoin(broadcast(n))
+      .select(col("i"), col("vq"), col("nxt"), col("n"),
+        (pin6(lit(epsilon) * -abs(col("i").cast("double") -
+            lit(q) * col("n")) / 2.0) +
+          pin6(log((col("nxt") - col("vq")).cast("double") / 1e6)) +
+          pin6(-log(-log(uHash)))).as("score6"))
+    val win = scored.orderBy(col("score6").desc, col("i")).limit(1)
+    // constant-metric degenerate: no positive-length gap — release the
+    // constant (min == max, zero information beyond the public n)
+    val fallback = per.agg(min(col("vq")).as("lo"), max(col("vq")).as("hi"))
+    win.select(lit(1).as("__k"), col("vq"), col("nxt"))
+      .join(fallback.select(lit(1).as("__k"), col("lo"), col("hi")),
+        Seq("__k"), "right")
+      .crossJoin(broadcast(n))
+      .select(col("n").as("n_units"), lit(epsilon).as("epsilon"),
+        lit(q).as("q"),
+        round(coalesce((col("vq") + col("nxt")).cast("double") / 2.0,
+          col("lo").cast("double")) / 1e6, 6).as("dp_value"))
+  }
 }

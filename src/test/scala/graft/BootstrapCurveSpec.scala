@@ -20,6 +20,38 @@ class BootstrapCurveSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 7.0 && r.getDouble(3) == 7.0 && r.getDouble(4) == 7.0)
   }
 
+  test("bca: symmetric data ≈ percentile CI; right-skew pulls accel positive and shifts the CI up") {
+    import spark.implicits._
+    // symmetric: per-unit values mirror around 5
+    val sym = (1 to 400).map(u => (u.toLong, "purchase", (u % 11).toDouble))
+      .toDF("user_id", "event_type", "value")
+    val p = Bootstrap.meanCi(sym, "user_id", "value",
+      col("event_type") === "purchase", 100).collect().head
+    val bca = Bootstrap.meanCiBca(sym, "user_id", "value",
+      col("event_type") === "purchase", 100).collect().head
+    assert(bca.getLong(0) == 400 && bca.getLong(1) == 100)
+    assert(bca.getDouble(2) == p.getDouble(2))            // same observed mean
+    assert(math.abs(bca.getDouble(4)) < 0.02, s"symmetric accel ${bca.getDouble(4)}")
+    // corrections ≈ 0 → BCa bounds within a hair of the percentile bounds
+    assert(math.abs(bca.getDouble(5) - p.getDouble(3)) < 0.3)
+    assert(math.abs(bca.getDouble(6) - p.getDouble(4)) < 0.3)
+    assert(bca.getDouble(5) < bca.getDouble(2) && bca.getDouble(2) < bca.getDouble(6))
+
+    // right-skewed: a few huge units → positive acceleration, CI shifted
+    // up relative to the percentile interval
+    val skew = (1 to 400).map(u =>
+      (u.toLong, "purchase", if (u % 40 == 0) 100.0 else 1.0))
+      .toDF("user_id", "event_type", "value")
+    val ps = Bootstrap.meanCi(skew, "user_id", "value",
+      col("event_type") === "purchase", 100).collect().head
+    val bs = Bootstrap.meanCiBca(skew, "user_id", "value",
+      col("event_type") === "purchase", 100).collect().head
+    assert(bs.getDouble(4) > 0.01, s"skewed accel ${bs.getDouble(4)}")
+    assert(bs.getDouble(5) >= ps.getDouble(3) - 1e-9,
+      s"BCa lower ${bs.getDouble(5)} vs percentile ${ps.getDouble(3)}")
+    assert(bs.getDouble(5) < bs.getDouble(6))
+  }
+
   test("bootstrap meanCi: CI brackets the observed mean and is ordered") {
     import spark.implicits._
     val ev = (1 to 400).map(u => (u.toLong, "purchase", (u % 10).toDouble))

@@ -58,4 +58,24 @@ class PrivacyLinkageSpec extends AnyFunSuite {
       .collect().head
     assert(r.getDouble(3) == 0.0 && r.isNullAt(4))
   }
+
+  test("dp quantile: uniform gaps land near the true median; constant data releases the constant") {
+    import spark.implicits._
+    val ev = (1 to 1000).map(u => (u.toLong, u.toDouble)).toDF("user_id", "value")
+    val r = Privacy.dpQuantile(ev, org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("value"), 0.5, 0.5, "spec").collect().head
+    assert(r.getLong(0) == 1000)
+    val v = r.getDouble(3)
+    // eps/2 = 0.25 per rank of utility vs Gumbel noise ~ +-10: the
+    // winner must sit well inside the middle fifth
+    assert(v > 400 && v < 600, s"dp median $v far from 500.5")
+    // determinism under the same tag
+    val r2 = Privacy.dpQuantile(ev, org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("value"), 0.5, 0.5, "spec").collect().head
+    assert(r2.getDouble(3) == v)
+    val const = (1 to 50).map(u => (u.toLong, 7.5)).toDF("user_id", "value")
+    val rc = Privacy.dpQuantile(const, org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("value"), 0.5, 0.5, "spec").collect().head
+    assert(rc.getDouble(3) == 7.5 && rc.getLong(0) == 50)
+  }
 }
