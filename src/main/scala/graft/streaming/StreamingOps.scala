@@ -43,7 +43,18 @@ object StreamingOps {
     * merge — pair with [[graft.mine.TemplateMining.treeFromTemplates]]).
     * State is the Java-serializable [[DrainTree]]; checkpointing the query
     * persists it (the engine-native replacement for drain3_state.bin). */
-  def streamingMine(lines: Dataset[(Int, String)], config: DrainConfig = DrainConfig()): Dataset[(Int, EventTemplate)] = {
+  def streamingMine(lines: Dataset[(Int, String)], config: DrainConfig = DrainConfig()): Dataset[(Int, EventTemplate)] =
+    streamingMineFrom(lines, () => config.newTree())
+
+  /** [[streamingMine]] with an arbitrary INITIAL-STATE factory — the
+    * migration-resume surface: seed each shard's first micro-batch from
+    * a restored snapshot (e.g. the reference's own `drain3_state.bin`
+    * via `graft.mine.Drain3State.read(path).newTree()`) and keep mining
+    * where the prior deployment left off. The factory runs once per
+    * shard ON THE EXECUTOR at first sight (it must be serializable and
+    * deterministic); afterwards the stream checkpoint owns the state. */
+  def streamingMineFrom(lines: Dataset[(Int, String)],
+                        initTree: () => DrainTree): Dataset[(Int, EventTemplate)] = {
     val spark = lines.sparkSession
     import spark.implicits._
     implicit val treeEnc = Encoders.javaSerialization[DrainTree]
@@ -51,7 +62,7 @@ object StreamingOps {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (shard: Int, rows: Iterator[(Int, String)], state: GroupState[DrainTree]) =>
-          val tree = state.getOption.getOrElse(config.newTree())
+          val tree = state.getOption.getOrElse(initTree())
           var changed = false
           rows.foreach { case (_, line) =>
             val (_, change) = tree.addLogMessage(if (line == null) "" else line)

@@ -57,6 +57,47 @@ class Drain3InteropSpec extends AnyFunSuite {
     assert(dumped == golden)
   }
 
+  test("streaming mine resumes from the reference's drain3 state: steady-state stream") {
+    assume(available && new java.io.File(GoldenFixture.logsPath).isFile)
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = statePath
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, String)](spark)
+    // executor-side factory: every shard starts from the reference's
+    // own persisted state (the migration-resume deployment shape)
+    val q = graft.streaming.StreamingOps
+      .streamingMineFrom(input.toDS(), () => Drain3State.read(path).newTree())
+      .toDF("shard", "t")
+      .writeStream.format("memory").queryName("drain3_resume")
+      .outputMode("append").start()
+    val lines = GoldenFixture.lines()
+    input.addData(lines.take(700).map(l => (0, l)))
+    q.processAllAvailable()
+    // steady-state replay emits NOTHING (no structural change) — itself
+    // the resume evidence; a novel sentinel line then forces exactly one
+    // new cluster and a full snapshot emission to inspect
+    val afterReplay = spark.table("drain3_resume").count()
+    input.addData(lines.drop(700).map(l => (0, l)) :+
+      ((0, "graft resume sentinel xyzzy plugh")))
+    q.processAllAvailable()
+    q.stop()
+    assert(afterReplay == 0L,
+      s"steady-state replay must not emit structural changes, got $afterReplay rows")
+    val snap = spark.table("drain3_resume")
+      .groupBy($"t.eventId".as("id"))
+      .agg(max($"t.size").as("size"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the sentinel is cluster 1141; every reference cluster grew by its
+    // replay share — total mass = golden + 1282 lines + 1 sentinel
+    assert(snap.keys.max == 1141L, s"sentinel cluster id: ${snap.keys.max}")
+    assert(snap.size == 1141)
+    val base = goldenRows().map(r => r._1 -> r._2).toMap
+    val grown = snap.map { case (id, sz) => sz - base.getOrElse(id, 0L) }
+    assert(grown.sum == 1283L, s"streamed mass ${grown.sum} != 1283")
+  }
+
   test("restored tree keeps mining: the 1,282-line sample replays into existing clusters") {
     assume(available && new java.io.File(GoldenFixture.logsPath).isFile)
     val s = Drain3State.read(statePath)
