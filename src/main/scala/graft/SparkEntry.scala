@@ -947,6 +947,12 @@ object SparkEntry {
     "q396_dp_quantile" -> ((s, dir) =>
       graft.analyze.Privacy.dpQuantile(Tables.events(s, dir),
         col("user_id"), col("value"), 0.5, 0.5, "r9")),
+    // ---- dedup impact: docs/tokens REMOVED at each candidate τ
+    //      (components + keep-min-id over one shared pair frame) — the
+    //      cost curve beside q303's pair-count sweep
+    "q397_dedup_impact" -> ((s, dir) =>
+      graft.dedup.Dedup.dedupImpact(Tables.documents(s, dir),
+        "doc_id", "text", 3, Seq(0.7, 0.8, 0.9))),
     // ---- Siegel repeated-medians slope of daily revenue: the
     //      50%-breakdown robust trend (Theil-Sen q204 breaks at ~29%) —
     //      median-of-medians over the day-bounded pair frame
@@ -6675,6 +6681,50 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // dedup impact: per-τ recursive-CTE components over the inverted-index
+    // jaccard graph, removed = non-min members, exact token sums
+    "q397_dedup_impact" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jac AS (
+           SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS j
+           FROM shared
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b),
+         grid AS (SELECT unnest([0.7, 0.8, 0.9]) AS tau),
+         sym AS (
+           SELECT g.tau, id_a AS u, id_b AS v FROM jac CROSS JOIN grid g WHERE j >= g.tau
+           UNION ALL
+           SELECT g.tau, id_b, id_a FROM jac CROSS JOIN grid g WHERE j >= g.tau),
+         reach AS (
+           SELECT g.tau, t.doc_id AS id, t.doc_id AS r FROM t CROSS JOIN grid g
+           UNION
+           SELECT sym.tau, sym.u, reach.r FROM sym
+           JOIN reach ON reach.tau = sym.tau AND reach.id = sym.v),
+         comp AS (SELECT tau, id, min(r) AS component FROM reach GROUP BY 1, 2),
+         ntoks AS (SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS ntok FROM t),
+         tot AS (SELECT count(*) AS nd, CAST(sum(ntok) AS BIGINT) AS tt FROM ntoks),
+         rem AS (SELECT c.tau, CAST(count(*) AS BIGINT) AS n_removed,
+                        CAST(sum(nt.ntok) AS BIGINT) AS tok_removed
+                 FROM comp c JOIN ntoks nt USING (id)
+                 WHERE c.id <> c.component GROUP BY 1)
+         SELECT CAST(g.tau AS DOUBLE) AS tau, tot.nd AS n_docs,
+                coalesce(rem.n_removed, 0) AS n_removed,
+                coalesce(rem.tok_removed, 0) AS tokens_removed,
+                round(CAST(coalesce(rem.tok_removed, 0) AS DOUBLE) / tot.tt, 6) AS pct_tokens
+         FROM grid g CROSS JOIN tot LEFT JOIN rem ON rem.tau = g.tau
+         ORDER BY tau""",
     // DP quantile: rank/length integers exact, each transcendental pinned
     // to a 1e6 long before the integer score sum, argmax tie by rank
     "q396_dp_quantile" ->

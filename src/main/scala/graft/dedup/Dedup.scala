@@ -431,6 +431,48 @@ object Dedup {
       .orderBy(col("tau"))
   }
 
+  /** Dedup IMPACT report — what each candidate threshold actually costs:
+    * for every `τ` in `taus`, cluster the ≥ τ n-gram-Jaccard graph
+    * (connected components over the shared pair frame, keep-min-id per
+    * cluster) and report the REMOVED mass: `(tau, n_docs, n_removed,
+    * tokens_removed, pct_tokens)` ascending by τ — the
+    * docs-vs-tokens trade curve an operator reads next to
+    * [[jaccardThresholdSweep]]'s pair curve before committing a τ.
+    *
+    * Scale shape: ONE prefix-filtered pair computation at `taus.min`
+    * (checkpointed — pair-list-sized), then per-τ star-contraction over
+    * the FILTERED edge subset only (each is a subgraph of the τmin
+    * graph, so iterated edge sets only shrink); token counts are one
+    * corpus projection joined id-keyed. */
+  def dedupImpact(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty && taus == taus.sorted, "taus must be ascending")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, taus.min)
+      .localCheckpoint(true)
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        graft.text.TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("ntok"))
+      .localCheckpoint(true) // consumed by the totals AND every τ's join
+    val totals = toks.agg(count(lit(1)).as("nd"), sum(col("ntok")).as("tt")).head()
+    val nDocs = totals.getLong(0); val totTok = totals.getLong(1)
+    val perTau = taus.map { tau =>
+      val cc = ConnectedComponents.components(
+        pairs.filter(col("jaccard") >= tau).select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      // removed = non-minimum members of each cluster (keep-min-id)
+      val removed = cc.filter(col("id") =!= col("component")).select(col("id"))
+      removed.join(toks, "id")
+        .agg(count(lit(1)).as("n_removed"), sum(col("ntok")).as("tok_removed"))
+        .select(lit(tau).as("tau"), lit(nDocs).as("n_docs"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("tok_removed"), lit(0L)).as("tokens_removed"),
+          round(coalesce(col("tok_removed"), lit(0L)).cast("double") /
+            lit(totTok), 6).as("pct_tokens"))
+    }
+    perTau.reduce(_ unionAll _).orderBy(col("tau"))
+  }
+
   /** [[jaccardComponentsOfSets]] over word n-gram shingle sets — the
     * clustering companion of [[ngramJaccardPairs]]. */
   def ngramJaccardComponents(df: DataFrame, idCol: String, textCol: String,

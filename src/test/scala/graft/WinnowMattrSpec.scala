@@ -38,6 +38,29 @@ class WinnowMattrSpec extends AnyFunSuite {
     assert(pairs.isEmpty, s"boilerplate must be df-capped, got ${pairs.length} pairs")
   }
 
+  test("dedup impact: removal mass grows as τ loosens; exact dups always counted") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base),                                   // keeper of the exact group
+      (2L, base),                                   // exact dup → removed at any τ
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // high-J near dup
+      (4L, "alpha beta gamma delta unrelated words here now"), // mid-J
+      (5L, "totally different content with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.dedupImpact(docs, "doc_id", "text", 2,
+        Seq(0.25, 0.6, 0.95))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // τ=0.95: only the exact duplicate (doc 2, 8 tokens) is removed
+    assert(out(0.95) == ((1L, 8L)), s"tight τ: ${out(0.95)}")
+    // loosening τ can only remove MORE
+    assert(out(0.6)._1 >= out(0.95)._1 && out(0.25)._1 >= out(0.6)._1)
+    // at 0.25 the near-dup cluster {1,2,3,4} (doc 4 joins at J=3/11)
+    // collapses to one keeper
+    assert(out(0.25)._1 == 3L, s"loose τ: ${out(0.25)}")
+  }
+
   test("mattr: hand-built periodic and constant docs") {
     import spark.implicits._
     val docs = Seq(
