@@ -953,6 +953,18 @@ object SparkEntry {
     "q397_dedup_impact" -> ((s, dir) =>
       graft.dedup.Dedup.dedupImpact(Tables.documents(s, dir),
         "doc_id", "text", 3, Seq(0.7, 0.8, 0.9))),
+    // ---- seasonal-naive backtest with MASE (Hyndman-Koehler): the
+    //      scale-free yardstick q277's OLS errors get compared to —
+    //      weekly-phase forecasts, in-sample naive MAE as the scale
+    "q398_mase" -> ((s, dir) =>
+      graft.analyze.Trend.seasonalNaiveBacktest(Tables.events(s, dir),
+        "ts", "value", 0.8, 7)),
+    // ---- Page-Hinkley sequential mean-shift detector on daily totals:
+    //      the streaming-drift default, exact pinned cumulative terms —
+    //      first-alarm day + max statistic
+    "q399_page_hinkley" -> ((s, dir) =>
+      graft.analyze.Drift.pageHinkley(Tables.events(s, dir),
+        "ts", "value", 0.0, 500.0)),
     // ---- Siegel repeated-medians slope of daily revenue: the
     //      50%-breakdown robust trend (Theil-Sen q204 breaks at ~29%) —
     //      median-of-medians over the day-bounded pair frame
@@ -6681,6 +6693,55 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // seasonal-naive MASE: weekly-phase source index by integer ceil-div,
+    // exact |err| sums, one double division pair at the close
+    "q398_mase" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         idx AS (SELECT row_number() OVER (ORDER BY day) AS t, yq FROM daily),
+         nn AS (SELECT count(*) AS na FROM idx),
+         wc AS (SELECT t, yq, CAST(floor(na * 0.8) AS BIGINT) AS h
+                FROM idx CROSS JOIN nn),
+         scale AS (SELECT count(*) AS n_scale,
+                          CAST(sum(abs(w.yq - p.yq)) AS BIGINT) AS sad
+                   FROM wc w JOIN idx p ON p.t + 7 = w.t
+                   WHERE w.t <= w.h),
+         test AS (SELECT w.yq, s.yq AS fq, w.h
+                  FROM (SELECT t, yq, h,
+                          t - 7 * CAST(floor(CAST(t - h + 7 - 1 AS DOUBLE) / 7) AS BIGINT) AS src
+                        FROM wc WHERE t > h) w
+                  JOIN idx s ON s.t = w.src)
+         SELECT max(h) AS n_train, count(*) AS n_test,
+                round(CAST(sum(abs(yq - fq)) AS DOUBLE) / count(*) / 1e6, 6) AS mae,
+                round(CASE WHEN max(sc.n_scale) > 0
+                  THEN CAST(max(sc.sad) AS DOUBLE) / max(sc.n_scale) / 1e6 END, 6) AS scale_mae,
+                round(CASE WHEN max(sc.n_scale) > 0 AND max(sc.sad) > 0
+                  THEN (CAST(sum(abs(yq - fq)) AS DOUBLE) / count(*)) /
+                       (CAST(max(sc.sad) AS DOUBLE) / max(sc.n_scale)) END, 6) AS mase
+         FROM test CROSS JOIN scale sc""",
+    // Page-Hinkley: per-day pinned 6-dp terms, cumulative sums/mins over
+    // the day-bounded frame, first alarm above the pinned threshold
+    "q399_page_hinkley" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         terms AS (SELECT
+             row_number() OVER (ORDER BY day) AS t,
+             yq,
+             CAST(sum(yq) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+           FROM daily),
+         t6 AS (SELECT t,
+             CAST(round(CAST(yq AS DOUBLE) - CAST(cs AS DOUBLE) / t - 0.0) AS BIGINT) AS term6
+           FROM terms),
+         ph AS (SELECT t, m6 - min(m6) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph6
+                FROM (SELECT t, CAST(sum(term6) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m6
+                      FROM t6))
+         SELECT count(*) AS n_days,
+                round(CAST(max(ph6) AS DOUBLE) / 1e6, 6) AS ph_max,
+                min(CASE WHEN ph6 > 500000000 THEN t END) AS t_alarm,
+                coalesce(max(CASE WHEN ph6 > 500000000 THEN 1 ELSE 0 END), 0) = 1 AS drifted
+         FROM ph""",
     // dedup impact: per-τ recursive-CTE components over the inverted-index
     // jaccard graph, removed = non-min members, exact token sums
     "q397_dedup_impact" ->

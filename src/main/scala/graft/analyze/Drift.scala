@@ -177,4 +177,39 @@ object Drift {
         round(col("mean_cur") - col("mean_base"), scale).as("delta"),
         col("centroid_cos"))
   }
+
+  /** Page-Hinkley UPWARD-drift detector (Page 1954; the sequential
+    * mean-shift test the streaming-drift literature defaults to) over
+    * the daily totals of `valueCol`: with `x̄_t` the running mean,
+    * `m_t = Σ_{s≤t}(x_s − x̄_s − δ)` and `PH_t = m_t − min_{s≤t} m_s`;
+    * the alarm fires at the first day with `PH_t > λ`. δ (drift
+    * tolerance) and λ (alarm threshold) are in VALUE units. One row:
+    * `(n_days, ph_max, t_alarm, drifted)` — t_alarm is the 1-based day
+    * index (NULL when never). Day-bounded frame; each per-day term is
+    * one pinned 6-dp long (running mean = exact prefix-sum rational),
+    * so the cumulative mins/maxes compare exact integers on both
+    * engines. */
+  def pageHinkley(df: DataFrame, tsCol: String, valueCol: String,
+                  delta: Double, lambda: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val w = Window.orderBy(col("day")).rowsBetween(Long.MinValue, 0)
+    val terms = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("cs", sum(col("yq")).over(w))
+      // per-day term pinned: x_t − x̄_t − δ at 6 dp (x̄_t = cs/t)
+      .withColumn("term6",
+        round(col("yq").cast("double") -
+          col("cs").cast("double") / col("t") - lit(delta * 1e6)).cast("long"))
+      .withColumn("m6", sum(col("term6")).over(w))
+      .withColumn("minm6", min(col("m6")).over(w))
+      .withColumn("ph6", col("m6") - col("minm6"))
+    terms.agg(count(lit(1)).as("n_days"),
+        round(max(col("ph6")).cast("double") / 1e6, 6).as("ph_max"),
+        min(when(col("ph6") > lit(math.round(lambda * 1e6)), col("t")))
+          .as("t_alarm"),
+        (max(when(col("ph6") > lit(math.round(lambda * 1e6)), 1L).otherwise(0L))
+          === 1L).as("drifted"))
+  }
 }

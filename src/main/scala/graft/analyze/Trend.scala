@@ -369,6 +369,57 @@ object Trend {
           col("smape9").cast("double") / col("ns") / 1e9), 6).as("smape"))
   }
 
+  /** Seasonal-naive holdout backtest with MASE (Hyndman & Koehler 2006)
+    * — the scale-free forecast error every other metric gets compared
+    * to: forecast each test day with the value of the latest TRAIN day
+    * in the same weekly phase (`ŷ_j = y_{j − m·⌈(j−h)/m⌉}`, h = train
+    * length, m = `period`), and scale the holdout MAE by the in-sample
+    * one-season-naive MAE (mean |y_t − y_{t−m}| over train). MASE < 1 =
+    * beats the naive in-sample yardstick. One row `(n_train, n_test,
+    * mae, scale_mae, mase)`; NULL mase when the scale is zero
+    * (perfectly periodic train) or the train is shorter than a season.
+    *
+    * Day-bounded frames throughout: the index window, the (j → source
+    * index) equi-join and the lag join all run on one row per day. */
+  def seasonalNaiveBacktest(df: DataFrame, tsCol: String, valueCol: String,
+                            trainFrac: Double = 0.8, period: Int = 7): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, s"trainFrac in (0,1): $trainFrac")
+    require(period >= 1, s"period >= 1: $period")
+    val daily = df.groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val idx = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .select(col("t"), col("yq"))
+      .localCheckpoint(true) // feeds the cut, the scale lag, the test join
+    val nAll = idx.agg(count(lit(1)).as("na"))
+    val h = floor(col("na") * lit(trainFrac)).cast("long")
+    val withCut = idx.crossJoin(broadcast(nAll)).withColumn("h", h)
+    // in-sample scale: mean |y_t − y_{t−m}| over train (t ≤ h, t > m)
+    val scale = withCut.filter(col("t") <= col("h"))
+      .join(idx.select((col("t") + period).as("t"), col("yq").as("prev")), "t")
+      .agg(count(lit(1)).as("n_scale"),
+        sum(abs(col("yq") - col("prev")).cast("decimal(19,0)")).as("sad"))
+    // test forecast: source index i = j − m·⌈(j−h)/m⌉ (integer form:
+    // ceil(a/b) = -floor(-a/b) = (a + b − 1) div b for a,b > 0)
+    val srcIdx = col("t") - lit(period.toLong) *
+      floor((col("t") - col("h") + lit(period.toLong) - 1L) / lit(period.toLong))
+        .cast("long")
+    val test = withCut.filter(col("t") > col("h"))
+      .withColumn("src", srcIdx)
+      .join(idx.select(col("t").as("src"), col("yq").as("fq")), "src")
+    test.agg(count(lit(1)).as("n_test"),
+        sum(abs(col("yq") - col("fq")).cast("decimal(19,0)")).as("sae"),
+        max(col("h")).as("n_train"))
+      .crossJoin(broadcast(scale))
+      .select(col("n_train"), col("n_test"),
+        round(col("sae").cast("double") / col("n_test") / 1e6, 6).as("mae"),
+        round(when(col("n_scale") > 0,
+          col("sad").cast("double") / col("n_scale") / 1e6), 6).as("scale_mae"),
+        round(when(col("n_scale") > 0 && col("sad") > 0,
+          (col("sae").cast("double") / col("n_test")) /
+            (col("sad").cast("double") / col("n_scale"))), 6).as("mase"))
+  }
+
   def durbinWatson(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
     val daily = df.groupBy(date_trunc("day", col(tsCol)).as("day"))
       .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))

@@ -159,4 +159,38 @@ class TrendRandomnessSpec extends AnyFunSuite {
     assert(spread.getAs[Double]("vmr") == 0.0)
     assert(clump.getAs[Double]("eb") == 8.0 && spread.getAs[Double]("eb") == 1.0)
   }
+
+  test("seasonal-naive MASE: a continued weekly pattern forecasts exactly (mase 0)") {
+    import spark.implicits._
+    // weekly pattern held for 30 days; one train-only bump keeps the
+    // in-sample naive scale positive
+    val rows = (1 to 30).map { d =>
+      val base = ((d - 1) % 7 + 1) * 10.0
+      (day(d), if (d == 10) base + 7.0 else base)
+    }
+    val r = Trend.seasonalNaiveBacktest(rows.toDF("ts", "value"), "ts", "value",
+      0.8, 7).collect().head
+    assert(r.getLong(0) == 24 && r.getLong(1) == 6)
+    // test days repeat the weekly phase of train days exactly, EXCEPT the
+    // phases forecast from the bumped day — mae reflects only the bump echo
+    assert(r.getDouble(3) > 0, "scale must be positive (train bump)")
+    // day 10 is phase 3; test days 25..30 are phases 4,5,6,0,1,2 — none
+    // sources day 10, so every forecast is exact
+    assert(r.getDouble(2) == 0.0 && r.getDouble(4) == 0.0, s"got $r")
+  }
+
+  test("page-hinkley: flat series never alarms; a step shift alarms after the step") {
+    import spark.implicits._
+    val flat = (1 to 40).map(d => (day(d), 50.0)).toDF("ts", "value")
+    val rf = graft.analyze.Drift.pageHinkley(flat, "ts", "value", 0.0, 100.0)
+      .collect().head
+    assert(!rf.getBoolean(3) && rf.isNullAt(2), s"flat alarmed: $rf")
+    val step = (1 to 40).map(d => (day(d), if (d <= 20) 50.0 else 450.0))
+      .toDF("ts", "value")
+    val rs = graft.analyze.Drift.pageHinkley(step, "ts", "value", 0.0, 100.0)
+      .collect().head
+    assert(rs.getBoolean(3), s"step not detected: $rs")
+    assert(rs.getLong(2) > 20, s"alarm before the step: $rs")
+    assert(rs.getDouble(1) > 100.0)
+  }
 }
