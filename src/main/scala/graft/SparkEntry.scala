@@ -965,6 +965,12 @@ object SparkEntry {
     "q399_page_hinkley" -> ((s, dir) =>
       graft.analyze.Drift.pageHinkley(Tables.events(s, dir),
         "ts", "value", 0.0, 500.0)),
+    // ---- Johnson-Lindenstrauss ±1 projection 64→16 with the pairwise
+    //      distance-preservation audit: the training-free embedding
+    //      compressor beside PCA/PQ/Matryoshka — hash-seeded signs
+    "q400_jl_distortion" -> ((s, dir) =>
+      graft.sim.RandomProjection.distortionAudit(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 16, "jl9")),
     // ---- Siegel repeated-medians slope of daily revenue: the
     //      50%-breakdown robust trend (Theil-Sen q204 breaks at ~29%) —
     //      median-of-medians over the day-bounded pair frame
@@ -6693,6 +6699,38 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // JL distortion: hash-seeded ±1 signs, per-term 9-dp pins, exact
+    // integer distance algebra, consecutive-id pair sample
+    "q400_jl_distortion" ->
+      """WITH xs AS (SELECT vec_id AS id, u.d AS d, u.x AS x FROM (
+             SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+               i -> struct_pack(d := i - 1, x := CAST(embedding[i] AS DOUBLE)))) AS u
+             FROM embeddings)),
+         dims AS (SELECT CAST(i AS INT) AS j FROM unnest(range(0, 16)) r(i)),
+         terms AS (SELECT id, j,
+             CAST(round(CASE WHEN ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                 CAST(d AS VARCHAR) || ':jl9'), 1, 8))::BIGINT % 2 = 0
+               THEN 1 ELSE -1 END * x * 1e9) AS BIGINT) AS t9
+           FROM xs CROSS JOIN dims),
+         proj AS (SELECT id, j,
+             CAST(round(CAST(sum(t9) AS DOUBLE) / 1e9 / sqrt(16.0) * 1e9) AS BIGINT) AS y9
+           FROM terms GROUP BY 1, 2),
+         dproj AS (SELECT a.id,
+             sum(CAST(a.y9 - b.y9 AS HUGEINT) * (a.y9 - b.y9)) AS dy2
+           FROM proj a JOIN proj b ON b.id = a.id + 1 AND b.j = a.j
+           GROUP BY 1),
+         dorig AS (SELECT a.id,
+             CAST(sum(CAST(round((a.x - b.x) * (a.x - b.x) * 1e9) AS BIGINT)) AS BIGINT) AS dx2_9
+           FROM xs a JOIN xs b ON b.id = a.id + 1 AND b.d = a.d
+           GROUP BY 1),
+         ratios AS (SELECT CAST(round((CAST(dy2 AS DOUBLE) / 1e18) /
+               (CAST(dx2_9 AS DOUBLE) / 1e9) * 1e6) AS BIGINT) AS r6
+           FROM dproj JOIN dorig USING (id) WHERE dx2_9 > 0)
+         SELECT count(*) AS n_pairs,
+                round(avg(r6) / 1e6, 6) AS mean_ratio,
+                round(CAST(min(r6) AS DOUBLE) / 1e6, 6) AS min_ratio,
+                round(CAST(max(r6) AS DOUBLE) / 1e6, 6) AS max_ratio
+         FROM ratios""",
     // seasonal-naive MASE: weekly-phase source index by integer ceil-div,
     // exact |err| sums, one double division pair at the close
     "q398_mase" ->
