@@ -195,4 +195,34 @@ class PlanSpec extends AnyFunSuite {
       s"q372 must reuse the persisted unit fold:\n$pj")
     assert(!pj.contains("SortMergeJoin"))
   }
+
+  test("q390 bucketed LOF: pair join is bucket-keyed equi, never a cartesian") {
+    val p = plan("q390_lof_bucketed")
+    assert(!p.contains("CartesianProduct"),
+      s"bucketed LOF must never plan an all-pairs cartesian:\n$p")
+    // the seed-assignment fan-out is the only nested-loop (bounded
+    // broadcast side: nSeeds rows)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"seed fan-out should ride a broadcast:\n$p")
+  }
+
+  test("q391 naive bayes: model-sized sides broadcast; no cartesian") {
+    val p = plan("q391_nb_langid")
+    assert(!p.contains("CartesianProduct"), s"NB must not plan a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (token, class) weight join must broadcast the model:\n$p")
+  }
+
+  test("q393 winnow pairs: inverted-index self-join stays equi-keyed") {
+    val p = plan("q393_winnow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow candidate generation must be fingerprint-equi-keyed only:\n$p")
+  }
+
+  test("q400 JL: sign matrix broadcasts; projection is one corpus shuffle each side") {
+    val p = plan("q400_jl_distortion")
+    assert(!p.contains("CartesianProduct"), s"JL must not plan a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k×d sign matrix must broadcast into the term projection:\n$p")
+  }
 }
