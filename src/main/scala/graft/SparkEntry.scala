@@ -971,6 +971,14 @@ object SparkEntry {
     "q400_jl_distortion" -> ((s, dir) =>
       graft.sim.RandomProjection.distortionAudit(
         Tables.embeddings(s, dir), "vec_id", "embedding", 16, "jl9")),
+    // ---- temperature mixing weights (mT5/PaLM recipe): share^0.3
+    //      flattening with per-source oversampling epochs — the third
+    //      mixture policy beside q67 equal-budget and q80 shuffling
+    "q401_temperature_mix" -> ((s, dir) =>
+      graft.operators.Mixture.temperatureWeights(
+        Tables.documents(s, dir).select(col("source"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("toks")),
+        "source", "toks", 0.3)),
     // ---- Siegel repeated-medians slope of daily revenue: the
     //      50%-breakdown robust trend (Theil-Sen q204 breaks at ~29%) —
     //      median-of-medians over the day-bounded pair frame
@@ -6699,6 +6707,25 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // temperature mix: exact group token totals, one pow per group
+    // pinned to 1e9, integer-normalized weights
+    "q401_temperature_mix" ->
+      """WITH d AS (SELECT source,
+                CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS toks
+              FROM documents),
+         totals AS (SELECT source, CAST(sum(toks) AS BIGINT) AS group_size
+                    FROM d GROUP BY 1),
+         tt AS (SELECT CAST(sum(group_size) AS BIGINT) AS t FROM totals),
+         pinned AS (SELECT source, group_size, t,
+                      CAST(round(pow(CAST(group_size AS DOUBLE) / t, 0.3) * 1e9) AS BIGINT) AS p9
+                    FROM totals CROSS JOIN tt),
+         norm AS (SELECT CAST(sum(p9) AS BIGINT) AS sp9 FROM pinned)
+         SELECT source, group_size,
+                round(CAST(group_size AS DOUBLE) / t, 6) AS raw_share,
+                round(CAST(p9 AS DOUBLE) / sp9, 6) AS weight,
+                round((CAST(p9 AS DOUBLE) / sp9) /
+                  (CAST(group_size AS DOUBLE) / t), 6) AS epochs
+         FROM pinned CROSS JOIN norm ORDER BY source""",
     // JL distortion: hash-seeded ±1 signs, per-term 9-dp pins, exact
     // integer distance algebra, consecutive-id pair sample
     "q400_jl_distortion" ->

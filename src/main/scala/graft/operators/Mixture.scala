@@ -46,4 +46,38 @@ object Mixture {
     df.join(broadcast(budgetWeights(df, groupCol, sizeCol)
         .select(col(groupCol), col("weight"))), groupCol)
       .filter(unitHash(col(keyCol)) < col("weight"))
+
+  /** TEMPERATURE mixing weights (the mT5/PaLM/BLOOM corpus recipe):
+    * sampling weight `w_g ∝ share_g^α`, α ∈ (0,1] — α = 1 keeps natural
+    * proportions, α → 0 approaches uniform, flattening the head domains
+    * so low-resource groups are seen more often. Per group:
+    * `(group, group_size, raw_share, weight, epochs)` where `epochs =
+    * w_g / share_g` is the oversampling factor a trainer applies
+    * (> 1 = upsampled). Ascending by group.
+    *
+    * Determinism: group totals are exact longs; ONE `pow` per group
+    * (group-bounded), pinned to a 1e9 long before the exact
+    * normalization sum — both engines divide the same integers. */
+  def temperatureWeights(df: DataFrame, groupCol: String, sizeCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1]: $alpha")
+    // the corpus fold feeds the grand total, the pin AND the norm —
+    // materialize the group-bounded result once
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(sizeCol).cast("long")).as("group_size"))
+      .localCheckpoint(true)
+    val tot = totals.agg(sum(col("group_size")).as("t"))
+    val pinned = totals.crossJoin(broadcast(tot))
+      .withColumn("p9", round(
+        pow(col("group_size").cast("double") / col("t"), lit(alpha)) * lit(1e9))
+        .cast("long"))
+    val norm = pinned.agg(sum(col("p9")).as("sp9"))
+    pinned.crossJoin(broadcast(norm))
+      .select(col(groupCol), col("group_size"),
+        round(col("group_size").cast("double") / col("t"), 6).as("raw_share"),
+        round(col("p9").cast("double") / col("sp9"), 6).as("weight"),
+        round((col("p9").cast("double") / col("sp9")) /
+          (col("group_size").cast("double") / col("t")), 6).as("epochs"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -56,4 +56,22 @@ class MixtureSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(2) - expect) < 1e-12)
     }
   }
+
+  test("temperature weights: alpha=1 is natural shares; alpha<1 upsamples the tail") {
+    import spark.implicits._
+    val d = (Seq.fill(90)(("big", 100L)) ++ Seq.fill(10)(("small", 100L)))
+      .toDF("source", "toks")
+    val nat = Mixture.temperatureWeights(d, "source", "toks", 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // alpha = 1: weight == raw share, epochs == 1 (up to the 1e9 pin)
+    nat.foreach { case (_, (share, w, e)) =>
+      assert(math.abs(w - share) < 1e-5 && math.abs(e - 1.0) < 1e-4)
+    }
+    val t3 = Mixture.temperatureWeights(d, "source", "toks", 0.3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(t3("small")._2 > 1.5, s"tail must be upsampled: ${t3("small")}")
+    assert(t3("big")._2 < 1.0, s"head must be downsampled: ${t3("big")}")
+    // weights normalize
+    assert(math.abs(t3.values.map(_._1).sum - 1.0) < 1e-5)
+  }
 }
