@@ -971,6 +971,13 @@ object SparkEntry {
     "q400_jl_distortion" -> ((s, dir) =>
       graft.sim.RandomProjection.distortionAudit(
         Tables.embeddings(s, dir), "vec_id", "embedding", 16, "jl9")),
+    // ---- text/embedding disagreement: near-identical text with far
+    //      embeddings = stale vectors / shuffled ids / mixed model
+    //      versions — the embedding-pipeline bug detector
+    "q402_embed_disagree" -> ((s, dir) =>
+      graft.dedup.Dedup.embeddingDisagreement(
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        "doc_id", "text", "vec_id", "embedding", 3, 0.8, 0.995)),
     // ---- temperature mixing weights (mT5/PaLM recipe): share^0.3
     //      flattening with per-source oversampling epochs — the third
     //      mixture policy beside q67 equal-budget and q80 shuffling
@@ -6707,6 +6714,34 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // embed disagreement: inverted-index jaccard candidates at the text
+    // threshold, pair-joined embeddings, rounded-cosine gate
+    "q402_embed_disagree" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pj AS (SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+                FROM shared
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8)
+         SELECT id_a, id_b, jaccard,
+                round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) AS cosine
+         FROM pj
+         JOIN embeddings ea ON ea.vec_id = id_a
+         JOIN embeddings eb ON eb.vec_id = id_b
+         WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) < 0.995
+         ORDER BY cosine, id_a, id_b""",
     // temperature mix: exact group token totals, one pow per group
     // pinned to 1e9, integer-normalized weights
     "q401_temperature_mix" ->

@@ -473,6 +473,34 @@ object Dedup {
     perTau.reduce(_ unionAll _).orderBy(col("tau"))
   }
 
+  /** Text/embedding DISAGREEMENT audit — the broken-embedding detector:
+    * documents whose TEXT is near-identical (n-gram Jaccard ≥ `tauText`)
+    * but whose embeddings sit far apart (cosine < `tauCos`) are, with
+    * overwhelming likelihood, pipeline bugs — stale vectors, shuffled
+    * ids, mixed model versions — not semantics. Returns the offending
+    * pairs `(id_a, id_b, jaccard, cosine)` ordered by (cosine asc,
+    * id_a, id_b): the most damning first.
+    *
+    * Scale shape: candidate pairs come from the prefix-filtered Jaccard
+    * join (ids-only shuffles); embeddings attach to the PAIR LIST by two
+    * id-keyed joins (pair-bounded, broadcast when small) — never an
+    * embedding×embedding join. */
+  def embeddingDisagreement(docs: DataFrame, embs: DataFrame,
+                            idCol: String, textCol: String,
+                            vecIdCol: String, vecCol: String, n: Int,
+                            tauText: Double, tauCos: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, tauText)
+    val vecs = embs.select(col(vecIdCol).cast("long").as("vid"),
+      col(vecCol).as("vv"))
+    pairs
+      .join(vecs.select(col("vid").as("id_a"), col("vv").as("va")), "id_a")
+      .join(vecs.select(col("vid").as("id_b"), col("vv").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        round(graft.sim.Similarity.cosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") < tauCos)
+      .orderBy(col("cosine"), col("id_a"), col("id_b"))
+  }
+
   /** [[jaccardComponentsOfSets]] over word n-gram shingle sets — the
     * clustering companion of [[ngramJaccardPairs]]. */
   def ngramJaccardComponents(df: DataFrame, idCol: String, textCol: String,

@@ -61,6 +61,24 @@ class WinnowMattrSpec extends AnyFunSuite {
     assert(out(0.25)._1 == 3L, s"loose τ: ${out(0.25)}")
   }
 
+  test("embedding disagreement flags the corrupted vector, not healthy near-dups") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, txt), (2L, txt), (3L, txt),
+      (4L, "completely different text with no shared trigrams at all here"))
+      .toDF("doc_id", "text")
+    val good = Array(1.0f, 0.2f, 0.1f, 0.0f)
+    val goodish = Array(0.99f, 0.21f, 0.1f, 0.0f)
+    val broken = Array(-0.5f, 0.9f, -0.2f, 0.3f)   // stale/shuffled vector
+    val embs = Seq((1L, good), (2L, goodish), (3L, broken), (4L, good))
+      .toDF("vec_id", "embedding")
+    val out = graft.dedup.Dedup.embeddingDisagreement(docs, embs,
+        "doc_id", "text", "vec_id", "embedding", 3, 0.8, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pairs (1,3) and (2,3) disagree; (1,2) agrees; doc 4 never pairs
+    assert(out.toSet == Set((1L, 3L), (2L, 3L)), s"got ${out.toSeq}")
+  }
+
   test("mattr: hand-built periodic and constant docs") {
     import spark.implicits._
     val docs = Seq(
