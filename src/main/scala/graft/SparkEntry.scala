@@ -971,6 +971,22 @@ object SparkEntry {
     "q400_jl_distortion" -> ((s, dir) =>
       graft.sim.RandomProjection.distortionAudit(
         Tables.embeddings(s, dir), "vec_id", "embedding", 16, "jl9")),
+    // ---- sorted k-dist deciles (Ester et al.): the eps-selection
+    //      readout for DBSCAN/LOF over the q390 bucketed neighborhoods
+    "q403_kdist_profile" -> ((s, dir) =>
+      graft.sim.Lof.kdistProfile(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 10, 16)),
+    // ---- Pettitt change-point test: nonparametric single change-point
+    //      locator on daily totals — doubled-rank exact U_t, first
+    //      argmax split, closed-form p
+    "q404_pettitt" -> ((s, dir) =>
+      graft.analyze.Trend.pettitt(Tables.events(s, dir), "ts", "value")),
+    // ---- Kruskal-Wallis: the nonparametric k-group location test
+    //      beside q251 ANOVA / q252 Levene — tie-corrected H off the
+    //      distinct-value rank fold
+    "q405_kruskal" -> ((s, dir) =>
+      graft.analyze.VarianceTests.kruskalWallis(
+        Tables.lineitem(s, dir), col("l_returnflag"), col("l_quantity"))),
     // ---- text/embedding disagreement: near-identical text with far
     //      embeddings = stale vectors / shuffled ids / mixed model
     //      versions — the embedding-pipeline bug detector
@@ -4062,7 +4078,7 @@ object SparkEntry {
                     AND sign(diff) = sign(pd) THEN 1 ELSE 0 END) AS BIGINT) AS paradox
          FROM per CROSS JOIN pooled""",
     "q269_lof" ->
-      """WITH p AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          pr AS (SELECT a.id, b.id AS nb,
                        CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d
                 FROM p a JOIN p b ON a.id <> b.id),
@@ -4277,7 +4293,7 @@ object SparkEntry {
                       THEN (CAST(n_tail AS DOUBLE) / (CAST(l9 AS DOUBLE) / 1e9)) / sqrt(CAST(n_tail AS DOUBLE)) END, 6) AS alpha_se
          FROM alln CROSS JOIN tail""",
     "q279_hubness" ->
-      """WITH p AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          pr AS (SELECT a.id, b.id AS nb,
                        CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d
                 FROM p a JOIN p b ON a.id <> b.id),
@@ -6524,7 +6540,7 @@ object SparkEntry {
            round(CASE WHEN n >= 2 AND s > 0 THEN d0 * sqrt(CAST(n AS DOUBLE)) END, 4) AS sqrt_n_d
          FROM m""",
     "q381_twonn" ->
-      """WITH p AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          pr AS (SELECT a.id, b.id AS nb,
                        CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e9) AS BIGINT) AS d
                 FROM p a JOIN p b ON a.id <> b.id),
@@ -6714,6 +6730,86 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // k-dist deciles: q390's bucketed chain to the exact k-th neighbor
+    // distance, rank-selected deciles
+    "q403_kdist_profile" ->
+      """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         seeds AS (SELECT id AS sid, v AS sv FROM p ORDER BY id LIMIT 16),
+         asg AS (SELECT id, sid AS cluster FROM (
+             SELECT p.id, s.sid,
+               row_number() OVER (PARTITION BY p.id ORDER BY
+                 CAST(round((1.0 - list_cosine_similarity(p.v, s.sv)) * 1e6) AS BIGINT), s.sid) AS rn
+             FROM p CROSS JOIN seeds s) WHERE rn = 1),
+         pr AS (SELECT a.id, b.id AS nb,
+                  CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d
+                FROM p a JOIN asg ca ON a.id = ca.id
+                JOIN asg cb ON ca.cluster = cb.cluster AND cb.id <> a.id
+                JOIN p b ON b.id = cb.id),
+         kd AS (SELECT id, d AS kd FROM (
+                  SELECT id, d, row_number() OVER (PARTITION BY id ORDER BY d, nb) AS rn
+                  FROM pr) WHERE rn = 10),
+         rk AS (SELECT kd, row_number() OVER (ORDER BY kd, id) AS r,
+                       count(*) OVER () AS n
+                FROM kd),
+         dec AS (SELECT CAST(i AS INT) AS decile FROM unnest(range(1, 10)) t(i))
+         SELECT decile, round(CAST(kd AS DOUBLE) / 1e12, 6) AS kdist
+         FROM rk JOIN dec ON r = CAST(ceil(decile * n / 10.0) AS BIGINT)
+         ORDER BY decile""",
+    // Pettitt: doubled-rank exact U_t off two day-bounded windows
+    "q404_pettitt" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS yq
+               FROM events GROUP BY 1),
+         ranked AS (SELECT day, yq,
+                      rank() OVER (ORDER BY yq) AS minr,
+                      count(*) OVER (PARTITION BY yq) AS ceq
+                    FROM daily),
+         u AS (SELECT t, n,
+                 CAST(s2 - t * (n + 1) AS BIGINT) AS ut
+               FROM (SELECT row_number() OVER (ORDER BY day) AS t,
+                       count(*) OVER () AS n,
+                       CAST(sum(2 * (minr - 1) + ceq + 1) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
+                     FROM ranked)
+               WHERE t < n),
+         stats AS (SELECT max(n) AS n_days, max(abs(ut)) AS k_stat FROM u)
+         SELECT s.n_days, s.k_stat, min(u.t) AS t_change,
+           round(2.0 * exp(-6.0 * CAST(s.k_stat AS DOUBLE) * s.k_stat /
+             CAST(s.n_days * s.n_days * s.n_days + s.n_days * s.n_days AS DOUBLE)), 6) AS p_approx
+         FROM u CROSS JOIN stats s
+         WHERE abs(u.ut) = s.k_stat
+         GROUP BY 1, 2""",
+    // Kruskal-Wallis: doubled average ranks off the distinct-value fold,
+    // exact rank sums, tie-corrected close
+    "q405_kruskal" ->
+      """WITH q AS (SELECT l_returnflag AS cls,
+                CAST(round(l_quantity * 100) AS BIGINT) AS vq FROM lineitem),
+         gv AS (SELECT cls, vq, count(*) AS c FROM q GROUP BY 1, 2),
+         byv AS (SELECT vq, CAST(sum(c) AS BIGINT) AS ceq FROM gv GROUP BY 1),
+         r2 AS (SELECT vq, ceq,
+                  2 * CAST(coalesce(sum(ceq) OVER (ORDER BY vq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  + ceq + 1 AS r2
+                FROM byv),
+         perg AS (SELECT cls, CAST(sum(c) AS BIGINT) AS nj,
+                    sum(CAST(c AS HUGEINT) * r2.r2) AS sr2
+                  FROM gv JOIN r2 USING (vq) GROUP BY 1),
+         ties AS (SELECT sum(CAST(ceq AS HUGEINT) * ceq * ceq - ceq) AS tsum FROM r2),
+         top AS (SELECT count(*) AS k, CAST(sum(nj) AS BIGINT) AS n,
+                   sum(CAST(round(CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE)
+                     / 4.0 / nj * 1e6) AS HUGEINT)) AS rr6
+                 FROM perg)
+         SELECT k, n,
+           round(CASE WHEN k >= 2 AND n > 1
+             THEN 12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+               * (CAST(rr6 AS DOUBLE) / 1e6) - 3.0 * (CAST(n AS DOUBLE) + 1) END, 6) AS h_stat,
+           round(CASE WHEN k >= 2 AND n > 1
+             AND 1.0 - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0
+             THEN (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+               * (CAST(rr6 AS DOUBLE) / 1e6) - 3.0 * (CAST(n AS DOUBLE) + 1))
+               / (1.0 - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) END, 6) AS h_tied,
+           CAST(k - 1 AS BIGINT) AS df
+         FROM top CROSS JOIN ties""",
     // embed disagreement: inverted-index jaccard candidates at the text
     // threshold, pair-joined embeddings, rounded-cosine gate
     "q402_embed_disagree" ->
@@ -7038,12 +7134,12 @@ object SparkEntry {
              ELSE CAST(n_types AS DOUBLE) / n_tokens END, 6) AS mattr
          FROM agg ORDER BY id""",
     "q390_lof_bucketed" ->
-      """WITH p AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          seeds AS (SELECT id AS sid, v AS sv FROM p ORDER BY id LIMIT 16),
          asg AS (SELECT id, sid AS cluster FROM (
              SELECT p.id, s.sid,
                row_number() OVER (PARTITION BY p.id ORDER BY
-                 CAST(round((1.0 - list_cosine_similarity(p.v, s.sv)) * 1e12) AS BIGINT), s.sid) AS rn
+                 CAST(round((1.0 - list_cosine_similarity(p.v, s.sv)) * 1e6) AS BIGINT), s.sid) AS rn
              FROM p CROSS JOIN seeds s) WHERE rn = 1),
          pr AS (SELECT a.id, b.id AS nb,
                   CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d

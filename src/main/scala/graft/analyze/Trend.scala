@@ -593,6 +593,48 @@ object Trend {
         greatest(lit(0.0), lit(1.0) - va("r") / va("sr"))), 6).as("f_seasonal"))
   }
 
+  /** Pettitt change-point test (Pettitt 1979) on the daily totals — the
+    * NONPARAMETRIC single change-point locator beside the CUSUM scan
+    * (q-family) and Page-Hinkley: `U_t = 2·Σ_{i≤t} r_i − t(n+1)` over
+    * average ranks, `K = max_{t<n} |U_t|`, changepoint at the first
+    * argmax, `p ≈ 2·exp(−6K²/(n³+n²))`. Doubled average ranks
+    * (`2r = 2·c_lt + c_eq + 1`) keep every U_t an exact integer; the
+    * only double is the closing p. One row
+    * `(n_days, k_stat, t_change, p_approx)` — t_change is the 1-based
+    * day index of the first maximizing split.
+    *
+    * Day-bounded frame throughout (value-rank join + one ordered
+    * cumulative sum). */
+  def pettitt(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("yq"))
+    val wv = Window.orderBy(col("yq"))
+    // doubled average rank from min-rank + tie count (both windowed on
+    // the day-bounded frame)
+    val ranked = daily
+      .withColumn("minr", rank().over(wv))
+      .withColumn("ceq", count(lit(1)).over(Window.partitionBy(col("yq"))))
+      .withColumn("r2", lit(2) * (col("minr") - 1) + col("ceq") + 1)
+    val wd = Window.orderBy(col("day")).rowsBetween(Long.MinValue, 0)
+    val u = ranked
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.orderBy(col("day")).rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("ut", sum(col("r2")).over(wd) - col("t") * (col("n") + 1))
+      .filter(col("t") < col("n")) // U_n ≡ 0 by construction
+    val uc = u.select(col("t"), col("n"), col("ut")).localCheckpoint(true)
+    val stats = uc.agg(max(col("n")).as("n_days"), max(abs(col("ut"))).as("k_stat"))
+    uc.crossJoin(broadcast(stats))
+      .filter(abs(col("ut")) === col("k_stat"))
+      .groupBy(col("n_days"), col("k_stat"))
+      .agg(min(col("t")).as("t_change"))
+      .select(col("n_days"), col("k_stat"), col("t_change"),
+        round(lit(2.0) * exp(lit(-6.0) * col("k_stat").cast("double") *
+          col("k_stat") /
+          (col("n_days") * col("n_days") * col("n_days") +
+            col("n_days") * col("n_days")).cast("double")), 6).as("p_approx"))
+  }
+
   /** Turning-points randomness test (Kendall): count strict local
     * extrema among the daily totals — an i.i.d. series has
     * `E[T] = 2(n−2)/3`, `Var[T] = (16n−29)/90`; too FEW turning points

@@ -337,4 +337,54 @@ object VarianceTests {
         round(when(col("k") >= 2, col("asum9").cast("double") / 1e9), 6)
           .as("a_stat"))
   }
+
+  /** Kruskal-Wallis rank test (1952) — the NONPARAMETRIC k-group
+    * location comparison beside [[anovaF]] (means) and [[leveneBF]]
+    * (spreads): `H = 12/(N(N+1))·Σ R_j²/n_j − 3(N+1)` over rank sums,
+    * divided by the tie correction `C = 1 − Σ(t³−t)/(N³−N)`. One row
+    * `(k, n, h_stat, h_tied, df)` — h at 6 dp, NULL when degenerate
+    * (k < 2 or every value tied).
+    *
+    * Exactness: doubled average ranks (`2r = 2·c_lt + c_eq + 1`) come
+    * off the DISTINCT-VALUE fold (value-bounded, one ordered prefix
+    * window), so per-group rank sums are exact DECIMALs and doubles
+    * enter only in the closing H/C expressions. Scale: one group×value
+    * aggregate (map-side combined), one value-bounded window, one
+    * class-bounded rollup — the corpus never sorts globally. */
+  def kruskalWallis(df: DataFrame, classCol: Column, valueCol: Column): DataFrame = {
+    val q = df.select(classCol.as("cls"),
+      round(valueCol * lit(100)).cast("long").as("vq"))
+    val gv = q.groupBy(col("cls"), col("vq")).agg(count(lit(1)).as("c"))
+    val byV = gv.groupBy(col("vq")).agg(sum(col("c")).as("ceq"))
+    val wv = Window.orderBy(col("vq")).rowsBetween(Long.MinValue, -1)
+    // doubled average rank per distinct value
+    val r2 = byV
+      .withColumn("clt", coalesce(sum(col("ceq")).over(wv), lit(0L)))
+      .select(col("vq"), (lit(2) * col("clt") + col("ceq") + 1).as("r2"),
+        col("ceq"))
+    val perG = gv.join(r2.select(col("vq"), col("r2")), "vq")
+      .groupBy(col("cls"))
+      .agg(sum(col("c")).as("nj"),
+        sum(d38(col("c")) * d38(col("r2"))).as("sr2"))
+    val ties = r2.agg(
+      sum((d38(col("ceq")) * d38(col("ceq"))).cast("decimal(38,0)") *
+        d38(col("ceq")) - d38(col("ceq"))).as("tsum"))
+    perG.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+        // Σ R_j²/n_j with R_j = sr2/2: pinned per class at 6 dp so the
+        // cross-class double sum is order-free
+        sum(round(col("sr2").cast("double") * col("sr2").cast("double") /
+          4.0 / col("nj") * lit(1e6)).cast("decimal(38,0)")).as("rr6"))
+      .crossJoin(broadcast(ties))
+      .select({
+        val n = col("n").cast("double")
+        val h = lit(12.0) / (n * (n + 1)) *
+          (col("rr6").cast("double") / 1e6) - lit(3.0) * (n + 1)
+        val c = lit(1.0) - col("tsum").cast("double") / (n * n * n - n)
+        Seq(col("k"), col("n"),
+          round(when(col("k") >= 2 && col("n") > 1, h), 6).as("h_stat"),
+          round(when(col("k") >= 2 && col("n") > 1 && c > 0, h / c), 6)
+            .as("h_tied"),
+          (col("k") - 1).cast("long").as("df"))
+      }: _*)
+  }
 }

@@ -64,13 +64,28 @@ object Lof {
                   k: Int, topN: Int, nSeeds: Int): DataFrame = {
     require(k >= 1 && topN >= 1 && nSeeds >= 1,
       s"need k, topN, nSeeds >= 1: $k, $topN, $nSeeds")
+    lofFromPairs(bucketedPairs(df, idCol, vecCol, nSeeds), k, topN)
+  }
+
+  /** Within-bucket candidate pair frame `(id, nb, d)` under the
+    * nearest-of-`nSeeds`-lowest-id-vectors bucketing (pinned 12-dp
+    * cosine distances) — shared by [[bucketedTop]] and
+    * [[kdistProfile]]. */
+  private[sim] def bucketedPairs(df: DataFrame, idCol: String,
+                                 vecCol: String, nSeeds: Int): DataFrame = {
     val pts = graft.operators.Spread.widen(
       df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
       col("id"))
     val seeds = pts.orderBy(col("id")).limit(nSeeds)
       .select(col("id").as("sid"), col("v").as("sv"))
+    // assignment pin at 1e6, NOT the pair pin's 1e12: a 1-ulp cosine
+    // divergence near a rounding boundary flips a BUCKET MEMBERSHIP
+    // (observed: one point's k-dist moved 5e-7 between engines at the
+    // 1e12 grid), and a flipped bucket shifts every neighborhood it
+    // touches; at 1e6 the flip odds drop ~1e6× and grid ties break by
+    // seed id identically on both engines
     val dSeed = round((lit(1.0) - Similarity.cosine(col("v"), col("sv")))
-      * lit(1e12)).cast("long")
+      * lit(1e6)).cast("long")
     // argmin by (distance, seed id): lexicographic struct-min — partial
     // aggregation folds the S candidate rows map-side before the shuffle
     val asg = pts.join(broadcast(seeds))
@@ -80,10 +95,37 @@ object Lof {
       .select(col("id"), col("m.sid").as("cluster"), col("v"))
     val d12 = round((lit(1.0) - Similarity.cosine(col("a.v"), col("b.v")))
       * lit(1e12)).cast("long")
-    val pairs = asg.alias("a").join(asg.alias("b"),
+    asg.alias("a").join(asg.alias("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id"), col("b.id").as("nb"), d12.as("d"))
-    lofFromPairs(pairs, k, topN)
+  }
+
+  /** k-DISTANCE PROFILE — the eps-selection readout for DBSCAN/LOF
+    * parameter tuning (Ester et al.'s "sorted k-dist graph" as decile
+    * order statistics): every point's distance to its k-th nearest
+    * within-bucket neighbor, summarized as the 9 deciles of that
+    * distribution. The elbow between consecutive deciles is where eps
+    * belongs. Rows `(decile, kdist)` for deciles 1..9 — kdist at 6 dp,
+    * exact rank selection (rank ⌈d·n/10⌉ under the (kd, id) order). */
+  def kdistProfile(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nSeeds: Int): DataFrame = {
+    require(k >= 1 && nSeeds >= 1, s"need k, nSeeds >= 1: $k, $nSeeds")
+    val pairs = bucketedPairs(df, idCol, vecCol, nSeeds)
+    val w = Window.partitionBy(col("id")).orderBy(col("d"), col("nb"))
+    val kd = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col("id"), col("d").as("kd"))
+    val ranked = graft.operators.Positional.withRowIndex(
+        kd, Seq(col("kd"), col("id")), "__r")
+      .select(col("kd"), (col("__r") + 1L).as("r"))
+    val n = kd.agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val deciles = broadcast((1 to 9).toDF("decile"))
+    ranked.crossJoin(broadcast(n)).join(deciles,
+        col("r") === ceil(col("decile") * col("n") / lit(10.0)).cast("long"))
+      .select(col("decile"), round(col("kd").cast("double") / 1e12, 6).as("kdist"))
+      .orderBy(col("decile"))
   }
 
   /** Shared LOF algebra over a candidate pair frame `(id, nb, d)`:
