@@ -971,6 +971,12 @@ object SparkEntry {
     "q400_jl_distortion" -> ((s, dir) =>
       graft.sim.RandomProjection.distortionAudit(
         Tables.embeddings(s, dir), "vec_id", "embedding", 16, "jl9")),
+    // ---- order-invariant corpus content digest: the dataset-versioning
+    //      fingerprint — commutative 60-bit md5-slice sums, identical
+    //      for any row order / partitioning / engine
+    "q406_corpus_digest" -> ((s, dir) =>
+      graft.analyze.DatasetCard.contentDigest(Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     // ---- sorted k-dist deciles (Ester et al.): the eps-selection
     //      readout for DBSCAN/LOF over the q390 bucketed neighborhoods
     "q403_kdist_profile" -> ((s, dir) =>
@@ -6730,6 +6736,21 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // corpus digest: canonical chr(1)-joined row string (nulls chr(2)),
+    // two 60-bit md5 slices, commutative exact sums
+    "q406_corpus_digest" ->
+      """WITH h AS (
+           SELECT md5(concat_ws(chr(1),
+             coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+             coalesce(text, chr(2)),
+             coalesce(lang, chr(2)),
+             coalesce(source, chr(2)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(2)))) AS h
+           FROM documents)
+         SELECT count(*) AS n_rows,
+           CAST(sum(('0x' || substr(h, 1, 15))::BIGINT::HUGEINT) AS VARCHAR) AS digest_lo,
+           CAST(sum(('0x' || substr(h, 17, 15))::BIGINT::HUGEINT) AS VARCHAR) AS digest_hi
+         FROM h""",
     // k-dist deciles: q390's bucketed chain to the exact k-th neighbor
     // distance, rank-selected deciles
     "q403_kdist_profile" ->

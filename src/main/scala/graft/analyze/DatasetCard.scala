@@ -23,6 +23,30 @@ import graft.text.TextAnalysis
   * broadcast. */
 object DatasetCard {
 
+  /** Order-invariant CONTENT DIGEST of a whole frame — the dataset-
+    * versioning primitive: two corpus versions are byte-identical (as
+    * multisets of rows) iff their digests match, regardless of row
+    * order, partitioning, file layout or engine. Per row, the canonical
+    * string (all `cols` string-cast, joined on `\u0001`, nulls encoded
+    * `\u0002`) md5s into two independent 60-bit slices whose
+    * COMMUTATIVE exact sums (plus the row count) form the digest — 120
+    * bits of collision margin, one map-side-combined aggregate, no sort
+    * anywhere. One row: `(n_rows, digest_lo, digest_hi)` as decimal
+    * strings. Callers pass integer/string columns only — float and
+    * timestamp RENDERING is engine-specific and would break the
+    * cross-engine contract. */
+  def contentDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val h = md5(canon)
+    def slice(from: Int) =
+      conv(substring(h, from, 15), 16, 10).cast("decimal(38,0)")
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(slice(1)).cast("string").as("digest_lo"),
+      sum(slice(17)).cast("string").as("digest_hi"))
+  }
+
   /** `(source, n_docs, n_tokens, mean_quality, p50_quality, dup_frac,
     * top_lang)` — mean/percentile to 4 dp, dup_frac = 1 −
     * distinct-content/docs to 4 dp. */

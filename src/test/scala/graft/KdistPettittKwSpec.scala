@@ -70,4 +70,24 @@ class KdistPettittKwSpec extends AnyFunSuite {
       .collect().head
     assert(rh.getDouble(3) > 100, s"disjoint shift must dominate: $rh")
   }
+
+  test("content digest: row-order/partitioning-invariant, content-sensitive") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha", "x"), (2L, "beta", "y"), (3L, null: String, "z"))
+      .toDF("id", "t", "s")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      graft.analyze.DatasetCard.contentDigest(df, Seq("id", "t", "s"))
+        .collect().head match { case r => (r.getLong(0), r.getString(1), r.getString(2)) }
+    val d1 = dig(a)
+    val d2 = dig(a.orderBy(org.apache.spark.sql.functions.col("t").desc).repartition(7))
+    assert(d1 == d2, "digest must be order/partitioning-invariant")
+    // one changed byte → different digest
+    val b = Seq((1L, "alphA", "x"), (2L, "beta", "y"), (3L, null: String, "z"))
+      .toDF("id", "t", "s")
+    assert(dig(b) != d1)
+    // null vs the visually-empty string must differ (the chr(2) encoding)
+    val c = Seq((1L, "alpha", "x"), (2L, "beta", "y"), (3L, "", "z"))
+      .toDF("id", "t", "s")
+    assert(dig(c) != d1)
+  }
 }
