@@ -62,7 +62,11 @@ object Bm25 {
     // Persisted payload is ≤|vocab| entries per doc — orders of magnitude
     // smaller than the text it summarizes (same memory contract as the
     // previous matched-postings persist, minus the exploded duplication).
-    val perDoc = corpus
+    // widen the narrow scan BEFORE tokenize+persist: the cached maps
+    // otherwise sit on the scan's 2-3 row-group partitions and every
+    // downstream explode/score stage runs on 3 cores (hot stage walls
+    // drop ~3× at sf0.1; end-to-end there is job-floor-bound)
+    val perDoc = graft.operators.Spread.widen(corpus, col(idCol))
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("id"), size(col("__toks")).cast("long").as("dl"),
         call_function(graft.functions.VocabTf.Name,
