@@ -971,6 +971,12 @@ object SparkEntry {
     "q400_jl_distortion" -> ((s, dir) =>
       graft.sim.RandomProjection.distortionAudit(
         Tables.embeddings(s, dir), "vec_id", "embedding", 16, "jl9")),
+    // ---- bucketed hubness (the 100 TB shape of q279): N_k counts from
+    //      within-bucket neighborhoods only — the embedding-health skew
+    //      alarm without the brute N² frame
+    "q407_hubness_bucketed" -> ((s, dir) =>
+      graft.sim.Lof.hubnessReportBucketed(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 10, 16)),
     // ---- order-invariant corpus content digest: the dataset-versioning
     //      fingerprint — commutative 60-bit md5-slice sums, identical
     //      for any row order / partitioning / engine
@@ -6736,6 +6742,39 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // bucketed hubness: q390's assignment chain feeding q279's N_k
+    // moment algebra
+    "q407_hubness_bucketed" ->
+      """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         seeds AS (SELECT id AS sid, v AS sv FROM p ORDER BY id LIMIT 16),
+         asg AS (SELECT id, sid AS cluster FROM (
+             SELECT p.id, s.sid,
+               row_number() OVER (PARTITION BY p.id ORDER BY
+                 CAST(round((1.0 - list_cosine_similarity(p.v, s.sv)) * 1e6) AS BIGINT), s.sid) AS rn
+             FROM p CROSS JOIN seeds s) WHERE rn = 1),
+         pr AS (SELECT a.id, b.id AS nb,
+                  CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d
+                FROM p a JOIN asg ca ON a.id = ca.id
+                JOIN asg cb ON ca.cluster = cb.cluster AND cb.id <> a.id
+                JOIN p b ON b.id = cb.id),
+         knn AS (SELECT id, nb FROM (
+                   SELECT id, nb, row_number() OVER (PARTITION BY id ORDER BY d, nb) AS rn
+                   FROM pr) WHERE rn <= 10),
+         nk AS (SELECT nb AS id, count(*) AS cnt FROM knn GROUP BY 1),
+         fl AS (SELECT coalesce(nk.cnt, 0) AS c FROM p LEFT JOIN nk ON p.id = nk.id),
+         t AS (SELECT count(*) AS n,
+                      CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+                      CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS s2,
+                      CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS s3,
+                      max(c) AS max_nk,
+                      CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz
+               FROM fl)
+         SELECT n, CAST(10 AS BIGINT) AS k, CAST(max_nk AS BIGINT) AS max_nk,
+                round(CAST(nz AS DOUBLE) / n, 6) AS pct_antihubs,
+                round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                      THEN (s3 / n - (s1 / n) * s2 / n * 3 + (s1 / n) * (s1 / n) * (s1 / n) * 2)
+                           / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) END, 6) AS skewness
+         FROM t""",
     // corpus digest: canonical chr(1)-joined row string (nulls chr(2)),
     // two 60-bit md5 slices, commutative exact sums
     "q406_corpus_digest" ->

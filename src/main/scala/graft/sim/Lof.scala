@@ -194,11 +194,31 @@ object Lof {
     val pairs = pts.alias("a").join(pts.alias("b"),
         col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id"), col("b.id").as("nb"), d12.as("d"))
+    hubnessFromPairs(pts.select(col("id")), pairs, k)
+  }
+
+  /** [[hubnessReport]] under the [[bucketedPairs]] nearest-seed
+    * bucketing — the 100 TB shape: N_k counts come from WITHIN-BUCKET
+    * neighborhoods (the SemDeDup trade; hub scores of points whose true
+    * neighbors cross bucket borders are undercounted by design, which
+    * is conservative for the right-skew alarm this report feeds). */
+  def hubnessReportBucketed(df: DataFrame, idCol: String, vecCol: String,
+                            k: Int, nSeeds: Int): DataFrame = {
+    require(k >= 1 && nSeeds >= 1, s"need k, nSeeds >= 1: $k, $nSeeds")
+    val ids = df.select(col(idCol).cast("long").as("id"))
+    hubnessFromPairs(ids, bucketedPairs(df, idCol, vecCol, nSeeds), k)
+  }
+
+  /** N_k distribution moments from a candidate pair frame — shared by
+    * the brute and bucketed hubness entries; `ids` is the full point
+    * spine (anti-hubs with zero occurrences must count). */
+  private def hubnessFromPairs(ids: DataFrame, pairs: DataFrame,
+                               k: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("d"), col("nb"))
     val nk = pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .groupBy(col("nb").as("id")).agg(count(lit(1)).as("cnt"))
-    val full = pts.select(col("id")).join(nk, Seq("id"), "left_outer")
+    val full = ids.join(nk, Seq("id"), "left_outer")
       .select(coalesce(col("cnt"), lit(0L)).as("c"))
     def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     full.agg(count(lit(1)).as("n"),

@@ -64,4 +64,22 @@ class HubnessChSpec extends AnyFunSuite {
       col("event_type") === "purchase", 100).collect().head
     assert(n.getDouble(3) > 0.05)
   }
+
+  test("bucketed hubness matches brute on separated clusters; runs the bucketed frame") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val pts = (0 until 48).map { i =>
+      val c = i % 4
+      val v = new Array[Float](8)
+      v(c * 2) = 1.0f
+      v(c * 2 + 1) = (rnd.nextDouble() * 0.05).toFloat
+      (i + 1L, v)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val brute = Lof.hubnessReport(df, "vec_id", "embedding", 3).collect().head
+    val bucketed = Lof.hubnessReportBucketed(df, "vec_id", "embedding", 3, 4)
+      .collect().head
+    assert(brute.toSeq == bucketed.toSeq,
+      s"bucketed hubness must equal brute on separated clusters:\n $brute vs $bucketed")
+  }
 }
