@@ -106,6 +106,47 @@ object StreamingOps {
       }
   }
 
+  /** Streaming PAGE-HINKLEY drift detector — the stateful twin of the
+    * batch `graft.analyze.Drift.pageHinkley`: per key, O(1) state
+    * `(count, sum6, m6, minM6, alarmedAt)` folds each arriving 6-dp
+    * pinned value with the same algebra (`term = x − runningMean − δ`,
+    * `PH = m − min m`), and every micro-batch emits the key's current
+    * `(key, n, ph, alarmed_at)` row (Update mode — downstream keeps the
+    * latest per key). The per-row running mean uses the COUNT-SO-FAR
+    * (true online semantics; the batch twin over a closed window is the
+    * cross-check on single-batch input, where the fold order is the
+    * event order given). State never grows with stream length. */
+  def streamingPageHinkley(values: Dataset[(String, Double)],
+                           delta: Double, lambda: Double)
+      : Dataset[(String, Long, Double, Long)] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    implicit val stateEnc =
+      Encoders.javaSerialization[(Long, Long, Long, Long, Long)]
+    val d6 = math.round(delta * 1e6)
+    val l6 = math.round(lambda * 1e6)
+    values
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (n, sum6, m6, minM6, alarmedAt) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, -1L))
+          rows.foreach { case (_, v) =>
+            val x6 = math.round(v * 1e6)
+            n += 1; sum6 += x6
+            // pinned per-step term: x − mean-so-far − δ (same pin as the
+            // batch operator's per-day term)
+            val term6 = math.round(x6.toDouble - sum6.toDouble / n - d6)
+            m6 += term6
+            if (m6 < minM6) minM6 = m6
+            if (alarmedAt < 0 && m6 - minM6 > l6) alarmedAt = n
+          }
+          state.update((n, sum6, m6, minM6, alarmedAt))
+          Iterator((key, n, (m6 - minM6).toDouble / 1e6, alarmedAt))
+      }
+  }
+
   /** Stream-stream INNER join with watermarks on BOTH sides and an
     * explicit event-time range bound — the only join shape whose buffered
     * state Structured Streaming can provably discard: each side keeps

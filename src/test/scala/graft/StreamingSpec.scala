@@ -239,4 +239,27 @@ class StreamingSpec extends AnyFunSuite {
     val heartbeat = snap.keys.find(_.contains("heartbeat"))
     assert(heartbeat.isDefined && snap(heartbeat.get) == 10L)
   }
+
+  test("streaming page-hinkley: state carries across batches; step drift alarms once") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)](spark)
+    val q = StreamingOps.streamingPageHinkley(input.toDS(), 0.0, 100.0)
+      .toDF("key", "n", "ph", "alarmed_at")
+      .writeStream.format("memory").queryName("ph_stream")
+      .outputMode("update").start()
+    // batch 1: flat — no alarm
+    input.addData((1 to 20).map(i => ("a", 50.0)))
+    q.processAllAvailable()
+    val mid = spark.table("ph_stream").orderBy($"n".desc).head()
+    assert(mid.getLong(1) == 20 && mid.getLong(3) == -1L, s"flat must not alarm: $mid")
+    // batch 2: step up — alarms after the shift, exactly once, state carried
+    input.addData((1 to 20).map(i => ("a", 450.0)))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("ph_stream").orderBy($"n".desc).head()
+    assert(fin.getLong(1) == 40, s"state must carry: $fin")
+    assert(fin.getLong(3) > 20, s"alarm index after the step: $fin")
+    assert(fin.getDouble(2) > 100.0)
+  }
 }
