@@ -971,6 +971,12 @@ object SparkEntry {
     "q400_jl_distortion" -> ((s, dir) =>
       graft.sim.RandomProjection.distortionAudit(
         Tables.embeddings(s, dir), "vec_id", "embedding", 16, "jl9")),
+    // ---- repeated-prefix boilerplate report: same first-8-token open
+    //      within a source = template output — the cheapest boilerplate
+    //      key (no shingles, no pair join)
+    "q408_boilerplate" -> ((s, dir) =>
+      graft.text.CorpusStats.boilerplatePrefixes(Tables.documents(s, dir),
+        "source", "text", 8, 2L, 20)),
     // ---- bucketed hubness (the 100 TB shape of q279): N_k counts from
     //      within-bucket neighborhoods only — the embedding-health skew
     //      alarm without the brute N² frame
@@ -6742,6 +6748,14 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // boilerplate prefixes: first-k-token key, one group aggregate
+    "q408_boilerplate" ->
+      """WITH t AS (SELECT source,
+                array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:8], ' ') AS prefix
+              FROM documents)
+         SELECT source, prefix, count(*) AS n_docs
+         FROM t GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY n_docs DESC, source, prefix LIMIT 20""",
     // bucketed hubness: q390's assignment chain feeding q279's N_k
     // moment algebra
     "q407_hubness_bucketed" ->

@@ -265,6 +265,29 @@ object CorpusStats {
       .limit(topK)
   }
 
+  /** Repeated-PREFIX boilerplate report: documents within a source that
+    * open with the SAME first `k` tokens are, at any volume, template
+    * output — headers, licenses, scraped navigation — and the prefix is
+    * the cheapest boilerplate KEY there is (no shingling, no pair join).
+    * Rows `(source, prefix, n_docs)` for prefixes shared by ≥ `minDocs`
+    * documents, top `topN` by (n_docs desc, source, prefix). Documents
+    * shorter than `k` tokens group by their full text — still a valid
+    * template key. One group-keyed aggregate; the prefix is a bounded
+    * projection of the scan. */
+  def boilerplatePrefixes(df: DataFrame, sourceCol: String, textCol: String,
+                          k: Int, minDocs: Long, topN: Int): DataFrame = {
+    require(k >= 1 && minDocs >= 2 && topN >= 1,
+      s"bad params: $k, $minDocs, $topN")
+    val prefix = concat_ws(" ",
+      slice(TextAnalysis.tokens(col(textCol)), 1, k))
+    df.select(col(sourceCol).as("source"), prefix.as("prefix"))
+      .groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("source"), col("prefix"))
+      .limit(topN)
+  }
+
   /** MATTR — moving-average type-token ratio (Covington & McFall 2010):
     * the window-W sliding distinct-token fraction, the standard
     * length-robust lexical-diversity score (the plain TTR collapses as

@@ -117,4 +117,18 @@ class WinnowMattrSpec extends AnyFunSuite {
         s"doc $id: got ${got(id)}, brute $expect")
     }
   }
+
+  test("boilerplate prefixes: shared openers surface per source, unique ones do not") {
+    import spark.implicits._
+    val hdr = "creative commons license applies to this document text here"
+    val docs =
+      (1 to 5).map(i => (s"doc body $i", "web", s"$hdr unique tail $i")) ++
+      Seq(("x", "web", "a singular opening never repeated anywhere else one")) ++
+      (1 to 3).map(i => (s"b$i", "books", s"$hdr differing continuation $i"))
+    val df = docs.map { case (_, s, t) => (s, t) }.toDF("source", "text")
+    val out = CorpusStats.boilerplatePrefixes(df, "source", "text", 8, 2L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val p8 = hdr.split(" ").take(8).mkString(" ")
+    assert(out.toSet == Set(("web", p8, 5L), ("books", p8, 3L)), s"got ${out.toSeq}")
+  }
 }
