@@ -34,9 +34,8 @@ object Bench {
     // committed full-suite BENCH_FULL.json
     val archive = !isChild && (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
     if (isChild || sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0")) {
-      val (results, sentinel) = runInProcess(sfDir, selected)
-      val line = renderLine(results, selected, isChild, sfDir,
-        sentinel.map(s => Seq("child" -> s)).getOrElse(Nil))
+      val (results, sentinels) = runInProcess(sfDir, selected)
+      val line = renderLine(results, selected, isChild, sfDir, sentinels)
       println(line)
     } else {
       val (results, sentinels) = orchestrate(sfDir, selected, archive)
@@ -114,20 +113,27 @@ object Bench {
     val wall0 = System.nanoTime()
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
     val sents = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    groups.zipWithIndex.foreach { case ((names, timeoutMin), gi) =>
+    // first-seen values per sentinel KIND ("child" floor / "hv" heavy):
+    // the drift baseline must compare like with like — a heavy sentinel
+    // against the first HEAVY sentinel, never against the floor
+    val first = scala.collection.mutable.Map.empty[String, Double]
+    groups.zipWithIndex.foreach { case ((names, timeoutMin, heavy), gi) =>
       val elapsed = (System.nanoTime() - wall0) / 1e9
       if (elapsed > budgetSec) {
         System.err.println(f"[bench] budget ${budgetSec}%.0f s exhausted at $elapsed%.0f s — skipping group(${names.head}…)")
       } else {
-        val (rs, sent) = runGroup(javaBin, jvmArgs, cp, sfDir, names, timeoutMin)
+        val (rs, sent) = runGroup(javaBin, jvmArgs, cp, sfDir, names, timeoutMin, heavy)
         acc ++= rs
-        sent.foreach { s =>
-          sents += (f"g$gi%03d_${names.head}" -> s)
-          // drift flag against the first group's sentinel: >1.5× means a
-          // contended window poisoned (at least) this group's numbers
-          sents.headOption.filter(h => h._2 > 0 && s / h._2 > 1.5).foreach { h =>
-            System.err.println(f"[bench] SENTINEL DRIFT group $gi: $s%.2f s vs first ${h._2}%.2f s (${s / h._2}%.1f×) — contended window")
-          }
+        sent.foreach { case (kind, s) =>
+          sents += (f"g$gi%03d_${kind}_${names.head}" -> s)
+          // drift flag against the first same-kind sentinel: >1.5× means a
+          // contended window poisoned (at least) this group's numbers. The
+          // heavy sentinel exists because round 9 proved the floor one
+          // blind: a 32-way CPU-bound stage inflates 8× under host core
+          // theft while a scheduling-floor query doesn't move.
+          val h = first.getOrElseUpdate(kind, s)
+          if (h > 0 && s / h > 1.5)
+            System.err.println(f"[bench] SENTINEL DRIFT ($kind) group $gi: $s%.2f s vs first $h%.2f s (${s / h}%.1f×) — contended window")
         }
         if (archive)
           writeArtifact(renderLine(acc.toSeq, selected, isChild = false, sfDir, sents.toSeq))
@@ -160,7 +166,7 @@ object Bench {
     * families (graph, dedup) spread across forks instead of stacking.
     * SPARK_GRAFT_BENCH_GROUP=n overrides everything: single-tier stride
     * groups of n (n=1 is the old one-per-JVM behavior). */
-  private def planGroups(selected: Seq[String]): Seq[(Seq[String], Int)] = {
+  private def planGroups(selected: Seq[String]): Seq[(Seq[String], Int, Boolean)] = {
     def stride(names: Seq[String], size: Int): Seq[Seq[String]] = {
       val n = math.max(1, (names.size + size - 1) / size)
       (0 until n).map(i => names.indices.collect {
@@ -168,7 +174,7 @@ object Bench {
       }).filter(_.nonEmpty)
     }
     sys.env.get("SPARK_GRAFT_BENCH_GROUP").map(_.toInt) match {
-      case Some(size) => stride(selected, size).map((_, 20))
+      case Some(size) => stride(selected, size).map((_, 20, false))
       case None =>
         val costs = loadCosts(sys.env.getOrElse("SPARK_GRAFT_BENCH_COSTS",
           "/root/repo/BENCH_FULL.json"))
@@ -176,9 +182,13 @@ object Bench {
         val (cheap, medium) = rest.partition(n => costs.get(n).exists(_ < 1.2))
         // per-tier fork timeout: a heavy group of 4 on this documented-noisy
         // VM can legitimately overrun 10 min; killing it records all four
-        // heaviest queries as failures, so the heavy tier keeps 20 min
-        stride(heavy, 4).map((_, 20)) ++ stride(medium, 8).map((_, 12)) ++
-          stride(cheap, 32).map((_, 10))
+        // heaviest queries as failures, so the heavy tier keeps 20 min.
+        // Heavy groups additionally re-time the pinned HEAVY sentinel
+        // (third tuple slot): round 9's driver window inflated q269 8×
+        // while every floor sentinel sat flat — only a CPU-bound sentinel
+        // detects core theft from a CPU-bound tier.
+        stride(heavy, 4).map((_, 20, true)) ++ stride(medium, 8).map((_, 12, false)) ++
+          stride(cheap, 32).map((_, 10, false))
     }
   }
 
@@ -199,8 +209,9 @@ object Bench {
     } catch { case _: Exception => Map.empty }
 
   private def runGroup(javaBin: String, jvmArgs: Seq[String], cp: String,
-                       sfDir: String, names: Seq[String], timeoutMin: Int)
-      : (Seq[(String, Double, Boolean)], Option[Double]) = {
+                       sfDir: String, names: Seq[String], timeoutMin: Int,
+                       heavySentinel: Boolean)
+      : (Seq[(String, Double, Boolean)], Seq[(String, Double)]) = {
     import scala.jdk.CollectionConverters._
     {
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
@@ -208,6 +219,7 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      if (heavySentinel) pb.environment().put("SPARK_GRAFT_BENCH_HEAVY_SENTINEL", "1")
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val t0 = System.nanoTime()
@@ -222,10 +234,18 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)
         val line = out.linesIterator.find(_.startsWith("{\"metric\""))
         val wall = (System.nanoTime() - t0) / 1e9
-        val sentinel = line.flatMap { l =>
-          val m = java.util.regex.Pattern
-            .compile("\"sentinels\":\\{\"child\":([0-9.eE+-]+)").matcher(l)
-          if (m.find()) Some(m.group(1).toDouble) else None
+        // both sentinel kinds from the child's sentinels object: the floor
+        // ("child") always, the CPU-bound one ("hv") from heavy groups
+        val sentinels = line.toSeq.flatMap { l =>
+          val i = l.indexOf("\"sentinels\":{")
+          if (i < 0) Nil else {
+            val obj = l.substring(i + 13, l.indexOf('}', i))
+            val m = java.util.regex.Pattern
+              .compile("\"(child|hv)\":([0-9.eE+-]+)").matcher(obj)
+            val b = Seq.newBuilder[(String, Double)]
+            while (m.find()) b += (m.group(1) -> m.group(2).toDouble)
+            b.result()
+          }
         }
         val rs = names.map { name =>
           val time = line.flatMap { l =>
@@ -245,19 +265,21 @@ object Bench {
           System.err.println(f"[bench] $name: query=${time.getOrElse(-1.0)}%.3f s group-wall=$wall%.1f s ok=$ok")
           (name, time.getOrElse(0.0), ok)
         }
-        (rs, sentinel)
+        (rs, sentinels)
       } catch { case e: Exception =>
         System.err.println(s"[bench] group(${names.head}…) fork FAILED: ${e.getMessage}")
-        (names.map(n => (n, 0.0, false)), None)
+        (names.map(n => (n, 0.0, false)), Nil)
       }
     }
   }
 
   /** The in-JVM loop (child mode / SPARK_GRAFT_BENCH_FORK=0 escape hatch).
     * Also times one pinned floor query (the contention sentinel) after
-    * warmup, returned separately — never mixed into the measured set. */
+    * warmup — plus, when SPARK_GRAFT_BENCH_HEAVY_SENTINEL=1 (set by the
+    * orchestrator for heavy-tier groups), one pinned CPU-BOUND query —
+    * returned separately, never mixed into the measured set. */
   private def runInProcess(sfDir: String, selected: Seq[String])
-      : (Seq[(String, Double, Boolean)], Option[Double]) = {
+      : (Seq[(String, Double, Boolean)], Seq[(String, Double)]) = {
     // the library session: GraftExtensions (custom strategies + native
     // expressions) and the scale-tuned defaults, same as Verify
     val spark = GraftSession.builder("graft-bench").getOrCreate()
@@ -290,18 +312,28 @@ object Bench {
     // target SF measures data-proportional engine work, not first-run JVM
     // costs (cold-vs-warm measured ~1 s of fixed overhead per query).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DIR", "/root/testdata/sf0.001")
-    // contention sentinel: one pinned floor query (scan+filter+project),
-    // warmed then timed at the target SF. Its absolute value is the
-    // session floor; cross-group DRIFT is the host-contention signal.
-    val sentinel = SparkEntry.queries.get("q02_filter_project").map { fn =>
-      if (new java.io.File(warmDir).isDirectory)
-        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+    // contention sentinels, warmed then timed at the target SF. The floor
+    // one (scan+filter+project) catches scheduler-level contention; its
+    // absolute value is the session floor. Heavy-tier groups ALSO time a
+    // pinned CPU-bound query (q132 triangles — 32-way wedge counting):
+    // round 9 showed host core theft inflating heavy queries 8× while the
+    // floor sentinel sat flat, because a light query's fixed scheduling
+    // cost doesn't move when a CPU-bound stage loses cores.
+    def timeSentinel(name: String): Option[(String, Double)] =
+      SparkEntry.queries.get(name).map { fn =>
+        if (new java.io.File(warmDir).isDirectory)
+          try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => () }
+        val s0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
-      val s0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - s0) / 1e9
-    }
+        (System.nanoTime() - s0) / 1e9
+      }.map((name, _))
+    val sentinels =
+      timeSentinel("q02_filter_project").map { case (_, t) => ("child", t) }.toSeq ++
+      (if (sys.env.get("SPARK_GRAFT_BENCH_HEAVY_SENTINEL").contains("1"))
+        timeSentinel("q132_triangles").map { case (_, t) => ("hv", t) }.toSeq
+      else Nil)
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       if (new java.io.File(warmDir).isDirectory)
@@ -324,6 +356,6 @@ object Bench {
       (name, dt, ok)
     }
     spark.stop()
-    (results, sentinel)
+    (results, sentinels)
   }
 }

@@ -130,11 +130,14 @@ object SparkEntry {
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(graft.text.TextAnalysis.tokens(col("text")),
             1, 8)).as("qtext"))
-      val bm = graft.text.Bm25.topK(docs, "doc_id", "text",
-          queries, "qid", "qtext", 10)
+      // ONE probe collect + ONE corpus tokenize pass feed both retrievers
+      // (the postings-in overloads) — the fused query's whole point is
+      // rank diversity, not re-tokenizing the corpus per run
+      val probe = graft.text.Postings.collectProbe(queries, "qid", "qtext")
+      val perDoc = graft.text.Postings.perDocTf(docs, "doc_id", "text", probe.vocab)
+      val bm = graft.text.Bm25.topKFromPostings(perDoc, probe, 10)
         .select(col("qid"), col("doc_id"), col("rank"))
-      val ov = graft.text.RetrievalFusion.overlapTopK(docs, "doc_id", "text",
-        queries, "qid", "qtext", 10)
+      val ov = graft.text.RetrievalFusion.overlapTopKFromPostings(perDoc, probe, 10)
       graft.text.RetrievalFusion.rrf(Seq(bm, ov), 60, 10)
         .orderBy(col("qid"), col("rank"))
     }),
@@ -191,12 +194,15 @@ object SparkEntry {
     "q268_simpsons" -> ((s, dir) =>
       graft.analyze.Experiment.simpsonsCheck(Tables.events(s, dir),
         "user_id", "value", col("event_type"))),
-    // ---- Local Outlier Factor over the embedding table (brute N²
-    //      reference; bucketed variant is the scale path): 12-dp cosine
+    // ---- Local Outlier Factor, brute reference algebra over a PINNED
+    //      id-sample (lowest 1024 vec_ids — a TakeOrdered, constant work
+    //      at any corpus scale; the full-corpus scale path is q390's
+    //      bucketed variant, spec-pinned brute ≡ bucketed): 12-dp cosine
     //      distances, exact integer reach/lrd sums, k=10 pinned by id
     "q269_lof" -> ((s, dir) =>
-      graft.sim.Lof.bruteTop(Tables.embeddings(s, dir), "vec_id",
-        "embedding", 10, 20)),
+      graft.sim.Lof.bruteTop(
+        Tables.embeddings(s, dir).orderBy(col("vec_id")).limit(1024),
+        "vec_id", "embedding", 10, 20)),
     // ---- Poisson bootstrap 95% CI for the mean per-user purchase value
     //      (Chamandy et al.): hash-deterministic Poisson(1) weights, 100
     //      resamples, exact integer resample sums, lower-rank CI bounds
@@ -251,10 +257,14 @@ object SparkEntry {
           Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2L),
         "a", "b", 2L)),
     // ---- kNN hubness report (k-occurrence skew): the curse-of-
-    //      dimensionality dashboard for every kNN consumer upstream
+    //      dimensionality dashboard for every kNN consumer upstream.
+    //      Brute reference algebra over the PINNED lowest-1024-id
+    //      sample (constant work at any scale; q407 is the bucketed
+    //      full-corpus shape)
     "q279_hubness" -> ((s, dir) =>
-      graft.sim.Lof.hubnessReport(Tables.embeddings(s, dir), "vec_id",
-        "embedding", 10)),
+      graft.sim.Lof.hubnessReport(
+        Tables.embeddings(s, dir).orderBy(col("vec_id")).limit(1024),
+        "vec_id", "embedding", 10)),
     // ---- Calinski-Harabasz variance-ratio of the labeled embeddings:
     //      vector-space ANOVA — the global companion to q243 silhouette
     "q280_calinski" -> ((s, dir) =>
@@ -4096,7 +4106,8 @@ object SparkEntry {
                     AND sign(diff) = sign(pd) THEN 1 ELSE 0 END) AS BIGINT) AS paradox
          FROM per CROSS JOIN pooled""",
     "q269_lof" ->
-      """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+                    ORDER BY vec_id LIMIT 1024),
          pr AS (SELECT a.id, b.id AS nb,
                        CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d
                 FROM p a JOIN p b ON a.id <> b.id),
@@ -4311,7 +4322,8 @@ object SparkEntry {
                       THEN (CAST(n_tail AS DOUBLE) / (CAST(l9 AS DOUBLE) / 1e9)) / sqrt(CAST(n_tail AS DOUBLE)) END, 6) AS alpha_se
          FROM alln CROSS JOIN tail""",
     "q279_hubness" ->
-      """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+                    ORDER BY vec_id LIMIT 1024),
          pr AS (SELECT a.id, b.id AS nb,
                        CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e12) AS BIGINT) AS d
                 FROM p a JOIN p b ON a.id <> b.id),
@@ -6906,11 +6918,11 @@ object SparkEntry {
                 JOIN sizes sb ON sb.doc_id = id_b
                 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8)
          SELECT id_a, id_b, jaccard,
-                round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) AS cosine
+                round(CAST(list_cosine_similarity(ea.v, eb.v) AS DOUBLE), 4) AS cosine
          FROM pj
-         JOIN embeddings ea ON ea.vec_id = id_a
-         JOIN embeddings eb ON eb.vec_id = id_b
-         WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) < 0.995
+         JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) ea ON ea.vec_id = id_a
+         JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) eb ON eb.vec_id = id_b
+         WHERE round(CAST(list_cosine_similarity(ea.v, eb.v) AS DOUBLE), 4) < 0.995
          ORDER BY cosine, id_a, id_b""",
     // temperature mix: exact group token totals, one pow per group
     // pinned to 1e9, integer-normalized weights
@@ -7029,10 +7041,16 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          jac AS (
+           -- floor cut on the UNROUNDED ratio (mirrors the prefix-join's
+           -- raw >= taus.min cut inside repJaccardGraph), grid tests on
+           -- the 4-dp ROUNDED value (mirrors ngramJaccardPairs' rounded
+           -- output that dedupImpact filters per tau) — same split as
+           -- the q303 sweep oracle
            SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS j
            FROM shared
            JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b),
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7),
          grid AS (SELECT unnest([0.7, 0.8, 0.9]) AS tau),
          sym AS (
            SELECT g.tau, id_a AS u, id_b AS v FROM jac CROSS JOIN grid g WHERE j >= g.tau
@@ -7137,9 +7155,14 @@ object SparkEntry {
                   z0 + (z0 + -1.959964) / (1.0 - a * (z0 + -1.959964)) AS xlo,
                   z0 + (z0 + 1.959964) / (1.0 - a * (z0 + 1.959964)) AS xhi
                 FROM cz),
+         -- explicit z0 NULL gate (mirrors Bootstrap.meanCiBca): the
+         -- undefined-z0 case must yield NULL ranks, not rely on
+         -- greatest/least NULL-skipping semantics
          rk AS (SELECT n_units, s1, nb, a, z0,
-                  least(greatest(CAST(ceil(${graft.functions.Phi.sql("xlo")} * nb) AS BIGINT), 1), nb) AS rlo,
-                  least(greatest(CAST(ceil(${graft.functions.Phi.sql("xhi")} * nb) AS BIGINT), 1), nb) AS rhi
+                  CASE WHEN z0 IS NOT NULL THEN
+                    least(greatest(CAST(ceil(${graft.functions.Phi.sql("xlo")} * nb) AS BIGINT), 1), nb) END AS rlo,
+                  CASE WHEN z0 IS NOT NULL THEN
+                    least(greatest(CAST(ceil(${graft.functions.Phi.sql("xhi")} * nb) AS BIGINT), 1), nb) END AS rhi
                 FROM ad),
          mr AS (SELECT m9, row_number() OVER (ORDER BY m9, b) AS r FROM mv)
          SELECT max(n_units) AS n_units, max(nb) AS n_resamples,
@@ -7395,21 +7418,28 @@ object SparkEntry {
                  CAST(sum(CAST(round(1.0 * 1000000) AS BIGINT)) AS BIGINT) AS yq
                FROM events GROUP BY 1),
          tot AS (SELECT count(*) AS n, sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy FROM per),
-         reps AS (SELECT n, sx, sy,
+         -- degenerate-replicate guard mirrors Experiment.ratioJackknife:
+         -- a unit holding the ENTIRE denominator makes its leave-one-out
+         -- division 0-denominator — drop it from the moment sums and
+         -- count the survivors (nrep)
+         reps AS (SELECT n, sx, sy, count(*) AS nrep,
                    sum(CAST(r12 AS HUGEINT)) AS sr, sum(CAST(r12 AS HUGEINT) * r12) AS srr
                   FROM (SELECT n, sx, sy,
                           CAST(round((CAST(sx AS DOUBLE) - xq) / (CAST(sy AS DOUBLE) - yq) * 1e12) AS BIGINT) AS r12
-                        FROM per, tot)
+                        FROM per, tot
+                        WHERE CAST(sy AS DOUBLE) - yq <> 0)
                   GROUP BY 1, 2, 3),
-         f AS (SELECT CAST(n AS BIGINT) AS n,
+         f AS (SELECT CAST(n AS BIGINT) AS n, nrep,
+                 CAST(sy AS DOUBLE) AS syd,
                  CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
                  sqrt((CAST(n AS DOUBLE) - 1) / CAST(n AS DOUBLE)
                    * (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12 AS se
                FROM reps)
-         SELECT n AS n_units, round(r, 6) AS ratio,
-           round(CASE WHEN n >= 2 THEN se END, 6) AS se_jack,
-           round(CASE WHEN n >= 2 THEN r - se * 1.959964 END, 6) + 0.0 AS ci_lo,
-           round(CASE WHEN n >= 2 THEN r + se * 1.959964 END, 6) + 0.0 AS ci_hi
+         SELECT n AS n_units,
+           round(CASE WHEN syd <> 0 THEN r END, 6) AS ratio,
+           round(CASE WHEN n >= 2 AND nrep = n THEN se END, 6) AS se_jack,
+           round(CASE WHEN n >= 2 AND nrep = n THEN r - se * 1.959964 END, 6) + 0.0 AS ci_lo,
+           round(CASE WHEN n >= 2 AND nrep = n THEN r + se * 1.959964 END, 6) + 0.0 AS ci_hi
          FROM f""",
     "q373_post_strat" ->
       """WITH per AS (SELECT event_type AS s,

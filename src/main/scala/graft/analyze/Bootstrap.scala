@@ -152,12 +152,17 @@ object Bootstrap {
     val zLo = lit(-1.959964); val zHi = lit(1.959964)
     def adj(zA: Column) = graft.functions.Phi.phi(
       col("z0") + (col("z0") + zA) / (lit(1.0) - col("a") * (col("z0") + zA)))
+    // z0 is null when every resample fell on one side of the observed
+    // mean — the BCa correction is undefined there, and the bounds must
+    // be null too. The explicit isNotNull gate matters: Spark's
+    // greatest() SKIPS nulls, so greatest(ceil(null*nb), 1) would
+    // silently collapse the undefined rank to 1 and report the extreme
+    // resample mean as a confidence bound.
+    def rank(zA: Column) = when(col("z0").isNotNull,
+      least(greatest(ceil(adj(zA) * col("nb")).cast("long"), lit(1L)),
+        col("nb")))
     val ranks = consts.select(col("n_units"), col("s1"), col("z0"), col("a"),
-      col("nb"),
-      least(greatest(ceil(adj(zLo) * col("nb")).cast("long"), lit(1L)),
-        col("nb")).as("rlo"),
-      least(greatest(ceil(adj(zHi) * col("nb")).cast("long"), lit(1L)),
-        col("nb")).as("rhi"))
+      col("nb"), rank(zLo).as("rlo"), rank(zHi).as("rhi"))
     val ranked = graft.operators.Positional.withRowIndex(
       res, Seq(col("m9"), col("b")), "__r")
       .select(col("m9"), (col("__r") + 1).as("r"))

@@ -87,12 +87,17 @@ object Lof {
     val dSeed = round((lit(1.0) - Similarity.cosine(col("v"), col("sv")))
       * lit(1e6)).cast("long")
     // argmin by (distance, seed id): lexicographic struct-min — partial
-    // aggregation folds the S candidate rows map-side before the shuffle
+    // aggregation folds the S candidate rows map-side before the shuffle.
+    // PERSISTED: the cluster self-join below reads this frame on BOTH
+    // sides, and without materialization each side re-runs the full
+    // S-cosines-per-row assignment (the chain's dominant map work, paid
+    // twice for no reason — q390/q403/q407 all ride this frame)
     val asg = pts.join(broadcast(seeds))
       .select(col("id"), col("v"), struct(dSeed.as("d"), col("sid")).as("ds"))
       .groupBy(col("id"))
       .agg(min(col("ds")).as("m"), first(col("v")).as("v"))
       .select(col("id"), col("m.sid").as("cluster"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d12 = round((lit(1.0) - Similarity.cosine(col("a.v"), col("b.v")))
       * lit(1e12)).cast("long")
     asg.alias("a").join(asg.alias("b"),
@@ -115,15 +120,17 @@ object Lof {
     val kd = pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === k)
       .select(col("id"), col("d").as("kd"))
-    val ranked = graft.operators.Positional.withRowIndex(
+    // withRowIndexCounted hands back the total count from the same
+    // per-partition counts job — a separate kd.count() would re-run the
+    // whole bucketed pair chain a second time
+    val (indexed, nRows) = graft.operators.Positional.withRowIndexCounted(
         kd, Seq(col("kd"), col("id")), "__r")
-      .select(col("kd"), (col("__r") + 1L).as("r"))
-    val n = kd.agg(count(lit(1)).as("n"))
+    val ranked = indexed.select(col("kd"), (col("__r") + 1L).as("r"))
     val spark = df.sparkSession
     import spark.implicits._
     val deciles = broadcast((1 to 9).toDF("decile"))
-    ranked.crossJoin(broadcast(n)).join(deciles,
-        col("r") === ceil(col("decile") * col("n") / lit(10.0)).cast("long"))
+    ranked.join(deciles,
+        col("r") === ceil(col("decile") * lit(nRows) / lit(10.0)).cast("long"))
       .select(col("decile"), round(col("kd").cast("double") / 1e12, 6).as("kdist"))
       .orderBy(col("decile"))
   }
@@ -137,8 +144,14 @@ object Lof {
     * every point, so the q269 oracle algebra is unchanged. */
   private def lofFromPairs(pairs: DataFrame, k: Int, topN: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("d"), col("nb"))
+    // PERSISTED: kdist, lrd and lof each read this frame, and without
+    // materialization every read re-runs the candidate pair join (the
+    // N²-or-bucketed stage that dominates the whole query) — 3× the
+    // dominant cost for zero benefit. The frame itself is N·k rows.
     val knn = pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+      .select(col("id"), col("nb"), col("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // k-distance of every point = its k-th neighbor distance; nk = the
     // point's true neighborhood size (= k except in undersized buckets)
     val kdist = knn.groupBy(col("id"))

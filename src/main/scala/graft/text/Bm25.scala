@@ -46,32 +46,23 @@ object Bm25 {
   def topK(corpus: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, qidCol: String, qtextCol: String,
            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    val spark = corpus.sparkSession
-    graft.functions.VocabTf.register(spark)
     // distinct query terms (duplicate terms in a query text score once —
-    // the standard bag-of-query-TERMS formulation)
-    val qterms = queries
-      .select(col(qidCol).as("qid"), TextAnalysis.tokens(col(qtextCol)).as("__qt"))
-      .select(col("qid"), explode(array_distinct(col("__qt"))).as("tok"))
-    // the probe vocabulary is collected once (driver-small by the query-
-    // side contract) and embedded in the scan expression
-    val vocab: Array[String] =
-      qterms.select(col("tok")).distinct().collect().map(_.getString(0))
-    // ONE corpus pass: (id, dl, vocabulary-cut tf map) per document.
-    // Persisted payload is ≤|vocab| entries per doc — orders of magnitude
-    // smaller than the text it summarizes (same memory contract as the
-    // previous matched-postings persist, minus the exploded duplication).
-    // widen the narrow scan BEFORE tokenize+persist: the cached maps
-    // otherwise sit on the scan's 2-3 row-group partitions and every
-    // downstream explode/score stage runs on 3 cores (hot stage walls
-    // drop ~3× at sf0.1; end-to-end there is job-floor-bound)
-    val perDoc = graft.operators.Spread.widen(corpus, col(idCol))
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("id"), size(col("__toks")).cast("long").as("dl"),
-        call_function(graft.functions.VocabTf.Name,
-          col("__toks"), lit(vocab)).as("__tfm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the standard bag-of-query-TERMS formulation), collected ONCE: the
+    // probe vocabulary embeds in the scan expression and the local qterms
+    // frame broadcasts without re-running the query frame's lineage
+    val probe = Postings.collectProbe(queries, qidCol, qtextCol)
+    topKFromPostings(
+      Postings.perDocTf(corpus, idCol, textCol, probe.vocab),
+      probe, k, k1, b)
+  }
+
+  /** [[topK]] over a prebuilt [[Postings]] per-doc frame — the
+    * postings-in overload for fused queries (RRF over BM25 + overlap,
+    * BM25 + QL comparisons) that must pay the corpus tokenize pass
+    * once, not once per retriever. */
+  def topKFromPostings(perDoc: DataFrame, probe: Postings.Probe,
+                       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     // corpus constants as a driver scalar over the persisted frame (a
     // one-row aggregate is microseconds of driver time, where
     // crossJoin(broadcast(consts)) serializes an extra AQE broadcast
@@ -82,9 +73,7 @@ object Bm25 {
       .head()
     val nDocs = constRow.getLong(0)
     val avgdl = if (constRow.isNullAt(1)) 1.0 else constRow.getDouble(1)
-    // matched postings from the persisted maps: ≤|vocab| rows per doc
-    val matched = perDoc
-      .select(col("id"), col("dl"), explode(col("__tfm")).as(Seq("tok", "tf")))
+    val matched = Postings.matched(perDoc)
     // df by aggregating the matched postings to |vocab| rows (each
     // document containing a term contributes exactly one row per term,
     // so the per-term row count IS the df), broadcast back — a |vocab|-row
@@ -95,7 +84,7 @@ object Bm25 {
         (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
     val scored = matched
       .join(broadcast(idfDf), "tok")
-      .join(broadcast(qterms), "tok")
+      .join(broadcast(probe.qterms), "tok")
       .withColumn("term_score_pico",
         ((col("idf") * col("tf") * lit(k1 + 1) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))

@@ -37,24 +37,21 @@ object QueryLikelihood {
   def topK(corpus: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, qidCol: String, qtextCol: String,
            k: Int, mu: Double = 2000.0): DataFrame = {
+    val probe = Postings.collectProbe(queries, qidCol, qtextCol)
+    topKFromPostings(
+      Postings.perDocTf(corpus, idCol, textCol, probe.vocab),
+      probe, k, mu)
+  }
+
+  /** [[topK]] over a prebuilt [[Postings]] per-doc frame — one corpus
+    * tokenize pass shared with the other retrievers of a fused query. */
+  def topKFromPostings(perDoc: DataFrame, probe: Postings.Probe,
+                       k: Int, mu: Double = 2000.0): DataFrame = {
     require(k > 0 && mu > 0, s"need k > 0, mu > 0: $k, $mu")
-    val spark = corpus.sparkSession
-    graft.functions.VocabTf.register(spark)
-    val qterms = queries
-      .select(col(qidCol).as("qid"), TextAnalysis.tokens(col(qtextCol)).as("__qt"))
-      .select(col("qid"), explode(array_distinct(col("__qt"))).as("tok"))
-    val vocab: Array[String] =
-      qterms.select(col("tok")).distinct().collect().map(_.getString(0))
-    val perDoc = corpus
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("id"), size(col("__toks")).cast("long").as("dl"),
-        call_function(graft.functions.VocabTf.Name,
-          col("__toks"), lit(vocab)).as("__tfm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qterms = probe.qterms
     val totalTokens = perDoc.agg(sum(col("dl"))).head().getLong(0)
     require(totalTokens > 0, "empty corpus")
-    val matched = perDoc
-      .select(col("id"), col("dl"), explode(col("__tfm")).as(Seq("tok", "tf")))
+    val matched = Postings.matched(perDoc)
     // collection frequency of each query term (cf = Σ tf over docs) —
     // |vocab| rows, broadcast back; cf = 0 terms never reach the join
     val cfDf = matched.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))

@@ -30,15 +30,24 @@ object RetrievalFusion {
   def overlapTopK(docs: DataFrame, idCol: String, textCol: String,
                   queries: DataFrame, qidCol: String, qtextCol: String,
                   k: Int): DataFrame = {
-    val dtok = graft.operators.Spread.widen(docs, col(idCol))
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
-    val qtok = queries.select(col(qidCol).as("qid"),
-      explode(array_distinct(TextAnalysis.tokens(col(qtextCol)))).as("token"))
+    val probe = Postings.collectProbe(queries, qidCol, qtextCol)
+    overlapTopKFromPostings(
+      Postings.perDocTf(docs, idCol, textCol, probe.vocab), probe, k)
+  }
+
+  /** [[overlapTopK]] over a prebuilt [[Postings]] per-doc frame: a
+    * vocabulary-cut tf-map entry exists iff the document contains the
+    * token, so the matched-postings join to the probe counts exactly
+    * the distinct shared tokens — identical scores to the exploded
+    * all-tokens join, from the SAME one corpus pass the sibling
+    * retrievers read. */
+  def overlapTopKFromPostings(perDoc: DataFrame, probe: Postings.Probe,
+                              k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
-    qtok.join(dtok, "token")
-      .groupBy(col("qid"), col("doc_id"))
+    Postings.matched(perDoc)
+      .join(broadcast(probe.qterms), "tok")
+      .groupBy(col("qid"), col("id").as("doc_id"))
       .agg(count(lit(1)).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
