@@ -1399,8 +1399,8 @@ object SparkEntry {
         "r5_ts_bounds" -> (col("ts") >= lit("2015-01-01").cast("timestamp") &&
           col("ts") < lit("2035-01-01").cast("timestamp"))))),
     // ---- deterministic label-propagation communities over the near-dup
-    //      graph: synchronous min-label-of-modal-neighbors rounds (not
-    //      SQL-expressible — spec-verified, rows-only here)
+    //      graph: synchronous min-label-of-modal-neighbors rounds —
+    //      integer-exact, oracled by an unrolled struct-argmax twin
     "q156_lpa" -> ((s, dir) => {
       val edges = Dedup.ngramJaccardPairs(
         Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
@@ -1807,7 +1807,7 @@ object SparkEntry {
         col("event_type") === "purchase")),
     // ---- personalized PageRank from a pinned seed set: teleport AND
     //      dangling mass return to the seeds — proximity ranking, zeros
-    //      off the reachable set (rows-only: iterative float flow)
+    //      off the reachable set; pinned-long walk, unrolled DuckDB twin
     "q180_ppr" -> ((s, dir) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
       val edges = Tables.events(s, dir)
@@ -1869,8 +1869,8 @@ object SparkEntry {
         Tables.events(s, dir), "ts", "event_id", 0.8)),
     // ---- TextRank keywords (Mihalcea 2004): PageRank over the adjacent-
     //      token co-occurrence graph — q97's engine composed with the text
-    //      layer; dense vocab ids keep node keys numeric (rows-only:
-    //      iterative float flow has no SQL twin)
+    //      layer; dense vocab ids keep node keys numeric. Pinned-long
+    //      walk → oracled by the token-keyed unrolled twin
     "q174_textrank" -> ((s, dir) => {
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), posexplode(graft.text.TextAnalysis.tokens(col("text")))
@@ -3079,8 +3079,8 @@ object SparkEntry {
     }),
     // ---- PageRank over the user-interaction graph (consecutive users of
     //      the same event type): 2 shuffles/iteration, scalar dangling
-    //      mass, lineage one iteration deep — rows-only (iterative float
-    //      flow has no SQL twin; GraphSpec pins hand-computed graphs)
+    //      mass, lineage one iteration deep. Pinned-long walk → exact
+    //      unrolled DuckDB twin (GraphSpec additionally pins hand graphs)
     "q97_pagerank" -> ((s, dir) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
       val edges = Tables.events(s, dir)
@@ -3703,9 +3703,208 @@ object SparkEntry {
         max(when(col("event_type") === "error" && col("value") > 300, 1).otherwise(0)).as("label"))
       .orderBy(col("window_id"))
 
+  /** The ≥ 0.8 3-gram-Jaccard edge list over documents as DuckDB CTEs
+    * ending in `e0(u, v)` with u < v — the shared candidate block of the
+    * q139/q156 graph oracles (same shingle/raw-threshold contract as the
+    * q397/q402 oracles and Dedup.ngramJaccardPairs). */
+  private val NgramEdgeCtes: String =
+    """t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         e0 AS (
+           SELECT id_a AS u, id_b AS v FROM shared
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8)"""
+
+  /** UNROLLED synchronous k-core peel as plain SQL — `rounds` fixed
+    * peel rounds over the e0 edge list (each: degree aggregate + both-
+    * endpoints-survive filter). The peel is a monotone fixpoint, so any
+    * round past convergence is an exact no-op — `rounds` only needs to
+    * exceed the data's peel depth (dup graphs peel in a handful; the
+    * engine asserts convergence, and a too-shallow unroll shows up as a
+    * hash mismatch, never a silent wrong-pass). */
+  private def kcoreOracleSql(rounds: Int, k: Int): String = {
+    // every per-round CTE MATERIALIZED: each round references the
+    // previous one three times, and DuckDB's default CTE inlining would
+    // otherwise grow the plan 3^rounds (observed as an fd-exhaustion
+    // crash re-opening the parquet scan thousands of times)
+    val peels = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+             SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+           GROUP BY 1),
+         e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+           WHERE u IN (SELECT id FROM d$i WHERE deg >= $k)
+             AND v IN (SELECT id FROM d$i WHERE deg >= $k))"""
+    }.mkString(",\n         ")
+    s"""WITH ${NgramEdgeCtes.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+         $peels
+         SELECT id, count(*) AS core_degree FROM (
+           SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         GROUP BY 1 ORDER BY id"""
+  }
+
+  /** UNROLLED deterministic label propagation (the engine's Leung-style
+    * degree-seeded variant, LabelPropagation.run): seed = argmax over
+    * the closed neighborhood by (degree, self-first, smallest id), then
+    * `rounds` synchronous histogram-argmax rounds by (count, smallest
+    * label) — both argmaxes realized as struct max exactly like the
+    * Spark plan, so every tie breaks identically. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS (
+           SELECT u AS id, -((max(struct_pack(c := cnt, nl := -label))).nl) AS label
+           FROM (SELECT und.u, l.label, count(*) AS cnt
+                 FROM und JOIN l${i - 1} l ON l.id = und.v
+                 GROUP BY 1, 2)
+           GROUP BY 1)"""
+    }.mkString(",\n         ")
+    s"""WITH $NgramEdgeCtes,
+         und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         deg AS (SELECT u AS id, count(*) AS deg FROM und GROUP BY 1),
+         cand AS (
+           SELECT und.u, und.v, d.deg, CAST(0 AS BIGINT) AS self
+           FROM und JOIN deg d ON d.id = und.v
+           UNION ALL
+           SELECT id, id, deg, CAST(1 AS BIGINT) FROM deg),
+         l0 AS (
+           SELECT u AS id,
+                  -((max(struct_pack(d := deg, s := self, nv := -v))).nv) AS label
+           FROM cand GROUP BY 1),
+         $steps
+         SELECT id, label FROM l$rounds ORDER BY id"""
+  }
+
+  /** Full-precision double literal for builder-authored SQL: DuckDB
+    * parses bare `0.85` as DECIMAL (whose arithmetic diverges from the
+    * engine's IEEE doubles), so every pinned constant is emitted via
+    * Scala's shortest-round-trip toString under an explicit DOUBLE
+    * cast. */
+  private def dlit(x: Double): String = s"CAST(${x} AS DOUBLE)"
+
+  /** The event-sequence edge list (consecutive users within an
+    * event_type's (ts, event_id) order) as DuckDB CTEs ending in
+    * `e(src, dst)` — the q97/q180 graph. */
+  private val EventEdgeCtes: String =
+    """ed AS (SELECT user_id,
+                lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user
+              FROM events),
+         e AS MATERIALIZED (
+           SELECT DISTINCT prev_user AS src, user_id AS dst FROM ed
+           WHERE prev_user IS NOT NULL AND prev_user <> user_id),
+         deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1)"""
+
+  /** One unrolled pinned-long power iteration (PageRank.totalRank12's
+    * grid; see PageRank's rounding-convention scaladoc): contribution
+    * aggregate `c_i`, its exact-long total `s_i`, and the damped update
+    * `r_i` built by `update` from (contrib, csum) SQL fragments. */
+  private def prIterCtes(iters: Int,
+                         update: (Int, String, String) => String): String =
+    (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (
+           SELECT e.dst AS node,
+                  CAST(sum(CAST(round(CAST(r.r12 AS DOUBLE) / deg.deg) AS BIGINT)) AS BIGINT) AS contrib
+           FROM e JOIN r${i - 1} r ON r.node = e.src JOIN deg ON deg.src = e.src
+           GROUP BY 1),
+         s$i AS (SELECT coalesce(CAST(sum(contrib) AS BIGINT), 0) AS csum FROM c$i),
+         r$i AS MATERIALIZED (${update(i, s"coalesce(c.contrib, 0)", s"s$i.csum")})"""
+    }.mkString(",\n         ")
+
+  /** Unrolled pinned-long PageRank twin of graph.PageRank.run — exact
+    * integer recurrence, so rows+schema+hash-matchable despite 10 float
+    * iterations. `floor(x + 0.5)` mirrors the engine's driver-side
+    * math.round; bare `round` mirrors Spark's column round (ties away
+    * from zero). */
+  private def pagerankOracleSql(iters: Int, damping: Double): String =
+    uniformPrSqlOver(EventEdgeCtes, "node", iters, damping)
+
+  /** The uniform-start pinned recurrence over any `e(src, dst)` edge
+    * block — shared by the q97 user graph and the q174 token graph
+    * (node keys may be any equatable type; the walk never does
+    * arithmetic on them). */
+  private def uniformPrSqlOver(edgeCtes: String, outName: String,
+                               iters: Int, damping: Double): String = {
+    val t12 = graft.graph.PageRank.totalRank12(iters, damping)
+    val update = (i: Int, contrib: String, csum: String) =>
+      s"""SELECT n.node,
+            CAST(floor(${dlit((1.0 - damping) * 1e12)} / nn.nd + 0.5) AS BIGINT)
+            + CAST(round(${dlit(damping)} * CAST($contrib +
+                CAST(floor(CAST(${t12(i - 1)} - $csum AS DOUBLE) / nn.nd + 0.5) AS BIGINT)
+                AS DOUBLE)) AS BIGINT) AS r12
+          FROM nodes n CROSS JOIN s$i CROSS JOIN nn
+          LEFT JOIN c$i c ON c.node = n.node"""
+    s"""WITH $edgeCtes,
+         nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+         r0 AS MATERIALIZED (
+           SELECT node, CAST(floor(${dlit(1e12)} / nn.nd + 0.5) AS BIGINT) AS r12
+           FROM nodes CROSS JOIN nn),
+         ${prIterCtes(iters, update)}
+         SELECT node AS $outName, round(CAST(r12 AS DOUBLE) / 1e12 * 1000, 4) AS rank_x1000
+         FROM r$iters ORDER BY rank_x1000 DESC, $outName LIMIT 20"""
+  }
+
+  /** q174's adjacent-token co-occurrence edges: consecutive distinct
+    * tokens within a document's position order. */
+  private val TokenEdgeCtes: String =
+    """t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents),
+         tk AS (SELECT doc_id, u.pos, u.token FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+             i -> struct_pack(pos := i, token := toks[i]))) AS u
+           FROM t)),
+         pr0 AS (SELECT token,
+                   lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                 FROM tk),
+         e AS MATERIALIZED (
+           SELECT DISTINCT prev AS src, token AS dst FROM pr0
+           WHERE prev IS NOT NULL AND prev <> token),
+         deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1)"""
+
+  /** Unrolled pinned-long PERSONALIZED PageRank twin
+    * (graph.PersonalizedPageRank.run): teleport and dangling mass land
+    * on the seed distribution, every term grid-pinned like the engine. */
+  private def pprOracleSql(seeds: Seq[Long], iters: Int, damping: Double): String = {
+    val t12 = graft.graph.PageRank.totalRank12(iters, damping)
+    val p12 = math.round(1e12 / seeds.distinct.size)
+    val seedList = seeds.distinct.map(s => s"CAST($s AS BIGINT)").mkString(", ")
+    val update = (i: Int, contrib: String, csum: String) =>
+      s"""SELECT n.node, n.p12,
+            CAST(round(${dlit(1.0 - damping)} * n.p12) AS BIGINT)
+            + CAST(round(${dlit(damping)} * CAST($contrib +
+                CAST(round(CAST(${t12(i - 1)} - $csum AS DOUBLE) * n.p12 / 1e12) AS BIGINT)
+                AS DOUBLE)) AS BIGINT) AS r12
+          FROM nodes n CROSS JOIN s$i
+          LEFT JOIN c$i c ON c.node = n.node"""
+    s"""WITH $EventEdgeCtes,
+         nodes AS MATERIALIZED (
+           SELECT node, CASE WHEN node IN ($seedList) THEN $p12 ELSE 0 END AS p12
+           FROM (SELECT src AS node FROM e UNION SELECT dst FROM e
+                 UNION SELECT unnest([$seedList]))),
+         r0 AS MATERIALIZED (SELECT node, p12, p12 AS r12 FROM nodes),
+         ${prIterCtes(iters, update)}
+         SELECT node, round(CAST(r12 AS DOUBLE) / 1e12 * 1000, 4) AS rank_x1000
+         FROM r$iters ORDER BY rank_x1000 DESC, node LIMIT 20"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q139_kcore" -> kcoreOracleSql(16, 2),
+    "q156_lpa" -> lpaOracleSql(5),
+    "q97_pagerank" -> pagerankOracleSql(10, 0.85),
+    "q180_ppr" -> pprOracleSql(Seq(0L, 1L, 2L), 10, 0.85),
+    "q174_textrank" -> uniformPrSqlOver(TokenEdgeCtes, "token", 10, 0.85),
     "q251_anova" ->
       """WITH q AS (SELECT l_returnflag AS cls, CAST(round(l_quantity * 100) AS BIGINT) AS vq FROM lineitem),
          per AS (SELECT cls, count(*) AS nc, sum(CAST(vq AS HUGEINT)) AS sc,

@@ -23,8 +23,36 @@ import org.apache.spark.storage.StorageLevel
   * spec'd); iteration count is fixed — the standard contract for batch
   * PageRank on a large graph (convergence-δ stopping needs an extra
   * aggregation per iteration; compose one if needed).
+  *
+  * PINNED-LONG determinism: every iteration's state is a 1e-12-grid
+  * long (`rank12`), each per-edge contribution, dangling share and
+  * damped update rounding to the grid — so the walk is an exact
+  * integer recurrence, order-free under any partitioning, identical
+  * on any IEEE engine, and SQL-oracle-able as an unrolled twin (the
+  * q97/q287 pattern). The grid error per node per iteration is a few
+  * 1e-12 — invisible at the 4-dp reporting round and inside every
+  * spec tolerance. Rounding conventions, chosen to pair exactly with
+  * the SQL twin: column-side pins use Spark `round` (ties away from
+  * zero ≡ DuckDB `round`); driver scalars use `math.round`
+  * (floor(x+0.5) ≡ SQL `floor(x + 0.5)`).
   */
 object PageRank {
+
+  /** The closed-form pinned total-mass sequence `t12(i)`: total rank
+    * after `i` damped iterations on the 1e-12 grid —
+    * `t12(0) = 1e12`, `t12(i+1) = round((1−d)·1e12 + d·t12(i))`.
+    * Shared by the distributed loop, the local finisher and the SQL
+    * twin generator (inlined there as literals). */
+  def totalRank12(iters: Int, damping: Double): Array[Long] = {
+    val t = new Array[Long](iters + 1)
+    t(0) = 1000000000000L
+    var i = 0
+    while (i < iters) {
+      t(i + 1) = math.round((1.0 - damping) * 1e12 + damping * t(i))
+      i += 1
+    }
+    t
+  }
 
   /** Returns `(node, rank)` after `iters` damped power iterations from the
     * uniform start. Parallel edges count once (deduplicated) — pass a
@@ -81,46 +109,47 @@ object PageRank {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
-    var totalRank = 1.0
+    // pinned-long walk (scaladoc above): rank12 on the 1e-12 grid
+    val t12 = totalRank12(iters, damping)
+    val base12 = math.round((1.0 - damping) * 1e12 / n)
+    var ranks = nodes.withColumn("rank12", lit(math.round(1e12 / n)))
+      .localCheckpoint(true)
     var i = 0
     while (i < iters) {
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .join(outDeg, "src")
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+        .select(col("dst").as("node"),
+          round(col("rank12").cast("double") / col("deg")).cast("long").as("c12"))
+        .groupBy(col("node")).agg(sum(col("c12")).as("contrib12"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // driver scalar off the PERSISTED contribs — one cheap action on a
-      // cached one-row aggregate; same IEEE op sequence as the in-plan
-      // form ((totalRank − Σcontrib) then ÷ n) — bit-identical ranks
-      val csum = contribs.agg(coalesce(sum(col("contrib")), lit(0.0)))
-        .head().getDouble(0)
-      val danglingPerNode = (totalRank - csum) / n
+      // cached one-row aggregate; exact long, so the dangling share is
+      // the identical integer on any engine or partitioning
+      val csum12 = contribs.agg(coalesce(sum(col("contrib12")), lit(0L)))
+        .head().getLong(0)
+      val dpn12 = math.round((t12(i) - csum12).toDouble / n)
       val prev = ranks
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) +
-              lit(danglingPerNode))).as("rank"))
+          (lit(base12) + round(lit(damping) *
+            (coalesce(col("contrib12"), lit(0L)) + lit(dpn12)).cast("double"))
+            .cast("long")).as("rank12"))
         .localCheckpoint(true)
       contribs.unpersist(blocking = false)
       prev.unpersist(blocking = false)
-      totalRank = (1.0 - damping) + damping * totalRank
       i += 1
     }
     e.unpersist(blocking = false)
     outDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    ranks
+    ranks.select(col("node"), (col("rank12").cast("double") / 1e12).as("rank"))
   }
 
-  /** Exact in-memory power iteration over a collected edge list — the
-    * same recurrence as the distributed loop (uniform start, per-src
-    * contribution fan-out, conservation-identity dangling mass, damped
-    * update, closed-form totalRank). Double-sum ORDER differs from the
-    * distributed partial aggregation, so ranks agree to IEEE noise
-    * (~1e-15 relative), not bit-for-bit — GraphSpec pins the equivalence
-    * at 1e-9. */
+  /** The IDENTICAL pinned-long recurrence in memory — same 1e-12 grid,
+    * same rounding conventions (`math.rint`-free: Spark `round` ties
+    * away from zero, mirrored here by `roundHalfAway`; driver scalars
+    * by `math.round`), so local and distributed ranks are BIT-EQUAL,
+    * not merely 1e-9-close. */
   private def localRun(e: DataFrame, iters: Int, damping: Double): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
@@ -132,30 +161,36 @@ object PageRank {
     pairs.foreach(p => outDeg(idx(p._1)) += 1)
     val srcs = pairs.map(p => idx(p._1))
     val dsts = pairs.map(p => idx(p._2))
-    var rank = Array.fill(n)(1.0 / n)
-    var totalRank = 1.0
+    val t12 = totalRank12(iters, damping)
+    val base12 = math.round((1.0 - damping) * 1e12 / n)
+    var rank = Array.fill(n)(math.round(1e12 / n))
     var it = 0
     while (it < iters) {
-      val contrib = new Array[Double](n)
+      val contrib = new Array[Long](n)
       var j = 0
       while (j < pairs.length) {
-        contrib(dsts(j)) += rank(srcs(j)) / outDeg(srcs(j))
+        contrib(dsts(j)) += roundHalfAway(rank(srcs(j)).toDouble / outDeg(srcs(j)))
         j += 1
       }
-      var csum = 0.0
+      var csum = 0L
       var k = 0
       while (k < n) { csum += contrib(k); k += 1 }
-      val danglingPerNode = (totalRank - csum) / n
-      val next = new Array[Double](n)
+      val dpn12 = math.round((t12(it) - csum).toDouble / n)
+      val next = new Array[Long](n)
       k = 0
       while (k < n) {
-        next(k) = (1.0 - damping) / n + damping * (contrib(k) + danglingPerNode)
+        next(k) = base12 + roundHalfAway(damping * (contrib(k) + dpn12).toDouble)
         k += 1
       }
       rank = next
-      totalRank = (1.0 - damping) + damping * totalRank
       it += 1
     }
-    nodes.indices.map(i => (nodes(i), rank(i))).toDF("node", "rank")
+    nodes.indices.map(i => (nodes(i), rank(i) / 1e12)).toDF("node", "rank")
   }
+
+  /** Ties away from zero — the Spark `round` / DuckDB `round` column
+    * convention (where `math.round` is floor(x+0.5), which differs at
+    * negative halves). */
+  private[graph] def roundHalfAway(x: Double): Long =
+    if (x >= 0) math.round(x) else -math.round(-x)
 }

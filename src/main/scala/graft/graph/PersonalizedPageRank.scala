@@ -47,8 +47,10 @@ object PersonalizedPageRank {
       return out
     }
     val seedSet = seeds.distinct
-    val p = 1.0 / seedSet.size
-    val reset = seedSet.map(s => (s, p)).toDF("node", "p")
+    // pinned-long walk — PageRank's 1e-12 grid and rounding conventions
+    // (see PageRank's scaladoc); the seed mass p pins once
+    val p12 = math.round(1e12 / seedSet.size)
+    val reset = seedSet.map(s => (s, p12)).toDF("node", "p12")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).union(reset.select(col("node")))
       .distinct()
@@ -56,42 +58,47 @@ object PersonalizedPageRank {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodeP = nodes.join(broadcast(reset), Seq("node"), "left")
-      .select(col("node"), coalesce(col("p"), lit(0.0)).as("p"))
+      .select(col("node"), coalesce(col("p12"), lit(0L)).as("p12"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    val t12 = PageRank.totalRank12(iters, damping)
     // start at the reset distribution (the standard PPR initialization)
-    var ranks = nodeP.select(col("node"), col("p").as("rank")).localCheckpoint(true)
-    var totalRank = 1.0
+    var ranks = nodeP.select(col("node"), col("p12").as("rank12"))
+      .localCheckpoint(true)
     var i = 0
     while (i < iters) {
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .join(outDeg, "src")
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+        .select(col("dst").as("node"),
+          round(col("rank12").cast("double") / col("deg")).cast("long").as("c12"))
+        .groupBy(col("node")).agg(sum(col("c12")).as("contrib12"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val csum = contribs.agg(coalesce(sum(col("contrib")), lit(0.0)))
-        .head().getDouble(0)
-      val dangling = totalRank - csum
+      val csum12 = contribs.agg(coalesce(sum(col("contrib12")), lit(0L)))
+        .head().getLong(0)
+      val dangling12 = t12(i) - csum12
       val prev = ranks
+      // teleport AND dangling mass land on the seeds, grid-pinned per
+      // term: dangling·p in 1e-12 units is dangling12·p12/1e12
       ranks = nodeP.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(1.0 - damping) * col("p") + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) +
-              lit(dangling) * col("p"))).as("rank"))
+          (round(lit(1.0 - damping) * col("p12")).cast("long") +
+            round(lit(damping) * (coalesce(col("contrib12"), lit(0L)) +
+              round(lit(dangling12.toDouble) * col("p12") / 1e12).cast("long"))
+              .cast("double")).cast("long")).as("rank12"))
         .localCheckpoint(true)
       contribs.unpersist(blocking = false)
       prev.unpersist(blocking = false)
-      totalRank = (1.0 - damping) + damping * totalRank
       i += 1
     }
     e.unpersist(blocking = false)
     outDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     nodeP.unpersist(blocking = false)
-    ranks
+    ranks.select(col("node"), (col("rank12").cast("double") / 1e12).as("rank"))
   }
 
-  /** Same recurrence in memory (see [[PageRank.run]]'s tolerance note). */
+  /** The IDENTICAL pinned-long recurrence in memory — bit-equal to the
+    * distributed loop (see [[PageRank.localRun]]'s convention note). */
   private def localRun(e: DataFrame, seeds: Seq[Long], iters: Int,
                        damping: Double): DataFrame = {
     val spark = e.sparkSession
@@ -101,36 +108,39 @@ object PersonalizedPageRank {
     val nodes = (pairs.map(_._1) ++ pairs.map(_._2) ++ seedSet).distinct.sorted
     val idx = nodes.zipWithIndex.toMap
     val n = nodes.length
-    val p = new Array[Double](n)
-    seedSet.foreach(s => p(idx(s)) = 1.0 / seedSet.size)
+    val p12v = math.round(1e12 / seedSet.size)
+    val p12 = new Array[Long](n)
+    seedSet.foreach(s => p12(idx(s)) = p12v)
     val outDeg = new Array[Int](n)
     pairs.foreach(q => outDeg(idx(q._1)) += 1)
     val srcs = pairs.map(q => idx(q._1))
     val dsts = pairs.map(q => idx(q._2))
-    var rank = p.clone()
-    var totalRank = 1.0
+    val t12 = PageRank.totalRank12(iters, damping)
+    import PageRank.roundHalfAway
+    var rank = p12.clone()
     var it = 0
     while (it < iters) {
-      val contrib = new Array[Double](n)
+      val contrib = new Array[Long](n)
       var j = 0
       while (j < pairs.length) {
-        contrib(dsts(j)) += rank(srcs(j)) / outDeg(srcs(j))
+        contrib(dsts(j)) += roundHalfAway(rank(srcs(j)).toDouble / outDeg(srcs(j)))
         j += 1
       }
-      var csum = 0.0
+      var csum = 0L
       var k = 0
       while (k < n) { csum += contrib(k); k += 1 }
-      val dangling = totalRank - csum
-      val next = new Array[Double](n)
+      val dangling12 = t12(it) - csum
+      val next = new Array[Long](n)
       k = 0
       while (k < n) {
-        next(k) = (1.0 - damping) * p(k) + damping * (contrib(k) + dangling * p(k))
+        next(k) = roundHalfAway((1.0 - damping) * p12(k)) +
+          roundHalfAway(damping *
+            (contrib(k) + roundHalfAway(dangling12.toDouble * p12(k) / 1e12)).toDouble)
         k += 1
       }
       rank = next
-      totalRank = (1.0 - damping) + damping * totalRank
       it += 1
     }
-    nodes.indices.map(i => (nodes(i), rank(i))).toDF("node", "rank")
+    nodes.indices.map(i => (nodes(i), rank(i) / 1e12)).toDF("node", "rank")
   }
 }
