@@ -6770,9 +6770,20 @@ object SparkEntry {
          FROM m""",
     "q381_twonn" ->
       """WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-         pr AS (SELECT a.id, b.id AS nb,
-                       CAST(round((1.0 - list_cosine_similarity(a.v, b.v)) * 1e9) AS BIGINT) AS d
+         -- PINNED cosine (mirrors graft_cosine_pinned): per-term products
+         -- on the 1e-9 integer grid, exact sums, one closing double — the
+         -- neighbor order cannot diverge between engines by construction
+         pc AS (SELECT a.id, b.id AS nb,
+                  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                    i -> CAST(round(a.v[i] * b.v[i] * 1e9) AS BIGINT))) AS DOUBLE)
+                  / sqrt(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> CAST(round(a.v[i] * a.v[i] * 1e9) AS BIGINT))) AS DOUBLE)
+                    * CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+                      i -> CAST(round(b.v[i] * b.v[i] * 1e9) AS BIGINT))) AS DOUBLE)) AS cos
                 FROM p a JOIN p b ON a.id <> b.id),
+         pr AS (SELECT id, nb,
+                       CAST(round((1.0 - cos) * 1e9) AS BIGINT) AS d
+                FROM pc),
          top2 AS (SELECT id,
                     min(CASE WHEN rn = 1 THEN d END) AS r1,
                     min(CASE WHEN rn = 2 THEN d END) AS r2

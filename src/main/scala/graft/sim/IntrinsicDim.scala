@@ -14,19 +14,19 @@ import org.apache.spark.sql.functions._
   * (the training-signal cousin of [[Anisotropy]]'s first-component
   * share); a d̂ near the ambient dimension = healthy spread.
   *
-  * Distances are 9-dp-quantized cosine distances (exact longs; the μ
-  * ratio and its ln run on bit-identical doubles in both engines,
-  * pinned to 9-dp longs before the exact order-free sum). The pin is
-  * deliberately COARSER than [[Lof]]'s 1e12: neighbor ORDER here rests
-  * on both engines rounding the cosine to the same grid cell, and a
-  * 1-ulp (~1e-16) engine divergence flips a boundary cell with
-  * probability ~ulp×scale — 1e-7 at 1e9 vs 1e-4 at 1e12 per pair.
-  * Collisions the coarser grid introduces are harmless: ties break by
-  * id identically on both engines. 9 dp keeps ln-ratio precision ~1e-5
-  * per point, far inside the 4-dp id_mle readout. Points whose FIRST
-  * neighbor sits at distance 0 (exact duplicates at the quantization
-  * grid) have no defined μ and are dropped, reported in `n_dropped` —
-  * dedup upstream if that count is material.
+  * Distances are 9-dp-quantized distances of the PINNED cosine
+  * ([[graft.functions.PinnedCosine]]: per-term products on a 1e-9
+  * integer grid, exact accumulator sums, one closing double
+  * expression) — so the cosine itself is bit-identical on any engine
+  * and the neighbor ORDER the estimator rests on cannot flip at a
+  * rounding boundary at all. (The previous defense was a coarser grid
+  * making flips RARE; an estimator whose output moves with a single
+  * swapped neighbor pair deserves the certainty.) The μ ratio and its
+  * ln run on those exact longs, pinned to 9-dp longs before the
+  * order-free sum. Points whose FIRST neighbor sits at distance 0
+  * (exact duplicates at the quantization grid) have no defined μ and
+  * are dropped, reported in `n_dropped` — dedup upstream if that count
+  * is material.
   *
   * Scale: the brute N² pair frame is the REFERENCE formulation (same
   * contract as [[Lof.bruteTop]]); at corpus scale the two neighbors
@@ -36,11 +36,12 @@ object IntrinsicDim {
   /** One row: `(n_used, n_dropped, id_mle)` (id_mle at 4 dp; NULL when
     * no usable points or Σln μ = 0). `k`-th neighbor ties break by id. */
   def twoNn(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.PinnedCosine.register(df.sparkSession)
     val pts = graft.operators.Spread.widen(
       df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
       col("id"))
-    val d9 = round((lit(1.0) - Similarity.cosine(col("a.v"), col("b.v")))
-      * lit(1e9)).cast("long")
+    val d9 = round((lit(1.0) - call_function(graft.functions.PinnedCosine.Name,
+      col("a.v"), col("b.v"))) * lit(1e9)).cast("long")
     val pairs = pts.alias("a").join(pts.alias("b"),
         col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id"), col("b.id").as("nb"), d9.as("d"))

@@ -68,6 +68,47 @@ class GapDimSpec extends AnyFunSuite {
     assert(id9 > id2 * 2)
   }
 
+  test("pinned cosine: adversarial near-ties resolve identically to the integer reference") {
+    import spark.implicits._
+    graft.functions.PinnedCosine.register(spark)
+    // b and c are built so their UNPINNED cosines to a differ only in
+    // the last ulps (a sub-1e-15 perturbation on one component): the
+    // exact engine-side accumulation order decides which is "nearer" on
+    // a plain double fold. The pinned cosine must instead equal the
+    // integer-reference value exactly — for every pair, on every
+    // partitioning — so the neighbor order is a theorem, not a race.
+    val base = Array.tabulate(16)(j => (0.1f * (j % 5) + 0.05f))
+    val b = base.clone(); b(3) = b(3) + 1e-7f
+    val c = base.clone(); c(7) = c(7) + 1e-7f
+    val rows = Seq((1L, base), (2L, b), (3L, c)).toDF("id", "v")
+    def ref(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0L; var nx = 0L; var ny = 0L
+      var i = 0
+      while (i < 16) {
+        d += graft.functions.PinnedCosine.q9(x(i).toDouble * y(i).toDouble)
+        nx += graft.functions.PinnedCosine.q9(x(i).toDouble * x(i).toDouble)
+        ny += graft.functions.PinnedCosine.q9(y(i).toDouble * y(i).toDouble)
+        i += 1
+      }
+      d.toDouble / math.sqrt(nx.toDouble * ny.toDouble)
+    }
+    val got = rows.alias("a").join(rows.alias("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        call_function(graft.functions.PinnedCosine.Name,
+          col("a.v"), col("b.v")).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val vecs = Map(1L -> base, 2L -> b, 3L -> c)
+    got.foreach { case ((ia, ib), cos) =>
+      assert(cos == ref(vecs(ia), vecs(ib)), s"pair ($ia,$ib) not bit-equal")
+    }
+    // and the estimator built on it is partition-invariant
+    val r1 = IntrinsicDim.twoNn(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding").head
+    val r32 = IntrinsicDim.twoNn(rows.repartition(32).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").head
+    assert(r1 == r32)
+  }
+
   test("twonn drops exact duplicates and reports them") {
     import spark.implicits._
     val v = Array.fill(8)(0.3f)
