@@ -3347,8 +3347,11 @@ object SparkEntry {
         round(max(col("anomaly_score")), 4).as("score_max"))
     }),
     // ---- L10: PCA(k=2) projection of the embedding corpus (rows-only)
+    // ---- L10 PCA — pinned-long power iteration (PinnedPca): exact
+    //      integer eigen-recurrence, oracled by the unrolled SQL twin
+    //      (was spark.ml SVD, rows-only)
     "q35_pca" -> ((s, dir) =>
-      Models.pcaProjectArray(Tables.embeddings(s, dir), "embedding", 2)
+      graft.ml.PinnedPca.project(Tables.embeddings(s, dir), "vec_id", "embedding", 2)
         .select(col("vec_id"),
           round(element_at(col("pc"), 1), 4).as("pc1"),
           round(element_at(col("pc"), 2), 4).as("pc2"))
@@ -3897,9 +3900,72 @@ object SparkEntry {
          FROM r$iters ORDER BY rank_x1000 DESC, node LIMIT 20"""
   }
 
+  /** Unrolled pinned-long power-iteration PCA twin of
+    * [[graft.ml.PinnedPca.project]] (k = 2) over the embeddings table —
+    * the same integer eigen-recurrence, iteration by iteration; every
+    * per-round CTE MATERIALIZED against DuckDB's inlining blowup. Keep
+    * the op sequence in lockstep with the Scala loop. */
+  private def pinnedPcaSql(iters: Int): String = {
+    def comp1Iter(i: Int): String =
+      s"""w1_$i AS MATERIALIZED (
+           SELECT cm.j, CAST(sum(CAST(round(cm.c * v.v9) AS BIGINT)) AS BIGINT) AS w9
+           FROM cm JOIN v1_${i - 1} v ON cm.jk = v.j GROUP BY 1),
+         n1_$i AS (SELECT sqrt(CAST(sum(CAST(w9 AS HUGEINT) * w9) AS DOUBLE)) AS nrm FROM w1_$i),
+         v1_$i AS MATERIALIZED (
+           SELECT j, CAST(round(CAST(w9 AS DOUBLE) / nrm * 1e9) AS BIGINT) AS v9
+           FROM w1_$i CROSS JOIN n1_$i)"""
+    def comp2Iter(i: Int): String =
+      s"""w2r_$i AS MATERIALIZED (
+           SELECT cm.j, CAST(sum(CAST(round(cm.c * v.v9) AS BIGINT)) AS BIGINT) AS w9
+           FROM cm JOIN v2_${i - 1} v ON cm.jk = v.j GROUP BY 1),
+         d2_$i AS (SELECT CAST(sum(CAST(round(CAST(w.w9 AS DOUBLE) * u.v9 / 1e9) AS BIGINT)) AS BIGINT) AS dot9
+           FROM w2r_$i w JOIN v1_$iters u ON u.j = w.j),
+         w2_$i AS MATERIALIZED (
+           SELECT w.j, w.w9 - CAST(round(CAST(d.dot9 AS DOUBLE) * u.v9 / 1e9) AS BIGINT) AS w9
+           FROM w2r_$i w JOIN v1_$iters u ON u.j = w.j CROSS JOIN d2_$i d),
+         n2_$i AS (SELECT sqrt(CAST(sum(CAST(w9 AS HUGEINT) * w9) AS DOUBLE)) AS nrm FROM w2_$i),
+         v2_$i AS MATERIALIZED (
+           SELECT j, CAST(round(CAST(w9 AS DOUBLE) / nrm * 1e9) AS BIGINT) AS v9
+           FROM w2_$i CROSS JOIN n2_$i)"""
+    s"""WITH x9 AS MATERIALIZED (
+           SELECT vec_id AS id, u.j, CAST(round(u.x * 1e9) AS BIGINT) AS x9
+           FROM (SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+                   i -> struct_pack(j := i - 1, x := v[i]))) AS u
+                 FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))),
+         nn AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS nd FROM x9),
+         m AS MATERIALIZED (
+           SELECT j, CAST(round(CAST(sum(CAST(x9 AS HUGEINT)) AS DOUBLE) / nd) AS BIGINT) AS m9
+           FROM x9 CROSS JOIN nn GROUP BY j, nd),
+         cx AS MATERIALIZED (
+           SELECT id, x9.j, x9 - m9 AS c9 FROM x9 JOIN m ON x9.j = m.j),
+         cm AS MATERIALIZED (
+           SELECT a.j AS j, b.j AS jk,
+                  CAST(sum(CAST(a.c9 AS HUGEINT) * b.c9) AS DOUBLE) / 1e18 / nd AS c
+           FROM cx a JOIN cx b ON a.id = b.id CROSS JOIN nn GROUP BY 1, 2, nd),
+         dimn AS (SELECT CAST(max(j) + 1 AS DOUBLE) AS dim FROM cm),
+         js AS (SELECT DISTINCT j FROM m),
+         v1_0 AS MATERIALIZED (
+           SELECT j, CAST(round(1e9 / sqrt(dim)) AS BIGINT) AS v9
+           FROM js CROSS JOIN dimn),
+         ${(1 to iters).map(comp1Iter).mkString(",\n         ")},
+         v2_0 AS MATERIALIZED (SELECT j, v9 FROM v1_0),
+         ${(1 to iters).map(comp2Iter).mkString(",\n         ")},
+         pr1 AS (SELECT cx.id,
+                   CAST(sum(CAST(round(CAST(c9 AS DOUBLE) * v.v9 / 1e9) AS BIGINT)) AS BIGINT) AS s9
+                 FROM cx JOIN v1_$iters v ON cx.j = v.j GROUP BY 1),
+         pr2 AS (SELECT cx.id,
+                   CAST(sum(CAST(round(CAST(c9 AS DOUBLE) * v.v9 / 1e9) AS BIGINT)) AS BIGINT) AS s9
+                 FROM cx JOIN v2_$iters v ON cx.j = v.j GROUP BY 1)
+         SELECT p1.id AS vec_id,
+                round(CAST(p1.s9 AS DOUBLE) / 1e9, 4) AS pc1,
+                round(CAST(p2.s9 AS DOUBLE) / 1e9, 4) AS pc2
+         FROM pr1 p1 JOIN pr2 p2 ON p1.id = p2.id ORDER BY vec_id"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q35_pca" -> pinnedPcaSql(40),
     "q139_kcore" -> kcoreOracleSql(16, 2),
     "q156_lpa" -> lpaOracleSql(5),
     "q97_pagerank" -> pagerankOracleSql(10, 0.85),

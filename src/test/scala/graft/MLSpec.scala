@@ -178,4 +178,32 @@ class MLSpec extends AnyFunSuite {
     assert(stats.getDouble(0) >= stats.getDouble(1),
       "components must be ordered by explained variance")
   }
+
+  test("pinned power-iteration PCA: variance parity with spark.ml, ordering, bit-exact invariance") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    // NOTE the embeddings' spectrum is near-isotropic (λ2/λ1 ≈ 0.99 at
+    // sf0.01), so no fixed-iteration power method can pin spark.ml's
+    // exact axes — the near-equal top directions are barely
+    // distinguishable. What the operator must deliver: projections that
+    // capture top-of-spectrum variance (parity with the SVD path),
+    // variance-ordered components, and a bit-exact deterministic
+    // recurrence (the property the SQL oracle certifies).
+    val ml = Models.pcaProjectArray(emb, "embedding", 2)
+      .select(element_at($"pc", 1).as("m1"))
+    val pin = graft.ml.PinnedPca.project(emb, "vec_id", "embedding", 2)
+      .select($"vec_id", element_at($"pc", 1).as("p1"), element_at($"pc", 2).as("p2"))
+    val mlVar = ml.agg(var_samp($"m1")).head().getDouble(0)
+    val r = pin.agg(var_samp($"p1"), var_samp($"p2")).head()
+    assert(r.getDouble(0) > 0.9 * mlVar,
+      s"pc1 variance ${r.getDouble(0)} far below spark.ml's $mlVar")
+    assert(r.getDouble(0) >= r.getDouble(1),
+      "components must be ordered by explained variance")
+    // bit-exact partition invariance — the oracle-ability property
+    val a = graft.ml.PinnedPca.project(emb.repartition(32), "vec_id", "embedding", 2)
+      .select($"vec_id", $"pc").collect().map(x => (x.getLong(0), x.getSeq[Double](1))).toMap
+    val b = graft.ml.PinnedPca.project(emb, "vec_id", "embedding", 2)
+      .select($"vec_id", $"pc").collect().map(x => (x.getLong(0), x.getSeq[Double](1))).toMap
+    assert(a == b)
+  }
 }
