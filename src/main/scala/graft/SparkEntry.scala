@@ -3304,18 +3304,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
         .orderBy(col("split"), col("event_type"))),
     // ---- L3+L5+L6: logistic regression on windowed features, metric table
+    // ---- L3+L5+L6: logistic-regression metrics — pinned-long GD fit
+    //      (PinnedLogit: exact integer margins, 1e-9-pinned sigmoid,
+    //      weighted-distinct driver fit) + integer confusion/midrank-AUC
+    //      scoring, oracled by the unrolled SQL twin. The spark.ml LBFGS
+    //      path stays as Models.fitLogisticRegression (q48, MLSpec).
     "q32_lr_metrics" -> ((s, dir) => {
-      // the feature table feeds three actions (fit, confusion counts, AUC);
-      // persist it so the events scan + window walk runs once, not thrice
+      // feats feed the fit collect AND the scoring pass — persist once
       val feats = windowedFeatures(s, dir).persist()
       val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
-      val data = Models.assemble(feats, cols, "label")
-      // fit on weighted sufficient statistics (≤ 252 distinct rows here —
-      // identical likelihood, fit cost independent of corpus size);
-      // metrics still scored over the FULL feature table
-      val train = Models.assemble(Models.compressWeighted(feats, cols, "label"), cols, "label")
-      val model = Models.fitLogisticRegression(train, weightCol = Some("weight"))
-      try Models.binaryMetrics(model.transform(data)) finally feats.unpersist()
+      try graft.ml.PinnedLogit.metricsReport(feats, cols, "label")
+      finally feats.unpersist(blocking = false)
     }),
     // ---- L4+L8: random forest feature importance, descending (rows-only)
     "q33_rf_importance" -> ((s, dir) => {
@@ -3962,10 +3961,88 @@ object SparkEntry {
          FROM pr1 p1 JOIN pr2 p2 ON p1.id = p2.id ORDER BY vec_id"""
   }
 
+  /** Unrolled pinned-long GD logistic-regression twin of
+    * [[graft.ml.PinnedLogit.metricsReport]] over the q29 windowed
+    * features: exact integer margins/gradients on weighted distinct
+    * rows, 1e-9-pinned sigmoid (the only transcendental), integer
+    * confusion counts and doubled-midrank AUC. */
+  private def pinnedLogitSql(iters: Int, lr: Double): String = {
+    val fs = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+    def z12(b: String) =
+      s"$b.b0 + " + fs.zipWithIndex.map { case (f, j) => s"$b.b${j + 1} * $f" }.mkString(" + ")
+    def p9(b: String) =
+      s"CAST(round(1e9 / (1.0 + exp(-(CAST(${z12(b)} AS DOUBLE) / 1e12)))) AS BIGINT)"
+    val iterCtes = (1 to iters).map { i =>
+      val resid = s"CAST(w AS HUGEINT) * (label * 1000000000 - ${p9("b")})"
+      val gcols = (s"CAST(sum($resid) AS HUGEINT) AS g0" +:
+        fs.zipWithIndex.map { case (f, j) =>
+          s"CAST(sum($resid * $f) AS HUGEINT) AS g${j + 1}" }).mkString(",\n             ")
+      val bcols = (0 to fs.size).map { j =>
+        s"b.b$j + CAST(round(${dlit(lr)} * CAST(g.g$j AS DOUBLE) * 1e3 / nn.nd) AS BIGINT) AS b$j"
+      }.mkString(",\n             ")
+      s"""g$i AS (SELECT
+             $gcols
+           FROM ws CROSS JOIN b${i - 1} b),
+         b$i AS MATERIALIZED (SELECT
+             $bcols
+           FROM b${i - 1} b CROSS JOIN g$i g CROSS JOIN nn)"""
+    }.mkString(",\n         ")
+    val featCases = fs.map(f =>
+      s"count(CASE WHEN event_type = '${f.stripPrefix("n_")}' THEN 1 END) AS $f")
+      .mkString(",\n             ")
+    s"""WITH feats AS MATERIALIZED (
+           SELECT window_id,
+             $featCases,
+             max(CASE WHEN event_type = 'error' AND value > 300 THEN 1 ELSE 0 END) AS label
+           FROM (SELECT (row_number() OVER (ORDER BY event_id) - 1) // 5 AS window_id,
+                        event_type, value
+                 FROM events) t
+           GROUP BY window_id),
+         ws AS MATERIALIZED (
+           SELECT ${fs.mkString(", ")}, CAST(label AS BIGINT) AS label,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM feats GROUP BY ${(1 to fs.size + 1).mkString(", ")}),
+         nn AS (SELECT CAST(sum(w) AS DOUBLE) AS nd FROM ws),
+         b0 AS (SELECT ${(0 to fs.size).map(j => s"CAST(0 AS BIGINT) AS b$j").mkString(", ")}),
+         $iterCtes,
+         sc AS MATERIALIZED (
+           SELECT label, w, ${z12("b")} AS z12 FROM ws CROSS JOIN b$iters b),
+         cts AS (SELECT
+             CAST(sum(CASE WHEN label = 1 AND z12 > 0 THEN w ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN label = 0 AND z12 > 0 THEN w ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN label = 1 AND z12 <= 0 THEN w ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(w) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN (label = 1) = (z12 > 0) THEN w ELSE 0 END) AS BIGINT) AS corr
+           FROM sc),
+         gr AS (SELECT z12, CAST(sum(w) AS BIGINT) AS cnt,
+                  CAST(sum(CASE WHEN label = 1 THEN w ELSE 0 END) AS BIGINT) AS npos
+                FROM sc GROUP BY 1),
+         cum AS (SELECT cnt, npos,
+                   coalesce(sum(cnt) OVER (ORDER BY z12
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                 FROM gr),
+         au AS (SELECT CAST(sum(npos * (cb * 2 + cnt + 1)) AS BIGINT) AS rp2,
+                       CAST(sum(npos) AS BIGINT) AS np,
+                       CAST(sum(cnt - npos) AS BIGINT) AS nneg
+                FROM cum)
+         SELECT metric, value FROM (
+           SELECT 'precision' AS metric,
+             CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS value FROM cts
+           UNION ALL SELECT 'recall',
+             CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END FROM cts
+           UNION ALL SELECT 'accuracy',
+             CASE WHEN n = 0 THEN 0.0 ELSE CAST(corr AS DOUBLE) / n END FROM cts
+           UNION ALL SELECT 'auc',
+             CASE WHEN np > 0 AND nneg > 0
+               THEN CAST(rp2 - np * (np + 1) AS DOUBLE) / (${dlit(2.0)} * np * nneg) END FROM au)
+         ORDER BY metric"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q35_pca" -> pinnedPcaSql(40),
+    "q32_lr_metrics" -> pinnedLogitSql(100, 0.5),
     "q139_kcore" -> kcoreOracleSql(16, 2),
     "q156_lpa" -> lpaOracleSql(5),
     "q97_pagerank" -> pagerankOracleSql(10, 0.85),
