@@ -4038,11 +4038,74 @@ object SparkEntry {
          ORDER BY metric"""
   }
 
+  /** Unrolled pinned-long HITS twin of [[graft.graph.Hits.authorities]]
+    * over the per-user top-2 event-type bipartite graph — exact integer
+    * `E·x` folds, grid-pinned normalizations (the q97 pattern). */
+  private def hitsOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""h$i AS MATERIALIZED (
+           SELECT e.u, CAST(sum(a.a9) AS BIGINT) AS h9raw
+           FROM e JOIN a${i - 1} a ON a.i = e.i GROUP BY 1),
+         hn$i AS (SELECT sqrt(CAST(sum(CAST(h9raw AS HUGEINT) * h9raw) AS DOUBLE)) AS nrm FROM h$i),
+         hh$i AS MATERIALIZED (
+           SELECT u, CAST(round(CAST(h9raw AS DOUBLE) / nrm * 1e9) AS BIGINT) AS h9
+           FROM h$i CROSS JOIN hn$i),
+         ar$i AS MATERIALIZED (
+           SELECT e.i, CAST(sum(h.h9) AS BIGINT) AS a9raw
+           FROM e JOIN hh$i h ON h.u = e.u GROUP BY 1),
+         an$i AS (SELECT sqrt(CAST(sum(CAST(a9raw AS HUGEINT) * a9raw) AS DOUBLE)) AS nrm FROM ar$i),
+         a$i AS MATERIALIZED (
+           SELECT i, CAST(round(CAST(a9raw AS DOUBLE) / nrm * 1e9) AS BIGINT) AS a9
+           FROM ar$i CROSS JOIN an$i)"""
+    }.mkString(",\n         ")
+    s"""WITH cnt AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         rk AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS r
+                FROM cnt),
+         e AS MATERIALIZED (SELECT user_id AS u, event_type AS i FROM rk WHERE r <= 2),
+         a0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1000000000 AS BIGINT) AS a9 FROM e),
+         $rounds
+         SELECT i AS item, round(CAST(a9 AS DOUBLE) / 1e9, 6) AS authority
+         FROM a$iters ORDER BY item"""
+  }
+
+  /** Unrolled k-truss support peel (graph.KTruss.truss, k = 4) over the
+    * co-purchase graph — per round: wedge-closure triangles, 3-way edge
+    * support, `>= k-2` filter. The peel is a monotone fixpoint, so
+    * rounds past convergence are exact no-ops (the q139 argument). */
+  private def ktrussOracleSql(rounds: Int, k: Int): String = {
+    val peel = (1 to rounds).map { i =>
+      s"""tri$i AS MATERIALIZED (
+           SELECT x.a AS ta, x.b AS tb, y.b AS tc
+           FROM e${i - 1} x JOIN e${i - 1} y ON y.a = x.b
+           JOIN e${i - 1} z ON z.a = x.a AND z.b = y.b),
+         e$i AS MATERIALIZED (
+           SELECT u AS a, v AS b FROM (
+             SELECT ta AS u, tb AS v FROM tri$i
+             UNION ALL SELECT tb, tc FROM tri$i
+             UNION ALL SELECT ta, tc FROM tri$i)
+           GROUP BY 1, 2 HAVING count(*) >= ${k - 2})"""
+    }.mkString(",\n         ")
+    s"""WITH inst AS (SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS ea, b.l_partkey AS eb
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         e0 AS MATERIALIZED (
+           SELECT ea AS a, eb AS b FROM inst GROUP BY ea, eb HAVING count(*) >= 2),
+         $peel
+         SELECT CAST($k AS INTEGER) AS k,
+                (SELECT count(*) FROM e$rounds) AS n_edges,
+                (SELECT count(DISTINCT v) FROM
+                  (SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds)) AS n_nodes"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q35_pca" -> pinnedPcaSql(40),
     "q32_lr_metrics" -> pinnedLogitSql(100, 0.5),
+    "q247_hits" -> hitsOracleSql(20),
+    "q288_ktruss" -> ktrussOracleSql(12, 4),
     "q139_kcore" -> kcoreOracleSql(16, 2),
     "q156_lpa" -> lpaOracleSql(5),
     "q97_pagerank" -> pagerankOracleSql(10, 0.85),

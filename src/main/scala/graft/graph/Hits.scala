@@ -23,10 +23,17 @@ import org.apache.spark.sql.functions._
   * dangling-mass pattern; a crossJoin(broadcast) would serialize an AQE
   * wave into every stage). Hub scores stay distributed throughout; only
   * the authority vector (bounded by the item vocabulary) is collected.
-  * Like the other fixpoint operators (PageRank/KCore/LPA), results are
-  * iterated floats — spec-pinned, not SQL-oracled.
+  *
+  * PINNED-LONG walk (the PageRank/PinnedPca convention): scores live on
+  * a 1e-9 grid, each `E·x` fold is an exact integer sum, each
+  * normalization rounds back to the grid (norms as exact
+  * sum-of-squares integers under one sqrt) — identical on any engine
+  * and expressible as an unrolled SQL twin.
   */
 object Hits {
+
+  private def ra(x: Double): Long =
+    if (x >= 0) math.round(x) else -math.round(-x)
 
   /** Authority scores after `iters` rounds: `(item, authority)` with the
     * authority vector L2-normalized, 6 dp, ordered by item. `edges` rows
@@ -34,39 +41,44 @@ object Hits {
   def authorities(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int = 20): DataFrame = {
     val spark = edges.sparkSession
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("i"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize once; consumed 2× per round
     // authority map, driver-held: bounded by the item vocabulary (the
     // KCore/CC "bounded finisher" contract — assert, don't assume)
-    var auth: Map[Any, Double] = e.select(col("i")).distinct().collect()
-      .map(r => r.get(0) -> 1.0).toMap
+    var auth: Map[String, Long] = e.select(col("i").cast("string")).distinct()
+      .collect().map(r => r.getString(0) -> 1000000000L).toMap
     require(auth.size <= (1 << 17),
       s"authority side too large to broadcast: ${auth.size}")
-    var hubs: DataFrame = null
     for (_ <- 0 until iters) {
-      val authLit = typedLit(auth.map { case (k, v) => k.toString -> v })
-      // h = E a (items' scores fold onto each hub), then L2-normalize
-      // via one driver-scalar aggregate
-      val hRaw = e.withColumn("a", authLit(col("i").cast("string")))
-        .groupBy(col("u")).agg(sum(col("a")).as("h"))
-      val hNorm = math.sqrt(
-        hRaw.agg(sum(col("h") * col("h"))).head().getDouble(0))
-      hubs = hRaw.withColumn("h", col("h") / lit(hNorm))
+      val authLit = typedLit(auth)
+      // h = E a (items' grid scores fold onto each hub — EXACT long sum),
+      // L2-normalized via one driver-scalar exact sum of squares
+      val hRaw = e.withColumn("a9", authLit(col("i").cast("string")))
+        .groupBy(col("u")).agg(sum(col("a9")).as("h9raw"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // a = Eᵀ h, normalized the same way — the aggregate output is
-      // item-bounded, so the collect is the bounded finisher again
-      val aRaw = e.join(hubs, "u").groupBy(col("i"))
-        .agg(sum(col("h")).as("a")).collect()
-        .map(r => r.get(0) -> r.getDouble(1))
-      val aNorm = math.sqrt(aRaw.map(x => x._2 * x._2).sum)
-      auth = aRaw.map { case (k, v) => k -> v / aNorm }.toMap
-      hubs.unpersist(blocking = false)
+      val hNorm = math.sqrt(
+        hRaw.agg(sum(d38(col("h9raw")) * d38(col("h9raw"))))
+          .head().getDecimal(0).doubleValue())
+      val hubs = hRaw.select(col("u"),
+        round(col("h9raw").cast("double") / lit(hNorm) * lit(1e9))
+          .cast("long").as("h9"))
+      // a = Eᵀ h — item-bounded, so the collect is the bounded finisher
+      val aRaw = e.join(hubs, "u").groupBy(col("i").cast("string").as("i"))
+        .agg(sum(col("h9")).as("a9raw")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val aNorm = math.sqrt(
+        aRaw.map(x => BigInt(x._2) * BigInt(x._2)).sum.toDouble)
+      auth = aRaw.map { case (k, v) =>
+        k -> ra(v.toDouble / aNorm * 1e9) }.toMap
+      hRaw.unpersist(blocking = false)
     }
     import spark.implicits._
-    auth.toSeq.map { case (k, v) =>
-      (k.toString, math.rint(v * 1e6) / 1e6)
-    }.sortBy(_._1).toDF("item", "authority")
+    e.unpersist(blocking = false)
+    auth.toSeq.sortBy(_._1).toDF("item", "a9")
+      .select(col("item"),
+        round(col("a9").cast("double") / lit(1e9), 6).as("authority"))
   }
 }
