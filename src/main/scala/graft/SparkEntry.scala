@@ -1275,11 +1275,17 @@ object SparkEntry {
     //      the bounded pool (spec-verified; rows-only here)
     "q233_mmr" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // PINNED centroid (1e-9 grid): a plain float avg is
+      // partition-order-dependent; exact integer component sums with one
+      // rounded division give the identical vector on any engine
       val centroid = emb.where(col("label") === 0)
         .select(posexplode(col("embedding").cast("array<double>"))
           .as(Seq("dim", "x")))
-        .groupBy(col("dim")).agg(avg(col("x")).as("m"))
-        .orderBy(col("dim")).collect().map(_.getDouble(1))
+        .groupBy(col("dim"))
+        .agg(round(sum(round(col("x") * lit(1e9)).cast("long")
+            .cast("decimal(38,0)")).cast("double") /
+          count(lit(1))).cast("long").as("m9"))
+        .orderBy(col("dim")).collect().map(_.getLong(1) / 1e9)
       graft.sim.Mmr.rerank(emb, "vec_id", "embedding", centroid, 30, 10)
     }),
     // ---- one-sided CUSUM mean-shift monitor (Page 1954) on daily value
@@ -4099,6 +4105,83 @@ object SparkEntry {
                   (SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds)) AS n_nodes"""
   }
 
+  /** Unrolled greedy k-center twin of [[graft.sim.KCenter.greedy]]:
+    * pinned-long squared distances (per-term 1e-9 grid, exact sums), k−1
+    * argmax steps each MATERIALIZED (the center row and the shrinking
+    * min-distance frame). */
+  private def kcenterOracleSql(k: Int): String = {
+    val d9 = """CAST(list_sum(list_transform(range(1, len(e.v) + 1),
+             t -> CAST(round((e.v[t] - c.v[t]) * (e.v[t] - c.v[t]) * 1e9) AS BIGINT))) AS BIGINT)"""
+    val steps = (2 to k).map { i =>
+      s"""c$i AS MATERIALIZED (
+           SELECT e.id, e.v, d.d9 FROM emb e JOIN d${i - 1} d ON d.id = e.id
+           ORDER BY d.d9 DESC, e.id LIMIT 1),
+         d$i AS MATERIALIZED (
+           SELECT e.id, least(d.d9, $d9) AS d9
+           FROM emb e JOIN d${i - 1} d ON d.id = e.id CROSS JOIN c$i c)"""
+    }.mkString(",\n         ")
+    val out = (s"SELECT 1 AS step, id, CAST(NULL AS DOUBLE) AS radius FROM c1" +:
+      (2 to k).map(i =>
+        s"SELECT $i, id, round(sqrt(CAST(d9 AS DOUBLE) / 1e9), 6) FROM c$i"))
+      .mkString("\n           UNION ALL ")
+    s"""WITH emb AS MATERIALIZED (
+           SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         c1 AS MATERIALIZED (SELECT id, v FROM emb ORDER BY id LIMIT 1),
+         d1 AS MATERIALIZED (
+           SELECT e.id, $d9 AS d9 FROM emb e CROSS JOIN c1 c),
+         $steps
+         SELECT step, id, radius FROM (
+           $out)
+         ORDER BY step"""
+  }
+
+  /** Unrolled MMR twin of [[graft.sim.KCenter]]'s Mmr.rerank over the
+    * label-0 pinned centroid: pool = cosine top-`poolSize`, then `k`
+    * greedy argmax steps of `λ·rel − (1−λ)·max-sim-to-selected`, each
+    * MATERIALIZED; double constants via [[dlit]] so `1−λ` carries the
+    * engine's exact IEEE value. */
+  private def mmrOracleSql(poolSize: Int, k: Int, lambda: Double): String = {
+    val steps = (2 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+           SELECT p.id, p.v, p.sim,
+             ${dlit(lambda)} * p.sim - ${dlit(1 - lambda)} *
+               (SELECT max(list_cosine_similarity(p.v, s.v)) FROM sel${i - 1} s) AS score
+           FROM pool p
+           WHERE p.id NOT IN (SELECT id FROM sel${i - 1})
+           ORDER BY score DESC, p.id LIMIT 1),
+         sel$i AS MATERIALIZED (
+           SELECT id, v FROM sel${i - 1} UNION ALL SELECT id, v FROM s$i)"""
+    }.mkString(",\n         ")
+    val out = (s"SELECT 1 AS rank, id, sim, score FROM s1" +:
+      (2 to k).map(i => s"SELECT $i, id, sim, score FROM s$i"))
+      .mkString("\n           UNION ALL ")
+    s"""WITH emb AS MATERIALIZED (
+           SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         ex AS (SELECT u.j, CAST(round(u.x * 1e9) AS BIGINT) AS x9 FROM (
+             SELECT unnest(list_transform(range(1, len(v) + 1),
+               i -> struct_pack(j := i, x := v[i]))) AS u
+             FROM emb WHERE label = 0)),
+         cen AS MATERIALIZED (
+           SELECT j, CAST(round(CAST(sum(CAST(x9 AS HUGEINT)) AS DOUBLE) / count(*)) AS BIGINT) AS m9
+           FROM ex GROUP BY j),
+         cvec AS MATERIALIZED (
+           SELECT list(CAST(m9 AS DOUBLE) / 1e9 ORDER BY j) AS cv FROM cen),
+         scored AS (SELECT e.id, e.v, list_cosine_similarity(e.v, c.cv) AS sim
+                    FROM emb e CROSS JOIN cvec c),
+         pool AS MATERIALIZED (
+           SELECT id, v, sim FROM (
+             SELECT *, row_number() OVER (ORDER BY sim DESC, id) AS rn FROM scored)
+           WHERE rn <= $poolSize),
+         s1 AS MATERIALIZED (
+           SELECT id, v, sim, ${dlit(lambda)} * sim - ${dlit(1 - lambda)} * 0.0 AS score
+           FROM pool ORDER BY score DESC, id LIMIT 1),
+         sel1 AS MATERIALIZED (SELECT id, v FROM s1),
+         $steps
+         SELECT rank, id, round(sim, 6) AS relevance, round(score, 6) AS mmr_score
+         FROM ($out)
+         ORDER BY rank"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -4106,6 +4189,8 @@ object SparkEntry {
     "q32_lr_metrics" -> pinnedLogitSql(100, 0.5),
     "q247_hits" -> hitsOracleSql(20),
     "q288_ktruss" -> ktrussOracleSql(12, 4),
+    "q227_kcenter" -> kcenterOracleSql(16),
+    "q233_mmr" -> mmrOracleSql(30, 10, 0.7),
     "q139_kcore" -> kcoreOracleSql(16, 2),
     "q156_lpa" -> lpaOracleSql(5),
     "q97_pagerank" -> pagerankOracleSql(10, 0.85),

@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   * round would make it O(k·n·dim) at the price of k materializations;
   * at k ≲ 64 the quadratic term is cheaper).
   *
-  * Determinism: squared-Euclidean per-row sums evaluate in fixed
-  * element order; the argmax tiebreak is (distance, lowest id) via a
-  * single max(struct) — no float cross-row accumulation anywhere.
-  * Seed = lowest id (pinned, not random): reproducible on any engine.
+  * Determinism — PINNED-LONG distances (the PageRank/PinnedPca grid
+  * convention): each per-dimension squared difference rounds to a 1e-9
+  * long and the squared distance is an EXACT integer sum, so the
+  * min-distance state, every argmax and every radius are integer-
+  * derived — identical on any engine (and SQL-oracle-able as k
+  * unrolled argmax steps). The argmax tiebreak is (distance, lowest
+  * id) via a single max(struct). Seed = lowest id (pinned, not
+  * random).
   */
 object KCenter {
 
@@ -39,37 +43,35 @@ object KCenter {
     val base = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def sqDist(c: Seq[Double]): Column = {
+    // pinned squared distance: per-term 1e-9 grid, exact long sum
+    def sqDist9(c: Seq[Double]): Column = {
       val litVec = array(c.map(lit): _*)
-      expr2(litVec)
+      aggregate(zip_with(col("v"), litVec,
+          (a, b) => round((a - b) * (a - b) * lit(1e9)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
     }
-    def expr2(litVec: Column): Column =
-      aggregate(zip_with(col("v"), litVec, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
     // seed: lowest id
     val seedRow = base.orderBy(col("id")).limit(1)
       .select(col("id"), col("v")).head
-    var picked = List((1, seedRow.getLong(0), Option.empty[Double]))
-    var curVec = seedRow.getSeq[Double](1)
-    var dist: Column = sqDist(curVec)
+    var picked = List((1, seedRow.getLong(0), Option.empty[Long]))
+    var dist: Column = sqDist9(seedRow.getSeq[Double](1))
     for (step <- 2 to k) {
       // argmax of current min-distance, tiebreak lowest id — the winner's
       // VECTOR rides inside the same max(struct) aggregate, so each round
       // is exactly one job (no separate point-lookup scan)
-      val far = base.agg(max(struct(dist.as("d"), (-col("id")).as("ni"),
+      val far = base.agg(max(struct(dist.as("d9"), (-col("id")).as("ni"),
           col("v").as("fv"))))
         .head.getStruct(0)
       val fid = -far.getLong(1)
-      val fd = far.getDouble(0)
+      val fd9 = far.getLong(0)
       val fvec = far.getSeq[Double](2)
-      picked = (step, fid, Some(math.sqrt(fd))) :: picked
-      dist = least(dist, sqDist(fvec))
-      curVec = fvec
+      picked = (step, fid, Some(fd9)) :: picked
+      dist = least(dist, sqDist9(fvec))
     }
     base.unpersist(blocking = false)
-    picked.reverse
-      .map { case (s, i, r) => (s, i, r.map(x => math.rint(x * 1e6) / 1e6)) }
-      .toDF("step", "id", "radius")
+    picked.reverse.toDF("step", "id", "d9")
+      .select(col("step"), col("id"),
+        round(sqrt(col("d9").cast("double") / lit(1e9)), 6).as("radius"))
   }
 }
 
@@ -129,9 +131,11 @@ object Mmr {
       chosen = best._3 :: chosen
       remaining = remaining.filterNot(_._1 == best._1)
     }
-    selected.reverse
-      .map { case (r, i, rel, sc) =>
-        (r, i, math.rint(rel * 1e6) / 1e6, math.rint(sc * 1e6) / 1e6) }
-      .toDF("rank", "id", "relevance", "mmr_score")
+    // SQL-round output convention (ties away from zero), not math.rint's
+    // half-even — keeps the emitted values oracle-matchable
+    selected.reverse.toDF("rank", "id", "relevance", "mmr_score")
+      .select(col("rank"), col("id"),
+        round(col("relevance"), 6).as("relevance"),
+        round(col("mmr_score"), 6).as("mmr_score"))
   }
 }
