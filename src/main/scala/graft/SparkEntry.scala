@@ -3098,13 +3098,17 @@ object SparkEntry {
         .orderBy(desc("rank_x1000"), col("node")).limit(20)
     }),
     // ---- distributed spherical k-means over the full embedding table
-    //      (broadcast centroids, map-side assignment, k×dim driver state)
-    //      — rows-only (float means; GraphSpec pins cluster recovery)
+    //      (broadcast centroids, codegen'd exploded-dim assignment, k×dim
+    //      driver state) — pinned-long Lloyd recurrence, oracled by the
+    //      unrolled SQL twin; the avg is an exact integer sum of the
+    //      4-dp-pinned sims (a float avg is partition-order-dependent)
     "q98_kmeans" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
           k = 8, iters = 5)
         .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n"), round(avg(col("sim")), 4).as("avg_sim"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("sim") * lit(1e4)).cast("long")).cast("double") /
+            count(lit(1)) / lit(1e4), 4).as("avg_sim"))
         .orderBy(col("cluster"))),
     // ---- BPE fertility: apply the trained merge table (bounded,
     //      broadcast) per document — rows-only (iterative merge loop has
@@ -4182,9 +4186,118 @@ object SparkEntry {
          ORDER BY rank"""
   }
 
+  /** Isotonic-calibration twin of [[graft.ml.Isotonic.calibrate]] over
+    * the q222 LOO-target-encoded score: PAV expressed by the classical
+    * MINIMAX identity `iso(i) = max_{j≤i} min_{k≥i} avg(y over [j..k])`
+    * — no sequential pooling needed, and the optimal (j,k) block IS the
+    * PAV pool, so the emitted division is the identical integer ratio.
+    * B² interval rows over ≤ |cats| bins — trivial. */
+  private def isotonicOracleSql: String =
+    s"""WITH ev AS (
+           SELECT event_type || '_' || CAST(dayofweek(ts) AS VARCHAR) AS cat,
+                  CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+           FROM events),
+         st AS (SELECT cat, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+                FROM ev GROUP BY 1),
+         gl AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM ev),
+         scored AS (
+           SELECT round(round((st.s - ev.y + ${dlit(10.0)} * gl.prior)
+                    / (st.n - 1 + ${dlit(10.0)}), 6), 3) AS bin_score,
+                  CAST(ev.y AS BIGINT) AS y
+           FROM ev JOIN st USING (cat) CROSS JOIN gl),
+         bins AS MATERIALIZED (
+           SELECT bin_score, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+           FROM scored GROUP BY 1),
+         idx AS MATERIALIZED (
+           SELECT bin_score, n, pos, row_number() OVER (ORDER BY bin_score) AS i
+           FROM bins),
+         cum AS MATERIALIZED (
+           SELECT i, bin_score, n, pos,
+                  CAST(sum(n) OVER (ORDER BY i) AS BIGINT) AS cn,
+                  CAST(sum(pos) OVER (ORDER BY i) AS BIGINT) AS cp
+           FROM idx),
+         a AS MATERIALIZED (
+           SELECT j.i AS j, k.i AS k,
+                  CAST(k.cp - coalesce(jm.cp, 0) AS DOUBLE)
+                    / (k.cn - coalesce(jm.cn, 0)) AS av
+           FROM cum j JOIN cum k ON k.i >= j.i
+           LEFT JOIN cum jm ON jm.i = j.i - 1),
+         mrun AS MATERIALIZED (
+           SELECT j, k AS i,
+                  min(av) OVER (PARTITION BY j ORDER BY k DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+           FROM a),
+         iso AS (SELECT i, max(mn) AS iso FROM mrun GROUP BY 1)
+         SELECT c.bin_score, c.n, c.pos,
+                round(CAST(c.pos AS DOUBLE) / c.n, 6) AS rate,
+                round(iso.iso, 6) AS iso_rate
+         FROM idx c JOIN iso ON iso.i = c.i
+         ORDER BY c.bin_score"""
+
+  /** Unrolled pinned-long spherical k-means twin of
+    * [[graft.sim.Similarity.kmeansAssign]] (k clusters, `iters` Lloyd
+    * rounds): 1e-6-grid coordinates, 1e-9-grid normalized centroids,
+    * exact integer dot/mean/normalization pieces — the q97/q35 pattern
+    * on Lloyd's loop. Final readout mirrors the q98 entry (counts +
+    * exact-integer avg of the 4-dp sims). */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val simExpr = """CASE WHEN nv.nv12 > 0
+             THEN CAST(d.dot9 AS DOUBLE) / sqrt(CAST(nv.nv12 AS DOUBLE)) / 1e3
+             ELSE 0.0 END"""
+    def asgCte(i: Int, cent: String): String =
+      s"""dt$i AS (SELECT x.id, c.c,
+             CAST(sum(CAST(round(CAST(c.c9 * x.x6 AS DOUBLE) / 1e6) AS BIGINT)) AS BIGINT) AS dot9
+           FROM x6 x JOIN $cent c ON c.t = x.t GROUP BY 1, 2),
+         asg$i AS MATERIALIZED (
+           SELECT id, CAST(-((m).nc) AS INTEGER) AS cluster, (m).s AS sim FROM (
+             SELECT d.id, max(struct_pack(s := $simExpr, nc := -d.c)) AS m
+             FROM dt$i d JOIN nv12 nv ON nv.id = d.id
+             GROUP BY 1) z)"""
+    val rounds = (1 to iters).map { i =>
+      s"""${asgCte(i, s"cent${i - 1}")},
+         up$i AS (SELECT a.cluster AS c, x.t,
+             CAST(round(CAST(sum(CAST(x.x6 AS HUGEINT)) AS DOUBLE) / count(*)) AS BIGINT) AS m6
+           FROM asg$i a JOIN x6 x ON x.id = a.id GROUP BY 1, 2),
+         n2$i AS (SELECT c, CAST(sum(m6 * m6) AS BIGINT) AS n2 FROM up$i GROUP BY 1),
+         cent$i AS MATERIALIZED (
+           SELECT p.c, p.t, coalesce(u.c9, p.c9) AS c9 FROM cent${i - 1} p
+           LEFT JOIN (SELECT up.c, up.t,
+               CASE WHEN n2.n2 > 0
+                 THEN CAST(round(CAST(up.m6 AS DOUBLE) / sqrt(CAST(n2.n2 AS DOUBLE)) * 1e9) AS BIGINT)
+                 ELSE up.m6 * 1000 END AS c9
+             FROM up$i up JOIN n2$i n2 USING (c)) u
+           ON u.c = p.c AND u.t = p.t)"""
+    }.mkString(",\n         ")
+    s"""WITH x6 AS MATERIALIZED (
+           SELECT vec_id AS id, u.t, CAST(round(u.x * 1e6) AS BIGINT) AS x6
+           FROM (SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+                   i -> struct_pack(t := i - 1, x := v[i]))) AS u
+                 FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))),
+         nv12 AS MATERIALIZED (
+           SELECT id, CAST(sum(x6 * x6) AS BIGINT) AS nv12 FROM x6 GROUP BY 1),
+         fk AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS c
+                FROM (SELECT DISTINCT id FROM x6 ORDER BY id LIMIT $k)),
+         ig AS (SELECT f.c, x.t, x.x6 FROM fk f JOIN x6 x ON x.id = f.id),
+         in2 AS (SELECT c, CAST(sum(x6 * x6) AS BIGINT) AS n2 FROM ig GROUP BY 1),
+         cent0 AS MATERIALIZED (
+           SELECT ig.c, ig.t,
+             CASE WHEN in2.n2 > 0
+               THEN CAST(round(CAST(ig.x6 AS DOUBLE) / sqrt(CAST(in2.n2 AS DOUBLE)) * 1e9) AS BIGINT)
+               ELSE ig.x6 * 1000 END AS c9
+           FROM ig JOIN in2 USING (c)),
+         $rounds,
+         ${asgCte(iters + 1, s"cent$iters")}
+         SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(round(round(sim, 4) * 1e4) AS BIGINT)) AS DOUBLE)
+                  / count(*) / 1e4, 4) AS avg_sim
+         FROM asg${iters + 1} GROUP BY 1 ORDER BY cluster"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q222_isotonic" -> isotonicOracleSql,
+    "q98_kmeans" -> kmeansOracleSql(8, 5),
     "q35_pca" -> pinnedPcaSql(40),
     "q32_lr_metrics" -> pinnedLogitSql(100, 0.5),
     "q247_hits" -> hitsOracleSql(20),

@@ -75,62 +75,93 @@ object Similarity {
     * contract is cluster RECOVERY (spec: designed well-separated
     * clusters are recovered exactly), not bit-stable labels. Returns
     * `(id, cluster, sim)` — sim is the cosine to the final centroid. */
+  /** PINNED-LONG spherical k-means (the PageRank/PinnedPca grid
+    * convention applied to Lloyd's loop): coordinates quantize once to
+    * a 1e-6 grid, centroids live normalized on a 1e-9 grid, each
+    * dot-product term / mean / normalization rounds back to its grid —
+    * so the whole iteration is an exact integer recurrence (identical
+    * on any engine; SQL-oracle-able as unrolled iterations) and the
+    * assignment runs as a codegen'd exploded-dim join instead of a
+    * boxed UDF. Argmax tie-break: lowest cluster index. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int = 5): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k>=1, iters>=1; got k=$k iters=$iters")
     val spark = df.sparkSession
-    val data = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    import spark.implicits._
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    def raL(x: Double): Long = if (x >= 0) math.round(x) else -math.round(-x)
+    // coordinates on the 1e-6 grid: one exploded frame feeds the norm,
+    // the init collect, every assignment join and every mean update
+    val x6 = graft.operators.Spread.widen(
+        df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
+        col("id"))
+      .select(col("id"), posexplode(col("v")).as(Seq("t", "x")))
+      .select(col("id"), col("t"), round(col("x") * lit(1e6)).cast("long").as("x6"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n > 0) v.map(_ / n) else v
+    // per-point squared norm on the 1e-12 grid (x6² ≤ 1e12·dim — long-safe)
+    val nv12 = x6.groupBy(col("id"))
+      .agg(sum(col("x6") * col("x6")).as("nv12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init: first k ids, each normalized onto the 1e-9 centroid grid
+    val firstIds = x6.select(col("id")).distinct().orderBy(col("id")).limit(k)
+      .collect().map(_.get(0))
+    if (firstIds.isEmpty) {
+      x6.unpersist(); nv12.unpersist()
+      return df.select(col(idCol).as("id"), lit(-1).as("cluster"),
+        lit(0.0).as("sim")).limit(0)
     }
-    var cents: Array[(Int, Array[Double])] = data.orderBy(col("id")).limit(k).collect()
-      .zipWithIndex.map { case (r, i) => (i, normalize(r.getSeq[Double](1).toArray)) }
-    if (cents.isEmpty) { data.unpersist(); return data.select(col("id"),
-      lit(-1).as("cluster"), lit(0.0).as("sim")).limit(0) }
-    def assignCol(bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]) =
-      udf { (v: Seq[Double]) =>
-        var best = -1; var bestSim = Double.MinValue
-        bc.value.foreach { case (ci, cv) =>
-          var dot = 0.0; var nb = 0.0; var i = 0
-          while (i < v.length) { dot += cv(i) * v(i); nb += v(i) * v(i); i += 1 }
-          val s = if (nb > 0) dot / math.sqrt(nb) else 0.0
-          if (s > bestSim) { bestSim = s; best = ci }
+    val idIdx = firstIds.zipWithIndex.toMap
+    val initRows = x6.filter(col("id").isin(firstIds: _*))
+      .collect().map(r => (idIdx(r.get(0)), r.getInt(1), r.getLong(2)))
+    def normalize9(rows: Seq[(Int, Int, Long)]): Seq[(Int, Int, Long)] = {
+      rows.groupBy(_._1).toSeq.flatMap { case (c, rs) =>
+        val n2 = rs.map(r => r._3 * r._3).sum
+        rs.map { case (_, t, g6) =>
+          val c9 = if (n2 > 0) raL(g6.toDouble / math.sqrt(n2.toDouble) * 1e9)
+                   else g6 * 1000L
+          (c, t, c9)
         }
-        (best, bestSim)
       }
+    }
+    var cents: Seq[(Int, Int, Long)] = normalize9(initRows.toSeq)
+    // sim of a point to a centroid from the exact integer pieces: one
+    // closing double expression (dot9/(|v|·1e3) in grid units)
+    def simCol: Column = when(col("nv12") > 0,
+      col("dot9").cast("double") / sqrt(col("nv12").cast("double")) / lit(1e3))
+      .otherwise(lit(0.0))
+    def assigned(c: Seq[(Int, Int, Long)]): DataFrame = {
+      val cDf = broadcast(c.toDF("c", "t", "c9"))
+      x6.join(cDf, "t")
+        .groupBy(col("id"), col("c"))
+        .agg(sum(round((col("c9") * col("x6")).cast("double") / lit(1e6))
+          .cast("long")).as("dot9"))
+        .join(nv12, "id")
+        .groupBy(col("id"))
+        .agg(max(struct(simCol.as("s"), (-col("c")).as("nc"))).as("m"))
+        .select(col("id"), (-col("m.nc")).cast("int").as("cluster"),
+          col("m.s").as("sim"))
+    }
     var it = 0
     while (it < iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val assigned = data.withColumn("__a", assignCol(bc)(col("v")))
-        .select(col("id"), col("v"), col("__a._1").as("cluster"))
-      val upd = assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          val dim = rows.map(_.getInt(1)).max + 1
-          val m = new Array[Double](dim)
-          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
-          c -> normalize(m)
-        }
-      cents = cents.map { case (c, old) => (c, upd.getOrElse(c, old)) }
-      bc.destroy()
+      val m6Rows = assigned(cents).join(x6, "id")
+        .groupBy(col("cluster"), col("t"))
+        .agg(round(sum(d38(col("x6"))).cast("double") / count(lit(1)))
+          .cast("long").as("m6"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val upd = normalize9(m6Rows.toSeq).groupBy(_._1)
+        .map { case (c, rs) => c -> rs.map(r => (r._2, r._3)).toMap }
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (c, t, c9) =>
+        (c, t, upd.get(c).flatMap(_.get(t)).getOrElse(c9))
+      }
       it += 1
     }
-    val bcF = spark.sparkContext.broadcast(cents)
-    // materialize the final assignment BEFORE dropping the input cache —
-    // unpersisting first would force the returned frame to recompute the
-    // full scan+cast (a whole extra corpus pass at scale); the checkpoint
-    // holds only (id, cluster, sim)
-    val out = data.withColumn("__a", assignCol(bcF)(col("v")))
-      .select(col("id"), col("__a._1").as("cluster"),
-        round(col("__a._2"), 4).as("sim"))
+    // materialize the final assignment BEFORE dropping the input cache
+    val out = assigned(cents)
+      .select(col("id"), col("cluster"), round(col("sim"), 4).as("sim"))
       .localCheckpoint(true)
-    data.unpersist(blocking = false)
-    bcF.unpersist()
+    x6.unpersist(blocking = false)
+    nv12.unpersist(blocking = false)
     out
   }
 
