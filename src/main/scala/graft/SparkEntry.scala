@@ -3510,12 +3510,11 @@ object SparkEntry {
     }),
     // ---- L7: |LR coefficient| feature importance, descending (rows-only;
     //      reference prints it as a first-class output, v9:391-403)
+    // ---- L7+L8 LR importance from the pinned-GD fit (oracled; the
+    //      spark.ml LBFGS path stays spec-covered in MLSpec)
     "q48_lr_importance" -> ((s, dir) => {
       val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
-      val train = Models.assemble(
-        Models.compressWeighted(windowedFeatures(s, dir), cols, "label"), cols, "label")
-      Models.lrImportance(s,
-        Models.fitLogisticRegression(train, weightCol = Some("weight")), cols)
+      graft.ml.PinnedLogit.importanceReport(windowedFeatures(s, dir), cols, "label")
     }),
     // ---- stream-stream INTERVAL self-join (watermarked both sides,
     //      bounded state): error events preceded by a click of the same
@@ -3976,7 +3975,10 @@ object SparkEntry {
     * features: exact integer margins/gradients on weighted distinct
     * rows, 1e-9-pinned sigmoid (the only transcendental), integer
     * confusion counts and doubled-midrank AUC. */
-  private def pinnedLogitSql(iters: Int, lr: Double): String = {
+  /** The unrolled pinned-GD fit CTE block shared by the q32 metrics and
+    * q48 importance twins — WITH-body through `b$iters` (the fitted
+    * 1e-12-grid coefficient row). */
+  private def pinnedLogitFitCtes(iters: Int, lr: Double): String = {
     val fs = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
     def z12(b: String) =
       s"$b.b0 + " + fs.zipWithIndex.map { case (f, j) => s"$b.b${j + 1} * $f" }.mkString(" + ")
@@ -4000,7 +4002,7 @@ object SparkEntry {
     val featCases = fs.map(f =>
       s"count(CASE WHEN event_type = '${f.stripPrefix("n_")}' THEN 1 END) AS $f")
       .mkString(",\n             ")
-    s"""WITH feats AS MATERIALIZED (
+    s"""feats AS MATERIALIZED (
            SELECT window_id,
              $featCases,
              max(CASE WHEN event_type = 'error' AND value > 300 THEN 1 ELSE 0 END) AS label
@@ -4014,9 +4016,18 @@ object SparkEntry {
            FROM feats GROUP BY ${(1 to fs.size + 1).mkString(", ")}),
          nn AS (SELECT CAST(sum(w) AS DOUBLE) AS nd FROM ws),
          b0 AS (SELECT ${(0 to fs.size).map(j => s"CAST(0 AS BIGINT) AS b$j").mkString(", ")}),
-         $iterCtes,
+         $iterCtes"""
+  }
+
+  private val LogitFeatures =
+    Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+
+  private def pinnedLogitSql(iters: Int, lr: Double): String = {
+    val z12 = s"b.b0 + " + LogitFeatures.zipWithIndex
+      .map { case (f, j) => s"b.b${j + 1} * $f" }.mkString(" + ")
+    s"""WITH ${pinnedLogitFitCtes(iters, lr)},
          sc AS MATERIALIZED (
-           SELECT label, w, ${z12("b")} AS z12 FROM ws CROSS JOIN b$iters b),
+           SELECT label, w, $z12 AS z12 FROM ws CROSS JOIN b$iters b),
          cts AS (SELECT
              CAST(sum(CASE WHEN label = 1 AND z12 > 0 THEN w ELSE 0 END) AS BIGINT) AS tp,
              CAST(sum(CASE WHEN label = 0 AND z12 > 0 THEN w ELSE 0 END) AS BIGINT) AS fp,
@@ -4046,6 +4057,17 @@ object SparkEntry {
              CASE WHEN np > 0 AND nneg > 0
                THEN CAST(rp2 - np * (np + 1) AS DOUBLE) / (${dlit(2.0)} * np * nneg) END FROM au)
          ORDER BY metric"""
+  }
+
+  /** q48 twin: |coefficient| importance from the same unrolled fit. */
+  private def pinnedLogitImportanceSql(iters: Int, lr: Double): String = {
+    val rows = LogitFeatures.zipWithIndex.map { case (f, j) =>
+      s"SELECT '$f' AS feature, CAST(abs(b${j + 1}) AS DOUBLE) / 1e12 AS importance FROM b$iters"
+    }
+    s"""WITH ${pinnedLogitFitCtes(iters, lr)}
+         SELECT feature, importance FROM (
+           ${rows.mkString("\n           UNION ALL ")})
+         ORDER BY importance DESC, feature"""
   }
 
   /** Unrolled pinned-long HITS twin of [[graft.graph.Hits.authorities]]
@@ -4298,8 +4320,32 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q222_isotonic" -> isotonicOracleSql,
     "q98_kmeans" -> kmeansOracleSql(8, 5),
+    // SCC by mutual reachability over the recursive transitive closure
+    // (graph.Scc labels = component minimum id): x and y share an SCC
+    // iff both directed reaches hold; top-20 sizes mirror the entry
+    "q179_scc" ->
+      s"""WITH RECURSIVE ed AS (SELECT user_id,
+                lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user
+              FROM events),
+         e AS (SELECT DISTINCT prev_user AS u, user_id AS v FROM ed
+               WHERE prev_user IS NOT NULL AND prev_user <> user_id),
+         nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+         reach(a, b) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT reach.a, e.v FROM reach JOIN e ON e.u = reach.b),
+         mutual AS (SELECT r1.a AS x, r1.b AS y
+                    FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+         comp AS (SELECT n.id,
+                    least(n.id, coalesce(min(m.y), n.id)) AS component
+                  FROM nodes n LEFT JOIN mutual m ON m.x = n.id
+                  GROUP BY n.id)
+         SELECT component, CAST(count(*) AS BIGINT) AS size
+         FROM comp GROUP BY 1
+         ORDER BY size DESC, component LIMIT 20""",
     "q35_pca" -> pinnedPcaSql(40),
     "q32_lr_metrics" -> pinnedLogitSql(100, 0.5),
+    "q48_lr_importance" -> pinnedLogitImportanceSql(100, 0.5),
     "q247_hits" -> hitsOracleSql(20),
     "q288_ktruss" -> ktrussOracleSql(12, 4),
     "q227_kcenter" -> kcenterOracleSql(16),

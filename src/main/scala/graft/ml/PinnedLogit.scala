@@ -70,6 +70,22 @@ object PinnedLogit {
     b
   }
 
+  /** L7/L8 importance ranking from the pinned fit: `(feature,
+    * importance)` with importance = |coefficient| (exact grid value over
+    * 1e12), ordered descending then by feature name. */
+  def importanceReport(feats: DataFrame, featureCols: Seq[String],
+                       labelCol: String, iters: Int = 100,
+                       lr: Double = 0.5): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val b = fitBeta(feats, featureCols, labelCol, iters, lr)
+    featureCols.zipWithIndex
+      .map { case (c, j) => (c, math.abs(b(j + 1))) }
+      .toDF("feature", "i12")
+      .select(col("feature"), (col("i12").cast("double") / 1e12).as("importance"))
+      .orderBy(desc("importance"), asc("feature"))
+  }
+
   /** `(metric, value)` rows — precision / recall / accuracy / auc of the
     * fitted model scored over the FULL feature table (prediction by the
     * exact integer margin sign; AUC by doubled-midrank integers on the
