@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, JaroWinkler, MisraGries, NfcNormalize, PinnedCosine, RepStats, ShingleSet, SigAgreeCount, SortedOverlapCount, SortedPairs, SqEuclidean, TopK, TrigramCountAgg, TrigramLmScore, VocabTf}
+import graft.functions.{CosineSimilarity, JaroWinkler, MisraGries, NfcNormalize, PinnedCosine, PinnedSqDist, RepStats, ShingleSet, SigAgreeCount, SortedOverlapCount, SortedPairs, SqEuclidean, TopK, TrigramCountAgg, TrigramLmScore, VocabTf}
 import graft.mine.DrainMineAgg
 
 /** The library's `SparkSessionExtensions` injection point — the idiomatic
@@ -56,6 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[SqEuclidean], exprs => SqEuclidean(exprs(0), exprs(1))))
     ext.injectFunction(fn(PinnedCosine.Name,
       classOf[PinnedCosine], exprs => PinnedCosine(exprs(0), exprs(1))))
+    ext.injectFunction(fn(PinnedSqDist.Name,
+      classOf[PinnedSqDist], exprs => PinnedSqDist(exprs(0), exprs(1))))
     // whole-operator nodes (custom-operator ladder rung (c))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer rules (the Rule[LogicalPlan] rung): algebraic rewrites

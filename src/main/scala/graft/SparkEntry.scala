@@ -4071,24 +4071,23 @@ object SparkEntry {
   }
 
   /** Unrolled pinned-long HITS twin of [[graft.graph.Hits.authorities]]
-    * over the per-user top-2 event-type bipartite graph — exact integer
-    * `E·x` folds, grid-pinned normalizations (the q97 pattern). */
+    * over the per-user top-2 event-type bipartite graph — the M = EᵀE
+    * formulation: exact integer M·a folds and h² = aᵀ(Ma), grid-pinned
+    * intermediate, exact closing L2 normalization (the q35 v-step). */
   private def hitsOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
-      s"""h$i AS MATERIALIZED (
-           SELECT e.u, CAST(sum(a.a9) AS BIGINT) AS h9raw
-           FROM e JOIN a${i - 1} a ON a.i = e.i GROUP BY 1),
-         hn$i AS (SELECT sqrt(CAST(sum(CAST(h9raw AS HUGEINT) * h9raw) AS DOUBLE)) AS nrm FROM h$i),
-         hh$i AS MATERIALIZED (
-           SELECT u, CAST(round(CAST(h9raw AS DOUBLE) / nrm * 1e9) AS BIGINT) AS h9
-           FROM h$i CROSS JOIN hn$i),
-         ar$i AS MATERIALIZED (
-           SELECT e.i, CAST(sum(h.h9) AS BIGINT) AS a9raw
-           FROM e JOIN hh$i h ON h.u = e.u GROUP BY 1),
-         an$i AS (SELECT sqrt(CAST(sum(CAST(a9raw AS HUGEINT) * a9raw) AS DOUBLE)) AS nrm FROM ar$i),
+      s"""ar$i AS MATERIALIZED (
+           SELECT m.i, sum(CAST(m.m AS HUGEINT) * a.a9) AS ar
+           FROM m JOIN a${i - 1} a ON a.i = m.j GROUP BY 1),
+         h2$i AS (SELECT sum(CAST(a.a9 AS HUGEINT) * r.ar) AS h2
+                  FROM ar$i r JOIN a${i - 1} a ON a.i = r.i),
+         w$i AS MATERIALIZED (
+           SELECT i, CAST(round(CAST(ar AS DOUBLE) / sqrt(CAST(h2 AS DOUBLE)) * 1e9) AS BIGINT) AS w9
+           FROM ar$i CROSS JOIN h2$i),
+         n2$i AS (SELECT sum(CAST(w9 AS HUGEINT) * w9) AS n2 FROM w$i),
          a$i AS MATERIALIZED (
-           SELECT i, CAST(round(CAST(a9raw AS DOUBLE) / nrm * 1e9) AS BIGINT) AS a9
-           FROM ar$i CROSS JOIN an$i)"""
+           SELECT i, CAST(round(CAST(w9 AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) * 1e9) AS BIGINT) AS a9
+           FROM w$i CROSS JOIN n2$i)"""
     }.mkString(",\n         ")
     s"""WITH cnt AS (SELECT user_id, event_type, count(*) AS n
            FROM events GROUP BY 1, 2),
@@ -4096,7 +4095,10 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS r
                 FROM cnt),
          e AS MATERIALIZED (SELECT user_id AS u, event_type AS i FROM rk WHERE r <= 2),
-         a0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1000000000 AS BIGINT) AS a9 FROM e),
+         m AS MATERIALIZED (
+           SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS m
+           FROM e a JOIN e b ON a.u = b.u GROUP BY 1, 2),
+         a0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1000000000 AS BIGINT) AS a9 FROM m),
          $rounds
          SELECT i AS item, round(CAST(a9 AS DOUBLE) / 1e9, 6) AS authority
          FROM a$iters ORDER BY item"""
