@@ -4317,10 +4317,76 @@ object SparkEntry {
          FROM asg${iters + 1} GROUP BY 1 ORDER BY cluster"""
   }
 
+  /** Unrolled GLOBAL-GREEDY binary segmentation twin of
+    * [[graft.analyze.Changepoint.binarySegmentation]]: `maxBreaks`
+    * rounds, each splitting the per-key segment with the largest
+    * absolute SSE reduction (fractional `minGain` gate); every SSE is
+    * one double expression of exact integer prefix sums, argmins/argmax
+    * realized as struct min/max with the engine's exact tie order. */
+  private def binsegOracleSql(maxBreaks: Int, minGain: Double): String = {
+    def sse(a: String, b: String): String =
+      s"""(CAST($b.pss - $a.pss AS DOUBLE) / 1e12
+         - (CAST($b.ps - $a.ps AS DOUBLE) / 1e6) * (CAST($b.ps - $a.ps AS DOUBLE) / 1e6)
+           / ($b.idx - $a.idx))"""
+    val steps = (1 to maxBreaks).map { r =>
+      s"""bounds$r AS (SELECT k, b FROM br${r - 1}
+           UNION ALL SELECT k, CAST(0 AS BIGINT) FROM kn
+           UNION ALL SELECT k, n FROM kn),
+         segs$r AS MATERIALIZED (
+           SELECT k, lo, hi FROM (
+             SELECT k, b AS lo, lead(b) OVER (PARTITION BY k ORDER BY b) AS hi
+             FROM bounds$r)
+           WHERE hi IS NOT NULL AND hi - lo >= 2),
+         cand$r AS (
+           SELECT s.k, s.lo, pt.idx AS t,
+             ${sse("plo", "pt")} + ${sse("pt", "phi")} AS s2,
+             ${sse("plo", "phi")} AS tot
+           FROM segs$r s
+           JOIN pre plo ON plo.k = s.k AND plo.idx = s.lo
+           JOIN pre phi ON phi.k = s.k AND phi.idx = s.hi
+           JOIN pre pt ON pt.k = s.k AND pt.idx > s.lo AND pt.idx < s.hi),
+         best$r AS (
+           SELECT k, lo, tot, (m).s2 AS s2, (m).t AS t FROM (
+             SELECT k, lo, tot, min(struct_pack(s2 := s2, t := t)) AS m
+             FROM cand$r GROUP BY 1, 2, 3) z),
+         pick$r AS (
+           SELECT k, (m).t AS t FROM (
+             SELECT k, max(struct_pack(red := tot - s2, nlo := -lo, t := t)) AS m
+             FROM best$r
+             WHERE tot > 0 AND (tot - s2) / tot >= ${dlit(minGain)}
+             GROUP BY 1) z),
+         br$r AS MATERIALIZED (
+           SELECT k, b FROM br${r - 1} UNION ALL SELECT k, t FROM pick$r)"""
+    }.mkString(",\n         ")
+    s"""WITH daily AS MATERIALIZED (
+           SELECT event_type AS k, date_trunc('day', ts) AS day,
+                  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y6
+           FROM events GROUP BY 1, 2),
+         idx AS MATERIALIZED (
+           SELECT k, day, y6,
+                  CAST(row_number() OVER (PARTITION BY k ORDER BY day) AS BIGINT) AS i
+           FROM daily),
+         pre AS MATERIALIZED (
+           SELECT k, i AS idx,
+                  CAST(sum(y6) OVER (PARTITION BY k ORDER BY i) AS BIGINT) AS ps,
+                  sum(CAST(y6 AS HUGEINT) * y6) OVER (PARTITION BY k ORDER BY i) AS pss
+           FROM idx
+           UNION ALL
+           SELECT DISTINCT k, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS HUGEINT)
+           FROM idx),
+         kn AS (SELECT k, CAST(max(i) AS BIGINT) AS n FROM idx GROUP BY 1),
+         br0 AS (SELECT k, i AS b FROM idx WHERE false),
+         $steps
+         SELECT b.k AS event_type, d.day AS break_day
+         FROM br$maxBreaks b JOIN idx d ON d.k = b.k AND d.i = b.b + 1
+         ORDER BY event_type, break_day"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q222_isotonic" -> isotonicOracleSql,
+    "q202_binseg" -> binsegOracleSql(4, 0.02),
     "q98_kmeans" -> kmeansOracleSql(8, 5),
     // SCC by mutual reachability over the recursive transitive closure
     // (graph.Scc labels = component minimum id): x and y share an SCC

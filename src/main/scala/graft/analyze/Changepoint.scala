@@ -25,12 +25,24 @@ object Changepoint {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
 
-  /** Multi-breakpoint detection by BINARY SEGMENTATION (Scott & Knott
-    * 1974): apply [[singleBreak]] recursively to each segment while the
-    * split reduces that segment's SSE by at least `minGain`
-    * (fractional), to at most `maxBreaks` breakpoints. Driver-coordinated
-    * recursion — each level is one distributed pass over the (tiny)
-    * days-frame filtered to the segment; depth ≤ maxBreaks. Returns
+  /** Multi-breakpoint detection by GLOBAL-GREEDY binary segmentation
+    * (the textbook iterated form of Scott & Knott 1974): up to
+    * `maxBreaks` rounds, each splitting THE current segment (per key)
+    * whose best split buys the largest absolute SSE reduction, gated on
+    * a fractional `minGain` of that segment's own SSE. Unlike the
+    * earlier depth-first budget recursion, each round's state is a pure
+    * function of the break set — which makes the whole procedure an
+    * unrollable SQL twin (the q139/q288 fixpoint argument does not even
+    * apply: the round count is the literal budget).
+    *
+    * Determinism: daily totals are exact 6-dp longs; every SSE is the
+    * two-segment variance identity in double FROM EXACT integer prefix
+    * sums; argmins break ties on the earlier split index, the round's
+    * cross-segment argmax on (reduction desc, segment start asc) — a
+    * total order both engines share bit-for-bit.
+    *
+    * Scale shape: the corpus folds to the days×keys frame once; the
+    * greedy rounds run driver-local over that bounded frame. Returns
     * `(key, break_day)` rows, ordered. */
   def binarySegmentation(df: DataFrame, keyCol: String, tsCol: String,
                          valueCol: String, maxBreaks: Int,
@@ -38,45 +50,64 @@ object Changepoint {
     require(maxBreaks >= 1 && maxBreaks <= 16, s"maxBreaks: $maxBreaks")
     val spark = df.sparkSession
     import spark.implicits._
-    // materialize the daily frame once; recursion filters it
     val daily = df.groupBy(col(keyCol).cast("string").as("k"),
         date_trunc("day", col(tsCol)).as("day"))
-      .agg((sum(round(col(valueCol) * lit(1000000)).cast("long"))
-        .cast("double") / 1e6).as("y"))
+      .agg(sum(round(col(valueCol) * lit(1000000)).cast("long")).as("y6"))
       .localCheckpoint(true)
-    // local recursion per key over the collected daily series — the
-    // frame is days×keys (bounded by study span); the distributed work
-    // was the single corpus fold above
-    val series = daily.as[(String, java.sql.Timestamp, Double)].collect()
+    val series = daily.as[(String, java.sql.Timestamp, Long)].collect()
       .groupBy(_._1)
-    def sse(ys: Array[Double]): Double = {
-      val n = ys.length
-      if (n == 0) 0.0 else {
-        val s = ys.sum; val ss = ys.map(v => v * v).sum
-        ss - s * s / n
-      }
-    }
-    def splits(days: Array[(java.sql.Timestamp, Double)],
-               budget: Int): List[java.sql.Timestamp] = {
-      if (budget == 0 || days.length < 2) return Nil
-      val ys = days.map(_._2)
-      val total = sse(ys)
-      var best = -1; var bestSse = Double.MaxValue
-      (1 until days.length).foreach { t =>
-        val s = sse(ys.take(t)) + sse(ys.drop(t))
-        if (s < bestSse - 1e-12) { bestSse = s; best = t }
-      }
-      if (best < 0 || total <= 0 || (total - bestSse) / total < minGain) Nil
+    // SSE of days [lo, hi) from exact integer prefix sums — one double
+    // expression, identical on any engine
+    def sseOf(ps: Array[Long], pss: Array[BigInt], lo: Int, hi: Int): Double = {
+      val n = hi - lo
+      if (n <= 0) 0.0
       else {
-        val (l, r) = days.splitAt(best)
-        val lb = splits(l, budget - 1)
-        val rb = splits(r, budget - 1 - lb.length)
-        (days(best)._1 :: lb ::: rb).sortBy(_.getTime)
+        val s = (ps(hi) - ps(lo)).toDouble / 1e6
+        val ss = (pss(hi) - pss(lo)).toDouble / 1e12
+        ss - s * s / n
       }
     }
     series.toSeq.sortBy(_._1).flatMap { case (k, rows) =>
       val days = rows.sortBy(_._2.getTime).map(r => (r._2, r._3)).toArray
-      splits(days, maxBreaks).map(d => (k, d))
+      val n = days.length
+      val ps = new Array[Long](n + 1)
+      val pss = new Array[BigInt](n + 1)
+      pss(0) = BigInt(0)
+      for (i <- 0 until n) {
+        ps(i + 1) = ps(i) + days(i)._2
+        pss(i + 1) = pss(i) + BigInt(days(i)._2) * BigInt(days(i)._2)
+      }
+      var bounds = List(0, n) // segment boundaries, sorted
+      var rounds = 0
+      var go = n >= 2
+      while (go && rounds < maxBreaks) {
+        // per segment: the best split by (sse asc, t asc); across
+        // segments: the best by (reduction desc, lo asc), gated on the
+        // fractional gain
+        var pick = -1; var pickRed = 0.0; var pickLo = Int.MaxValue
+        bounds.zip(bounds.tail).foreach { case (lo, hi) =>
+          if (hi - lo >= 2) {
+            val total = sseOf(ps, pss, lo, hi)
+            if (total > 0) {
+              var best = -1; var bestSse = Double.MaxValue
+              var t = lo + 1
+              while (t < hi) {
+                val s = sseOf(ps, pss, lo, t) + sseOf(ps, pss, t, hi)
+                if (s < bestSse) { bestSse = s; best = t }
+                t += 1
+              }
+              val red = total - bestSse
+              if (red / total >= minGain &&
+                (red > pickRed || (red == pickRed && lo < pickLo))) {
+                pick = best; pickRed = red; pickLo = lo
+              }
+            }
+          }
+        }
+        if (pick < 0) go = false
+        else { bounds = (pick :: bounds).sorted; rounds += 1 }
+      }
+      bounds.filter(b => b > 0 && b < n).sorted.map(b => (k, days(b)._1))
     }.toDF(keyCol, "break_day")
       .orderBy(col(keyCol), col("break_day"))
   }
