@@ -4382,11 +4382,125 @@ object SparkEntry {
          ORDER BY event_type, break_day"""
   }
 
+  /** The unrolled BPE TRAINING rounds (text.BpeTrainer.trainOnHistogram
+    * over the corpus word histogram): per round, adjacent-pair counts
+    * (overlaps included — every position votes), the (freq desc, pair
+    * asc) argmax as `b$r`, and the LEFT-TO-RIGHT NON-OVERLAPPING merge
+    * realized by the gaps-and-islands alternation (consecutive matches
+    * — possible only when left = right — keep odd ranks-in-run). Ends
+    * with piece state `s$numMerges` and merge rows `b1..b$numMerges`. */
+  private def bpeTrainCtes(numMerges: Int, maxVocabWords: Int): String = {
+    val rounds = (1 to numMerges).map { r =>
+      s"""pr$r AS MATERIALIZED (
+           SELECT w, c, pos, sym,
+                  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+                  row_number() OVER (PARTITION BY w ORDER BY pos) AS o
+           FROM s${r - 1}),
+         b$r AS MATERIALIZED (
+           SELECT sym AS l, nxt AS r, CAST(sum(c) AS BIGINT) AS f
+           FROM pr$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+           ORDER BY f DESC, l, r LIMIT 1),
+         mm$r AS MATERIALIZED (
+           SELECT w, o FROM (
+             SELECT w, o, row_number() OVER (PARTITION BY w, o - rn ORDER BY o) AS rin
+             FROM (SELECT p.w, p.o,
+                     row_number() OVER (PARTITION BY p.w ORDER BY p.o) AS rn
+                   FROM pr$r p CROSS JOIN b$r b
+                   WHERE p.sym = b.l AND p.nxt = b.r) z) z2
+           WHERE rin % 2 = 1),
+         s$r AS MATERIALIZED (
+           SELECT p.w, p.c, p.pos,
+                  CASE WHEN m.o IS NOT NULL THEN b.l || b.r ELSE p.sym END AS sym
+           FROM pr$r p CROSS JOIN b$r b
+           LEFT JOIN mm$r m ON m.w = p.w AND m.o = p.o
+           LEFT JOIN mm$r m2 ON m2.w = p.w AND m2.o = p.o - 1
+           WHERE m2.o IS NULL)"""
+    }.mkString(",\n         ")
+    s"""wc AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+             FROM documents)
+           WHERE len(w) > 0 GROUP BY 1
+           ORDER BY c DESC, w LIMIT $maxVocabWords),
+         s0 AS MATERIALIZED (
+           SELECT w, c, u.pos, u.sym FROM (
+             SELECT w, c, unnest(list_transform(range(1, len(w) + 1),
+               i -> struct_pack(pos := i, sym := w[i]))) AS u
+             FROM wc)),
+         $rounds"""
+  }
+
+  /** q76 twin: the merge table itself. */
+  private def bpeMergesOracleSql(numMerges: Int): String = {
+    val rows = (1 to numMerges).map(r =>
+      s"""SELECT CAST(${r - 1} AS BIGINT) AS rank, l AS "left", r AS "right", f AS freq FROM b$r""")
+      .mkString("\n           UNION ALL ")
+    s"""WITH ${bpeTrainCtes(numMerges, 50000)}
+         SELECT rank, "left", "right", freq FROM (
+           $rows)
+         ORDER BY rank"""
+  }
+
+  /** q84 twin: encode-side fertility. The ENCODE loop differs from
+    * training-time merging (BpeEncoder.encodeWord: repeatedly merge the
+    * single lowest-rank pair, FIRST position on rank ties) — unrolled to
+    * `encodeRounds` single-merge rounds per distinct word (rounds past
+    * the fixpoint are no-ops), then per-doc piece sums. */
+  private def bpeFertilityOracleSql(numMerges: Int, encodeRounds: Int): String = {
+    val enc = (1 to encodeRounds).map { j =>
+      s"""ep$j AS MATERIALIZED (
+           SELECT w, pos, sym,
+                  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+                  row_number() OVER (PARTITION BY w ORDER BY pos) AS o
+           FROM e${j - 1}),
+         eb$j AS (SELECT w, (min(struct_pack(rk := mt.rk, o := p.o))).o AS bo
+                  FROM ep$j p JOIN mt ON mt.l = p.sym AND mt.r = p.nxt
+                  GROUP BY w),
+         e$j AS MATERIALIZED (
+           SELECT p.w, p.pos,
+                  CASE WHEN eb.bo = p.o THEN p.sym || p.nxt ELSE p.sym END AS sym
+           FROM ep$j p LEFT JOIN eb$j eb ON eb.w = p.w
+           WHERE eb.bo IS NULL OR p.o <> eb.bo + 1)"""
+    }.mkString(",\n         ")
+    val mtRows = (1 to numMerges).map(r =>
+      s"SELECT CAST(${r - 1} AS BIGINT) AS rk, l, r FROM b$r")
+      .mkString("\n           UNION ALL ")
+    s"""WITH ${bpeTrainCtes(numMerges, 50000)},
+         mt AS MATERIALIZED (
+           $mtRows),
+         dw AS MATERIALIZED (
+           SELECT doc_id, u AS w FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u
+             FROM documents)
+           WHERE len(u) > 0),
+         e0 AS MATERIALIZED (
+           SELECT w, u.pos, u.sym FROM (
+             SELECT w, unnest(list_transform(range(1, len(w) + 1),
+               i -> struct_pack(pos := i, sym := w[i]))) AS u
+             FROM (SELECT DISTINCT w FROM dw))),
+         $enc,
+         pc AS (SELECT w, CAST(count(*) AS BIGINT) AS np
+                FROM e$encodeRounds GROUP BY 1),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                        CAST(sum(np) AS BIGINT) AS n_subwords
+                 FROM dw JOIN pc USING (w) GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(a.n_words, 0) AS n_words,
+                coalesce(a.n_subwords, 0) AS n_subwords,
+                CASE WHEN coalesce(a.n_words, 0) > 0
+                  THEN round(CAST(a.n_subwords AS DOUBLE) / a.n_words, 4) END AS fertility
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q222_isotonic" -> isotonicOracleSql,
     "q202_binseg" -> binsegOracleSql(4, 0.02),
+    "q76_bpe_merges" -> bpeMergesOracleSql(30),
+    "q84_bpe_fertility" -> bpeFertilityOracleSql(30, 12),
     "q98_kmeans" -> kmeansOracleSql(8, 5),
     // SCC by mutual reachability over the recursive transitive closure
     // (graph.Scc labels = component minimum id): x and y share an SCC
