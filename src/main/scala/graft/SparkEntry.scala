@@ -4494,9 +4494,128 @@ object SparkEntry {
          ORDER BY d.doc_id"""
   }
 
+  /** One unrolled pinned-integer Viterbi block (text.UnigramLm's DP):
+    * positions 1..`maxLen` over the distinct-word frame `wrd`, exact
+    * 1e9-grid log-prob sums from `$lp(piece, lp9)`, ties to the
+    * smallest split (max struct (s9, −j)), then the `maxLen`-step
+    * backtrace emitting one row per piece instance as `pcs_$tag`. */
+  private def unigramViterbiCtes(tag: String, lp: String,
+                                 maxLen: Int, pieceLen: Int): String = {
+    val dp = (1 to maxLen).map { i =>
+      val cands = (math.max(0, i - pieceLen) until i).map { j =>
+        val prev = if (j == 0) s"${tag}b0" else s"${tag}b$j"
+        s"""SELECT p.w, p.s9 AS prev, l.lp9, CAST($j AS BIGINT) AS j
+           FROM $prev p JOIN $lp l ON l.piece = substr(p.w, ${j + 1}, ${i - j})
+           WHERE len(p.w) >= $i"""
+      }.mkString("\n             UNION ALL ")
+      s"""${tag}b$i AS MATERIALIZED (
+           SELECT w, (m).s9 AS s9, CAST(-((m).nj) AS BIGINT) AS bk FROM (
+             SELECT w, max(struct_pack(s9 := prev + lp9, nj := -j)) AS m FROM (
+             $cands) cand GROUP BY 1) z)"""
+    }.mkString(",\n         ")
+    val bt = (1 to maxLen).map(i =>
+      s"SELECT w, CAST($i AS BIGINT) AS i, bk FROM ${tag}b$i")
+      .mkString("\n           UNION ALL ")
+    val chain = (1 to maxLen).map { s =>
+      s"""${tag}c$s AS MATERIALIZED (
+           SELECT c.w, bt.bk AS i,
+                  substr(c.w, CAST(bt.bk + 1 AS INT), CAST(c.i - bt.bk AS INT)) AS piece
+           FROM ${tag}c${s - 1} c JOIN ${tag}bt bt ON bt.w = c.w AND bt.i = c.i
+           WHERE c.i > 0)"""
+    }.mkString(",\n         ")
+    val pcs = (1 to maxLen).map(s => s"SELECT w, piece FROM ${tag}c$s")
+      .mkString("\n           UNION ALL ")
+    s"""${tag}b0 AS (SELECT w, CAST(0 AS BIGINT) AS s9 FROM wrd),
+         $dp,
+         ${tag}bt AS MATERIALIZED (
+           $bt),
+         ${tag}c0 AS (SELECT w, CAST(len(w) AS BIGINT) AS i FROM wrd WHERE len(w) > 0),
+         $chain,
+         pcs_$tag AS MATERIALIZED (
+           $pcs)"""
+  }
+
+  /** The unigram-LM EM fit as unrolled CTEs (text.UnigramLm.fit):
+    * substring seed (top `vocabSize` by (freq, piece) + every single
+    * char), then `rounds` EM rounds of pinned-Viterbi counts and the
+    * ×10-grid mass update (the ε floor is exactly +1 on that grid).
+    * Ends with `inv$rounds`, `t$rounds` and the last counts
+    * `cn$rounds`. */
+  private def unigramFitCtes(rounds: Int, vocabSize: Int, pieceLen: Int,
+                             maxLen: Int): String = {
+    val em = (1 to rounds).map { r =>
+      s"""lp$r AS MATERIALIZED (
+           SELECT piece, CAST(round(ln(CAST(m10 AS DOUBLE) / t) * 1e9) AS BIGINT) AS lp9
+           FROM inv${r - 1} CROSS JOIN t${r - 1}),
+         ${unigramViterbiCtes(s"v$r", s"lp$r", maxLen, pieceLen)},
+         cn$r AS MATERIALIZED (
+           SELECT piece, CAST(sum(wc) AS BIGINT) AS c
+           FROM pcs_v$r JOIN wrd USING (w) GROUP BY 1),
+         inv$r AS MATERIALIZED (
+           SELECT piece, m10 FROM (
+             SELECT p.piece,
+               coalesce(cn.c, 0) * 10 + CASE WHEN len(p.piece) = 1 THEN 1 ELSE 0 END AS m10
+             FROM inv${r - 1} p LEFT JOIN cn$r cn USING (piece))
+           WHERE m10 > 0),
+         t$r AS (SELECT CAST(sum(m10) AS BIGINT) AS t FROM inv$r)"""
+    }.mkString(",\n         ")
+    s"""wrd AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+             SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+             FROM documents)
+           WHERE len(w) > 0 GROUP BY 1),
+         sfq AS MATERIALIZED (
+           SELECT piece, CAST(sum(wc) AS BIGINT) AS f FROM (
+             SELECT unnest(flatten(list_transform(range(1, len(w) + 1),
+                 i -> list_transform(range(1, least($pieceLen, len(w) - i + 1) + 1),
+                   l -> substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS piece,
+                 wc
+             FROM wrd)
+           GROUP BY 1),
+         inv0 AS MATERIALIZED (
+           SELECT piece, f * 10 AS m10 FROM (
+             SELECT piece, f FROM (
+               SELECT piece, f FROM sfq ORDER BY f DESC, piece LIMIT $vocabSize)
+             UNION
+             SELECT piece, f FROM sfq WHERE len(piece) = 1)),
+         t0 AS (SELECT CAST(sum(m10) AS BIGINT) AS t FROM inv0),
+         $em"""
+  }
+
+  /** q293 twin: the trained inventory's top pieces. */
+  private def unigramLmOracleSql(rounds: Int, vocabSize: Int, pieceLen: Int,
+                                 maxLen: Int, topK: Int): String =
+    s"""WITH ${unigramFitCtes(rounds, vocabSize, pieceLen, maxLen)}
+         SELECT piece, cnt AS "count", round(CAST(m10 AS DOUBLE) / t, 6) AS prob
+         FROM (SELECT i.piece, coalesce(cn.c, 0) AS cnt, i.m10
+               FROM inv$rounds i LEFT JOIN cn$rounds cn USING (piece))
+         CROSS JOIN t$rounds
+         ORDER BY cnt DESC, piece LIMIT $topK"""
+
+  /** q304 twin: a fourth Viterbi pass under the final inventory, then
+    * the exact-integer fertility moments. */
+  private def unigramFertilityOracleSql(rounds: Int, vocabSize: Int,
+                                        pieceLen: Int, maxLen: Int): String =
+    s"""WITH ${unigramFitCtes(rounds, vocabSize, pieceLen, maxLen)},
+         lpF AS MATERIALIZED (
+           SELECT piece, CAST(round(ln(CAST(m10 AS DOUBLE) / t) * 1e9) AS BIGINT) AS lp9
+           FROM inv$rounds CROSS JOIN t$rounds),
+         ${unigramViterbiCtes("vf", "lpF", maxLen, pieceLen)},
+         np AS (SELECT w, CAST(count(*) AS BIGINT) AS np FROM pcs_vf GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(wc) AS BIGINT) AS total_words,
+                CAST(sum(wc * np.np) AS BIGINT) AS total_pieces,
+                round(CAST(sum(wc * np.np) AS DOUBLE) / sum(wc), 4) AS pieces_per_word,
+                CASE WHEN sum(wc * np.np) > 0
+                  THEN round(CAST(sum(wc * len(w)) AS DOUBLE) / sum(wc * np.np), 4) END
+                  AS chars_per_piece
+         FROM wrd JOIN np USING (w)"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q293_unigram_lm" -> unigramLmOracleSql(3, 512, 4, 12, 50),
+    "q304_unigram_fertility" -> unigramFertilityOracleSql(3, 512, 4, 12),
     "q222_isotonic" -> isotonicOracleSql,
     "q202_binseg" -> binsegOracleSql(4, 0.02),
     "q76_bpe_merges" -> bpeMergesOracleSql(30),

@@ -40,10 +40,12 @@ object UnigramLm {
     require(topK >= 1, s"topK must be >= 1: $topK")
     val spark = df.sparkSession
     import spark.implicits._
-    val (words, inv, counts) = fit(df, textCol, vocabSize, maxPieceLen, rounds)
+    val (words, mass10, total10, counts) =
+      fit(df, textCol, vocabSize, maxPieceLen, rounds)
     words.unpersist(blocking = false)
-    val rows = inv.toSeq
-      .map { case (p, pr) => (p, counts.getOrElse(p, 0L), pr) }
+    val rows = mass10.toSeq
+      .map { case (p, m) => (p, counts.getOrElse(p, 0L),
+        m.toDouble / total10) }
       .sortBy { case (p, c, _) => (-c, p) }
       .take(topK)
     rows.toDF("piece", "count", "prob")
@@ -58,8 +60,8 @@ object UnigramLm {
   def fertility(df: DataFrame, textCol: String, vocabSize: Int = 512,
                 maxPieceLen: Int = 4, rounds: Int = 3): DataFrame = {
     val spark = df.sparkSession
-    val (words, inv, _) = fit(df, textCol, vocabSize, maxPieceLen, rounds)
-    val lp = inv.map { case (p, pr) => p -> math.log(pr) }
+    val (words, mass10, total10, _) = fit(df, textCol, vocabSize, maxPieceLen, rounds)
+    val lp = logp9(mass10, total10)
     val bc = spark.sparkContext.broadcast(lp)
     val nPieces = udf((w: String) => viterbiPieces(w, bc.value, maxPieceLen).length)
     val out = words
@@ -81,11 +83,24 @@ object UnigramLm {
     out
   }
 
+  /** Pinned 1e9-grid log-probs from the ×10-grid masses — the one
+    * transcendental of the EM, absorbed by the grid (the q32 sigmoid
+    * convention); probabilities are the exact rational m10/t10. */
+  private def logp9(mass10: Map[String, Long], total10: Long): Map[String, Long] =
+    mass10.map { case (p, m) =>
+      val v = math.log(m.toDouble / total10) * 1e9
+      p -> (if (v >= 0) math.round(v) else -math.round(-v))
+    }
+
   /** Shared EM core: returns the persisted distinct-word frame, the
-    * final inventory probabilities, and the last E-step counts. */
+    * final inventory MASSES on the ×10 integer grid (the ε = 0.1
+    * single-char floor is exactly +1 on that grid — the previous
+    * double-mass formulation summed a map-iteration-ordered float
+    * total, a latent partitioning sensitivity), the exact grid total,
+    * and the last E-step counts. */
   private def fit(df: DataFrame, textCol: String, vocabSize: Int,
                   maxPieceLen: Int, rounds: Int)
-      : (DataFrame, Map[String, Double], Map[String, Long]) = {
+      : (DataFrame, Map[String, Long], Long, Map[String, Long]) = {
     require(vocabSize >= 16 && maxPieceLen >= 2 && rounds >= 1,
       s"bad params: $vocabSize, $maxPieceLen, $rounds")
     val spark = df.sparkSession
@@ -114,15 +129,14 @@ object UnigramLm {
       .select(col("piece"), col("f")).as[(String, Long)].collect()
     val chars = seedFreq.where(length(col("piece")) === 1)
       .select(col("piece"), col("f")).as[(String, Long)].collect()
-    var inv: Map[String, Double] = {
-      val merged = (top ++ chars).toMap
-      val total = merged.values.sum.toDouble
-      merged.map { case (p, f) => p -> f / total }
-    }
+    // ×10-grid seed masses: prob = f/total and (10f)/(10·total) are the
+    // same rational, so the seeded log-probs are unchanged
+    var mass10: Map[String, Long] = (top ++ chars).toMap
+      .map { case (p, f) => p -> f * 10L }
+    var total10: Long = mass10.values.sum
     var counts: Map[String, Long] = Map.empty
     for (_ <- 1 to rounds) {
-      val logp = inv.map { case (p, pr) => p -> math.log(pr) }
-      val bc = spark.sparkContext.broadcast(logp)
+      val bc = spark.sparkContext.broadcast(logp9(mass10, total10))
       val viterbi: UserDefinedFunction =
         udf((w: String) => viterbiPieces(w, bc.value, maxPieceLen))
       val newCounts = words
@@ -130,38 +144,39 @@ object UnigramLm {
         .groupBy(col("piece")).agg(sum(col("wc")).as("c"))
         .as[(String, Long)].collect().toMap
       counts = newCounts
-      // M-step with a single-char ε floor: characters can never leave
-      // the inventory, so every word stays segmentable next round
-      val eps = 0.1
-      val mass = inv.keys.map { p =>
-        p -> (newCounts.getOrElse(p, 0L).toDouble +
-          (if (p.length == 1) eps else 0.0))
-      }.filter(_._2 > 0)
-      val total = mass.map(_._2).sum
-      inv = mass.map { case (p, m) => p -> m / total }.toMap
+      // M-step with a single-char ε floor (= +1 on the grid): characters
+      // can never leave the inventory, so every word stays segmentable
+      mass10 = mass10.keys.map { p =>
+        p -> (newCounts.getOrElse(p, 0L) * 10L +
+          (if (p.length == 1) 1L else 0L))
+      }.filter(_._2 > 0).toMap
+      total10 = mass10.values.sum
       bc.destroy()
     }
-    (words, inv, counts)
+    (words, mass10, total10, counts)
   }
 
-  /** The Viterbi-best segmentation of one word under piece log-probs:
-    * dp over end positions, ties resolve toward the SMALLEST split
-    * point (longest final piece) via strict-improvement ascending scan.
-    * Returns empty when the word is unsegmentable under the inventory
-    * (cannot happen after [[fit]]'s single-char ε floor). */
-  private def viterbiPieces(w: String, lp: Map[String, Double],
+  /** The Viterbi-best segmentation of one word under PINNED 1e9-grid
+    * piece log-probs — the dp is exact integer arithmetic: dp over end
+    * positions, ties resolve toward the SMALLEST split point (longest
+    * final piece) via strict-improvement ascending scan. Returns empty
+    * when the word is unsegmentable under the inventory (cannot happen
+    * after [[fit]]'s single-char ε floor). */
+  private def viterbiPieces(w: String, lp9: Map[String, Long],
                             maxPieceLen: Int): Seq[String] = {
     val n = w.length
-    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val best = Array.fill(n + 1)(Long.MinValue)
     val back = Array.fill(n + 1)(-1)
-    best(0) = 0.0
+    best(0) = 0L
     var i = 1
     while (i <= n) {
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
         val piece = w.substring(j, i)
-        lp.get(piece).foreach { p =>
-          if (best(j) + p > best(i)) { best(i) = best(j) + p; back(i) = j }
+        lp9.get(piece).foreach { p =>
+          if (best(j) != Long.MinValue && best(j) + p > best(i)) {
+            best(i) = best(j) + p; back(i) = j
+          }
         }
         j += 1
       }
