@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, JaroWinkler, MisraGries, NfcNormalize, PinnedCosine, PinnedSqDist, RepStats, ShingleSet, SigAgreeCount, SortedOverlapCount, SortedPairs, SqEuclidean, TopK, TrigramCountAgg, TrigramLmScore, VocabTf}
+import graft.functions.{CosineSimilarity, JaroWinkler, MisraGries, NfcNormalize, PinnedCosine, PinnedKmeansBest, PinnedSqDist, RepStats, ShingleSet, SigAgreeCount, SortedOverlapCount, SortedPairs, SqEuclidean, TopK, TrigramCountAgg, TrigramLmScore, VocabTf}
 import graft.mine.DrainMineAgg
 
 /** The library's `SparkSessionExtensions` injection point — the idiomatic
@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[PinnedCosine], exprs => PinnedCosine(exprs(0), exprs(1))))
     ext.injectFunction(fn(PinnedSqDist.Name,
       classOf[PinnedSqDist], exprs => PinnedSqDist(exprs(0), exprs(1))))
+    ext.injectFunction(fn(PinnedKmeansBest.Name,
+      classOf[PinnedKmeansBest],
+      exprs => PinnedKmeansBest(exprs(0), exprs(1), exprs(2))))
     // whole-operator nodes (custom-operator ladder rung (c))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer rules (the Rule[LogicalPlan] rung): algebraic rewrites

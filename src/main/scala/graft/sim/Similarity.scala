@@ -81,38 +81,42 @@ object Similarity {
     * dot-product term / mean / normalization rounds back to its grid —
     * so the whole iteration is an exact integer recurrence (identical
     * on any engine; SQL-oracle-able as unrolled iterations) and the
-    * assignment runs as a codegen'd exploded-dim join instead of a
-    * boxed UDF. Argmax tie-break: lowest cluster index. */
+    * assignment runs as a codegen'd native argmax over a broadcast
+    * centroid literal ([[graft.functions.PinnedKmeansBest]]) instead of
+    * a boxed UDF. Argmax tie-break: lowest cluster index. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int = 5): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k>=1, iters>=1; got k=$k iters=$iters")
     val spark = df.sparkSession
-    import spark.implicits._
-    def d38(c: Column) = c.cast("decimal(38,0)")
     def raL(x: Double): Long = if (x >= 0) math.round(x) else -math.round(-x)
-    // coordinates on the 1e-6 grid: one exploded frame feeds the norm,
-    // the init collect, every assignment join and every mean update
-    val x6 = graft.operators.Spread.widen(
+    graft.functions.PinnedKmeansBest.register(spark)
+    // compact per-point pinned frame (one row per vector: 1e-6-grid
+    // coordinate array + exact squared norm). The exploded-join
+    // formulation this replaces paid 4-5 shuffle stages PER ITERATION
+    // (rows x dim x k join rows, two hash re-aggregations, two cache
+    // joins); here the assignment is a map-side codegen'd argmax over a
+    // broadcast centroid literal ([[graft.functions.PinnedKmeansBest]],
+    // bit-identical arithmetic) and each Lloyd iteration runs ONE job
+    // with ONE (cluster, dim) shuffle whose result (k x dim longs) is
+    // the only thing the driver ever holds.
+    val xv = graft.operators.Spread.widen(
         df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
         col("id"))
-      .select(col("id"), posexplode(col("v")).as(Seq("t", "x")))
-      .select(col("id"), col("t"), round(col("x") * lit(1e6)).cast("long").as("x6"))
+      .select(col("id"),
+        transform(col("v"), x => round(x * lit(1e6)).cast("long")).as("v6"))
+      .withColumn("nv12",
+        aggregate(col("v6"), lit(0L), (acc, x) => acc + x * x))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-point squared norm on the 1e-12 grid (x6² ≤ 1e12·dim — long-safe)
-    val nv12 = x6.groupBy(col("id"))
-      .agg(sum(col("x6") * col("x6")).as("nv12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // init: first k ids, each normalized onto the 1e-9 centroid grid
-    val firstIds = x6.select(col("id")).distinct().orderBy(col("id")).limit(k)
-      .collect().map(_.get(0))
-    if (firstIds.isEmpty) {
-      x6.unpersist(); nv12.unpersist()
+    // init: the k lowest-id vectors, normalized onto the 1e-9 grid
+    val initRows = xv.orderBy(col("id")).limit(k).collect()
+    if (initRows.isEmpty) {
+      xv.unpersist()
       return df.select(col(idCol).as("id"), lit(-1).as("cluster"),
         lit(0.0).as("sim")).limit(0)
     }
-    val idIdx = firstIds.zipWithIndex.toMap
-    val initRows = x6.filter(col("id").isin(firstIds: _*))
-      .collect().map(r => (idIdx(r.get(0)), r.getInt(1), r.getLong(2)))
+    val init = initRows.zipWithIndex.flatMap { case (r, c) =>
+      r.getSeq[Long](r.fieldIndex("v6")).zipWithIndex.map { case (g6, t) => (c, t, g6) }
+    }
     def normalize9(rows: Seq[(Int, Int, Long)]): Seq[(Int, Int, Long)] = {
       rows.groupBy(_._1).toSeq.flatMap { case (c, rs) =>
         val n2 = rs.map(r => r._3 * r._3).sum
@@ -123,32 +127,52 @@ object Similarity {
         }
       }
     }
-    var cents: Seq[(Int, Int, Long)] = normalize9(initRows.toSeq)
-    // sim of a point to a centroid from the exact integer pieces: one
-    // closing double expression (dot9/(|v|·1e3) in grid units)
-    def simCol: Column = when(col("nv12") > 0,
-      col("dot9").cast("double") / sqrt(col("nv12").cast("double")) / lit(1e3))
-      .otherwise(lit(0.0))
-    def assigned(c: Seq[(Int, Int, Long)]): DataFrame = {
-      val cDf = broadcast(c.toDF("c", "t", "c9"))
-      x6.join(cDf, "t")
-        .groupBy(col("id"), col("c"))
-        .agg(sum(round((col("c9") * col("x6")).cast("double") / lit(1e6))
-          .cast("long")).as("dot9"))
-        .join(nv12, "id")
-        .groupBy(col("id"))
-        .agg(max(struct(simCol.as("s"), (-col("c")).as("nc"))).as("m"))
-        .select(col("id"), (-col("m.nc")).cast("int").as("cluster"),
-          col("m.s").as("sim"))
+    var cents: Seq[(Int, Int, Long)] = normalize9(init.toSeq)
+    val m = initRows.length // effective cluster count (<= k on tiny inputs)
+    val dim = initRows.head.getSeq[Long](initRows.head.fieldIndex("v6")).length
+    // best (cluster, sim) for each point against the current centroid
+    // table, shipped as a k x dim literal (bounded driver state)
+    def bestCol(c: Seq[(Int, Int, Long)]): Column = {
+      val grid = Array.fill(m, dim)(0L)
+      c.foreach { case (ci, t, c9) => if (t < dim) grid(ci)(t) = c9 }
+      call_function(graft.functions.PinnedKmeansBest.Name,
+        col("v6"), col("nv12"), typedlit(grid.map(_.toSeq).toSeq))
     }
+    // Per-iteration mean update as a SINGLE-STAGE treeAggregate (the
+    // spark.ml KMeans pattern): per-partition (cluster, dim) long sums +
+    // counts merge on the driver — no shuffle stage, no AQE replan, one
+    // job per Lloyd iteration. Long sums are exact up to ~9e12 rows per
+    // cluster at the 1e-6 grid (the decimal(38) headroom of the previous
+    // groupBy form is not needed below that bound); cast-to-double of
+    // the exact integer sum is the same double either way, so the m6
+    // recurrence (round(sum/count)) is bit-identical to the SQL twin.
+    import spark.implicits._
     var it = 0
     while (it < iters) {
-      val m6Rows = assigned(cents).join(x6, "id")
-        .groupBy(col("cluster"), col("t"))
-        .agg(round(sum(d38(col("x6"))).cast("double") / count(lit(1)))
-          .cast("long").as("m6"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-      val upd = normalize9(m6Rows.toSeq).groupBy(_._1)
+      val assignedDs = xv
+        .select(bestCol(cents).getField("cluster").as("c"), col("v6"))
+        .as[(Int, Array[Long])]
+      val (sums, counts) = assignedDs.rdd.treeAggregate(
+        (Array.fill(m, dim)(0L), new Array[Long](m)))(
+        seqOp = { case ((s, n), (c, v)) =>
+          val row = s(c); var t = 0
+          while (t < dim && t < v.length) { row(t) += v(t); t += 1 }
+          n(c) += 1L; (s, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var c = 0
+          while (c < m) {
+            val a = s1(c); val b = s2(c); var t = 0
+            while (t < dim) { a(t) += b(t); t += 1 }
+            n1(c) += n2(c); c += 1
+          }
+          (s1, n1)
+        })
+      val m6Rows = for {
+        c <- 0 until m if counts(c) > 0L
+        t <- 0 until dim
+      } yield (c, t, raL(sums(c)(t).toDouble / counts(c)))
+      val upd = normalize9(m6Rows).groupBy(_._1)
         .map { case (c, rs) => c -> rs.map(r => (r._2, r._3)).toMap }
       // empty clusters keep their previous centroid
       cents = cents.map { case (c, t, c9) =>
@@ -157,11 +181,12 @@ object Similarity {
       it += 1
     }
     // materialize the final assignment BEFORE dropping the input cache
-    val out = assigned(cents)
-      .select(col("id"), col("cluster"), round(col("sim"), 4).as("sim"))
+    val best = bestCol(cents)
+    val out = xv
+      .select(col("id"), best.getField("cluster").as("cluster"),
+        round(best.getField("sim"), 4).as("sim"))
       .localCheckpoint(true)
-    x6.unpersist(blocking = false)
-    nv12.unpersist(blocking = false)
+    xv.unpersist(blocking = false)
     out
   }
 
