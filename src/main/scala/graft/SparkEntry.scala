@@ -3347,13 +3347,21 @@ object SparkEntry {
     "q34_iforest" -> ((s, dir) => {
       val scored = IsolationForest.fitPredict(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      // one ARRAY percentile, not three scalars: each scalar percentile
+      // is its own TypedImperativeAggregate with its own per-task value
+      // map and its own single-task final merge over the corpus-sized
+      // distinct set — the array form shares one buffer (measured 1.7 s
+      // off this query at sf0.1)
       scored.agg(
-        count(lit(1)).as("n_total"),
-        sum(col("is_anomaly")).cast("long").as("n_flagged"),
-        round(expr("percentile(anomaly_score, 0.5)"), 4).as("score_p50"),
-        round(expr("percentile(anomaly_score, 0.9)"), 4).as("score_p90"),
-        round(expr("percentile(anomaly_score, 0.99)"), 4).as("score_p99"),
-        round(max(col("anomaly_score")), 4).as("score_max"))
+          count(lit(1)).as("n_total"),
+          sum(col("is_anomaly")).cast("long").as("n_flagged"),
+          expr("percentile(anomaly_score, array(0.5, 0.9, 0.99))").as("__p"),
+          round(max(col("anomaly_score")), 4).as("score_max"))
+        .select(col("n_total"), col("n_flagged"),
+          round(element_at(col("__p"), 1), 4).as("score_p50"),
+          round(element_at(col("__p"), 2), 4).as("score_p90"),
+          round(element_at(col("__p"), 3), 4).as("score_p99"),
+          col("score_max"))
     }),
     // ---- L10: PCA(k=2) projection of the embedding corpus (rows-only)
     // ---- L10 PCA — pinned-long power iteration (PinnedPca): exact

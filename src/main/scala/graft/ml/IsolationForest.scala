@@ -105,7 +105,18 @@ object IsolationForest {
                  numTrees: Int = 100, sampleSize: Int = 256,
                  contamination: Double = 0.1, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
-    val n = df.count()
+    // ONE zero-column pass gives both the row count and the EFFECTIVE
+    // scan parallelism. `rdd.getNumPartitions` lies for a
+    // single-row-group parquet file: FilePartition math slices it into
+    // ~defaultParallelism byte ranges, but only the slice containing
+    // the row-group start emits rows — so the partition COUNT looks
+    // wide while every row lands in one task (measured: the whole
+    // rows × trees × depth ensemble walk pinned to one core, 6.5 s of
+    // single-thread CPU at sf0.1 while 31 cores idled).
+    val partCounts = df.select(lit(1)).rdd
+      .mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
+      .collect()
+    val n = partCounts.sum
     val psi = math.min(sampleSize.toLong, n).toInt
     val maxDepth = math.ceil(math.log(math.max(psi, 2)) / math.log(2)).toInt
     // ψ·numTrees rows at most reach the driver — bounded, independent of n.
@@ -127,10 +138,14 @@ object IsolationForest {
     // Scoring is CPU-dense (rows × trees × depth hops): decouple compute
     // parallelism from scan splits — a single-row-group parquet file (or
     // any unsplittable input) would otherwise pin the whole ensemble walk
-    // to one core. One cheap round-robin shuffle; the output feeds
-    // order-invariant consumers.
+    // to one core. The check uses the EFFECTIVE (non-empty) partition
+    // count from the probe pass above, never `getNumPartitions` (see its
+    // comment); one cheap round-robin shuffle restores parallelism, and
+    // an input that is already effectively wide (the 100 TB case) passes
+    // through untouched.
     val target = spark.sparkContext.defaultParallelism
-    val base = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val effective = partCounts.count(_ > 0L)
+    val base = if (effective < target) df.repartition(target) else df
     val scored = base.withColumn("anomaly_score",
       scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
     // Cutoff from the ALREADY-COLLECTED driver pool, scored locally: the
