@@ -44,12 +44,12 @@ object Dedup {
     * nondeterminism that flipped the round-1 q44 hash gate. The id key
     * (never content) keeps placement uniform even when most documents
     * are identical. */
-  private def spread(df: DataFrame, idCol: String): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < math.max(target / 2, 2))
-      df.repartition(target, col(idCol))
-    else df
-  }
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    // size-based gate (Spread.widen), NOT rdd.getNumPartitions: split
+    // counting lies for single-row-group files (a 10 MB one-row-group
+    // parquet slices into ~32 byte-ranges of which one emits every row)
+    // and the .rdd conversion costs a physical-planning pass per call
+    graft.operators.Spread.widen(df, col(idCol))
 
   // ---------------------------------------------------------------- exact
 
