@@ -987,6 +987,18 @@ object SparkEntry {
     "q408_boilerplate" -> ((s, dir) =>
       graft.text.CorpusStats.boilerplatePrefixes(Tables.documents(s, dir),
         "source", "text", 8, 2L, 20)),
+    // ---- truncation waste per source under a 64-token context window:
+    //      the budget audit before choosing a sequence length (exact
+    //      integer sums, one corpus scan, map-side combine)
+    "q409_truncation_waste" -> ((s, dir) =>
+      graft.text.CorpusStats.truncationWaste(Tables.documents(s, dir),
+        "source", "text", 64)),
+    // ---- NB confidence calibration: accuracy per integer score-margin
+    //      decile of the held-out fold — the routing/abstention audit of
+    //      the q391 classifier (pinned margins, exact rank deciles)
+    "q410_nb_calibration" -> ((s, dir) =>
+      graft.text.Classify.marginCalibration(Tables.documents(s, dir),
+        "doc_id", "text", "lang", 5, 10)),
     // ---- bucketed hubness (the 100 TB shape of q279): N_k counts from
     //      within-bucket neighborhoods only — the embedding-health skew
     //      alarm without the brute N² frame
@@ -7729,6 +7741,67 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // truncation waste: exact integer token sums per source at L=64
+    "q409_truncation_waste" ->
+      """WITH d AS (SELECT source,
+                CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS dl
+              FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN dl > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+           CAST(sum(dl) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN dl < 64 THEN dl ELSE 64 END) AS BIGINT) AS tokens_kept,
+           CAST(sum(dl) - sum(CASE WHEN dl < 64 THEN dl ELSE 64 END) AS BIGINT) AS tokens_cut,
+           round(CAST(sum(dl) - sum(CASE WHEN dl < 64 THEN dl ELSE 64 END) AS DOUBLE)
+             / sum(dl), 4) AS waste_frac,
+           round(CAST(sum(CASE WHEN dl > 64 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS trunc_frac
+         FROM d GROUP BY 1 ORDER BY source""",
+    // NB margin calibration: the q391 pinned-score CTEs, then best vs
+    // runner-up integer margin, exact-rank deciles, per-bucket accuracy
+    "q410_nb_calibration" ->
+      """WITH base AS (SELECT doc_id AS id, lang AS label,
+                string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+         train AS (SELECT * FROM base WHERE id % 5 < 4),
+         test AS (SELECT * FROM base WHERE id % 5 >= 4),
+         tokcnt AS (SELECT label, t, count(*) AS c FROM (
+                      SELECT label, unnest(ts) AS t FROM train) GROUP BY 1, 2),
+         classtot AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot FROM tokcnt GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT t) AS v FROM tokcnt),
+         priors AS (SELECT label, count(*) AS nd FROM train GROUP BY 1),
+         ntrain AS (SELECT count(*) AS n FROM train),
+         classes AS (SELECT ct.label AS cls,
+                       CAST(round(ln(CAST(pr.nd AS DOUBLE) / nt.n) * 1e6) AS BIGINT) AS prior6,
+                       CAST(round(ln(1.0 / (ct.tot + vo.v)) * 1e6) AS BIGINT) AS dflt6,
+                       ct.tot + vo.v AS denom
+                     FROM classtot ct CROSS JOIN vocab vo
+                     JOIN priors pr ON pr.label = ct.label CROSS JOIN ntrain nt),
+         weights AS (SELECT tc.label AS cls, tc.t,
+                       CAST(round(ln(CAST(tc.c + 1 AS DOUBLE) / cl.denom) * 1e6) AS BIGINT) AS w6
+                     FROM tokcnt tc JOIN classes cl ON cl.cls = tc.label),
+         occ AS (SELECT id, label, unnest(ts) AS t FROM test),
+         scored AS (SELECT o.id, o.label, c.cls,
+                      CAST(any_value(c.prior6) + sum(coalesce(w.w6, c.dflt6)) AS BIGINT) AS score6
+                    FROM occ o CROSS JOIN classes c
+                    LEFT JOIN weights w ON w.cls = c.cls AND w.t = o.t
+                    GROUP BY 1, 2, 3),
+         rk AS (SELECT id, label, cls, score6,
+                  row_number() OVER (PARTITION BY id ORDER BY score6 DESC, cls) AS rn
+                FROM scored),
+         pd AS (SELECT a.id,
+                  CASE WHEN a.cls = a.label THEN 1 ELSE 0 END AS ok,
+                  a.score6 - coalesce(b.score6, a.score6) AS margin6
+                FROM rk a LEFT JOIN rk b ON b.id = a.id AND b.rn = 2
+                WHERE a.rn = 1),
+         n AS (SELECT count(*) AS nr FROM pd),
+         rkd AS (SELECT ok, margin6,
+                   CAST(ceil(row_number() OVER (ORDER BY margin6, id) * 10
+                     / CAST(nr AS DOUBLE)) AS INTEGER) AS bucket
+                 FROM pd CROSS JOIN n)
+         SELECT bucket, count(*) AS n_docs,
+           round(CAST(min(margin6) AS DOUBLE) / 1e6, 6) AS margin_lo,
+           round(CAST(max(margin6) AS DOUBLE) / 1e6, 6) AS margin_hi,
+           round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS accuracy
+         FROM rkd GROUP BY 1 ORDER BY bucket""",
     // boilerplate prefixes: first-k-token key, one group aggregate
     "q408_boilerplate" ->
       """WITH t AS (SELECT source,

@@ -49,6 +49,25 @@ object Classify {
     * label. */
   def naiveBayesEval(df: DataFrame, idCol: String, textCol: String,
                      labelCol: String, splitMod: Int = 5): DataFrame = {
+    val scored = nbScores(df, idCol, textCol, labelCol, splitMod)
+    val best = scored
+      .groupBy(col("id"), col("label"))
+      .agg(min(struct((-col("score6")).as("ns"), col("cls"))).as("m"))
+      .select(col("label"), (col("m.cls") === col("label"))
+        .cast("long").as("ok"))
+    best.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+      .select(col("label"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 4)
+          .as("accuracy"))
+      .orderBy(col("label"))
+  }
+
+  /** Held-out per-(doc, class) pinned NB log-scores `(id, label, cls,
+    * score6)` — the shared core of [[naiveBayesEval]] and
+    * [[marginCalibration]]. */
+  private def nbScores(df: DataFrame, idCol: String, textCol: String,
+                       labelCol: String, splitMod: Int): DataFrame = {
     require(splitMod >= 2, s"need splitMod >= 2: $splitMod")
     val base = df.select(col(idCol).cast("long").as("id"),
       col(labelCol).as("label"), toks(col(textCol)).as("ts"))
@@ -85,17 +104,58 @@ object Classify {
       .groupBy(col("id"), col("label"), col("cls"))
       .agg((first(col("prior6")) +
         sum(coalesce(col("w6"), col("dflt6")))).as("score6"))
-    val best = scored
+    scored
+  }
+
+  /** CONFIDENCE-CALIBRATION audit of the NB classifier: is the score
+    * MARGIN (best minus second-best pinned log-score — an exact integer,
+    * no per-document transcendental) predictive of accuracy? Held-out
+    * docs rank by (margin, id) into `buckets` equal-frequency bins; a
+    * calibrated classifier shows accuracy rising monotonically with the
+    * margin decile, and the low-margin bins are exactly the slices a
+    * routing/abstention policy should re-route. One row per bucket:
+    * `(bucket, n_docs, margin_lo, margin_hi, accuracy)` (margins in
+    * log-units at 6 dp, the 1e-6 pin grid).
+    *
+    * Scale shape: rides [[nbScores]] (one corpus scan, broadcast model);
+    * best/second-best is a per-doc class fold (classes-bounded), the
+    * bucket cut is a distributed exact rank
+    * ([[graft.operators.Positional.withRowIndexCounted]] — never a
+    * single-partition window), and the rollup is buckets-bounded. */
+  def marginCalibration(df: DataFrame, idCol: String, textCol: String,
+                        labelCol: String, splitMod: Int = 5,
+                        buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2: $buckets")
+    val scored = nbScores(df, idCol, textCol, labelCol, splitMod)
+    // best + runner-up via one classes-bounded sorted fold per doc; ties
+    // on score break to the lexicographically first class, matching the
+    // naiveBayesEval argmax. A single-class model has no runner-up —
+    // margin 0 by convention (maximally uncertain).
+    val perDoc = scored.select(col("id"), col("label"),
+        struct((-col("score6")).as("ns"), col("cls")).as("sc"))
       .groupBy(col("id"), col("label"))
-      .agg(min(struct((-col("score6")).as("ns"), col("cls"))).as("m"))
-      .select(col("label"), (col("m.cls") === col("label"))
-        .cast("long").as("ok"))
-    best.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
-      .select(col("label"), col("n_docs"), col("n_correct"),
-        round(col("n_correct").cast("double") / col("n_docs"), 4)
+      .agg(sort_array(collect_list(col("sc"))).as("all"))
+      .select(col("id"), col("label"),
+        col("all").getItem(0).getField("cls").as("pred"),
+        (-col("all").getItem(0).getField("ns")).as("best6"),
+        coalesce(-col("all").getItem(1).getField("ns"),
+          -col("all").getItem(0).getField("ns")).as("second6"))
+      .select(col("id"),
+        (col("pred") === col("label")).cast("long").as("ok"),
+        (col("best6") - col("second6")).as("margin6"))
+    val (indexed, nRows) = graft.operators.Positional.withRowIndexCounted(
+      perDoc, Seq(col("margin6"), col("id")), "__r")
+    indexed
+      .select(col("ok"), col("margin6"),
+        ceil((col("__r") + 1L) * buckets / lit(nRows.toDouble))
+          .cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("margin6")).cast("double") / 1e6, 6).as("margin_lo"),
+        round(max(col("margin6")).cast("double") / 1e6, 6).as("margin_hi"),
+        round(sum(col("ok")).cast("double") / count(lit(1)), 4)
           .as("accuracy"))
-      .orderBy(col("label"))
+      .orderBy(col("bucket"))
   }
 
   /** DSIR log-importance of every document under hashed-unigram bag

@@ -447,4 +447,39 @@ object CorpusStats {
         round(when(den > 0 && deny > 0, num * num / (den * deny)), 6).as("r2")
       })
   }
+
+  /** TRUNCATION WASTE per source under a `maxLen`-token context window:
+    * the budget audit run before choosing a sequence length — how many
+    * tokens a naive truncate-at-maxLen pass would throw away, and how
+    * many documents it would cut. One row per source:
+    * `(source, n_docs, n_truncated, tokens_total, tokens_kept,
+    * tokens_cut, waste_frac, trunc_frac)`.
+    *
+    * Complements the packing operators ([[graft.operators.Packing]]):
+    * packing answers "how do I avoid this waste", this answers "how much
+    * is there to avoid" per corpus slice.
+    *
+    * Scale shape: one corpus scan; per-doc token length is a map-side
+    * expression and the per-source rollup is a hash aggregate with
+    * map-side combine — only (source, partial sums) shuffle. Exact
+    * integer sums; the two fractions are closing 4-dp divisions. */
+  def truncationWaste(df: DataFrame, sourceCol: String, textCol: String,
+                      maxLen: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val dl = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    df.select(col(sourceCol).as("source"), dl.as("dl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("dl") > maxLen).cast("long")).as("n_truncated"),
+        sum(col("dl")).as("tokens_total"),
+        sum(least(col("dl"), lit(maxLen.toLong))).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_truncated"),
+        col("tokens_total"), col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_cut"),
+        round((col("tokens_total") - col("tokens_kept")).cast("double") /
+          col("tokens_total"), 4).as("waste_frac"),
+        round(col("n_truncated").cast("double") / col("n_docs"), 4)
+          .as("trunc_frac"))
+      .orderBy(col("source"))
+  }
 }

@@ -61,4 +61,29 @@ class ClassifySpec extends AnyFunSuite {
     // buckets only smoothed mass), target-vocab docs positive
     assert(logw(0L) < 0 && logw(10L) > 0)
   }
+
+  test("margin calibration: deciles partition the held-out fold, accuracy in [0,1]") {
+    val out = Classify.marginCalibration(corpus, "doc_id", "text", "lang", 5, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // 8 held-out docs over 4 buckets: every bucket present, counts sum
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(out.map(_._2).sum == 8L)
+    out.foreach { case (b, n, lo, hi, acc) =>
+      assert(lo <= hi, s"bucket $b: lo $lo > hi $hi")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(lo >= 0.0) // margin = best - second >= 0 by construction
+    }
+    // separable corpus: the classifier is right everywhere, including
+    // the lowest-margin bucket
+    assert(out.forall(_._5 == 1.0))
+  }
+
+  test("margin calibration is partitioning-invariant") {
+    val a = Classify.marginCalibration(corpus, "doc_id", "text", "lang", 5, 4)
+      .collect().toSeq
+    val b = Classify.marginCalibration(corpus.repartition(7), "doc_id",
+      "text", "lang", 5, 4).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -234,4 +234,29 @@ class CorpusStatsSpec extends AnyFunSuite {
       .head.getAs[Double]("yule_k")
     assert(kb > 1000 && kd == 0.0)
   }
+
+  // ---------------------------------------------------- truncation waste
+
+  test("truncation waste: hand-computed per-source sums at L=3") {
+    // src a: lengths 2 and 5 -> kept 2 + 3, cut 2, 1 truncated
+    // src b: length 3 exactly -> nothing truncated, zero waste
+    val df = Seq(
+      (1L, "t1 t2", "a"), (2L, "t1 t2 t3 t4 t5", "a"),
+      (3L, "u1 u2 u3", "b")).toDF("doc_id", "text", "source")
+    val out = CorpusStats.truncationWaste(df, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 1L, 7L, 5L, 2L, 0.2857, 0.5),
+      ("b", 1L, 0L, 3L, 3L, 0L, 0.0, 0.0)))
+  }
+
+  test("truncation waste is partitioning-invariant") {
+    val df = (0 until 50).map(i =>
+      (i.toLong, ("w " * (i % 9 + 1)).trim, s"s${i % 3}")).toDF("doc_id", "text", "source")
+    val a = CorpusStats.truncationWaste(df, "source", "text", 4).collect().toSeq
+    val b = CorpusStats.truncationWaste(df.repartition(7), "source", "text", 4)
+      .collect().toSeq
+    assert(a == b)
+  }
 }
