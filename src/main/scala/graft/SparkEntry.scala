@@ -999,6 +999,17 @@ object SparkEntry {
     "q410_nb_calibration" -> ((s, dir) =>
       graft.text.Classify.marginCalibration(Tables.documents(s, dir),
         "doc_id", "text", "lang", 5, 10)),
+    // ---- near-dup split leakage: test docs contaminated by a 0.8-Jaccard
+    //      train twin under the q391 hash split — the eval-integrity audit
+    "q411_split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakageReport(Tables.documents(s, dir),
+        "doc_id", "text", 3, 0.8, 5)),
+    // ---- deterministic per-source cap: keep <= 40 docs per source by
+    //      md5-hash rank (bounded-heap aggregate, no per-group window)
+    "q412_cap_per_source" -> ((s, dir) =>
+      graft.operators.Mixture.capPerGroup(Tables.documents(s, dir),
+          "source", "doc_id", 15)
+        .orderBy(col("source"), col("doc_id"))),
     // ---- bucketed hubness (the 100 TB shape of q279): N_k counts from
     //      within-bucket neighborhoods only — the embedding-health skew
     //      alarm without the brute N² frame
@@ -7741,6 +7752,54 @@ object SparkEntry {
            round(CAST(sum(db.n * w.w6) AS DOUBLE) / 1e6 / CAST(sum(db.n) AS BIGINT), 6) AS log_w_per_tok
          FROM db JOIN w ON db.b = w.b
          GROUP BY 1 ORDER BY log_w DESC, id LIMIT 25""",
+    // split leakage: the q59 inverted-index pair CTEs at tau=0.8, pairs
+    // typed by the q391 hash split, 3-row grid-anchored rollups
+    "q411_split_leakage" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+           FROM t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pj AS (SELECT id_a, id_b FROM shared
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         typed AS (SELECT id_a, id_b,
+             CASE WHEN id_a % 5 >= 4 AND id_b % 5 >= 4 THEN 'test_test'
+                  WHEN id_a % 5 < 4 AND id_b % 5 < 4 THEN 'train_train'
+                  ELSE 'train_test' END AS pair_type
+           FROM pj),
+         counts AS (SELECT pair_type, count(*) AS n_pairs FROM typed GROUP BY 1),
+         hits AS (SELECT pair_type, count(*) AS n_test_docs_hit FROM (
+             SELECT DISTINCT pair_type, id FROM (
+               SELECT pair_type, unnest([id_a, id_b]) AS id FROM typed)
+             WHERE id % 5 >= 4) GROUP BY 1),
+         grid AS (SELECT unnest(['test_test', 'train_test', 'train_train']) AS pair_type)
+         SELECT g.pair_type,
+           CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(h.n_test_docs_hit, 0) AS BIGINT) AS n_test_docs_hit
+         FROM grid g LEFT JOIN counts c USING (pair_type)
+         LEFT JOIN hits h USING (pair_type)
+         ORDER BY pair_type""",
+    // per-source cap: md5-hash rank, keep rn <= 15 (exercised at every
+    // sf: the smallest gated corpus holds 25 docs per source)
+    "q412_cap_per_source" ->
+      """WITH h AS (SELECT source, doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h32
+              FROM documents),
+         r AS (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY h32, doc_id) AS rn
+               FROM h)
+         SELECT source, doc_id FROM r WHERE rn <= 15
+         ORDER BY source, doc_id""",
     // truncation waste: exact integer token sums per source at L=64
     "q409_truncation_waste" ->
       """WITH d AS (SELECT source,

@@ -473,6 +473,49 @@ object Dedup {
     perTau.reduce(_ unionAll _).orderBy(col("tau"))
   }
 
+  /** SPLIT-LEAKAGE audit — test-set contamination via NEAR-DUPLICATES
+    * (Lee et al. 2022 found benchmark test splits near-dup-leaked into
+    * train; the temporal-split audit catches time leakage, this catches
+    * content leakage): under the hash split `pmod(id, splitMod) >=
+    * splitMod-1 -> test`, classify every n-gram-Jaccard >= `threshold`
+    * pair as train_train / train_test / test_test and report, per type,
+    * the pair count and the distinct TEST docs it touches — the
+    * train_test row is the contamination (evaluate on those docs and
+    * the model has seen the answer). Always three rows (a zero row is
+    * the audit PASSING), ascending by pair_type.
+    *
+    * Scale shape: one prefix-filtered pair computation (checkpointed —
+    * pair-list-sized, the sweep precedent: two consumers would re-run
+    * the candidate pipeline); both rollups are 3-row-bounded. */
+  def splitLeakageReport(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double,
+                         splitMod: Int = 5): DataFrame = {
+    require(splitMod >= 2, s"need splitMod >= 2: $splitMod")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold)
+      .localCheckpoint(true)
+    def isTest(c: Column) = pmod(c, lit(splitMod)) >= splitMod - 1
+    val typed = pairs.select(col("id_a"), col("id_b"),
+      when(isTest(col("id_a")) && isTest(col("id_b")), lit("test_test"))
+        .when(!isTest(col("id_a")) && !isTest(col("id_b")), lit("train_train"))
+        .otherwise(lit("train_test")).as("pair_type"))
+    val counts = typed.groupBy(col("pair_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val hits = typed
+      .select(col("pair_type"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .filter(isTest(col("id"))).distinct()
+      .groupBy(col("pair_type")).agg(count(lit(1)).as("n_test_docs_hit"))
+    val grid = broadcast(
+      Seq("test_test", "train_test", "train_train").toDF("pair_type"))
+    grid.join(counts, Seq("pair_type"), "left")
+      .join(hits, Seq("pair_type"), "left")
+      .select(col("pair_type"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_test_docs_hit"), lit(0L)).as("n_test_docs_hit"))
+      .orderBy(col("pair_type"))
+  }
+
   /** Text/embedding DISAGREEMENT audit — the broken-embedding detector:
     * documents whose TEXT is near-identical (n-gram Jaccard ≥ `tauText`)
     * but whose embeddings sit far apart (cosine < `tauCos`) are, with

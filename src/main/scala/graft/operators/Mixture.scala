@@ -80,4 +80,31 @@ object Mixture {
           (col("group_size").cast("double") / col("t")), 6).as("epochs"))
       .orderBy(col(groupCol))
   }
+
+  /** Deterministic EXACT per-group cap — keep at most `k` rows per group,
+    * chosen by the portable md5-based hash rank ([[Sharding.hash32]] asc,
+    * id asc): the "downsample the over-represented sources to k docs
+    * each" primitive, reproducible on any engine (no RNG, no
+    * partition-order dependence). Returns the kept `(group, id)` pairs.
+    *
+    * Scale shape: one [[graft.functions.TopK]] bounded-heap aggregate —
+    * k-element heaps fold map-side, only k pairs per (partition, group)
+    * cross the shuffle. The per-group ranking WINDOW this replaces
+    * shuffles every row and sorts whole groups (the hottest source =
+    * the slowest task); the heap is exact at any skew. Keeping the k
+    * SMALLEST (hash, id) keys maps onto the largest-first heap by
+    * negating the hash; ties on the 32-bit hash break by id ascending
+    * (the heap's tag order). */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.TopK.register(df.sparkSession)
+    df.select(col(groupCol), col(idCol).cast("long").as("__id"))
+      .groupBy(col(groupCol))
+      .agg(call_function(graft.functions.TopK.Name,
+        -Sharding.hash32(col("__id")).cast("double"), col("__id"), lit(k))
+        .as("__top"))
+      .select(col(groupCol), explode(col("__top")).as("__e"))
+      .select(col(groupCol), col("__e.tag").as(idCol))
+  }
 }

@@ -201,4 +201,23 @@ class DedupSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getString(0) == r.getString(1),
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
+
+  test("split leakage: crafted cross-split twin lands in train_test with its test doc counted") {
+    import spark.implicits._
+    // ids 4 and 9 are TEST (id%5==4); 4 is a near-dup of TRAIN doc 0;
+    // 9 is unique; 1 and 2 are near-dup TRAIN twins (train_train)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (0L, shared + " one"), (4L, shared + " two"),
+      (1L, "iota kappa lambda mu nu xi omicron pi rho"),
+      (2L, "iota kappa lambda mu nu xi omicron pi sigma"),
+      (9L, "tau upsilon phi chi psi omega aleph beth gimel")
+    ).toDF("doc_id", "text")
+    val out = Dedup.splitLeakageReport(df, "doc_id", "text", 3, 0.5, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("test_test", 0L, 0L),
+      ("train_test", 1L, 1L),
+      ("train_train", 1L, 0L)))
+  }
 }

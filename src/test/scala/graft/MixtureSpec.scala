@@ -74,4 +74,24 @@ class MixtureSpec extends AnyFunSuite {
     // weights normalize
     assert(math.abs(t3.values.map(_._1).sum - 1.0) < 1e-5)
   }
+
+  test("capPerGroup keeps exactly k per over-cap group, whole under-cap groups") {
+    import spark.implicits._
+    val df = ((0 until 50).map(i => (i.toLong, "big")) ++
+      (100 until 103).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val kept = Mixture.capPerGroup(df, "source", "doc_id", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byG = kept.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG("big").size == 10)
+    assert(byG("small") == Set(100L, 101L, 102L)) // under cap: kept whole
+    // deterministic: the kept set is a pure function of the ids
+    val again = Mixture.capPerGroup(df.repartition(7), "source", "doc_id", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == kept.toSet)
+    // and it is the md5-hash-rank prefix, not an arbitrary subset
+    val h = (k: Long) => java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(k.toString).substring(0, 8), 16)
+    val expect = (0 until 50).map(_.toLong).sortBy(i => (h(i), i)).take(10).toSet
+    assert(byG("big") == expect)
+  }
 }
