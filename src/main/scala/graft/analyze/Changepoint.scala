@@ -236,6 +236,13 @@ object Changepoint {
       .withColumn("taa", sum(
         col("yq").cast("decimal(19,0)") * col("yq").cast("decimal(19,0)"))
         .over(wAll))
+      // next_day BEFORE the t < n candidate filter: computed after it,
+      // the t = n-1 candidate's lead is null (its successor row was
+      // filtered away) and a best break at the last candidate reports a
+      // null break_day — hit at sf0.1 ('purchase', 2024-01-30) while
+      // every sf0.01 series broke earlier. The oracle has always
+      // computed the lead pre-filter.
+      .withColumn("next_day", lead(col("day"), 1).over(w))
     // candidate split AFTER row t (t = 1 .. n-1): left stats are the
     // prefix at t, right stats the complement — O(1) per candidate
     val cands = pre.filter(col("t") < col("n"))
@@ -249,7 +256,6 @@ object Changepoint {
           (col("ta") - col("sa")).cast("double") *
             (col("ta") - col("sa")).cast("double") / col("nr"))
       .withColumn("sse", col("sseL") + col("sseR"))
-      .withColumn("next_day", lead(col("day"), 1).over(w))
       .withColumn("mb", col("sa").cast("double") / col("nl") / 1e6)
       .withColumn("ma",
         (col("ta") - col("sa")).cast("double") / col("nr") / 1e6)

@@ -180,4 +180,19 @@ class ChangepointSpec extends AnyFunSuite {
     assert(r.getLong(3) == 66L) // 12*11/2
     assert(r.getDouble(2) == 1.0)
   }
+
+  test("single break at the LAST candidate reports the final day, not null") {
+    import spark.implicits._
+    // flat series with one outlier on the last day: the best split is
+    // after t = n-1, whose lead(day) only exists when computed BEFORE
+    // the candidate filter (regression: sf0.1 'purchase' reported NaT)
+    val rows = (0 until 10).map { d =>
+      ("g", ts(f"2024-01-${d + 1}%02d 12:00:00"), if (d == 9) 500.0 else 10.0)
+    }
+    val r = Changepoint.singleBreak(rows.toDF("g", "ts", "v"), "g", "ts", "v")
+      .collect().head
+    assert(r.getTimestamp(1) != null)
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-10"))
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 500.0)
+  }
 }
