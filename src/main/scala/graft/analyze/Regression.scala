@@ -159,10 +159,15 @@ object Regression {
       val n = (col("n1") + col("n2")).cast("double")
       val f = when(s1 + s2 > 0,
         ((sp - s1 - s2) / 2.0) / ((s1 + s2) / (n - 4)))
+      // SCALE-0 rounding (round(x·10⁴)/10⁴), not round(x, 4) — the q197
+      // convention: at SSR magnitudes (~1e13 for a price series) 4 dp
+      // exceeds double precision, and Spark's decimal-exact Round
+      // diverges from the engines that round via a lossy ×10⁴ scaling
+      // (caught by the sf0.001 sweep: ...557.871 vs ...557.867)
       Seq(col("n1"), col("n2"),
-        round(sp / 1e12, 4).as("ssr_pooled"),
-        round((s1 + s2) / 1e12, 4).as("ssr_within"),
-        round(f, 4).as("f_stat"))
+        (round(sp / 1e12 * 1e4) / 1e4).as("ssr_pooled"),
+        (round((s1 + s2) / 1e12 * 1e4) / 1e4).as("ssr_within"),
+        (round(f * 1e4) / 1e4).as("f_stat"))
     }: _*)
   }
 }
