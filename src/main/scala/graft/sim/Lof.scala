@@ -73,30 +73,47 @@ object Lof {
     * [[kdistProfile]]. */
   private[sim] def bucketedPairs(df: DataFrame, idCol: String,
                                  vecCol: String, nSeeds: Int): DataFrame = {
+    val spark = df.sparkSession
     val pts = graft.operators.Spread.widen(
       df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
       col("id"))
-    val seeds = pts.orderBy(col("id")).limit(nSeeds)
-      .select(col("id").as("sid"), col("v").as("sv"))
     // assignment pin at 1e6, NOT the pair pin's 1e12: a 1-ulp cosine
     // divergence near a rounding boundary flips a BUCKET MEMBERSHIP
     // (observed: one point's k-dist moved 5e-7 between engines at the
     // 1e12 grid), and a flipped bucket shifts every neighborhood it
     // touches; at 1e6 the flip odds drop ~1e6× and grid ties break by
-    // seed id identically on both engines
-    val dSeed = round((lit(1.0) - Similarity.cosine(col("v"), col("sv")))
-      * lit(1e6)).cast("long")
-    // argmin by (distance, seed id): lexicographic struct-min — partial
-    // aggregation folds the S candidate rows map-side before the shuffle.
+    // seed id identically on both engines.
+    //
+    // The argmin runs as ONE map-side codegen'd pass over a seed-table
+    // literal ([[graft.functions.PinnedSeedArgmin]], bit-identical to
+    // the previous `pts × broadcast(seeds)` → `min(struct(d6, sid))`
+    // formulation): the join form inflated the corpus ×nSeeds through a
+    // nested-loop join into a SORT-based aggregate (struct-min has no
+    // hash form) — nSeeds× the corpus sorted and re-folded at any
+    // scale. Seeds (the nSeeds lowest-id vectors) are bounded driver
+    // state by construction.
+    graft.functions.PinnedSeedArgmin.register(spark)
+    val seedRows = pts.orderBy(col("id")).limit(nSeeds)
+      .select(col("id"), col("v")).collect()
+    if (seedRows.isEmpty) {
+      return pts.select(col("id"), col("id").as("nb"), lit(0L).as("d")).limit(0)
+    }
+    val sidLit = typedlit(seedRows.map(_.getLong(0)).toSeq)
+    // seed vectors as DOUBLE literals: float→double is exact, so the
+    // per-element upcast the join form did inside the cosine happens
+    // once here instead — same arithmetic, and double-element callers
+    // lose nothing
+    val svLit = typedlit(seedRows.map(r =>
+      r.getSeq[Number](r.fieldIndex("v")).map(_.doubleValue()).toSeq).toSeq)
     // PERSISTED: the cluster self-join below reads this frame on BOTH
     // sides, and without materialization each side re-runs the full
     // S-cosines-per-row assignment (the chain's dominant map work, paid
     // twice for no reason — q390/q403/q407 all ride this frame)
-    val asg = pts.join(broadcast(seeds))
-      .select(col("id"), col("v"), struct(dSeed.as("d"), col("sid")).as("ds"))
-      .groupBy(col("id"))
-      .agg(min(col("ds")).as("m"), first(col("v")).as("v"))
-      .select(col("id"), col("m.sid").as("cluster"), col("v"))
+    val asg = pts
+      .select(col("id"),
+        call_function(graft.functions.PinnedSeedArgmin.Name,
+          col("v"), sidLit, svLit).as("cluster"),
+        col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d12 = round((lit(1.0) - Similarity.cosine(col("a.v"), col("b.v")))
       * lit(1e12)).cast("long")
