@@ -47,7 +47,19 @@ object KTruss {
           greatest(col("s"), col("d")).as("b"))
         .distinct())
     var nEdges = e.count()
-    var stable = nEdges == 0L
+    if (nEdges == 0L) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return Seq((k, 0L, 0L)).toDF("k", "n_edges", "n_nodes")
+    }
+    // conf-gated exact local finisher (the KCore/CC contract:
+    // `graft.ktruss.localFinishEdges`, default 2^17 edges ~2 MB
+    // collected, 0 disables): the support peel pays 4-5 jobs per round
+    // and converges over several rounds — on a small-graph input that
+    // is pure scheduling (measured: 2 s for a 3.6k-edge peel at sf0.1).
+    // Both paths are exact and the spec pins them equivalent.
+    if (nEdges <= localFinishEdges(edges)) return localFinish(e, k)
+    var stable = false
     var rounds = 0
     while (!stable) {
       rounds += 1
@@ -80,4 +92,44 @@ object KTruss {
   private def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+
+  private def localFinishEdges(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.ktruss.localFinishEdges")
+      .map(_.toLong).getOrElse(1L << 17)
+
+  /** Exact in-memory support peel over a collected canonical edge list:
+    * support of edge (a, b) = |N(a) ∩ N(b)| in the CURRENT edge set
+    * (every common neighbor closes one triangle through the edge);
+    * drop `support < k-2`, repeat to the fixpoint — identical semantics
+    * to the distributed rounds, output identical by construction. */
+  private def localFinish(e: DataFrame, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val minSupport = k - 2
+    var es: Set[(Long, Long)] =
+      e.select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    var stable = es.isEmpty
+    while (!stable) {
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.HashSet[Long]]
+      es.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+      }
+      val keep = es.filter { case (a, b) =>
+        val na = adj(a); val nb = adj(b)
+        val (small, large) = if (na.size <= nb.size) (na, nb) else (nb, na)
+        var c = 0
+        val it = small.iterator
+        while (it.hasNext && c < minSupport) {
+          if (large.contains(it.next())) c += 1
+        }
+        c >= minSupport
+      }
+      stable = keep.size == es.size
+      es = keep
+    }
+    val nNodes = es.iterator.flatMap(p => Iterator(p._1, p._2)).toSet.size
+    Seq((k, es.size.toLong, nNodes.toLong)).toDF("k", "n_edges", "n_nodes")
+  }
 }

@@ -98,4 +98,18 @@ class BfsKTrussSpec extends AnyFunSuite {
     assert(r.getLong(1) == cur.size.toLong)
     assert(r.getLong(2) == cur.flatMap(p => Seq(p._1, p._2)).size.toLong)
   }
+
+  test("ktruss local finisher matches the distributed peel exactly") {
+    // random-ish co-occurrence style graph with triangles and bridges
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+    val df = edges(es: _*)
+    val local = KTruss.truss(df, "a", "b", 4).collect().head
+    spark.conf.set("graft.ktruss.localFinishEdges", "0") // force distributed
+    try {
+      val dist = KTruss.truss(df, "a", "b", 4).collect().head
+      assert(local == dist, s"local $local vs distributed $dist")
+    } finally spark.conf.unset("graft.ktruss.localFinishEdges")
+  }
 }
