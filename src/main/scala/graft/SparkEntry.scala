@@ -1004,7 +1004,7 @@ object SparkEntry {
     "q411_split_leakage" -> ((s, dir) =>
       Dedup.splitLeakageReport(Tables.documents(s, dir),
         "doc_id", "text", 3, 0.8, 5)),
-    // ---- deterministic per-source cap: keep <= 40 docs per source by
+    // ---- deterministic per-source cap: keep <= 15 docs per source by
     //      md5-hash rank (bounded-heap aggregate, no per-group window)
     "q412_cap_per_source" -> ((s, dir) =>
       graft.operators.Mixture.capPerGroup(Tables.documents(s, dir),

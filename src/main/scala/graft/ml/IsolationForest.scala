@@ -114,7 +114,14 @@ object IsolationForest {
     // rows × trees × depth ensemble walk pinned to one core, 6.5 s of
     // single-thread CPU at sf0.1 while 31 cores idled).
     val partCounts = df.select(lit(1)).rdd
-      .mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
+      .mapPartitions({ it =>
+        // Long fold, NOT Iterator.size: size returns Int and would wrap
+        // on a >2^31-row partition — exactly the single-hot-partition
+        // pathology this probe exists to detect
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator(c)
+      }, preservesPartitioning = true)
       .collect()
     val n = partCounts.sum
     val psi = math.min(sampleSize.toLong, n).toInt

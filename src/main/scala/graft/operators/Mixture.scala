@@ -94,7 +94,11 @@ object Mixture {
     * the slowest task); the heap is exact at any skew. Keeping the k
     * SMALLEST (hash, id) keys maps onto the largest-first heap by
     * negating the hash; ties on the 32-bit hash break by id ascending
-    * (the heap's tag order). */
+    * (the heap's tag order).
+    *
+    * `idCol` must be (castable to) an integral id — a row whose id does
+    * not cast to long has no hash rank and is dropped, like every other
+    * long-id operator in the library. */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
                   k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

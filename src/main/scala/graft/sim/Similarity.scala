@@ -102,6 +102,10 @@ object Similarity {
     val xv = graft.operators.Spread.widen(
         df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
         col("id"))
+      // null/empty vectors contribute nothing, exactly like the exploded
+      // form this replaces (posexplode of null/[] emitted no rows): the
+      // compact path would otherwise NPE on the null signature decode
+      .filter(col("v").isNotNull && size(col("v")) > 0)
       .select(col("id"),
         transform(col("v"), x => round(x * lit(1e6)).cast("long")).as("v6"))
       .withColumn("nv12",
@@ -140,12 +144,17 @@ object Similarity {
     }
     // Per-iteration mean update as a SINGLE-STAGE treeAggregate (the
     // spark.ml KMeans pattern): per-partition (cluster, dim) long sums +
-    // counts merge on the driver — no shuffle stage, no AQE replan, one
-    // job per Lloyd iteration. Long sums are exact up to ~9e12 rows per
-    // cluster at the 1e-6 grid (the decimal(38) headroom of the previous
-    // groupBy form is not needed below that bound); cast-to-double of
-    // the exact integer sum is the same double either way, so the m6
-    // recurrence (round(sum/count)) is bit-identical to the SQL twin.
+    // per-(cluster, dim) counts merge on the driver — no shuffle stage,
+    // no AQE replan, one job per Lloyd iteration. Long sums are exact up
+    // to ~9e12 rows per cluster at the 1e-6 grid (the decimal(38)
+    // headroom of the previous groupBy form is not needed below that
+    // bound); cast-to-double of the exact integer sum is the same double
+    // either way, so the m6 recurrence (round(sum/count)) is
+    // bit-identical to the SQL twin. Counts are PER DIMENSION (the
+    // exploded groupBy(cluster, t) divisor this replaces), so a shorter
+    // vector divides only the dimensions it contributed; the centroid
+    // grid itself is `dim`-rectangular (the seed dimensionality) — the
+    // operator's contract is a fixed-dimension embedding column.
     import spark.implicits._
     var it = 0
     while (it < iters) {
@@ -153,25 +162,26 @@ object Similarity {
         .select(bestCol(cents).getField("cluster").as("c"), col("v6"))
         .as[(Int, Array[Long])]
       val (sums, counts) = assignedDs.rdd.treeAggregate(
-        (Array.fill(m, dim)(0L), new Array[Long](m)))(
+        (Array.fill(m, dim)(0L), Array.fill(m, dim)(0L)))(
         seqOp = { case ((s, n), (c, v)) =>
-          val row = s(c); var t = 0
-          while (t < dim && t < v.length) { row(t) += v(t); t += 1 }
-          n(c) += 1L; (s, n)
+          val row = s(c); val cnt = n(c); var t = 0
+          while (t < dim && t < v.length) { row(t) += v(t); cnt(t) += 1L; t += 1 }
+          (s, n)
         },
         combOp = { case ((s1, n1), (s2, n2)) =>
           var c = 0
           while (c < m) {
-            val a = s1(c); val b = s2(c); var t = 0
-            while (t < dim) { a(t) += b(t); t += 1 }
-            n1(c) += n2(c); c += 1
+            val a = s1(c); val b = s2(c)
+            val x = n1(c); val y = n2(c); var t = 0
+            while (t < dim) { a(t) += b(t); x(t) += y(t); t += 1 }
+            c += 1
           }
           (s1, n1)
         })
       val m6Rows = for {
-        c <- 0 until m if counts(c) > 0L
-        t <- 0 until dim
-      } yield (c, t, raL(sums(c)(t).toDouble / counts(c)))
+        c <- 0 until m
+        t <- 0 until dim if counts(c)(t) > 0L
+      } yield (c, t, raL(sums(c)(t).toDouble / counts(c)(t)))
       val upd = normalize9(m6Rows).groupBy(_._1)
         .map { case (c, rs) => c -> rs.map(r => (r._2, r._3)).toMap }
       // empty clusters keep their previous centroid

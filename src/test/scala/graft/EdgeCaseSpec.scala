@@ -141,5 +141,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.sim.Similarity.kmeansAssign(
       Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
       "vec_id", "embedding", 3, 2).count() == 0)
+    // null/empty vectors drop silently (the exploded-form contract):
+    // only the two real vectors come back
+    assert(graft.sim.Similarity.kmeansAssign(
+      Seq((1L, Seq(1.0f, 0.0f)), (2L, null.asInstanceOf[Seq[Float]]),
+        (3L, Seq.empty[Float]), (4L, Seq(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 2, 2).count() == 2)
   }
 }
