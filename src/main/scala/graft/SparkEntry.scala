@@ -10893,6 +10893,22 @@ object SparkEntry {
          octet_length(encode(text)) AS n_bytes,
          md5(text) AS payload_md5
          FROM documents ORDER BY media_id""",
+    // frame sampling: every output is an integer function of the
+    // payload's UTF-8 byte length (frames of 16 bytes, keep every 4th;
+    // the last frame is partial, counted only when its index ≡ 0 mod 4)
+    "q38_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+              FROM documents),
+         f AS (SELECT media_id, len,
+                 CAST(ceil(len / 16.0) AS INTEGER) AS n_frames FROM m),
+         k AS (SELECT media_id, len, n_frames,
+                 CAST(ceil(n_frames / 4.0) AS INTEGER) AS n_kept FROM f)
+         SELECT media_id, n_frames, n_kept,
+           CAST(CASE WHEN n_frames = 0 THEN 0
+             WHEN (n_frames - 1) % 4 = 0
+               THEN (n_kept - 1) * 16 + (len - (n_frames - 1) * 16)
+             ELSE n_kept * 16 END AS INTEGER) AS sampled_bytes
+         FROM k ORDER BY media_id""",
     "q39_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n, round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) // 1000000000) AS DOUBLE) * 1000000000.0 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) % 1000000000) AS DOUBLE)) / 100.0) / 10000.0::DOUBLE AS sum_value
