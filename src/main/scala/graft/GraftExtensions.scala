@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, JaroWinkler, MisraGries, NfcNormalize, PinnedCosine, PinnedKmeansBest, PinnedSqDist, RepStats, ShingleSet, SigAgreeCount, SortedOverlapCount, SortedPairs, SqEuclidean, TopK, TrigramCountAgg, TrigramLmScore, VocabTf}
+import graft.functions.{CosineSimilarity, JaroWinkler, MisraGries, NfcNormalize, PinnedCosine, PinnedKmeansBest, PinnedSeedArgmin, PinnedSqDist, RepStats, ShingleSet, SigAgreeCount, SortedOverlapCount, SortedPairs, SqEuclidean, TopK, TrigramCountAgg, TrigramLmScore, VocabTf}
 import graft.mine.DrainMineAgg
 
 /** The library's `SparkSessionExtensions` injection point — the idiomatic
@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn(PinnedKmeansBest.Name,
       classOf[PinnedKmeansBest],
       exprs => PinnedKmeansBest(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(fn(PinnedSeedArgmin.Name,
+      classOf[PinnedSeedArgmin],
+      exprs => PinnedSeedArgmin(exprs(0), exprs(1), exprs(2))))
     // whole-operator nodes (custom-operator ladder rung (c))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer rules (the Rule[LogicalPlan] rung): algebraic rewrites

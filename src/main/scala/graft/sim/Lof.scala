@@ -77,6 +77,13 @@ object Lof {
     val pts = graft.operators.Spread.widen(
       df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
       col("id"))
+      // null/empty vectors have no cosine to any seed: drop them before
+      // the seed collect (a null among the nSeeds lowest ids would NPE
+      // the driver-side decode below) and before the PinnedSeedArgmin
+      // projection (a null-intolerant TernaryExpression) — the same
+      // guard kmeansAssign applies, and the same outcome as the old
+      // exploded-join form where a null cosine produced no pair rows
+      .filter(col("v").isNotNull && size(col("v")) > 0)
     // assignment pin at 1e6, NOT the pair pin's 1e12: a 1-ulp cosine
     // divergence near a rounding boundary flips a BUCKET MEMBERSHIP
     // (observed: one point's k-dist moved 5e-7 between engines at the

@@ -133,7 +133,14 @@ object Similarity {
     }
     var cents: Seq[(Int, Int, Long)] = normalize9(init.toSeq)
     val m = initRows.length // effective cluster count (<= k on tiny inputs)
-    val dim = initRows.head.getSeq[Long](initRows.head.fieldIndex("v6")).length
+    val dims = initRows.map(r => r.getSeq[Long](r.fieldIndex("v6")).length).distinct
+    // the operator contract is a fixed-dimension embedding column; a
+    // ragged corpus would silently truncate to the first seed's length
+    // in both assignment and the mean fold — fail loudly instead
+    require(dims.length == 1,
+      s"kmeansAssign requires a fixed-dimension vector column; " +
+      s"seed vectors have lengths ${dims.sorted.mkString(",")}")
+    val dim = dims.head
     // best (cluster, sim) for each point against the current centroid
     // table, shipped as a k x dim literal (bounded driver state)
     def bestCol(c: Seq[(Int, Int, Long)]): Column = {

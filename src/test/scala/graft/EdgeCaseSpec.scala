@@ -148,5 +148,14 @@ class EdgeCaseSpec extends AnyFunSuite {
         (3L, Seq.empty[Float]), (4L, Seq(0.0f, 1.0f)))
         .toDF("vec_id", "embedding"),
       "vec_id", "embedding", 2, 2).count() == 2)
+    // ragged vector dims fail loudly instead of silently truncating to
+    // the first seed's length
+    val ragged = intercept[IllegalArgumentException] {
+      graft.sim.Similarity.kmeansAssign(
+        Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.5f)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 2, 2).count()
+    }
+    assert(ragged.getMessage.contains("fixed-dimension"))
   }
 }

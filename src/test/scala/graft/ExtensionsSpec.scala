@@ -23,6 +23,12 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT size(graft_mine(x)) AS n FROM VALUES ('a b c'), ('a b d') AS t(x)")
       .head().getInt(0)
     assert(mined >= 1)
+    // the two sibling pinned kmeans/seed expressions are BOTH injected
+    // (regression: graft_seed_argmin was only temp-registered in Lof)
+    val seed = spark.sql(
+      "SELECT graft_seed_argmin(array(0.0D, 1.0D), array(10L, 20L), " +
+        "array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS s").head().getLong(0)
+    assert(seed == 20L)
   }
 
   test("CollapseNfc optimizer rule eliminates nested nfc applications") {

@@ -112,6 +112,21 @@ class RakeLofSpec extends AnyFunSuite {
       s"bucketed must equal brute on separated clusters:\n brute   : ${brute.take(5).toSeq}\n bucketed: ${bucketed.take(5).toSeq}")
   }
 
+  test("bucketed lof: null/empty vectors are dropped, even among the seed ids") {
+    import spark.implicits._
+    // id 1 (a would-be seed: lowest id) carries a NULL vector and id 2
+    // an empty one — both must be silently excluded from seeding AND
+    // scoring (regression: the null seed NPE'd the driver-side seed
+    // decode; non-seed nulls silently vanished from PinnedSeedArgmin)
+    val good = (3 to 14).map(i => (i.toLong,
+      Array(1.0f, (i * 0.01).toFloat, if (i % 2 == 0) 0.5f else 0f)))
+    val df = (Seq((1L, null.asInstanceOf[Array[Float]]), (2L, Array.empty[Float])) ++ good)
+      .toDF("vec_id", "embedding")
+    val out = Lof.bucketedTop(df, "vec_id", "embedding", 3, 20, 2).collect()
+    assert(out.length == good.size, s"expected ${good.size} scored rows, got ${out.length}")
+    assert(out.forall(r => r.getLong(0) >= 3L && !r.isNullAt(3)))
+  }
+
   test("bucketed lof: undersized buckets normalize by their true neighbor count") {
     import spark.implicits._
     // 2 seeds; cluster B has only 3 points → k=5 exceeds the bucket, so
