@@ -41,7 +41,11 @@ object Bench {
       val (results, sentinels) = orchestrate(sfDir, selected, archive)
       val line = renderLine(results, selected, isChild, sfDir, sentinels)
       println(line)
-      if (archive) writeArtifact(line)
+      // promote only COMPLETE runs (no budget-skipped queries) to the
+      // real artifact; a truncated run lands in BENCH_PARTIAL.json
+      val ran = results.map(_._1).toSet
+      val complete = selected.forall(ran)
+      if (archive) writeArtifact(line, partial = !complete)
     }
   }
 
@@ -69,12 +73,27 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"skipped":$skipped,"sentinels":$sent,"isolated":${!isChild},"sf":"$sfDir"}"""
   }
 
-  private def writeArtifact(line: String): Unit = {
+  /** Write the artifact line. `partial = true` (mid-run refreshes, and
+    * final lines with a non-empty `skipped` list) diverts to the sibling
+    * `BENCH_PARTIAL.json`: a budget-truncated run must NEVER overwrite a
+    * committed complete 410-query artifact with a 350/60-skipped one
+    * (which is exactly what the round-10 driver window did). Only a
+    * complete run promotes to the real path. */
+  private def writeArtifact(line: String, partial: Boolean): Unit = {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+    val path = if (partial) {
+      val p = java.nio.file.Paths.get(outPath)
+      val name = Option(p.getFileName).map(_.toString).getOrElse("BENCH_FULL.json")
+      val partName =
+        if (name.endsWith(".json")) name.stripSuffix(".json") + "_PARTIAL.json"
+        else name + "_PARTIAL"
+      if (p.getParent == null) java.nio.file.Paths.get(partName)
+      else p.getParent.resolve(partName)
+    } else java.nio.file.Paths.get(outPath)
+    try java.nio.file.Files.write(path,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+      System.err.println(s"[bench] could not write $path: ${e.getMessage}") }
   }
 
   /** Fork child JVMs over small GROUPS of queries; returns (name, seconds,
@@ -135,8 +154,11 @@ object Bench {
           if (h > 0 && s / h > 1.5)
             System.err.println(f"[bench] SENTINEL DRIFT ($kind) group $gi: $s%.2f s vs first $h%.2f s (${s / h}%.1f×) — contended window")
         }
+        // mid-run refreshes are by definition incomplete → partial path;
+        // the complete final line promotes to the real artifact in main()
         if (archive)
-          writeArtifact(renderLine(acc.toSeq, selected, isChild = false, sfDir, sents.toSeq))
+          writeArtifact(renderLine(acc.toSeq, selected, isChild = false, sfDir, sents.toSeq),
+            partial = true)
       }
     }
     (acc.toSeq, sents.toSeq)

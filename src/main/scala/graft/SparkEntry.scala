@@ -3284,19 +3284,28 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"), col("rn"))
         .orderBy(col("qid"), col("rn"))
     }),
-    // ---- dedup: MinHash+LSH near-dup pairs (no SQL oracle — spec-tested)
+    // ---- dedup: MinHash+LSH near-dup pairs — the PORTABLE md5/affine
+    //      hash family, so the banding + estimate pipeline is DuckDB-
+    //      oracled end to end (the fnv fast path stays the library
+    //      default, spec-gated)
     "q24_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          numHashes = 64, shingleN = 1, bands = 8, threshold = 0.9)
+          numHashes = 64, shingleN = 1, bands = 8, threshold = 0.9,
+          portable = true)
         .orderBy(col("id_a"), col("id_b"))),
-    // ---- dedup: SimHash Hamming-<=3 pairs (no SQL oracle — spec-tested)
+    // ---- dedup: SimHash Hamming-<=3 pairs — portable 60-bit md5 family
+    //      (4x15-bit pigeonhole), DuckDB-oracled; 64-bit fnv fast path
+    //      stays the default
     "q25_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxDist = 3, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
-    // ---- dedup: embedding near-dup via sign-LSH (no SQL oracle)
+    // ---- dedup: embedding near-dup via sign-LSH — portable integer-
+    //      pinned md5 hyperplanes, DuckDB-oracled; seeded-Gaussian fast
+    //      path stays the default
     "q26_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.2, bands = 8, bitsPerBand = 4)
+          threshold = 0.2, bands = 8, bitsPerBand = 4, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
     // ---- text: character-trigram language id (substring-containment
     //      profile scoring, ties to the earlier profile — hash-oracled)
@@ -10825,6 +10834,99 @@ object SparkEntry {
            FROM scored)
          SELECT qid, id, round(sim, 4) AS sim, rn
          FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    // portable MinHash+LSH: 60-bit md5-prefix shingle hash, the published
+    // (a,b) affine family mod 2^61-1 (HUGEINT arithmetic — exactly the
+    // fold affineMod61 computes), 8 bands of 8 rows keyed by the decimal
+    // CSV of the band slice, agreement/64 estimate at 4 dp
+    "q24_minhash_lsh" ->
+      s"""WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+           FROM documents WHERE text IS NOT NULL),
+         tok AS (SELECT DISTINCT doc_id, unnest(l) AS g FROM t),
+         x AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS x FROM tok),
+         ab AS (SELECT * FROM (VALUES ${graft.dedup.Dedup.minHashAbSqlValues}) v(s, a, b)),
+         sig AS (
+           SELECT doc_id, s,
+                  min(((a::HUGEINT * x::HUGEINT + b) % 2305843009213693951)::BIGINT) AS h
+           FROM x CROSS JOIN ab GROUP BY doc_id, s),
+         bnd AS (
+           SELECT doc_id, s // 8 AS band,
+                  string_agg(h::VARCHAR, ',' ORDER BY s) AS bucket
+           FROM sig GROUP BY doc_id, s // 8),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bnd a JOIN bnd b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         est AS (
+           SELECT c.id_a, c.id_b,
+                  round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 64.0, 4) AS est_jaccard
+           FROM cand c
+           JOIN sig sa ON sa.doc_id = c.id_a
+           JOIN sig sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+           GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b, est_jaccard FROM est
+         WHERE est_jaccard >= 0.9 ORDER BY id_a, id_b""",
+    // portable SimHash: 60-bit md5-prefix token hashes, majority bit
+    // votes, 4x15-bit pigeonhole chunks, bit_count(xor) verification
+    "q25_simhash" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents WHERE text IS NOT NULL),
+         tok AS (SELECT doc_id, unnest(l) AS tk FROM t),
+         th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                       THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+           FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) r
+           GROUP BY doc_id, b),
+         fp AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS h
+                FROM bits GROUP BY doc_id),
+         ch AS (
+           SELECT doc_id, h, c AS chunk_idx, (h >> (c * 15)) & 32767 AS chunk_val
+           FROM fp CROSS JOIN (SELECT unnest(range(4)) AS c) r),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  bit_count(xor(a.h, b.h)) AS hd
+           FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
+             AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(min(hd) AS INT) AS hamming
+         FROM cand WHERE hd <= 3
+         GROUP BY id_a, id_b ORDER BY id_a, id_b""",
+    // portable sign-LSH: 28-bit md5-prefix hyperplane components centered
+    // on zero, EXACT integer dot products over the 1e-6 vector grid, 8
+    // bands x 4 bits, exact cosine verification
+    "q26_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ev AS (
+           SELECT vec_id, i - 1 AS d, CAST(round(v[i] * 1000000) AS BIGINT) AS v6
+           FROM e, unnest(range(1, len(v) + 1)) r(i)),
+         pl AS (
+           SELECT p, d,
+                  ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 7))::BIGINT
+                    - 134217728 AS w
+           FROM (SELECT unnest(range(32)) AS p) pp
+           CROSS JOIN (SELECT unnest(range((SELECT max(len(v)) FROM e))) AS d) dd),
+         dot AS (
+           SELECT ev.vec_id, pl.p, sum(ev.v6 * pl.w) AS s
+           FROM ev JOIN pl ON pl.d = ev.d
+           GROUP BY ev.vec_id, pl.p),
+         bk AS (
+           SELECT vec_id, p // 4 AS band,
+                  CAST(sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END)
+                           * (1 << (3 - (p % 4)))) AS BIGINT) AS bucket
+           FROM dot GROUP BY vec_id, p // 4),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM bk a JOIN bk b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         cs AS (
+           SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS cos0
+           FROM cand c
+           JOIN e ea ON ea.vec_id = c.id_a
+           JOIN e eb ON eb.vec_id = c.id_b)
+         SELECT id_a, id_b, round(cos0, 4) AS cos FROM cs
+         WHERE cos0 >= 0.2 ORDER BY id_a, id_b""",
     "q29_window_features" ->
       """SELECT window_id,
          count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,

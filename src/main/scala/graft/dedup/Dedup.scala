@@ -132,8 +132,75 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
+  // ---------------------------------------------- portable (md5) family
+  //
+  // The fnv/mix family above is the FAST path: one string fold + 64
+  // cheap mixes per shingle. It is deterministic across JVMs but not
+  // reproducible in ANSI SQL, which kept the sketch queries out of the
+  // DuckDB correctness gate. The md5 family below is the PORTABLE path
+  // (the q64/q80/q148 shard/shuffle/fold discipline): every hash is
+  // `('0x' || substr(md5(x), 1, k))::BIGINT`-derivable, so the whole
+  // MinHash/SimHash/sign-LSH pipeline has an exact SQL twin. Callers
+  // pick via the `portable` flag; the default stays fast.
+
+  /** Portable 60-bit string hash: the first 15 hex chars of md5, i.e.
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT` — non-negative, < 2^60. */
+  private[graft] def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    (h << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+
+  /** Portable 28-bit string hash: the first 7 hex chars of md5. */
+  private[graft] def md5Hash28(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xFFL) << 20) | ((d(1) & 0xFFL) << 12) |
+      ((d(2) & 0xFFL) << 4) | ((d(3) & 0xF0L) >>> 4))
+  }
+
+  /** The Mersenne prime 2^61 - 1: the modulus of the portable MinHash
+    * hash family — large enough that min-collisions are negligible,
+    * small enough that `a*x + b` stays inside DuckDB's HUGEINT. */
+  private[graft] val P61: Long = (1L << 61) - 1
+
+  /** `(a*x + b) mod (2^61-1)` for `a, x, b` in `[0, 2^61)`, exactly as
+    * HUGEINT arithmetic computes it: the 122-bit product folds via
+    * 2^64 ≡ 8 and 2^61 ≡ 1 (mod p). Pure integer math — bit-identical
+    * on both engines by construction. */
+  private[graft] def affineMod61(a: Long, x: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, x) // product < 2^122 ⇒ hi is its top 58 bits
+    val lo = a * x                   // wrapped low 64 bits (unsigned view)
+    var t = 8L * hi + (lo & P61) + (lo >>> 61)
+    while (t >= P61) t -= P61
+    var r = t + b                    // t < p, b < p ⇒ r < 2p < 2^63, no overflow
+    if (r >= P61) r -= P61
+    r
+  }
+
+  /** The 64 published (a, b) pairs of the portable MinHash family —
+    * a fixed splitmix64 stream reduced into the mod-(2^61-1) field.
+    * [[minHashAbSqlValues]] renders the same table into the oracle SQL,
+    * so both engines hash with literally the same constants. */
+  private[graft] val MinHashAB: Array[(Long, Long)] =
+    Array.tabulate(64) { s =>
+      ((mix64(1000L + s) >>> 3) % (P61 - 1) + 1, // a in [1, p-1]
+        (mix64(2000L + s) >>> 3) % P61)          // b in [0, p-1]
+    }
+
+  /** The (s, a, b) table as a SQL VALUES body for the DuckDB oracle. */
+  private[graft] def minHashAbSqlValues: String =
+    MinHashAB.zipWithIndex
+      .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
+                        numHashes: Int = 64, shingleN: Int = 3,
+                        portable: Boolean = false): DataFrame = {
+    require(!portable || numHashes <= MinHashAB.length,
+      s"portable family publishes ${MinHashAB.length} (a,b) pairs; numHashes=$numHashes")
     val src = spread(df, idCol)
     // One Scala UDF computes shingles + all minima in a single pass per
     // row. Composed built-in higher-order functions are interpreted and
@@ -150,12 +217,23 @@ object Dedup {
         while (i + shingleN <= toks.length) {
           val g = toks.slice(i, i + shingleN).mkString(" ")
           if (seen.add(g)) {
-            val base = fnv1a64(g)
-            var s = 0
-            while (s < numHashes) {
-              val h = mix64(base + s.toLong * 0x9e3779b97f4a7c15L)
-              if (h < sig(s)) sig(s) = h
-              s += 1
+            if (portable) {
+              val x = md5Hash60(g)
+              var s = 0
+              while (s < numHashes) {
+                val ab = MinHashAB(s)
+                val h = affineMod61(ab._1, x, ab._2)
+                if (h < sig(s)) sig(s) = h
+                s += 1
+              }
+            } else {
+              val base = fnv1a64(g)
+              var s = 0
+              while (s < numHashes) {
+                val h = mix64(base + s.toLong * 0x9e3779b97f4a7c15L)
+                if (h < sig(s)) sig(s) = h
+                s += 1
+              }
             }
           }
           i += 1
@@ -182,7 +260,8 @@ object Dedup {
     * explosion, and AQE keeps the count join co-partitioned with the
     * self-join's own (band, bucket) exchange. */
   def lshCandidatePairs(signatures: DataFrame, bands: Int,
-                        knownSigLen: Int = -1): DataFrame = {
+                        knownSigLen: Int = -1,
+                        portable: Boolean = false): DataFrame = {
     // pass knownSigLen when the caller fixed the signature length (the
     // pipeline always has: numHashes) — the probe is an extra job over
     // the signature subtree for callers whose frame isn't cached yet
@@ -196,11 +275,19 @@ object Dedup {
     require(sigLen % bands == 0,
       s"bands=$bands must divide the signature length $sigLen exactly")
     val rowsPerBand = sigLen / bands
+    // fast path: xxhash64 folds each band slice to a long key (smallest
+    // shuffle). Portable path: the slice rendered as a decimal CSV
+    // string — both engines print longs identically, so the bucket key
+    // (and therefore the candidate set) is SQL-reproducible; the wider
+    // key is the price of the oracle, which is why it's not the default.
+    def bandKey(b: Column, slc: Column): Column =
+      if (portable) concat_ws(",", slc)
+      else xxhash64(concat_ws(",", slc), b)
     val banded = signatures.select(
       col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+        b => bandKey(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("id", "band", "bucket")
     val multi = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bn"))
@@ -249,10 +336,11 @@ object Dedup {
     * banded join and an accidental all-pairs explosion at 100 TB. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, shingleN: Int = 3, bands: Int = 16,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7,
+                      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes exactly")
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN, portable)
     // Collapse key: md5 digest of the signature (128-bit — collisions
     // negligible, same contract as the set-level digests elsewhere).
     // rep assignment via a window MIN over the digest — one hash
@@ -278,7 +366,8 @@ object Dedup {
       .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
         lit(1.0).as("est_jaccard"))
     // cross-group pairs: LSH over representatives only, then expand
-    val repPairs = lshCandidatePairs(reps, bands, knownSigLen = numHashes)
+    val repPairs = lshCandidatePairs(reps, bands, knownSigLen = numHashes,
+        portable = portable)
       .join(reps.toDF("id_a", "sig_a"), "id_a")
       .join(reps.toDF("id_b", "sig_b"), "id_b")
       .withColumn("est_jaccard", round(minHashJaccard(col("sig_a"), col("sig_b")), 4))
@@ -823,18 +912,48 @@ object Dedup {
       }
     }
 
-  /** Hamming-distance ≤ `maxDist` SimHash pairs. Blocking: split the 64-bit
-    * fingerprint into 4 16-bit chunks — any pair within distance 3 agrees
+  /** Portable SimHash sibling of [[simHash64]]: a 60-BIT fingerprint
+    * whose per-token hash is [[md5Hash60]] — every step (md5-prefix
+    * hash, bit votes, 4×15-bit pigeonhole chunks, `bit_count(xor)`)
+    * has an exact ANSI/DuckDB twin, so the pair query joins the
+    * correctness gate. 60 bits instead of 64 keeps every intermediate
+    * strictly positive and below 2^61 (no engine-specific overflow or
+    * sign-bit semantics anywhere in the SQL). */
+  val simHash60: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) =>
+      if (toks == null || toks.isEmpty) 0L
+      else {
+        val votes = new Array[Int](60)
+        toks.foreach { t =>
+          val h = md5Hash60(t)
+          var b = 0
+          while (b < 60) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+        }
+        var out = 0L
+        var b = 0
+        while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+        out
+      }
+    }
+
+  /** Hamming-distance ≤ `maxDist` SimHash pairs. Blocking: split the
+    * fingerprint into 4 equal chunks — any pair within distance 3 agrees
     * on ≥1 chunk (pigeonhole), so the chunk equi-join is lossless for
-    * `maxDist <= 3`. Verification: `bit_count(a ^ b)`. */
+    * `maxDist <= 3`. Verification: `bit_count(a ^ b)`. Fast path: the
+    * 64-bit FNV-family [[simHash64]] (16-bit chunks); `portable = true`
+    * switches to the SQL-reproducible 60-bit md5 family ([[simHash60]],
+    * 15-bit chunks) — same blocking guarantee, oracle-checkable. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, portable: Boolean = false): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole blocking is only exact for maxDist <= 3")
+    val (hashUdf, chunkBits) =
+      if (portable) (simHash60, 15) else (simHash64, 16)
     val hashed = spread(df, idCol).select(col(idCol).as("id"),
-      simHash64(TextAnalysis.tokens(col(textCol))).as("h"))
+      hashUdf(TextAnalysis.tokens(col(textCol))).as("h"))
     val chunked = hashed.select(col("id"), col("h"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("h"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftright(col("h"), i * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1))): _*)))
       .toDF("id", "h", "chunk_idx", "chunk_val")
     val a = chunked.alias("a")
     val b = chunked.alias("b")
@@ -859,12 +978,30 @@ object Dedup {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Portable integer hyperplanes: component `(p, d)` is the 28-bit
+    * md5-prefix of `"p_d"` shifted to be symmetric around zero —
+    * `('0x' || substr(md5(p || '_' || d), 1, 7))::BIGINT - 2^27` in SQL.
+    * Uniform (not Gaussian) components: for SIGN-LSH only the induced
+    * hyperplane direction matters, and any coordinate-symmetric
+    * distribution gives an unbiased locality-sensitive family. */
+  private def portablePlanes(dim: Int, nPlanes: Int): Array[Array[Long]] =
+    Array.tabulate(nPlanes)(p =>
+      Array.tabulate(dim)(d => md5Hash28(s"${p}_${d}") - (1L << 27)))
+
   /** Near-duplicate embedding pairs: sign-LSH bands bucket the vectors
     * (recall < 1 — documented trade; raise `bands` for recall, `bitsPerBand`
-    * for precision), exact cosine verifies. */
+    * for precision), exact cosine verifies.
+    *
+    * `portable = true` swaps the seeded-Gaussian hyperplanes for
+    * [[portablePlanes]] and computes each plane dot product in EXACT
+    * integer arithmetic over the 1e-6-pinned vector grid (|v6| ≤ ~2^21,
+    * |w| < 2^27, dim ≤ 2^13 ⇒ the sum is < 2^61 — overflow-free in both
+    * engines), so the bucket assignment — and therefore the whole
+    * output — is reproducible in ANSI SQL. The float fast path stays
+    * the default (`seed` is ignored when portable). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, bands: Int = 8, bitsPerBand: Int = 4,
-                            seed: Long = 42L): DataFrame = {
+                            seed: Long = 42L, portable: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val dimRow = df.select(size(col(vecCol))).limit(1).collect()
     if (dimRow.isEmpty) {
@@ -872,15 +1009,34 @@ object Dedup {
         lit(0.0).as("cos")).limit(0)
     }
     val dim = dimRow.head.getInt(0)
-    val planes = spark.sparkContext.broadcast(hyperplanes(dim, bands * bitsPerBand, seed))
-    val sigUdf = udf { (v: Seq[Float]) =>
-      val ps = planes.value
-      val bits = ps.map { p =>
-        var dot = 0.0; var i = 0
-        while (i < v.length) { dot += p(i) * v(i); i += 1 }
-        if (dot >= 0) 1 else 0
+    val sigUdf = if (portable) {
+      val planes = spark.sparkContext.broadcast(portablePlanes(dim, bands * bitsPerBand))
+      udf { (v: Seq[Float]) =>
+        val ps = planes.value
+        val bits = ps.map { p =>
+          var dot = 0L; var i = 0
+          val n = math.min(p.length, v.length)
+          // half-away-from-zero 1e-6 grid — `CAST(round(x*1e6) AS BIGINT)`
+          while (i < n) {
+            val x = v(i).toDouble * 1e6
+            val v6 = if (x >= 0) math.round(x) else -math.round(-x)
+            dot += p(i) * v6; i += 1
+          }
+          if (dot >= 0) 1 else 0
+        }
+        bits.grouped(bitsPerBand).map(_.foldLeft(0)((acc, b) => (acc << 1) | b)).toArray
       }
-      bits.grouped(bitsPerBand).map(_.foldLeft(0)((acc, b) => (acc << 1) | b)).toArray
+    } else {
+      val planes = spark.sparkContext.broadcast(hyperplanes(dim, bands * bitsPerBand, seed))
+      udf { (v: Seq[Float]) =>
+        val ps = planes.value
+        val bits = ps.map { p =>
+          var dot = 0.0; var i = 0
+          while (i < v.length) { dot += p(i) * v(i); i += 1 }
+          if (dot >= 0) 1 else 0
+        }
+        bits.grouped(bitsPerBand).map(_.foldLeft(0)((acc, b) => (acc << 1) | b)).toArray
+      }
     }
     // candidate pairs shuffle ids only (vectors re-attached after distinct)
     val banded = spread(df, idCol).select(col(idCol).as("id"), posexplode(sigUdf(col(vecCol))))

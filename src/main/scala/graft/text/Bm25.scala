@@ -42,18 +42,68 @@ object Bm25 {
     * qtextCol)` rows — must be small enough to broadcast (benchmark /
     * probe sets; their distinct terms ride the codegen references as the
     * scan's probe set). Output: `(qid, doc_id, rank, score)`, score
-    * rounded to 4 dp. */
+    * rounded to 4 dp.
+    *
+    * STANDALONE shape (single retriever — fused queries that share the
+    * corpus pass use [[topKFromPostings]]): two uncached corpus scans
+    * instead of a persisted per-doc frame. Pass 1 is ONE aggregate that
+    * yields df per query term AND the corpus constants together — each
+    * doc emits its matched tokens plus a null-token marker row, so the
+    * null group carries (N, Σdl) while every token group carries its df.
+    * idf then bakes into a MAP LITERAL (bounded by the query vocabulary)
+    * and pass 2 scores straight off the scan: no persist build (measured
+    * ~1 s of cache-construction wall at sf0.1), no constants job, no
+    * df-aggregate broadcast stage. The cheap narrow scan is re-run once
+    * instead — the classic Spark recompute-vs-cache trade, won here by
+    * the scan's narrowness (the VocabTf projection is the only work). */
   def topK(corpus: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, qidCol: String, qtextCol: String,
            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     // distinct query terms (duplicate terms in a query text score once —
     // the standard bag-of-query-TERMS formulation), collected ONCE: the
     // probe vocabulary embeds in the scan expression and the local qterms
     // frame broadcasts without re-running the query frame's lineage
     val probe = Postings.collectProbe(queries, qidCol, qtextCol)
-    topKFromPostings(
-      Postings.perDocTf(corpus, idCol, textCol, probe.vocab),
-      probe, k, k1, b)
+    def perDoc = Postings.perDocTfUncached(corpus, idCol, textCol, probe.vocab)
+    // pass 1: df per matched token + corpus constants from ONE aggregate
+    // (null marker group = one row per doc with dl > 0). |vocab|+1 rows.
+    val stats = perDoc.filter(col("dl") > 0)
+      .select(col("dl"), explode(concat(map_keys(col("__tfm")),
+        array(lit(null).cast("string")))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("dl")).as("sdl"))
+      .collect()
+    val docsRow = stats.find(_.isNullAt(0))
+    val nDocs = docsRow.map(_.getLong(1)).getOrElse(0L)
+    // Σdl (exact long) / N — the same double Spark's avg(long) produces
+    // (its double accumulation of exact integers below 2^53 is exact)
+    val avgdl = docsRow.filter(_ => nDocs > 0)
+      .map(r => r.getLong(2).toDouble / nDocs).getOrElse(1.0)
+    // same lowering as the SQL-side expression this replaces:
+    // ln(1 + (cast(N - df as double) + 0.5) / (cast(df as double) + 0.5))
+    val idfMap: Map[String, Double] = stats.iterator
+      .filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> math.log(1.0 +
+        ((nDocs - r.getLong(1)).toDouble + 0.5) / (r.getLong(1).toDouble + 0.5)))
+      .toMap
+    if (idfMap.isEmpty) {
+      // no query term matches any document (or the corpus is empty)
+      return probe.qterms.select(col("qid"), col("qid").as("doc_id"),
+        lit(0L).as("rank"), lit(0.0).as("score")).limit(0)
+    }
+    // pass 2: score off the scan — map-literal idf lookup (codegen'd),
+    // broadcast qterms expansion, pico-long sum, top-k window
+    val scored = Postings.matched(perDoc)
+      .join(broadcast(probe.qterms), "tok")
+      .withColumn("idf", element_at(typedlit(idfMap), col("tok")))
+      .withColumn("term_score_pico",
+        ((col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+          * lit(1e12)).cast("long"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("term_score_pico")).as("score_p"))
+    rankTopK(scored, k)
   }
 
   /** [[topK]] over a prebuilt [[Postings]] per-doc frame — the
@@ -91,6 +141,12 @@ object Bm25 {
           * lit(1e12)).cast("long"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("term_score_pico")).as("score_p"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared top-k readout over the `(qid, id, score_p)` frame: rank by
+    * unrounded pico score desc (ties by id), report at 4 dp. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_p").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

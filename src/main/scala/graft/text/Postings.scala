@@ -55,14 +55,23 @@ object Postings {
     * it. Caller owns the unpersist (bench/verify clear caches per
     * query). */
   def perDocTf(corpus: DataFrame, idCol: String, textCol: String,
-               vocab: Array[String]): DataFrame = {
+               vocab: Array[String]): DataFrame =
+    perDocTfUncached(corpus, idCol, textCol, vocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[perDocTf]] without the persist — for SINGLE-retriever paths that
+    * read the frame a bounded number of times: re-running the narrow
+    * scan+VocabTf projection is cheaper than building a deserialized
+    * map-column cache (measured ~1 s of cache-construction wall at
+    * sf0.1 against ~0.15 s per extra scan). */
+  def perDocTfUncached(corpus: DataFrame, idCol: String, textCol: String,
+                       vocab: Array[String]): DataFrame = {
     graft.functions.VocabTf.register(corpus.sparkSession)
     graft.operators.Spread.widen(corpus, col(idCol))
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("id"), size(col("__toks")).cast("long").as("dl"),
         call_function(graft.functions.VocabTf.Name,
           col("__toks"), lit(vocab)).as("__tfm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Matched postings `(id, dl, tok, tf)` from the per-doc frame —

@@ -141,6 +141,97 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("portable hash contracts: md5-prefix parse and affine-mod-(2^61-1) match references") {
+    // md5Hash60/28 must equal parsing the first 15/7 hex chars of the
+    // md5 digest — the exact ('0x' || substr(md5(x), 1, k))::BIGINT
+    // contract the DuckDB oracles compute
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (s <- Seq("", "a", "hello world", "τoken-ünicode", "0_63", "x" * 500)) {
+      assert(Dedup.md5Hash60(s) == java.lang.Long.parseLong(md5hex(s).take(15), 16))
+      assert(Dedup.md5Hash28(s) == java.lang.Long.parseLong(md5hex(s).take(7), 16))
+    }
+    // affineMod61's multiplyHigh fold must equal exact BigInt arithmetic
+    // (what HUGEINT computes) across the full operand range
+    val p = BigInt(Dedup.P61)
+    val rnd = new scala.util.Random(61)
+    def r61(): Long = rnd.nextLong() >>> 3
+    for (_ <- 0 until 2000) {
+      val a = r61(); val x = r61(); val b = r61() % Dedup.P61
+      val want = ((BigInt(a) * BigInt(x) + BigInt(b)) mod p).toLong
+      assert(Dedup.affineMod61(a, x, b) == want, s"a=$a x=$x b=$b")
+    }
+    // boundary operands
+    for ((a, x, b) <- Seq((Dedup.P61 - 1, Dedup.P61 - 1, Dedup.P61 - 1),
+        (0L, 0L, 0L), (1L, Dedup.P61, 0L), (Dedup.P61, Dedup.P61, Dedup.P61 - 1))) {
+      val want = ((BigInt(a) * BigInt(x) + BigInt(b)) mod p).toLong
+      assert(Dedup.affineMod61(a, x, b) == want, s"boundary a=$a x=$x b=$b")
+    }
+  }
+
+  test("portable simHashPairs equals brute-force Hamming-<=3 over simHash60") {
+    import spark.implicits._
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3, portable = true)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = docs.select($"doc_id",
+      Dedup.simHash60(TextAnalysis.tokens($"text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hashes.forall { case (_, h) => h >= 0L && h < (1L << 60) })
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+  }
+
+  test("portable minhash estimator tracks exact jaccard; identical docs estimate 1.0") {
+    import spark.implicits._
+    val exact = Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.0)
+      .select($"id_a", $"id_b", $"jaccard".as("exact_j"))
+      .limit(2000)
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text",
+      numHashes = 64, shingleN = 1, portable = true)
+    val est = exact
+      .join(sigs.toDF("id_a", "sig_a"), "id_a")
+      .join(sigs.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("est_j", Dedup.minHashJaccard($"sig_a", $"sig_b"))
+    val mae = est.agg(avg(abs($"est_j" - $"exact_j"))).head().getDouble(0)
+    assert(mae < 0.15, s"portable minhash estimator MAE too high: $mae")
+    // two token-identical docs must pair with estimate exactly 1.0
+    val twins = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "something else entirely here")).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(twins, "doc_id", "text",
+      numHashes = 64, shingleN = 1, bands = 8, threshold = 0.9, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("portable embedding near-dup: no false positives, recall holds") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    val thr = 0.2
+    val got = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", thr,
+        portable = true)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= thr
+    } yield (ia, ib)).toSet
+    assert(got.subsetOf(brute), s"false positives: ${(got -- brute).take(5)}")
+    if (brute.nonEmpty) {
+      val recall = got.size.toDouble / brute.size
+      assert(recall > 0.3, s"portable LSH recall too low: $recall")
+    }
+  }
+
   test("embedding near-dup LSH finds a usable fraction of true pairs, no false positives") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSession.sf)
