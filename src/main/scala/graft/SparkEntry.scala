@@ -10995,6 +10995,32 @@ object SparkEntry {
          octet_length(encode(text)) AS n_bytes,
          md5(text) AS payload_md5
          FROM documents ORDER BY media_id""",
+    // media features roll up BYTE statistics of the ingested payloads —
+    // the corpus is ASCII, so byte i of the UTF-8 payload is
+    // ord(char i) (the q145 contract); entropy mirrors the Scala loop
+    // term by term: -Σ (c/n)·ln(c/n)/ln(2)
+    "q37_media_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+                  text, length(text) AS n
+           FROM documents),
+         byt AS (
+           SELECT doc_id, kind, n,
+                  ord(substr(text, CAST(i AS INTEGER) + 1, 1)) AS b
+           FROM m, unnest(range(n)) r(i)),
+         hist AS (
+           SELECT doc_id, kind, n, b, count(*) AS c
+           FROM byt GROUP BY doc_id, kind, n, b),
+         feat AS (
+           SELECT doc_id, kind,
+                  sum(b * c) * 1.0 / greatest(n, 1) AS mean_byte,
+                  -sum((c * 1.0 / n) * ln(c * 1.0 / n) / ln(2)) AS entropy
+           FROM hist GROUP BY doc_id, kind, n)
+         SELECT kind, count(*) AS n,
+                round(avg(mean_byte), 4) AS avg_mean_byte,
+                round(avg(entropy), 4) AS avg_entropy
+         FROM feat GROUP BY kind ORDER BY kind""",
     // frame sampling: every output is an integer function of the
     // payload's UTF-8 byte length (frames of 16 bytes, keep every 4th;
     // the last frame is partial, counted only when its index ≡ 0 mod 4)
