@@ -130,11 +130,13 @@ object SparkEntry {
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(graft.text.TextAnalysis.tokens(col("text")),
             1, 8)).as("qtext"))
-      // ONE probe collect + ONE corpus tokenize pass feed both retrievers
-      // (the postings-in overloads) — the fused query's whole point is
-      // rank diversity, not re-tokenizing the corpus per run
+      // ONE probe collect feeds both retrievers (the postings-in
+      // overloads). The per-doc frame is UNCACHED: its three reads
+      // (BM25 stats, BM25 scoring, overlap scoring) are narrow
+      // scan+VocabTf passes, cheaper than building a corpus-sized
+      // deserialized map cache — and the only option at 100 TB
       val probe = graft.text.Postings.collectProbe(queries, "qid", "qtext")
-      val perDoc = graft.text.Postings.perDocTf(docs, "doc_id", "text", probe.vocab)
+      val perDoc = graft.text.Postings.perDocTfUncached(docs, "doc_id", "text", probe.vocab)
       val bm = graft.text.Bm25.topKFromPostings(perDoc, probe, 10)
         .select(col("qid"), col("doc_id"), col("rank"))
       val ov = graft.text.RetrievalFusion.overlapTopKFromPostings(perDoc, probe, 10)

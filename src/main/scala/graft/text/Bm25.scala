@@ -59,15 +59,32 @@ object Bm25 {
   def topK(corpus: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, qidCol: String, qtextCol: String,
            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
     // distinct query terms (duplicate terms in a query text score once —
     // the standard bag-of-query-TERMS formulation), collected ONCE: the
     // probe vocabulary embeds in the scan expression and the local qterms
     // frame broadcasts without re-running the query frame's lineage
     val probe = Postings.collectProbe(queries, qidCol, qtextCol)
-    def perDoc = Postings.perDocTfUncached(corpus, idCol, textCol, probe.vocab)
-    // pass 1: df per matched token + corpus constants from ONE aggregate
-    // (null marker group = one row per doc with dl > 0). |vocab|+1 rows.
+    topKFromPostings(
+      Postings.perDocTfUncached(corpus, idCol, textCol, probe.vocab),
+      probe, k, k1, b)
+  }
+
+  /** [[topK]] over a prebuilt [[Postings]] per-doc frame — the
+    * postings-in overload for fused queries (RRF over BM25 + overlap,
+    * BM25 + QL comparisons) that must pay the corpus tokenize pass
+    * once, not once per retriever.
+    *
+    * Reads `perDoc` exactly TWICE: one stats aggregate that yields df
+    * per query term AND the corpus constants together (each doc emits
+    * its matched tokens plus a null-token marker row, so the null group
+    * carries (N, Σdl) while every token group carries its df), then one
+    * scoring pass with idf baked as a codegen'd MAP LITERAL (bounded by
+    * the query vocabulary). No per-frame persist, no separate constants
+    * job, no df-aggregate broadcast stage — at corpus scale the narrow
+    * re-scan beats caching a corpus-sized frame. */
+  def topKFromPostings(perDoc: DataFrame, probe: Postings.Probe,
+                       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val stats = perDoc.filter(col("dl") > 0)
       .select(col("dl"), explode(concat(map_keys(col("__tfm")),
         array(lit(null).cast("string")))).as("tok"))
@@ -92,49 +109,9 @@ object Bm25 {
       return probe.qterms.select(col("qid"), col("qid").as("doc_id"),
         lit(0L).as("rank"), lit(0.0).as("score")).limit(0)
     }
-    // pass 2: score off the scan — map-literal idf lookup (codegen'd),
-    // broadcast qterms expansion, pico-long sum, top-k window
     val scored = Postings.matched(perDoc)
       .join(broadcast(probe.qterms), "tok")
       .withColumn("idf", element_at(typedlit(idfMap), col("tok")))
-      .withColumn("term_score_pico",
-        ((col("idf") * col("tf") * lit(k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
-          * lit(1e12)).cast("long"))
-      .groupBy(col("qid"), col("id"))
-      .agg(sum(col("term_score_pico")).as("score_p"))
-    rankTopK(scored, k)
-  }
-
-  /** [[topK]] over a prebuilt [[Postings]] per-doc frame — the
-    * postings-in overload for fused queries (RRF over BM25 + overlap,
-    * BM25 + QL comparisons) that must pay the corpus tokenize pass
-    * once, not once per retriever. */
-  def topKFromPostings(perDoc: DataFrame, probe: Postings.Probe,
-                       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    // corpus constants as a driver scalar over the persisted frame (a
-    // one-row aggregate is microseconds of driver time, where
-    // crossJoin(broadcast(consts)) serializes an extra AQE broadcast
-    // wave into every downstream stage — the PageRank dangling-mass
-    // lesson). This action also materializes the persist.
-    val constRow = perDoc.filter(col("dl") > 0)
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      .head()
-    val nDocs = constRow.getLong(0)
-    val avgdl = if (constRow.isNullAt(1)) 1.0 else constRow.getDouble(1)
-    val matched = Postings.matched(perDoc)
-    // df by aggregating the matched postings to |vocab| rows (each
-    // document containing a term contributes exactly one row per term,
-    // so the per-term row count IS the df), broadcast back — a |vocab|-row
-    // build beats re-shuffling every posting through a window partitioned
-    // on ≤|vocab| keys
-    val idfDf = matched.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .select(col("tok"), log(lit(1.0) +
-        (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
-    val scored = matched
-      .join(broadcast(idfDf), "tok")
-      .join(broadcast(probe.qterms), "tok")
       .withColumn("term_score_pico",
         ((col("idf") * col("tf") * lit(k1 + 1) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))

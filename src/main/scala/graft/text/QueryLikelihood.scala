@@ -39,22 +39,45 @@ object QueryLikelihood {
            k: Int, mu: Double = 2000.0): DataFrame = {
     val probe = Postings.collectProbe(queries, qidCol, qtextCol)
     topKFromPostings(
-      Postings.perDocTf(corpus, idCol, textCol, probe.vocab),
+      Postings.perDocTfUncached(corpus, idCol, textCol, probe.vocab),
       probe, k, mu)
   }
 
   /** [[topK]] over a prebuilt [[Postings]] per-doc frame — one corpus
-    * tokenize pass shared with the other retrievers of a fused query. */
+    * tokenize pass shared with the other retrievers of a fused query.
+    *
+    * Reads `perDoc` exactly TWICE (the [[Bm25.topKFromPostings]]
+    * shape): one stats aggregate yields the collection frequency of
+    * every matched term AND the corpus token total together (each doc's
+    * tf entries plus a null-token marker carrying `dl`), collected to
+    * ≤|vocab|+1 rows; `cf` then re-enters the plan as a LOCAL frame, so
+    * the per-query constant and the sparse-gain join cost no corpus
+    * lineage — and the pinned-log expressions still evaluate in Spark,
+    * bit-identical to the oracle. */
   def topKFromPostings(perDoc: DataFrame, probe: Postings.Probe,
                        k: Int, mu: Double = 2000.0): DataFrame = {
     require(k > 0 && mu > 0, s"need k > 0, mu > 0: $k, $mu")
+    val spark = perDoc.sparkSession
+    import spark.implicits._
     val qterms = probe.qterms
-    val totalTokens = perDoc.agg(sum(col("dl"))).head().getLong(0)
+    // ONE pass: cf per matched token + the corpus token total (null
+    // marker group; NO dl>0 filter — the total spans all docs, exactly
+    // like the agg(sum(dl)) scalar this replaces)
+    val statsDf = perDoc
+      .select(explode(concat(map_entries(col("__tfm")),
+        array(struct(lit(null).cast("string").as("key"),
+          col("dl").as("value"))))).as("e"))
+      .select(col("e.key").as("tok"), col("e.value").as("tf"))
+      .groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
+    val statsRows = statsDf.collect()
+    val totalTokens = statsRows.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)
     require(totalTokens > 0, "empty corpus")
+    // cf as a LOCAL frame: the qconst subtree and the sparse join read
+    // it broadcast with zero corpus lineage
+    val cfDf = spark.createDataFrame(
+      java.util.Arrays.asList(statsRows.filter(!_.isNullAt(0)): _*),
+      statsDf.schema)
     val matched = Postings.matched(perDoc)
-    // collection frequency of each query term (cf = Σ tf over docs) —
-    // |vocab| rows, broadcast back; cf = 0 terms never reach the join
-    val cfDf = matched.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
     // per-query constant A_q and term count, from the broadcast-joined
     // (qid, tok, cf) frame: per-term ln pinned at 12 dp, exactly summed
     val qconst = qterms.join(broadcast(cfDf), "tok")

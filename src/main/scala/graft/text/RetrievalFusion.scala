@@ -31,8 +31,10 @@ object RetrievalFusion {
                   queries: DataFrame, qidCol: String, qtextCol: String,
                   k: Int): DataFrame = {
     val probe = Postings.collectProbe(queries, qidCol, qtextCol)
+    // single retriever, single read — the uncached scan beats building
+    // a corpus-sized cache for one consumer
     overlapTopKFromPostings(
-      Postings.perDocTf(docs, idCol, textCol, probe.vocab), probe, k)
+      Postings.perDocTfUncached(docs, idCol, textCol, probe.vocab), probe, k)
   }
 
   /** [[overlapTopK]] over a prebuilt [[Postings]] per-doc frame: a
