@@ -1012,6 +1012,14 @@ object SparkEntry {
       graft.operators.Mixture.capPerGroup(Tables.documents(s, dir),
           "source", "doc_id", 15)
         .orderBy(col("source"), col("doc_id"))),
+    // ---- DSIR importance resampling (Xie et al. 2023): top docs by
+    //      hashed-n-gram log importance toward the English slice —
+    //      the data-selection rung between source reweighting (q67/
+    //      q401) and per-doc quality scores (q21)
+    "q413_dsir" -> ((s, dir) =>
+      graft.text.Dsir.topKByImportance(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en",
+        buckets = 1024, alpha = 0.5, k = 100)),
     // ---- bucketed hubness (the 100 TB shape of q279): N_k counts from
     //      within-bucket neighborhoods only — the embedding-health skew
     //      alarm without the brute N² frame
@@ -7811,6 +7819,39 @@ object SparkEntry {
                FROM h)
          SELECT source, doc_id FROM r WHERE rn <= 15
          ORDER BY source, doc_id""",
+    // DSIR: hashed unigram+bigram buckets (portable md5-32 mod 1024),
+    // Laplace-smoothed target/raw log ratio pinned at 12 dp, exact
+    // integer per-doc sums, deterministic top-100
+    "q413_dsir" ->
+      """WITH t AS (
+           SELECT doc_id, lang = 'en' AS is_t,
+                  string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         uni AS (SELECT doc_id, is_t, unnest(l) AS g FROM t),
+         bi AS (SELECT doc_id, is_t, l[i] || ' ' || l[i+1] AS g
+                FROM t, unnest(range(1, len(l))) r(i)),
+         f AS (SELECT doc_id, is_t,
+                      ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b
+               FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         bt AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                       count(*) AS cr
+                FROM f GROUP BY b),
+         tot AS (SELECT sum(ct) AS ctt, sum(cr) AS crt FROM bt),
+         lam AS (SELECT b,
+                   CAST(round(ln(((ct + 0.5) / (ctt + 512.0)) /
+                              ((cr + 0.5) / (crt + 512.0))) * 1e12) AS BIGINT) AS lam12
+                 FROM bt, tot),
+         dw AS (SELECT f.doc_id,
+                       max(CASE WHEN f.is_t THEN 1 ELSE 0 END) AS in_target,
+                       sum(lam.lam12) AS logw12
+                FROM f JOIN lam ON lam.b = f.b
+                GROUP BY f.doc_id),
+         rk AS (SELECT doc_id, CAST(in_target AS BIGINT) AS in_target,
+                       round(logw12 / 1e12, 4) AS logw,
+                       row_number() OVER (ORDER BY logw12 DESC, doc_id) AS rank
+                FROM dw)
+         SELECT doc_id, in_target, logw, rank FROM rk
+         WHERE rank <= 100 ORDER BY rank""",
     // truncation waste: exact integer token sums per source at L=64
     "q409_truncation_waste" ->
       """WITH d AS (SELECT source,
