@@ -58,7 +58,6 @@ object QueryLikelihood {
                        k: Int, mu: Double = 2000.0): DataFrame = {
     require(k > 0 && mu > 0, s"need k > 0, mu > 0: $k, $mu")
     val spark = perDoc.sparkSession
-    import spark.implicits._
     val qterms = probe.qterms
     // ONE pass: cf per matched token + the corpus token total (null
     // marker group; NO dl>0 filter — the total spans all docs, exactly
