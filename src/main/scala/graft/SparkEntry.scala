@@ -130,17 +130,12 @@ object SparkEntry {
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(graft.text.TextAnalysis.tokens(col("text")),
             1, 8)).as("qtext"))
-      // ONE probe collect feeds both retrievers (the postings-in
-      // overloads). The per-doc frame is UNCACHED: its three reads
-      // (BM25 stats, BM25 scoring, overlap scoring) are narrow
-      // scan+VocabTf passes, cheaper than building a corpus-sized
-      // deserialized map cache — and the only option at 100 TB
-      val probe = graft.text.Postings.collectProbe(queries, "qid", "qtext")
-      val perDoc = graft.text.Postings.perDocTfUncached(docs, "doc_id", "text", probe.vocab)
-      val bm = graft.text.Bm25.topKFromPostings(perDoc, probe, 10)
-        .select(col("qid"), col("doc_id"), col("rank"))
-      val ov = graft.text.RetrievalFusion.overlapTopKFromPostings(perDoc, probe, 10)
-      graft.text.RetrievalFusion.rrf(Seq(bm, ov), 60, 10)
+      // FUSED form: BM25 pico sum + overlap count from ONE corpus
+      // scoring pass (identical output to the compositional
+      // rrf(Seq(bm, ov)) by construction — same candidates, orderings,
+      // pinned contributions)
+      graft.text.RetrievalFusion.rrfBm25Overlap(docs, "doc_id", "text",
+          queries, "qid", "qtext", 10, 60)
         .orderBy(col("qid"), col("rank"))
     }),
     // ---- Dirichlet query-likelihood retrieval (mu=2000): the LM

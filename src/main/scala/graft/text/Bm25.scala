@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,11 +22,10 @@ import org.apache.spark.sql.functions._
   * projection: the posting explode downstream is bounded by |vocab| per
   * document, not by document length, and the only corpus-row-count
   * shuffle in the whole query is the tf-map scan's output feeding the
-  * window/aggregate pair. The corpus constants (N, avgdl) are a
-  * driver-scalar aggregate over the PERSISTED per-doc frame — no second
-  * tokenization pass. Document frequency derives from the matched
-  * postings (every document containing a query term appears there
-  * exactly once per term); the query-term table is tiny and BROADCAST.
+  * window/aggregate pair. Document frequency AND the corpus constants
+  * (N, avgdl) come from ONE stats aggregate over that frame (a
+  * null-token marker row per doc carries the totals), collected to
+  * ≤|vocab|+1 rows; the query-term table is tiny and BROADCAST.
   *
   * Engine-portable determinism: every per-term score is a pure double
   * expression (identical on any IEEE engine); the per-document SUM is
@@ -85,41 +84,58 @@ object Bm25 {
   def topKFromPostings(perDoc: DataFrame, probe: Postings.Probe,
                        k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val stats = perDoc.filter(col("dl") > 0)
-      .select(col("dl"), explode(concat(map_keys(col("__tfm")),
-        array(lit(null).cast("string")))).as("tok"))
-      .groupBy(col("tok"))
-      .agg(count(lit(1)).as("df"), sum(col("dl")).as("sdl"))
-      .collect()
-    val docsRow = stats.find(_.isNullAt(0))
-    val nDocs = docsRow.map(_.getLong(1)).getOrElse(0L)
-    // Σdl (exact long) / N — the same double Spark's avg(long) produces
-    // (its double accumulation of exact integers below 2^53 is exact)
-    val avgdl = docsRow.filter(_ => nDocs > 0)
-      .map(r => r.getLong(2).toDouble / nDocs).getOrElse(1.0)
-    // same lowering as the SQL-side expression this replaces:
-    // ln(1 + (cast(N - df as double) + 0.5) / (cast(df as double) + 0.5))
-    val idfMap: Map[String, Double] = stats.iterator
-      .filter(!_.isNullAt(0))
-      .map(r => r.getString(0) -> math.log(1.0 +
-        ((nDocs - r.getLong(1)).toDouble + 0.5) / (r.getLong(1).toDouble + 0.5)))
-      .toMap
-    if (idfMap.isEmpty) {
+    val st = stats(perDoc)
+    if (st.idfMap.isEmpty) {
       // no query term matches any document (or the corpus is empty)
       return probe.qterms.select(col("qid"), col("qid").as("doc_id"),
         lit(0L).as("rank"), lit(0.0).as("score")).limit(0)
     }
     val scored = Postings.matched(perDoc)
       .join(broadcast(probe.qterms), "tok")
-      .withColumn("idf", element_at(typedlit(idfMap), col("tok")))
-      .withColumn("term_score_pico",
-        ((col("idf") * col("tf") * lit(k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
-          * lit(1e12)).cast("long"))
+      .withColumn("term_score_pico", termScorePico(st, k1, b))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("term_score_pico")).as("score_p"))
     rankTopK(scored, k)
   }
+
+  /** Corpus statistics of one stats pass: document count, average
+    * document length, and the per-query-term idf table. */
+  private[text] final case class Stats(nDocs: Long, avgdl: Double,
+                                       idfMap: Map[String, Double])
+
+  /** ONE aggregate over the per-doc frame: df per matched token plus
+    * the corpus constants (null-marker group), collected to ≤|vocab|+1
+    * rows; idf computed with the same double lowering as the SQL-side
+    * expression it replaced. */
+  private[text] def stats(perDoc: DataFrame): Stats = {
+    val rows = perDoc.filter(col("dl") > 0)
+      .select(col("dl"), explode(concat(map_keys(col("__tfm")),
+        array(lit(null).cast("string")))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("dl")).as("sdl"))
+      .collect()
+    val docsRow = rows.find(_.isNullAt(0))
+    val nDocs = docsRow.map(_.getLong(1)).getOrElse(0L)
+    // Σdl (exact long) / N — the same double Spark's avg(long) produces
+    // (its double accumulation of exact integers below 2^53 is exact)
+    val avgdl = docsRow.filter(_ => nDocs > 0)
+      .map(r => r.getLong(2).toDouble / nDocs).getOrElse(1.0)
+    // ln(1 + (cast(N - df as double) + 0.5) / (cast(df as double) + 0.5))
+    val idfMap: Map[String, Double] = rows.iterator
+      .filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> math.log(1.0 +
+        ((nDocs - r.getLong(1)).toDouble + 0.5) / (r.getLong(1).toDouble + 0.5)))
+      .toMap
+    Stats(nDocs, avgdl, idfMap)
+  }
+
+  /** The per-posting BM25 term score as a 1e-12-scaled long — idf via a
+    * codegen'd map-literal lookup; expression shape identical to the
+    * broadcast-join form it replaced (oracle bit-parity). */
+  private[text] def termScorePico(st: Stats, k1: Double, b: Double): Column =
+    ((element_at(typedlit(st.idfMap), col("tok")) * col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(st.avgdl))))
+      * lit(1e12)).cast("long")
 
   /** Shared top-k readout over the `(qid, id, score_p)` frame: rank by
     * unrounded pico score desc (ties by id), report at 4 dp. */

@@ -75,4 +75,53 @@ object RetrievalFusion {
         round(col("s12").cast("double") / 1e12, 6).as("rrf_score"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** FUSED BM25 + overlap RRF in ONE corpus scoring pass: both
+    * retrievers aggregate the same matched-postings frame on the same
+    * `(qid, id)` key — the BM25 pico sum and the overlap count ride ONE
+    * aggregate, the two rank orderings are windows over that (tiny,
+    * checkpointed) candidate frame, and [[rrf]]'s algebra fuses them.
+    * Output identical by construction to
+    * `rrf(Seq(Bm25.topKFromPostings(..), overlapTopKFromPostings(..)), k0, k)`
+    * (the compositional form, still available) — same candidates, same
+    * orderings, same pinned contributions — for one fewer corpus pass
+    * and one fewer corpus-row aggregate.
+    *
+    * Scale shape: two uncached corpus passes total (BM25 stats +
+    * scoring); the per-candidate frame is ≤ |queries|·|matched docs|
+    * rows (pair-list-sized — the q303 checkpoint precedent), and every
+    * window below it partitions by qid. */
+  def rrfBm25Overlap(corpus: DataFrame, idCol: String, textCol: String,
+                     queries: DataFrame, qidCol: String, qtextCol: String,
+                     k: Int, k0: Int = 60,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0 && k0 >= 1, s"need k > 0, k0 >= 1: $k, $k0")
+    val probe = Postings.collectProbe(queries, qidCol, qtextCol)
+    def perDoc = Postings.perDocTfUncached(corpus, idCol, textCol, probe.vocab)
+    val st = Bm25.stats(perDoc)
+    if (st.idfMap.isEmpty) {
+      return probe.qterms.select(col("qid"), col("qid").as("doc_id"),
+        lit(0L).as("n_runs"), lit(0.0).as("rrf_score"), lit(0L).as("rank"))
+        .limit(0)
+    }
+    // ONE scoring pass: BM25 pico sum + overlap count per candidate.
+    // CHECKPOINTED: both rank windows read it; unchekpointed each
+    // branch re-runs the corpus scan. The frame is candidate-bounded.
+    val scored = Postings.matched(perDoc)
+      .join(broadcast(probe.qterms), "tok")
+      .withColumn("term_score_pico", Bm25.termScorePico(st, k1, b))
+      .groupBy(col("qid"), col("id").as("doc_id"))
+      .agg(sum(col("term_score_pico")).as("score_p"),
+        count(lit(1)).as("ov"))
+      .localCheckpoint(true)
+    val wBm = Window.partitionBy(col("qid"))
+      .orderBy(col("score_p").desc, col("doc_id"))
+    val wOv = Window.partitionBy(col("qid"))
+      .orderBy(col("ov").desc, col("doc_id"))
+    val bmRun = scored.withColumn("rank", row_number().over(wBm))
+      .filter(col("rank") <= k).select(col("qid"), col("doc_id"), col("rank"))
+    val ovRun = scored.withColumn("rank", row_number().over(wOv))
+      .filter(col("rank") <= k).select(col("qid"), col("doc_id"), col("rank"))
+    rrf(Seq(bmRun, ovRun), k0, k)
+  }
 }
