@@ -163,4 +163,25 @@ class RetrievalDiffSpec extends AnyFunSuite {
     assert(got(0).getLong(1) == 1L)
     assert(got.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
   }
+
+  test("fused rrfBm25Overlap equals the compositional rrf(Seq(bm25, overlap)) exactly") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+    val queries = docs.filter(pmod($"doc_id", lit(97)) === 0)
+      .select($"doc_id".as("qid"),
+        concat_ws(" ", slice(graft.text.TextAnalysis.tokens($"text"), 1, 8)).as("qtext"))
+    val fused = graft.text.RetrievalFusion.rrfBm25Overlap(
+        docs, "doc_id", "text", queries, "qid", "qtext", 10, 60)
+      .orderBy($"qid", $"rank").collect().toSeq
+    val probe = graft.text.Postings.collectProbe(queries, "qid", "qtext")
+    val perDoc = graft.text.Postings.perDocTfUncached(docs, "doc_id", "text", probe.vocab)
+    val bm = Bm25.topKFromPostings(perDoc, probe, 10)
+      .select($"qid", $"doc_id", $"rank")
+    val ov = graft.text.RetrievalFusion.overlapTopKFromPostings(perDoc, probe, 10)
+    val composed = graft.text.RetrievalFusion.rrf(Seq(bm, ov), 60, 10)
+      .orderBy($"qid", $"rank").collect().toSeq
+    assert(fused == composed,
+      s"fused != composed: ${fused.take(3)} vs ${composed.take(3)}")
+    assert(fused.nonEmpty)
+  }
 }
