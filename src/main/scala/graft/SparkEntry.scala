@@ -1855,12 +1855,14 @@ object SparkEntry {
     }),
     // ---- product quantization (Jégou 2011): m=8 × k=16 codebooks over
     //      the 64-dim embeddings, per-subspace reconstruction MSE —
-    //      ONE distributed pass per Lloyd iteration for all subspaces
-    //      (rows-only: float centroid means are partition-order floats)
+    //      PINNED integer Lloyd recurrence (1e-6 grid, exact d², one
+    //      single-stage treeAggregate job per iteration), so the whole
+    //      train+readout is DuckDB-oracled as unrolled SQL; the float
+    //      trainer stays the library fast path, spec-gated
     "q181_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val cb = graft.sim.ProductQuantize.train(e, "vec_id", "embedding", 8, 16)
-      graft.sim.ProductQuantize.mseReport(e, "vec_id", "embedding", cb)
+      val cb = graft.sim.ProductQuantize.trainPinned(e, "vec_id", "embedding", 8, 16)
+      graft.sim.ProductQuantize.msePinnedReport(e, "vec_id", "embedding", cb)
     }),
     // ---- strongly-connected components of the directed user-interaction
     //      graph (q97's edges): Kosaraju local finisher / FW-BW+trim
@@ -2026,11 +2028,13 @@ object SparkEntry {
     "q165_matryoshka" -> ((s, dir) =>
       graft.sim.Matryoshka.truncationReport(
         Tables.embeddings(s, dir), "vec_id", "embedding", Seq(4, 8, 16))),
-    // ---- count-min point estimates for the event-type probe set
-    //      (engine-private hashing — no oracle; spec pins the one-sided
-    //      ε·N guarantee against exact counts)
+    // ---- count-min point estimates for the event-type probe set — the
+    //      PORTABLE md5 row-hash family (q24/q25/q26 discipline), so the
+    //      full hash→bucket-count→min-over-rows pipeline is DuckDB-
+    //      oracled; the native count_min_sketch fast path stays the
+    //      library default, spec-gated on the one-sided ε·N guarantee
     "q166_cms_estimates" -> ((s, dir) =>
-      graft.operators.Sketches.cmsEstimates(
+      graft.operators.Sketches.cmsEstimatesPortable(
         Tables.events(s, dir), "event_type",
         Seq("view", "click", "purchase", "signup", "error"))),
     // ---- L4 sibling: gradient-boosted-tree importance over the windowed
@@ -3320,9 +3324,14 @@ object SparkEntry {
         LangId.trigramLangId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
     // ---- similarity: IVF approximate top-k (scale path, no SQL oracle)
+    // ---- IVF ANN over the PINNED coarse quantizer (q98's integer Lloyd
+    //      recurrence + exact-integer probe ranking), so the full
+    //      train→assign→probe→rank pipeline is DuckDB-oracled as
+    //      unrolled SQL; the float ivfTopK stays the library fast path,
+    //      recall-spec-gated
     "q28_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(
+      Similarity.ivfTopKPinned(
           emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
         .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"), col("rn"))
@@ -4362,6 +4371,145 @@ object SparkEntry {
          FROM asg${iters + 1} GROUP BY 1 ORDER BY cluster"""
   }
 
+  /** Unrolled twin of [[graft.sim.Similarity.ivfTopKPinned]]: the q98
+    * pinned-Lloyd recurrence over the data side (`vec_id >= 5`), then
+    * list assignment by the same sim argmax, probe selection by exact
+    * integer dot9 rank, candidate join, and the q23 cosine top-k. */
+  private def ivfOracleSql(k: Int, iters: Int, nProbe: Int,
+                           topK: Int): String = {
+    val simExpr = """CASE WHEN nv.nv12 > 0
+             THEN CAST(d.dot9 AS DOUBLE) / sqrt(CAST(nv.nv12 AS DOUBLE)) / 1e3
+             ELSE 0.0 END"""
+    def asgCte(i: Int, cent: String): String =
+      s"""dt$i AS (SELECT x.id, c.c,
+             CAST(sum(CAST(round(CAST(c.c9 * x.x6 AS DOUBLE) / 1e6) AS BIGINT)) AS BIGINT) AS dot9
+           FROM x6 x JOIN $cent c ON c.t = x.t GROUP BY 1, 2),
+         asg$i AS MATERIALIZED (
+           SELECT id, CAST(-((m).nc) AS INTEGER) AS cluster, (m).s AS sim FROM (
+             SELECT d.id, max(struct_pack(s := $simExpr, nc := -d.c)) AS m
+             FROM dt$i d JOIN nv12 nv ON nv.id = d.id
+             GROUP BY 1) z)"""
+    val rounds = (1 to iters).map { i =>
+      s"""${asgCte(i, s"cent${i - 1}")},
+         up$i AS (SELECT a.cluster AS c, x.t,
+             CAST(round(CAST(sum(CAST(x.x6 AS HUGEINT)) AS DOUBLE) / count(*)) AS BIGINT) AS m6
+           FROM asg$i a JOIN x6 x ON x.id = a.id GROUP BY 1, 2),
+         n2$i AS (SELECT c, CAST(sum(m6 * m6) AS BIGINT) AS n2 FROM up$i GROUP BY 1),
+         cent$i AS MATERIALIZED (
+           SELECT p.c, p.t, coalesce(u.c9, p.c9) AS c9 FROM cent${i - 1} p
+           LEFT JOIN (SELECT up.c, up.t,
+               CASE WHEN n2.n2 > 0
+                 THEN CAST(round(CAST(up.m6 AS DOUBLE) / sqrt(CAST(n2.n2 AS DOUBLE)) * 1e9) AS BIGINT)
+                 ELSE up.m6 * 1000 END AS c9
+             FROM up$i up JOIN n2$i n2 USING (c)) u
+           ON u.c = p.c AND u.t = p.t)"""
+    }.mkString(",\n         ")
+    s"""WITH dd AS MATERIALIZED (
+           SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id >= 5),
+         qq AS MATERIALIZED (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+         x6 AS MATERIALIZED (
+           SELECT id, u.t, CAST(round(u.x * 1e6) AS BIGINT) AS x6
+           FROM (SELECT id, unnest(list_transform(range(1, len(v) + 1),
+                   i -> struct_pack(t := i - 1, x := v[i]))) AS u
+                 FROM dd)),
+         nv12 AS MATERIALIZED (
+           SELECT id, CAST(sum(x6 * x6) AS BIGINT) AS nv12 FROM x6 GROUP BY 1),
+         fk AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS c
+                FROM (SELECT DISTINCT id FROM x6 ORDER BY id LIMIT $k)),
+         ig AS (SELECT f.c, x.t, x.x6 FROM fk f JOIN x6 x ON x.id = f.id),
+         in2 AS (SELECT c, CAST(sum(x6 * x6) AS BIGINT) AS n2 FROM ig GROUP BY 1),
+         cent0 AS MATERIALIZED (
+           SELECT ig.c, ig.t,
+             CASE WHEN in2.n2 > 0
+               THEN CAST(round(CAST(ig.x6 AS DOUBLE) / sqrt(CAST(in2.n2 AS DOUBLE)) * 1e9) AS BIGINT)
+               ELSE ig.x6 * 1000 END AS c9
+           FROM ig JOIN in2 USING (c)),
+         $rounds,
+         ${asgCte(iters + 1, s"cent$iters")},
+         qx6 AS (
+           SELECT qid, u.t, CAST(round(u.x * 1e6) AS BIGINT) AS x6
+           FROM (SELECT qid, unnest(list_transform(range(1, len(qv) + 1),
+                   i -> struct_pack(t := i - 1, x := qv[i]))) AS u
+                 FROM qq)),
+         qdt AS (SELECT x.qid, c.c,
+             CAST(sum(CAST(round(CAST(c.c9 * x.x6 AS DOUBLE) / 1e6) AS BIGINT)) AS BIGINT) AS dot9
+           FROM qx6 x JOIN cent$iters c ON c.t = x.t GROUP BY 1, 2),
+         probe AS (
+           SELECT qid, c FROM (
+             SELECT qid, c,
+                    row_number() OVER (PARTITION BY qid ORDER BY dot9 DESC, c) AS pr
+             FROM qdt) z
+           WHERE pr <= $nProbe),
+         cand AS (
+           SELECT p.qid, a.id FROM probe p
+           JOIN asg${iters + 1} a ON a.cluster = p.c),
+         scored AS (
+           SELECT c.qid, c.id, list_cosine_similarity(q.qv, d.v) AS sim
+           FROM cand c JOIN qq q ON q.qid = c.qid JOIN dd d ON d.id = c.id),
+         ranked AS (
+           SELECT qid, id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+           FROM scored)
+         SELECT qid, id, round(sim, 4) AS sim, rn
+         FROM ranked WHERE rn <= $topK ORDER BY qid, rn"""
+  }
+
+  /** Unrolled twin of [[graft.sim.ProductQuantize.trainPinned]] +
+    * [[graft.sim.ProductQuantize.msePinnedReport]]: per-subspace pinned
+    * Lloyd on the 1e-6 grid (init = first `k` vectors by id sliced per
+    * subspace, assignment = exact-integer squared-distance argmin with
+    * lowest-code ties, update = `round(sum/count)` back onto the grid),
+    * readout = exact integer error sums divided once at the end. */
+  private def pqOracleSql(m: Int, k: Int, iters: Int): String = {
+    def dtCte(i: Int, cent: String): String =
+      s"""dt$i AS (
+           SELECT x.id, x.sub, c.c,
+                  sum(CAST((x.x6 - c.c6) * (x.x6 - c.c6) AS HUGEINT)) AS d2
+           FROM xs x JOIN $cent c ON c.sub = x.sub AND c.p = x.p
+           GROUP BY 1, 2, 3)"""
+    val rounds = (1 to iters).map { i =>
+      s"""${dtCte(i, s"cent${i - 1}")},
+         asg$i AS MATERIALIZED (
+           SELECT id, sub, (mm).c AS c FROM (
+             SELECT id, sub, min(struct_pack(d2 := d2, c := c)) AS mm
+             FROM dt$i GROUP BY 1, 2) z),
+         cent$i AS MATERIALIZED (
+           SELECT p0.sub, p0.c, p0.p, coalesce(u.c6, p0.c6) AS c6
+           FROM cent${i - 1} p0 LEFT JOIN (
+             SELECT a.sub, a.c, x.p,
+                    CAST(round(CAST(sum(CAST(x.x6 AS HUGEINT)) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS c6
+             FROM asg$i a JOIN xs x ON x.id = a.id AND x.sub = a.sub
+             GROUP BY 1, 2, 3) u
+           ON u.sub = p0.sub AND u.c = p0.c AND u.p = p0.p)"""
+    }.mkString(",\n         ")
+    s"""WITH x6 AS (
+           SELECT vec_id AS id, u.t, CAST(round(u.x * 1e6) AS BIGINT) AS x6
+           FROM (SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+                   i -> struct_pack(t := i - 1, x := v[i]))) AS u
+                 FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))),
+         sd AS (SELECT (max(t) + 1) // $m AS subdim FROM x6),
+         xs AS MATERIALIZED (
+           SELECT id, t // (SELECT subdim FROM sd) AS sub,
+                  t % (SELECT subdim FROM sd) AS p, x6
+           FROM x6),
+         fk AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS c
+                FROM (SELECT DISTINCT id FROM xs ORDER BY id LIMIT $k)),
+         cent0 AS MATERIALIZED (
+           SELECT x.sub, f.c, x.p, x.x6 AS c6
+           FROM fk f JOIN xs x ON x.id = f.id),
+         $rounds,
+         ${dtCte(iters + 1, s"cent$iters")},
+         fin AS (SELECT id, sub, min(d2) AS d2 FROM dt${iters + 1} GROUP BY 1, 2)
+         SELECT CAST(sub AS INTEGER) AS sub,
+                round(CAST(sum(d2) AS DOUBLE) / count(*) / 1e12
+                  / (SELECT subdim FROM sd), 6) AS mse
+         FROM fin GROUP BY sub ORDER BY sub"""
+  }
+
   /** Unrolled GLOBAL-GREEDY binary segmentation twin of
     * [[graft.analyze.Changepoint.binarySegmentation]]: `maxBreaks`
     * rounds, each splitting the per-key segment with the largest
@@ -4666,6 +4814,8 @@ object SparkEntry {
     "q76_bpe_merges" -> bpeMergesOracleSql(30),
     "q84_bpe_fertility" -> bpeFertilityOracleSql(30, 12),
     "q98_kmeans" -> kmeansOracleSql(8, 5),
+    "q181_pq" -> pqOracleSql(8, 16, 5),
+    "q28_ann_ivf" -> ivfOracleSql(16, 5, 4, 5),
     // SCC by mutual reachability over the recursive transitive closure
     // (graph.Scc labels = component minimum id): x and y share an SCC
     // iff both directed reaches hold; top-20 sizes mirror the entry
@@ -10965,6 +11115,31 @@ object SparkEntry {
            JOIN e eb ON eb.vec_id = c.id_b)
          SELECT id_a, id_b, round(cos0, 4) AS cos FROM cs
          WHERE cos0 >= 0.2 ORDER BY id_a, id_b""",
+    // portable count-min: bucket_j(k) = first 8 md5 hex chars of "j:k"
+    // mod width; estimate = min over the 5 rows of the bucket counts
+    "q166_cms_estimates" ->
+      """WITH ks AS (
+           SELECT event_type::VARCHAR AS k FROM events
+           WHERE event_type IS NOT NULL),
+         j AS (SELECT unnest(range(5)) AS j),
+         cnts AS (
+           SELECT j.j,
+                  ('0x' || substr(md5(j.j::VARCHAR || ':' || ks.k), 1, 8))::BIGINT
+                    % 2048 AS bucket,
+                  count(*) AS cnt
+           FROM ks CROSS JOIN j GROUP BY 1, 2),
+         probes AS (
+           SELECT unnest(['view','click','purchase','signup','error']) AS key),
+         pb AS (
+           SELECT p.key, j.j,
+                  ('0x' || substr(md5(j.j::VARCHAR || ':' || p.key), 1, 8))::BIGINT
+                    % 2048 AS bucket
+           FROM probes p CROSS JOIN j)
+         SELECT pb.key,
+                min(coalesce(c.cnt, 0)) AS estimate,
+                (SELECT count(*) FROM ks) AS total
+         FROM pb LEFT JOIN cnts c ON c.j = pb.j AND c.bucket = pb.bucket
+         GROUP BY pb.key ORDER BY pb.key""",
     "q29_window_features" ->
       """SELECT window_id,
          count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,

@@ -52,4 +52,43 @@ object Sketches {
       .toDF("key", "estimate", "total")
       .orderBy(col("key"))
   }
+
+  /** PORTABLE count-min estimates: the same sketch semantics as
+    * [[cmsEstimates]] but with the md5-derived row-hash family the
+    * portable MinHash/SimHash variants use (`bucket_j(k) = first 8 md5
+    * hex chars of "j:k", mod width`), so the whole pipeline — hashing,
+    * bucket counting, min-over-rows readout — is reproducible as ANSI
+    * SQL on any engine (the q24/q25/q26 oracle discipline; the Spark
+    * `count_min_sketch` fast path above stays the library default).
+    *
+    * Scale shape: each input row contributes `depth` `(j, bucket)` pairs
+    * whose partial counts combine map-side, so the shuffle carries at
+    * most `depth × width` counters per partition — kilobytes at any
+    * corpus size, never the keys (the CMS point). The probe readout
+    * joins the ≤`depth × width`-row counter frame broadcast. */
+  def cmsEstimatesPortable(df: DataFrame, keyCol: String,
+                           probes: Seq[String],
+                           depth: Int = 5, width: Int = 2048): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1 width>=2; got $depth/$width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def bucket(j: Column, k: Column): Column =
+      pmod(conv(substring(md5(concat_ws(":", j, k)), 1, 8), 16, 10)
+        .cast("long"), lit(width.toLong))
+    val keyed = df.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val counts = keyed
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .groupBy(col("j"), bucket(col("j"), col("k")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = keyed.count()
+    val probeBuckets = probes.toDF("key")
+      .select(col("key"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("key"), col("j"), bucket(col("j"), col("key")).as("bucket"))
+    probeBuckets.join(broadcast(counts), Seq("j", "bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
+      .select(col("key"), col("estimate"), lit(total).as("total"))
+      .orderBy(col("key"))
+  }
 }

@@ -87,6 +87,43 @@ object Similarity {
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int = 5): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k>=1, iters>=1; got k=$k iters=$iters")
+    pinnedLloyd(df, idCol, vecCol, k, iters) match {
+      case None =>
+        df.select(col(idCol).as("id"), lit(-1).as("cluster"),
+          lit(0.0).as("sim")).limit(0)
+      case Some(fit) =>
+        // materialize the final assignment BEFORE dropping the input cache
+        val best = fit.bestCol
+        val out = fit.xv
+          .select(col("id"), best.getField("cluster").as("cluster"),
+            round(best.getField("sim"), 4).as("sim"))
+          .localCheckpoint(true)
+        fit.xv.unpersist(blocking = false)
+        out
+    }
+  }
+
+  /** The trained state of one [[pinnedLloyd]] run: the persisted pinned
+    * point frame `xv(id, v6, nv12)` (caller unpersists), the effective
+    * cluster count `m`, the seed dimensionality `dim`, and the final
+    * `m×dim` centroid grid on the 1e-9 normalized grid. */
+  private[sim] final case class PinnedLloydFit(xv: DataFrame, m: Int,
+                                               dim: Int,
+                                               grid: Array[Array[Long]]) {
+    /** `struct(cluster, sim)` of the best centroid for `(v6, nv12)` —
+      * the codegen'd [[graft.functions.PinnedKmeansBest]] argmax over
+      * the centroid-table literal. */
+    def bestCol: Column =
+      call_function(graft.functions.PinnedKmeansBest.Name,
+        col("v6"), col("nv12"), typedlit(grid.map(_.toSeq).toSeq))
+  }
+
+  /** Shared PINNED Lloyd machinery behind [[kmeansAssign]] and
+    * [[ivfTopKPinned]] — runs the exact-integer spherical-k-means
+    * recurrence and returns the final centroid grid (None on empty
+    * input). See [[kmeansAssign]] for the grid conventions. */
+  private[sim] def pinnedLloyd(df: DataFrame, idCol: String, vecCol: String,
+                               k: Int, iters: Int): Option[PinnedLloydFit] = {
     val spark = df.sparkSession
     def raL(x: Double): Long = if (x >= 0) math.round(x) else -math.round(-x)
     graft.functions.PinnedKmeansBest.register(spark)
@@ -115,8 +152,7 @@ object Similarity {
     val initRows = xv.orderBy(col("id")).limit(k).collect()
     if (initRows.isEmpty) {
       xv.unpersist()
-      return df.select(col(idCol).as("id"), lit(-1).as("cluster"),
-        lit(0.0).as("sim")).limit(0)
+      return None
     }
     val init = initRows.zipWithIndex.flatMap { case (r, c) =>
       r.getSeq[Long](r.fieldIndex("v6")).zipWithIndex.map { case (g6, t) => (c, t, g6) }
@@ -138,7 +174,7 @@ object Similarity {
     // ragged corpus would silently truncate to the first seed's length
     // in both assignment and the mean fold — fail loudly instead
     require(dims.length == 1,
-      s"kmeansAssign requires a fixed-dimension vector column; " +
+      s"pinned k-means requires a fixed-dimension vector column; " +
       s"seed vectors have lengths ${dims.sorted.mkString(",")}")
     val dim = dims.head
     // best (cluster, sim) for each point against the current centroid
@@ -197,14 +233,9 @@ object Similarity {
       }
       it += 1
     }
-    // materialize the final assignment BEFORE dropping the input cache
-    val best = bestCol(cents)
-    val out = xv
-      .select(col("id"), best.getField("cluster").as("cluster"),
-        round(best.getField("sim"), 4).as("sim"))
-      .localCheckpoint(true)
-    xv.unpersist(blocking = false)
-    out
+    val grid = Array.fill(m, dim)(0L)
+    cents.foreach { case (ci, t, c9) => if (t < dim) grid(ci)(t) = c9 }
+    Some(PinnedLloydFit(xv, m, dim, grid))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): assign every
@@ -399,5 +430,67 @@ object Similarity {
       .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** PINNED IVF ANN — [[ivfTopK]]'s semantics with every
+    * engine-sensitive step pinned so the whole pipeline (coarse
+    * quantizer training, list assignment, probe selection, final
+    * ranking) is an exact recurrence reproducible as unrolled SQL:
+    * centroids come from [[pinnedLloyd]] (the q98 integer Lloyd
+    * recurrence), list assignment is the [[graft.functions.PinnedKmeansBest]]
+    * argmax, probe selection ranks centroids by the EXACT integer
+    * `dot9` (same `round(c9·x6/1e6)` fold — for a fixed query the
+    * cosine denominator is constant, so dot9 order IS cosine order),
+    * and the final top-k orders by the same unrounded double cosine the
+    * q23 brute oracle matches.
+    *
+    * Scale shape: identical to [[ivfTopK]] — the corpus is touched by
+    * one map-side assignment pass plus the cluster-keyed candidate
+    * join; centroids are a k×dim literal; probes broadcast. */
+  def ivfTopKPinned(data: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qidCol: String, qvecCol: String,
+                    k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                    iters: Int = 5): DataFrame = {
+    pinnedLloyd(data, idCol, vecCol, nCentroids, iters) match {
+      case None =>
+        queries.select(col(qidCol).as("qid")).limit(0)
+          .crossJoin(data.select(col(idCol).as("id")).limit(0))
+          .withColumn("sim", lit(0.0)).withColumn("rn", lit(0))
+      case Some(fit) =>
+        fit.xv.unpersist(blocking = false)
+        val gridLit = typedlit(fit.grid.map(_.toSeq).toSeq)
+        def v6Of(c: Column): Column =
+          transform(c.cast("array<double>"), x => round(x * lit(1e6)).cast("long"))
+        // list assignment: one map-side pass over the data (the pinned
+        // frame only carries v6 — recomputing the grid coordinates here
+        // keeps the original vectors in the row for the final cosine
+        // without a corpus self-join)
+        val assigned = data
+          .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+          .select(col(idCol).as("id"), col(vecCol).as("dv"), v6Of(col(vecCol)).as("v6"))
+          .withColumn("nv12", aggregate(col("v6"), lit(0L), (acc, x) => acc + x * x))
+          .select(col("id"), col("dv"),
+            call_function(graft.functions.PinnedKmeansBest.Name,
+              col("v6"), col("nv12"), gridLit).getField("cluster").as("list"))
+        // probe selection: exact integer dot9 against every centroid,
+        // top nProbe per query (ties to the lowest centroid index)
+        val probed0 = queries
+          .filter(col(qvecCol).isNotNull && size(col(qvecCol)) > 0)
+          .select(col(qidCol).as("qid"), col(qvecCol).as("qv"), v6Of(col(qvecCol)).as("q6"))
+          .select(col("qid"), col("qv"),
+            posexplode(transform(gridLit, cv =>
+              aggregate(zip_with(col("q6"), cv,
+                  (a, b) => round((a * b).cast("double") / lit(1e6)).cast("long")),
+                lit(0L), (acc, x) => acc + x))).as(Seq("list", "dot9")))
+        val pw = Window.partitionBy(col("qid"))
+          .orderBy(col("dot9").desc, col("list"))
+        val probed = probed0.withColumn("pr", row_number().over(pw))
+          .filter(col("pr") <= nProbe)
+          .select(col("qid"), col("qv"), col("list"))
+        val scored = assigned.join(broadcast(probed), "list")
+          .select(col("qid"), col("id"), cosine(col("qv"), col("dv")).as("sim"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    }
   }
 }

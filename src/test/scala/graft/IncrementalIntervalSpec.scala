@@ -104,4 +104,32 @@ class IncrementalIntervalSpec extends AnyFunSuite {
       assert(est <= exact(k) + math.ceil(0.01 * 3000).toLong, s"$k overcount")
     }
   }
+
+  test("portable count-min matches exact counts when buckets are sparse " +
+       "and only ever overcounts when they collide") {
+    import spark.implicits._
+    val df = (0 until 3000).map(i => s"k${i % 11}").toDF("k")
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = exact.keys.toSeq.sorted :+ "absent_key"
+    // wide sketch: 11 keys over depth 5 x width 2048 — collision odds per
+    // row ~11/2048, and the min over 5 independent rows makes a wrong
+    // estimate for ANY probe a ~1e-11 event; assert exact equality
+    val got = Sketches.cmsEstimatesPortable(df, "k", probes)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == probes.length)
+    got.foreach { case (k, est, total) =>
+      assert(total == 3000L)
+      assert(est == exact.getOrElse(k, 0L), s"$k estimate $est")
+    }
+    // narrow sketch (width 2): every key collides — the CMS one-sided
+    // guarantee still holds (estimate >= exact, <= total)
+    val tight = Sketches.cmsEstimatesPortable(df, "k", probes.init,
+        depth = 3, width = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    tight.foreach { case (k, est) =>
+      assert(est >= exact(k), s"$k undercount at width 2")
+      assert(est <= 3000L, s"$k above total")
+    }
+  }
 }

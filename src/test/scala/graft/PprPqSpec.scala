@@ -64,6 +64,64 @@ class PprPqSpec extends AnyFunSuite {
     assert(totalMse(8) == m8) // deterministic rerun
   }
 
+  test("pinned PQ equals a local integer-Lloyd reference and improves with k") {
+    import spark.implicits._
+    val raw = (0L until 120L).map { i =>
+      (i, Array.tabulate(8)(j => ((i * 13 + j * 5) % 19 - 9).toDouble / 7.0))
+    }
+    val vecs = raw.toDF("id", "v")
+    val m = 2; val k = 3; val iters = 4
+    val got = ProductQuantize.trainPinned(vecs, "id", "v", m, k, iters)
+    // local reference: the same pinned recurrence, plain Scala
+    def raL(x: Double): Long = if (x >= 0) math.round(x) else -math.round(-x)
+    val subDim = 8 / m
+    val x6 = raw.map { case (_, v) => v.map(x => raL(x * 1e6)) }
+    var cents = Array.tabulate(m, k)((s, c) =>
+      x6(c).slice(s * subDim, (s + 1) * subDim))
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(m, k, subDim)(0L)
+      val cnts = Array.fill(m, k)(0L)
+      x6.foreach { v =>
+        for (s <- 0 until m) {
+          val best = (0 until k).minBy { c =>
+            (0 until subDim).map { i =>
+              val d = v(s * subDim + i) - cents(s)(c)(i); d * d
+            }.sum
+          }
+          for (i <- 0 until subDim) sums(s)(best)(i) += v(s * subDim + i)
+          cnts(s)(best) += 1L
+        }
+      }
+      cents = Array.tabulate(m, k)((s, c) =>
+        if (cnts(s)(c) > 0)
+          Array.tabulate(subDim)(i => raL(sums(s)(c)(i).toDouble / cnts(s)(c)))
+        else cents(s)(c))
+    }
+    assert(got.map(_.map(_.toList).toList).toList ==
+      cents.map(_.map(_.toList).toList).toList)
+    // readout matches a local recompute and shrinks as k grows
+    def mseOf(kk: Int): Map[Int, Double] = {
+      val cb = ProductQuantize.trainPinned(vecs, "id", "v", m, kk, iters)
+      ProductQuantize.msePinnedReport(vecs, "id", "v", cb)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+    val mse3 = mseOf(3)
+    val localMse = (0 until m).map { s =>
+      val errs = x6.map { v =>
+        (0 until k).map { c =>
+          (0 until subDim).map { i =>
+            val d = v(s * subDim + i) - cents(s)(c)(i); d * d
+          }.sum
+        }.min
+      }
+      s -> BigDecimal(errs.sum.toDouble / errs.length / 1e12 / subDim)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    localMse.foreach { case (s, e) => assert(mse3(s) == e, s"sub $s") }
+    val mse8 = mseOf(8)
+    assert(mse8.values.sum < mse3.values.sum)
+  }
+
   test("PQ encode emits one code per subspace within codebook range") {
     import spark.implicits._
     val vecs = (0L until 50L).map { i =>

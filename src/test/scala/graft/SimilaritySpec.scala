@@ -51,6 +51,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pinned IVF: exhaustive probe equals brute force; rerun identical") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    val data = emb.filter($"vec_id" >= 5)
+    val qs = emb.filter($"vec_id" < 5)
+    val brute = topSets(Similarity.bruteTopK(data, "vec_id", "embedding", qs, "vec_id", "embedding", 5))
+    val full = topSets(Similarity.ivfTopKPinned(data, "vec_id", "embedding",
+      qs, "vec_id", "embedding", 5, nCentroids = 8, nProbe = 8))
+    assert(full == brute, "probing every list must reduce to the exact search")
+    def run() = Similarity.ivfTopKPinned(data, "vec_id", "embedding",
+        qs, "vec_id", "embedding", 5, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val a = run()
+    assert(run() == a, "pinned IVF must be rerun-identical")
+    assert(a.nonEmpty && a.forall(_._4 <= 5))
+  }
+
   test("ivfTopK with partial probes keeps usable recall (k-means quantizer)") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSession.sf)
