@@ -1015,6 +1015,14 @@ object SparkEntry {
       graft.text.Dsir.topKByImportance(Tables.documents(s, dir),
         "doc_id", "text", col("lang") === "en",
         buckets = 1024, alpha = 0.5, k = 100)),
+    // ---- PORTABLE HLL per event type (the md5 sibling of q195's
+    //      Datasketches rollup): exact-integer harmonic-mean fold, so
+    //      the whole register pipeline is DuckDB-oracled — the sketch
+    //      family's estimate itself under the q24/q166 hash discipline
+    "q414_hll_portable" -> ((s, dir) =>
+      graft.operators.Sketches.hllPortable(
+          Tables.events(s, dir), "event_type", "user_id")
+        .withColumnRenamed("key", "event_type")),
     // ---- bucketed hubness (the 100 TB shape of q279): N_k counts from
     //      within-bucket neighborhoods only — the embedding-health skew
     //      alarm without the brute N² frame
@@ -7964,6 +7972,38 @@ object SparkEntry {
                FROM h)
          SELECT source, doc_id FROM r WHERE rn <= 15
          ORDER BY source, doc_id""",
+    // portable HLL p=12: 60-bit md5 hash, low 12 bits = register index,
+    // rho = first-'1' rank of the high 48 bits, harmonic denominator as
+    // the EXACT integer sum(2^(49-v)) + empties*2^49, published
+    // alpha*m^2/Z with linear-counting small-range branch
+    "q414_hll_portable" -> {
+      val m = 4096; val maxRho = 49
+      val aNum = 0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, maxRho)
+      s"""WITH r0 AS (
+           SELECT event_type,
+                  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM events WHERE user_id IS NOT NULL),
+         regs AS (
+           SELECT event_type, h & ${m - 1} AS idx,
+                  max(CASE WHEN strpos(lpad(bin(h >> 12), 48, '0'), '1') = 0
+                           THEN $maxRho
+                           ELSE strpos(lpad(bin(h >> 12), 48, '0'), '1') END) AS v
+           FROM r0 GROUP BY 1, 2),
+         fold AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS nset,
+                  sum(1::BIGINT << CAST($maxRho - v AS INTEGER)) AS ip
+           FROM regs GROUP BY 1),
+         est AS (
+           SELECT event_type, nset,
+                  CAST($aNum AS DOUBLE)
+                    / CAST(ip + ($m - nset) * ${1L << maxRho} AS DOUBLE) AS raw
+           FROM fold)
+         SELECT event_type, nset AS registers_set,
+                round(CASE WHEN raw <= ${2.5 * m} AND nset < $m
+                      THEN ${m.toDouble} * ln(${m.toDouble} / CAST($m - nset AS DOUBLE))
+                      ELSE raw END, 1) AS approx_distinct
+         FROM est ORDER BY event_type"""
+    },
     // DSIR: hashed unigram+bigram buckets (portable md5-32 mod 1024),
     // Laplace-smoothed target/raw log ratio pinned at 12 dp, exact
     // integer per-doc sums, deterministic top-100

@@ -91,4 +91,53 @@ object Sketches {
       .select(col("key"), col("estimate"), lit(total).as("total"))
       .orderBy(col("key"))
   }
+
+  /** PORTABLE HyperLogLog per-key distinct estimate (Flajolet 2007) —
+    * the md5-hash sibling of [[approxDistinctPerKey]], fully
+    * reproducible as ANSI SQL: `h` = first 15 md5 hex chars (60 bits),
+    * register index = low `p` bits, rho = leading-zero rank of the
+    * remaining `60-p` bits (via the engine-portable `lpad(bin(w))`
+    * first-'1' position), estimate = the published `α·m²/Z` with
+    * linear-counting small-range correction. The harmonic-mean
+    * denominator `Z = Σ 2^-M_j` is folded as an EXACT integer
+    * (`Σ 2^(maxRho - M_j)` over set registers plus `2^maxRho` per empty
+    * one, ≤ 2^61 at p=12) so no float-sum order leaks in; the only
+    * float steps are two divisions and one `ln`, identical expressions
+    * on both engines. No large-range correction: at a 60-bit hash space
+    * its 2^60/30 threshold is unreachable.
+    *
+    * Scale shape: one `(key, idx)` aggregate (map-side combined, ≤ m
+    * rows per key cross the shuffle) then one per-key fold — the
+    * mergeable-sketch shuffle contract, never the value set. */
+  def hllPortable(df: DataFrame, keyCol: String, valueCol: String,
+                  p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16; got $p")
+    val m = 1 << p
+    val wBits = 60 - p
+    val maxRho = wBits + 1
+    val alphaM =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
+    val aNum = alphaM * m * m * math.pow(2.0, maxRho) // α·m²·SCALE, one double
+    val hv = conv(substring(md5(col("v0").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val pos = instr(lpad(bin(shiftright(col("h"), p)), wBits, "0"), "1")
+    val regs = df.select(col(keyCol).as("key"), col(valueCol).as("v0"))
+      .filter(col("v0").isNotNull)
+      .select(col("key"), hv.as("h"))
+      .select(col("key"), col("h").bitwiseAND(lit((m - 1).toLong)).as("idx"),
+        when(pos === 0, lit(maxRho)).otherwise(pos).cast("long").as("rho"))
+      .groupBy(col("key"), col("idx")).agg(max(col("rho")).as("v"))
+    val folded = regs.groupBy(col("key")).agg(
+      count(lit(1)).as("nset"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxRho - v AS INT))")).as("ip"))
+    val iCol = col("ip") + (lit(m.toLong) - col("nset")) * lit(1L << maxRho)
+    val raw = lit(aNum) / iCol.cast("double")
+    val zerosD = (lit(m.toLong) - col("nset")).cast("double")
+    val est = when(raw <= lit(2.5 * m) && col("nset") < m,
+      lit(m.toDouble) * log(lit(m.toDouble) / zerosD)).otherwise(raw)
+    folded.select(col("key"), col("nset").as("registers_set"),
+        round(est, 1).as("approx_distinct"))
+      .orderBy(col("key"))
+  }
 }

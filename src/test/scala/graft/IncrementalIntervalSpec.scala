@@ -132,4 +132,26 @@ class IncrementalIntervalSpec extends AnyFunSuite {
       assert(est <= 3000L, s"$k above total")
     }
   }
+
+  test("portable HLL tracks exact distincts within the published error " +
+       "and takes the linear-counting branch at small cardinality") {
+    import spark.implicits._
+    // two keys: one small (linear-counting regime), one big
+    val rows = (0 until 200).map(i => ("small", s"u${i % 37}")) ++
+      (0 until 60000).map(i => ("big", s"v${i % 20000}"))
+    val df = rows.toDF("k", "u")
+    val got = Sketches.hllPortable(df, "k", "u")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // m=4096: relative stderr 1.04/sqrt(m) = 1.6%; allow 5 sigma
+    assert(math.abs(got("big")._2 - 20000) / 20000.0 < 0.082,
+      s"big estimate ${got("big")._2}")
+    // 37 distinct over 4096 registers: the small-range branch is exact
+    // to well under one count at this occupancy
+    assert(math.abs(got("small")._2 - 37) < 1.0, s"small ${got("small")._2}")
+    assert(got("small")._1 <= 37L) // nset can't exceed the distinct count
+    // deterministic rerun
+    val again = Sketches.hllPortable(df, "k", "u")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(again("big") == got("big")._2 && again("small") == got("small")._2)
+  }
 }
