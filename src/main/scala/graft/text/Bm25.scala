@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 lexical retrieval (Robertson & Zaragoza 2009, the Okapi BM25
@@ -49,7 +48,7 @@ object Bm25 {
     * yields df per query term AND the corpus constants together — each
     * doc emits its matched tokens plus a null-token marker row, so the
     * null group carries (N, Σdl) while every token group carries its df.
-    * idf then bakes into a MAP LITERAL (bounded by the query vocabulary)
+    * idf then rides the broadcast probe frame ([[qtermsWithIdf]])
     * and pass 2 scores straight off the scan: no persist build (measured
     * ~1 s of cache-construction wall at sf0.1), no constants job, no
     * df-aggregate broadcast stage. The cheap narrow scan is re-run once
@@ -77,8 +76,8 @@ object Bm25 {
     * per query term AND the corpus constants together (each doc emits
     * its matched tokens plus a null-token marker row, so the null group
     * carries (N, Σdl) while every token group carries its df), then one
-    * scoring pass with idf baked as a codegen'd MAP LITERAL (bounded by
-    * the query vocabulary). No per-frame persist, no separate constants
+    * scoring pass with idf riding the broadcast probe frame
+    * ([[qtermsWithIdf]]). No per-frame persist, no separate constants
     * job, no df-aggregate broadcast stage — at corpus scale the narrow
     * re-scan beats caching a corpus-sized frame. */
   def topKFromPostings(perDoc: DataFrame, probe: Postings.Probe,
@@ -91,7 +90,7 @@ object Bm25 {
         lit(0L).as("rank"), lit(0.0).as("score")).limit(0)
     }
     val scored = Postings.matched(perDoc)
-      .join(broadcast(probe.qterms), "tok")
+      .join(broadcast(qtermsWithIdf(probe.qterms, st)), "tok")
       .withColumn("term_score_pico", termScorePico(st, k1, b))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("term_score_pico")).as("score_p"))
@@ -129,22 +128,47 @@ object Bm25 {
     Stats(nDocs, avgdl, idfMap)
   }
 
-  /** The per-posting BM25 term score as a 1e-12-scaled long — idf via a
-    * codegen'd map-literal lookup; expression shape identical to the
-    * broadcast-join form it replaced (oracle bit-parity). */
+  /** The broadcast probe frame with each term's idf attached as a
+    * column. The idf lookup must ride the TINY side: Catalyst's
+    * `element_at` on a map literal is a LINEAR key scan per evaluation,
+    * and evaluating it per matched-posting×query join row cost ~30
+    * CPU-seconds at sf0.1 (profiled: the single hottest stage of the
+    * whole retrieval family). Here it runs once per probe ROW
+    * (|queries|·|terms|, driver-small by the Probe contract) and the
+    * scoring join delivers it hashed — same double, same arithmetic,
+    * oracle bit-parity. Terms absent from the corpus never join a
+    * matched posting, so their null idf is unreachable (coalesced to 0
+    * defensively). */
+  private[text] def qtermsWithIdf(qterms: DataFrame, st: Stats): DataFrame =
+    qterms.withColumn("idf",
+      coalesce(element_at(typedlit(st.idfMap), col("tok")), lit(0.0)))
+
+  /** The per-posting BM25 term score as a 1e-12-scaled long — idf from
+    * the probe-side `idf` column ([[qtermsWithIdf]]); expression shape
+    * identical to the map-literal form it replaced (oracle bit-parity:
+    * the same double flows through the same operations). */
   private[text] def termScorePico(st: Stats, k1: Double, b: Double): Column =
-    ((element_at(typedlit(st.idfMap), col("tok")) * col("tf") * lit(k1 + 1) /
+    ((col("idf") * col("tf") * lit(k1 + 1) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(st.avgdl))))
       * lit(1e12)).cast("long")
 
   /** Shared top-k readout over the `(qid, id, score_p)` frame: rank by
-    * unrounded pico score desc (ties by id), report at 4 dp. */
+    * unrounded pico score desc (ties by id), report at 4 dp.
+    *
+    * Via the native bounded-heap `graft_topk` aggregate, NOT a ranking
+    * window: the window formulation shuffles and sorts EVERY candidate
+    * row per query (260k rows at sf0.1 on this template-dense corpus —
+    * and unbounded at 100 TB), the heap ships k pairs per partition.
+    * Pico longs stay < 2^53, so the double heap key preserves exact
+    * order, and (value DESC, tag ASC) is the window's exact tie order. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score_p").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id").as("doc_id"), col("rank").cast("long").as("rank"),
-        round(col("score_p") / lit(1e12), 4).as("score"))
+    graft.functions.TopK.register(scored.sparkSession)
+    scored.groupBy(col("qid"))
+      .agg(call_function(graft.functions.TopK.Name,
+        col("score_p").cast("double"), col("id").cast("long"), lit(k)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.tag").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.value") / lit(1e12), 4).as("score"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,20 +108,25 @@ object RetrievalFusion {
     // CHECKPOINTED: both rank windows read it; unchekpointed each
     // branch re-runs the corpus scan. The frame is candidate-bounded.
     val scored = Postings.matched(perDoc)
-      .join(broadcast(probe.qterms), "tok")
+      .join(broadcast(Bm25.qtermsWithIdf(probe.qterms, st)), "tok")
       .withColumn("term_score_pico", Bm25.termScorePico(st, k1, b))
       .groupBy(col("qid"), col("id").as("doc_id"))
       .agg(sum(col("term_score_pico")).as("score_p"),
         count(lit(1)).as("ov"))
       .localCheckpoint(true)
-    val wBm = Window.partitionBy(col("qid"))
-      .orderBy(col("score_p").desc, col("doc_id"))
-    val wOv = Window.partitionBy(col("qid"))
-      .orderBy(col("ov").desc, col("doc_id"))
-    val bmRun = scored.withColumn("rank", row_number().over(wBm))
-      .filter(col("rank") <= k).select(col("qid"), col("doc_id"), col("rank"))
-    val ovRun = scored.withColumn("rank", row_number().over(wOv))
-      .filter(col("rank") <= k).select(col("qid"), col("doc_id"), col("rank"))
-    rrf(Seq(bmRun, ovRun), k0, k)
+    // each run's top-k via the bounded-heap graft_topk aggregate (k
+    // pairs per partition cross the shuffle) instead of a ranking
+    // window over every candidate row; (value DESC, tag ASC) is the
+    // window's exact tie order, and both the pico score and the
+    // overlap count stay < 2^53 so the double heap key is order-exact
+    graft.functions.TopK.register(corpus.sparkSession)
+    def runTopK(valueCol: Column): DataFrame =
+      scored.groupBy(col("qid"))
+        .agg(call_function(graft.functions.TopK.Name,
+          valueCol.cast("double"), col("doc_id").cast("long"), lit(k)).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.tag").as("doc_id"),
+          (col("pos") + 1).as("rank"))
+    rrf(Seq(runTopK(col("score_p")), runTopK(col("ov"))), k0, k)
   }
 }
