@@ -321,8 +321,26 @@ object Similarity {
     val scored = data.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
       .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    rankTopKByQid(scored, k)
+  }
+
+  /** Shared top-k readout for the ANN family: per-qid `(sim, id)` heap
+    * via the native bounded-heap `graft_topk` aggregate. A ranking
+    * window here partitions by qid — with a handful of queries each
+    * partition is CORPUS-sized (one task sorts everything a query
+    * scored, the spill profile of a global sort); the heap aggregate
+    * ships k pairs per partition and merges them. Tie order (sim DESC,
+    * id ASC) is the window's; NaN ranks largest on both forms; ids must
+    * be integral (the embedding-id contract — the cast would null a
+    * non-numeric id and the heap skips nulls). */
+  private def rankTopKByQid(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.TopK.register(scored.sparkSession)
+    scored.groupBy(col("qid"))
+      .agg(call_function(graft.functions.TopK.Name,
+        col("sim"), col("id").cast("long"), lit(k)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.tag").as("id"),
+        col("col.value").as("sim"), (col("pos") + 1).as("rn"))
   }
 
   /** Contrastive hard-negative mining: for each query (an anchor with a
@@ -428,8 +446,7 @@ object Similarity {
       explode(probeUdf(col(qvecCol))).as("list"))
     val scored = assigned.join(broadcast(probed), "list")
       .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    rankTopKByQid(scored, k)
   }
 
   /** PINNED IVF ANN — [[ivfTopK]]'s semantics with every
@@ -482,15 +499,21 @@ object Similarity {
               aggregate(zip_with(col("q6"), cv,
                   (a, b) => round((a * b).cast("double") / lit(1e6)).cast("long")),
                 lit(0L), (acc, x) => acc + x))).as(Seq("list", "dot9")))
-        val pw = Window.partitionBy(col("qid"))
-          .orderBy(col("dot9").desc, col("list"))
-        val probed = probed0.withColumn("pr", row_number().over(pw))
-          .filter(col("pr") <= nProbe)
-          .select(col("qid"), col("qv"), col("list"))
+        // top-nProbe centroids per query via the bounded heap (exact
+        // integer dot9 < 2^53 is order-exact as a double; ties to the
+        // lowest centroid index = tag ASC, the window order)
+        graft.functions.TopK.register(data.sparkSession)
+        val probed = probed0
+          .groupBy(col("qid"))
+          .agg(first(col("qv")).as("qv"),
+            call_function(graft.functions.TopK.Name,
+              col("dot9").cast("double"), col("list").cast("long"),
+              lit(nProbe)).as("top"))
+          .select(col("qid"), col("qv"), explode(col("top")).as("t"))
+          .select(col("qid"), col("qv"), col("t.tag").cast("int").as("list"))
         val scored = assigned.join(broadcast(probed), "list")
           .select(col("qid"), col("id"), cosine(col("qv"), col("dv")).as("sim"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        rankTopKByQid(scored, k)
     }
   }
 }
