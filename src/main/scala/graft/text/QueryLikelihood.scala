@@ -93,17 +93,23 @@ object QueryLikelihood {
         * lit(1e12)).cast("long"))
       .groupBy(col("qid"), col("id"))
       .agg(max(col("dl")).as("dl"), sum(col("g12")).as("s12"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score12").desc, col("id"))
+    // top-k per query via the bounded-heap graft_topk aggregate (k
+    // pairs per partition cross the shuffle, vs a qid-partitioned
+    // ranking window whose per-query partition is candidate-set-sized);
+    // the pico score stays < 2^53 so the double heap key is
+    // order-exact, ties to the lowest doc id = tag ASC
+    graft.functions.TopK.register(perDoc.sparkSession)
     sparse.join(broadcast(qconst), "qid")
       .withColumn("score12",
         col("aq12") - col("nq") *
           round(log(col("dl").cast("double") + lit(mu)) * lit(1e12)).cast("long") +
           col("s12"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id").as("doc_id"),
-        col("rank").cast("long").as("rank"),
-        round(col("score12").cast("double") / 1e12, 4).as("score"))
+      .groupBy(col("qid"))
+      .agg(call_function(graft.functions.TopK.Name,
+        col("score12").cast("double"), col("id").cast("long"), lit(k)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.tag").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.value") / 1e12, 4).as("score"))
   }
 }

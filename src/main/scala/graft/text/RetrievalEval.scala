@@ -47,11 +47,18 @@ object RetrievalEval {
     val scored = qtok.join(dtok, "token")
       .groupBy(col("qid"), col("doc"))
       .agg(count(lit(1)).as("score"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("doc"))
+    // top-k per query via the bounded-heap graft_topk aggregate — the
+    // qid-partitioned ranking window sorts every scored candidate of a
+    // query in one task; overlap counts are integral (< 2^53), ties to
+    // the lowest doc id = tag ASC, the window's order
+    graft.functions.TopK.register(docs.sparkSession)
     val ranked = scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy(col("qid"))
+      .agg(call_function(graft.functions.TopK.Name,
+        col("score").cast("double"), col("doc").cast("long"), lit(k)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.tag").as("doc"),
+        (col("pos") + 1).as("rank"), col("col.value").as("score"))
     val gain = NdcgGain.zipWithIndex.foldLeft(lit(0.0)) {
       case (acc, (g, i)) => when(col("rank") === i + 1, g).otherwise(acc)
     }
