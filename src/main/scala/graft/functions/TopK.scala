@@ -68,8 +68,11 @@ case class TopK(
   }
 
   override def eval(h: mutable.PriorityQueue[(Double, Long)]): Any = {
-    // best-first presentation: value DESC, tag ASC
-    val sorted = h.toArray.sortBy { case (v, t) => (-v, t) }
+    // best-first presentation: value DESC, tag ASC — same total order as
+    // offer() (negate-and-sortBy would misplace NaN: -NaN is still NaN)
+    val sorted = h.toArray.sortWith { case ((v1, t1), (v2, t2)) =>
+      TopK.better(v1, t1, v2, t2)
+    }
     new GenericArrayData(sorted.map { case (v, t) =>
       InternalRow(v, t)
     }.toArray[Any])
@@ -104,22 +107,34 @@ case class TopK(
 object TopK {
   val Name = "graft_topk"
 
-  /** Heap order: the WORST kept element dequeues first. Worse = smaller
-    * value, or equal value with LARGER tag (tag ASC wins ties). */
+  /** Total-order "better" test: value DESC (NaN ranks LARGEST, matching
+    * Spark's sort semantics and the ranking-window form this aggregate
+    * replaced), tag ASC on ties. Raw `>`/`==` on Double is NOT a total
+    * order — a NaN admitted while the heap fills would poison it (every
+    * later comparison false: the NaN could squat at the head and reject
+    * all candidates). `java.lang.Double.compare` gives the total order
+    * with NaN greatest; -0.0 is normalized to 0.0 first so the tie-break
+    * matches Spark SQL, which sorts -0.0 = 0.0. */
+  private def norm(v: Double): Double = if (v == 0.0) 0.0 else v
+
+  private def better(v1: Double, t1: Long, v2: Double, t2: Long): Boolean = {
+    val c = java.lang.Double.compare(norm(v1), norm(v2))
+    c > 0 || (c == 0 && t1 < t2)
+  }
+
+  /** Heap order: the WORST kept element dequeues first (PriorityQueue
+    * dequeues the MAX of the ordering, so max = worst = NOT better). */
   val WorstFirst: Ordering[(Double, Long)] =
     Ordering.fromLessThan[(Double, Long)] { case ((v1, t1), (v2, t2)) =>
-      // "less than" here means closer to the dequeue end = BETTER kept?
-      // PriorityQueue dequeues the MAX of the ordering, so define max =
-      // worst: (v1,t1) < (v2,t2) when (v1,t1) is BETTER than (v2,t2).
-      v1 > v2 || (v1 == v2 && t1 < t2)
+      // "less than" = kept deeper in the heap = BETTER than the other
+      better(v1, t1, v2, t2)
     }
 
   def offer(h: mutable.PriorityQueue[(Double, Long)], e: (Double, Long), k: Int): Unit = {
     if (h.size < k) h.enqueue(e)
     else {
       val worst = h.head
-      // keep e if it beats the current worst
-      if (e._1 > worst._1 || (e._1 == worst._1 && e._2 < worst._2)) {
+      if (better(e._1, e._2, worst._1, worst._2)) {
         h.dequeue(); h.enqueue(e)
       }
     }
@@ -143,4 +158,20 @@ object TopK {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Name, build, "built-in")
+
+  /** Heap-rank id contract: the tag is a BIGINT, so callers cast their id
+    * column to long. A silent cast would NULL non-integral ids and the
+    * heap skips nulls — rows would vanish instead of failing. Fail at
+    * plan time with the column's real type. */
+  def requireIntegralId(df: org.apache.spark.sql.DataFrame, column: String,
+                        caller: String): Unit = {
+    val dt = df.schema(column).dataType
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$caller: id column '$column' must be an integral type (the " +
+          s"$Name tag is BIGINT; a lossy cast would silently drop rows), " +
+          s"got ${other.simpleString}")
+    }
+  }
 }

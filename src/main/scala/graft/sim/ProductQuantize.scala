@@ -172,11 +172,16 @@ object ProductQuantize {
     val dims = seed.map(_.length).distinct
     require(dims.length == 1 && dims.head % m == 0,
       s"need a fixed vector width divisible by m=$m; seed widths ${dims.mkString(",")}")
-    val subDim = dims.head / m
+    val width = dims.head
+    val subDim = width / m
     var cents: Array[Array[Array[Long]]] = Array.tabulate(m, k) { (s, c) =>
       seed(math.min(c, seed.length - 1)).slice(s * subDim, (s + 1) * subDim)
     }
-    val ds = data.select(col("v6")).as[Array[Long]]
+    // the seqOp indexes v(s*subDim+i) — on a ragged corpus a short
+    // non-seed row would throw in the executor and a long one silently
+    // drops its tail dims; pin the training set to the seed width (the
+    // pinnedLloyd contract) so the recurrence sees fixed-width rows only
+    val ds = data.filter(size(col("v6")) === width).select(col("v6")).as[Array[Long]]
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(cents)
       val (sums, counts) = ds.rdd.treeAggregate(
@@ -242,7 +247,9 @@ object ProductQuantize {
     val v6 = transform(col(vecCol).cast("array<double>"),
       x => round(x * lit(1e6)).cast("long"))
     df.select(v6.as("v6"))
-      .filter(col("v6").isNotNull && size(col("v6")) > 0)
+      // exact-width rows only — slice() on a short vector yields a
+      // truncated subvector and a silently wrong zip_with distance
+      .filter(col("v6").isNotNull && size(col("v6")) === m * subDim)
       .select(col("v6"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .select(col("sub"),
         slice(col("v6"), col("sub") * subDim + 1, lit(subDim)).as("sv6"))

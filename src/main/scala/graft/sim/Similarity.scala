@@ -330,10 +330,12 @@ object Similarity {
     * partition is CORPUS-sized (one task sorts everything a query
     * scored, the spill profile of a global sort); the heap aggregate
     * ships k pairs per partition and merges them. Tie order (sim DESC,
-    * id ASC) is the window's; NaN ranks largest on both forms; ids must
-    * be integral (the embedding-id contract — the cast would null a
-    * non-numeric id and the heap skips nulls). */
+    * id ASC) is the window's; NaN ranks largest on both forms (the heap
+    * compares via Double.compare, a total order); ids must be integral —
+    * enforced at plan time, because the bigint cast would null a
+    * non-integral id and the heap skips nulls. */
   private def rankTopKByQid(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.TopK.requireIntegralId(scored, "id", "rankTopKByQid")
     graft.functions.TopK.register(scored.sparkSession)
     scored.groupBy(col("qid"))
       .agg(call_function(graft.functions.TopK.Name,

@@ -162,6 +162,7 @@ object Bm25 {
     * Pico longs stay < 2^53, so the double heap key preserves exact
     * order, and (value DESC, tag ASC) is the window's exact tie order. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.TopK.requireIntegralId(scored, "id", "Bm25.rankTopK")
     graft.functions.TopK.register(scored.sparkSession)
     scored.groupBy(col("qid"))
       .agg(call_function(graft.functions.TopK.Name,

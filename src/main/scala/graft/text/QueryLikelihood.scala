@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2004)
@@ -98,6 +97,7 @@ object QueryLikelihood {
     // ranking window whose per-query partition is candidate-set-sized);
     // the pico score stays < 2^53 so the double heap key is
     // order-exact, ties to the lowest doc id = tag ASC
+    graft.functions.TopK.requireIntegralId(sparse, "id", "QueryLikelihood")
     graft.functions.TopK.register(perDoc.sparkSession)
     sparse.join(broadcast(qconst), "qid")
       .withColumn("score12",

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval-quality evaluation — MRR@k, recall@k and single-relevant
@@ -51,6 +50,7 @@ object RetrievalEval {
     // qid-partitioned ranking window sorts every scored candidate of a
     // query in one task; overlap counts are integral (< 2^53), ties to
     // the lowest doc id = tag ASC, the window's order
+    graft.functions.TopK.requireIntegralId(scored, "doc", "RetrievalEval")
     graft.functions.TopK.register(docs.sparkSession)
     val ranked = scored
       .groupBy(col("qid"))

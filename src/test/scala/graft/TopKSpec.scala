@@ -51,6 +51,30 @@ class TopKSpec extends AnyFunSuite {
     assert(got.getSeq[org.apache.spark.sql.Row](0).head.getDouble(0) == 5.0)
   }
 
+  test("topk has a total order on NaN: NaN ranks largest, never poisons the heap") {
+    // regression: raw >/== comparisons let a NaN admitted during heap
+    // fill squat at the head and reject every later candidate; the
+    // window form (Spark sort: NaN greatest) must stay the semantics.
+    val nan = Double.NaN
+    // NaN arrives FIRST (heap fills with it), then real values that must
+    // still displace nothing-but-rank-below-it; also ties around -0.0/0.0
+    val rows = Seq(
+      ("a", nan, 1L), ("a", 5.0, 2L), ("a", 7.0, 3L), ("a", 6.0, 4L),
+      ("a", nan, 5L), ("a", -0.0, 6L), ("a", 0.0, 7L))
+    for (parts <- Seq(1, 4)) {
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+      val got = viaTopK(df, 4).orderBy("rn")
+        .as[(String, Int, Double, Long)].collect().toSeq
+      // NaN first (tag ASC breaks the NaN tie), then 7, 6
+      assert(got.map(_._4) == Seq(1L, 5L, 3L, 4L), s"parts=$parts got=$got")
+      assert(got.take(2).forall(_._3.isNaN), s"parts=$parts got=$got")
+    }
+    // -0.0 vs 0.0 tie: Spark sorts them equal, so tag ASC decides
+    val z = Seq(("a", 0.0, 9L), ("a", -0.0, 8L)).toDF("g", "v", "id")
+    val gotZ = viaTopK(z, 1).as[(String, Int, Double, Long)].collect().toSeq
+    assert(gotZ.map(_._4) == Seq(8L), s"got=$gotZ")
+  }
+
   test("topk ignores null values and tags") {
     val df = Seq(("a", Some(1.0), Some(1L)), ("a", None, Some(2L)),
       ("a", Some(9.0), None)).toDF("g", "v", "id")
