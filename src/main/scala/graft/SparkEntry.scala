@@ -1270,27 +1270,15 @@ object SparkEntry {
         Tables.documents(s, dir), "source", "text")),
     // ---- sketch-based audience set ops: pairwise HLL union +
     //      inclusion-exclusion intersection between event-type user
-    //      sets — the mergeable-sketch sibling of q217's exact overlap
-    //      (estimates are sketch-impl-specific → spec-gated vs exact)
-    "q235_hll_overlap" -> ((s, dir) => {
-      val sk = Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
-          countDistinct(col("user_id")).as("exact"))
-      val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"),
-        col("exact").as("na"))
-      val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"),
-        col("exact").as("nb"))
-      a.join(b, col("type_a") < col("type_b"))
-        .select(col("type_a"), col("type_b"),
-          hll_sketch_estimate(col("ska")).as("est_a"),
-          hll_sketch_estimate(col("skb")).as("est_b"),
-          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
-            .as("est_union"))
-        .withColumn("est_intersect",
-          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
-        .orderBy(col("type_a"), col("type_b"))
-    }),
+    //      sets — the mergeable-sketch sibling of q217's exact overlap,
+    //      on the PORTABLE md5 register family (q414 discipline) so the
+    //      estimates themselves are DuckDB-oracled (the Datasketches
+    //      `hll_union` path stays the library fast path)
+    "q235_hll_overlap" -> ((s, dir) =>
+      graft.operators.Sketches.hllPortableOverlap(
+          Tables.events(s, dir), "event_type", "user_id")
+        .withColumnRenamed("key_a", "type_a")
+        .withColumnRenamed("key_b", "type_b")),
     // ---- half-life time-decayed popularity per event type (h = 7 days,
     //      anchored at the corpus max ts): per-event decay terms 6-dp
     //      quantized, exact long sum — trending-score semantics
@@ -1667,21 +1655,17 @@ object SparkEntry {
     "q197_changepoint" -> ((s, dir) =>
       graft.analyze.Changepoint.singleBreak(
         Tables.events(s, dir), "event_type", "ts", "value")),
-    // ---- mergeable distinct rollup: per-day Datasketches HLL sketches
-    //      UNIONED to per-type totals — the incremental form of COUNT
-    //      DISTINCT (kilobytes of sketch cross the day boundary, never
-    //      keys; rows-only — sketch estimates are engine-internal)
-    "q195_hll_rollup" -> ((s, dir) => {
-      val daily = Tables.events(s, dir)
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-      daily.groupBy(col("event_type"))
-        .agg(
-          count(lit(1)).as("n_days"),
-          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-            .cast("long").as("approx_distinct_users"))
-        .orderBy(col("event_type"))
-    }),
+    // ---- mergeable distinct rollup: per-day register frames UNIONED to
+    //      per-type totals — the incremental form of COUNT DISTINCT
+    //      (kilobytes of registers cross the day boundary, never keys),
+    //      on the PORTABLE md5 HLL family (q414 discipline) so the
+    //      rollup's estimates are DuckDB-oracled (the Datasketches
+    //      `hll_union_agg` path stays the library fast path)
+    "q195_hll_rollup" -> ((s, dir) =>
+      graft.operators.Sketches.hllPortableRollup(
+          Tables.events(s, dir), "event_type", "ts", "user_id")
+        .withColumnRenamed("key", "event_type")
+        .withColumnRenamed("approx_distinct", "approx_distinct_users")),
     // ---- dedup provenance export: per kept representative, the sorted
     //      list of discarded duplicate ids — the audit record a deletion
     //      pipeline must ship (which rows died, to whose benefit)
@@ -2231,6 +2215,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("eventId"))
     }),
+    // ---- J1 as a DETERMINISTIC equi-join on a precomputed eventId key
+    //      (SURVEY §2.4's promised oracle shape): digit-token masking as
+    //      the template key, dense ids by template order, broadcast
+    //      equi-join + counts — order-independent, fully DuckDB-oracled
+    //      (the similarity-clustered Drain q16/q17 stay golden-tested)
+    "q17b_match_counts_exact" -> ((s, dir) =>
+      TemplateMining.exactMatchCounts(Tables.documents(s, dir), "text")),
     // ---- dedup: exact canonical groups (hash-shuffle on digest)
     "q18_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
@@ -3670,18 +3661,21 @@ object SparkEntry {
              davg(col("quality"), 4).as("avg_quality"))
         .orderBy(col("source"))
     }),
-    // ---- sketch twin of q42: HLL++ distinct + quantile-sketch
-    //      percentiles per source — kilobytes of mergeable sketch per
-    //      partition instead of shuffling distinct keys / sorting groups.
-    //      Rows-only: sketch estimates are engine-specific by nature;
-    //      SketchBucketSpec bounds the error vs exact.
+    // ---- sketch twin of q42: approx distinct + sketch percentiles per
+    //      source — kilobytes of mergeable state per partition instead
+    //      of shuffling distinct keys / sorting groups. PORTABLE forms
+    //      (md5 HLL + fixed-width histogram quantiles, both mergeable
+    //      and order-independent) so the estimates are DuckDB-oracled;
+    //      the HLL++/KLL natives stay the library fast path.
     "q51_sketch_stats" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Sketches.approxDistinctPerKey(docs, "source", "lang")
-        .join(Sketches.approxQuantilesPerKey(docs, "source", "n_chars", Seq(0.5, 0.9)), "source")
-        .select(col("source"), col("approx_distinct"),
-          element_at(col("quantiles"), 1).as("p50_chars"),
-          element_at(col("quantiles"), 2).as("p90_chars"))
+      val hq = Sketches.histogramQuantiles(docs, "source", "n_chars", 64L, Seq(0.5, 0.9))
+      Sketches.hllPortable(docs, "source", "lang")
+        .select(col("key").as("source"), col("approx_distinct"))
+        .join(hq.filter(col("p") === 0.5)
+          .select(col("key").as("source"), col("estimate").as("p50_chars")), "source")
+        .join(hq.filter(col("p") === 0.9)
+          .select(col("key").as("source"), col("estimate").as("p90_chars")), "source")
         .orderBy(col("source"))
     }),
     // ---- M1 as a NATIVE CATALYST AGGREGATE: per-source template mining
@@ -8004,6 +7998,144 @@ object SparkEntry {
                       ELSE raw END, 1) AS approx_distinct
          FROM est ORDER BY event_type"""
     },
+    // portable HLL rollup: per-day register frames max-merged per type
+    // (the mergeable-union twin), same p=12 constants as q414
+    "q195_hll_rollup" -> {
+      val m = 4096; val maxRho = 49
+      val aNum = 0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, maxRho)
+      s"""WITH r0 AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM events WHERE user_id IS NOT NULL),
+         daily AS (
+           SELECT event_type, day, h & ${m - 1} AS idx,
+                  max(CASE WHEN strpos(lpad(bin(h >> 12), 48, '0'), '1') = 0
+                           THEN $maxRho
+                           ELSE strpos(lpad(bin(h >> 12), 48, '0'), '1') END) AS v
+           FROM r0 GROUP BY 1, 2, 3),
+         merged AS (SELECT event_type, idx, max(v) AS v FROM daily GROUP BY 1, 2),
+         ndays AS (SELECT event_type, count(DISTINCT day) AS n_days FROM r0 GROUP BY 1),
+         fold AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS nset,
+                  sum(1::BIGINT << CAST($maxRho - v AS INTEGER)) AS ip
+           FROM merged GROUP BY 1),
+         est AS (
+           SELECT event_type, nset,
+                  CAST($aNum AS DOUBLE)
+                    / CAST(ip + ($m - nset) * ${1L << maxRho} AS DOUBLE) AS raw
+           FROM fold)
+         SELECT e.event_type, n.n_days,
+                round(CASE WHEN raw <= ${2.5 * m} AND nset < $m
+                      THEN ${m.toDouble} * ln(${m.toDouble} / CAST($m - nset AS DOUBLE))
+                      ELSE raw END, 1) AS approx_distinct_users
+         FROM est e JOIN ndays n USING (event_type) ORDER BY event_type"""
+    },
+    // portable HLL pairwise overlap: per-type estimates, register-union
+    // estimates per pair, inclusion-exclusion intersection clamped at 0
+    "q235_hll_overlap" -> {
+      val m = 4096; val maxRho = 49
+      val aNum = 0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, maxRho)
+      def estCase(nsetRef: String, rawRef: String) =
+        s"""round(CASE WHEN $rawRef <= ${2.5 * m} AND $nsetRef < $m
+                  THEN ${m.toDouble} * ln(${m.toDouble} / CAST($m - $nsetRef AS DOUBLE))
+                  ELSE $rawRef END, 1)"""
+      s"""WITH r0 AS (
+           SELECT event_type,
+                  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM events WHERE user_id IS NOT NULL),
+         regs AS (
+           SELECT event_type, h & ${m - 1} AS idx,
+                  max(CASE WHEN strpos(lpad(bin(h >> 12), 48, '0'), '1') = 0
+                           THEN $maxRho
+                           ELSE strpos(lpad(bin(h >> 12), 48, '0'), '1') END) AS v
+           FROM r0 GROUP BY 1, 2),
+         fold AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS nset,
+                  sum(1::BIGINT << CAST($maxRho - v AS INTEGER)) AS ip
+           FROM regs GROUP BY 1),
+         perkey AS (
+           SELECT event_type,
+                  ${estCase("nset",
+                    s"CAST($aNum AS DOUBLE) / CAST(ip + ($m - nset) * ${1L << maxRho} AS DOUBLE)")}
+                    AS est
+           FROM fold),
+         pairs AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  a.est AS est_a, b.est AS est_b
+           FROM perkey a JOIN perkey b ON a.event_type < b.event_type),
+         uregs AS (
+           SELECT p.type_a, p.type_b, r.idx, max(r.v) AS v
+           FROM regs r JOIN pairs p
+             ON r.event_type = p.type_a OR r.event_type = p.type_b
+           GROUP BY 1, 2, 3),
+         ufold AS (
+           SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS nset,
+                  sum(1::BIGINT << CAST($maxRho - v AS INTEGER)) AS ip
+           FROM uregs GROUP BY 1, 2),
+         uu AS (
+           SELECT type_a, type_b,
+                  ${estCase("nset",
+                    s"CAST($aNum AS DOUBLE) / CAST(ip + ($m - nset) * ${1L << maxRho} AS DOUBLE)")}
+                    AS est_union
+           FROM ufold)
+         SELECT p.type_a, p.type_b, p.est_a, p.est_b, u.est_union,
+                greatest(round(p.est_a + p.est_b - u.est_union, 1), 0.0)
+                  AS est_intersect
+         FROM pairs p JOIN uu u USING (type_a, type_b)
+         ORDER BY type_a, type_b"""
+    },
+    // portable sketch stats: md5-HLL distinct langs + fixed-width (64)
+    // histogram-sketch p50/p90 of n_chars, linear interpolation in-bin
+    "q51_sketch_stats" -> {
+      val m = 4096; val maxRho = 49
+      val aNum = 0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, maxRho)
+      s"""WITH r0 AS (
+           SELECT source, ('0x' || substr(md5(lang), 1, 15))::BIGINT AS h
+           FROM documents WHERE lang IS NOT NULL),
+         regs AS (
+           SELECT source, h & ${m - 1} AS idx,
+                  max(CASE WHEN strpos(lpad(bin(h >> 12), 48, '0'), '1') = 0
+                           THEN $maxRho
+                           ELSE strpos(lpad(bin(h >> 12), 48, '0'), '1') END) AS v
+           FROM r0 GROUP BY 1, 2),
+         fold AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS nset,
+                  sum(1::BIGINT << CAST($maxRho - v AS INTEGER)) AS ip
+           FROM regs GROUP BY 1),
+         hd AS (
+           SELECT source,
+                  round(CASE WHEN CAST($aNum AS DOUBLE)
+                               / CAST(ip + ($m - nset) * ${1L << maxRho} AS DOUBLE)
+                               <= ${2.5 * m} AND nset < $m
+                        THEN ${m.toDouble} * ln(${m.toDouble} / CAST($m - nset AS DOUBLE))
+                        ELSE CAST($aNum AS DOUBLE)
+                               / CAST(ip + ($m - nset) * ${1L << maxRho} AS DOUBLE)
+                        END, 1) AS approx_distinct
+           FROM fold),
+         bins AS (
+           SELECT source, CAST(floor(n_chars / 64.0) AS BIGINT) AS b,
+                  count(*) AS cnt
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT source, sum(cnt) AS n FROM bins GROUP BY 1),
+         cum AS (
+           SELECT source, b, cnt,
+                  sum(cnt) OVER (PARTITION BY source ORDER BY b) AS cum
+           FROM bins),
+         qq AS (
+           SELECT c.source, p.p, ceil(p.p * t.n) AS target, c.b, c.cnt, c.cum
+           FROM cum c JOIN tot t USING (source), (VALUES (0.5), (0.9)) p(p)
+           WHERE c.cum >= ceil(p.p * t.n) AND c.cum - c.cnt < ceil(p.p * t.n)),
+         est AS (
+           SELECT source, p,
+                  round(b * 64 + 64.0 * (target - (cum - cnt)) / cnt, 2) AS estimate
+           FROM qq)
+         SELECT h.source, h.approx_distinct, p50.estimate AS p50_chars,
+                p90.estimate AS p90_chars
+         FROM hd h
+         JOIN (SELECT source, estimate FROM est WHERE p = 0.5) p50 USING (source)
+         JOIN (SELECT source, estimate FROM est WHERE p = 0.9) p90 USING (source)
+         ORDER BY source"""
+    },
     // DSIR: hashed unigram+bigram buckets (portable md5-32 mod 1024),
     // Laplace-smoothed target/raw log ratio pinned at 12 dp, exact
     // integer per-doc sums, deterministic top-100
@@ -10473,6 +10605,22 @@ object SparkEntry {
          GROUP BY o_orderkey
          ORDER BY revenue DESC, o_orderkey
          LIMIT 10""",
+    // deterministic J1: digit-token masking key, dense ids by template
+    // order, equi-join + counts — both engines compute the identical
+    // pure string transform
+    "q17b_match_counts_exact" ->
+      """WITH lines AS (
+           SELECT array_to_string(list_transform(
+                    string_split_regex(trim(text), '\s+'),
+                    t -> CASE WHEN regexp_matches(t, '\d') THEN '<*>' ELSE t END),
+                  ' ') AS template
+           FROM documents),
+         tmpl AS (
+           SELECT template, row_number() OVER (ORDER BY template) AS event_id
+           FROM (SELECT DISTINCT template FROM lines))
+         SELECT t.event_id, l.template, count(*) AS cnt
+         FROM lines l JOIN tmpl t USING (template)
+         GROUP BY 1, 2 ORDER BY event_id""",
     "q18_dedup_exact" ->
       """WITH fps AS (
            SELECT doc_id,

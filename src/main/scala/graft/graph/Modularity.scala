@@ -29,10 +29,18 @@ object Modularity {
       col(dstCol).cast("long").as("d")).distinct()
     val a = attrs.select(col(idCol).cast("long").as("id"),
       col(commCol).as("comm")).distinct()
+    // attrs are the bounded side (one row per node) — broadcast BOTH
+    // endpoint joins explicitly so the edge frame never shuffles here,
+    // whatever the stats say. The tagged frame is consumed by two jobs
+    // (the comm-degree rollup's broadcast subtree and the final agg):
+    // an eager localCheckpoint materializes the expensive upstream edge
+    // derivation exactly ONCE and truncates its lineage — a lazy persist
+    // can still double-compute when the broadcast job races the main
+    // job past a cold cache (the q288 truncate precedent).
     val tagged = e
-      .join(a.select(col("id").as("s"), col("comm").as("cs")), "s")
-      .join(a.select(col("id").as("d"), col("comm").as("cd")), "d")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .join(broadcast(a.select(col("id").as("s"), col("comm").as("cs"))), "s")
+      .join(broadcast(a.select(col("id").as("d"), col("comm").as("cd"))), "d")
+      .localCheckpoint(true)
     val degByComm = tagged
       .select(explode(array(col("cs"), col("cd"))).as("comm"))
       .groupBy(col("comm")).agg(count(lit(1)).as("dc"))

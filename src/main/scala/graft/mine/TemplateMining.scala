@@ -74,6 +74,32 @@ object TemplateMining {
     tree
   }
 
+  /** J1 as a DETERMINISTIC equi-join on a precomputed eventId key — the
+    * oracle-able variant SURVEY §2.4 promises. The template key is the
+    * line with digit-bearing tokens masked to `<*>` (Drain's
+    * `parametrizeNumericTokens` as a pure, order-independent string
+    * transform: no similarity clustering, so two engines agree exactly);
+    * the template table assigns dense ids in template order; matching is
+    * a broadcast equi-join on the key. Returns `(event_id, template,
+    * cnt)` ordered by id. The single-partition row_number window runs on
+    * the DISTINCT-template frame only — bounded by template-vocabulary
+    * size, never corpus-sized. */
+  def exactMatchCounts(lines: DataFrame, lineCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmpl = array_join(
+      transform(split(trim(col(lineCol)), "\\s+"),
+        t => when(t.rlike("\\d"), lit("<*>")).otherwise(t)), " ")
+    val keyed = lines.select(tmpl.as("template"))
+    val templates = keyed.distinct()
+      .withColumn("event_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("template")))
+        .cast("long"))
+    keyed.join(broadcast(templates), "template")
+      .groupBy(col("event_id"), col("template"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_id"))
+  }
+
   /** J1: assign each line its owning template id by probing a broadcast
     * tree. Unmatched lines keep a null `eventId` (total function —
     * SURVEY.md §2.8). Output = input columns + `eventId`. */

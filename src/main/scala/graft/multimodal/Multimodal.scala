@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * repo's UTF-8 text fixtures) fall back to the deterministic
   * byte-derived path ([[decodeStub]], byte-resampled [[aHash64]]), so
   * every pipeline stays runnable in a codec-less test environment and
-  * fixture outputs are unchanged. Audio/video remain stubbed (no JDK
-  * codec); their schema/batching/partitioning plumbing is real.
+  * fixture outputs are unchanged. Audio payloads that are REAL RIFF/WAVE
+  * PCM containers decode through the pure-JDK [[decodeWav]] parser (true
+  * sample rate / channels / duration / RMS); compressed audio codecs and
+  * video remain stubbed (no JDK codec) — their schema/batching/
+  * partitioning plumbing is real.
   */
 object Multimodal {
 
@@ -109,6 +112,73 @@ object Multimodal {
     hsh
   }
 
+  /** Decoded WAV audio: sample rate, channels, bits/sample, sample-frame
+    * count and RMS amplitude (normalized to [-1, 1]). */
+  case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                     nFrames: Long, rms: Double) {
+    def durationMs: Double = if (sampleRate <= 0) 0.0
+      else nFrames.toDouble * 1000.0 / sampleRate
+  }
+
+  /** Real audio decode for RIFF/WAVE payloads — a pure-JDK PCM parser
+    * (no codec dependency): walks the chunk list, reads `fmt ` (PCM
+    * integer 8/16/32-bit or IEEE-float 32-bit) and `data`, and computes
+    * the true sample rate / channel count / frame count / RMS in one
+    * deterministic byte-order pass. `None` for anything that isn't a
+    * parseable PCM WAV (compressed codecs, text fixtures) — callers fall
+    * back to the byte stub, so fixture outputs never change. */
+  def decodeWav(payload: Array[Byte]): Option[WavInfo] = {
+    if (payload == null || payload.length < 44) return None
+    if (!(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+          payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+          payload(10) == 'V' && payload(11) == 'E')) return None
+    def le16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long = (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+      ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
+    var dataOff = -1
+    var dataLen = 0L
+    while (off + 8 <= payload.length) {
+      val cid = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(off + 4)
+      val body = off + 8
+      if (cid == "fmt " && body + 16 <= payload.length)
+        fmt = Some((le16(body), le16(body + 2), le32(body + 4).toInt, le16(body + 14)))
+      else if (cid == "data" && dataOff < 0) {
+        dataOff = body
+        dataLen = math.min(sz, (payload.length - body).toLong)
+      }
+      // chunks are word-aligned; a corrupt size just ends the walk
+      if (sz < 0 || body + sz + (sz & 1) <= off) off = payload.length
+      else off = (body + sz + (sz & 1)).toInt
+    }
+    fmt match {
+      case Some((af, ch, sr, bits))
+          if dataOff >= 0 && ch > 0 && sr > 0 &&
+            ((af == 1 && (bits == 8 || bits == 16 || bits == 32)) ||
+              (af == 3 && bits == 32)) =>
+        val bytesPerSample = bits / 8
+        val nSamples = dataLen / bytesPerSample
+        if (nSamples <= 0) return Some(WavInfo(sr, ch, bits, 0L, 0.0))
+        var sumSq = 0.0
+        var i = 0L
+        while (i < nSamples) {
+          val o = dataOff + (i * bytesPerSample).toInt
+          val s = (af, bits) match {
+            case (1, 8) => ((payload(o) & 0xFF) - 128) / 128.0
+            case (1, 16) => (le16(o).toShort).toDouble / 32768.0
+            case (1, 32) => le32(o).toInt.toDouble / 2147483648.0
+            case _ => java.lang.Float.intBitsToFloat(le32(o).toInt).toDouble
+          }
+          sumSq += s * s
+          i += 1
+        }
+        Some(WavInfo(sr, ch, bits, nSamples / ch, math.sqrt(sumSq / nSamples)))
+      case _ => None
+    }
+  }
+
   /** Decoded-media metadata (the typed half of the binary+metadata pair). */
   case class MediaMeta(kind: String, width: Int, height: Int, channels: Int,
                        sampleRate: Int, nBytes: Long)
@@ -128,16 +198,52 @@ object Multimodal {
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** Metadata decode: real [[decodeImage]] first for image payloads;
-    * anything unparseable falls through to the deterministic
-    * byte-derived stub (audio/video have no JDK codec — stub only). */
+  /** Metadata decode ladder: real [[decodeImage]] for image payloads,
+    * real [[decodeWav]] for audio payloads; anything unparseable falls
+    * through to the deterministic byte-derived stub (video has no JDK
+    * codec — stub only). */
   private def decodeMeta(kind: String, payload: Array[Byte]): MediaMeta =
     if (kind == "image")
       decodeImage(payload) match {
         case Some((w, h, c, _)) => MediaMeta(kind, w, h, c, 0, payload.length.toLong)
         case None => decodeStub(kind, payload)
       }
+    else if (kind == "audio")
+      decodeWav(payload) match {
+        case Some(w) => MediaMeta(kind, 0, 0, w.channels, w.sampleRate,
+          payload.length.toLong)
+        case None => decodeStub(kind, payload)
+      }
     else decodeStub(kind, payload)
+
+  case class AudioFeatures(media_id: Long, decoded: Boolean, sample_rate: Int,
+                           channels: Int, bits_per_sample: Int, n_frames: Long,
+                           duration_ms: Double, rms: Double)
+
+  /** Per-payload audio feature extraction (iterator-to-iterator, payloads
+    * stay in their partition): true sample rate / duration / RMS for
+    * PCM WAV payloads via [[decodeWav]], the deterministic byte stub's
+    * metadata (and zeroed signal stats) otherwise — `decoded` says
+    * which path a row took. */
+  def audioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          decodeWav(rec.payload) match {
+            case Some(w) => AudioFeatures(rec.media_id, decoded = true,
+              w.sampleRate, w.channels, w.bitsPerSample, w.nFrames,
+              w.durationMs, w.rms)
+            case None =>
+              val m = decodeStub("audio",
+                if (rec.payload == null) Array.emptyByteArray else rec.payload)
+              AudioFeatures(rec.media_id, decoded = false, m.sampleRate,
+                m.channels, 0, 0L, 0.0, 0.0)
+          }
+        }
+      }
+  }
 
   /** Byte-derived fallback metadata — deterministic fake dimensions from
     * the payload hash, for payloads no JDK codec can parse (and for the

@@ -111,24 +111,47 @@ object Sketches {
     * mergeable-sketch shuffle contract, never the value set. */
   def hllPortable(df: DataFrame, keyCol: String, valueCol: String,
                   p: Int = 12): DataFrame = {
+    val regs = hllRegs(df.select(col(keyCol).as("key"), col(valueCol).as("v0")),
+      Seq("key"), p)
+    hllFold(regs, Seq("key"), p)
+      .select(col("key"), col("nset").as("registers_set"),
+        col("approx_distinct"))
+      .orderBy(col("key"))
+  }
+
+  /** Shared portable-HLL register derivation: `(keys..., idx, v)` — the
+    * per-group max-rho register frame (map-side combined; ≤ 2^p rows per
+    * group cross the shuffle). Input must expose the hashed value as
+    * `v0`. */
+  private def hllRegs(keyed: DataFrame, keyCols: Seq[String], p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"need 4 <= p <= 16; got $p")
     val m = 1 << p
     val wBits = 60 - p
     val maxRho = wBits + 1
+    val hv = conv(substring(md5(col("v0").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val pos = instr(lpad(bin(shiftright(col("h"), p)), wBits, "0"), "1")
+    val ks = keyCols.map(col)
+    keyed.filter(col("v0").isNotNull)
+      .select(ks :+ hv.as("h"): _*)
+      .select(ks ++ Seq(col("h").bitwiseAND(lit((m - 1).toLong)).as("idx"),
+        when(pos === 0, lit(maxRho)).otherwise(pos).cast("long").as("rho")): _*)
+      .groupBy((keyCols :+ "idx").map(col): _*)
+      .agg(max(col("rho")).as("v"))
+  }
+
+  /** Shared portable-HLL estimate fold: exact-integer harmonic
+    * denominator, published `α·m²/Z` with the linear-counting
+    * small-range branch. Input = a register frame `(keys..., idx, v)`;
+    * output = `(keys..., nset, approx_distinct)` (1 dp). */
+  private def hllFold(regs: DataFrame, keyCols: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val maxRho = 60 - p + 1
     val alphaM =
       if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
       else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
     val aNum = alphaM * m * m * math.pow(2.0, maxRho) // α·m²·SCALE, one double
-    val hv = conv(substring(md5(col("v0").cast("string")), 1, 15), 16, 10)
-      .cast("long")
-    val pos = instr(lpad(bin(shiftright(col("h"), p)), wBits, "0"), "1")
-    val regs = df.select(col(keyCol).as("key"), col(valueCol).as("v0"))
-      .filter(col("v0").isNotNull)
-      .select(col("key"), hv.as("h"))
-      .select(col("key"), col("h").bitwiseAND(lit((m - 1).toLong)).as("idx"),
-        when(pos === 0, lit(maxRho)).otherwise(pos).cast("long").as("rho"))
-      .groupBy(col("key"), col("idx")).agg(max(col("rho")).as("v"))
-    val folded = regs.groupBy(col("key")).agg(
+    val folded = regs.groupBy(keyCols.map(col): _*).agg(
       count(lit(1)).as("nset"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxRho - v AS INT))")).as("ip"))
     val iCol = col("ip") + (lit(m.toLong) - col("nset")) * lit(1L << maxRho)
@@ -136,8 +159,95 @@ object Sketches {
     val zerosD = (lit(m.toLong) - col("nset")).cast("double")
     val est = when(raw <= lit(2.5 * m) && col("nset") < m,
       lit(m.toDouble) * log(lit(m.toDouble) / zerosD)).otherwise(raw)
-    folded.select(col("key"), col("nset").as("registers_set"),
-        round(est, 1).as("approx_distinct"))
+    folded.select(keyCols.map(col) ++ Seq(col("nset"),
+      round(est, 1).as("approx_distinct")): _*)
+  }
+
+  /** Mergeable distinct ROLLUP on the portable-HLL family (the md5
+    * sibling of the Datasketches `hll_union_agg` rollup): per-(key, day)
+    * register frames UNIONED to per-key totals by a plain max-per-
+    * register aggregate — the mergeable-sketch contract (kilobytes of
+    * registers cross the day boundary, never keys), and every step ANSI
+    * SQL. Output `(key, n_days, approx_distinct)` (1 dp). */
+  def hllPortableRollup(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, p: Int = 12): DataFrame = {
+    val keyed = df.select(col(keyCol).as("key"),
+      date_trunc("day", col(tsCol)).as("day"), col(valueCol).as("v0"))
+    val daily = hllRegs(keyed, Seq("key", "day"), p)
+    val merged = daily.groupBy(col("key"), col("idx")).agg(max(col("v")).as("v"))
+    val nDays = keyed.filter(col("v0").isNotNull)
+      .groupBy(col("key")).agg(countDistinct(col("day")).as("n_days"))
+    hllFold(merged, Seq("key"), p)
+      .join(nDays, "key")
+      .select(col("key"), col("n_days"), col("approx_distinct"))
       .orderBy(col("key"))
+  }
+
+  /** Pairwise distinct-set overlap on the portable-HLL family: per-key
+    * estimates, pairwise register-union estimates (max per register over
+    * the two keys' frames), inclusion-exclusion intersection clamped at
+    * 0 — the md5 sibling of the Datasketches `hll_union` overlap.
+    * The pair frame is |keys|² rows (keys are a bounded dimension);
+    * register union work is `pairs × m`, map-side combined. */
+  def hllPortableOverlap(df: DataFrame, keyCol: String, valueCol: String,
+                         p: Int = 12): DataFrame = {
+    val regs = hllRegs(df.select(col(keyCol).as("key"), col(valueCol).as("v0")),
+      Seq("key"), p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perKey = hllFold(regs, Seq("key"), p)
+      val pairs = perKey.select(col("key").as("ka"), col("approx_distinct").as("est_a"))
+        .join(perKey.select(col("key").as("kb"), col("approx_distinct").as("est_b")),
+          col("ka") < col("kb"))
+      val uregs = regs.join(broadcast(pairs.select(col("ka"), col("kb"))),
+          col("key") === col("ka") || col("key") === col("kb"))
+        .groupBy(col("ka"), col("kb"), col("idx")).agg(max(col("v")).as("v"))
+      val union = hllFold(uregs, Seq("ka", "kb"), p)
+        .select(col("ka"), col("kb"), col("approx_distinct").as("est_union"))
+      pairs.join(union, Seq("ka", "kb"))
+        .select(col("ka").as("key_a"), col("kb").as("key_b"),
+          col("est_a"), col("est_b"), col("est_union"),
+          greatest(round(col("est_a") + col("est_b") - col("est_union"), 1),
+            lit(0.0)).as("est_intersect"))
+        .orderBy(col("key_a"), col("key_b"))
+        .localCheckpoint(true)
+    } finally regs.unpersist(blocking = false)
+  }
+
+  /** PORTABLE quantile estimate via a fixed-width histogram sketch —
+    * the mergeable, order-independent quantile family (counts per
+    * `floor(v/w)` bin combine map-side; ≤ #bins rows per key cross the
+    * shuffle), reproducible as ANSI SQL, unlike GK/KLL whose register
+    * state is insertion-order- and engine-dependent. Estimate = linear
+    * interpolation inside the first bin whose cumulative count reaches
+    * `ceil(q·n)`. Output `(key, p, estimate)` (2 dp), one row per
+    * requested quantile. */
+  def histogramQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                         binWidth: Long, probs: Seq[Double]): DataFrame = {
+    require(binWidth >= 1, s"need binWidth >= 1; got $binWidth")
+    require(probs.nonEmpty && probs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1]; got $probs")
+    val bins = df.select(col(keyCol).as("key"),
+        floor(col(valueCol).cast("double") / lit(binWidth.toDouble))
+          .cast("long").as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("key"), col("b")).agg(count(lit(1)).as("cnt"))
+    // the window runs on the BIN frame (≤ #bins rows per key), never rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("b"))
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = bins.groupBy(col("key")).agg(sum(col("cnt")).as("n"))
+    cum.join(broadcast(tot), "key")
+      .select(col("key"), col("b"), col("cnt"), col("cum"), col("n"),
+        explode(array(probs.map(lit): _*)).as("p"))
+      .withColumn("target", ceil(col("p") * col("n").cast("double")))
+      .filter(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")) < col("target"))
+      .select(col("key"), col("p"),
+        round(col("b").cast("double") * binWidth +
+          lit(binWidth.toDouble) *
+            (col("target") - (col("cum") - col("cnt"))).cast("double") /
+            col("cnt").cast("double"), 2).as("estimate"))
+      .orderBy(col("key"), col("p"))
   }
 }

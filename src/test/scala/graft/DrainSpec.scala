@@ -163,4 +163,28 @@ class DrainAggregatorSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.map(_._2.map(_.size).sum).sum == 1282L)
   }
+
+  test("exactMatchCounts: deterministic digit-mask equi-join — mass " +
+       "conserved, ids dense by template order, partitioning-invariant") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val rows = Seq(
+      "task 17 started on host 3", "task 99 started on host 12",
+      "task 5 started on host 3", "idle heartbeat ok",
+      "idle heartbeat ok", "shutdown requested by admin")
+    val df = rows.toDF("text")
+    val got = TemplateMining.exactMatchCounts(df, "text")
+      .as[(Long, String, Long)].collect().toSeq
+    // 3 templates: digit tokens collapse the task lines into one
+    assert(got.map(_._2) == got.map(_._2).sorted, "ids follow template order")
+    assert(got.map(_._1) == (1L to got.length).toSeq, "dense ids")
+    assert(got.map(_._3).sum == rows.length, "every line counted once")
+    val byTemplate = got.map(g => g._2 -> g._3).toMap
+    assert(byTemplate("task <*> started on host <*>") == 3L)
+    assert(byTemplate("idle heartbeat ok") == 2L)
+    // order-independence: same result from any partitioning
+    val re = TemplateMining.exactMatchCounts(df.repartition(5), "text")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(re == got)
+  }
 }

@@ -154,4 +154,51 @@ class IncrementalIntervalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(again("big") == got("big")._2 && again("small") == got("small")._2)
   }
+
+  test("portable HLL rollup: day-merged registers equal the direct sketch") {
+    import spark.implicits._
+    // users recur across days — the union must dedup them, not sum days
+    val rows = for (d <- 1 to 5; i <- 0 until 300)
+      yield ("t", java.sql.Timestamp.valueOf(f"2024-03-0$d 10:00:00"),
+        s"u${(i + d * 37) % 500}")
+    val df = rows.toDF("k", "ts", "u")
+    val roll = Sketches.hllPortableRollup(df, "k", "ts", "u").head()
+    assert(roll.getLong(1) == 5L, s"n_days ${roll.getLong(1)}")
+    val direct = Sketches.hllPortable(df, "k", "u").head().getDouble(2)
+    // merging per-day register maxima IS the global register frame
+    assert(roll.getDouble(2) == direct,
+      s"rollup ${roll.getDouble(2)} != direct $direct")
+  }
+
+  test("portable HLL overlap: disjoint sets intersect near 0, " +
+       "identical sets near their size") {
+    import spark.implicits._
+    val rows = (0 until 2000).map(i => ("a", s"u$i")) ++
+      (0 until 2000).map(i => ("b", s"u$i")) ++        // b == a
+      (0 until 2000).map(i => ("c", s"w$i"))           // c disjoint
+    val got = Sketches.hllPortableOverlap(rows.toDF("k", "u"), "k", "u")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = got(("a", "b"))
+    assert(ab.getDouble(4) == ab.getDouble(2), "union(a,a) must equal est(a)")
+    assert(math.abs(ab.getDouble(5) - 2000) / 2000.0 < 0.1,
+      s"identical-set intersection ${ab.getDouble(5)}")
+    val ac = got(("a", "c"))
+    assert(ac.getDouble(5) < 200, s"disjoint intersection ${ac.getDouble(5)}")
+  }
+
+  test("histogram quantiles: exact on bin-aligned data, monotone, " +
+       "within one bin of the true quantile") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("k", i.toLong)).toDF("k", "v")
+    val got = Sketches.histogramQuantiles(df, "k", "v", 10L, Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // true p50 = 500, p90 = 900; estimate must land within one bin width
+    assert(math.abs(got(0.5) - 500) <= 10, s"p50 ${got(0.5)}")
+    assert(math.abs(got(0.9) - 900) <= 10, s"p90 ${got(0.9)}")
+    assert(got(0.5) <= got(0.9), "quantiles must be monotone")
+    // partitioning-invariant (mergeable-sketch property)
+    val re = Sketches.histogramQuantiles(df.repartition(13), "k", "v", 10L,
+      Seq(0.5, 0.9)).collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(re == got)
+  }
 }

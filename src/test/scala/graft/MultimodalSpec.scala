@@ -193,4 +193,53 @@ class MultimodalSpec extends AnyFunSuite {
     // the text payload falls back to byte-derived stub dims — deterministic
     assert(feats(4L).width >= 64)
   }
+
+  /** Minimal RIFF/WAVE writer: PCM16 mono. */
+  private def wav16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodeWav: true sample rate/duration/RMS for PCM16; text refuses") {
+    // square wave at half amplitude: every sample ±16384 → RMS = 0.5 exact
+    val sq = Array.tabulate(8000)(i => if (i % 2 == 0) 16384 else -16384)
+      .map(_.toShort)
+    val Some(w) = Multimodal.decodeWav(wav16(16000, sq))
+    assert(w.sampleRate == 16000 && w.channels == 1 && w.bitsPerSample == 16)
+    assert(w.nFrames == 8000 && w.durationMs == 500.0)
+    assert(w.rms == 0.5, s"rms=${w.rms}")
+    // silence
+    val Some(z) = Multimodal.decodeWav(wav16(8000, Array.fill(100)(0.toShort)))
+    assert(z.rms == 0.0 && z.nFrames == 100)
+    // refusals: text, truncated header, null
+    assert(Multimodal.decodeWav("definitely not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(wav16(16000, sq).take(20)).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+  }
+
+  test("audioFeatures: WAV rows decode for real, text rows take the stub") {
+    import spark.implicits._
+    val sq = Array.tabulate(4410)(i => if (i % 2 == 0) 16384 else -16384)
+      .map(_.toShort)
+    val rows = Seq(
+      (1L, "audio", wav16(44100, sq)),
+      (2L, "audio", "utf-8 text fixture payload".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val f = Multimodal.audioFeatures(rows).collect().map(a => a.media_id -> a).toMap
+    assert(f(1L).decoded && f(1L).sample_rate == 44100 && f(1L).rms == 0.5 &&
+      f(1L).n_frames == 4410 && f(1L).duration_ms == 100.0)
+    assert(!f(2L).decoded && f(2L).sample_rate > 0 && f(2L).rms == 0.0)
+    // the metadata ladder feeds extractFeatures the decoded rate too
+    val ef = Multimodal.extractFeatures(rows).collect().map(a => a.media_id -> a).toMap
+    assert(ef(1L).sample_rate == 44100 && ef(1L).channels == 1)
+  }
 }
