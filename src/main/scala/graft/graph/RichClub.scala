@@ -30,7 +30,13 @@ object RichClub {
                    maxK: Int): DataFrame = {
     require(maxK >= 1, s"maxK must be >= 1: $maxK")
     val spark = edges.sparkSession
+    // the edge frame is consumed THREE ways below (degree rollup, then
+    // degrees ride twice as broadcasts while the edges join again) and
+    // its upstream derivation is typically the expensive part (a
+    // co-occurrence self-join); an eager localCheckpoint materializes it
+    // exactly once at pair-list size — the q249/q288 truncate precedent
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
     val ends = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
     val deg = ends.groupBy(col("v")).agg(count(lit(1)).as("d"))
     val ks = spark.range(1, maxK + 1).select(col("id").as("k"))

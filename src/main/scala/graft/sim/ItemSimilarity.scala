@@ -37,7 +37,13 @@ object ItemSimilarity {
       .groupBy(col("x.i").as("a"), col("y.i").as("b"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
+    // deg rides below as TWO differently-projected broadcasts — Spark's
+    // exchange reuse can't unify them, so each broadcast job would re-run
+    // the basket scan + dedup. Eager checkpoint: the frame is bounded by
+    // the item vocabulary (one row per item), and the upstream computes
+    // exactly once (the q249/q257 materialize-once discipline).
     val deg = it.groupBy(col("i")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val pinned = support
       .join(broadcast(deg.select(col("i").as("a"), col("c").as("ca"))), Seq("a"))
       .join(broadcast(deg.select(col("i").as("b"), col("c").as("cb"))), Seq("b"))
