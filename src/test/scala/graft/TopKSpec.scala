@@ -75,6 +75,18 @@ class TopKSpec extends AnyFunSuite {
     assert(gotZ.map(_._4) == Seq(8L), s"got=$gotZ")
   }
 
+  test("heap-rank id contract: non-integral id columns are rejected at plan time") {
+    import spark.implicits._
+    val strIds = Seq(("q1", "docA", 0.5)).toDF("qid", "id", "sim")
+    val e = intercept[IllegalArgumentException] {
+      TopK.requireIntegralId(strIds, "id", "testCaller")
+    }
+    assert(e.getMessage.contains("testCaller") && e.getMessage.contains("string"))
+    // integral types pass silently
+    TopK.requireIntegralId(Seq(("q1", 7L, 0.5)).toDF("qid", "id", "sim"), "id", "t")
+    TopK.requireIntegralId(Seq(("q1", 7, 0.5)).toDF("qid", "id", "sim"), "id", "t")
+  }
+
   test("topk ignores null values and tags") {
     val df = Seq(("a", Some(1.0), Some(1L)), ("a", None, Some(2L)),
       ("a", Some(9.0), None)).toDF("g", "v", "id")
