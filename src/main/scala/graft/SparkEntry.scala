@@ -1351,6 +1351,13 @@ object SparkEntry {
     "q226_substring_dup" -> ((s, dir) =>
       graft.dedup.SubstringDedup.perSourceReport(
         Tables.documents(s, dir), "doc_id", "source", "text", 20, 4)),
+    // ---- MAXIMAL duplicated spans (Lee et al. removal unit): EXACT
+    //      20-token window fingerprints (no anchor sampling), dup filter
+    //      at >=2 docs, per-doc island coalescing into token ranges —
+    //      the span-extraction sibling of q226's anchored mass estimate
+    "q415_dup_spans" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.duplicatedSpans(
+        Tables.documents(s, dir), "doc_id", "text", 20)),
     // ---- pairwise source token-profile cosine: the angular sibling of
     //      q87's TV distance — vocab-bounded counts joined on the token
     //      key, exact DECIMAL dots/norms
@@ -8135,6 +8142,36 @@ object SparkEntry {
          JOIN (SELECT source, estimate FROM est WHERE p = 0.5) p50 USING (source)
          JOIN (SELECT source, estimate FROM est WHERE p = 0.9) p90 USING (source)
          ORDER BY source"""
+    },
+    // exact duplicated spans: every 20-token window md5'd, >=2-doc dup
+    // filter, per-doc island coalescing (new span when the gap exceeds
+    // the window length), 1-based inclusive token positions
+    "q415_dup_spans" -> {
+      val w = 20
+      s"""WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+           FROM documents),
+         wins AS (
+           SELECT doc_id, i,
+                  md5(array_to_string(l[i:i + ${w - 1}], ' ')) AS fp
+           FROM t, unnest(range(1, len(l) - ${w - 2})) r(i)
+           WHERE len(l) >= $w),
+         dup AS (SELECT fp FROM wins GROUP BY fp
+                 HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (SELECT w.doc_id, w.i FROM wins w JOIN dup USING (fp)),
+         lagged AS (
+           SELECT doc_id, i,
+                  lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM hits),
+         isl AS (
+           SELECT doc_id, i,
+                  sum(CASE WHEN prev IS NULL OR i > prev + $w THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           FROM lagged)
+         SELECT doc_id, min(i) AS span_start, max(i) + ${w - 1} AS span_end,
+                count(*) AS n_windows
+         FROM isl GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start"""
     },
     // DSIR: hashed unigram+bigram buckets (portable md5-32 mod 1024),
     // Laplace-smoothed target/raw log ratio pinned at 12 dp, exact

@@ -87,6 +87,66 @@ object SubstringDedup {
       .orderBy(col("source"))
   }
 
+  /** MAXIMAL duplicated spans per document — the REMOVAL UNIT of
+    * Lee et al. 2022's substring dedup ([[perSourceReport]] measures
+    * the mass; this returns the actual `(doc, span_start, span_end)`
+    * token ranges a removal pass would cut): every `window`-token
+    * sliding window is fingerprinted EXACTLY (no anchor sampling — the
+    * exact sibling of the anchored estimator, paying one md5 per token
+    * position for exactness), windows whose fingerprint occurs in
+    * ≥ `minDocs` distinct documents are kept, and per document the
+    * overlapping/adjacent hit windows coalesce into maximal spans by
+    * island detection (a new span starts when a hit's position exceeds
+    * the previous hit's position + `window` — i.e. the two windows'
+    * token ranges no longer touch). 1-based inclusive token positions.
+    *
+    * Scale shape: one `(fp, doc, pos)` shuffle of n·tokens rows (the
+    * price of exactness over [[perSourceReport]]'s 1/anchorMod
+    * sampling; fingerprints are 32-byte digests, text never leaves the
+    * scan), a digest-keyed dup filter, then the island lag/sum windows
+    * run per DOCUMENT — bounded by a document's own hit count, the
+    * per-item window class (keyframes, chunking), never corpus-keyed. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      window: Int, minDocs: Int = 2): DataFrame = {
+    require(window >= 2 && minDocs >= 2, s"bad window/minDocs: $window/$minDocs")
+    val wide = graft.operators.Spread.widen(df, col(idCol))
+    val wins = wide
+      .select(col(idCol).cast("long").as("doc"),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= window)
+      .select(col("doc"), explode(expr(
+        s"""transform(sequence(1, size(__toks) - ${window - 1}),
+           |  i -> struct(i AS pos,
+           |              md5(array_join(slice(__toks, i, $window), ' ')) AS fp))"""
+          .stripMargin)).as("w"))
+      .select(col("doc"), col("w.pos").cast("long").as("pos"), col("w.fp").as("fp"))
+      // consumed by the dup-fingerprint rollup AND the hits semi-join —
+      // materialize the n·tokens fan-out once (the q249 discipline; the
+      // frame is digest+doc+pos, never text)
+      .localCheckpoint(true)
+    val dupFp = wins.groupBy(col("fp"))
+      .agg(countDistinct(col("doc")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("fp"))
+    val hits = wins.join(dupFp, Seq("fp"), "left_semi")
+      .select(col("doc"), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    hits
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + window, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + window - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc").as("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** The most-duplicated windows themselves: `(fp, n_docs, n_occ)` top-k
     * by distinct-document reach — the "what IS this boilerplate"
     * drill-down (join back on the fingerprint to recover spans). */

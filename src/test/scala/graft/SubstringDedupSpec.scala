@@ -85,4 +85,33 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(top.nonEmpty)
     assert(top.head.getAs[Long]("n_docs") == 5L)
   }
+
+  test("duplicatedSpans recovers the exact shared span and nothing else") {
+    val boiler = words("span-boiler", 45) // 45 shared tokens, window 20
+    val docs = Seq(
+      (1L, boiler + " " + words("tail-a", 40)),
+      (2L, words("pre-b", 13) + " " + boiler + " " + words("tail-b", 25)))
+      .toDF("doc_id", "text")
+    val got = SubstringDedup.duplicatedSpans(docs, "doc_id", "text", 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: span tokens 1..45; doc 2: offset 13 → tokens 14..58.
+    // windows per doc: 45-20+1 = 26 contiguous hits → one maximal span
+    assert(got == Seq((1L, 1L, 45L, 26L), (2L, 14L, 58L, 26L)), s"got=$got")
+    // unique corpora yield nothing
+    val uniq = Seq((1L, words("u1", 80)), (2L, words("u2", 80)))
+      .toDF("doc_id", "text")
+    assert(SubstringDedup.duplicatedSpans(uniq, "doc_id", "text", 20)
+      .count() == 0L)
+    // TWO disjoint shared spans in one doc stay TWO islands
+    val s1 = words("s1", 25); val s2 = words("s2", 25)
+    val two = Seq(
+      (1L, s1 + " " + words("gap", 30) + " " + s2),
+      (2L, s2 + " " + words("other", 40)),
+      (3L, words("misc", 35) + " " + s1))
+      .toDF("doc_id", "text")
+    val spans1 = SubstringDedup.duplicatedSpans(two, "doc_id", "text", 20)
+      .filter($"doc_id" === 1L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans1 == Seq((1L, 1L, 25L, 6L), (1L, 56L, 80L, 6L)), s"got=$spans1")
+  }
 }
