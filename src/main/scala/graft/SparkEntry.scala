@@ -1358,6 +1358,13 @@ object SparkEntry {
     "q415_dup_spans" -> ((s, dir) =>
       graft.dedup.SubstringDedup.duplicatedSpans(
         Tables.documents(s, dir), "doc_id", "text", 20)),
+    // ---- the REMOVAL pass over q415's spans: duplicated windows cut
+    //      from every doc except the fingerprint's min-doc owner (one
+    //      occurrence survives deterministically), cleaned text rebuilt
+    //      on the shared whitespace-normal grid
+    "q416_dedup_spans_apply" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.removeDuplicatedSpans(
+        Tables.documents(s, dir), "doc_id", "text", 20)),
     // ---- pairwise source token-profile cosine: the angular sibling of
     //      q87's TV distance — vocab-bounded counts joined on the token
     //      key, exact DECIMAL dots/norms
@@ -8172,6 +8179,55 @@ object SparkEntry {
                 count(*) AS n_windows
          FROM isl GROUP BY doc_id, grp
          ORDER BY doc_id, span_start"""
+    },
+    // removal pass: duplicated windows cut everywhere but the min-doc
+    // owner, spans coalesced, kept tokens re-joined in position order
+    "q416_dedup_spans_apply" -> {
+      val w = 20
+      s"""WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+           FROM documents),
+         wins AS (
+           SELECT doc_id, i,
+                  md5(array_to_string(l[i:i + ${w - 1}], ' ')) AS fp
+           FROM t, unnest(range(1, len(l) - ${w - 2})) r(i)
+           WHERE len(l) >= $w),
+         own AS (
+           SELECT fp, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd
+           FROM wins GROUP BY fp),
+         rem AS (
+           SELECT w.doc_id, w.i FROM wins w JOIN own USING (fp)
+           WHERE nd >= 2 AND w.doc_id <> owner),
+         lagged AS (
+           SELECT doc_id, i,
+                  lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM rem),
+         isl AS (
+           SELECT doc_id, i,
+                  sum(CASE WHEN prev IS NULL OR i > prev + $w THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           FROM lagged),
+         spans AS (
+           SELECT doc_id, min(i) AS s, max(i) + ${w - 1} AS e
+           FROM isl GROUP BY doc_id, grp),
+         tok AS (
+           SELECT doc_id, i AS tpos, l[i] AS tok
+           FROM t, unnest(range(1, len(l) + 1)) r(i)),
+         kept AS (
+           SELECT k.doc_id, k.tpos, k.tok
+           FROM tok k LEFT JOIN spans s
+             ON k.doc_id = s.doc_id AND k.tpos BETWEEN s.s AND s.e
+           WHERE s.doc_id IS NULL),
+         sizes AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM t),
+         cleaned AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(tok, ' ' ORDER BY tpos) AS cleaned_text
+           FROM kept GROUP BY doc_id)
+         SELECT s.doc_id, s.n_tokens,
+                s.n_tokens - coalesce(c.n_kept, 0) AS n_removed,
+                coalesce(c.cleaned_text, '') AS cleaned_text
+         FROM sizes s LEFT JOIN cleaned c USING (doc_id)
+         ORDER BY s.doc_id"""
     },
     // DSIR: hashed unigram+bigram buckets (portable md5-32 mod 1024),
     // Laplace-smoothed target/raw log ratio pinned at 12 dp, exact

@@ -106,11 +106,14 @@ object SubstringDedup {
     * scan), a digest-keyed dup filter, then the island lag/sum windows
     * run per DOCUMENT — bounded by a document's own hit count, the
     * per-item window class (keyframes, chunking), never corpus-keyed. */
-  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                      window: Int, minDocs: Int = 2): DataFrame = {
-    require(window >= 2 && minDocs >= 2, s"bad window/minDocs: $window/$minDocs")
+  /** Exact (unsampled) window fingerprints `(doc, pos, fp)`, checkpointed:
+    * the frame is consumed by a dup-fingerprint rollup AND a position
+    * join in every caller — materialize the n·tokens fan-out once (the
+    * q249 discipline; the frame is digest+doc+pos, never text). */
+  private def exactWins(df: DataFrame, idCol: String, textCol: String,
+                        window: Int): DataFrame = {
     val wide = graft.operators.Spread.widen(df, col(idCol))
-    val wins = wide
+    wide
       .select(col(idCol).cast("long").as("doc"),
         graft.text.TextAnalysis.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= window)
@@ -120,16 +123,13 @@ object SubstringDedup {
            |              md5(array_join(slice(__toks, i, $window), ' ')) AS fp))"""
           .stripMargin)).as("w"))
       .select(col("doc"), col("w.pos").cast("long").as("pos"), col("w.fp").as("fp"))
-      // consumed by the dup-fingerprint rollup AND the hits semi-join —
-      // materialize the n·tokens fan-out once (the q249 discipline; the
-      // frame is digest+doc+pos, never text)
       .localCheckpoint(true)
-    val dupFp = wins.groupBy(col("fp"))
-      .agg(countDistinct(col("doc")).as("nd"))
-      .where(col("nd") >= minDocs)
-      .select(col("fp"))
-    val hits = wins.join(dupFp, Seq("fp"), "left_semi")
-      .select(col("doc"), col("pos"))
+  }
+
+  /** Coalesce hit window positions `(doc, pos)` into maximal spans
+    * `(doc, span_start, span_end, n_windows)` — island detection under
+    * per-DOC lag/sum windows (bounded by a document's own hit count). */
+  private def islands(hits: DataFrame, window: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("pos"))
     hits
@@ -142,9 +142,71 @@ object SubstringDedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + window - 1).as("span_end"),
         count(lit(1)).as("n_windows"))
+      .select(col("doc"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      window: Int, minDocs: Int = 2): DataFrame = {
+    require(window >= 2 && minDocs >= 2, s"bad window/minDocs: $window/$minDocs")
+    val wins = exactWins(df, idCol, textCol, window)
+    val dupFp = wins.groupBy(col("fp"))
+      .agg(countDistinct(col("doc")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("fp"))
+    val hits = wins.join(dupFp, Seq("fp"), "left_semi")
+      .select(col("doc"), col("pos"))
+    islands(hits, window)
       .select(col("doc").as("doc_id"), col("span_start"), col("span_end"),
         col("n_windows"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** APPLY the substring dedup — the Lee et al. 2022 removal pass: every
+    * duplicated window is removed from every document EXCEPT the
+    * fingerprint's canonical owner (the smallest sharing doc id — one
+    * occurrence always survives, deterministically), removable windows
+    * coalesce to maximal spans per doc, and the spans' tokens are cut.
+    * Output `(doc_id, n_tokens, n_removed, cleaned_text)` — cleaned
+    * text is whitespace-normalized (single-space re-join of the kept
+    * tokens, the [[graft.text.TextAnalysis.tokens]] grid both engines
+    * share).
+    *
+    * Scale shape: the fingerprint frame shuffles once ([[exactWins]],
+    * checkpointed), ownership is a digest-keyed aggregate, span
+    * coalescing and the token cut run under per-DOC windows/joins
+    * (span lists are per-doc bounded), and the rebuild is one
+    * group-by-doc fold — no corpus-keyed window anywhere. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            window: Int, minDocs: Int = 2): DataFrame = {
+    require(window >= 2 && minDocs >= 2, s"bad window/minDocs: $window/$minDocs")
+    val wins = exactWins(df, idCol, textCol, window)
+    val own = wins.groupBy(col("fp"))
+      .agg(min(col("doc")).as("owner"), countDistinct(col("doc")).as("nd"))
+      .where(col("nd") >= minDocs)
+    val removable = wins.join(own, "fp")
+      .where(col("doc") =!= col("owner"))
+      .select(col("doc"), col("pos"))
+    val spans = islands(removable, window)
+      .select(col("doc"), col("span_start"), col("span_end"))
+    val toks = df.select(col(idCol).cast("long").as("doc"),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc"), posexplode(col("__toks")).as(Seq("p0", "tok")))
+      .select(col("doc"), (col("p0") + 1).cast("long").as("tpos"), col("tok"))
+    val kept = toks.join(spans,
+      toks("doc") === spans("doc") &&
+        col("tpos") >= col("span_start") && col("tpos") <= col("span_end"),
+      "left_anti")
+    val sizes = df.select(col(idCol).cast("long").as("doc"),
+      graft.text.TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val rebuilt = kept.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned_text"))
+    sizes.join(rebuilt, Seq("doc"), "left_outer")
+      .select(col("doc").as("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
   }
 
   /** The most-duplicated windows themselves: `(fp, n_docs, n_occ)` top-k

@@ -114,4 +114,28 @@ class SubstringDedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(spans1 == Seq((1L, 1L, 25L, 6L), (1L, 56L, 80L, 6L)), s"got=$spans1")
   }
+
+  test("removeDuplicatedSpans: the min-doc owner keeps the span, " +
+       "others lose exactly it; unique docs pass through normalized") {
+    val boiler = words("rm-boiler", 30)
+    val tailB = words("rm-tail-b", 15)
+    val docs = Seq(
+      (1L, boiler + " " + words("rm-tail-a", 20)),
+      (2L, boiler + " " + tailB),
+      (3L, words("rm-solo", 40)))
+      .toDF("doc_id", "text")
+    val got = SubstringDedup
+      .removeDuplicatedSpans(docs, "doc_id", "text", 20)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 is the owner of every shared fingerprint: nothing removed
+    assert(got(1L)._3 == 0L && got(1L)._2 == 50L, s"owner row ${got(1L)}")
+    // doc 2 loses exactly the 30 boiler tokens, keeps its own tail
+    assert(got(2L)._3 == 30L, s"dup row ${got(2L)}")
+    assert(got(2L)._4 == tailB, s"cleaned ${got(2L)._4}")
+    // doc 3 untouched: full token count, zero removed
+    assert(got(3L)._3 == 0L && got(3L)._2 == 40L)
+    // the survivor's cleaned text still contains the boilerplate
+    assert(got(1L)._4.startsWith(boiler))
+  }
 }
