@@ -112,6 +112,10 @@ object SubstringDedup {
     * q249 discipline; the frame is digest+doc+pos, never text). */
   private def exactWins(df: DataFrame, idCol: String, textCol: String,
                         window: Int): DataFrame = {
+    // fail at plan time on a non-integral id: the long cast below would
+    // null every doc and countDistinct skips nulls, so the query would
+    // silently return zero spans (the TopK.requireIntegralId contract)
+    graft.functions.TopK.requireIntegralId(df, idCol, "SubstringDedup")
     val wide = graft.operators.Spread.widen(df, col(idCol))
     wide
       .select(col(idCol).cast("long").as("doc"),
@@ -196,8 +200,9 @@ object SubstringDedup {
       toks("doc") === spans("doc") &&
         col("tpos") >= col("span_start") && col("tpos") <= col("span_end"),
       "left_anti")
-    val sizes = df.select(col(idCol).cast("long").as("doc"),
-      graft.text.TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // per-doc token totals off the SAME exploded frame (every doc has
+    // ≥ 1 token row — split of "" is [""]) — not a third tokenize pass
+    val sizes = toks.groupBy(col("doc")).agg(count(lit(1)).as("n_tokens"))
     val rebuilt = kept.groupBy(col("doc"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),

@@ -29,17 +29,19 @@ object Modularity {
       col(dstCol).cast("long").as("d")).distinct()
     val a = attrs.select(col(idCol).cast("long").as("id"),
       col(commCol).as("comm")).distinct()
-    // attrs are the bounded side (one row per node) — broadcast BOTH
-    // endpoint joins explicitly so the edge frame never shuffles here,
-    // whatever the stats say. The tagged frame is consumed by two jobs
+    // The attrs frame is NODE-sized — corpus-keyed, not a bounded
+    // dimension — so the endpoint joins carry NO forced broadcast hint:
+    // stats/AQE broadcast it when it fits (it does at test scale) and
+    // fall back to a shuffle join when a billion-node map would blow the
+    // 8 GB broadcast limit. The tagged frame is consumed by two jobs
     // (the comm-degree rollup's broadcast subtree and the final agg):
     // an eager localCheckpoint materializes the expensive upstream edge
     // derivation exactly ONCE and truncates its lineage — a lazy persist
     // can still double-compute when the broadcast job races the main
     // job past a cold cache (the q288 truncate precedent).
     val tagged = e
-      .join(broadcast(a.select(col("id").as("s"), col("comm").as("cs"))), "s")
-      .join(broadcast(a.select(col("id").as("d"), col("comm").as("cd"))), "d")
+      .join(a.select(col("id").as("s"), col("comm").as("cs")), "s")
+      .join(a.select(col("id").as("d"), col("comm").as("cd")), "d")
       .localCheckpoint(true)
     val degByComm = tagged
       .select(explode(array(col("cs"), col("cd"))).as("comm"))

@@ -135,23 +135,26 @@ object Multimodal {
     def le16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
     def le32(o: Int): Long = (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
       ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
-    var off = 12
+    // chunk offsets walk in LONG arithmetic: a size field is 4 unsigned
+    // bytes (up to ~4.29e9), so int math could truncate to a negative or
+    // non-advancing offset — a crafted header must end the walk (stub
+    // fallback), never hang the executor or throw out of bounds
+    var off = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
     var dataOff = -1
     var dataLen = 0L
     while (off + 8 <= payload.length) {
-      val cid = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = le32(off + 4)
+      val o = off.toInt
+      val cid = new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(o + 4) // unsigned 32-bit, 0..0xFFFFFFFF
       val body = off + 8
       if (cid == "fmt " && body + 16 <= payload.length)
-        fmt = Some((le16(body), le16(body + 2), le32(body + 4).toInt, le16(body + 14)))
+        fmt = Some((le16(o + 8), le16(o + 10), le32(o + 12).toInt, le16(o + 22)))
       else if (cid == "data" && dataOff < 0) {
-        dataOff = body
-        dataLen = math.min(sz, (payload.length - body).toLong)
+        dataOff = body.toInt
+        dataLen = math.min(sz, payload.length - body)
       }
-      // chunks are word-aligned; a corrupt size just ends the walk
-      if (sz < 0 || body + sz + (sz & 1) <= off) off = payload.length
-      else off = (body + sz + (sz & 1)).toInt
+      off = body + sz + (sz & 1L) // word-aligned; Long arith can't wrap here
     }
     fmt match {
       case Some((af, ch, sr, bits))
@@ -224,11 +227,14 @@ object Multimodal {
     * stay in their partition): true sample rate / duration / RMS for
     * PCM WAV payloads via [[decodeWav]], the deterministic byte stub's
     * metadata (and zeroed signal stats) otherwise — `decoded` says
-    * which path a row took. */
+    * which path a row took. Non-audio rows are filtered out — emitting
+    * fabricated "audio" stats for image/video payloads would silently
+    * pollute any aggregate over the result. */
   def audioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRecord]
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("kind"), col("payload")).as[MediaRecord]
       .mapPartitions { it =>
         it.map { rec =>
           decodeWav(rec.payload) match {

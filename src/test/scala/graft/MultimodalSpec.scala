@@ -224,6 +224,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav("definitely not audio".getBytes).isEmpty)
     assert(Multimodal.decodeWav(wav16(16000, sq).take(20)).isEmpty)
     assert(Multimodal.decodeWav(null).isEmpty)
+    // hostile chunk sizes must terminate (no int-wraparound loop): a
+    // RIFF/WAVE header whose first chunk claims size 0xFFFFFFF8
+    val evil = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+      .array()
+    assert(Multimodal.decodeWav(evil).isEmpty)
+    // a valid fmt followed by a lying data size clamps to the real bytes
+    val clipped = wav16(8000, Array.fill(10)(1000.toShort))
+    clipped(43) = 0x7F // inflate the data chunk's size field high byte
+    val Some(c) = Multimodal.decodeWav(clipped)
+    assert(c.nFrames == 10, s"clamped frames ${c.nFrames}")
   }
 
   test("audioFeatures: WAV rows decode for real, text rows take the stub") {
