@@ -2048,9 +2048,10 @@ object SparkEntry {
     "q161_gbt_importance" -> ((s, dir) => {
       val feats = windowedFeatures(s, dir)
       val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
-      val train = Models.assemble(Models.compressWeighted(feats, cols, "label"), cols, "label")
-      val model = Models.fitGbt(train, weightCol = Some("weight"))
-      Models.gbtImportance(s, model, cols)
+      // pinned-stump boosting (PinnedGbt): deterministic recurrence with
+      // an unrolled SQL twin — the oracle-exact sibling of Models.fitGbt
+      // (which stays spec-covered for the spark.ml surface)
+      graft.ml.PinnedGbt.importanceReport(feats, cols, "label")
     }),
     // ---- A1/A2 pricing summary (sum/avg/count aggregate, filter pushdown)
     "q01_pricing_agg" -> ((s, dir) => {
@@ -4092,6 +4093,88 @@ object SparkEntry {
   private val LogitFeatures =
     Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
 
+  /** q161 twin: unrolled pinned-stump boosting
+    * ([[graft.ml.PinnedGbt]]) over the q29 windowed features. Per round:
+    * melt the weighted rows, score every (feature, threshold) stump by
+    * the exact-integer variance-reduction gain (one double conversion at
+    * the comparison), pick the (gain DESC, f, t) argmax, pin the leaf
+    * deltas and the round's gain to long grids, update predictions.
+    * Importance = per-feature share of total pinned gain. */
+  private def pinnedGbtImportanceSql(iters: Int, lr: Double): String = {
+    val fs = LogitFeatures
+    def melt(ws: String) = fs.map(f =>
+      s"""SELECT '$f' AS f, CAST($f AS BIGINT) AS xv, w,
+                label * 1000000000000 - p12 AS r12 FROM $ws""")
+      .mkString("\n           UNION ALL ")
+    val pick = fs.map(f => s"WHEN '$f' THEN CAST($f AS BIGINT)").mkString(" ")
+    val rounds = (1 to iters).map { i =>
+      s"""m$i AS (
+           ${melt(s"ws${i - 1}")}),
+         c$i AS (
+           SELECT th.f, th.t,
+             sum(CASE WHEN m.xv <= th.t
+                 THEN CAST(m.w AS HUGEINT) * m.r12 ELSE 0 END) AS sl,
+             CAST(sum(CASE WHEN m.xv <= th.t THEN m.w ELSE 0 END) AS BIGINT) AS wl,
+             sum(CAST(m.w AS HUGEINT) * m.r12) AS s,
+             CAST(sum(m.w) AS BIGINT) AS wt
+           FROM m$i m JOIN th ON th.f = m.f GROUP BY 1, 2),
+         b$i AS MATERIALIZED (
+           SELECT f, t,
+             CAST(round(${dlit(lr)} * CAST(sl AS DOUBLE) / wl) AS BIGINT) AS vl,
+             CAST(round(${dlit(lr)} * CAST(s - sl AS DOUBLE) / (wt - wl)) AS BIGINT) AS vr,
+             CAST(round(gain / 1e12) AS BIGINT) AS g12
+           FROM (SELECT *,
+                   CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / wl
+                     + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE) / (wt - wl)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / wt AS gain
+                 FROM c$i WHERE wl > 0 AND wt - wl > 0)
+           ORDER BY gain DESC, f, t LIMIT 1),
+         ws$i AS MATERIALIZED (
+           SELECT ${fs.mkString(", ")}, label, w,
+             p12 + CASE WHEN (CASE b.f $pick END) <= b.t
+                   THEN b.vl ELSE b.vr END AS p12
+           FROM ws${i - 1} CROSS JOIN b$i b)"""
+    }.mkString(",\n         ")
+    val featCases = fs.map(f =>
+      s"count(CASE WHEN event_type = '${f.stripPrefix("n_")}' THEN 1 END) AS $f")
+      .mkString(",\n             ")
+    s"""WITH feats AS MATERIALIZED (
+           SELECT window_id,
+             $featCases,
+             max(CASE WHEN event_type = 'error' AND value > 300 THEN 1 ELSE 0 END) AS label
+           FROM (SELECT (row_number() OVER (ORDER BY event_id) - 1) // 5 AS window_id,
+                        event_type, value
+                 FROM events) t
+           GROUP BY window_id),
+         ws AS MATERIALIZED (
+           SELECT ${fs.mkString(", ")}, CAST(label AS BIGINT) AS label,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM feats GROUP BY ${(1 to fs.size + 1).mkString(", ")}),
+         tv AS (${fs.map(f => s"SELECT '$f' AS f, CAST($f AS BIGINT) AS t FROM ws")
+        .mkString("\n           UNION ALL ")}),
+         th AS (SELECT f, t FROM (
+             SELECT DISTINCT f, t, max(t) OVER (PARTITION BY f) AS mx FROM tv)
+           WHERE t < mx),
+         pz AS (SELECT CAST(round(1e12 * CAST(sum(w * label) AS DOUBLE) / sum(w)) AS BIGINT) AS p12
+                FROM ws),
+         ws0 AS MATERIALIZED (
+           SELECT ${fs.mkString(", ")}, label, w, pz.p12 FROM ws CROSS JOIN pz),
+         $rounds,
+         gains AS (${(1 to iters).map(i => s"SELECT f, g12 FROM b$i")
+        .mkString("\n           UNION ALL ")}),
+         agg AS (SELECT f, sum(g12) AS gf FROM gains GROUP BY 1),
+         tot AS (SELECT sum(g12) AS gt FROM gains)
+         SELECT feature, importance FROM (
+           SELECT ff.f AS feature,
+                  CASE WHEN tot.gt > 0
+                    THEN round(CAST(coalesce(agg.gf, 0) AS DOUBLE)
+                               / CAST(tot.gt AS DOUBLE), 6)
+                    ELSE 0.0 END AS importance
+           FROM (VALUES ${fs.map(f => s"('$f')").mkString(", ")}) ff(f)
+           LEFT JOIN agg ON agg.f = ff.f CROSS JOIN tot)
+         ORDER BY importance DESC, feature"""
+  }
+
   private def pinnedLogitSql(iters: Int, lr: Double): String = {
     val z12 = s"b.b0 + " + LogitFeatures.zipWithIndex
       .map { case (f, j) => s"b.b${j + 1} * $f" }.mkString(" + ")
@@ -4858,6 +4941,7 @@ object SparkEntry {
     "q35_pca" -> pinnedPcaSql(40),
     "q32_lr_metrics" -> pinnedLogitSql(100, 0.5),
     "q48_lr_importance" -> pinnedLogitImportanceSql(100, 0.5),
+    "q161_gbt_importance" -> pinnedGbtImportanceSql(10, 0.3),
     "q247_hits" -> hitsOracleSql(20),
     "q288_ktruss" -> ktrussOracleSql(12, 4),
     "q227_kcenter" -> kcenterOracleSql(16),
@@ -8137,7 +8221,8 @@ object SparkEntry {
            FROM bins),
          qq AS (
            SELECT c.source, p.p, ceil(p.p * t.n) AS target, c.b, c.cnt, c.cum
-           FROM cum c JOIN tot t USING (source), (VALUES (0.5), (0.9)) p(p)
+           FROM cum c JOIN tot t USING (source),
+                (VALUES (0.5::DOUBLE), (0.9::DOUBLE)) p(p)
            WHERE c.cum >= ceil(p.p * t.n) AND c.cum - c.cnt < ceil(p.p * t.n)),
          est AS (
            SELECT source, p,
@@ -8184,8 +8269,11 @@ object SparkEntry {
     // owner, spans coalesced, kept tokens re-joined in position order
     "q416_dedup_spans_apply" -> {
       val w = 20
+      // coalesce(text,'') keeps a null-text doc present with one ("")
+      // token — mirrors removeDuplicatedSpans' coalesce on the Spark side
       s"""WITH t AS (
-           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+           SELECT doc_id,
+                  string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS l
            FROM documents),
          wins AS (
            SELECT doc_id, i,

@@ -428,10 +428,62 @@ object Dedup {
     call_function(graft.functions.ShingleSet.Name, toks, lit(n))
   }
 
+  /** `(id, set)` rows with empty sets dropped, not paired: Jaccard over
+    * two empty sets is 0/0 — and without this filter the exact-group
+    * pre-collapse would emit such docs as 1.0 pairs while an
+    * explode-based formulation (the oracle, an inverted index) never
+    * sees them at all. */
+  private def docSetsOf(df: DataFrame, idCol: String, setExpr: Column): DataFrame =
+    spread(df, idCol).select(col(idCol).as("id"), setExpr.as("set"))
+      .filter(size(col("set")) > 0)
+
+  /** Small-corpus fast-path probe (`graft.jaccard.localMaxDocs`, default
+    * 16384, 0 disables): when the corpus fits under the gate — checked
+    * by a `limit(max+1)` collect, never a full count — and ids are
+    * integral, return the (id, set) rows for the in-memory
+    * [[LocalJaccard]] replay of the identical algorithm. The distributed
+    * prefix-filter plan is ~15 fixed-latency exchanges; under the gate
+    * the whole input is megabytes and one process beats the stage floor
+    * by ~4× (the KCore localFinishEdges / ConnectedComponents
+    * driver-union-find precedent). Above the gate: None, distributed
+    * plan untouched. Outputs are bit-identical either way (spec-pinned
+    * both paths). */
+  private def collectIfSmall(docSets: DataFrame)
+      : Option[Array[(Long, Array[String])]] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val max = docSets.sparkSession.conf
+      .getOption("graft.jaccard.localMaxDocs").map(_.toInt).getOrElse(16384)
+    if (max <= 0) return None
+    val integral = docSets.schema("id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (!integral) return None
+    val rows = docSets
+      .select(col("id").cast("long").as("id"), col("set"))
+      .limit(max + 1).collect()
+    if (rows.length > max)
+      None
+    else
+      Some(rows.map(r => (r.getLong(0), r.getSeq[String](1).toArray)))
+  }
+
   /** Core of the exact-Jaccard join, parameterized by the set expression
     * (distinct sorted array of join units — tokens, shingles, …). */
   def jaccardPairsOfSets(df: DataFrame, idCol: String, setExpr: Column,
                          threshold: Double): DataFrame = {
+    val docSets = docSetsOf(df, idCol, setExpr)
+    val local = collectIfSmall(docSets)
+    if (local.isDefined) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val idType = docSets.schema("id").dataType
+      return LocalJaccard.jaccardPairs(local.get, threshold)
+        .toDF("id_a", "id_b", "jaccard")
+        .select(col("id_a").cast(idType).as("id_a"),
+          col("id_b").cast(idType).as("id_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+    }
     val (repPairs, mem) = repJaccardGraph(df, idCol, setExpr, threshold)
     // within-group pairs (identical sets ⇒ J = 1.0) and the rep-pair
     // member expansion — the d² blowup lives HERE, after the join,
@@ -468,6 +520,16 @@ object Dedup {
     * star contraction's contract). */
   def jaccardComponentsOfSets(df: DataFrame, idCol: String, setExpr: Column,
                               threshold: Double): DataFrame = {
+    val localSets = docSetsOf(df, idCol, setExpr)
+    val local = collectIfSmall(localSets)
+    if (local.isDefined) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val idType = localSets.schema("id").dataType
+      return LocalJaccard.jaccardComponents(local.get, threshold)
+        .toDF(idCol, "component")
+        .select(col(idCol).cast(idType).as(idCol), col("component"))
+    }
     val (repPairs, mem) = repJaccardGraph(df, idCol, setExpr, threshold)
     val cc = ConnectedComponents
       .components(repPairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
@@ -648,12 +710,7 @@ object Dedup {
   private def repJaccardGraph(df: DataFrame, idCol: String, setExpr: Column,
                               threshold: Double): (DataFrame, DataFrame) = {
     graft.functions.SortedOverlapCount.register(df.sparkSession)
-    // empty sets are dropped, not paired: Jaccard over two empty sets is
-    // 0/0 — and without this filter the exact-group pre-collapse would
-    // emit such docs as 1.0 pairs while an explode-based formulation
-    // (the oracle, an inverted index) never sees them at all
-    val docSets = spread(df, idCol).select(col(idCol).as("id"), setExpr.as("set"))
-      .filter(size(col("set")) > 0)
+    val docSets = docSetsOf(df, idCol, setExpr)
     // EXACT-GROUP PRE-COLLAPSE: documents with the SAME distinct token set
     // have pairwise Jaccard exactly 1.0 among themselves and identical
     // similarity to everything else, so the quadratic join only needs ONE
@@ -811,8 +868,18 @@ object Dedup {
   def containmentPairsOfSets(df: DataFrame, idCol: String, setExpr: Column,
                              threshold: Double): DataFrame = {
     graft.functions.SortedOverlapCount.register(df.sparkSession)
-    val docSets = spread(df, idCol).select(col(idCol).as("id"), setExpr.as("set"))
-      .filter(size(col("set")) > 0)
+    val docSets = docSetsOf(df, idCol, setExpr)
+    val local = collectIfSmall(docSets)
+    if (local.isDefined) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val idType = docSets.schema("id").dataType
+      return LocalJaccard.containmentPairs(local.get, threshold)
+        .toDF("id_a", "id_b", "containment")
+        .select(col("id_a").cast(idType).as("id_a"),
+          col("id_b").cast(idType).as("id_b"),
+          round(col("containment"), 4).as("containment"))
+    }
     // exact-group pre-collapse (same contract as repJaccardGraph: members
     // of one group have identical sets, so identical containment to
     // everything — one representative joins, members expand afterwards)

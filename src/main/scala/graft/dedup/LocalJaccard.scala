@@ -1,0 +1,255 @@
+package graft.dedup
+
+import scala.collection.mutable
+
+/** Single-process exact-Jaccard/containment core for SMALL corpora — the
+  * conf-gated fast path of [[Dedup.jaccardPairsOfSets]] and friends (the
+  * [[ConnectedComponents]] driver-union-find / KCore localFinishEdges
+  * precedent applied to the prefix-filter join family).
+  *
+  * WHY: the distributed prefix-filter pipeline is ~15 exchanges deep
+  * (group-collapse window, distributed vocabulary rank, index join,
+  * candidate self-join, two re-attach joins, member expansion) — the
+  * scale-correct shape for a corpus that doesn't fit one machine, but at
+  * bench scale every stage is a fixed-latency floor and the whole input
+  * is a few megabytes. Below `graft.jaccard.localMaxDocs` documents the
+  * caller collects the (id, shingle-set) rows in ONE job and this object
+  * replays the IDENTICAL algorithm in memory: same exact-group collapse,
+  * same (df, token) global rarity order, same ε-relaxed prefix/length/
+  * positional bounds, same bounded-merge verification, same member
+  * expansion. Every similarity is the same two-integer division the
+  * distributed path computes, so outputs are bit-identical (spec-pinned
+  * both paths in LocalJaccardSpec).
+  *
+  * Scale honesty: this path is reached only when the corpus has ALREADY
+  * been counted under the gate (a `limit(max+1)` probe, not a full
+  * count), so no corpus-sized collect can happen; above the gate the
+  * distributed plan is untouched. */
+private[dedup] object LocalJaccard {
+
+  /** Grouped reps: `(repId, sortedRankArray)` per distinct set, plus the
+    * sorted member-id list per rep. */
+  private final case class Reps(ids: Array[Long], toks: Array[Array[Int]],
+                                members: Map[Long, Array[Long]])
+
+  /** Exact-group collapse + global (df asc, token asc) rarity ranking —
+    * the in-memory twin of repJaccardGraph's window + withRowIndex. */
+  private def collapseAndRank(docs: Array[(Long, Array[String])]): Reps = {
+    // group identical sets (by content — the md5-digest contract without
+    // the digest); rep = min id
+    val groups = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Long]]
+    val setOf = mutable.HashMap.empty[String, Array[String]]
+    docs.foreach { case (id, set) =>
+      val key = set.mkString("\n")
+      groups.getOrElseUpdate(key, { setOf(key) = set; mutable.ArrayBuffer.empty }) += id
+    }
+    val repIds = new mutable.ArrayBuffer[Long]
+    val repSets = new mutable.ArrayBuffer[Array[String]]
+    val members = Map.newBuilder[Long, Array[Long]]
+    groups.foreach { case (key, ids) =>
+      val rep = ids.min
+      repIds += rep
+      repSets += setOf(key)
+      members += rep -> ids.toArray.sorted
+    }
+    // document frequency over representatives, rank by (df, tok)
+    val df = mutable.HashMap.empty[String, Int]
+    repSets.foreach(_.foreach(t => df(t) = df.getOrElse(t, 0) + 1))
+    val rank = df.keys.toArray
+      .sortWith((a, b) => if (df(a) != df(b)) df(a) < df(b) else a < b)
+      .zipWithIndex.toMap
+    val toks = repSets.map(s => s.map(rank).sorted).toArray
+    // deterministic rep order (by id) so candidate enumeration — and
+    // therefore nothing observable, since verification is exact — is
+    // stable run to run
+    val order = repIds.indices.sortBy(repIds)
+    Reps(order.map(repIds).toArray, order.map(toks).toArray, members.result())
+  }
+
+  /** Bounded sorted-int-merge overlap — the in-memory twin of the 3-arg
+    * `graft_sorted_overlap`: bails when the remaining suffixes can't
+    * reach `minOverlap`. */
+  private def overlap(a: Array[Int], b: Array[Int], minOverlap: Double): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (c + math.min(a.length - i, b.length - j) < minOverlap) return c
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** ε-relaxed probing-prefix length: `n − ⌈τ·n − ε⌉ + 1`, clamped to
+    * `n` (τ = 0 yields n + 1; the distributed `slice` clamps the same
+    * way). */
+  private def prefixLen(n: Int, tau: Double): Int =
+    math.min(n, n - math.ceil(n * tau - 1e-9).toInt + 1)
+
+  /** Rep-level Jaccard ≥ τ pairs `(ia, ib, j)` as indexes into `reps`
+    * with `ids(ia) < ids(ib)`. */
+  private def repJaccardPairs(reps: Reps, tau: Double)
+      : mutable.ArrayBuffer[(Int, Int, Double)] = {
+    val index = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Int, Int)]]
+    val seen = mutable.HashSet.empty[Long]
+    val out = new mutable.ArrayBuffer[(Int, Int, Double)]
+    var r = 0
+    while (r < reps.ids.length) {
+      val ta = reps.toks(r); val na = ta.length
+      val lp = prefixLen(na, tau)
+      var p = 0
+      while (p < lp) {
+        val tok = ta(p)
+        index.get(tok).foreach(_.foreach { case (o, op) =>
+          val tb = reps.toks(o); val nb = tb.length
+          val minOv = (na + nb) * tau / (1 + tau) - 1e-9
+          // length + positional bounds (ε semantics of the candidate join)
+          if (na >= nb * tau - 1e-9 && nb >= na * tau - 1e-9 &&
+              math.min(na - p, nb - op) >= minOv) {
+            val key = (math.min(r, o).toLong << 32) | math.max(r, o).toLong
+            if (seen.add(key)) {
+              val c = overlap(ta, tb, minOv)
+              val j = c.toDouble / (na + nb - c).toDouble
+              if (j >= tau) {
+                // reps are enumerated in ascending-id order, so o < r
+                // implies ids(o) < ids(r)
+                out += ((o, r, j))
+              }
+            }
+          }
+        })
+        p += 1
+      }
+      p = 0
+      while (p < lp) {
+        index.getOrElseUpdate(ta(p), new mutable.ArrayBuffer) += ((r, p))
+        p += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Member-expanded exact Jaccard pairs `(id_a, id_b, jaccard)` —
+    * within-group 1.0 pairs plus rep-pair expansion, UNROUNDED (the
+    * caller applies the same `round(_, 4)` column as the distributed
+    * path). */
+  def jaccardPairs(docs: Array[(Long, Array[String])], tau: Double)
+      : Seq[(Long, Long, Double)] = {
+    val reps = collapseAndRank(docs)
+    val out = new mutable.ArrayBuffer[(Long, Long, Double)]
+    expandWithin(reps, out)
+    repJaccardPairs(reps, tau).foreach { case (ia, ib, j) =>
+      expandCross(reps, ia, ib, j, out)
+    }
+    out.toSeq
+  }
+
+  /** Member-expanded exact containment pairs `(id_a, id_b, containment)`
+    * with containment = |∩| / min(|A|, |B|), unrounded. */
+  def containmentPairs(docs: Array[(Long, Array[String])], tau: Double)
+      : Seq[(Long, Long, Double)] = {
+    val reps = collapseAndRank(docs)
+    // postings: EVERY token of every rep (the index side); probes walk
+    // their own ε-prefix. Orientation: probe is the smaller set, ties by
+    // smaller id — each pair generated from exactly one side.
+    val index = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Int, Int)]]
+    var r = 0
+    while (r < reps.ids.length) {
+      val ta = reps.toks(r)
+      var p = 0
+      while (p < ta.length) {
+        index.getOrElseUpdate(ta(p), new mutable.ArrayBuffer) += ((r, p))
+        p += 1
+      }
+      r += 1
+    }
+    val seen = mutable.HashSet.empty[Long]
+    val out = new mutable.ArrayBuffer[(Long, Long, Double)]
+    expandWithin(reps, out)
+    r = 0
+    while (r < reps.ids.length) {
+      val ta = reps.toks(r); val na = ta.length
+      val minOv = na * tau - 1e-9
+      val lp = prefixLen(na, tau)
+      var p = 0
+      while (p < lp) {
+        index.get(ta(p)).foreach(_.foreach { case (o, op) =>
+          val nb = reps.toks(o).length
+          if ((na < nb || (na == nb && reps.ids(r) < reps.ids(o))) &&
+              math.min(na - p, nb - op) >= minOv) {
+            val key = (r.toLong << 32) | o.toLong
+            if (seen.add(key)) {
+              val c = overlap(ta, reps.toks(o), minOv)
+              val cont = c.toDouble / na.toDouble
+              if (cont >= tau) expandCross(reps, r, o, cont, out)
+            }
+          }
+        })
+        p += 1
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  /** Connected components of the ≥ τ Jaccard graph, member-expanded:
+    * `(id, component)` with component = cluster-minimum id — the
+    * jaccardComponentsOfSets contract. */
+  def jaccardComponents(docs: Array[(Long, Array[String])], tau: Double)
+      : Seq[(Long, Long)] = {
+    val reps = collapseAndRank(docs)
+    val parent = mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = root; c = n }
+      root
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      // union by min keeps the root the component minimum directly
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    repJaccardPairs(reps, tau).foreach { case (ia, ib, _) =>
+      union(reps.ids(ia), reps.ids(ib))
+    }
+    val out = new mutable.ArrayBuffer[(Long, Long)]
+    reps.members.foreach { case (rep, ms) =>
+      val label = find(rep)
+      ms.foreach(m => out += ((m, label)))
+    }
+    out.toSeq
+  }
+
+  /** Within-group 1.0 pairs: all (a < b) member combinations of every
+    * exact-duplicate group. */
+  private def expandWithin(reps: Reps,
+                           out: mutable.ArrayBuffer[(Long, Long, Double)]): Unit =
+    reps.members.valuesIterator.foreach { ms =>
+      var i = 0
+      while (i < ms.length) {
+        var j = i + 1
+        while (j < ms.length) { out += ((ms(i), ms(j), 1.0)); j += 1 }
+        i += 1
+      }
+    }
+
+  /** Cross-group expansion: every member combination of the two groups,
+    * ids ordered (least, greatest), similarity carried. */
+  private def expandCross(reps: Reps, ia: Int, ib: Int, sim: Double,
+                          out: mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+    val ma = reps.members(reps.ids(ia)); val mb = reps.members(reps.ids(ib))
+    var i = 0
+    while (i < ma.length) {
+      var j = 0
+      while (j < mb.length) {
+        val a = ma(i); val b = mb(j)
+        out += ((math.min(a, b), math.max(a, b), sim))
+        j += 1
+      }
+      i += 1
+    }
+  }
+}

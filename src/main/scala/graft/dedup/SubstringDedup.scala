@@ -192,8 +192,14 @@ object SubstringDedup {
       .select(col("doc"), col("pos"))
     val spans = islands(removable, window)
       .select(col("doc"), col("span_start"), col("span_end"))
+    // coalesce NULL text to '' so a null-text doc still emits its one
+    // ("") token row and stays present in `sizes` (n_tokens = 1), the
+    // same row the SQL twin produces over coalesce(text, '') — without
+    // this, tokens(null) is null, posexplode emits nothing, and the doc
+    // silently vanishes from the output
     val toks = df.select(col(idCol).cast("long").as("doc"),
-        graft.text.TextAnalysis.tokens(col(textCol)).as("__toks"))
+        graft.text.TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+          .as("__toks"))
       .select(col("doc"), posexplode(col("__toks")).as(Seq("p0", "tok")))
       .select(col("doc"), (col("p0") + 1).cast("long").as("tpos"), col("tok"))
     val kept = toks.join(spans,

@@ -148,7 +148,11 @@ object Multimodal {
       val cid = new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val sz = le32(o + 4) // unsigned 32-bit, 0..0xFFFFFFFF
       val body = off + 8
-      if (cid == "fmt " && body + 16 <= payload.length)
+      // honor the chunk's own declared size (sz >= 16 — a shorter fmt
+      // chunk must not read the next chunk's bytes as format fields) and
+      // keep only the FIRST fmt chunk; a duplicate later in the file is
+      // malformed and must not overwrite the governing format
+      if (cid == "fmt " && fmt.isEmpty && sz >= 16 && body + 16 <= payload.length)
         fmt = Some((le16(o + 8), le16(o + 10), le32(o + 12).toInt, le16(o + 22)))
       else if (cid == "data" && dataOff < 0) {
         dataOff = body.toInt

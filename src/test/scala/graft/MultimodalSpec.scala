@@ -238,6 +238,28 @@ class MultimodalSpec extends AnyFunSuite {
     clipped(43) = 0x7F // inflate the data chunk's size field high byte
     val Some(c) = Multimodal.decodeWav(clipped)
     assert(c.nFrames == 10, s"clamped frames ${c.nFrames}")
+    // a fmt chunk whose declared size is < 16 must NOT be parsed (it
+    // would read the next chunk's bytes as format fields) — stub fallback
+    val tinyFmt = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(52)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(4).putShort(1).putShort(1)
+      .put("data".getBytes("US-ASCII")).putInt(4).putInt(0)
+      .array()
+    assert(Multimodal.decodeWav(tinyFmt).isEmpty)
+    // a duplicate fmt chunk later in the file must not override the first
+    val base = wav16(16000, Array.fill(4)(1000.toShort))
+    val dup = java.nio.ByteBuffer.allocate(base.length + 24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(base)
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100)
+      .putInt(44100 * 4).putShort(4).putShort(16)
+      .array()
+    val Some(d) = Multimodal.decodeWav(dup)
+    assert(d.sampleRate == 16000 && d.channels == 1,
+      s"first fmt must govern: $d")
   }
 
   test("audioFeatures: WAV rows decode for real, text rows take the stub") {

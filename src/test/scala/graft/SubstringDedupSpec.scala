@@ -138,4 +138,22 @@ class SubstringDedupSpec extends AnyFunSuite {
     // the survivor's cleaned text still contains the boilerplate
     assert(got(1L)._4.startsWith(boiler))
   }
+
+  test("removeDuplicatedSpans keeps a NULL-text doc present " +
+       "(one empty-token row, nothing removed)") {
+    val boiler = words("null-boiler", 30)
+    val docs = Seq(
+      (1L, boiler),
+      (2L, boiler + " " + words("null-tail", 10)),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = SubstringDedup
+      .removeDuplicatedSpans(docs, "doc_id", "text", 20)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // the null-text doc must not vanish: split("") = [""] → 1 token kept
+    assert(got.contains(3L), s"null-text doc dropped: ${got.keySet}")
+    assert(got(3L) == ((3L, 1L, 0L, "")), s"null row ${got(3L)}")
+    assert(got(2L)._3 == 30L)
+  }
 }
