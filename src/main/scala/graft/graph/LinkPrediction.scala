@@ -80,14 +80,16 @@ object LinkPrediction {
     * closed form runs in double over those exact integers. NULL when the
     * graph is degree-regular (zero variance). */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    // the 2|E|-row end list feeds the degree aggregate AND the
-    // decoration join — materialize it once (edge-bounded, tiny) so the
-    // co-occurrence candidate pipeline upstream runs exactly once
-    // (measured 3.6 s → 2.2 s at sf0.1; contrast adamicAdar's NOTE
-    // below, where the same trick measured slower because its duplicate
-    // consumers overlap on idle cores — here the second consumer is the
-    // moment aggregate that cannot start until the joins finish)
-    val ends = directedEnds(edges).localCheckpoint(true)
+    // materialize the EDGE list once (edge-bounded, tiny) BEFORE the
+    // orientation union: checkpointing `ends` instead (the round-11
+    // shape) still ran the upstream co-occurrence aggregation once PER
+    // ORIENTATION inside the checkpoint job itself — ReusedExchange
+    // dedupes the shuffle write, not the aggregation read, so the
+    // profile showed 2×|pairs| rows entering the checkpoint. With the
+    // edges checkpointed, the union and both downstream consumers
+    // replay a 7 k-row materialized frame (profiled 2.4 M → 14 k rows
+    // into the end list at sf0.1)
+    val ends = directedEnds(edges.localCheckpoint(true))
     val deg = ends.groupBy(col("x").as("v")).agg(count(lit(1)).as("d"))
     // the degree table is ITEM-bounded (one row per node), never
     // corpus-bounded — broadcast both sides of the decoration join

@@ -75,15 +75,22 @@ object RandomProjection {
       .agg(sum(d38(col("y9") - col("b9")) * d38(col("y9") - col("b9")))
         .as("dy2"))
     // original squared distance: per-dim terms pinned to 9-dp longs so
-    // the sum is order-free
-    val xs = df.select(col(idCol).cast("long").as("id"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
-    val dorig = xs.alias("a")
-      .join(xs.select((col("id") - 1L).as("id"), col("d"),
-        col("x").as("bx")).alias("b"), Seq("id", "d"))
-      .groupBy(col("id"))
-      .agg(sum(round((col("x") - col("bx")) * (col("x") - col("bx")) *
-        lit(1e9)).cast("long")).as("dx2_9"))
+    // the sum is order-free. Computed IN-ROW (zip_with + aggregate over
+    // the two arrays after one id-keyed self-join) — the exploded
+    // (id, d)-keyed formulation paid an n·d-row shuffle and a groupBy
+    // for the same exact long sum. Arrays are fixed-dim by the
+    // embeddings contract (ragged inputs would null-pad here where the
+    // explode-join intersected dims).
+    val va = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("xs"))
+    val dorig = va.alias("a")
+      .join(va.select((col("id") - 1L).as("id"), col("xs").as("bxs"))
+        .alias("b"), Seq("id"))
+      .select(col("id"),
+        aggregate(
+          zip_with(col("xs"), col("bxs"),
+            (x, bx) => round((x - bx) * (x - bx) * lit(1e9)).cast("long")),
+          lit(0L), (acc, t) => acc + t).as("dx2_9"))
     val ratios = dproj.join(dorig, "id")
       .filter(col("dx2_9") > 0)
       .select(round((col("dy2").cast("double") / 1e18) /

@@ -85,12 +85,19 @@ object Contamination {
     val refSet = staged(reference).select(col("g")).distinct()
       .withColumn("__known", lit(1))
     // left join against the broadcast reference set: a missing match IS
-    // the novelty signal, so an inner/anti pair would need two passes
+    // the novelty signal, so an inner/anti pair would need two passes.
+    // EAGER checkpoint: the id-spine join below plus the caller's sort
+    // (whose range partitioner samples its child) would otherwise replay
+    // the tokenize→shingle→explode→join pipeline — the profiled hot 40%
+    // of the query — once per consumer. The materialized frame is one
+    // 3-column row per corpus doc (ids and two counts, no text): linear
+    // in doc count, kilobytes per million docs on executor-local disk.
     val marked = staged(corpus)
       .join(broadcast(refSet), Seq("g"), "left_outer")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         count(when(col("__known").isNull, 1)).as("n_novel"))
+      .localCheckpoint(true)
     // docs with no n-grams never reach the explode — restore them with a
     // left join from the corpus id spine (null-novelty contract above)
     corpus.select(col(idCol))

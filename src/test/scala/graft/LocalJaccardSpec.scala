@@ -45,6 +45,12 @@ class LocalJaccardSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("dedupImpact: local per-tau union-find == distributed CC runs") {
+    val (dist, local) = bothPaths(
+      Dedup.dedupImpact(docs, "doc_id", "text", 3, Seq(0.7, 0.8, 0.9)))
+    assert(local == dist)
+  }
+
   test("components: local union-find == distributed star contraction") {
     val (dist, local) = bothPaths(
       Dedup.ngramJaccardComponents(docs, "doc_id", "text", 3, 0.8))
