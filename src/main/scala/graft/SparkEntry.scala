@@ -437,10 +437,13 @@ object SparkEntry {
     "q306_als_neighbors" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
       val ratings = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy(o("o_custkey").cast("int").as("user"),
-          li("l_partkey").cast("int").as("item"))
-        .agg(count(lit(1)).cast("float").as("rating"))
-      graft.ml.Recommend.alsItemNeighbors(ratings, 8, 5, 0.1, 15)
+        .groupBy(o("o_custkey").cast("long").as("user"),
+          li("l_partkey").cast("long").as("item"))
+        .agg(count(lit(1)).as("rating"))
+      // pinned rank-2 ALS (PinnedAls): closed-form 2×2 solves with an
+      // unrolled SQL twin — the oracle-exact sibling of the spark.ml
+      // blocked ALS (Recommend.alsItemNeighbors, spec-covered)
+      graft.ml.PinnedAls.itemNeighbors(ratings, 0.1, 5, 15)
     }),
     // ---- Weibull shape/scale by median-rank regression over uncensored
     //      conversion durations: closed-form probability-plot fit, the
@@ -4175,6 +4178,58 @@ object SparkEntry {
          ORDER BY importance DESC, feature"""
   }
 
+  /** q306 twin: unrolled pinned rank-2 ALS ([[graft.ml.PinnedAls]]) over
+    * the customer×part co-purchase counts. Per half-step: exact HUGEINT
+    * Gram/moment sums, λ added to the diagonal in double, closed-form
+    * 2×2 solve, 1e-6 grid pin; readout = latent cosine to the minimum
+    * item id, top-k by (cos desc, item). */
+  private def pinnedAlsSql(lambda: Double, sweeps: Int, k: Int): String = {
+    val lam = dlit(lambda)
+    def half(fTab: String, joinK: String, groupK: String, outTab: String) =
+      s"""${outTab}_s AS (
+           SELECT r.$groupK AS g,
+             sum(CAST(f.v1 AS HUGEINT) * f.v1) AS a11,
+             sum(CAST(f.v1 AS HUGEINT) * f.v2) AS a12,
+             sum(CAST(f.v2 AS HUGEINT) * f.v2) AS a22,
+             sum(CAST(r.rt AS HUGEINT) * f.v1) AS b1,
+             sum(CAST(r.rt AS HUGEINT) * f.v2) AS b2
+           FROM r JOIN $fTab f ON f.k = r.$joinK GROUP BY 1),
+         $outTab AS MATERIALIZED (
+           SELECT g AS k,
+             CAST(round((a22d * b1d - a12d * b2d) / det * 1e6) AS BIGINT) AS v1,
+             CAST(round((a11d * b2d - a12d * b1d) / det * 1e6) AS BIGINT) AS v2
+           FROM (SELECT *, a11d * a22d - a12d * a12d AS det FROM (
+             SELECT g, CAST(a11 AS DOUBLE) / 1e12 + $lam AS a11d,
+                    CAST(a12 AS DOUBLE) / 1e12 AS a12d,
+                    CAST(a22 AS DOUBLE) / 1e12 + $lam AS a22d,
+                    CAST(b1 AS DOUBLE) / 1e6 AS b1d,
+                    CAST(b2 AS DOUBLE) / 1e6 AS b2d
+             FROM ${outTab}_s)))"""
+    val rounds = (1 to sweeps).map { s =>
+      half(s"if${s - 1}", "it", "u", s"uf$s") + ",\n         " +
+        half(s"uf$s", "u", "it", s"if$s")
+    }.mkString(",\n         ")
+    s"""WITH r AS MATERIALIZED (
+           SELECT o.o_custkey AS u, l.l_partkey AS it,
+                  CAST(count(*) AS BIGINT) AS rt
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1, 2),
+         if0 AS MATERIALIZED (
+           SELECT it AS k, CAST(1000000 AS BIGINT) AS v1,
+                  CAST((it % 1000 + 1) * 1000 AS BIGINT) AS v2
+           FROM (SELECT DISTINCT it FROM r)),
+         $rounds,
+         an AS (SELECT * FROM if$sweeps
+                WHERE k = (SELECT min(k) FROM if$sweeps))
+         SELECT item, round(c, 4) AS sim FROM (
+           SELECT f.k AS item,
+             (CAST(f.v1 AS DOUBLE) * a.v1 + CAST(f.v2 AS DOUBLE) * a.v2)
+             / (sqrt(CAST(f.v1 AS DOUBLE) * f.v1 + CAST(f.v2 AS DOUBLE) * f.v2)
+                * sqrt(CAST(a.v1 AS DOUBLE) * a.v1 + CAST(a.v2 AS DOUBLE) * a.v2)) AS c
+           FROM if$sweeps f CROSS JOIN an a WHERE f.k <> a.k)
+         ORDER BY c DESC, item LIMIT $k"""
+  }
+
   private def pinnedLogitSql(iters: Int, lr: Double): String = {
     val z12 = s"b.b0 + " + LogitFeatures.zipWithIndex
       .map { case (f, j) => s"b.b${j + 1} * $f" }.mkString(" + ")
@@ -4942,6 +4997,7 @@ object SparkEntry {
     "q32_lr_metrics" -> pinnedLogitSql(100, 0.5),
     "q48_lr_importance" -> pinnedLogitImportanceSql(100, 0.5),
     "q161_gbt_importance" -> pinnedGbtImportanceSql(10, 0.3),
+    "q306_als_neighbors" -> pinnedAlsSql(0.1, 5, 15),
     "q247_hits" -> hitsOracleSql(20),
     "q288_ktruss" -> ktrussOracleSql(12, 4),
     "q227_kcenter" -> kcenterOracleSql(16),
