@@ -100,6 +100,9 @@ object Itemsets {
   def prefixSpan(df: DataFrame, entityCol: String, itemCol: String,
                  tsCol: String, tieCol: String,
                  minSupportFraction: Double, maxLen: Int): DataFrame = {
+    if (maxLen == 2)
+      return prefixSpanL2(df, entityCol, itemCol, tsCol, tieCol,
+        minSupportFraction)
     val seqs = df
       .withColumn("__k", struct(col(tsCol), col(tieCol)))
       .groupBy(col(entityCol).as("e"))
@@ -113,6 +116,45 @@ object Itemsets {
         array_join(transform(col("sequence"), s => array_join(s, "+")), ">")
           .as("pattern"),
         col("freq"))
+      .orderBy(col("freq").desc, col("pattern"))
+  }
+
+  /** The `maxLen = 2` lattice level as plain relational algebra — output
+    * identical to the spark.ml miner above (PatternMiningSpec pins the
+    * order semantics; the q157 DuckDB twin hash-matches both forms).
+    *
+    * The identity: `<a,b>` is supported by a sequence iff some `a` occurs
+    * STRICTLY before some `b`, i.e. iff `first(a) < last(b)` under the
+    * (ts, tie) total order — including `a = b` (first < last ⟺ the item
+    * occurs twice). So one (entity, item) min/max aggregate (map-side
+    * partials; the miner's collect_list ships every event) replaces the
+    * projected-database rounds, and the pair join runs on the vocab-
+    * bounded per-entity item frame, never on raw events. `freq ≥
+    * ceil(support · n)` reproduces spark.ml's `math.ceil` double cut. */
+  private def prefixSpanL2(df: DataFrame, entityCol: String, itemCol: String,
+                           tsCol: String, tieCol: String,
+                           minSupportFraction: Double): DataFrame = {
+    // first/last occurrence key per (entity, item); materialized once —
+    // consumed by the sequence count, the 1-patterns and both pair sides
+    val fl = df
+      .select(col(entityCol).as("e"), col(itemCol).as("i"),
+        struct(col(tsCol), col(tieCol)).as("k"))
+      .groupBy(col("e"), col("i"))
+      .agg(min(col("k")).as("f"), max(col("k")).as("l"))
+      .localCheckpoint(true)
+    val n = fl.select(col("e")).distinct().agg(count(lit(1)).as("n"))
+    // (e, i) is distinct, so per-entity pattern hits count once each
+    val s1 = fl.groupBy(col("i").as("pattern"))
+      .agg(count(lit(1)).as("freq"))
+    val s2 = fl.alias("a")
+      .join(fl.alias("b"),
+        col("a.e") === col("b.e") && col("a.f") < col("b.l"))
+      .groupBy(concat(col("a.i"), lit(">"), col("b.i")).as("pattern"))
+      .agg(count(lit(1)).as("freq"))
+    s1.unionAll(s2)
+      .crossJoin(broadcast(n))
+      .where(col("freq") >= ceil(lit(minSupportFraction) * col("n")))
+      .select(col("pattern"), col("freq"))
       .orderBy(col("freq").desc, col("pattern"))
   }
 }

@@ -86,12 +86,54 @@ private[dedup] object LocalJaccard {
   private def prefixLen(n: Int, tau: Double): Int =
     math.min(n, n - math.ceil(n * tau - 1e-9).toInt + 1)
 
+  /** Flat-int posting lists keyed by the dense token rank — the boxed
+    * `HashMap[Int, ArrayBuffer[(Int, Int)]]` index cost ~10× the whole
+    * verification work on small-vocabulary corpora (a 31-token template
+    * vocab drives 7M candidate hits through tuple unboxing and a boxed
+    * global `HashSet[Long]` dedup — profiled 12.4 s for 2k true pairs at
+    * sf0.1). Ranks are 0..V−1 by construction, so the index is an array;
+    * candidates dedup per probe via a stamp array at their FIRST index
+    * collision, which is also where the positional bound is exact: under
+    * the shared ascending rank order no common token can precede the
+    * first collision (an earlier common token would itself have collided
+    * first — rank(b(op)) < rank(b(j)) for op < j contradicts
+    * rank(a(p')) < rank(a(p)) for p' < p), so
+    * `overlap ≤ min(na − p, nb − op)` holds exactly there and trying
+    * later (strictly tighter) positions — what the old loop did — can
+    * never rescue a candidate. */
+  private final class Postings(vocab: Int) {
+    private val heads = Array.fill(vocab)(-1) // head slot per token, -1 empty
+    private var rs = new Array[Int](1024) // candidate rep index
+    private var ops = new Array[Int](1024) // its position for that token
+    private var nxt = new Array[Int](1024) // next slot in this token's chain
+    private var n = 0
+    def add(tok: Int, r: Int, op: Int): Unit = {
+      if (n == rs.length) {
+        rs = java.util.Arrays.copyOf(rs, n * 2)
+        ops = java.util.Arrays.copyOf(ops, n * 2)
+        nxt = java.util.Arrays.copyOf(nxt, n * 2)
+      }
+      rs(n) = r; ops(n) = op; nxt(n) = heads(tok); heads(tok) = n; n += 1
+    }
+    /** Walk token `tok`'s postings: `f(candidate, candidatePos)`. */
+    def foreach(tok: Int)(f: (Int, Int) => Unit): Unit = {
+      var s = heads(tok)
+      while (s >= 0) { f(rs(s), ops(s)); s = nxt(s) }
+    }
+  }
+
+  private def vocabSize(reps: Reps): Int = {
+    var v = 0
+    reps.toks.foreach { t => if (t.nonEmpty && t(t.length - 1) >= v) v = t(t.length - 1) + 1 }
+    v
+  }
+
   /** Rep-level Jaccard ≥ τ pairs `(ia, ib, j)` as indexes into `reps`
     * with `ids(ia) < ids(ib)`. */
   private def repJaccardPairs(reps: Reps, tau: Double)
       : mutable.ArrayBuffer[(Int, Int, Double)] = {
-    val index = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Int, Int)]]
-    val seen = mutable.HashSet.empty[Long]
+    val index = new Postings(vocabSize(reps))
+    val stamp = Array.fill(reps.ids.length)(-1)
     val out = new mutable.ArrayBuffer[(Int, Int, Double)]
     var r = 0
     while (r < reps.ids.length) {
@@ -99,15 +141,15 @@ private[dedup] object LocalJaccard {
       val lp = prefixLen(na, tau)
       var p = 0
       while (p < lp) {
-        val tok = ta(p)
-        index.get(tok).foreach(_.foreach { case (o, op) =>
-          val tb = reps.toks(o); val nb = tb.length
-          val minOv = (na + nb) * tau / (1 + tau) - 1e-9
-          // length + positional bounds (ε semantics of the candidate join)
-          if (na >= nb * tau - 1e-9 && nb >= na * tau - 1e-9 &&
-              math.min(na - p, nb - op) >= minOv) {
-            val key = (math.min(r, o).toLong << 32) | math.max(r, o).toLong
-            if (seen.add(key)) {
+        index.foreach(ta(p)) { (o, op) =>
+          // first collision only (stamp): the sound positional-bound site
+          if (stamp(o) != r) {
+            stamp(o) = r
+            val tb = reps.toks(o); val nb = tb.length
+            val minOv = (na + nb) * tau / (1 + tau) - 1e-9
+            // length + positional bounds (ε semantics of the candidate join)
+            if (na >= nb * tau - 1e-9 && nb >= na * tau - 1e-9 &&
+                math.min(na - p, nb - op) >= minOv) {
               val c = overlap(ta, tb, minOv)
               val j = c.toDouble / (na + nb - c).toDouble
               if (j >= tau) {
@@ -117,14 +159,11 @@ private[dedup] object LocalJaccard {
               }
             }
           }
-        })
+        }
         p += 1
       }
       p = 0
-      while (p < lp) {
-        index.getOrElseUpdate(ta(p), new mutable.ArrayBuffer) += ((r, p))
-        p += 1
-      }
+      while (p < lp) { index.add(ta(p), r, p); p += 1 }
       r += 1
     }
     out
@@ -152,19 +191,19 @@ private[dedup] object LocalJaccard {
     val reps = collapseAndRank(docs)
     // postings: EVERY token of every rep (the index side); probes walk
     // their own ε-prefix. Orientation: probe is the smaller set, ties by
-    // smaller id — each pair generated from exactly one side.
-    val index = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Int, Int)]]
+    // smaller id — each pair generated from exactly one side. Same
+    // flat-array index + first-collision stamp as repJaccardPairs (the
+    // index holds all of b's positions, so an earlier common token would
+    // still have collided earlier — the first-collision bound is exact).
+    val index = new Postings(vocabSize(reps))
     var r = 0
     while (r < reps.ids.length) {
       val ta = reps.toks(r)
       var p = 0
-      while (p < ta.length) {
-        index.getOrElseUpdate(ta(p), new mutable.ArrayBuffer) += ((r, p))
-        p += 1
-      }
+      while (p < ta.length) { index.add(ta(p), r, p); p += 1 }
       r += 1
     }
-    val seen = mutable.HashSet.empty[Long]
+    val stamp = Array.fill(reps.ids.length)(-1)
     val out = new mutable.ArrayBuffer[(Long, Long, Double)]
     expandWithin(reps, out)
     r = 0
@@ -174,18 +213,18 @@ private[dedup] object LocalJaccard {
       val lp = prefixLen(na, tau)
       var p = 0
       while (p < lp) {
-        index.get(ta(p)).foreach(_.foreach { case (o, op) =>
-          val nb = reps.toks(o).length
-          if ((na < nb || (na == nb && reps.ids(r) < reps.ids(o))) &&
-              math.min(na - p, nb - op) >= minOv) {
-            val key = (r.toLong << 32) | o.toLong
-            if (seen.add(key)) {
+        index.foreach(ta(p)) { (o, op) =>
+          if (stamp(o) != r) {
+            stamp(o) = r
+            val nb = reps.toks(o).length
+            if ((na < nb || (na == nb && reps.ids(r) < reps.ids(o))) &&
+                math.min(na - p, nb - op) >= minOv) {
               val c = overlap(ta, reps.toks(o), minOv)
               val cont = c.toDouble / na.toDouble
               if (cont >= tau) expandCross(reps, r, o, cont, out)
             }
           }
-        })
+        }
         p += 1
       }
       r += 1

@@ -37,16 +37,20 @@ object ItemSimilarity {
       .groupBy(col("x.i").as("a"), col("y.i").as("b"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
-    // deg rides below as TWO differently-projected broadcasts — Spark's
-    // exchange reuse can't unify them, so each broadcast job would re-run
-    // the basket scan + dedup. Eager checkpoint: the frame is bounded by
-    // the item vocabulary (one row per item), and the upstream computes
-    // exactly once (the q249/q257 materialize-once discipline).
+    // deg must NOT ride as broadcasts: a broadcast subtree materializes in
+    // its own job BEFORE the main plan, so each one re-runs the basket
+    // scan + repartition + dedup (and the round-12 deg checkpoint still
+    // paid that derivation once more for the checkpoint job itself —
+    // profiled as TWO full 600 k-row scan+dedup chains per run). With
+    // SHUFFLE_HASH hints the degree joins live in the SAME plan as the
+    // support self-join, so all three consumers of `it` read ONE reused
+    // repartition exchange: one corpus scan total. The extra exchanges
+    // carry only the support-filtered pairs (tiny) and the item-bounded
+    // degree table — kilobytes at any scale.
     val deg = it.groupBy(col("i")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
     val pinned = support
-      .join(broadcast(deg.select(col("i").as("a"), col("c").as("ca"))), Seq("a"))
-      .join(broadcast(deg.select(col("i").as("b"), col("c").as("cb"))), Seq("b"))
+      .join(deg.select(col("i").as("a"), col("c").as("ca")).hint("shuffle_hash"), Seq("a"))
+      .join(deg.select(col("i").as("b"), col("c").as("cb")).hint("shuffle_hash"), Seq("b"))
       .withColumn("__s12",
         round(col("support").cast("double") * lit(1e12) /
           sqrt(col("ca").cast("double") * col("cb").cast("double")))
