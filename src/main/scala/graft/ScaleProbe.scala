@@ -63,11 +63,17 @@ object ScaleProbe {
         d, "doc_id", "text", 20)),
       ("q416_spans_apply", d => graft.dedup.SubstringDedup.removeDuplicatedSpans(
         d, "doc_id", "text", 20)))
+    // warm corpus from the same env var Bench honors (never hardcoded:
+    // on another machine a missing path must be VISIBLE, not silently
+    // skew the 1× vs REP× comparison by charging codegen to the 1× run)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DIR", "/root/testdata/sf0.001")
     for ((name, fn) <- runs; k <- Seq(1, rep)) {
-      // warm pass at sf0.001 so codegen/JIT stays out of the window
-      try fn(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      // warm pass at the smallest SF so codegen/JIT stays out of the window
+      try fn(graft.sources.Tables.documents(spark, warmDir))
         .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] WARM PASS FAILED for $name ($warmDir): " +
+          s"${e.getMessage} — 1x wall will include codegen cost") }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()

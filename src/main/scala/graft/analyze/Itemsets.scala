@@ -96,7 +96,16 @@ object Itemsets {
     * sequences ordered by `(tsCol, tieCol)`: `(pattern, freq)` where
     * pattern is `a>b>…` (each step a single item). `maxLen` bounds the
     * pattern length — at `maxLen = 2` the result is exactly the
-    * SQL-expressible "a then later b" subsequence count. */
+    * SQL-expressible "a then later b" subsequence count.
+    *
+    * PRECONDITION: `(tsCol, tieCol)` must be a STRICT total order within
+    * each entity (i.e. `tieCol` unique per entity at equal timestamps —
+    * an event id, never a coarse category). With duplicate keys the
+    * generic miner breaks the remaining tie by item and counts equal-key
+    * events as ordered, while the `maxLen = 2` relational form
+    * (`first(a) < last(b)`) treats them as unordered — the two paths
+    * would silently diverge. Every in-repo caller passes a unique event
+    * id; new callers with coarse timestamps must too. */
   def prefixSpan(df: DataFrame, entityCol: String, itemCol: String,
                  tsCol: String, tieCol: String,
                  minSupportFraction: Double, maxLen: Int): DataFrame = {

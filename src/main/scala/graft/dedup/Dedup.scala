@@ -459,6 +459,10 @@ object Dedup {
       case _ => false
     }
     if (!integral) return None
+    // NOTE: this probe costs one bounded CollectLimit job per invocation
+    // at ANY scale — intentional: CollectLimit is incremental (first
+    // partitions only), so above the gate the probe touches ~max+1 rows
+    // and the distributed plan then runs untouched.
     val rows = docSets
       .select(col("id").cast("long").as("id"), col("set"))
       .limit(max + 1).collect()
@@ -468,6 +472,30 @@ object Dedup {
       Some(rows.map(r => (r.getLong(0), r.getSeq[String](1).toArray)))
   }
 
+  /** `(id_a, id_b, sim)` rows as a LocalRelation built DIRECTLY from
+    * internal rows — the `Seq[Tuple3].toDF` encoder path converts via
+    * runtime reflection per row, which profiled as ~1 s of driver gap on
+    * q19's 190 k-pair result (the single largest remaining cost of the
+    * local fast path). A GenericInternalRow carries the three primitives
+    * straight into the plan; LocalTableScan's one codegen'd unsafe
+    * projection replaces the per-row encoder walk. */
+  private def localPairsDf(df: DataFrame, simName: String,
+                           rows: Seq[(Long, Long, Double)]): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val attrs = Seq(
+      AttributeReference("id_a", LongType, nullable = false)(),
+      AttributeReference("id_b", LongType, nullable = false)(),
+      AttributeReference(simName, DoubleType, nullable = false)())
+    val data: Seq[InternalRow] = rows.map { case (a, b, s) =>
+      new GenericInternalRow(Array[Any](a, b, s)): InternalRow
+    }
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
+      df.sparkSession, LocalRelation(attrs, data))
+  }
+
   /** Core of the exact-Jaccard join, parameterized by the set expression
     * (distinct sorted array of join units — tokens, shingles, …). */
   def jaccardPairsOfSets(df: DataFrame, idCol: String, setExpr: Column,
@@ -475,11 +503,9 @@ object Dedup {
     val docSets = docSetsOf(df, idCol, setExpr)
     val local = collectIfSmall(docSets)
     if (local.isDefined) {
-      val spark = df.sparkSession
-      import spark.implicits._
       val idType = docSets.schema("id").dataType
-      return LocalJaccard.jaccardPairs(local.get, threshold)
-        .toDF("id_a", "id_b", "jaccard")
+      return localPairsDf(df, "jaccard",
+          LocalJaccard.jaccardPairs(local.get, threshold))
         .select(col("id_a").cast(idType).as("id_a"),
           col("id_b").cast(idType).as("id_b"),
           round(col("jaccard"), 4).as("jaccard"))
@@ -911,11 +937,9 @@ object Dedup {
     val docSets = docSetsOf(df, idCol, setExpr)
     val local = collectIfSmall(docSets)
     if (local.isDefined) {
-      val spark = df.sparkSession
-      import spark.implicits._
       val idType = docSets.schema("id").dataType
-      return LocalJaccard.containmentPairs(local.get, threshold)
-        .toDF("id_a", "id_b", "containment")
+      return localPairsDf(df, "containment",
+          LocalJaccard.containmentPairs(local.get, threshold))
         .select(col("id_a").cast(idType).as("id_a"),
           col("id_b").cast(idType).as("id_b"),
           round(col("containment"), 4).as("containment"))

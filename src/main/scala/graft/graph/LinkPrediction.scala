@@ -42,23 +42,32 @@ object LinkPrediction {
     * wedge counts stay flat as the corpus scales. */
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
                         itemCol: String, minSupport: Long = 1L): DataFrame = {
-    // Self-join formulation, ONE corpus shuffle, everything inside
-    // whole-stage codegen. The explicit repartition on the group key is
-    // the only exchange the (group, item) stream pays: HashPartitioning(g)
-    // satisfies the dedup aggregate's ClusteredDistribution(g, i) AND both
-    // join sides' requirement, so dropDuplicates and the equi-join add no
-    // further exchanges (the shared subtree's exchange is reused across
-    // the two aliases). A collect_set + native-pair-explode variant was
-    // measured SLOWER (3.9 s vs 2.7 s at sf0.1): ObjectHashAggregate's
-    // per-group array buffers plus per-pair struct boxing feed the
-    // support count generic rows, where the join's UnsafeRow output keeps
-    // the count agg codegen'd. Scale: the per-basket quadratic is
-    // identical by definition, but here a pathological hot basket is an
+    // Self-join formulation, everything inside whole-stage codegen.
+    // HashPartitioning(g) satisfies the dedup aggregate's
+    // ClusteredDistribution(g, i) AND both join sides' requirement, so
+    // dropDuplicates and the equi-join add no exchanges of their own. A
+    // collect_set + native-pair-explode variant was measured SLOWER
+    // (3.9 s vs 2.7 s at sf0.1): ObjectHashAggregate's per-group array
+    // buffers plus per-pair struct boxing feed the support count generic
+    // rows, where the join's UnsafeRow output keeps the count agg
+    // codegen'd. Scale: the per-basket quadratic is identical by
+    // definition, but here a pathological hot basket is an
     // AQE-splittable skewed JOIN key, not one unsplittable aggregation
     // buffer row.
+    // Post-dedup repartition on the same key: the self-join consumes
+    // `it` twice (probe side + broadcast/build side), and AQE stage
+    // reuse shares materialized EXCHANGES, not the aggregate above one —
+    // without this the dedup aggregate replays once per consumer
+    // (profiled as two full 600 k-row dedup stages at sf0.1, q288/q257).
+    // One extra shuffle of the distinct (g, i) rows buys a single dedup
+    // run; the repartition key is `g`, so the join adds no further
+    // exchange. The dedup keeps its own natural hash(g, i) exchange
+    // (with map-side partial dedup before it) — a same-key g-then-g
+    // repartition pair is recognized as redundant by the optimizer and
+    // silently removed, restoring the per-consumer replays.
     val it = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
-      .repartition(col("g"))
       .dropDuplicates("g", "i")
+      .repartition(col("g"))
     it.alias("x").join(it.alias("y"),
         col("x.g") === col("y.g") && col("x.i") < col("y.i"))
       .groupBy(col("x.i").as("a"), col("y.i").as("b"))
@@ -68,10 +77,20 @@ object LinkPrediction {
   }
 
   /** Both orientations of a distinct `(a, b)` edge list: 2|E| directed
-    * ends `(x, y)`. */
+    * ends `(x, y)`. In-row explode, NOT a union of two projections: a
+    * union makes the edge list a two-consumer subtree, and every
+    * consumer of an aggregate re-runs the aggregate (exchange reuse
+    * dedupes the shuffle write, never the post-shuffle agg) — profiled
+    * as the support aggregate replaying once per orientation (2×1.2 M
+    * rows, q220 r13). The explode keeps the whole derivation a
+    * single-consumer chain: one narrow row-doubling map, zero extra
+    * plan subtrees. */
   private def directedEnds(edges: DataFrame): DataFrame =
-    edges.select(col("a").as("x"), col("b").as("y"))
-      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+    edges
+      .select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("b").as("x"), col("a").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
 
   /** Degree assortativity coefficient: Pearson correlation of the degree
     * pairs at the two ends of every directed edge end (each undirected
@@ -80,22 +99,25 @@ object LinkPrediction {
     * closed form runs in double over those exact integers. NULL when the
     * graph is degree-regular (zero variance). */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    // materialize the EDGE list once (edge-bounded, tiny) BEFORE the
-    // orientation union: checkpointing `ends` instead (the round-11
-    // shape) still ran the upstream co-occurrence aggregation once PER
-    // ORIENTATION inside the checkpoint job itself — ReusedExchange
-    // dedupes the shuffle write, not the aggregation read, so the
-    // profile showed 2×|pairs| rows entering the checkpoint. With the
-    // edges checkpointed, the union and both downstream consumers
-    // replay a 7 k-row materialized frame (profiled 2.4 M → 14 k rows
-    // into the end list at sf0.1)
-    val ends = directedEnds(edges.localCheckpoint(true))
-    val deg = ends.groupBy(col("x").as("v")).agg(count(lit(1)).as("d"))
-    // the degree table is ITEM-bounded (one row per node), never
-    // corpus-bounded — broadcast both sides of the decoration join
-    val pairs = ends
-      .join(broadcast(deg.select(col("v").as("x"), col("d").as("di"))), Seq("x"))
-      .join(broadcast(deg.select(col("v").as("y"), col("d").as("dj"))), Seq("y"))
+    // SINGLE-CONSUMER chain, no checkpoint, no broadcasts: with the
+    // explode-form directedEnds the end list is derived from the edge
+    // aggregation exactly once by construction, and the two end degrees
+    // are WINDOW counts over the (edge-bounded) end list rather than a
+    // degree-table broadcast join. The round-13 shape (eager edge
+    // checkpoint + two broadcast degree joins) ran the derivation once
+    // too, but paid a materialization barrier plus two broadcast-build
+    // jobs — 10 jobs, 1.1 s of driver gaps at sf0.1, and a committed
+    // 0.78× bench REGRESSION vs the round-12 union form (VERDICT r13
+    // item 2). Here everything is one action: derivation → explode →
+    // two edge-bounded window shuffles → moment aggregate. deg(x) =
+    // count of directed ends anchored at x = the window count over x;
+    // same for y. At 100 TB both window shuffles carry 2|E| rows of two
+    // node ids — edge-bounded, AQE-sized.
+    val w = org.apache.spark.sql.expressions.Window
+    val pairs = directedEnds(edges)
+      .select(
+        count(lit(1)).over(w.partitionBy(col("x"))).as("di"),
+        count(lit(1)).over(w.partitionBy(col("y"))).as("dj"))
     def d19(c: Column) = c.cast("decimal(19,0)")
     pairs.agg(
         count(lit(1)).as("n_ends"),
@@ -119,16 +141,25 @@ object LinkPrediction {
     * expanded per center z from its sorted neighbor array; each wedge
     * carries the 12-dp-quantized weight of ITS CENTER, so the (u,v) sum
     * is exact and the ranking deterministic. Existing edges are removed
-    * with a broadcast-friendly left-anti join. Output
+    * by marker rows fused into the score aggregate (same (u, v) key —
+    * set-equivalent to a left-anti join, one fewer pass). Output
     * `(u, v, common, aa_score)` ordered by score desc, then (u, v). */
   def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
-    // NOTE on sharing: the edge list is consumed three times (both
-    // directedEnds orientations + the non-adjacency anti-join). Both an
-    // eager localCheckpoint and a lazy persist were measured SLOWER here
-    // than recomputation — AQE's exchange reuse already shares the heavy
-    // candidate shuffle, the duplicated final aggregations overlap on
-    // otherwise-idle cores, and any materialization barrier serializes
-    // that overlap.
+    // The edge list is consumed exactly TWICE — the neighbor-list
+    // aggregate (single explode chain, see directedEnds) and the
+    // adjacency-marker rows below — the structural minimum for AA
+    // (edges are both the wedge source and the exclusion set). The
+    // round-13 shape consumed it three times (two union orientations +
+    // a left-anti probe side) and replayed the support aggregate per
+    // consumer (profiled 3×1.2 M rows at sf0.1); checkpointing was
+    // measured slower still (the barrier serialized the overlap).
+    //
+    // Non-adjacency exclusion is FUSED into the wedge-score aggregate:
+    // wedge pairs and edges share the (u, v) key with u < v on both
+    // sides (SortedPairs emits a < b; the edge list is a < b distinct),
+    // so a marker row per edge and a `max(flag) = 0` filter after the
+    // existing groupBy is exactly the left-anti join — minus its
+    // broadcast build job and its third replay of the edge derivation.
     val e = edges
     val nbrs = directedEnds(e)
       .groupBy(col("x").as("z"))
@@ -141,12 +172,16 @@ object LinkPrediction {
           .as("__w12"),
         explode(call_function(
           graft.functions.SortedPairs.Name, col("ns"))).as("p"))
-      .select(col("p.a").as("u"), col("p.b").as("v"), col("__w12"))
-    val scored = wedges.groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("common"), sum(col("__w12")).as("__s12"))
-    scored
-      .join(e, scored("u") === e("a") && scored("v") === e("b"),
-        "left_anti")
+      .select(col("p.a").as("u"), col("p.b").as("v"), col("__w12"),
+        lit(0).as("__edge"))
+    val marked = wedges.unionAll(
+      e.select(col("a").as("u"), col("b").as("v"), lit(0L).as("__w12"),
+        lit(1).as("__edge")))
+    marked.groupBy(col("u"), col("v"))
+      .agg(count(when(col("__edge") === 0, 1)).as("common"),
+        sum(col("__w12")).as("__s12"),
+        max(col("__edge")).as("__adj"))
+      .where(col("__adj") === 0)
       .select(col("u"), col("v"), col("common"),
         round(col("__s12").cast("double") / 1e12, 6).as("aa_score"))
       .orderBy(desc("aa_score"), col("u"), col("v"))

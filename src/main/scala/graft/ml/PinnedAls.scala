@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *  - factors live on the 1e-6 long grid (`v1, v2`); item init is
   *    `(1.0, ((item % 1000) + 1)/1000)` — deterministic, engine-pure
   *    arithmetic, non-collinear across items;
-  *  - the Gram sums `Σv², Σv·v, Σr·v` are EXACT decimal sums of long
-  *    products (HUGEINT in the twin — factor squares can pass 2^63);
+  *  - the Gram sums `Σv², Σv·v, Σr·v` are LONG sums of long products
+  *    (the twin uses HUGEINT; `solveSide`'s headroom analysis shows the
+  *    long sums cannot overflow at any plausible key cardinality, and an
+  *    overflow would fail the oracle loudly, never pass it);
   *  - the solve runs in IEEE double over those exact integers with the
   *    twin's operation order (`det = a11·a22 − a12²` with λ added to the
   *    diagonal first), and pins straight back to the grid. λ > 0 keeps
@@ -90,10 +92,11 @@ object PinnedAls {
     // frames report no useful plan-time stats); above
     // `graft.als.broadcastFactorsMax` rows (default 2^20) the hint is
     // withheld and the plain shuffled join stands — correct at any
-    // scale, fast when factors fit. The per-step factor checkpoint is
-    // kept EAGER: a lazy chain nests every prior sweep inside each
-    // broadcast build and re-executes the tower (measured 29 s vs 8 s
-    // at sf0.1).
+    // scale, fast when factors fit. The ITEM factor checkpoint (one per
+    // sweep) is kept EAGER: a fully lazy chain nests every prior sweep
+    // inside each broadcast build and re-executes the tower (measured
+    // 29 s vs 8 s at sf0.1); the USER half-step alone stays lazy inside
+    // its sweep (half-step fusion, see the loop).
     // the ratings aggregate runs ONCE (checkpoint), then fans out into
     // the two cached pre-partitioned copies (each a cheap reshuffle of
     // the materialized rows, not a recompute of the corpus join)
@@ -109,16 +112,27 @@ object PinnedAls {
       .select(col("item"), lit(1000000L).as("v1"),
         ((pmod(col("item"), lit(1000)) + 1) * 1000).cast("long").as("v2"))
       .localCheckpoint(true)
-    // broadcastability is decided from the MATERIALIZED factor frames'
-    // own row counts (trivial scans of key-bounded frames — never a
-    // corpus-sized countDistinct)
+    // broadcastability is decided from MATERIALIZED frames' own row
+    // counts (trivial scans of key-bounded/cached frames — never a
+    // corpus-sized countDistinct). nUsers comes from the cached rating
+    // copy: solveSide emits one row per distinct rU user (every item
+    // carries a factor, so the join drops nothing).
     val nItems = itemF.count()
-    var nUsers = -1L
+    val nUsers = rU.select(col("user")).distinct().count()
     var s = 0
     while (s < sweeps) {
+      // HALF-STEP FUSION (one checkpoint per sweep, not two): the user
+      // half-step stays LAZY inside the item half-step's plan, so its
+      // aggregation runs exactly once — as the build of the user-factor
+      // broadcast — and the separate userF materialize job + its
+      // rescan-for-broadcast disappear (36 jobs → ~22, 1.8 s of driver
+      // gaps at sf0.1). This is ONE level of laziness on top of a
+      // checkpointed itemF, not the lazy tower the r12 measurement
+      // rejected (29 s vs 8 s — there every sweep nested ALL prior
+      // sweeps; here the per-sweep itemF checkpoint still cuts the
+      // lineage). Above the broadcast gate the user frame flows into a
+      // plain shuffled join instead — correct at any scale.
       val userF = solveSide(rU, hinted(itemF, nItems), "item", "user", lambda)
-        .localCheckpoint(true)
-      if (nUsers < 0) nUsers = userF.count()
       itemF = solveSide(rI, hinted(userF, nUsers), "user", "item", lambda)
         .localCheckpoint(true)
       s += 1

@@ -29,9 +29,27 @@ object ItemSimilarity {
                minSupport: Long, k: Int): DataFrame = {
     require(minSupport >= 1 && k >= 1,
       s"need minSupport, k >= 1: $minSupport, $k")
+    // The SECOND repartition (after the dedup) is the sharing point:
+    // `it` has FOUR consumers (both self-join sides, of which one is a
+    // broadcast build, plus two degree aggregates), and AQE stage reuse
+    // dedupes materialized EXCHANGES, never the aggregation on top of
+    // one — with only the pre-dedup exchange shared, the r13 profile
+    // showed the 600 k-row dedup aggregate replaying once per consumer
+    // (stages 29/31/33 each reading the full exchange, ~15 CPU-s of
+    // repeated dedup at sf0.1). Re-exchanging the deduped rows on the
+    // same key costs one extra shuffle of the DISTINCT rows but makes
+    // every consumer read the dedup RESULT; at 100 TB one shuffle of
+    // distinct (g, i) pairs replaces three replays of the distinct
+    // aggregate over the raw corpus. The dedup keeps its own natural
+    // hash(g, i) exchange (map-side partial dedup compresses duplicate
+    // rows before it), so the g-repartition on top is a genuine
+    // redistribution the optimizer cannot elide — a same-key repartition
+    // over an already-hash(g)-partitioned dedup is recognized as
+    // redundant and silently removed, restoring the per-consumer
+    // replays (measured: plan unchanged, dedup still 3×).
     val it = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
-      .repartition(col("g"))
       .dropDuplicates("g", "i")
+      .repartition(col("g"))
     val support = it.alias("x").join(it.alias("y"),
         col("x.g") === col("y.g") && col("x.i") < col("y.i"))
       .groupBy(col("x.i").as("a"), col("y.i").as("b"))

@@ -118,15 +118,23 @@ object RetrievalFusion {
     // pairs per partition cross the shuffle) instead of a ranking
     // window over every candidate row; (value DESC, tag ASC) is the
     // window's exact tie order, and both the pico score and the
-    // overlap count stay < 2^53 so the double heap key is order-exact
+    // overlap count stay < 2^53 so the double heap key is order-exact.
+    // BOTH runs' heaps ride ONE aggregation pass over the candidate
+    // frame (two graft_topk columns in the same groupBy) — as separate
+    // branches each re-aggregated the 259 k-row checkpoint (profiled
+    // 2.4 + 5.6 CPU-s at sf0.1 for identical grouping work); the fused
+    // result is query-bounded (one row per qid), so its checkpoint is
+    // free and the explode branches replay kilobytes.
     graft.functions.TopK.register(corpus.sparkSession)
-    def runTopK(valueCol: Column): DataFrame =
-      scored.groupBy(col("qid"))
-        .agg(call_function(graft.functions.TopK.Name,
-          valueCol.cast("double"), col("doc_id").cast("long"), lit(k)).as("top"))
-        .select(col("qid"), posexplode(col("top")))
+    def heap(valueCol: Column) = call_function(graft.functions.TopK.Name,
+      valueCol.cast("double"), col("doc_id").cast("long"), lit(k))
+    val tops = scored.groupBy(col("qid"))
+      .agg(heap(col("score_p")).as("t_bm"), heap(col("ov")).as("t_ov"))
+      .localCheckpoint(true)
+    def runOf(c: String): DataFrame =
+      tops.select(col("qid"), posexplode(col(c)))
         .select(col("qid"), col("col.tag").as("doc_id"),
           (col("pos") + 1).as("rank"))
-    rrf(Seq(runTopK(col("score_p")), runTopK(col("ov"))), k0, k)
+    rrf(Seq(runOf("t_bm"), runOf("t_ov")), k0, k)
   }
 }

@@ -97,4 +97,28 @@ class DbscanItemCfSpec extends AnyFunSuite {
       r.head.getLong(2) == 2)
     assert(math.abs(r.head.getDouble(3) - 2.0 / math.sqrt(6.0)) < 1e-6)
   }
+
+  test("item-item cf single-derivation claim: the post-dedup exchange is reused") {
+    // Pinned plan-shape check (ADVICE r13): the one-corpus-derivation
+    // property of topPairs rests on AQE reusing the post-dedup
+    // repartition exchange across all consumers (both self-join sides
+    // and the degree aggregate). Nothing else enforces it — a planner
+    // change that stops the reuse would silently re-run the dedup per
+    // consumer with no correctness signal. Executed-plan witness: the
+    // post-dedup REPARTITION_BY_COL exchange appears as a ReusedExchange
+    // in at least two consumer positions of the final adaptive plan.
+    import spark.implicits._
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L))
+      .toDF("g", "i")
+    val q = ItemSimilarity.topPairs(df, "g", "i", 2L, 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val finalPlan = plan.substring(0,
+      math.max(plan.indexOf("== Initial Plan =="), plan.length - 1))
+    val reused =
+      "ReusedExchange.*REPARTITION_BY_COL".r.findAllIn(finalPlan).size
+    assert(reused >= 2,
+      s"post-dedup repartition exchange reused $reused× (expected >= 2) — " +
+        s"the dedup aggregate is replaying per consumer again\n$plan")
+  }
 }

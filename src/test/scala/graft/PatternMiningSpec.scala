@@ -108,6 +108,34 @@ class PatternMiningSpec extends AnyFunSuite {
     assert(!got.contains("b>a"))
   }
 
+  test("prefixSpan L2 relational form ≡ spark.ml miner, incl. a>a repeats") {
+    import spark.implicits._
+    // repeats (a>a for users 1/2), same-ts events disambiguated by the
+    // unique event-id tie, and a singleton item
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 00:01:00"), 2L, "a"),
+      (1L, ts("2024-01-01 00:01:00"), 3L, "b"), // same ts as event 2
+      (2L, ts("2024-01-01 00:00:00"), 4L, "a"),
+      (2L, ts("2024-01-01 00:02:00"), 5L, "a"),
+      (2L, ts("2024-01-01 00:03:00"), 6L, "c"),
+      (3L, ts("2024-01-01 00:00:00"), 7L, "b"),
+      (3L, ts("2024-01-01 00:01:00"), 8L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    // maxLen = 3 takes the generic spark.ml path; its length ≤ 2 patterns
+    // have maxLen-independent support, so filtering them is exactly the
+    // maxLen = 2 result the relational fast path must reproduce
+    val generic = Itemsets.prefixSpan(df, "user_id", "event_type", "ts",
+        "event_id", 0.5, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (p, _) => p.count(_ == '>') <= 1 }.toMap
+    val l2 = Itemsets.prefixSpan(df, "user_id", "event_type", "ts",
+        "event_id", 0.5, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(l2 == generic, s"l2=$l2 generic=$generic")
+    assert(l2("a>a") == 2L) // the repeat case: first(a) < last(a)
+  }
+
   // --------------------------------------------------------------- paths
 
   test("entryPaths keys on the exact ordered prefix, short users included") {
