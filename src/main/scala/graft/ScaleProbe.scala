@@ -51,6 +51,24 @@ object ScaleProbe {
         .withColumn("text", concat(col("text"), lit(" xqz"), col("__r")))
         .drop("__r")
     }
+    // Dissimilar-replica corpus for the q24 INFRASTRUCTURE probe: four
+    // replica-unique trailing tokens push a replica pair's token
+    // Jaccard to ~n/(n+4) < 0.9 for the ~23-token docs here, so the
+    // ≥ 0.9 OUTPUT stays ~1×-sized and what's measured is the
+    // band/signature shuffle alone. The default replica (one unique
+    // token, still ≥ 0.9 similar) keeps its quadratic output BY
+    // DESIGN — that run measures output growth as a data property.
+    def docsDisjointAt(k: Int): DataFrame = {
+      val d = graft.sources.Tables.documents(spark, dir)
+      if (k == 1) d
+      else d.crossJoin(
+          spark.range(0, k).select(col("id").cast("long").as("__r")))
+        .withColumn("doc_id", col("doc_id") * k + col("__r"))
+        .withColumn("text", concat(col("text"),
+          lit(" xqza"), col("__r"), lit(" yqwb"), col("__r"),
+          lit(" zqec"), col("__r"), lit(" wqrd"), col("__r")))
+        .drop("__r")
+    }
     // the replicated corpus must not ride the LocalJaccard-style small
     // gates; none of these four operators has one, so no conf is needed.
     val runs = Seq[(String, DataFrame => DataFrame)](
@@ -67,7 +85,12 @@ object ScaleProbe {
     // on another machine a missing path must be VISIBLE, not silently
     // skew the 1× vs REP× comparison by charging codegen to the 1× run)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DIR", "/root/testdata/sf0.001")
-    for ((name, fn) <- runs; k <- Seq(1, rep)) {
+    val disjointRun: (String, DataFrame => DataFrame) =
+      ("q24_minhash_disj", d => graft.dedup.Dedup.minHashLshPairs(d, "doc_id",
+        "text", numHashes = 64, shingleN = 1, bands = 8, threshold = 0.9,
+        portable = true))
+    val allRuns = runs.map((_, docsAt _)) :+ ((disjointRun, docsDisjointAt _))
+    for (((name, fn), corpus) <- allRuns; k <- Seq(1, rep)) {
       // warm pass at the smallest SF so codegen/JIT stays out of the window
       try fn(graft.sources.Tables.documents(spark, warmDir))
         .write.mode("overwrite").format("noop").save()
@@ -79,7 +102,7 @@ object ScaleProbe {
       System.gc()
       metrics.reset()
       val t0 = System.nanoTime()
-      fn(docsAt(k)).write.mode("overwrite").format("noop").save()
+      fn(corpus(k)).write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // listener drain
       println(f"[scale] $name%-18s x$k%-3d wall=$dt%7.2f s shufWrite=${metrics.write / 1048576.0}%9.2f MiB shufRead=${metrics.read / 1048576.0}%9.2f MiB shufRows=${metrics.rows}%,d")
