@@ -54,20 +54,19 @@ object LinkPrediction {
     // definition, but here a pathological hot basket is an
     // AQE-splittable skewed JOIN key, not one unsplittable aggregation
     // buffer row.
-    // Post-dedup repartition on the same key: the self-join consumes
-    // `it` twice (probe side + broadcast/build side), and AQE stage
-    // reuse shares materialized EXCHANGES, not the aggregate above one —
-    // without this the dedup aggregate replays once per consumer
-    // (profiled as two full 600 k-row dedup stages at sf0.1, q288/q257).
-    // One extra shuffle of the distinct (g, i) rows buys a single dedup
-    // run; the repartition key is `g`, so the join adds no further
-    // exchange. The dedup keeps its own natural hash(g, i) exchange
-    // (with map-side partial dedup before it) — a same-key g-then-g
-    // repartition pair is recognized as redundant by the optimizer and
-    // silently removed, restoring the per-consumer replays.
+    // NOTE on the dedup aggregate's two consumers (self-join probe +
+    // build sides): AQE reuses the repartition EXCHANGE but replays the
+    // dedup aggregate once per consumer. A post-dedup re-exchange that
+    // every consumer reads (the ItemSimilarity.topPairs shape, where
+    // FOUR consumers make it pay) was tried here in round 14 and
+    // REVERTED: with only two consumers the extra shuffle's stage
+    // barrier cost more wall than the replay it saved — paired 6-run
+    // A/B medians at sf0.1 read 0.90–0.94× across the seven
+    // coOccurrenceEdges callers (q219/q220/q257/q278/q287/q288/q305),
+    // and the replayed dedup overlaps on otherwise-idle cores anyway.
     val it = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
-      .dropDuplicates("g", "i")
       .repartition(col("g"))
+      .dropDuplicates("g", "i")
     it.alias("x").join(it.alias("y"),
         col("x.g") === col("y.g") && col("x.i") < col("y.i"))
       .groupBy(col("x.i").as("a"), col("y.i").as("b"))
